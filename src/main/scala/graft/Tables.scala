@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loader (TESTDATA.md): one parquet file per table under a
+  * scale-factor directory. Mirrors the reference's catalog-driven table
+  * access (fetch.go:222, select_point_to_point_links.sql:49-58) — tables
+  * are addressed by name, schema comes from file metadata, never inferred
+  * from data (SURVEY.md §1.1).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(names.contains(name), s"unknown fixture table: $name")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+}
