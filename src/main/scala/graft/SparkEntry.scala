@@ -8,16 +8,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.p2pLinks(spark, "/root/testdata/sf0.001")
 
+  /** Registry: every operator module contributes its Op entries. */
+  def allOps: Seq[Op] = Relational.ops ++ Events.ops
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p2p_links" -> (Relational.p2pLinks _),
-    "q1_agg"    -> (Relational.q1Agg _),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allOps.map(op => op.name -> op.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "p2p_links" -> Relational.p2pLinksSql,
-    "q1_agg"    -> Relational.q1AggSql,
-  )
+  def oracleSql: Map[String, String] =
+    allOps.collect { case Op(n, _, Some(sql)) => n -> sql }.toMap
 }

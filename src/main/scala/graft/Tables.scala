@@ -15,6 +15,18 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown fixture table: $name")
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+      // Spark's vectorized reader rejects outright. Read nanos as epoch
+      // longs, then truncate to microsecond timestamps — the same ns→µs
+      // truncation DuckDB applies, so oracle timestamps agree exactly.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
   }
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Op, Tables}
+
+/** Event-stream analytics over the `events` fixture, batch-expressed
+  * (SURVEY.md §2.7 — the reference is batch-only; these are the north-star
+  * windowed extensions). The streaming twins live in
+  * `graft.streaming.EventStream` (same logic on readStream + watermark);
+  * batch is what the DuckDB oracle can check.
+  */
+object Events {
+
+  /** Tumbling-window aggregate: events per (hour, type) with value sums.
+    * Batch via date_trunc — identical bucketing to Structured Streaming's
+    * `window($"ts", "1 hour")` (both floor to the epoch-aligned hour).
+    * One shuffle on (hour, type); partial aggregation does the heavy
+    * lifting map-side, so cardinality after shuffle is tiny even at 100 TB.
+    */
+  def hourly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(
+        date_trunc("HOUR", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,4)")).as("total_value"))
+
+  val hourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |       count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       sum(CAST(value AS DECIMAL(18,4))) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization: a session breaks after >30 min of per-user
+    * inactivity. lag + conditional cumulative sum — the standard batch
+    * formulation; the streaming twin is flatMapGroupsWithState with a
+    * session timeout. Ordering carries an event_id tiebreak so equal
+    * timestamps don't make session numbering nondeterministic.
+    * Scale: single shuffle on user_id; per-user data sorted within
+    * partitions — no driver involvement, skew bounded by per-user volume.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapSec = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser))
+    val isNew = when(gapSec.isNull.or(gapSec > 1800), 1).otherwise(0)
+    ev.withColumn("session_seq",
+        sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(18,4)")).as("session_value"))
+  }
+
+  val sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), s AS (
+      |  SELECT user_id, ts, value,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM g
+      |)
+      |SELECT user_id, session_seq,
+      |       count(*) AS n_events,
+      |       min(ts) AS session_start,
+      |       max(ts) AS session_end,
+      |       sum(CAST(value AS DECIMAL(18,4))) AS session_value
+      |FROM s GROUP BY user_id, session_seq""".stripMargin
+
+  /** JSON-column extraction (the `props` column holds JSON objects):
+    * get_json_object parity with DuckDB's json_extract. Pushed into the
+    * scan's projected columns; no shuffle.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+      .where(col("event_id") < 1000)
+
+  val jsonExtractSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+      |FROM events WHERE event_id < 1000""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("events_hourly", hourly _, Some(hourlySql)),
+    Op("events_sessionize", sessionize _, Some(sessionizeSql)),
+    Op("events_json_extract", jsonExtract _, Some(jsonExtractSql)),
+  )
+}

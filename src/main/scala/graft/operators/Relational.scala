@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Op, Tables}
 
 /** Reference-parity relational operators, re-expressed on the fixture star
   * schema (SURVEY.md §2.3-2.5).
@@ -139,4 +139,197 @@ object Relational {
       |       count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** J1 parity: `USING (licenceid)` natural-key join — the key column
+    * appears ONCE in the output (sql:49-51). Spark's `Seq("key")` join form
+    * has exactly SQLite's USING semantics (SURVEY.md §2.4 J1).
+    */
+  def jUsing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("orderkey"), col("l_linenumber"), col("l_quantity"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("orderkey"), col("o_totalprice"))
+    li.join(o, Seq("orderkey"), "inner")
+  }
+
+  val jUsingSql: String =
+    """SELECT orderkey, l_linenumber, l_quantity, o_totalprice
+      |FROM (SELECT l_orderkey AS orderkey, l_linenumber, l_quantity FROM lineitem) l
+      |JOIN (SELECT o_orderkey AS orderkey, o_totalprice FROM orders) o USING (orderkey)""".stripMargin
+
+  /** J8 parity: intentional row fan-out — one output row per child row per
+    * parent; no dedup may be applied (SURVEY.md §2.4 J8, §7.3).
+    */
+  def jFanout(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+  }
+
+  val jFanoutSql: String =
+    """SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity, l_returnflag
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin
+
+  /** Semi-join (EXISTS): customers having at least one urgent order.
+    * Broadcast the build side at scale when the filtered key set is small.
+    */
+  def jSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val jSemiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** Anti-join (NOT EXISTS): customers with no order above 280k. */
+  def jAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .where(col("o_totalprice") > 280000)
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  val jAntiSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 280000)""".stripMargin
+
+  /** Left-outer join with null-producing right side + coalesce default. */
+  def jOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem").where(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_outer")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("l_linenumber"),
+        coalesce(col("l_quantity"), lit(-1.0)).as("qty_or_default"))
+  }
+
+  val jOuterSql: String =
+    """SELECT o_orderkey, o_orderstatus, l_linenumber,
+      |       coalesce(l_quantity, -1.0) AS qty_or_default
+      |FROM orders LEFT OUTER JOIN
+      |     (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |      WHERE l_quantity > 45) li
+      |ON o_orderkey = l_orderkey""".stripMargin
+
+  /** ORDER BY + LIMIT top-N. The orderkey tiebreak makes the cut
+    * deterministic across engines. At scale this is Spark's TakeOrderedAndProject
+    * (per-partition top-N + merge on driver) — no global sort materialized.
+    */
+  def sortLimitTopn(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val sortLimitTopnSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  /** DISTINCT + UNION/INTERSECT/EXCEPT set semantics (SQL bag→set rules:
+    * Spark's union is UNION ALL, so distinct() reproduces SQL UNION;
+    * intersect/except are the deduplicating SQL forms).
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val rich     = c.where(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val finished = o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey"))
+    val big      = o.where(col("o_totalprice") > 100000).select(col("o_custkey").as("c_custkey"))
+    building.union(rich).distinct()
+      .except(finished.intersect(big))
+  }
+
+  val setOpsSql: String =
+    """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      | UNION
+      | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |EXCEPT
+      |(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      | INTERSECT
+      | SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""".stripMargin
+
+  /** Window functions: row_number / rank / dense_rank / running sum per
+    * customer. Full ordering (totalprice desc, orderkey) keeps row_number
+    * deterministic. One shuffle on o_custkey; all four windows share it.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      sum(col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("running_total"))
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER w AS rn,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
+
+  /** Broad aggregate-function coverage: min/max/count/count-distinct and a
+    * derived average. avg is computed as exact-decimal sum ÷ count in BOTH
+    * engines (native avg() return types diverge between Spark and DuckDB).
+    */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+      .withColumn("avg_price",
+        round(col("sum_price").cast("double") / col("n_rows"), 6))
+  }
+
+  val aggStatsSql: String =
+    """SELECT l_returnflag,
+      |       min(l_quantity) AS min_qty,
+      |       max(l_quantity) AS max_qty,
+      |       count(*) AS n_rows,
+      |       count(DISTINCT l_orderkey) AS n_orders,
+      |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+      |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("p2p_links", p2pLinks _, Some(p2pLinksSql)),
+    Op("q1_agg", q1Agg _, Some(q1AggSql)),
+    Op("j_using", jUsing _, Some(jUsingSql)),
+    Op("j_fanout", jFanout _, Some(jFanoutSql)),
+    Op("j_semi", jSemi _, Some(jSemiSql)),
+    Op("j_anti", jAnti _, Some(jAntiSql)),
+    Op("j_outer", jOuter _, Some(jOuterSql)),
+    Op("sort_limit_topn", sortLimitTopn _, Some(sortLimitTopnSql)),
+    Op("set_ops", setOps _, Some(setOpsSql)),
+    Op("window_rank", windowRank _, Some(windowRankSql)),
+    Op("agg_stats", aggStats _, Some(aggStatsSql)),
+  )
 }
