@@ -9,7 +9,8 @@ object SparkEntry {
     Relational.p2pLinks(spark, "/root/testdata/sf0.001")
 
   /** Registry: every operator module contributes its Op entries. */
-  def allOps: Seq[Op] = Relational.ops ++ Events.ops
+  def allOps: Seq[Op] =
+    Relational.ops ++ Events.ops ++ TextAnalysis.ops ++ Dedup.ops
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Op, Tables}
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (north-star extensions; BASELINE.json "north_star"): token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All are embarrassingly parallel scans — no shuffle, fully inside
+  * whole-stage codegen (built-in string/array/regex functions only, no
+  * UDFs), so they scale linearly with input splits at 100 TB.
+  *
+  * Every expression is chosen to evaluate identically in Spark and the
+  * DuckDB oracle: literal-space splits, RE2-compatible regexes, exact
+  * integer counts, and doubles only as a final rounded division of exact
+  * integers (identical IEEE result in both engines).
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+  private def stopwordList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single non-alphanumeric marks — the
+    * coarse shape of a byte-pair pre-tokenizer's initial split).
+    */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+          .as("n_bpe_tokens"))
+
+  val tokensSql: String =
+    """SELECT doc_id,
+      |       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+      |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens
+      |FROM documents""".stripMargin
+
+  /** Quality scoring: length stats, mean word length, stopword ratio, and
+    * a composite keep/drop flag — the usual first-pass filters before
+    * expensive dedup/model scoring in a data pipeline.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(trim(col("text")), " ")
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(words).as("n_words"),
+        expr(s"size(filter(split(trim(text), ' '), w -> w IN ($stopwordList)))")
+          .as("n_stopwords"))
+      .withColumn("avg_word_len",
+        round(col("n_chars").cast("double") / col("n_words"), 6))
+      .withColumn("stopword_ratio",
+        round(col("n_stopwords").cast("double") / col("n_words"), 6))
+      .withColumn("keep",
+        col("n_words").between(5, 10000) && col("stopword_ratio") < 0.5)
+  }
+
+  val qualitySql: String =
+    s"""SELECT doc_id, n_chars, n_words, n_stopwords,
+       |       round(CAST(n_chars AS DOUBLE) / n_words, 6) AS avg_word_len,
+       |       round(CAST(n_stopwords AS DOUBLE) / n_words, 6) AS stopword_ratio,
+       |       (n_words BETWEEN 5 AND 10000)
+       |         AND round(CAST(n_stopwords AS DOUBLE) / n_words, 6) < 0.5 AS keep
+       |FROM (
+       |  SELECT doc_id,
+       |         length(text) AS n_chars,
+       |         len(string_split(trim(text), ' ')) AS n_words,
+       |         len(list_filter(string_split(trim(text), ' '),
+       |                         w -> w IN ($stopwordList))) AS n_stopwords
+       |  FROM documents)""".stripMargin
+
+  /** Language-ID by stopword voting: count marker-word hits per language,
+    * argmax with a deterministic precedence order. (The fixture corpus is
+    * same-vocabulary word salad, so the interesting part is the operator
+    * shape — a scan-only scoring pass — not the labels.)
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "und", "ein"),
+    "fr" -> Seq("le", "la", "et", "un"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scoreCols = markers.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(split(trim(text), ' '), w -> w IN ($list)))").as(s"score_$l")
+    }
+    val langs = markers.map(_._1)
+    val pred = langs.init.foldRight(lit("und")) { (l, rest) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(col(s"score_$l") > 0 && geAll, lit(l)).otherwise(rest)
+    }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id") +: scoreCols: _*)
+      .withColumn("lang_pred", pred)
+  }
+
+  val langIdSql: String = {
+    val scores = markers.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(trim(text), ' '), w -> w IN ($list))) AS score_$l"
+    }.mkString(",\n         ")
+    val langs = markers.map(_._1)
+    val cases = langs.init.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN score_$l > 0 AND $geAll THEN '$l'"
+    }.mkString("\n            ")
+    s"""SELECT doc_id, score_en, score_es, score_de, score_fr,
+       |       CASE $cases
+       |            ELSE 'und' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id,
+       |         $scores
+       |  FROM documents)""".stripMargin
+  }
+
+  /** Document fingerprinting: md5 over whitespace-normalized lowercase
+    * text — the canonical-form hash used as an exact-dedup key that is
+    * robust to case/whitespace variation.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("fingerprint"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("text_tokens", tokens _, Some(tokensSql)),
+    Op("text_quality", quality _, Some(qualitySql)),
+    Op("text_langid", langId _, Some(langIdSql)),
+    Op("text_fingerprint", fingerprint _, Some(fingerprintSql)),
+  )
+}
