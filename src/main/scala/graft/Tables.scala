@@ -22,9 +22,13 @@ object Tables {
       // truncation DuckDB applies, so oracle timestamps agree exactly.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ => df // already a real timestamp (µs/ms fixtures)
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's egress pair (SURVEY.md §2.2 K2/K3):
+  *
+  *  K2 — CSV with a header row (`.headers on` / `.mode csv`,
+  *       `select_point_to_point_links.sql:1-2`), materialized as ONE
+  *       file.
+  *  K3 — a single JSON *array* of objects in which every field is a
+  *       string, field order following the CSV header
+  *       (`csv2json2.py:1-3`: "Note all output fields are strings").
+  *
+  * Internally everything stays typed and partitioned; the all-string
+  * degradation and single-file shape are applied only at this final-mile
+  * boundary, and only because the reference's artifacts are small by
+  * construction (SURVEY.md §7.3). `writeCsvSingle` writes distributed
+  * then renames the one part file; `writeJsonArray` streams partition
+  * iterators through a driver-side writer without collecting the whole
+  * result into memory at once.
+  */
+object CsvJsonEgress {
+
+  /** All-string projection, preserving column order — the typed → string
+    * boundary cast (layer 3 of SURVEY.md §1.2).
+    */
+  def allStrings(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
+
+  /** K2: header CSV as a single file at `dest`. */
+  def writeCsvSingle(df: DataFrame, dest: String,
+      hadoopConf: Configuration = new Configuration()): Unit = {
+    val tmp = dest + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    promoteSingle(tmp, dest, ".csv", hadoopConf)
+  }
+
+  /** K3: one JSON array file at `dest`, every value stringified. The
+    * object-field order matches the DataFrame's column order, like the
+    * csv.DictReader → json.dump chain preserves header order.
+    */
+  def writeJsonArray(df: DataFrame, dest: String,
+      hadoopConf: Configuration = new Configuration()): Unit = {
+    val rows = allStrings(df)
+      .select(to_json(struct(df.columns.map(col).toSeq: _*)).as("j"))
+    val p = new Path(dest)
+    val out = p.getFileSystem(hadoopConf).create(p, true)
+    try {
+      out.write('[')
+      var first = true
+      // toLocalIterator pulls one partition at a time — bounded driver memory.
+      val it = rows.toLocalIterator()
+      while (it.hasNext) {
+        if (!first) out.write(',')
+        out.write(it.next().getString(0).getBytes("UTF-8"))
+        first = false
+      }
+      out.write(']')
+    } finally out.close()
+  }
+
+  /** Move the single `part-*` file out of a one-partition write dir. */
+  private def promoteSingle(tmpDir: String, dest: String, ext: String,
+      hadoopConf: Configuration): Unit = {
+    val dir = new Path(tmpDir)
+    val fs = dir.getFileSystem(hadoopConf)
+    val part = fs.listStatus(dir).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(ext))
+      .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
+    val destPath = new Path(dest)
+    if (fs.exists(destPath)) fs.delete(destPath, false)
+    fs.rename(part, destPath)
+    fs.delete(dir, true)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch event analytics
+  * (`graft.operators.Events`). The reference itself is batch-only
+  * (SURVEY.md §2.7); these are the streaming-native formulations the
+  * north-star pipeline needs: `readStream → transform → writeStream`
+  * with event-time watermarks for bounded state.
+  *
+  * Both run on any streaming DataFrame with the events schema
+  * (`ts timestamp, user_id long, event_type string, value double`) —
+  * file source, Kafka, or MemoryStream in tests.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long,
+      total: Double)
+
+  /** Tumbling 1-hour windowed aggregate with a 2-hour watermark: late
+    * data beyond the watermark is dropped and window state is evicted —
+    * the property that keeps state bounded on an unbounded stream. The
+    * same (window, type) grouping as the batch `Events.hourly`.
+    */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  private val GapMs = 30L * 60 * 1000
+
+  /** Gap-based sessionization with custom state:
+    * `flatMapGroupsWithState` keyed by user, event-time timeout. A
+    * session closes when 30 minutes pass with no event (detected either
+    * by a later event or by watermark-driven timeout). The streaming
+    * equivalent of the batch lag-gap formulation in `Events.sessionize`.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            val events = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            events.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= GapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + GapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

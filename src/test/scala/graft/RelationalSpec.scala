@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Semantic-trap tests from SURVEY.md §7.3: USING-column dedup, join
+  * fan-out preservation, case-insensitive LIKE, trim.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("USING join emits the key column once (J1 parity)") {
+    val df = Relational.jUsing(spark, sfDir)
+    assert(df.columns.count(_ == "orderkey") == 1)
+    assert(df.columns.toSeq == Seq("orderkey", "l_linenumber", "l_quantity", "o_totalprice"))
+  }
+
+  test("fan-out join multiplies rows, no dedup (J8 parity)") {
+    import spark.implicits._
+    val orders = Seq((1L, 10.0), (2L, 20.0)).toDF("o_orderkey", "o_totalprice")
+    val items = Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1))
+      .toDF("l_orderkey", "l_linenumber")
+    val joined = orders.join(items, orders("o_orderkey") === items("l_orderkey"))
+    assert(joined.count() == 4) // 3 + 1, duplicates preserved
+  }
+
+  test("ilike reproduces SQLite's ASCII-case-insensitive LIKE (F3 parity)") {
+    import spark.implicits._
+    val df = Seq("Fixed", "fixed", "FIXED", "mobile").toDF("code")
+    assert(df.where($"code".ilike("f%")).count() == 3)
+    assert(df.where($"code".like("f%")).count() == 1) // the trap the survey flags
+  }
+
+  test("trim strips both ends, spaces only (P2 parity)") {
+    import spark.implicits._
+    val out = Seq("  x y  ").toDF("s").select(trim($"s")).head().getString(0)
+    assert(out == "x y")
+  }
+
+  test("flagship query is non-empty at sf0.001 and fully aliased") {
+    val df = Relational.p2pLinks(spark, sfDir)
+    assert(df.count() > 0)
+    assert(df.columns.toSeq == Seq("licence_id", "client", "rx_location",
+      "rx_code", "rx_region", "tx_location", "tx_code", "tx_region", "qty",
+      "price", "line_no"))
+  }
+
+  test("q1 aggregation sums are exact decimals") {
+    val row = Relational.q1Agg(spark, sfDir)
+      .agg(sum("count_order")).head()
+    assert(row.getLong(0) == Tables(spark, sfDir, "lineitem").count())
+  }
+}

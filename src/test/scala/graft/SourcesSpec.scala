@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.sources._
+import graft.sources.CastMatrix._
+
+/** Cast matrix (SURVEY.md §1.2), snapshot store (O2/O3/K4), zip ingest
+  * (S3) and CSV/JSON egress (K2/K3) unit tests.
+  */
+class SourcesSpec extends SparkSpec {
+
+  // ---------------------------------------------------------- cast matrix
+
+  test("cast matrix maps every Access type (totality)") {
+    CastMatrix.all.foreach { t =>
+      assert(sparkType(t) != null)
+      assert(sqliteDdlType(t).nonEmpty)
+    }
+  }
+
+  test("cast matrix fails fast on unknown types, like the reference") {
+    val e = intercept[IllegalArgumentException](CastMatrix.fromName("COMPLEX"))
+    assert(e.getMessage.contains("Unhandled MS Access datatype"))
+  }
+
+  test("boolean→0/1 and money→string value rules, nulls preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(true), Some(BigDecimal("12.3400"))),
+      (Some(false), None),
+      (None, Some(BigDecimal("0.0000")))
+    ).toDF("flag", "amount")
+      .select($"flag", $"amount".cast(DecimalType(19, 4)).as("amount"))
+    val out = CastMatrix.toSqliteParity(df,
+      Seq("flag" -> ABoolean, "amount" -> AMoney)).collect()
+    assert(out(0).getInt(0) == 1 && out(0).getString(1) == "12.3400")
+    assert(out(1).getInt(0) == 0 && out(1).isNullAt(1))
+    assert(out(2).isNullAt(0) && out(2).getString(1) == "0.0000")
+  }
+
+  test("sqlite DDL classes match the converter's matrix") {
+    assert(sqliteDdlType(ABoolean) == "INTEGER")
+    assert(sqliteDdlType(AMoney) == "TEXT")      // money stored as text!
+    assert(sqliteDdlType(AShortDateTime) == "DATETIME")
+    assert(sqliteDdlType(AOle) == "BLOB")
+    assert(sqliteDdlType(ANumeric) == "DOUBLE")  // deliberately lossy
+  }
+
+  // -------------------------------------------------------- snapshot store
+
+  test("snapshot store: idempotence gate + marker-last ordering") {
+    val root = Files.createTempDirectory("snap").toString
+    val store = new SnapshotStore(root)
+    val ts = "20221201T000000Z" // compact RFC3339: local FS rejects ':' in names
+    var runs = 0
+
+    def pipeline(): Unit = {
+      runs += 1
+      store.writeArtifact("prism.csv", ts, "a,b\n1,2\n".getBytes, alsoLatest = false)
+      store.writeArtifact("prism.json", ts, "[]".getBytes) // marker kind LAST
+    }
+
+    assert(store.runOnce("prism.json", ts)(pipeline()))   // first run executes
+    assert(!store.runOnce("prism.json", ts)(pipeline()))  // second is skipped
+    assert(runs == 1)
+    assert(store.readArtifactString("prism.json", "latest") == "[]")
+    assert(store.readArtifactString("prism.json", ts) == "[]")
+    assert(store.readArtifactString("prism.csv", ts) == "a,b\n1,2\n")
+  }
+
+  // ------------------------------------------------------------ zip ingest
+
+  test("zip ingest finds a member and errors with reference shape") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(bos)
+    zout.putNextEntry(new java.util.zip.ZipEntry("other.txt"))
+    zout.write("x".getBytes)
+    zout.putNextEntry(new java.util.zip.ZipEntry("prism.mdb"))
+    zout.write("MDBBYTES".getBytes)
+    zout.close()
+    val zip = bos.toByteArray
+
+    assert(new String(ZipIngest.extractMember(zip, "prism.mdb")) == "MDBBYTES")
+    assert(ZipIngest.listMembers(zip) == Seq("other.txt", "prism.mdb"))
+    val e = intercept[java.util.NoSuchElementException](
+      ZipIngest.extractMember(zip, "missing.mdb", "prism.zip"))
+    assert(e.getMessage == "no missing.mdb found in prism.zip")
+  }
+
+  // ---------------------------------------------------------- csv/json K2/K3
+
+  test("K2/K3 egress: single header CSV + all-string JSON array") {
+    import spark.implicits._
+    val df = Seq((1L, "n,eeds quoting", 1.5), (2L, "plain", 2.0))
+      .toDF("id", "name", "score")
+    val dir = Files.createTempDirectory("egress").toString
+
+    CsvJsonEgress.writeCsvSingle(df, s"$dir/out.csv")
+    val csv = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$dir/out.csv")))
+    assert(csv.startsWith("id,name,score\n"))
+    assert(csv.contains("\"n,eeds quoting\""))
+
+    CsvJsonEgress.writeJsonArray(df, s"$dir/out.json")
+    val json = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$dir/out.json")))
+    assert(json.startsWith("[") && json.endsWith("]"))
+    // every value a string — the K3 degradation
+    assert(json.contains(""""id":"1""""))
+    assert(json.contains(""""score":"1.5""""))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured-Streaming twins driven through MemoryStream — watermarked
+  * hourly windows and stateful gap sessionization.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourly windowed aggregate over a stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.hourly(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(
+        Event(1, ts(10), 1, "click", 1.0),
+        Event(2, ts(20), 2, "click", 2.0),
+        Event(3, ts(70), 1, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L)))
+      assert(rows.contains(("2024-01-01 01:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on 30-min gaps") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart, then a 40-min gap → session closes
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(50), 1, "click", 3.0))
+      q.processAllAvailable()
+      // push the watermark far forward so the open session times out
+      mem.addData(Event(9, ts(600), 2, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts(1200), 2, "click", 0.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(3), r.getDouble(4)))
+      val u1 = sessions.filter(_._1 == 1L).sortBy(_._2)
+      assert(u1.length == 2, s"expected 2 closed sessions, got ${u1.toSeq}")
+      assert(u1(0) == (1L, "2024-01-01 00:00:00.0", 2L, 3.0)) // events at :00 + :10
+      assert(u1(1)._3 == 1L) // the :50 event alone
+    } finally q.stop()
+  }
+}
