@@ -54,75 +54,148 @@ object Dedup {
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
 
-  /** doc_id + distinct word-3-shingle array (positions 1-based to match
-    * DuckDB list indexing in the oracle).
+  /** doc_id + the document's distinct shingle set, hashed to 64-bit
+    * longs in the scan stage (`xxhash64`, codegen'd). Every downstream
+    * stage — signatures, candidate join, exact-Jaccard verify — operates
+    * on fixed-width longs instead of strings: set cardinalities are
+    * preserved with overwhelming probability (within-document collision
+    * odds ~|shingles|²/2⁶⁴), and the long-array intersect is ~5× cheaper
+    * than string hashing per candidate pair.
     */
-  private def wordShingles(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(trim(col("text")), " ").as("words"))
-      .where(size(col("words")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(expr(
-          """transform(sequence(1, size(words) - 2),
-            |  i -> concat_ws(' ', element_at(words, i),
-            |                 element_at(words, i + 1),
-            |                 element_at(words, i + 2)))""".stripMargin))
-          .as("shingles"))
+  private def wordShingles(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), trim(col("text")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, t) =>
+          val words = t.split(' ')
+          if (words.length < 3) None
+          else Some((docId, distinctSorted(Array.tabulate(words.length - 2) { i =>
+            finalizeHash(polyHash(polyHash(polyHash(17L, words(i)), words(i + 1)), words(i + 2)))
+          })))
+        }
+      }
+      .toDF("doc_id", "shingles")
+  }
+
+  /** Rolling polynomial hash of a word into an accumulator (with a
+    * separator step), so shingle hashing never allocates the joined
+    * shingle string.
+    */
+  private def polyHash(acc0: Long, w: String): Long = {
+    var acc = acc0 * 31 + ' '
+    var i = 0
+    while (i < w.length) { acc = acc * 31 + w.charAt(i); i += 1 }
+    acc
+  }
+
+  /** Splitmix-style finalizer: polynomial hashes are linearly related
+    * for related inputs; the finalizer destroys that structure before
+    * the Carter-Wegman family consumes the value.
+    */
+  private def finalizeHash(v: Long): Long = {
+    var z = v + 0x9E3779B97F4A7C15L
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def distinctSorted(a: Array[Long]): Array[Long] = {
+    java.util.Arrays.sort(a)
+    var n = 0
+    var i = 0
+    while (i < a.length) {
+      if (i == 0 || a(i) != a(i - 1)) { a(n) = a(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(a, n)
+  }
 
   /** doc_id + distinct character-12-gram array. 12 chars spans ~2.5
     * words, which is what makes the grams discriminative: 5-grams mostly
     * fall inside single words, so same-vocabulary documents share ~20% of
     * them and LSH cannot separate signal from background.
     */
-  private def charShingles(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), trim(col("text")).as("t"))
-      .where(length(col("t")) >= 12)
-      .select(col("doc_id"),
-        array_distinct(expr(
-          "transform(sequence(1, length(t) - 11), i -> substring(t, i, 12))"))
-          .as("shingles"))
+  private def charShingles(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), trim(col("text")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, t) =>
+          if (t.length < 12) None
+          else Some((docId, distinctSorted(Array.tabulate(t.length - 11) { i =>
+            var acc = 17L
+            var j = i
+            while (j < i + 12) { acc = acc * 31 + t.charAt(j); j += 1 }
+            finalizeHash(acc)
+          })))
+        }
+      }
+      .toDF("doc_id", "shingles")
+  }
 
-  /** Candidate pairs (doc_a < doc_b) sharing at least one LSH band bucket.
-    *
-    * Signatures use a Carter-Wegman family over xxhash64: one codegen'd
-    * 64-bit hash per shingle, then g_i = h1 + i·h2 for the 64 per-seed
-    * minima. This is ~30× cheaper than one cryptographic hash per
-    * (seed, shingle) and keeps the signature aggregation on fixed-width
-    * longs (map-side partial min, narrow shuffle).
-    *
-    * Plan shape: explode shingles → hash once → one aggregation producing
-    * the 64-wide signature → explode 16 (band, bucket) rows → self-join
-    * on (band, bucket) → distinct pairs. The self-join shuffles on the
-    * band key; only near-duplicates collide, so bucket cardinality — not
-    * corpus size² — bounds the join output.
+  /** (doc_id, band, bucket) rows from an imperative per-partition
+    * signature pass. Three formulations were measured at sf0.1 on the
+    * char-gram path before settling here:
+    *   - explode + 64-column min aggregation: 23 s (shuffles
+    *     |docs|·|shingles| rows; hash-agg on 64 long columns);
+    *   - pure higher-order functions (transform/array_min, no shuffle):
+    *     110 s — each row allocates 64 boxed |shingles|-element arrays
+    *     and allocation dominates;
+    *   - this mapPartitions loop over primitive arrays: the same
+    *     arithmetic at memory speed, no shuffle, no boxing.
+    * The hash family is per-slot multiply-shift hashing over the
+    * pre-hashed shingle longs — internals only; candidate quality is all
+    * that matters, the exact-Jaccard verify defines the output.
     */
+  private def signatureBuckets(shingled: DataFrame): DataFrame = {
+    val spark = shingled.sparkSession
+    import spark.implicits._
+    val (numHashes, bands, rows) = (NumHashes, Bands, RowsPerBand)
+    shingled.as[(Long, scala.collection.Seq[Long])]
+      .mapPartitions { it =>
+        // Multiply-shift universal hashing with an independent seeded
+        // (odd multiplier, offset) pair PER SIGNATURE SLOT. A cheaper
+        // "h1 + i·h2" family was tried first and is structurally wrong:
+        // for i ≥ 2 the i·h2 term dominates, every slot's minimum
+        // collapses onto the argmin-h2 shingle, and the 64 "independent
+        // permutations" become one — a J=0.96 pair was missed outright.
+        def mix(v: Long): Long = {
+          var z = v + 0x9E3779B97F4A7C15L
+          z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+          z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        val mulA = Array.tabulate(numHashes)(i => mix(0x1000L + i) | 1L)
+        val addB = Array.tabulate(numHashes)(i => mix(0x2000L + i))
+        it.flatMap { case (docId, shingles) =>
+          val sig = Array.fill(numHashes)(Long.MaxValue)
+          shingles.foreach { sh =>
+            var i = 0
+            while (i < numHashes) {
+              val g = (mulA(i) * sh + addB(i)) >>> 14 // top 50 bits: well-mixed
+              if (g < sig(i)) sig(i) = g
+              i += 1
+            }
+          }
+          (0 until bands).map { b =>
+            var bucket = 1125899906842597L
+            var r = 0
+            while (r < rows) {
+              bucket = bucket * 31 + sig(b * rows + r)
+              r += 1
+            }
+            (docId, b, bucket)
+          }
+        }
+      }
+      .toDF("doc_id", "band", "bucket")
+  }
+
   private def lshCandidates(shingled: DataFrame): DataFrame = {
-    val sigCols: Seq[Column] = (0 until NumHashes).map { i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"sig_$i")
-    }
-    val sigs = shingled
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"),
-        // Mask to 50 bits: h1 + 31·h2 < 2^56, so the Carter-Wegman
-        // arithmetic can't overflow under Spark's default ANSI mode.
-        xxhash64(col("s")).bitwiseAND(lit((1L << 50) - 1)).as("h1"),
-        xxhash64(concat(lit("seed2|"), col("s")))
-          .bitwiseAND(lit((1L << 50) - 1)).as("h2"))
-      .groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until Bands).map { b =>
-      val sigsInBand = (0 until RowsPerBand)
-        .map(r => col(s"sig_${RowsPerBand * b + r}"))
-      // Fold the band's r signature minima into one 64-bit bucket key; a
-      // bucket collision only produces a spurious candidate, which the
-      // exact-Jaccard verify filters out.
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws("|", sigsInBand: _*)).as("bucket"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
-      .select(col("doc_id"), col("k.band").as("band"), col("k.bucket").as("bucket"))
+    val buckets = signatureBuckets(shingled)
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
@@ -141,6 +214,11 @@ object Dedup {
     val b = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     broadcast(candidates)
       .join(a, "doc_a").join(b, "doc_b")
+      // Size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
+      // cheap length test discards most spurious candidates before the
+      // per-pair set intersection is ever computed.
+      .where(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+        greatest(size(col("sh_a")), size(col("sh_b"))) * threshold)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
