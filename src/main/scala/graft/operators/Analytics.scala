@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Op, Tables}
+
+/** Wider analytics surface a general engine owes its users beyond the
+  * reference's single query: multi-level aggregation (ROLLUP/CUBE),
+  * exact percentiles, pivot, as-of join, deterministic sampling, and
+  * table statistics (the reference's `ANALYZE` step, SURVEY.md §2.8 O5,
+  * reborn as a queryable operator).
+  */
+object Analytics {
+
+  private def dec(c: Column) = c.cast("decimal(18,2)")
+
+  /** ROLLUP: hierarchical subtotals in one pass — Spark expands grouping
+    * sets and aggregates with partial aggregation per set.
+    */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+
+  val aggRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** CUBE: all grouping-set combinations. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("sum_price"))
+
+  val aggCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). Exact percentile sorts per group — at 100 TB the
+    * approximate sketch (`approx_percentile`, mergeable KLL-style) is the
+    * scale path; exact is the verifiable baseline.
+    */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90"))
+
+  val aggPercentilesSql: String =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      |       round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+      |       round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  /** Pivot: per-user event counts spread into one column per type (fixed
+    * value list — dynamic pivots need a driver-side distinct pass, which
+    * is an explicit design choice at scale).
+    */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    pivoted.select(col("user_id") +:
+      EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  val eventsPivotSql: String = {
+    val cols = EventTypes
+      .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t")
+      .mkString(",\n       ")
+    s"""SELECT user_id,
+       |       $cols
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+
+  /** As-of join, window-composed: each purchase event picks up the
+    * user's most recent STRICTLY-prior click (event-time ordered,
+    * event_id tiebreak). One shuffle on user_id; no custom operator
+    * needed — `last(_, ignoreNulls) over (unbounded, -1)` expresses the
+    * as-of semantics exactly (SURVEY.md §7.2: compose built-ins first).
+    */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir, "events")
+      .withColumn("prior_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("prior_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("prior_click_id"), col("prior_click_ts"))
+  }
+
+  val eventsAsofSql: String =
+    """SELECT event_id, user_id, ts AS purchase_ts,
+      |       last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |         OVER w AS prior_click_id,
+      |       last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |         OVER w AS prior_click_ts
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |QUALIFY event_type = 'purchase'""".stripMargin
+
+  /** Deterministic hash sampling: ~10% of events by md5 prefix of the
+    * key — reproducible across engines and runs, pushes to the scan as a
+    * plain predicate (unlike `TABLESAMPLE`, which is nondeterministic
+    * across engines).
+    */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .where(substring(md5(col("event_id").cast("string")), 1, 2) < "1a")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  val sampleHashSql: String =
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'""".stripMargin
+
+  /** Table statistics as a queryable result — the reference's `ANALYZE
+    * main;` step (`fetch.go:198-202`) produced `sqlite_stat1` for the
+    * optimizer; here the same per-column profile (count/nulls/ndv/
+    * min/max) feeds either `ANALYZE TABLE` or data-quality checks.
+    */
+  def statsSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    cols.map { c =>
+      li.agg(
+        lit(c).as("column_name"),
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("ndv"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+    }.reduce(_.unionAll(_))
+  }
+
+  val statsSummarySql: String =
+    Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate").map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |       count(*) - count($c) AS n_nulls,
+         |       count(DISTINCT $c) AS ndv,
+         |       CAST(min($c) AS VARCHAR) AS min_val,
+         |       CAST(max($c) AS VARCHAR) AS max_val
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  val ops: Seq[Op] = Seq(
+    Op("agg_rollup", aggRollup _, Some(aggRollupSql)),
+    Op("agg_cube", aggCube _, Some(aggCubeSql)),
+    Op("agg_percentiles", aggPercentiles _, Some(aggPercentilesSql)),
+    Op("events_pivot", eventsPivot _, Some(eventsPivotSql)),
+    Op("events_asof", eventsAsof _, Some(eventsAsofSql)),
+    Op("sample_hash", sampleHash _, Some(sampleHashSql)),
+    Op("stats_summary", statsSummary _, Some(statsSummarySql)),
+  )
+}
