@@ -30,6 +30,18 @@ object CsvJsonEgress {
   def allStrings(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
 
+  /** S6: read a header CSV the way the reference's `csv.DictReader`
+    * does — header row names the fields, every value a string
+    * (`csv2json2.py:3`). NO schema inference: the reference keeps
+    * strings, so the schema is all-StringType by construction.
+    */
+  def readCsvAllStrings(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "false") // strings stay strings (S6 parity)
+      .csv(path)
+
   /** K2: header CSV as a single file at `dest`. */
   def writeCsvSingle(df: DataFrame, dest: String,
       hadoopConf: Configuration = new Configuration()): Unit = {

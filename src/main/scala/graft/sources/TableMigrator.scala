@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import CastMatrix.AccessType
+
+/** Full-database migration operator (SURVEY.md §2.1 S4 → §2.2 K1): the
+  * converter's `createTables` + `populateTables` loop, catalog-driven —
+  * enumerate every table, emit its DDL (type matrix §1.2), apply the
+  * value rules, write. The reference copies *everything* — every table,
+  * every column, every index — with no selection; so does this.
+  *
+  * Transport is pluggable: parquet locally (`migrate`), `df.write.jdbc`
+  * when a JDBC sink exists. Per-table atomicity replaces the reference's
+  * single whole-database transaction (the right unit at scale; each
+  * table's write is independently retryable). Tables migrate
+  * sequentially like the reference, but each table's copy is a fully
+  * parallel distributed write.
+  */
+object TableMigrator {
+
+  final case class TableDef(
+      name: String,
+      columns: Seq[(String, AccessType)],
+      indexes: Seq[SqliteDdl.IndexDef] = Nil)
+
+  final case class MigrationResult(table: String, ddl: Seq[String], rows: Long)
+
+  /** Migrate one catalog of tables: for each, emit DDL statements,
+    * apply the §1.2 parity casts, verify UNIQUE indexes as assertions,
+    * and hand the frame to `sink`.
+    */
+  def migrate(
+      spark: SparkSession,
+      catalog: Seq[TableDef],
+      source: String => DataFrame,
+      sink: (String, DataFrame) => Unit): Seq[MigrationResult] =
+    catalog.map { t =>
+      val ddl = SqliteDdl.createTable(t.name, t.columns) +:
+        t.indexes.map(SqliteDdl.createIndex(t.name, _))
+      val df = CastMatrix.toSqliteParity(source(t.name), t.columns)
+      t.indexes.filter(_.unique)
+        .foreach(ix => SqliteDdl.assertUnique(df, ix.columns))
+      sink(t.name, df)
+      MigrationResult(t.name, ddl, df.count())
+    }
+}
