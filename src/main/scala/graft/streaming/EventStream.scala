@@ -40,6 +40,17 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop replayed events by id while only
+    * keeping state within the watermark horizon —
+    * `dropDuplicatesWithinWatermark` is the streaming twin of the batch
+    * `Dedup.exact` groupBy (unbounded `dropDuplicates` state would grow
+    * forever on an infinite stream).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   private val GapMs = 30L * 60 * 1000
 
   /** Gap-based sessionization with custom state:

@@ -37,6 +37,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed event ids within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // replay of id 1
+        Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(3), 1, "click", 1.0)) // replay in later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on 30-min gaps") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
