@@ -303,10 +303,39 @@ object Dedup {
         shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)).as("band3"))
   }
 
+  /** SimHash near-dup pairs: Hamming distance ≤ 3 on the 64-bit
+    * signatures (the classic 64-bit/d=3 setting). Banding gives the
+    * candidates losslessly by pigeonhole: ≤ 3 differing bits cannot
+    * touch all four 16-bit bands, so every qualifying pair agrees
+    * exactly on at least one band key; `bit_count(xor)` verifies.
+    * Rows-only for the driver (xxhash64 has no DuckDB twin); behavioral
+    * checks live in the test suite.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(spark, dir).cache()
+    val bands = (0 to 3).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"), col(s"band$b").as("key"))
+    }.reduce(_.unionAll(_))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    broadcast(cands).join(a, "doc_a").join(b, "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", exact _, Some(exactSql)),
     Op("dedup_minhash_lsh", minhashLsh _, Some(minhashLshSql)),
     Op("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     Op("dedup_simhash", simhash _, None),
+    Op("dedup_simhash_pairs", simhashPairs _, None),
   )
 }
