@@ -41,7 +41,7 @@ object Dedup {
     Tables(spark, dir, "documents")
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-      .select(col("canonical_id"), col("n_copies"), length(col("text")).as("n_chars"))
+      .select(col("canonical_id"), col("n_copies"), length(col("text")).cast("long").as("n_chars"))
 
   val exactSql: String =
     """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,

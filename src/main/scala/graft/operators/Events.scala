@@ -71,8 +71,8 @@ object Events {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
       |), s AS (
       |  SELECT user_id, ts, value,
-      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM g
       |)
       |SELECT user_id, session_seq,

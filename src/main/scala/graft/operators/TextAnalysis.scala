@@ -31,9 +31,9 @@ object TextAnalysis {
     Tables(spark, dir, "documents")
       .select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
         size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
-          .as("n_bpe_tokens"))
+          .cast("long").as("n_bpe_tokens"))
 
   val tokensSql: String =
     """SELECT doc_id,
@@ -50,10 +50,10 @@ object TextAnalysis {
     Tables(spark, dir, "documents")
       .select(
         col("doc_id"),
-        length(col("text")).as("n_chars"),
-        size(words).as("n_words"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(words).cast("long").as("n_words"),
         expr(s"size(filter(split(trim(text), ' '), w -> w IN ($stopwordList)))")
-          .as("n_stopwords"))
+          .cast("long").as("n_stopwords"))
       .withColumn("avg_word_len",
         round(col("n_chars").cast("double") / col("n_words"), 6))
       .withColumn("stopword_ratio",
@@ -90,7 +90,8 @@ object TextAnalysis {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val scoreCols = markers.map { case (l, ws) =>
       val list = ws.map(w => s"'$w'").mkString(", ")
-      expr(s"size(filter(split(trim(text), ' '), w -> w IN ($list)))").as(s"score_$l")
+      expr(s"size(filter(split(trim(text), ' '), w -> w IN ($list)))")
+        .cast("long").as(s"score_$l")
     }
     val langs = markers.map(_._1)
     val pred = langs.init.foldRight(lit("und")) { (l, rest) =>

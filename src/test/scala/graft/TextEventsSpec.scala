@@ -10,8 +10,8 @@ class TextEventsSpec extends SparkSpec {
     Seq((1L, "hello world 42 x-y")).toDF("doc_id", "text")
       .write.parquet(s"$dir/documents.parquet")
     val r = TextAnalysis.tokens(spark, dir).head()
-    assert(r.getInt(1) == 4) // hello, world, 42, x-y
-    assert(r.getInt(2) == 6) // hello, world, 42, x, -, y
+    assert(r.getLong(1) == 4L) // hello, world, 42, x-y
+    assert(r.getLong(2) == 6L) // hello, world, 42, x, -, y
   }
 
   test("quality flags degenerate docs") {
