@@ -22,22 +22,22 @@ object Analytics {
   def aggRollup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"))
 
   val aggRollupSql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
   /** CUBE: all grouping-set combinations. */
   def aggCube(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("sum_price"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_price"))
 
   val aggCubeSql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB

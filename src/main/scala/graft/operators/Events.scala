@@ -28,13 +28,13 @@ object Events {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(col("value").cast("decimal(18,4)")).as("total_value"))
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
 
   val hourlySql: String =
     """SELECT date_trunc('hour', ts) AS hour_start, event_type,
       |       count(*) AS n_events,
       |       count(DISTINCT user_id) AS n_users,
-      |       sum(CAST(value AS DECIMAL(18,4))) AS total_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Gap-based sessionization: a session breaks after >30 min of per-user
@@ -58,7 +58,7 @@ object Events {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        sum(col("value").cast("decimal(18,4)")).as("session_value"))
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("session_value"))
   }
 
   val sessionizeSql: String =
@@ -79,7 +79,7 @@ object Events {
       |       count(*) AS n_events,
       |       min(ts) AS session_start,
       |       max(ts) AS session_end,
-      |       sum(CAST(value AS DECIMAL(18,4))) AS session_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS session_value
       |FROM s GROUP BY user_id, session_seq""".stripMargin
 
   /** JSON-column extraction (the `props` column holds JSON objects):

@@ -124,18 +124,18 @@ object Relational {
     val dec = (c: Column) => c.cast("decimal(18,2)")
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
         sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-          .as("sum_disc_price"),
+          .cast("decimal(38,4)").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
   }
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
       |       count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
@@ -278,7 +278,7 @@ object Relational {
       dense_rank().over(w).as("drnk"),
       sum(col("o_totalprice").cast("decimal(18,2)"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .as("running_total"))
+        .cast("decimal(38,2)").as("running_total"))
   }
 
   val windowRankSql: String =
@@ -286,9 +286,9 @@ object Relational {
       |  row_number() OVER w AS rn,
       |  rank() OVER w AS rnk,
       |  dense_rank() OVER w AS drnk,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
       |    OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
 
@@ -304,7 +304,7 @@ object Relational {
         max(col("l_quantity")).as("max_qty"),
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price"))
       .withColumn("avg_price",
         round(col("sum_price").cast("double") / col("n_rows"), 6))
   }
@@ -315,7 +315,7 @@ object Relational {
       |       max(l_quantity) AS max_qty,
       |       count(*) AS n_rows,
       |       count(DISTINCT l_orderkey) AS n_orders,
-      |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
       |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
