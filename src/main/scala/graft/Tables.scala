@@ -22,12 +22,19 @@ object Tables {
       // truncation DuckDB applies, so oracle timestamps agree exactly.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
+      // TIMESTAMP_NTZ matches the fixture's naive (isAdjustedToUTC=false)
+      // semantics: parquet dumps read back as timestamp[us] with no zone,
+      // exactly what DuckDB produces for the same data.
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts",
             org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts div 1000")))
-        case _ => df // already a real timestamp (µs/ms fixtures)
+              org.apache.spark.sql.functions.expr("ts div 1000"))
+              .cast(org.apache.spark.sql.types.TimestampNTZType))
+        case org.apache.spark.sql.types.TimestampType =>
+          df.withColumn("ts",
+            df("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+        case _ => df
       }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")

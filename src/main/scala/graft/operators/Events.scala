@@ -23,7 +23,10 @@ object Events {
   def hourly(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .groupBy(
-        date_trunc("HOUR", col("ts")).as("hour_start"),
+        // date_trunc returns an instant-typed timestamp even for NTZ
+        // input; cast back so the output stays naive like the oracle's.
+        date_trunc("HOUR", col("ts"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("hour_start"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),

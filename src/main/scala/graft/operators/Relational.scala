@@ -273,9 +273,9 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     o.select(
       col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-      row_number().over(w).as("rn"),
-      rank().over(w).as("rnk"),
-      dense_rank().over(w).as("drnk"),
+      row_number().over(w).cast("long").as("rn"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
       sum(col("o_totalprice").cast("decimal(18,2)"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("decimal(38,2)").as("running_total"))

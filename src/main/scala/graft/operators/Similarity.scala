@@ -45,7 +45,7 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(topk(col("neighbor_id"), col("cos")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("cos"))
   }
 
@@ -142,7 +142,7 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(topk(col("neighbor_id"), col("cos")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("cos"))
   }
 
