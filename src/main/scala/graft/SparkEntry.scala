@@ -11,7 +11,8 @@ object SparkEntry {
   /** Registry: every operator module contributes its Op entries. */
   def allOps: Seq[Op] =
     Relational.ops ++ Events.ops ++ TextAnalysis.ops ++ Dedup.ops ++
-      Similarity.ops ++ Multimodal.ops ++ Reshape.ops ++ Analytics.ops
+      Similarity.ops ++ Multimodal.ops ++ Reshape.ops ++ Analytics.ops ++
+      Skew.ops
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -160,7 +160,21 @@ object Analytics {
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** Sketch-based approximate aggregates — the 100 TB path for
+    * distinct-count and percentile (HLL++ and a mergeable quantile
+    * sketch; both combine map-side, unlike their exact forms). No oracle
+    * (approximation is engine-specific); the suite bounds the error
+    * against the exact operators.
+    */
+  def aggApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, 0.5)").as("approx_median_price"))
+
   val ops: Seq[Op] = Seq(
+    Op("agg_approx", aggApprox _, None),
     Op("agg_rollup", aggRollup _, Some(aggRollupSql)),
     Op("agg_cube", aggCube _, Some(aggCubeSql)),
     Op("agg_percentiles", aggPercentiles _, Some(aggPercentilesSql)),
