@@ -51,6 +51,31 @@ class SnapshotStore(root: String, hadoopConf: Configuration = new Configuration(
     if (isProcessed(markerKind, ts)) false
     else { pipeline; true }
 
+  /** DataFrame-level snapshot versioning (SURVEY.md §1.1): immutable
+    * parquet under `<root>/<kind>/snapshot_ts=<ts>/` — the partition
+    * column makes snapshot selection a pruned scan (only the requested
+    * snapshot's files are read; `.explain` shows it as a
+    * PartitionFilter) — plus a `<kind>_latest` pointer file naming the
+    * current ts, so "latest" resolution is one tiny read, not a listing.
+    */
+  def writeTableSnapshot(df: org.apache.spark.sql.DataFrame, kind: String,
+      ts: String): Unit = {
+    df.write.mode("overwrite")
+      .parquet(s"$root/$kind/snapshot_ts=$ts")
+    writeBytes(path(s"${kind}_latest", "POINTER"),
+      ts.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def latestSnapshotTs(kind: String): String =
+    readArtifactString(s"${kind}_latest", "POINTER")
+
+  /** Read one snapshot via partition pruning over the full history. */
+  def readTableSnapshot(spark: org.apache.spark.sql.SparkSession,
+      kind: String, ts: String): org.apache.spark.sql.DataFrame =
+    spark.read
+      .option("basePath", s"$root/$kind")
+      .parquet(s"$root/$kind/snapshot_ts=$ts")
+
   def readArtifact(kind: String, name: String): Array[Byte] = {
     val p = path(kind, name)
     val in = fs(p).open(p)

@@ -71,6 +71,23 @@ class SourcesSpec extends SparkSpec {
     assert(store.readArtifactString("prism.csv", ts) == "a,b\n1,2\n")
   }
 
+  test("table snapshots: partitioned history, latest pointer, pruned read") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tsnap").toString
+    val store = new SnapshotStore(root)
+    store.writeTableSnapshot(Seq((1, "a")).toDF("id", "v"), "links", "20220101T000000Z")
+    store.writeTableSnapshot(Seq((2, "b"), (3, "c")).toDF("id", "v"), "links", "20220201T000000Z")
+
+    assert(store.latestSnapshotTs("links") == "20220201T000000Z")
+    val latest = store.readTableSnapshot(spark, "links", store.latestSnapshotTs("links"))
+    assert(latest.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    val old = store.readTableSnapshot(spark, "links", "20220101T000000Z")
+    assert(old.count() == 1) // history immutable, addressable
+    // snapshot selection happens at planning time: only one partition's
+    // files are ever touched
+    assert(latest.inputFiles.forall(_.contains("snapshot_ts=20220201T000000Z")))
+  }
+
   // ------------------------------------------------------------ zip ingest
 
   test("zip ingest finds a member and errors with reference shape") {
