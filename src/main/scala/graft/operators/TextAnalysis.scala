@@ -140,10 +140,57 @@ object TextAnalysis {
       |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents""".stripMargin
 
+  /** Two-pass corpus statistic: per-document ratio of bigrams that are
+    * corpus-frequent (count ≥ 25) — an n-gram language-model-style
+    * fluency signal with exact integer semantics (no float-accumulation
+    * ordering, so the oracle matches bit-for-bit).
+    *
+    * Pass 1 aggregates global bigram counts; only the frequent set —
+    * bounded, Zipf-truncated — is broadcast back into the per-document
+    * pass. At 100 TB the frequent-bigram table is the classic
+    * "small side" (vocab²-bounded, threshold-truncated), so the join
+    * stays a broadcast however large the corpus grows.
+    */
+  def bigramCommonality(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+        .as("bigram"))
+    val frequent = bigrams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c")).where(col("c") >= 25)
+      .select(col("bigram"))
+    bigrams
+      .join(broadcast(frequent.withColumn("is_common", lit(1L))), Seq("bigram"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("is_common"), lit(0L))).as("n_common"))
+      .withColumn("common_ratio",
+        round(col("n_common").cast("double") / col("n_bigrams"), 6))
+  }
+
+  val bigramCommonalitySql: String =
+    """WITH b AS (
+      |  SELECT doc_id, concat_ws(' ', w[i], w[i+1]) AS bigram
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+      |        FROM documents WHERE len(string_split(trim(text), ' ')) >= 2),
+      |       unnest(range(1, len(w))) AS t(i)
+      |), f AS (
+      |  SELECT bigram FROM b GROUP BY bigram HAVING count(*) >= 25
+      |)
+      |SELECT b.doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(CASE WHEN f.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |       round(CAST(sum(CASE WHEN f.bigram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS common_ratio
+      |FROM b LEFT OUTER JOIN f ON b.bigram = f.bigram
+      |GROUP BY b.doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_tokens", tokens _, Some(tokensSql)),
     Op("text_quality", quality _, Some(qualitySql)),
     Op("text_langid", langId _, Some(langIdSql)),
     Op("text_fingerprint", fingerprint _, Some(fingerprintSql)),
+    Op("text_bigram_commonality", bigramCommonality _, Some(bigramCommonalitySql)),
   )
 }

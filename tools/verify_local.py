@@ -48,6 +48,18 @@ for name in sorted(os.listdir(out_dir)):
         o_rows = res.fetchall()
     except Exception as e:
         print(f"[FAIL] {name}: oracle error: {e}"); fail += 1; continue
+    # arrow-schema audit: the driver gate checks schema, not just values
+    try:
+        ar = con.execute(oracle[name]).arrow().schema
+        sp = pq.read_schema(files[0])
+        sp_map = {c: str(t) for c, t in zip(sp.names, sp.types)}
+        ar_map = {c: str(t) for c, t in zip(ar.names, ar.types)}
+        tdiff = [(c, sp_map[c], ar_map[c]) for c in sp_map
+                 if c in ar_map and sp_map[c] != ar_map[c]]
+        if tdiff:
+            print(f"[TYPE] {name}: {tdiff}")
+    except Exception:
+        pass
     sc, sr = canon(s_cols, s_rows)
     oc, orows = canon(o_cols, o_rows)
     if sc != oc:
