@@ -331,8 +331,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Near-duplicate clustering: connected components over the MinHash
+    * pair graph, labeling every involved document with its component's
+    * minimum doc_id — the step that turns pairwise similarity into
+    * "keep one survivor per duplicate group", and transitivity is the
+    * point (A~B, B~C ⇒ one group even when A~C was never measured).
+    *
+    * Spark side: iterative min-label propagation to fixpoint. Each round
+    * is one join + one aggregation over the pair graph — which is tiny
+    * relative to the corpus (only documents appearing in some near-dup
+    * pair), so rounds are cheap and the iteration count is the graph
+    * diameter (duplicate clusters are shallow in practice). The oracle
+    * states the same fixpoint as a recursive reachability CTE.
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("id"))
+        .groupBy(edges("doc_a").as("nid"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("id") === col("nid"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
+  val clustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashLshSql}
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), walk(u, x) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.x
+       |)
+       |SELECT u AS doc_id, min(x) AS canonical_id FROM walk GROUP BY u""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", exact _, Some(exactSql)),
+    Op("dedup_clusters", clusters _, Some(clustersSql)),
     Op("dedup_minhash_lsh", minhashLsh _, Some(minhashLshSql)),
     Op("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     Op("dedup_simhash", simhash _, None),
