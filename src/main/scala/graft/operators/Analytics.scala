@@ -173,7 +173,56 @@ object Analytics {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         expr("approx_percentile(l_extendedprice, 0.5)").as("approx_median_price"))
 
+  /** Scalar-function families in one projection — string manipulation,
+    * date-part extraction, conditional/null handling — each expression
+    * chosen to evaluate identically in Spark and DuckDB (both follow
+    * ANSI semantics here; the one known divergence, day-of-week
+    * numbering, is normalized through the ISO variant).
+    */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .where(col("o_orderkey") < 1000)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        lower(col("o_orderstatus")).as("status_lower"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        regexp_replace(col("o_orderpriority"), "[0-9]-", "").as("pri_name"),
+        lpad(col("o_orderkey").cast("string"), 10, "0").as("key_padded"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        expr("extract(DAYOFWEEK_ISO FROM o_orderdate)").cast("long").as("iso_dow"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        when(col("o_totalprice") > 200000, "large")
+          .when(col("o_totalprice") > 100000, "medium")
+          .otherwise("small").as("size_class"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_label"))
+
+  val scalarFuncsSql: String =
+    """SELECT o_orderkey,
+      |       upper(o_orderpriority) AS pri_upper,
+      |       lower(o_orderstatus) AS status_lower,
+      |       substr(o_orderpriority, 1, 1) AS pri_code,
+      |       regexp_replace(o_orderpriority, '[0-9]-', '') AS pri_name,
+      |       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+      |       concat_ws('|', o_orderstatus, o_orderpriority) AS status_pri,
+      |       CAST(year(o_orderdate) AS BIGINT) AS y,
+      |       CAST(month(o_orderdate) AS BIGINT) AS m,
+      |       CAST(day(o_orderdate) AS BIGINT) AS d,
+      |       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+      |       CAST(o_orderdate AS DATE) + 30 AS due_date,
+      |       CASE WHEN o_totalprice > 200000 THEN 'large'
+      |            WHEN o_totalprice > 100000 THEN 'medium'
+      |            ELSE 'small' END AS size_class,
+      |       nullif(o_orderstatus, 'O') AS status_or_null,
+      |       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label
+      |FROM orders WHERE o_orderkey < 1000""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("scalar_funcs", scalarFuncs _, Some(scalarFuncsSql)),
     Op("agg_approx", aggApprox _, None),
     Op("agg_rollup", aggRollup _, Some(aggRollupSql)),
     Op("agg_cube", aggCube _, Some(aggCubeSql)),
