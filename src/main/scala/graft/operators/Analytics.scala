@@ -221,7 +221,27 @@ object Analytics {
       |       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label
       |FROM orders WHERE o_orderkey < 1000""".stripMargin
 
+  /** Correlated scalar subquery through the `spark.sql` surface:
+    * cheapest part(s) per brand, written exactly as a user would write
+    * it — Catalyst decorrelates the subquery into an aggregate + join
+    * (visible in `.explain`), which is the plan a hand-rewritten version
+    * would produce; no per-row re-execution survives to the physical
+    * plan. Identical SQL runs on both engines.
+    */
+  def corrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(corrSubquerySql)
+  }
+
+  val corrSubquerySql: String =
+    """SELECT p.p_partkey, p.p_brand, p.p_retailprice
+      |FROM part p
+      |WHERE p.p_retailprice = (SELECT min(p2.p_retailprice)
+      |                         FROM part p2
+      |                         WHERE p2.p_brand = p.p_brand)""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q2_corr_subquery", corrSubquery _, Some(corrSubquerySql)),
     Op("scalar_funcs", scalarFuncs _, Some(scalarFuncsSql)),
     Op("agg_approx", aggApprox _, None),
     Op("agg_rollup", aggRollup _, Some(aggRollupSql)),

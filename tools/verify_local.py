@@ -43,14 +43,14 @@ for name in sorted(os.listdir(out_dir)):
               f"({'OK' if len(s_rows) > 0 else 'EMPTY!'})")
         continue
     try:
-        res = con.execute(oracle[name])
-        o_cols = [dsc[0] for dsc in res.description]
-        o_rows = res.fetchall()
+        o_tbl = con.execute(oracle[name]).arrow()  # one execution serves both checks
+        o_cols = list(o_tbl.column_names)
+        o_rows = [tuple(row[c] for c in o_cols) for row in o_tbl.to_pylist()]
     except Exception as e:
         print(f"[FAIL] {name}: oracle error: {e}"); fail += 1; continue
     # arrow-schema audit: the driver gate checks schema, not just values
     try:
-        ar = con.execute(oracle[name]).arrow().schema
+        ar = o_tbl.schema
         sp = pq.read_schema(files[0])
         sp_map = {c: str(t) for c, t in zip(sp.names, sp.types)}
         ar_map = {c: str(t) for c, t in zip(ar.names, ar.types)}
