@@ -13,6 +13,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Register every fixture table as a temp view, making the whole
+    * catalog addressable from `spark.sql` — the same table names the
+    * DuckDB oracle sees.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      try apply(spark, dir, n).createOrReplaceTempView(n)
+      catch { case _: Exception => () } // missing fixture file: skip
+    }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown fixture table: $name")
     if (name == "events") {

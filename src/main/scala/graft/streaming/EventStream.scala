@@ -51,6 +51,19 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream → versioned store bridge: every micro-batch lands as an
+    * immutable table snapshot (`kind/snapshot_ts=batch-<id>/`) with the
+    * latest pointer advanced afterwards — `foreachBatch` is the seam
+    * where Structured Streaming hands a plain DataFrame to batch sinks,
+    * and the store's marker-last ordering keeps partially-written
+    * batches invisible (SURVEY.md §2.8 O3 semantics on a stream).
+    */
+  def snapshotSink(df: DataFrame, store: graft.sources.SnapshotStore,
+      kind: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      store.writeTableSnapshot(batch, kind, f"batch-$batchId%06d")
+    }
+
   private val GapMs = 30L * 60 * 1000
 
   /** Gap-based sessionization with custom state:

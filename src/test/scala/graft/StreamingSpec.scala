@@ -57,6 +57,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch snapshot sink: micro-batches land as versioned tables") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ssnap").toString
+    val store = new graft.sources.SnapshotStore(root)
+    val mem = MemoryStream[Event]
+    val q = EventStream.snapshotSink(mem.toDF(), store, "events")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(1), 1, "view", 2.0), Event(3, ts(2), 2, "click", 3.0))
+      q.processAllAvailable()
+      val latestTs = store.latestSnapshotTs("events")
+      assert(latestTs == "batch-000001")
+      assert(store.readTableSnapshot(spark, "events", latestTs).count() == 2)
+      assert(store.readTableSnapshot(spark, "events", "batch-000000").count() == 1)
+    } finally q.stop()
+  }
+
+  test("registerAll exposes the catalog to spark.sql") {
+    Tables.registerAll(spark, sfDir)
+    assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey")
+      .head().getLong(0) > 0)
+  }
+
   test("stateful sessionization closes sessions on 30-min gaps") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
