@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Degenerate-input behavior: operators must return empty results — not
+  * crash — on empty or all-too-short corpora (the first batch of a new
+  * pipeline is often exactly that).
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  private def emptyDocsDir(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup family is empty-safe") {
+    val dir = emptyDocsDir()
+    assert(Dedup.exact(spark, dir).count() == 0)
+    assert(Dedup.minhashLsh(spark, dir).count() == 0)
+    assert(Dedup.ngramJaccard(spark, dir).count() == 0)
+    assert(Dedup.simhash(spark, dir).count() == 0)
+    assert(Dedup.clusters(spark, dir).count() == 0)
+  }
+
+  test("short documents fall below shingle thresholds, not into errors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("short").toString
+    Seq((1L, "ab"), (2L, "one two")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(Dedup.minhashLsh(spark, dir).count() == 0) // < 3 words each
+    assert(Dedup.ngramJaccard(spark, dir).count() == 0) // < 12 chars each
+    assert(TextAnalysis.tokens(spark, dir).count() == 2) // scans still work
+  }
+
+  test("empty embeddings produce empty similarity results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("emptyvec").toString
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+      .write.parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.topkBruteForce(spark, dir).count() == 0)
+    assert(Similarity.embeddingNearDup(spark, dir).count() == 0)
+  }
+
+  test("CosineSim: null inputs yield null, not errors") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS a,
+        |       cosine_sim(array(CAST(1.0 AS FLOAT)), CAST(NULL AS ARRAY<FLOAT>)) AS b
+        |""".stripMargin).head()
+    assert(rows.isNullAt(0) && rows.isNullAt(1))
+  }
+}
