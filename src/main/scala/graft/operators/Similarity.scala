@@ -146,9 +146,66 @@ object Similarity {
         col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("cos"))
   }
 
+  /** Random-hyperplane LSH ANN: sign-bit signatures over NBITS seeded
+    * pseudo-random hyperplanes (components derived from xxhash64 —
+    * deterministic, no stored model), bucketed by BITS_PER_BAND-bit
+    * bands; a query scans only vectors sharing at least one band bucket.
+    * The sign-agreement probability is 1 − θ/π per hyperplane, so
+    * near-neighbors collide with high probability while the bucket join
+    * keeps scanned candidates ~|matches|, not |corpus|. Rows-only
+    * (approximate); recall vs brute force asserted in the suite.
+    */
+  private val NBits = 16
+  private val BitsPerBand = 4 // 4 bands × 4 bits
+
+  private def hyperplaneBits(emb: String) = {
+    // bit j = sign(Σ_d v_d · h(j,d)), h = centered 16-bit lattice noise
+    // from xxhash64(j*4096+d) — cheap, seeded, identical for all rows.
+    val bit = (j: Int) => {
+      val terms = expr(
+        s"""aggregate(zip_with($emb, sequence(0, 63),
+           |  (v, d) -> CAST(v AS DOUBLE) * ((xxhash64($j * 4096 + d) & 65535) - 32768)),
+           |  0D, (acc, x) -> acc + x)""".stripMargin)
+      when(terms >= 0, 1L << j).otherwise(0L)
+    }
+    (0 until NBits).map(bit).reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
+  }
+
+  def topkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val sigs = e.withColumn("sig", hyperplaneBits("embedding")).cache()
+    def bands(df: DataFrame) = {
+      val bandCols = (0 until NBits / BitsPerBand).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * BitsPerBand)
+            .bitwiseAND((1L << BitsPerBand) - 1).as("bucket"))
+      }
+      df.select(col("vec_id"), col("embedding"), col("sig"),
+        explode(array(bandCols: _*)).as("k"))
+        .select(col("vec_id"), col("embedding"),
+          col("k.band").as("band"), col("k.bucket").as("bucket"))
+    }
+    val q = bands(sigs.where(col("vec_id") < NumQueries))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("band"), col("bucket"))
+    val topk = udaf(new TopKAgg(K))
+    q.join(bands(sigs), Seq("band", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("q_emb"))
+      .distinct() // a pair can share several bands
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosine(col("q_emb"), col("embedding")).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("cos"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceSql)),
     Op("sim_topk_ivf", topkIvf _, None),
+    Op("sim_topk_lsh", topkLsh _, None),
     Op("dedup_embedding_cosine", embeddingNearDup _, Some(embeddingNearDupSql)),
   )
 }

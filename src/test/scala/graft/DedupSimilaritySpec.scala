@@ -62,6 +62,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(approx.groupBy(_._1).values.forall(_.size <= 10))
   }
 
+  test("hyperplane-LSH top-k recall vs brute force is usable at sf0.001") {
+    val exact = Similarity.topkBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.topkLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH-ANN recall $recall collapsed")
+    assert(approx.groupBy(_._1).values.forall(_.size <= 10))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Similarity.embeddingNearDup(spark, sfDir).collect()
     rows.foreach { r =>
