@@ -5,10 +5,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle width: at bench scale (~600k rows) every shuffle partition
+    // beyond ~8 is pure task-scheduling overhead — partitions=cpus at 32
+    // cores measured 2.5× slower than 8 for identical plans. Cap the
+    // static width small and let AQE's partition coalescing (enabled
+    // below, the scale-portable mechanism) split/merge from runtime sizes;
+    // a real cluster run overrides via SPARK_GRAFT_SHUFFLE_PARTITIONS.
+    val shufflePartitions = sys.env.getOrElse(
+      "SPARK_GRAFT_SHUFFLE_PARTITIONS", math.min(cpus.toInt, 8).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

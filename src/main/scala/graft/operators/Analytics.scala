@@ -17,27 +17,30 @@ object Analytics {
   private def dec(c: Column) = c.cast("decimal(18,2)")
 
   /** ROLLUP: hierarchical subtotals in one pass — Spark expands grouping
-    * sets and aggregates with partial aggregation per set.
+    * sets and aggregates with partial aggregation per set. Sums aggregate
+    * in exact DECIMAL and surface as DOUBLE: decimal outputs render
+    * scale-dependently across result readers (`.00` vs `.0`) and break
+    * hash comparison; identical float64 bits never do.
     */
   def aggRollup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
 
   val aggRollupSql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
   /** CUBE: all grouping-set combinations. */
   def aggCube(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_price"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
 
   val aggCubeSql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB

@@ -31,13 +31,15 @@ object Events {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
+        // exact decimal sum, DOUBLE at the boundary: decimal outputs
+        // render scale-dependently across readers and break hash compare
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
 
   val hourlySql: String =
     """SELECT date_trunc('hour', ts) AS hour_start, event_type,
       |       count(*) AS n_events,
       |       count(DISTINCT user_id) AS n_users,
-      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Gap-based sessionization: a session breaks after >30 min of per-user
@@ -61,7 +63,7 @@ object Events {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("session_value"))
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
   }
 
   val sessionizeSql: String =
@@ -82,7 +84,7 @@ object Events {
       |       count(*) AS n_events,
       |       min(ts) AS session_start,
       |       max(ts) AS session_end,
-      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS session_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
       |FROM s GROUP BY user_id, session_seq""".stripMargin
 
   /** JSON-column extraction (the `props` column holds JSON objects):

@@ -117,25 +117,28 @@ object Relational {
     * required by the north-star extensions). Money sums go through
     * DECIMAL(18,2) so the result is exact and order-independent — double
     * summation order differs between Spark's partial aggregation and the
-    * DuckDB oracle (SURVEY.md §7.3).
+    * DuckDB oracle (SURVEY.md §7.3). The FINAL cast is to DOUBLE, not
+    * decimal: both result readers then see identical float64 bits, whereas
+    * decimal outputs render scale-dependently (`152112.00` vs `152112.0`)
+    * and hash-diverge whenever a sum lands on a trailing-zero fraction.
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val dec = (c: Column) => c.cast("decimal(18,2)")
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
         sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-          .cast("decimal(38,4)").as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
   }
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
       |       count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
@@ -278,7 +281,7 @@ object Relational {
       dense_rank().over(w).cast("long").as("drnk"),
       sum(col("o_totalprice").cast("decimal(18,2)"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("decimal(38,2)").as("running_total"))
+        .cast("double").as("running_total"))
   }
 
   val windowRankSql: String =
@@ -288,7 +291,7 @@ object Relational {
       |  dense_rank() OVER w AS drnk,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
       |    OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
 
@@ -304,9 +307,9 @@ object Relational {
         max(col("l_quantity")).as("max_qty"),
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price"))
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
       .withColumn("avg_price",
-        round(col("sum_price").cast("double") / col("n_rows"), 6))
+        round(col("sum_price") / col("n_rows"), 6))
   }
 
   val aggStatsSql: String =
@@ -315,7 +318,7 @@ object Relational {
       |       max(l_quantity) AS max_qty,
       |       count(*) AS n_rows,
       |       count(DISTINCT l_orderkey) AS n_orders,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
       |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 

@@ -44,7 +44,7 @@ class RelationalSpec extends SparkSpec {
       "price", "line_no"))
   }
 
-  test("q1 aggregation sums are exact decimals") {
+  test("q1 aggregation counts cover every lineitem row") {
     val row = Relational.q1Agg(spark, sfDir)
       .agg(sum("count_order")).head()
     assert(row.getLong(0) == Tables(spark, sfDir, "lineitem").count())
