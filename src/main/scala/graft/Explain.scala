@@ -1,16 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Plan-dump (and optional result-dump) tool for iterating on a single
+  * query: `runMain graft.Explain [queryName ...]` prints each query's
+  * formatted physical plan; set SPARK_GRAFT_SHOW=N to also print the
+  * first N result rows. SPARK_GRAFT_SF_DIR overrides the fixture dir.
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("p2p_links", "q1_agg", "sim_topk_bruteforce")) {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("p2p_links", "q1_agg", "sim_topk_bruteforce")
+    val show = sys.env.get("SPARK_GRAFT_SHOW").map(_.toInt)
+    for (name <- names) {
       println(s"===== $name =====")
-      println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      val df = SparkEntry.queries(name)(spark, dir)
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+      show.foreach { n => df.show(n, truncate = false); println(s"rows=${df.count()}") }
     }
     spark.stop()
   }
