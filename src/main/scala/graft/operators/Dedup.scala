@@ -205,14 +205,17 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets.
-    * Candidates are few (near-dups only) → broadcast them into the two
-    * shingle-array joins.
+    * No broadcast hint: candidate volume is corpus-dependent (a crawl
+    * snapshot with a 50% dup rate makes candidates O(corpus), not
+    * "few"), so the joins shuffle on doc_a/doc_b and AQE is free to
+    * downgrade to broadcast at runtime when the candidate set really is
+    * small.
     */
   private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
       threshold: Double): DataFrame = {
     val a = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    broadcast(candidates)
+    candidates
       .join(a, "doc_a").join(b, "doc_b")
       // Size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
       // cheap length test discards most spurious candidates before the
@@ -278,29 +281,60 @@ object Dedup {
 
   /** 64-bit SimHash per document: per-word xxhash64, sign-vote each bit,
     * plus the Hamming-ball band keys (4×16-bit) used to find candidate
-    * pairs at distance ≤ 3 without an all-pairs scan. xxhash64 is Spark's
-    * codegen'd 64-bit hash — no DuckDB twin exists, so this op is
-    * rows-only checked by the driver and property-tested in the suite.
+    * pairs at distance ≤ 3 without an all-pairs scan. No DuckDB xxhash64
+    * twin exists, so this op is rows-only checked by the driver and
+    * property-tested in the suite.
+    *
+    * One `mapPartitions` pass (the `signatureBuckets` pattern): tokenize,
+    * hash with Spark's own XXH64 (seed 42 — identical values to the SQL
+    * `xxhash64` function), accumulate the 64 sign-votes in a primitive
+    * int array, emit signature + band keys. The previous formulation —
+    * explode every word and run a 64-column conditional-sum hash
+    * aggregate — shuffled |corpus words| rows and was the slowest query
+    * in the round-1 bench (10.4 s of 49.3 s); this pass shuffles
+    * nothing.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val bitVotes: Seq[Column] = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v_$j")
-    }
-    val sig = (0 until 64).map { j =>
-      when(col(s"v_$j") >= 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }.reduce[Column](_.bitwiseOR(_))
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
-      .select(col("doc_id"), col("simhash"),
-        col("simhash").bitwiseAND(lit(0xFFFFL)).as("band0"),
-        shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)).as("band1"),
-        shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)).as("band2"),
-        shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)).as("band3"))
+      .select(col("doc_id"), trim(col("text")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, t) =>
+          val votes = new Array[Int](64)
+          // Same tokenization as split(trim(text), ' '): every
+          // space-delimited segment, including empties from runs of
+          // spaces (the trim removes leading/trailing ones).
+          var start = 0
+          var i = 0
+          val n = t.length
+          while (i <= n) {
+            if (i == n || t.charAt(i) == ' ') {
+              val u = UTF8String.fromString(t.substring(start, i))
+              val h = XXH64.hashUnsafeBytes(
+                u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+              var j = 0
+              while (j < 64) {
+                if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+                j += 1
+              }
+              start = i + 1
+            }
+            i += 1
+          }
+          var sig = 0L
+          var j = 0
+          while (j < 64) {
+            if (votes(j) >= 0) sig |= 1L << j
+            j += 1
+          }
+          (docId, sig, sig & 0xFFFFL, (sig >>> 16) & 0xFFFFL,
+            (sig >>> 32) & 0xFFFFL, (sig >>> 48) & 0xFFFFL)
+        }
+      }
+      .toDF("doc_id", "simhash", "band0", "band1", "band2", "band3")
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ 3 on the 64-bit
@@ -324,7 +358,9 @@ object Dedup {
       .distinct()
     val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    broadcast(cands).join(a, "doc_a").join(b, "doc_b")
+    // No broadcast hint (candidate volume is corpus-dependent; AQE can
+    // still pick broadcast at runtime when it really is small).
+    cands.join(a, "doc_a").join(b, "doc_b")
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= 3)
@@ -337,36 +373,59 @@ object Dedup {
     * "keep one survivor per duplicate group", and transitivity is the
     * point (A~B, B~C ⇒ one group even when A~C was never measured).
     *
-    * Spark side: iterative min-label propagation to fixpoint. Each round
-    * is one join + one aggregation over the pair graph — which is tiny
-    * relative to the corpus (only documents appearing in some near-dup
-    * pair), so rounds are cheap and the iteration count is the graph
-    * diameter (duplicate clusters are shallow in practice). The oracle
-    * states the same fixpoint as a recursive reachability CTE.
+    * Spark side: min-label propagation WITH pointer jumping — each round
+    * a node takes the min of its own label, its neighbors' labels, and
+    * its label's label (`label(label(id))`). The shortcut step is what
+    * makes rounds grow as log(diameter) instead of diameter (the same
+    * shortcutting idea as hash-to-min connected components), so the
+    * round cap is effectively unreachable; if it IS hit the operator
+    * throws rather than silently returning non-converged labels. Every
+    * frame in the loop is over the pair graph only — tiny relative to
+    * the corpus (documents appearing in some near-dup pair). Per round:
+    * superseded label frames are unpersisted, lineage is truncated with
+    * `localCheckpoint` every few rounds, and convergence is read off the
+    * SAME count() action that materializes the round (one job, no
+    * separate isEmpty probe). The oracle states the same fixpoint as a
+    * recursive reachability CTE.
     */
+  private val MaxRounds = 50
+  private val CheckpointEvery = 8
+
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
     var labels = edges.select(col("doc_a").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
-    var converged = false
+      .withColumn("label", col("id"))
     var rounds = 0
-    while (!converged && rounds < 50) {
+    var changed = 1L
+    while (changed > 0 && rounds < MaxRounds) {
       val neighborMin = edges
         .join(labels, edges("doc_b") === labels("id"))
         .groupBy(edges("doc_a").as("nid"))
         .agg(min(col("label")).as("nmin"))
-      val next = labels
-        .join(neighborMin, labels("id") === col("nid"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).isEmpty
-      labels = next
+      val jump = labels.as("l")
+        .join(labels.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("l.label") === col("jid"))
+        .select(col("l.id").as("id"), col("l.label").as("label"),
+          col("jlabel"))
+      val next = jump
+        .join(neighborMin, col("id") === col("nid"), "left_outer")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), col("jlabel"),
+            coalesce(col("nmin"), col("label"))).as("label"))
+      val mat =
+        if ((rounds + 1) % CheckpointEvery == 0) next.localCheckpoint()
+        else { next.persist(); next }
+      changed = mat.where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = mat.select(col("id"), col("label"))
       rounds += 1
     }
+    edges.unpersist()
+    if (changed > 0) throw new IllegalStateException(
+      s"clusters: no fixpoint after $MaxRounds pointer-jumping rounds " +
+        "(component labels would be wrong — refusing to return them)")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
