@@ -94,7 +94,10 @@ object TextAnalysis {
         .cast("long").as(s"score_$l")
     }
     val langs = markers.map(_._1)
-    val pred = langs.init.foldRight(lit("und")) { (l, rest) =>
+    // Fold over ALL languages (the last one needs its own WHEN branch
+    // too, with earlier languages winning ties via their >= tests — a
+    // langs.init fold made the final language unreachable).
+    val pred = langs.foldRight(lit("und")) { (l, rest) =>
       val geAll = langs.filter(_ != l)
         .map(o => col(s"score_$l") >= col(s"score_$o"))
         .reduce(_ && _)
@@ -111,7 +114,7 @@ object TextAnalysis {
       s"len(list_filter(string_split(trim(text), ' '), w -> w IN ($list))) AS score_$l"
     }.mkString(",\n         ")
     val langs = markers.map(_._1)
-    val cases = langs.init.map { l =>
+    val cases = langs.map { l =>
       val geAll = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
       s"WHEN score_$l > 0 AND $geAll THEN '$l'"
     }.mkString("\n            ")
@@ -145,11 +148,16 @@ object TextAnalysis {
     * fluency signal with exact integer semantics (no float-accumulation
     * ordering, so the oracle matches bit-for-bit).
     *
-    * Pass 1 aggregates global bigram counts; only the frequent set —
-    * bounded, Zipf-truncated — is broadcast back into the per-document
-    * pass. At 100 TB the frequent-bigram table is the classic
-    * "small side" (vocab²-bounded, threshold-truncated), so the join
-    * stays a broadcast however large the corpus grows.
+    * ONE scan, no cache, no broadcast assumption: the exploded bigrams
+    * are first reduced to (bigram, doc_id) occurrence counts (partial
+    * aggregation collapses duplicates map-side), the global frequency is
+    * read off a window over that reduced frame, and the per-document
+    * rollup is a second small aggregation. The previous formulation
+    * built the exploded frame twice (global-count pass + join pass,
+    * uncached — double scan + double explode, second-slowest query in
+    * the round-1 bench) and broadcast the frequent set, which is
+    * vocab²-bounded but still a driver-memory wager at 100 TB; here
+    * every step is a plain shuffle on already-reduced data.
     */
   def bigramCommonality(spark: SparkSession, dir: String): DataFrame = {
     val bigrams = Tables(spark, dir, "documents")
@@ -158,15 +166,15 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
         .as("bigram"))
-    val frequent = bigrams.groupBy(col("bigram"))
-      .agg(count(lit(1)).as("c")).where(col("c") >= 25)
-      .select(col("bigram"))
-    bigrams
-      .join(broadcast(frequent.withColumn("is_common", lit(1L))), Seq("bigram"), "left_outer")
+    val counts = bigrams.groupBy(col("bigram"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val global = sum(col("c"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bigram")))
+    counts.withColumn("g", global)
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(coalesce(col("is_common"), lit(0L))).as("n_common"))
+        sum(col("c")).as("n_bigrams"),
+        sum(when(col("g") >= 25, col("c")).otherwise(0L)).as("n_common"))
       .withColumn("common_ratio",
         round(col("n_common").cast("double") / col("n_bigrams"), 6))
   }
