@@ -34,6 +34,7 @@ object Pipeline {
 
     // O2: the idempotence gate — the timestamped JSON is the completion
     // marker, so its existence proves a full prior run (fetch.go:55-66).
+    var rows = 0L
     val ran = store.runOnce("prism.json", ts) {
       // Archive the raw snapshot first (fetch.go:78).
       store.writeArtifact("prism.zip", ts, zipBytes, alsoLatest = false)
@@ -43,27 +44,29 @@ object Pipeline {
 
       // Stages 9-13 as ONE plan: read → 8-way join + filters + trim →
       // all-string reshape. No process boundaries, no intermediate files.
-      val result = Relational.p2pLinks(spark, sfDir)
+      // Cached across the two egress writes so the 8-way join executes
+      // once, not once per artifact (and not a third time for the row
+      // count, which falls out of the JSON writer's iteration).
+      val result = Relational.p2pLinks(spark, sfDir).persist()
+      try {
+        // K2: header CSV, single artifact (small by construction).
+        val csvDest = java.nio.file.Files.createTempDirectory("egress")
+          .resolve("links.csv").toString
+        CsvJsonEgress.writeCsvSingle(result, csvDest)
+        store.writeArtifact("prism.csv", ts,
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(csvDest)),
+          alsoLatest = false)
 
-      // K2: header CSV, single artifact (small by construction).
-      val csvDest = java.nio.file.Files.createTempDirectory("egress")
-        .resolve("links.csv").toString
-      CsvJsonEgress.writeCsvSingle(result, csvDest)
-      store.writeArtifact("prism.csv", ts,
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(csvDest)),
-        alsoLatest = false)
-
-      // K3 + K4: all-string JSON array → latest, then the timestamped
-      // marker LAST (fetch.go:149-157 ordering).
-      val jsonDest = java.nio.file.Files.createTempDirectory("egress")
-        .resolve("links.json").toString
-      CsvJsonEgress.writeJsonArray(result, jsonDest)
-      store.writeArtifact("prism.json", ts,
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(jsonDest)))
+        // K3 + K4: all-string JSON array → latest, then the timestamped
+        // marker LAST (fetch.go:149-157 ordering).
+        val jsonDest = java.nio.file.Files.createTempDirectory("egress")
+          .resolve("links.json").toString
+        rows = CsvJsonEgress.writeJsonArray(result, jsonDest)
+        store.writeArtifact("prism.json", ts,
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(jsonDest)))
+      } finally result.unpersist()
     }
 
-    val rows =
-      if (ran) Relational.p2pLinks(spark, sfDir).count() else 0L
     Result(ts, ran, rows)
   }
 }

@@ -52,26 +52,32 @@ object CsvJsonEgress {
 
   /** K3: one JSON array file at `dest`, every value stringified. The
     * object-field order matches the DataFrame's column order, like the
-    * csv.DictReader → json.dump chain preserves header order.
+    * csv.DictReader → json.dump chain preserves header order. Null
+    * values become empty strings BEFORE `to_json` (which would otherwise
+    * drop the key entirely) — csv.DictReader reads a blank CSV cell as
+    * `''`, so every object carries the full field list. Returns the row
+    * count, so callers that need it don't re-execute the plan.
     */
   def writeJsonArray(df: DataFrame, dest: String,
-      hadoopConf: Configuration = new Configuration()): Unit = {
+      hadoopConf: Configuration = new Configuration()): Long = {
     val rows = allStrings(df)
-      .select(to_json(struct(df.columns.map(col).toSeq: _*)).as("j"))
+      .select(to_json(struct(
+        df.columns.map(c => coalesce(col(c), lit("")).as(c)).toSeq: _*)).as("j"))
     val p = new Path(dest)
     val out = p.getFileSystem(hadoopConf).create(p, true)
+    var count = 0L
     try {
       out.write('[')
-      var first = true
       // toLocalIterator pulls one partition at a time — bounded driver memory.
       val it = rows.toLocalIterator()
       while (it.hasNext) {
-        if (!first) out.write(',')
+        if (count > 0) out.write(',')
         out.write(it.next().getString(0).getBytes("UTF-8"))
-        first = false
+        count += 1
       }
       out.write(']')
     } finally out.close()
+    count
   }
 
   /** Move the single `part-*` file out of a one-partition write dir. */
