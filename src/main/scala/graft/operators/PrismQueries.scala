@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object PrismQueries {
 
-  /** Column list exactly as the reference emits it (sql:5-41). */
+  /** Column list exactly as the reference emits it (sql:5-41: licence
+    * attrs, spectrum attrs, transmit attrs, receive attrs — the height
+    * columns are commented out there and so absent here too).
+    */
   val outputColumns: Seq[String] = Seq(
     "licenceid", "clientname", "licencetype", "frequency", "power",
-    "tx_lng", "tx_lat", "tx_location_name", "tx_height",
-    "rx_lng", "rx_lat", "rx_location_name")
+    "tx_name", "tx_lng", "tx_lat",
+    "rx_name", "rx_lng", "rx_lat")
 
   def pointToPointLinks(tables: String => DataFrame): DataFrame = {
     val licence    = tables("licence").as("licence")
@@ -47,8 +50,7 @@ object PrismQueries {
 
     rxconf
       // J1: USING(licenceid) — key emitted once, rx×tx cross product
-      .join(txconf.withColumnRenamed("locationid", "tx_locationid")
-          .withColumnRenamed("txantennaheight", "tx_antennaheight"),
+      .join(txconf.withColumnRenamed("locationid", "tx_locationid"),
         Seq("licenceid"))
       .join(rxloc, col("rxlocation.locationid") === col("rx.locationid"))     // J2 (sql:52)
       .join(txloc, col("txlocation.locationid") === col("tx_locationid"))     // J3 (sql:53)
@@ -68,13 +70,12 @@ object PrismQueries {
         trim(col("licence.licencetype")).as("licencetype"),
         col("spectrum.frequency").as("frequency"),
         col("spectrum.power").as("power"),
+        trim(col("txlocation.locationname")).as("tx_name"),
         col("txgeoref.easting").as("tx_lng"),
         col("txgeoref.northing").as("tx_lat"),
-        trim(col("txlocation.locationname")).as("tx_location_name"),
-        col("tx_antennaheight").as("tx_height"),
+        trim(col("rxlocation.locationname")).as("rx_name"),
         col("rxgeoref.easting").as("rx_lng"),
-        col("rxgeoref.northing").as("rx_lat"),
-        trim(col("rxlocation.locationname")).as("rx_location_name"))
+        col("rxgeoref.northing").as("rx_lat"))
   }
 
   /** Convenience: run against a directory of parquet tables named after

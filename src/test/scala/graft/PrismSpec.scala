@@ -56,10 +56,10 @@ class PrismSpec extends SparkSpec {
     // trim applied to names
     assert(rows.head.getString(1) == "Acme Radio")
     assert(rows.head.getString(2) == "Fixed Link")
-    assert(rows.map(_.getString(7)).toSet == Set("TX Ridge", "TX Peak"))
+    assert(rows.map(_.getString(5)).toSet == Set("TX Ridge", "TX Peak"))
     // easting/northing → lng/lat renames carry WGS84 values only
     assert(rows.map(_.getDouble(9)).toSet == Set(174.7))
-    assert(rows.map(_.getDouble(6)).forall(_ != 0.0))
+    assert(rows.map(_.getDouble(7)).forall(_ != 0.0))
   }
 
   test("satellite rows (northing = 0) would appear without F4/F5 — guard is live") {
