@@ -10,14 +10,14 @@ import CastMatrix.AccessType
   * shapes the converter emits (`AccessExporter.createTable`,
   * `createIndex` @bc 52-104, `populateTable` @bc 31-176).
   *
-  * No SQLite JDBC driver exists in this build, so the statement
-  * generation (the logic worth testing) is separated from transport:
-  * `insertRows` renders through any `java.sql.Connection`-free sink
-  * callback, and `df.write.jdbc` is the drop-in transport when a driver
-  * is present. The reference's whole-export single transaction
-  * (`export` @bc 0-23) relaxes to per-table atomicity — the right unit
-  * at scale, where one 100 TB transaction is neither possible nor
-  * desirable.
+  * Statement generation is separated from transport: `writeTable`
+  * executes the generated DDL + batched inserts against ANY
+  * `java.sql.Connection` (sqlite-jdbc in a real deployment; the test
+  * suite drives it with a recording in-memory connection — no SQLite
+  * driver jar exists in this build). The reference's whole-export
+  * single transaction (`export` @bc 0-23) relaxes to per-table
+  * atomicity — the right unit at scale, where one 100 TB transaction
+  * is neither possible nor desirable.
   */
 object SqliteDdl {
 
@@ -40,13 +40,60 @@ object SqliteDdl {
     s"INSERT INTO $table (${columns.mkString(", ")}) VALUES (${columns.map(_ => "?").mkString(", ")});"
 
   /** UNIQUE indexes have no Spark-side analog; they become data-quality
-    * assertions (SURVEY.md §1.1): count == distinct-count over the key.
+    * assertions (SURVEY.md §1.1): count == distinct-count over the key,
+    * both read off ONE aggregation pass (the struct wrapper makes
+    * null-keyed tuples count as distinct values, exactly like
+    * `distinct().count()` — but without the second scan).
     */
   def assertUnique(df: DataFrame, columns: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
-    val total = df.count()
-    val distinct = df.select(columns.map(col): _*).distinct().count()
+    val r = df.select(
+      count(lit(1)).as("n"),
+      countDistinct(struct(columns.map(col): _*)).as("d")).head()
+    val (total, distinct) = (r.getLong(0), r.getLong(1))
     require(total == distinct,
       s"UNIQUE violated on (${columns.mkString(", ")}): $total rows, $distinct distinct")
+  }
+
+  /** K1 transport: run the generated DDL, then stream the frame through
+    * batched `PreparedStatement` inserts on `conn`. A single SQLite file
+    * has exactly one writer by design, so the driver-side stream IS the
+    * correct topology for this sink (like the reference's in-process
+    * export loop, `populateTable` @bc 31-176); `toLocalIterator` pulls
+    * one partition at a time, bounding driver memory. Returns rows
+    * written. For a parallel-writable JDBC target use `df.write.jdbc`
+    * instead — this path exists for the single-file contract.
+    */
+  def writeTable(conn: java.sql.Connection, table: String,
+      columns: Seq[(String, AccessType)], indexes: Seq[IndexDef],
+      df: DataFrame, batchSize: Int = 1000): Long = {
+    val st = conn.createStatement()
+    try {
+      st.execute(createTable(table, columns))
+      indexes.foreach(ix => st.execute(createIndex(table, ix)))
+    } finally st.close()
+    val names = columns.map(_._1)
+    val ps = conn.prepareStatement(insertSql(table, names).stripSuffix(";"))
+    var rows = 0L
+    try {
+      var inBatch = 0
+      val it = df.select(names.map(org.apache.spark.sql.functions.col): _*)
+        .toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        var i = 0
+        while (i < names.length) {
+          // Values are already §1.2-normalized (CastMatrix.toSqliteParity:
+          // Boolean → 0/1 int, MONEY → string, NULL passthrough).
+          ps.setObject(i + 1, if (row.isNullAt(i)) null else row.get(i))
+          i += 1
+        }
+        ps.addBatch()
+        inBatch += 1; rows += 1
+        if (inBatch >= batchSize) { ps.executeBatch(); inBatch = 0 }
+      }
+      if (inBatch > 0) ps.executeBatch()
+    } finally ps.close()
+    rows
   }
 }

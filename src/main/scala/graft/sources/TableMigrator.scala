@@ -44,4 +44,24 @@ object TableMigrator {
       sink(t.name, df)
       MigrationResult(t.name, ddl, df.count())
     }
+
+  /** The same migration loop with the K1 SQL transport: DDL + batched
+    * inserts executed end-to-end on `conn` (sqlite-jdbc in deployment;
+    * any `java.sql.Connection` in tests). Row counts fall out of the
+    * insert stream — no second counting job per table.
+    */
+  def migrateJdbc(
+      spark: SparkSession,
+      catalog: Seq[TableDef],
+      source: String => DataFrame,
+      conn: java.sql.Connection): Seq[MigrationResult] =
+    catalog.map { t =>
+      val ddl = SqliteDdl.createTable(t.name, t.columns) +:
+        t.indexes.map(SqliteDdl.createIndex(t.name, _))
+      val df = CastMatrix.toSqliteParity(source(t.name), t.columns)
+      t.indexes.filter(_.unique)
+        .foreach(ix => SqliteDdl.assertUnique(df, ix.columns))
+      val rows = SqliteDdl.writeTable(conn, t.name, t.columns, t.indexes, df)
+      MigrationResult(t.name, ddl, rows)
+    }
 }
