@@ -23,6 +23,54 @@ object Tables {
       catch { case _: Exception => () } // missing fixture file: skip
     }
 
+  /** O5 wired into the optimizer: register the fixture tables as CATALOG
+    * tables (temp views can't carry statistics), `ANALYZE TABLE` each for
+    * row counts + per-column NDV/min/max, and switch on cost-based
+    * optimization. This is the reference's `ANALYZE` step
+    * (`fetch.go:198-202` — run right after the database lands, so the
+    * planner has stats before the first query) in Spark terms: with CBO
+    * on, filter selectivity comes from column stats instead of raw file
+    * size, which is what lets the planner broadcast a
+    * filtered-but-large-file side and reorder multi-joins. At 100 TB the
+    * same statement sequence runs against the metastore after ingest.
+    *
+    * `events` stays a temp view (its raw parquet carries NANOS
+    * timestamps that need the read-time normalization in `apply`), so it
+    * keeps spark.sql addressability without stats.
+    */
+  def registerAllWithStats(spark: SparkSession, dir: String): Unit = {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    names.foreach { n =>
+      if (new java.io.File(s"$dir/$n.parquet").exists()) {
+        if (n == "events") {
+          apply(spark, dir, n).createOrReplaceTempView(n)
+        } else {
+          spark.sql(s"DROP TABLE IF EXISTS $n")
+          spark.catalog.createTable(n, s"$dir/$n.parquet", "parquet")
+          spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS")
+          // Column stats (NDV/min/max/null-count) only exist for atomic
+          // types — ANALYZE errors outright on array/map/struct columns
+          // (e.g. embeddings.embedding), so enumerate the eligible ones.
+          val statCols = {
+            import org.apache.spark.sql.types._
+            spark.table(n).schema.fields.collect {
+              case f if (f.dataType match {
+                case ByteType | ShortType | IntegerType | LongType |
+                     FloatType | DoubleType | StringType | BooleanType |
+                     DateType | TimestampType | TimestampNTZType => true
+                case _: DecimalType => true
+                case _ => false
+              }) => f.name
+            }
+          }
+          if (statCols.nonEmpty) spark.sql(
+            s"ANALYZE TABLE $n COMPUTE STATISTICS FOR COLUMNS ${statCols.mkString(", ")}")
+        }
+      }
+    }
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown fixture table: $name")
     if (name == "events") {
