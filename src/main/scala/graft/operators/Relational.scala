@@ -60,10 +60,15 @@ object Relational {
     val custRegion = region.as("cr")
     val suppRegion = region.as("sr")
 
+    // customer/supplier scale with the fact tables, so they carry NO
+    // broadcast hint (a hint would override Spark's size checks at 100×,
+    // where these joins must go sort-merge); under the auto-broadcast
+    // threshold the planner still broadcasts them unaided. nation/region
+    // are bounded dimensions — hinting them is always right.
     lineitem.as("l")
       .join(orders.as("o"), col("l.l_orderkey") === col("o.o_orderkey"))
-      .join(broadcast(customer.as("c")), col("o.o_custkey") === col("c.c_custkey"))
-      .join(broadcast(supplier.as("s")), col("l.l_suppkey") === col("s.s_suppkey"))
+      .join(customer.as("c"), col("o.o_custkey") === col("c.c_custkey"))
+      .join(supplier.as("s"), col("l.l_suppkey") === col("s.s_suppkey"))
       .join(broadcast(custNation), col("c.c_nationkey") === col("cn.n_nationkey"))
       .join(broadcast(suppNation), col("s.s_nationkey") === col("sn.n_nationkey"))
       .join(broadcast(custRegion), col("cn.n_regionkey") === col("cr.r_regionkey"))
