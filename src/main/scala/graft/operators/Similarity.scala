@@ -71,103 +71,59 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
        |FROM ranked WHERE rank <= $K""".stripMargin
 
-  /** Embedding-space near-dedup: all pairs with cosine ≥ τ, found via
-    * hyperplane-LSH candidate generation + exact `CosineSim` verify —
-    * never an all-pairs join (the previous broadcast nested-loop
-    * formulation was O(n²) and the one operator here that died at 100×
-    * scale).
+  /** Embedding-space near-dedup: ALL pairs with cosine ≥ τ, exactly.
     *
-    * Banding math: a pair at angle θ agrees per sign-bit with
-    * p = 1 − θ/π, so an 8-bit band collides with p⁸ and the pair is a
-    * candidate with 1 − (1 − p⁸)^b over b bands. τ = 0.45 on this fixture
-    * (max pairwise cosine ≈ 0.51 — random-ish vectors have no tight
-    * duplicates, so the threshold sits where the operator has observable
-    * output) gives p ∈ [0.649, 0.671]: a deliberately hard regime, so
-    * b = 96 bands are needed for recall 1.0 and candidate volume is only
-    * ~3× below all-pairs (verified empirically: 14/14 true pairs
-    * collide, 33.6% of pairs become candidates at sf0.01). At a
-    * production near-dup threshold (cos ≥ 0.85 ⇒ p = 0.824, p⁸ = 0.21)
-    * the SAME structure with b = 32 misses a true pair with (0.79)³² ≈
-    * 5e-4 while pruning background pairs ~30× — the parameters are the
-    * dial, the shape scales.
+    * τ = 0.45 on this fixture (max pairwise cosine ≈ 0.51 — random-ish
+    * vectors have no tight duplicates, so the threshold sits where the
+    * operator has observable output). That regime makes the exactness
+    * contract inherently Θ(n²) compute: a pair AT the threshold agrees
+    * with a random hyperplane with p = 1 − θ/π ≈ 0.65, barely above the
+    * background 0.5, so no banding scheme can prune without missing
+    * true pairs — measured: 96×8-bit sign-LSH bands pruned only ~3× yet
+    * still missed 7 of 144 true pairs at sf0.1 ((1−p⁸)⁹⁶ ≈ 4.7% per
+    * threshold pair). Production near-dedup at τ ≥ 0.8 belongs on the
+    * hyperplane-LSH path (`topkLsh` machinery: p⁸ ≈ 0.21 ⇒ ~1e-4 miss
+    * at ~30× pruning); an EXACT low-τ threshold join has no sub-
+    * quadratic algorithm for dense vectors.
+    *
+    * What scale CAN fix is the join's shape: this is a blocked
+    * theta-join (the classic 1-Bucket-Theta layout), never a nested
+    * loop. Each vector is hashed to one of B blocks; the tiny
+    * B(B+1)/2 block-pair table is broadcast; two equi-joins route every
+    * unordered vector pair to exactly one block-pair task. Communication
+    * is O(n·B) (each row replicated ≤ B ways), the B(B+1)/2 tasks are
+    * uniformly loaded by the hash, and B is the dial that spreads the
+    * quadratic compute across a cluster — at 1000 executors you raise B,
+    * not the algorithm.
     */
-  private val DedupBands = 96
-  private val DedupBitsPerBand = 8
-  private val LshSeed = 1L
-
-  /** (vec_id, sig) where sig(j) packs the 8 sign-bits of hyperplanes
-    * 8j..8j+7 — one primitive per-partition pass, the same pattern as
-    * Dedup.signatureBuckets (HOF formulations allocate boxed arrays per
-    * bit and were measured 30× slower on the cosine path). Hyperplane
-    * component h(p,d) is a centered 16-bit lattice value from a
-    * splitmix64 mix of (seed + p·64 + d): seeded and deterministic, no
-    * stored model, identical on every executor.
-    */
-  private def signBandSigs(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    val (bands, bits, seed) = (DedupBands, DedupBitsPerBand, LshSeed)
-    e.as[(Long, scala.collection.Seq[Float])]
-      .mapPartitions { it =>
-        def mix(v: Long): Long = {
-          var z = v + 0x9E3779B97F4A7C15L
-          z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
-          z ^= (z >>> 27); z *= 0x94D049BB133111EBL
-          z ^ (z >>> 31)
-        }
-        val nh = bands * bits
-        val h = Array.tabulate(nh * 64) { i =>
-          ((mix(seed + i) & 0xFFFFL) - 32768L).toDouble
-        }
-        it.flatMap { case (vecId, embS) =>
-          if (embS == null || embS.isEmpty) None
-          else {
-            val v = embS.toArray
-            val dim = math.min(v.length, 64)
-            val sig = new Array[Int](bands)
-            var p = 0
-            while (p < nh) {
-              var dot = 0.0
-              var d = 0
-              val base = p * 64
-              while (d < dim) { dot += v(d) * h(base + d); d += 1 }
-              if (dot >= 0) sig(p / bits) |= 1 << (p % bits)
-              p += 1
-            }
-            Some((vecId, sig))
-          }
-        }
-      }
-      .toDF("vec_id", "sig")
-  }
+  private val PairBlocks = 8
 
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val B = PairBlocks
     val e = emb(spark, dir)
-    // Candidate generation stays SKINNY: (vec_id, band, bucket) rows
-    // only, so the (band, bucket) shuffle equi-join moves 16-byte rows,
-    // not embeddings. A pair sharing k bands appears k times; distinct()
-    // collapses that before any embedding is fetched. (The first
-    // formulation carried both embeddings + both signatures through the
-    // join and picked each pair's first shared band with per-row boxed
-    // zip_with — measured 17× slower than this shape.)
-    val bandRows = signBandSigs(e)
-      .select(col("vec_id"), posexplode(col("sig")).as(Seq("band", "bucket")))
-    val cands = bandRows.as("x").join(bandRows.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.bucket") === col("y.bucket") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    // Embedding fetch + exact verify happen once per unique candidate.
-    // No broadcast hints: AQE broadcasts the corpus side only while it
-    // really is small.
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    cands.join(a, "vec_a").join(b, "vec_b")
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      pmod(xxhash64(col("vec_id")), lit(B.toLong)).as("block_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      pmod(xxhash64(col("vec_id")), lit(B.toLong)).as("block_b"))
+    // Ordered block pairs (i ≤ j): every unordered vector pair lands in
+    // exactly one — cross-block pairs via their (min-block, max-block)
+    // task, same-block pairs deduplicated by the vec_a < vec_b filter.
+    // A local literal (B(B+1)/2 rows), not a join.
+    val blockPairs = {
+      import spark.implicits._
+      (for { i <- 0 until B; j <- i until B } yield (i.toLong, j.toLong))
+        .toDF("block_a", "block_b")
+    }
+    a.join(broadcast(blockPairs), "block_a")
+      .join(b, "block_b")
+      .where(col("block_a") =!= col("block_b") || col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         V.cosine(col("emb_a"), col("emb_b")).as("cos"))
       .where(col("cos") >= 0.45)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      // cosine is symmetric; emit ids in canonical order.
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"),
+        round(col("cos"), 6).as("cos"))
   }
 
   val embeddingNearDupSql: String =
