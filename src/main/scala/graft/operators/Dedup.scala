@@ -397,6 +397,7 @@ object Dedup {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
+    labels.persist() // referenced 3× in round one (neighbor, jump ×2)
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < MaxRounds) {
