@@ -64,6 +64,32 @@ object EventStream {
       store.writeTableSnapshot(batch, kind, f"batch-$batchId%06d")
     }
 
+  /** Watermarked stream-stream interval join: attribute each `view` to
+    * the `click`s by the same user within the 30 minutes after it — the
+    * impression→conversion shape every event pipeline needs. Both sides
+    * carry watermarks and the join condition bounds `click.ts` to a
+    * range of `view.ts`, which is exactly what lets Spark evict join
+    * state: a buffered view can be dropped once the click watermark
+    * passes `view.ts + 30 min`, so state stays bounded on unbounded
+    * streams (an unconstrained stream-stream join would buffer forever).
+    */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.where(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val c = clicks.where(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"), col("value"))
+    v.join(c,
+      col("user_id") === col("c_user_id") &&
+      col("click_ts") >= col("view_ts") &&
+      col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        col("view_ts"), col("click_ts"), col("value"))
+  }
+
   private val GapMs = 30L * 60 * 1000
 
   /** Gap-based sessionization with custom state:

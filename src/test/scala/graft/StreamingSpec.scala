@@ -77,6 +77,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to views in-window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStream.viewClickJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        Event(100, ts(0), 1, "view", 0.0),
+        Event(101, ts(0), 2, "view", 0.0))
+      clicks.addData(
+        Event(200, ts(10), 1, "click", 5.0),  // in window for view 100
+        Event(201, ts(45), 1, "click", 7.0),  // outside 30-min window
+        Event(202, ts(20), 3, "click", 9.0))  // no matching user
+      q.processAllAvailable()
+      val pairs = spark.table("attrib_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("registerAll exposes the catalog to spark.sql") {
     Tables.registerAll(spark, sfDir)
     assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
