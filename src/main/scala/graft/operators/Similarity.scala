@@ -133,28 +133,57 @@ object Similarity {
        |WHERE a.vec_id < b.vec_id
        |  AND ${duckCos("a.embedding", "b.embedding")} >= 0.45""".stripMargin
 
-  /** IVF approximate top-k: cluster to NLIST deterministic centroids
-    * (lowest vec_ids — a seeded sample), assign each vector to its
-    * nearest centroid once, then answer queries by scanning only the
-    * NPROBE nearest cells. Not SQL-oracled (approximate by design);
-    * recall vs the brute-force baseline is asserted in the test suite.
+  /** IVF approximate top-k: NLIST centroids seeded from the lowest
+    * vec_ids then refined with one Lloyd step (assign every vector to
+    * its nearest seed, recompute each cell's mean — the standard
+    * k-means update, and the difference between a sample and a trained
+    * codebook); vectors are assigned to the refined centroids once, and
+    * a query scans only its NPROBE nearest cells. Every stage is a
+    * DataFrame aggregation, so training parallelizes like any other
+    * scan; more Lloyd rounds are the same step iterated. Not SQL-oracled
+    * (approximate by design); recall vs the brute-force baseline is
+    * asserted in the test suite.
     */
   private val NList = 16
   private val NProbe = 4
 
-  def topkIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val cent = e.where(col("vec_id") < NList)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-
-    // Assignment pass: one broadcast-join scan, argmax cosine per vector.
+  /** Assign each corpus vector to its nearest centroid (argmax cosine):
+    * one broadcast-join scan + a k=1 bounded aggregation.
+    */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
     val maxCos = udaf(new TopKAgg(1))
-    val assigned = e.join(broadcast(cent), expr("true"))
+    e.join(broadcast(cent), expr("true"))
       .select(col("vec_id"), col("embedding"),
         col("cent_id"), V.cosine(col("embedding"), col("cent_emb")).as("ccos"))
       .groupBy(col("vec_id"), col("embedding"))
       .agg(maxCos(col("cent_id"), col("ccos")).as("c"))
       .select(col("vec_id"), col("embedding"), col("c")(0)("id").as("cell"))
+  }
+
+  /** One Lloyd step: per-cell per-dimension mean, reassembled into
+    * float vectors. Seed cells are never empty (each seed vector
+    * assigns to itself at cosine 1), so all NLIST centroids survive.
+    */
+  private def lloydStep(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell").as("cent_id"),
+        expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("cent_emb"))
+
+  def topkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val seed = e.where(col("vec_id") < NList)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // Train (one Lloyd round over the seeded codebook), then assign the
+    // corpus to the refined centroids. The tiny centroid frame is
+    // materialized once so the train plan isn't replayed under both the
+    // assignment and the probe joins.
+    val cent = lloydStep(assignCells(e, seed)).localCheckpoint()
+    val assigned = assignCells(e, cent)
 
     // Probe pass: each query searches its NPROBE nearest cells only.
     val q = e.where(col("vec_id") < NumQueries)
