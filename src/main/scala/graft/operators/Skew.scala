@@ -15,15 +15,25 @@ import graft.{Op, Tables}
 object Skew {
 
   /** Salted inner equi-join: the probe side's key is extended with a
-    * deterministic salt in [0, n); the build side is replicated n ways
-    * with an exploded salt column. The shuffle key becomes (key, salt),
+    * salt in [0, n); the build side is replicated n ways with an
+    * exploded salt column. The shuffle key becomes (key, salt),
     * spreading one hot key over n tasks at the price of replicating the
     * build side n×.
+    *
+    * The salt MUST vary within a key — a salt derived from the key
+    * alone would put every row of the hot key back in one task and
+    * mitigate nothing. It also must be deterministic per row (not
+    * rand()), or shuffle-stage retries recompute different salts and
+    * can drop/duplicate rows. Hashing the whole probe row satisfies
+    * both: a hot key's rows spread ~uniformly, and retries agree.
     */
+  /** Deterministic per-row salt in [0, salts): hash of the whole row. */
+  def saltColumn(df: DataFrame, salts: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
+
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, salts: Int): DataFrame = {
-    val salted = left.withColumn("_salt",
-      pmod(xxhash64(col(leftKey)), lit(salts.toLong)))
+    val salted = left.withColumn("_salt", saltColumn(left, salts))
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated,

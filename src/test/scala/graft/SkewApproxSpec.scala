@@ -4,6 +4,16 @@ import graft.operators.{Analytics, Relational, Skew}
 
 class SkewApproxSpec extends SparkSpec {
 
+  test("the salt varies WITHIN a key — a hot key spreads across tasks") {
+    import spark.implicits._
+    // 1000 rows of one join key: a key-derived salt would put them all
+    // in one (key, salt) group and mitigate nothing.
+    val hot = Seq.tabulate(1000)(i => (1L, i)).toDF("k", "payload")
+    val distinctSalts = hot.select(Skew.saltColumn(hot, 8).as("s"))
+      .distinct().count()
+    assert(distinctSalts == 8L, s"hot key landed on $distinctSalts salts")
+  }
+
   test("salted join is a pure physical rewrite of the plain join") {
     val plain = Relational.jFanout(spark, sfDir)
       .select("o_orderkey", "l_linenumber").collect()
