@@ -46,6 +46,11 @@ object Tables {
         if (n == "events") {
           apply(spark, dir, n).createOrReplaceTempView(n)
         } else {
+          // A same-named temp view (from any earlier registerAll in the
+          // session) shadows the catalog table, and ANALYZE would
+          // resolve the view first and throw "not supported on views" —
+          // drop it here instead of making every caller know to.
+          spark.catalog.dropTempView(n)
           spark.sql(s"DROP TABLE IF EXISTS $n")
           spark.catalog.createTable(n, s"$dir/$n.parquet", "parquet")
           spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS")

@@ -231,10 +231,18 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash+LSH near-dedup: word-3-shingle Jaccard ≥ 0.8 pairs. */
+  /** MinHash+LSH near-dedup: word-3-shingle Jaccard ≥ 0.8 pairs.
+    *
+    * The shingle frame is persisted (four frames derive from it: the
+    * bucket self-join's two sides and the verify join's two sides),
+    * the small pair result is materialized eagerly, and the cache is
+    * released before returning — a leaked corpus-sized shingle cache
+    * would otherwise pin executor storage across every later query.
+    */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = wordShingles(Tables(spark, dir, "documents")).cache()
-    verifyJaccard(lshCandidates(sh), sh, 0.8)
+    val sh = wordShingles(Tables(spark, dir, "documents")).persist()
+    try verifyJaccard(lshCandidates(sh), sh, 0.8).localCheckpoint()
+    finally sh.unpersist()
   }
 
   /** Oracle: the semantic spec — exact all-pairs shingle Jaccard ≥ τ.
@@ -267,10 +275,13 @@ object Dedup {
       .replace("words", "string_split(trim(text), ' ')"),
     "len(string_split(trim(text), ' ')) >= 3", 0.8)
 
-  /** Character-12-gram Jaccard near-dedup on the same LSH machinery. */
+  /** Character-12-gram Jaccard near-dedup on the same LSH machinery
+    * (and the same persist → materialize → release hygiene).
+    */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = charShingles(Tables(spark, dir, "documents")).cache()
-    verifyJaccard(lshCandidates(sh), sh, 0.8)
+    val sh = charShingles(Tables(spark, dir, "documents")).persist()
+    try verifyJaccard(lshCandidates(sh), sh, 0.8).localCheckpoint()
+    finally sh.unpersist()
   }
 
   val ngramJaccardSql: String = jaccardOracleSql(
@@ -299,6 +310,10 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
     Tables(spark, dir, "documents")
+      // Null texts are dropped, matching the explode(split(...))
+      // formulation this pass replaced (explode emits nothing for a
+      // null array) — without the filter the typed decode would NPE.
+      .where(col("text").isNotNull)
       .select(col("doc_id"), trim(col("text")).as("t"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -346,25 +361,28 @@ object Dedup {
     * checks live in the test suite.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhash(spark, dir).cache()
-    val bands = (0 to 3).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"), col(s"band$b").as("key"))
-    }.reduce(_.unionAll(_))
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.key") === col("y.key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    // No broadcast hint (candidate volume is corpus-dependent; AQE can
-    // still pick broadcast at runtime when it really is small).
-    cands.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .where(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val sig = simhash(spark, dir).persist()
+    try {
+      val bands = (0 to 3).map { b =>
+        sig.select(col("doc_id"), lit(b).as("band"), col(s"band$b").as("key"))
+      }.reduce(_.unionAll(_))
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+      // No broadcast hint (candidate volume is corpus-dependent; AQE can
+      // still pick broadcast at runtime when it really is small).
+      cands.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .where(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .localCheckpoint() // materialize, then release the signature cache
+    } finally sig.unpersist()
   }
 
   /** Near-duplicate clustering: connected components over the MinHash
@@ -397,7 +415,16 @@ object Dedup {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
-    labels.persist() // referenced 3× in round one (neighbor, jump ×2)
+    labels.persist() // referenced 3× per round (neighbor, jump ×2)
+    // The persisted frame BACKING `labels`: from round 2 on `labels` is
+    // a Project over the round's materialized frame, and
+    // Dataset.unpersist only drops a cache entry whose plan matches the
+    // receiver — unpersisting the projection would be a no-op and every
+    // round's frame would stay pinned for the rest of the session.
+    // (On localCheckpoint rounds `backing` isn't in the CacheManager at
+    // all; unpersist is harmless there and the checkpoint storage is
+    // reclaimed by the ContextCleaner once unreferenced.)
+    var backing = labels
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < MaxRounds) {
@@ -419,15 +446,25 @@ object Dedup {
         if ((rounds + 1) % CheckpointEvery == 0) next.localCheckpoint()
         else { next.persist(); next }
       changed = mat.where(col("label") =!= col("old")).count()
-      labels.unpersist()
+      backing.unpersist() // safe: the count above materialized `mat`
+      backing = mat
       labels = mat.select(col("id"), col("label"))
       rounds += 1
     }
     edges.unpersist()
-    if (changed > 0) throw new IllegalStateException(
-      s"clusters: no fixpoint after $MaxRounds pointer-jumping rounds " +
-        "(component labels would be wrong — refusing to return them)")
-    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+    if (changed > 0) {
+      backing.unpersist()
+      throw new IllegalStateException(
+        s"clusters: no fixpoint after $MaxRounds pointer-jumping rounds " +
+          "(component labels would be wrong — refusing to return them)")
+    }
+    // Materialize the small final labeling, then release the last
+    // round's frame — nothing stays cached after the operator returns.
+    val out = labels
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"))
+      .localCheckpoint()
+    backing.unpersist()
+    out
   }
 
   val clustersSql: String =

@@ -89,12 +89,16 @@ object Similarity {
     * What scale CAN fix is the join's shape: this is a blocked
     * theta-join (the classic 1-Bucket-Theta layout), never a nested
     * loop. Each vector is hashed to one of B blocks; the tiny
-    * B(B+1)/2 block-pair table is broadcast; two equi-joins route every
-    * unordered vector pair to exactly one block-pair task. Communication
-    * is O(n·B) (each row replicated ≤ B ways), the B(B+1)/2 tasks are
-    * uniformly loaded by the hash, and B is the dial that spreads the
-    * quadratic compute across a cluster — at 1000 executors you raise B,
-    * not the algorithm.
+    * B(B+1)/2 block-pair table is broadcast; BOTH sides replicate
+    * through it, so the pair-forming join keys on the COMPOSITE
+    * (block_a, block_b) — key cardinality B(B+1)/2, one uniformly
+    * loaded task of (n/B)² comparisons per block pair. (Keying on a
+    * single block column would collapse the layout to B skewed
+    * partitions and cap cluster parallelism at B.) Communication is
+    * O(n·B) — each row replicated ≤ B ways, ~(B+1)/2 on average — and
+    * B is the dial that spreads the quadratic compute across a
+    * cluster: raising B buys quadratic task fan-out for linear
+    * replication. At 1000 executors you raise B, not the algorithm.
     */
   private val PairBlocks = 8
 
@@ -115,7 +119,7 @@ object Similarity {
         .toDF("block_a", "block_b")
     }
     a.join(broadcast(blockPairs), "block_a")
-      .join(b, "block_b")
+      .join(b.join(broadcast(blockPairs), "block_b"), Seq("block_a", "block_b"))
       .where(col("block_a") =!= col("block_b") || col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         V.cosine(col("emb_a"), col("emb_b")).as("cos"))
@@ -134,29 +138,34 @@ object Similarity {
        |  AND ${duckCos("a.embedding", "b.embedding")} >= 0.45""".stripMargin
 
   /** IVF approximate top-k: NLIST centroids seeded from the lowest
-    * vec_ids then refined with one Lloyd step (assign every vector to
-    * its nearest seed, recompute each cell's mean — the standard
-    * k-means update, and the difference between a sample and a trained
-    * codebook); vectors are assigned to the refined centroids once, and
-    * a query scans only its NPROBE nearest cells. Every stage is a
-    * DataFrame aggregation, so training parallelizes like any other
-    * scan; more Lloyd rounds are the same step iterated. Not SQL-oracled
-    * (approximate by design); recall vs the brute-force baseline is
-    * asserted in the test suite.
+    * vec_ids then refined with `lloydRounds` Lloyd steps (assign every
+    * vector to its nearest centroid, recompute each cell's mean — the
+    * standard k-means update, and the difference between a sample and a
+    * trained codebook); vectors are assigned to the trained centroids
+    * once, and a query scans only its NPROBE nearest cells. Every stage
+    * is a DataFrame aggregation, so training parallelizes like any
+    * other scan. Not SQL-oracled as a set (approximate by design);
+    * recall@10 vs the brute-force baseline is gated in the test suite,
+    * and `sim_topk_ivf_check` oracles the returned values themselves.
     */
   private val NList = 16
   private val NProbe = 4
+  private val LloydRounds = 1
 
   /** Assign each corpus vector to its nearest centroid (argmax cosine):
-    * one broadcast-join scan + a k=1 bounded aggregation.
+    * one broadcast-join scan + a k=1 bounded aggregation. The group key
+    * is the id alone — the embedding rides in a `first` buffer instead
+    * of being hashed/compared as part of the key (one long key vs a
+    * 64-float array key for every one of the NLIST candidate rows).
     */
   private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
     val maxCos = udaf(new TopKAgg(1))
     e.join(broadcast(cent), expr("true"))
       .select(col("vec_id"), col("embedding"),
         col("cent_id"), V.cosine(col("embedding"), col("cent_emb")).as("ccos"))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(maxCos(col("cent_id"), col("ccos")).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(maxCos(col("cent_id"), col("ccos")).as("c"),
+        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("c")(0)("id").as("cell"))
   }
 
@@ -174,15 +183,22 @@ object Similarity {
       .select(col("cell").as("cent_id"),
         expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("cent_emb"))
 
-  def topkIvf(spark: SparkSession, dir: String): DataFrame = {
+  def topkIvf(spark: SparkSession, dir: String): DataFrame =
+    topkIvfTrained(spark, dir, LloydRounds)
+
+  /** IVF with an explicit training depth: `lloydRounds` k-means update
+    * rounds over the seeded codebook before the corpus is assigned.
+    * Each round's tiny centroid frame is materialized (localCheckpoint)
+    * so round r+1 starts from r's RESULT, not a replay of its plan —
+    * training cost is rounds × (one broadcast-join scan + two aggs).
+    */
+  def topkIvfTrained(spark: SparkSession, dir: String,
+      lloydRounds: Int): DataFrame = {
     val e = emb(spark, dir)
-    val seed = e.where(col("vec_id") < NList)
+    var cent = e.where(col("vec_id") < NList)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    // Train (one Lloyd round over the seeded codebook), then assign the
-    // corpus to the refined centroids. The tiny centroid frame is
-    // materialized once so the train plan isn't replayed under both the
-    // assignment and the probe joins.
-    val cent = lloydStep(assignCells(e, seed)).localCheckpoint()
+    for (_ <- 0 until lloydRounds)
+      cent = lloydStep(assignCells(e, cent)).localCheckpoint()
     val assigned = assignCells(e, cent)
 
     // Probe pass: each query searches its NPROBE nearest cells only.
@@ -264,27 +280,54 @@ object Similarity {
   }
 
   def topkLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val sigs = hyperplaneSigs(e).cache()
+    // Persisted because four frames derive from it (query bands, corpus
+    // bands, query embeddings, candidate embeddings); eagerly released
+    // once the small top-k result is materialized — at corpus scale a
+    // leaked signature cache would pin executor storage long after the
+    // operator returned.
+    val sigs = hyperplaneSigs(emb(spark, dir)).persist()
+    try topkLshFrom(sigs).localCheckpoint()
+    finally sigs.unpersist()
+  }
+
+  /** The un-materialized plan, factored out so the suite can pin plan
+    * shape (id-only dedup exchange) before `localCheckpoint` replaces
+    * it with a scan of the result.
+    */
+  private[graft] def topkLshPlan(spark: SparkSession, dir: String): DataFrame =
+    topkLshFrom(hyperplaneSigs(emb(spark, dir)))
+
+  private def topkLshFrom(sigs: DataFrame): DataFrame = {
+    // Band frames carry ids only: the band-collision join and the
+    // candidate dedup shuffle fixed-width longs, never the float
+    // arrays (candidate volume at corpus scale dwarfs the query set,
+    // and a distinct over embedding columns would ship every array
+    // through the exchange).
     def bands(df: DataFrame) = {
       val bandCols = (0 until NBits / BitsPerBand).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * BitsPerBand)
             .bitwiseAND((1L << BitsPerBand) - 1).as("bucket"))
       }
-      df.select(col("vec_id"), col("embedding"), col("sig"),
-        explode(array(bandCols: _*)).as("k"))
-        .select(col("vec_id"), col("embedding"),
+      df.select(col("vec_id"), explode(array(bandCols: _*)).as("k"))
+        .select(col("vec_id"),
           col("k.band").as("band"), col("k.bucket").as("bucket"))
     }
-    val q = bands(sigs.where(col("vec_id") < NumQueries))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("band"), col("bucket"))
-    val topk = udaf(new TopKAgg(K))
-    q.join(bands(sigs), Seq("band", "bucket"))
+    val idSigs = sigs.select(col("vec_id"), col("sig"))
+    val q = bands(idSigs.where(col("vec_id") < NumQueries))
+      .withColumnRenamed("vec_id", "query_id")
+    val candIds = q.join(bands(idSigs), Seq("band", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("embedding"), col("q_emb"))
+      .select(col("query_id"), col("vec_id"))
       .distinct() // a pair can share several bands
+    // Re-attach vectors AFTER the dedup: corpus side by equi-join,
+    // the NumQueries-row query side broadcast.
+    val qEmb = sigs.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val topk = udaf(new TopKAgg(K))
+    candIds
+      .join(sigs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         V.cosine(col("q_emb"), col("embedding")).as("cos"))
       .groupBy(col("query_id"))
@@ -294,10 +337,48 @@ object Similarity {
         col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("cos"))
   }
 
+  /** Values-if-present oracle for the approximate top-k ops. The SET of
+    * neighbors is engine-specific (xxhash64-seeded hyperplanes / trained
+    * centroids — no DuckDB twin), but every returned row makes exact
+    * claims an oracle CAN check: each query returns exactly K rows, and
+    * each row's `cos` equals the true cosine of the (query, neighbor)
+    * pair it names — verified by re-deriving the cosine from the raw
+    * embeddings table, not from anything the operator carried along.
+    * Aggregated per query to a deterministic row (n_results,
+    * n_correct_cos), both K iff the operator's output is honest, which
+    * a constant-valued DuckDB query states exactly.
+    */
+  private def topkValueCheck(result: DataFrame, e: DataFrame): DataFrame = {
+    val nEmb = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"))
+    val qEmb = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    result
+      .join(nEmb, Seq("neighbor_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_results"),
+        count(when(round(V.cosine(col("q_emb"), col("n_emb")), 6)
+          === col("cos"), 1)).as("n_correct_cos"))
+  }
+
+  def topkIvfCheck(spark: SparkSession, dir: String): DataFrame =
+    topkValueCheck(topkIvf(spark, dir), emb(spark, dir))
+
+  def topkLshCheck(spark: SparkSession, dir: String): DataFrame =
+    topkValueCheck(topkLsh(spark, dir), emb(spark, dir))
+
+  val topkCheckSql: String =
+    s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_results,
+       |       CAST($K AS BIGINT) AS n_correct_cos
+       |FROM embeddings WHERE vec_id < $NumQueries""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceSql)),
     Op("sim_topk_ivf", topkIvf _, None),
+    Op("sim_topk_ivf_check", topkIvfCheck _, Some(topkCheckSql)),
     Op("sim_topk_lsh", topkLsh _, None),
+    Op("sim_topk_lsh_check", topkLshCheck _, Some(topkCheckSql)),
     Op("dedup_embedding_cosine", embeddingNearDup _, Some(embeddingNearDupSql)),
   )
 }

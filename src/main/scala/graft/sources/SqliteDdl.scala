@@ -63,37 +63,57 @@ object SqliteDdl {
     * one partition at a time, bounding driver memory. Returns rows
     * written. For a parallel-writable JDBC target use `df.write.jdbc`
     * instead — this path exists for the single-file contract.
+    *
+    * The reference's whole-export transaction (`export` @bc 0-23)
+    * relaxes to one transaction PER TABLE: autocommit is suspended, the
+    * DDL and every insert batch commit together, and any failure rolls
+    * the table back — so a mid-stream crash never leaves a
+    * half-populated table (per-batch autocommits are also SQLite's
+    * classic slow path: one fsync per batch instead of per table). The
+    * caller's autocommit setting is restored either way.
     */
   def writeTable(conn: java.sql.Connection, table: String,
       columns: Seq[(String, AccessType)], indexes: Seq[IndexDef],
       df: DataFrame, batchSize: Int = 1000): Long = {
-    val st = conn.createStatement()
+    val prevAutoCommit = conn.getAutoCommit
+    conn.setAutoCommit(false)
     try {
-      st.execute(createTable(table, columns))
-      indexes.foreach(ix => st.execute(createIndex(table, ix)))
-    } finally st.close()
-    val names = columns.map(_._1)
-    val ps = conn.prepareStatement(insertSql(table, names).stripSuffix(";"))
-    var rows = 0L
-    try {
-      var inBatch = 0
-      val it = df.select(names.map(org.apache.spark.sql.functions.col): _*)
-        .toLocalIterator()
-      while (it.hasNext) {
-        val row = it.next()
-        var i = 0
-        while (i < names.length) {
-          // Values are already §1.2-normalized (CastMatrix.toSqliteParity:
-          // Boolean → 0/1 int, MONEY → string, NULL passthrough).
-          ps.setObject(i + 1, if (row.isNullAt(i)) null else row.get(i))
-          i += 1
+      val st = conn.createStatement()
+      try {
+        st.execute(createTable(table, columns))
+        indexes.foreach(ix => st.execute(createIndex(table, ix)))
+      } finally st.close()
+      val names = columns.map(_._1)
+      val ps = conn.prepareStatement(insertSql(table, names).stripSuffix(";"))
+      var rows = 0L
+      try {
+        var inBatch = 0
+        val it = df.select(names.map(org.apache.spark.sql.functions.col): _*)
+          .toLocalIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          var i = 0
+          while (i < names.length) {
+            // Values are already §1.2-normalized (CastMatrix.toSqliteParity:
+            // Boolean → 0/1 int, MONEY → string, NULL passthrough).
+            ps.setObject(i + 1, if (row.isNullAt(i)) null else row.get(i))
+            i += 1
+          }
+          ps.addBatch()
+          inBatch += 1; rows += 1
+          if (inBatch >= batchSize) { ps.executeBatch(); inBatch = 0 }
         }
-        ps.addBatch()
-        inBatch += 1; rows += 1
-        if (inBatch >= batchSize) { ps.executeBatch(); inBatch = 0 }
-      }
-      if (inBatch > 0) ps.executeBatch()
-    } finally ps.close()
-    rows
+        if (inBatch > 0) ps.executeBatch()
+      } finally ps.close()
+      conn.commit()
+      rows
+    } catch {
+      case e: Throwable =>
+        try conn.rollback()
+        catch { case s: Exception => e.addSuppressed(s) }
+        throw e
+    } finally {
+      try conn.setAutoCommit(prevAutoCommit) catch { case _: Exception => () }
+    }
   }
 }

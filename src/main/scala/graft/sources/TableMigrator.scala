@@ -29,6 +29,13 @@ object TableMigrator {
   /** Migrate one catalog of tables: for each, emit DDL statements,
     * apply the §1.2 parity casts, verify UNIQUE indexes as assertions,
     * and hand the frame to `sink`.
+    *
+    * Row counts are observed DURING the sink's write (the `migrateJdbc`
+    * treatment for this path): an `observe` metric rides the frame, so
+    * a sink that executes it — the normal parquet/JDBC case — yields
+    * the count from the same job, not from a second full scan-and-cast
+    * of the source. Only a sink that never runs an action (a recording
+    * test sink) falls back to counting.
     */
   def migrate(
       spark: SparkSession,
@@ -41,8 +48,19 @@ object TableMigrator {
       val df = CastMatrix.toSqliteParity(source(t.name), t.columns)
       t.indexes.filter(_.unique)
         .foreach(ix => SqliteDdl.assertUnique(df, ix.columns))
-      sink(t.name, df)
-      MigrationResult(t.name, ddl, df.count())
+      val obs = org.apache.spark.sql.Observation(s"migrate_${t.name}")
+      import org.apache.spark.sql.functions.{count, lit}
+      sink(t.name, df.observe(obs, count(lit(1)).as("rows")))
+      // Metrics post asynchronously on the listener bus, so give a sink
+      // that DID execute the frame a bounded window to surface them;
+      // only an unexecuted frame (no action ⇒ the future never
+      // completes) falls through to the counting job.
+      val rows = try {
+        import scala.concurrent.Await
+        import scala.concurrent.duration._
+        Await.result(obs.future, 2.seconds).getAs[Long]("rows")
+      } catch { case _: java.util.concurrent.TimeoutException => df.count() }
+      MigrationResult(t.name, ddl, rows)
     }
 
   /** The same migration loop with the K1 SQL transport: DDL + batched

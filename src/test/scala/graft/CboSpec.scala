@@ -31,13 +31,13 @@ class CboSpec extends SparkSpec {
     }
   }
 
-  /** Temp views (from other suites' registerAll) shadow catalog tables. */
-  private def dropShadowingViews(): Unit =
-    Tables.names.foreach(n => spark.catalog.dropTempView(n))
+  // No view-dropping workaround here: registerAllWithStats itself drops
+  // any shadowing temp view (from other suites' registerAll) before it
+  // creates and ANALYZEs the catalog table — that behavior is part of
+  // what these tests pin.
 
   test("ANALYZE hands the optimizer exact row counts") {
     withConfs("spark.sql.cbo.enabled" -> "false") {
-      dropShadowingViews()
       Tables.registerAllWithStats(spark, sfDir)
       val actual = Tables(spark, sfDir, "customer").count()
       val rc = spark.table("customer")
@@ -52,7 +52,6 @@ class CboSpec extends SparkSpec {
       "spark.sql.cbo.joinReorder.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "4096",
       "spark.sql.adaptive.enabled" -> "false") {
-      dropShadowingViews()
       Tables.registerAllWithStats(spark, sfDir) // turns CBO on
       def plan(cbo: Boolean): String = {
         spark.conf.set("spark.sql.cbo.enabled", cbo.toString)

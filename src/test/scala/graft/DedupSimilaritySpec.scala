@@ -79,4 +79,70 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.45)
     }
   }
+
+  test("theta-join keys on the composite block pair, not a single block") {
+    import org.apache.spark.sql.execution.joins._
+    val df = Similarity.embeddingNearDup(spark, sfDir)
+    val equiJoins = df.queryExecution.sparkPlan.collect {
+      case j: SortMergeJoinExec    => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    // The pair-forming join must key on BOTH block columns — that is
+    // what turns B skewed partitions into B(B+1)/2 uniform block-pair
+    // tasks (the 1-Bucket-Theta layout's whole point).
+    assert(equiJoins.exists { keys =>
+      val s = keys.map(_.toString).mkString(" ")
+      s.contains("block_a") && s.contains("block_b")
+    }, s"no join keyed on (block_a, block_b): $equiJoins")
+  }
+
+  test("LSH candidate dedup shuffles ids only, no embedding arrays") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // The un-checkpointed plan (topkLsh itself returns a materialized
+    // scan): every aggregate — including the candidate-dedup distinct —
+    // must group on fixed-width keys, never the float arrays.
+    val df = Similarity.topkLshPlan(spark, sfDir)
+    val aggs = df.queryExecution.sparkPlan.collect {
+      case a: BaseAggregateExec => a.groupingExpressions
+    }
+    assert(aggs.nonEmpty)
+    aggs.foreach { g =>
+      assert(!g.exists(_.dataType.typeName.startsWith("array")),
+        s"array-typed grouping key in $g")
+    }
+  }
+
+  test("IVF recall@10 >= 0.7 against brute force at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = Similarity.topkBruteForce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.topkIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // An explicit floor (VERDICT r2 #6): future speedups to the probe
+    // path or training loop cannot silently trade recall away.
+    assert(recall >= 0.7, s"IVF recall@10 $recall < 0.7 at sf0.01")
+  }
+
+  test("more Lloyd rounds never break assignment; recall stays usable") {
+    val exact = Similarity.topkBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.topkIvfTrained(spark, sfDir, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"2-round IVF recall $recall collapsed")
+    assert(approx.groupBy(_._1).values.forall(_.size <= 10))
+  }
+
+  test("value-check queries: every returned cosine is the true cosine") {
+    for (check <- Seq(Similarity.topkIvfCheck _, Similarity.topkLshCheck _)) {
+      val rows = check(spark, sfDir).collect()
+      assert(rows.length == 10) // one row per query
+      rows.foreach { r =>
+        assert(r.getLong(1) == 10L, s"query ${r.getLong(0)} returned ${r.getLong(1)} rows")
+        assert(r.getLong(2) == 10L, s"query ${r.getLong(0)} has wrong cosines")
+      }
+    }
+  }
 }

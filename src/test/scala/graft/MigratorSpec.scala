@@ -37,50 +37,9 @@ class MigratorSpec extends SparkSpec {
   }
 
   test("K1 transport: generated DDL + batched inserts execute on a Connection") {
-    import java.lang.reflect.{InvocationHandler, Method, Proxy}
-    import scala.collection.mutable
     import spark.implicits._
 
-    val executed = mutable.Buffer[String]() // Statement.execute calls
-    val prepared = mutable.Buffer[String]() // prepareStatement SQL
-    val inserted = mutable.Buffer[Vector[Any]]() // rows flushed by executeBatch
-
-    def proxy[T](cls: Class[T])(f: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
-      Proxy.newProxyInstance(cls.getClassLoader, Array[Class[_]](cls),
-        new InvocationHandler {
-          def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = {
-            val a = if (args == null) Array.empty[AnyRef] else args
-            f.applyOrElse((m.getName, a), (_: (String, Array[AnyRef])) => null)
-          }
-        }).asInstanceOf[T]
-
-    def newPrepared(): java.sql.PreparedStatement = {
-      val current = mutable.ArrayBuffer[Any]()
-      val pending = mutable.Buffer[Vector[Any]]()
-      proxy(classOf[java.sql.PreparedStatement]) {
-        case ("setObject", args) =>
-          val idx = args(0).asInstanceOf[Integer].intValue
-          while (current.size < idx) current += null
-          current(idx - 1) = args(1)
-          null
-        case ("addBatch", _) =>
-          pending += current.toVector; current.clear(); null
-        case ("executeBatch", _) =>
-          inserted ++= pending
-          val counts = Array.fill(pending.size)(1)
-          pending.clear()
-          counts
-      }
-    }
-    val conn = proxy(classOf[java.sql.Connection]) {
-      case ("createStatement", _) =>
-        proxy(classOf[java.sql.Statement]) {
-          case ("execute", args) =>
-            executed += args(0).asInstanceOf[String]; java.lang.Boolean.TRUE
-        }
-      case ("prepareStatement", args) =>
-        prepared += args(0).asInstanceOf[String]; newPrepared()
-    }
+    val rec = new JdbcRecorder
 
     val licence = Seq((1L, "Fixed Link", true, BigDecimal("150.0000")),
       (2L, "Mobile", false, BigDecimal("75.5000")))
@@ -93,16 +52,21 @@ class MigratorSpec extends SparkSpec {
         "active" -> ABoolean, "fee" -> AMoney),
       Seq(SqliteDdl.IndexDef("pk", Seq("licenceid"), unique = true))))
 
-    val results = TableMigrator.migrateJdbc(spark, catalog, _ => licence, conn)
+    val results =
+      TableMigrator.migrateJdbc(spark, catalog, _ => licence, rec.connection)
 
     // The statements that ran are exactly the generated DDL, in order.
-    assert(executed.toSeq == results.head.ddl)
-    assert(prepared.toSeq == Seq(
+    assert(rec.executed.toSeq == results.head.ddl)
+    assert(rec.prepared.toSeq == Seq(
       "INSERT INTO licence (licenceid, licencetype, active, fee) VALUES (?, ?, ?, ?)"))
     // Every row arrived through the batch path with §1.2 parity values.
-    assert(results.head.rows == 2 && inserted.size == 2)
-    assert(inserted(0) == Vector(1L, "Fixed Link", 1, "150.0000"))
-    assert(inserted(1) == Vector(2L, "Mobile", 0, "75.5000"))
+    assert(results.head.rows == 2 && rec.inserted.size == 2)
+    assert(rec.inserted(0) == Vector(1L, "Fixed Link", 1, "150.0000"))
+    assert(rec.inserted(1) == Vector(2L, "Mobile", 0, "75.5000"))
+    // The table writes as ONE transaction: autocommit suspended, a
+    // single commit, caller's autocommit restored — never a rollback.
+    assert(rec.txEvents.toSeq ==
+      Seq("setAutoCommit(false)", "commit", "setAutoCommit(true)"))
   }
 
   test("migration fails fast when a unique index is violated") {
