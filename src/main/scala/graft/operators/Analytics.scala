@@ -182,6 +182,35 @@ object Analytics {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         expr("approx_percentile(l_extendedprice, 0.5)").as("approx_median_price"))
 
+  /** Values-if-present oracle for the sketches (the
+    * `sim_topk_*_check` pattern): the approximate VALUES are
+    * engine-specific, but their error CONTRACTS are checkable claims.
+    * Emits per group the exact distinct count (oracle-comparable
+    * directly) plus two bound verdicts — HLL++ within 3σ of its 2% rsd,
+    * approx-median between the exact 40th and 60th percentiles — which
+    * the DuckDB twin states as constants. The exact aggregations here
+    * are check-harness cost, not the production path (that is the
+    * point of the sketches).
+    */
+  def aggApproxCheck(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("percentile(l_extendedprice, 0.4)").as("p40"),
+        expr("percentile(l_extendedprice, 0.6)").as("p60"))
+    aggApprox(spark, dir).join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= col("exact_orders") * 0.06).as("ndv_ok"),
+        col("approx_median_price").between(col("p40"), col("p60"))
+          .as("median_ok"))
+  }
+
+  val aggApproxCheckSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+      |       true AS ndv_ok, true AS median_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** Scalar-function families in one projection — string manipulation,
     * date-part extraction, conditional/null handling — each expression
     * chosen to evaluate identically in Spark and DuckDB (both follow
@@ -253,6 +282,7 @@ object Analytics {
     Op("q2_corr_subquery", corrSubquery _, Some(corrSubquerySql)),
     Op("scalar_funcs", scalarFuncs _, Some(scalarFuncsSql)),
     Op("agg_approx", aggApprox _, None),
+    Op("agg_approx_check", aggApproxCheck _, Some(aggApproxCheckSql)),
     Op("agg_rollup", aggRollup _, Some(aggRollupSql)),
     Op("agg_cube", aggCube _, Some(aggCubeSql)),
     Op("agg_percentiles", aggPercentiles _, Some(aggPercentilesSql)),

@@ -352,6 +352,45 @@ object Dedup {
       .toDF("doc_id", "simhash", "band0", "band1", "band2", "band3")
   }
 
+  /** Internal-consistency oracle for simhash (the values-if-present
+    * pattern): recompute signatures for a fixed doc sample with the
+    * DECLARATIVE formulation — explode(split) → SQL `xxhash64` →
+    * 64-column sign-vote aggregate, the shape the primitive pass
+    * replaced — and count bit-for-bit agreements. Two independent
+    * implementations of the same spec must agree exactly; the DuckDB
+    * twin pins the sample size from the raw table, turning
+    * "the fast pass computes real simhashes" into a driver-checkable
+    * claim. Sampled (doc_id < SimhashCheckDocs) because the declarative
+    * twin shuffles |words| rows — it exists to cross-check the hot
+    * path, not to run at corpus scale.
+    */
+  private val SimhashCheckDocs = 50
+
+  def simhashCheck(spark: SparkSession, dir: String): DataFrame = {
+    val sample = simhash(spark, dir).where(col("doc_id") < SimhashCheckDocs)
+    val words = Tables(spark, dir, "documents")
+      .where(col("text").isNotNull && col("doc_id") < SimhashCheckDocs)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    val declarative = words.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash2"))
+    sample.join(declarative, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("simhash") === col("simhash2"), 1)).as("n_sig_match"))
+  }
+
+  val simhashCheckSql: String =
+    s"""SELECT count(*) AS n_docs, count(*) AS n_sig_match
+       |FROM documents
+       |WHERE text IS NOT NULL AND doc_id < $SimhashCheckDocs""".stripMargin
+
   /** SimHash near-dup pairs: Hamming distance ≤ 3 on the 64-bit
     * signatures (the classic 64-bit/d=3 setting). Banding gives the
     * candidates losslessly by pigeonhole: ≤ 3 differing bits cannot
@@ -487,6 +526,7 @@ object Dedup {
     Op("dedup_minhash_lsh", minhashLsh _, Some(minhashLshSql)),
     Op("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     Op("dedup_simhash", simhash _, None),
+    Op("dedup_simhash_check", simhashCheck _, Some(simhashCheckSql)),
     Op("dedup_simhash_pairs", simhashPairs _, None),
   )
 }

@@ -52,6 +52,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.embeddingNearDup(spark, dir).count() == 0)
   }
 
+  test("null text rows drop from simhash like the declarative form did") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nulltext").toString
+    Seq((1L, "alpha beta gamma"), (2L, null: String), (3L, "delta"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // The primitive pass must DROP doc 2 (explode-of-null semantics),
+    // not NPE on it — and the consistency check agrees on what's left.
+    val ids = Dedup.simhash(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+    val chk = Dedup.simhashCheck(spark, dir).head()
+    assert(chk.getLong(0) == 2L && chk.getLong(1) == 2L)
+  }
+
+  test("writeTable rolls the table back and restores autocommit on failure") {
+    import spark.implicits._
+    import graft.sources.{CastMatrix, SqliteDdl}
+    val rec = new JdbcRecorder
+    // Fail mid-stream from the data side: a row whose evaluation throws
+    // while the insert iterator is draining.
+    val df = Seq((1L, "x")).toDF("id", "name")
+      .selectExpr("id", "CASE WHEN id = 1 THEN raise_error('mid-stream failure') ELSE name END AS name")
+    val e = intercept[Exception] {
+      SqliteDdl.writeTable(rec.connection, "t",
+        Seq("id" -> CastMatrix.ALong, "name" -> CastMatrix.AText), Nil, df)
+    }
+    // The failure propagated, the table's transaction rolled back, and
+    // the caller's autocommit came back.
+    assert(rec.txEvents.toSeq ==
+      Seq("setAutoCommit(false)", "rollback", "setAutoCommit(true)"))
+  }
+
   test("CosineSim: null inputs yield null, not errors") {
     import spark.implicits._
     org.apache.spark.sql.graft.GraftExtensions.register(spark)
