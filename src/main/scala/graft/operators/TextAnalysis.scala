@@ -143,6 +143,35 @@ object TextAnalysis {
       |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents""".stripMargin
 
+  /** PII redaction — the training-data scrub step (emails, then
+    * phone-shaped digit runs) as one codegen'd projection over the scan.
+    * Patterns stay inside the RE2 ∩ java.util.regex common syntax
+    * (bracket classes only, no escapes) so the DuckDB oracle executes
+    * the IDENTICAL expressions — dialect-divergent regex is the classic
+    * silent-corruption source in cross-engine scrub pipelines. Match
+    * counts are taken on the RAW text, so the operator's work is
+    * oracle-observable even on a corpus where redaction is a no-op.
+    */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  private val PhonePat = "[+]?[0-9][0-9()., -]{6,}[0-9]"
+
+  def redact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailPat), lit("<EMAIL>")),
+        lit(PhonePat), lit("<PHONE>")).as("text_redacted"),
+      regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhonePat)).cast("long").as("n_phones"))
+
+  val redactSql: String =
+    s"""SELECT doc_id,
+       |       regexp_replace(regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
+       |                      '$PhonePat', '<PHONE>', 'g') AS text_redacted,
+       |       CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT) AS n_phones
+       |FROM documents""".stripMargin
+
   /** Two-pass corpus statistic: per-document ratio of bigrams that are
     * corpus-frequent (count ≥ 25) — an n-gram language-model-style
     * fluency signal with exact integer semantics (no float-accumulation
@@ -199,6 +228,7 @@ object TextAnalysis {
     Op("text_quality", quality _, Some(qualitySql)),
     Op("text_langid", langId _, Some(langIdSql)),
     Op("text_fingerprint", fingerprint _, Some(fingerprintSql)),
+    Op("text_redact", redact _, Some(redactSql)),
     Op("text_bigram_commonality", bigramCommonality _, Some(bigramCommonalitySql)),
   )
 }

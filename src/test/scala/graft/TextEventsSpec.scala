@@ -26,6 +26,26 @@ class TextEventsSpec extends SparkSpec {
     assert(!rows(1L) && rows(2L))
   }
 
+  test("redact scrubs emails and phone runs, counts from raw text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pii").toString
+    Seq(
+      (1L, "write bob.smith+x@example.co.nz or ring 021 555-1234 today"),
+      (2L, "clean document with no contact details"),
+      (3L, "a@b.com c.d@e.org and +64 9 123 4567"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.redact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) ==
+      "write <EMAIL> or ring <PHONE> today")
+    assert(rows(1L).getLong(2) == 1 && rows(1L).getLong(3) == 1)
+    assert(rows(2L).getString(1) == "clean document with no contact details")
+    assert(rows(2L).getLong(2) == 0 && rows(2L).getLong(3) == 0)
+    assert(rows(3L).getString(1) == "<EMAIL> <EMAIL> and <PHONE>")
+    assert(rows(3L).getLong(2) == 2 && rows(3L).getLong(3) == 1)
+  }
+
   test("sessionize: gap >30min splits, <=30min continues") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ev").toString
