@@ -187,24 +187,28 @@ object Analytics {
     * engine-specific, but their error CONTRACTS are checkable claims.
     * Emits per group the exact distinct count (oracle-comparable
     * directly) plus two bound verdicts — HLL++ within 3σ of its 2% rsd,
-    * approx-median between the exact 40th and 60th percentiles — which
-    * the DuckDB twin states as constants. The exact aggregations here
-    * are check-harness cost, not the production path (that is the
-    * point of the sketches).
+    * and the approx-median's exact RANK inside [0.4n, 0.6n] — which the
+    * DuckDB twin states as constants. The rank check is deliberately
+    * not `percentile(...)`: Spark's exact percentile buffers and sorts
+    * every group's values (measured 5.5 s of a 40 s bench at sf0.1),
+    * while counting values below the estimate is one streaming hash
+    * aggregation over the scan — the same claim, scan-shaped.
     */
-  def aggApproxCheck(spark: SparkSession, dir: String): DataFrame = {
-    val exact = Tables(spark, dir, "lineitem")
+  def aggApproxCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(aggApprox(spark, dir)), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
-        expr("percentile(l_extendedprice, 0.4)").as("p40"),
-        expr("percentile(l_extendedprice, 0.6)").as("p60"))
-    aggApprox(spark, dir).join(exact, Seq("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        first(col("approx_orders")).as("approx_orders"),
+        count(lit(1)).as("n"),
+        count(when(col("l_extendedprice") < col("approx_median_price"), 1))
+          .as("n_below"))
       .select(col("l_returnflag"), col("exact_orders"),
         (abs(col("approx_orders") - col("exact_orders"))
           <= col("exact_orders") * 0.06).as("ndv_ok"),
-        col("approx_median_price").between(col("p40"), col("p60"))
-          .as("median_ok"))
-  }
+        (col("n_below") >= col("n") * 0.4 &&
+          col("n_below") <= col("n") * 0.6).as("median_ok"))
 
   val aggApproxCheckSql: String =
     """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
