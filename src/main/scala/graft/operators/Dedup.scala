@@ -48,6 +48,50 @@ object Dedup {
       |       length(text) AS n_chars
       |FROM documents GROUP BY text""".stripMargin
 
+  /** Incremental dedup — the production corpus-growth pattern: a new
+    * batch is admitted only where its canonical fingerprint is absent
+    * from the historical corpus AND first within the batch. The key here
+    * is a 20-word-prefix fingerprint (md5 over the normalized leading
+    * window) — prefix keys are the standard boilerplate/mirror-page
+    * canonicalization, and unlike the full-text hash they actually fire
+    * on this fixture's near-duplicate family. Shape: one groupBy on the
+    * fingerprint (map-side combined) + one anti join against the
+    * distinct historical keys; at 100 TB the historical side is the
+    * persisted fingerprint store, the join shuffles on the hash key
+    * (never the text), and nothing is broadcast by assumption — AQE can
+    * still pick BHJ when the store is small. History/batch are split by
+    * doc_id parity so the operator exercises both drop paths at any sf.
+    */
+  private val PrefixWords = 20
+
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(array_join(
+      slice(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "),
+        1, PrefixWords), " ")).as("fingerprint")
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), fp)
+    val hist = d.where(col("doc_id") % 2 === 0).select(col("fingerprint")).distinct()
+    d.where(col("doc_id") % 2 === 1)
+      .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id"))
+      .join(hist, Seq("fingerprint"), "left_anti")
+      .select(col("doc_id"), col("fingerprint"))
+  }
+
+  val incrementalSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         md5(array_to_string(
+       |           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[1:$PrefixWords],
+       |           ' ')) AS fingerprint
+       |  FROM documents
+       |), hist AS (
+       |  SELECT DISTINCT fingerprint FROM d WHERE doc_id % 2 = 0
+       |), batch AS (
+       |  SELECT fingerprint, min(doc_id) AS doc_id
+       |  FROM d WHERE doc_id % 2 = 1 GROUP BY fingerprint
+       |)
+       |SELECT b.doc_id, b.fingerprint FROM batch b
+       |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fingerprint = b.fingerprint)""".stripMargin
+
   // ---------------------------------------------------------------- LSH core
 
   private val NumHashes = 64 // 16 bands × 4 rows
@@ -522,6 +566,7 @@ object Dedup {
 
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", exact _, Some(exactSql)),
+    Op("dedup_incremental", incremental _, Some(incrementalSql)),
     Op("dedup_clusters", clusters _, Some(clustersSql)),
     Op("dedup_minhash_lsh", minhashLsh _, Some(minhashLshSql)),
     Op("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),

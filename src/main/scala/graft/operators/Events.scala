@@ -102,9 +102,49 @@ object Events {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
       |FROM events WHERE event_id < 1000""".stripMargin
 
+  /** Banded interval join — view→click attribution within a 4-hour
+    * window, the batch twin of `EventStream.viewClickJoin`. A naive
+    * inequality join is O(n²) per user; Spark would plan it as a
+    * broadcast-nested-loop. Instead both sides are keyed by
+    * (user_id, time-band): the band width equals the window, the build
+    * side replicates into exactly TWO bands (its own and the next), so
+    * every true pair collides in exactly one band and the whole thing is
+    * a plain equi-join — hash-partitioned, AQE-eligible, no BNLJ, with
+    * per-task work bounded by per-(user, 4h) density rather than per-user
+    * history. The exact interval predicate then prunes band false
+    * positives at full timestamp precision.
+    */
+  private val WindowSec = 14400 // 4 hours; also the band width
+
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+      .withColumn("band", explode(array(
+        expr(s"unix_timestamp(v_ts) div $WindowSec"),
+        expr(s"unix_timestamp(v_ts) div $WindowSec + 1"))))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"),
+        expr(s"unix_timestamp(c_ts) div $WindowSec").as("band"))
+    views.join(clicks, Seq("user_id", "band"))
+      .where(col("c_ts") >= col("v_ts") &&
+        col("c_ts") < col("v_ts") + expr(s"INTERVAL $WindowSec SECONDS"))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        (unix_timestamp(col("c_ts")) - unix_timestamp(col("v_ts"))).as("gap_sec"))
+  }
+
+  val intervalJoinSql: String =
+    s"""SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+       |       date_diff('second', v.ts, c.ts) AS gap_sec
+       |FROM events v JOIN events c
+       |  ON v.user_id = c.user_id
+       | AND v.event_type = 'view' AND c.event_type = 'click'
+       | AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL $WindowSec SECONDS""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("events_hourly", hourly _, Some(hourlySql)),
     Op("events_sessionize", sessionize _, Some(sessionizeSql)),
     Op("events_json_extract", jsonExtract _, Some(jsonExtractSql)),
+    Op("events_interval_join", intervalJoin _, Some(intervalJoinSql)),
   )
 }

@@ -373,8 +373,62 @@ object Similarity {
        |       CAST($K AS BIGINT) AS n_correct_cos
        |FROM embeddings WHERE vec_id < $NumQueries""".stripMargin
 
+  /** Symmetric int8 quantization — the storage/serving compression step
+    * for an embedding corpus (4× smaller than float32, dot products in
+    * integer SIMD downstream). Per-vector scale = max|x|/127; elements
+    * round half-up via floor(x/scale + 0.5), which both engines evaluate
+    * identically in double precision (widening float32→double is exact,
+    * and one divide + one add + floor are single correctly-rounded IEEE
+    * ops — no accumulation order anywhere). Pure projection over the
+    * scan: no shuffle, embarrassingly parallel at 100 TB. The quantized
+    * vector itself plus its sum ride out as oracle-checked columns
+    * (the vector rendered as a canonical CSV string — Spark parquet and
+    * DuckDB arrow disagree on the list element FIELD NAME
+    * (`element` vs `l`), which fails arrow-schema-identity compares even
+    * when every value matches), and max_err_over_scale demonstrates the
+    * ≤ scale/2 reconstruction contract. Zero vectors (scale 0) are
+    * dropped explicitly — quantizing them is undefined and engines
+    * disagree on inf casts.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        (expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))") / 127.0)
+          .as("scale"))
+      .where(col("scale") > 0)
+      .select(col("vec_id"), col("embedding"), col("scale"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS INT))")
+          .as("q"))
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        round(col("scale"), 9).as("scale_r"),
+        expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')").as("q_csv"),
+        expr("""round(array_max(zip_with(embedding, q,
+                 (x, qi) -> abs(CAST(x AS DOUBLE) - qi * scale))) / scale, 6)""")
+          .as("max_err_over_scale"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"))
+
+  val quantizeSql: String =
+    """SELECT vec_id,
+      |       CAST(len(embedding) AS BIGINT) AS n_dims,
+      |       round(scale, 9) AS scale_r,
+      |       array_to_string(q, ',') AS q_csv,
+      |       round(list_max(list_transform(range(1, len(embedding) + 1),
+      |               i -> abs(CAST(embedding[i] AS DOUBLE) - q[i] * scale))) / scale,
+      |             6) AS max_err_over_scale,
+      |       CAST(list_sum(q) AS BIGINT) AS q_sum
+      |FROM (
+      |  SELECT vec_id, embedding, scale,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS q
+      |  FROM (
+      |    SELECT vec_id, embedding,
+      |           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |    FROM embeddings)
+      |  WHERE scale > 0)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceSql)),
+    Op("emb_quantize", quantize _, Some(quantizeSql)),
     Op("sim_topk_ivf", topkIvf _, None),
     Op("sim_topk_ivf_check", topkIvfCheck _, Some(topkCheckSql)),
     Op("sim_topk_lsh", topkLsh _, None),

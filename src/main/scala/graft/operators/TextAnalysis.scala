@@ -172,6 +172,90 @@ object TextAnalysis {
        |       CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT) AS n_phones
        |FROM documents""".stripMargin
 
+  /** Document chunking — the context-window prep step: each document is
+    * split into overlapping token windows (64 tokens, stride 48) and each
+    * window re-joined to text, so downstream embedding/training jobs see
+    * bounded-length rows. One generator expression over the scan
+    * (sequence + explode + slice, all codegen'd); output size is
+    * n_tokens/stride rows per doc with no shuffle, so it scales as a pure
+    * map at 100 TB. Start offsets and slices clamp identically in both
+    * engines (Spark `slice` and DuckDB 1-based inclusive list slicing
+    * both truncate at the list end).
+    */
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(ChunkStride))).as("s"))
+      .select(
+        col("doc_id"),
+        expr(s"CAST(s div $ChunkStride AS BIGINT)").as("chunk_id"),
+        size(expr(s"slice(w, s + 1, $ChunkLen)")).cast("long").as("n_tokens"),
+        array_join(expr(s"slice(w, s + 1, $ChunkLen)"), " ").as("chunk_text"))
+
+  val chunkSql: String =
+    s"""SELECT doc_id,
+       |       CAST(s // $ChunkStride AS BIGINT) AS chunk_id,
+       |       CAST(len(w[s + 1 : s + $ChunkLen]) AS BIGINT) AS n_tokens,
+       |       array_to_string(w[s + 1 : s + $ChunkLen], ' ') AS chunk_text
+       |FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |     unnest(range(0, len(w), $ChunkStride)) AS t(s)""".stripMargin
+
+  /** TF-IDF top terms per document. Ranking is deliberately
+    * integer/string-only (tf desc, df asc, term asc) so the top-3 SET is
+    * bit-deterministic across engines; the tf-idf VALUE is reported
+    * (rounded) but never drives the ranking — cross-engine last-ulp `ln`
+    * divergence can reorder float ranks, the classic flaky-oracle trap.
+    * Shape: ONE scan/explode of the corpus, reduced map-side to
+    * (doc, term, tf); the document frequency is a window over that
+    * already-reduced frame rather than a second explode-and-aggregate
+    * pass (the same single-scan lesson as `bigramCommonality` — a
+    * self-join formulation re-reads and re-explodes the corpus), and the
+    * per-doc rank window is pruned by WindowGroupLimit before any row
+    * leaves the sort. The corpus doc count joins in as a broadcast
+    * scalar, never a driver constant.
+    */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTerm = Window.partitionBy(col("term"))
+    val rankW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    val n = Tables(spark, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= 3)
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+  }
+
+  val tfidfTopSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), n AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+      |)
+      |SELECT doc_id, rank, term, tf, df,
+      |       round(tf * ln(n_docs / df), 6) AS tfidf
+      |FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+      |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |                ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rank
+      |  FROM tf JOIN df USING (term), n)
+      |WHERE rank <= 3""".stripMargin
+
   /** Two-pass corpus statistic: per-document ratio of bigrams that are
     * corpus-frequent (count ≥ 25) — an n-gram language-model-style
     * fluency signal with exact integer semantics (no float-accumulation
@@ -229,6 +313,8 @@ object TextAnalysis {
     Op("text_langid", langId _, Some(langIdSql)),
     Op("text_fingerprint", fingerprint _, Some(fingerprintSql)),
     Op("text_redact", redact _, Some(redactSql)),
+    Op("text_chunk", chunk _, Some(chunkSql)),
+    Op("text_tfidf_top", tfidfTop _, Some(tfidfTopSql)),
     Op("text_bigram_commonality", bigramCommonality _, Some(bigramCommonalitySql)),
   )
 }

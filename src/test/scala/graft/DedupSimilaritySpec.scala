@@ -135,6 +135,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(approx.groupBy(_._1).values.forall(_.size <= 10))
   }
 
+  test("int8 quantization: max element hits ±127, error within scale/2") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("quant").toString
+    Seq(
+      (1L, Array(2.54f, -1.27f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f), 0)) // zero vector: dropped
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.quantize(spark, dir).collect()
+    assert(rows.length == 1) // the zero vector is gone
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 2.54 / 127) < 1e-9)     // scale
+    val q = r.getString(3).split(",").map(_.toInt)
+    assert(q(0) == 127 && q(2) == 0 && math.abs(q(1) + 63.5) <= 0.5)
+    assert(r.getDouble(4) <= 0.5)                            // max_err/scale
+    assert(r.getLong(5) == q.sum.toLong)
+  }
+
   test("value-check queries: every returned cosine is the true cosine") {
     for (check <- Seq(Similarity.topkIvfCheck _, Similarity.topkLshCheck _)) {
       val rows = check(spark, sfDir).collect()

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Events, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, TextAnalysis}
 
 class TextEventsSpec extends SparkSpec {
 
@@ -44,6 +44,86 @@ class TextEventsSpec extends SparkSpec {
     assert(rows(2L).getLong(2) == 0 && rows(2L).getLong(3) == 0)
     assert(rows(3L).getString(1) == "<EMAIL> <EMAIL> and <PHONE>")
     assert(rows(3L).getLong(2) == 2 && rows(3L).getLong(3) == 1)
+  }
+
+  test("chunk: 64-token windows at stride 48, clamped tail") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chunk").toString
+    val words = (1 to 100).map(i => s"w$i")
+    Seq((1L, words.mkString(" ")), (2L, "short doc"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.chunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    // doc 1: 100 tokens -> starts 0, 48, 96 -> lengths 64, 52, 4
+    assert(rows((1L, 0L))._1 == 64)
+    assert(rows((1L, 0L))._2.startsWith("w1 w2 ") && rows((1L, 0L))._2.endsWith(" w64"))
+    assert(rows((1L, 1L))._1 == 52)
+    assert(rows((1L, 1L))._2.startsWith("w49 ") && rows((1L, 1L))._2.endsWith(" w100"))
+    assert(rows((1L, 2L)) == ((4L, "w97 w98 w99 w100")))
+    // doc 2: one clamped chunk
+    assert(rows((2L, 0L)) == ((2L, "short doc")))
+    assert(rows.size == 4)
+  }
+
+  test("tfidf top terms: integer rank order tf desc, df asc, term asc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfidf").toString
+    Seq((1L, "a a b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.tfidfTop(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // doc 1: a tf=2 first; b tf=1 second
+    assert(rows((1L, 1L))._1 == "a" && rows((1L, 1L))._2 == 2)
+    assert(rows((1L, 2L))._1 == "b")
+    // doc 2: tf tie broken by df asc -> c (df=1) before a (df=2)
+    assert(rows((2L, 1L))._1 == "c")
+    assert(rows((2L, 2L))._1 == "a")
+    // idf of a term present in every doc is ln(1) = 0
+    assert(rows((2L, 2L))._4 == 0.0)
+    assert(rows.size == 4)
+  }
+
+  test("interval join matches within window across band boundaries only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("iv").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, tp: String, sec: Long) =
+      (id, new java.sql.Timestamp(t0 + sec * 1000L), 7L, tp, 1.0, "{}")
+    // band width = window = 14400 s. View late in band 0; clicks:
+    // in-window same band, in-window next band, exactly at window edge
+    // (excluded, half-open), before the view (excluded), other user.
+    val rows = Seq(
+      ev(1L, "view", 14000),
+      ev(2L, "click", 14100),          // +100 s, same band
+      ev(3L, "click", 20000),          // +6000 s, next band
+      ev(4L, "click", 14000 + 14400),  // exactly +window: excluded
+      ev(5L, "click", 13000),          // before the view: excluded
+      (6L, new java.sql.Timestamp(t0 + 14100 * 1000L), 8L, "click", 1.0, "{}")) // other user
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.parquet(s"$dir/events.parquet")
+    val got = Events.intervalJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 100L), (1L, 3L, 6000L)))
+  }
+
+  test("incremental dedup drops history collisions and batch self-dups") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("incr").toString
+    val prefix = (1 to 20).map(i => s"p$i").mkString(" ")
+    val other = (1 to 20).map(i => s"q$i").mkString(" ")
+    Seq(
+      (2L, s"$prefix historical tail"),     // history owns this prefix
+      (3L, s"$prefix new tail"),            // batch: collides with history
+      (5L, s"$other first batch copy"),     // batch: first of a batch pair
+      (7L, s"$other second batch copy"),    // batch: later copy, dropped
+      (9L, "entirely fresh document body")) // batch: kept
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val kept = Dedup.incremental(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 9L))
   }
 
   test("sessionize: gap >30min splits, <=30min continues") {
