@@ -4,9 +4,11 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** SQL-surface registration for the engine's native expressions, so
-  * `spark.sql("SELECT cosine_sim(a, b) ...")` works alongside the Column
-  * API.
+/** Session wiring for the engine's Catalyst extensions: the native
+  * expressions' SQL surface (`spark.sql("SELECT cosine_sim(a, b) ...")`
+  * alongside the Column API) and the `RangeJoinBanding` optimizer rule
+  * (timestamp range joins become banded equi-joins instead of nested
+  * loops).
   *
   * Two entry points, per the two session lifecycles:
   *  - `GraftExtensions` for session construction
@@ -15,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `register(spark)` for an already-running session (tests, REPL).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
+    e.injectOptimizerRule(_ => RangeJoinBanding)
+  }
 }
 
 object GraftExtensions {
