@@ -141,8 +141,51 @@ object Events {
        | AND v.event_type = 'view' AND c.event_type = 'click'
        | AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL $WindowSec SECONDS""".stripMargin
 
+  /** Per-group outlier flagging (|z| > 3) — the anomaly-filter step of a
+    * data pipeline. The moments come from EXACT decimal sums (sum and
+    * sum-of-squares commute, so accumulation order can't perturb them —
+    * the same decimal-at-the-core / double-at-the-boundary discipline as
+    * every other oracled aggregate), and mean/std/z are then a fixed
+    * sequence of single IEEE double ops, identical in any engine. Shape:
+    * one map-side-combined aggregation to ~|event types| rows, broadcast
+    * back over a second scan — no corpus-sized shuffle at any scale.
+    */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val dec = col("value").cast("decimal(18,4)")
+    val stats = Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast("double").as("s"),
+        sum(dec * dec).cast("double").as("qq"))
+      .select(col("event_type"), col("n"), col("qq"),
+        (col("s") / col("n")).as("mean"))
+      .select(col("event_type"), col("mean"),
+        sqrt(col("qq") / col("n") - col("mean") * col("mean")).as("std"))
+    Tables(spark, dir, "events")
+      .join(broadcast(stats), Seq("event_type"))
+      .where(abs(col("value") - col("mean")) > col("std") * 3)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean")) / col("std"), 6).as("z"))
+  }
+
+  val outliersSql: String =
+    """WITH st AS (
+      |  SELECT event_type, count(*) AS n,
+      |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+      |         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS qq
+      |  FROM events GROUP BY event_type
+      |), m AS (
+      |  SELECT event_type, mean, sqrt(qq / n - mean * mean) AS std
+      |  FROM (SELECT event_type, n, qq, s / n AS mean FROM st)
+      |)
+      |SELECT e.event_id, e.event_type, e.value,
+      |       round((e.value - m.mean) / m.std, 6) AS z
+      |FROM events e JOIN m USING (event_type)
+      |WHERE abs(e.value - m.mean) > m.std * 3""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("events_hourly", hourly _, Some(hourlySql)),
+    Op("events_outliers", outliers _, Some(outliersSql)),
     Op("events_sessionize", sessionize _, Some(sessionizeSql)),
     Op("events_json_extract", jsonExtract _, Some(jsonExtractSql)),
     Op("events_interval_join", intervalJoin _, Some(intervalJoinSql)),

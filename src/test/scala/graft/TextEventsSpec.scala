@@ -126,6 +126,21 @@ class TextEventsSpec extends SparkSpec {
     assert(kept == Set(5L, 9L))
   }
 
+  test("outliers: only the extreme value exceeds 3 sigma") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("outl").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1L to 10L).map(i => (i, t0, 7L, "click", 10.0, "{}")) :+
+      ((11L, t0, 7L, "click", 1000.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // n=11, mean=100, var=(10*100+1e6)/11 - 1e4 = 81000, std=284.6:
+    // |1000-100|=900 > 3*std=853.9; |10-100|=90 is far below.
+    val got = Events.outliers(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(11L))
+    assert(math.abs(got.head.getDouble(3) - 900.0 / math.sqrt(81000.0)) < 1e-6)
+  }
+
   test("sessionize: gap >30min splits, <=30min continues") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ev").toString
