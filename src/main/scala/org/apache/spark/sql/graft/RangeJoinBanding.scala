@@ -28,9 +28,12 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampNTZTy
   *  - Inner joins only, both bound conjuncts over plain timestamp
   *    attributes of the same type (TIMESTAMP or TIMESTAMP_NTZ), one
   *    from each side;
-  *  - upper bound `b < a + INTERVAL w` / `b <= a + INTERVAL w` (and
-  *    mirrored orientations) with a positive literal day-time interval;
-  *  - lower bound `b >= a` / `b > a` (and mirrored orientations).
+  *  - bounds of the general form `a + lo ⩽ b ⩽ a + hi` with literal
+  *    day-time interval offsets (a bare `b >= a` is offset zero), any
+  *    comparison orientation, strict or non-strict, hi > lo — this
+  *    covers both the attribution window `b ∈ [a, a+w)` and the
+  *    symmetric correlation window `|b − a| <= w` (which analyzes to
+  *    offsets −w and +w).
   *
   * Band width is the window rounded UP to whole seconds, so sub-second
   * windows stay correct (wider bands only add false positives, which
@@ -51,38 +54,49 @@ object RangeJoinBanding extends Rule[LogicalPlan] with PredicateHelper {
   private def isTs(e: Expression): Boolean =
     e.dataType == TimestampType || e.dataType == TimestampNTZType
 
-  /** (intervalStart a, boundedSide b, window micros) from an upper-bound
-    * conjunct shaped like b < a + INTERVAL w (any orientation). */
-  private def asUpper(e: Expression)
-      : Option[(AttributeReference, AttributeReference, Long)] = e match {
-    case LessThan(b: AttributeReference,
-        TimestampAddInterval(a: AttributeReference, Literal(w: Long, _: DayTimeIntervalType), _)) =>
-      Some((a, b, w))
-    case LessThanOrEqual(b: AttributeReference,
-        TimestampAddInterval(a: AttributeReference, Literal(w: Long, _: DayTimeIntervalType), _)) =>
-      Some((a, b, w))
-    case GreaterThan(
-        TimestampAddInterval(a: AttributeReference, Literal(w: Long, _: DayTimeIntervalType), _),
-        b: AttributeReference) =>
-      Some((a, b, w))
-    case GreaterThanOrEqual(
-        TimestampAddInterval(a: AttributeReference, Literal(w: Long, _: DayTimeIntervalType), _),
-        b: AttributeReference) =>
-      Some((a, b, w))
-    case _ => None
+  /** One side of a bound: `b` compared against `a + off` (micros).
+    * `start` is the already-resolved expression for `a + off` — reused
+    * verbatim from the condition so time-zone resolution carries over. */
+  private case class Bound(
+      a: AttributeReference, b: AttributeReference, off: Long, start: Expression)
+
+  /** Interpret an expression as `a + INTERVAL off` (off = 0 for a bare
+    * timestamp attribute). */
+  private def tsAdd(e: Expression): Option[(AttributeReference, Long, Expression)] =
+    e match {
+      case t @ TimestampAddInterval(
+          a: AttributeReference, Literal(w: Long, _: DayTimeIntervalType), _) =>
+        Some((a, w, t))
+      case a: AttributeReference if isTs(a) => Some((a, 0L, a))
+      case _ => None
+    }
+
+  /** All bound readings of one comparison conjunct, as (bound, isUpper).
+    * A comparison of two bare attributes is ambiguous (either side can
+    * be the interval start) — both readings are returned and the pair
+    * search keeps whichever combination is consistent. */
+  private def bounds(e: Expression): Seq[(Bound, Boolean)] = e match {
+    case GreaterThanOrEqual(x, y) => interp(x, y)
+    case GreaterThan(x, y) => interp(x, y)
+    case LessThanOrEqual(x, y) => interp(y, x)
+    case LessThan(x, y) => interp(y, x)
+    case _ => Nil
   }
 
-  /** True if the conjunct is a lower bound b >= a (any orientation). */
-  private def isLower(e: Expression, a: Attribute, b: Attribute): Boolean = e match {
-    case GreaterThanOrEqual(x: AttributeReference, y: AttributeReference) =>
-      x.semanticEquals(b) && y.semanticEquals(a)
-    case GreaterThan(x: AttributeReference, y: AttributeReference) =>
-      x.semanticEquals(b) && y.semanticEquals(a)
-    case LessThanOrEqual(y: AttributeReference, x: AttributeReference) =>
-      x.semanticEquals(b) && y.semanticEquals(a)
-    case LessThan(y: AttributeReference, x: AttributeReference) =>
-      x.semanticEquals(b) && y.semanticEquals(a)
-    case _ => false
+  /** Readings of `big >= small` (strictness is irrelevant to banding —
+    * the exact predicate stays in the join condition). */
+  private def interp(big: Expression, small: Expression): Seq[(Bound, Boolean)] = {
+    val lower = big match {
+      case b: AttributeReference if isTs(b) =>
+        tsAdd(small).map { case (a, off, s) => (Bound(a, b, off, s), false) }
+      case _ => None
+    }
+    val upper = small match {
+      case b: AttributeReference if isTs(b) =>
+        tsAdd(big).map { case (a, off, s) => (Bound(a, b, off, s), true) }
+      case _ => None
+    }
+    lower.toSeq ++ upper.toSeq
   }
 
   private def bandOf(ts: Expression, bandSec: Long): Expression =
@@ -93,35 +107,42 @@ object RangeJoinBanding extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if !cond.references.exists(_.name.startsWith(BandPrefix)) =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      val rewritten = conjuncts.iterator.flatMap(asUpper).collectFirst {
-        case (a, b, wUs)
-            if wUs > 0 && isTs(a) && isTs(b) && a.dataType == b.dataType &&
-              conjuncts.exists(isLower(_, a, b)) &&
-              ((left.outputSet.contains(a) && right.outputSet.contains(b)) ||
-                (right.outputSet.contains(a) && left.outputSet.contains(b))) =>
-          val bandSec = (wUs + 999999L) / 1000000L // ceil to whole seconds
-          val aOnLeft = left.outputSet.contains(a)
-          val (aSide, bSide) = if (aOnLeft) (left, right) else (right, left)
+      val all = splitConjunctivePredicates(cond).flatMap(bounds)
+      val lowers = all.collect { case (bd, false) => bd }
+      val uppers = all.collect { case (bd, true) => bd }
+      val rewritten = (for {
+        lo <- lowers.iterator
+        hi <- uppers.iterator
+        if lo.a.semanticEquals(hi.a) && lo.b.semanticEquals(hi.b) &&
+          hi.off > lo.off && // a + lo <= b <= a + hi with positive width
+          isTs(lo.a) && isTs(lo.b) && lo.a.dataType == lo.b.dataType &&
+          ((left.outputSet.contains(lo.a) && right.outputSet.contains(lo.b)) ||
+            (right.outputSet.contains(lo.a) && left.outputSet.contains(lo.b)))
+      } yield {
+        val wUs = hi.off - lo.off
+        val bandSec = (wUs + 999999L) / 1000000L // ceil to whole seconds
+        val aOnLeft = left.outputSet.contains(lo.a)
+        val (aSide, bSide) = if (aOnLeft) (left, right) else (right, left)
 
-          // Interval-start side: replicate into its own and the next band.
-          val base = bandOf(a, bandSec)
-          val bandA = AttributeReference(s"${BandPrefix}_a", LongType)()
-          val replicated = Generate(
-            Explode(CreateArray(Seq(base, Add(base, Literal(1L))))),
-            unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(bandA), child = aSide)
+        // Interval-start side: band the LOWER bound expression (a + lo)
+        // and replicate into its own and the next band.
+        val base = bandOf(lo.start, bandSec)
+        val bandA = AttributeReference(s"${BandPrefix}_a", LongType)()
+        val replicated = Generate(
+          Explode(CreateArray(Seq(base, Add(base, Literal(1L))))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(bandA), child = aSide)
 
-          // Bounded side: a single band value.
-          val bandB = Alias(bandOf(b, bandSec), s"${BandPrefix}_b")()
-          val projected = Project(bSide.output :+ bandB, bSide)
+        // Bounded side: a single band value.
+        val bandB = Alias(bandOf(lo.b, bandSec), s"${BandPrefix}_b")()
+        val projected = Project(bSide.output :+ bandB, bSide)
 
-          val (newLeft, newRight) =
-            if (aOnLeft) (replicated, projected) else (projected, replicated)
-          val newCond = And(cond, EqualTo(bandA, bandB.toAttribute))
-          // Restore the original output (the band columns are internal).
-          Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
-      }
+        val (newLeft, newRight) =
+          if (aOnLeft) (replicated, projected) else (projected, replicated)
+        val newCond = And(cond, EqualTo(bandA, bandB.toAttribute))
+        // Restore the original output (the band columns are internal).
+        Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+      }).nextOption()
       rewritten.getOrElse(j)
   }
 }

@@ -86,6 +86,28 @@ class RangeJoinRuleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("symmetric window |b - a| <= w: banded, results identical") {
+    val (views, clicks) = fixtures()
+    def query() = views.join(clicks,
+      col("c_ts") >= col("v_ts") - expr("INTERVAL 300 SECONDS") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 300 SECONDS"))
+      .select(col("view_id"), col("click_id"))
+
+    val naive = query()
+    naive.collect()
+    assert(hasBnlj(naive.queryExecution.executedPlan))
+    val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sanity: view 1 @14000 pairs with clicks @14100 (+100) and @13999 (-1)
+    assert(expected.contains((1L, 10L)) && expected.contains((1L, 13L)))
+
+    withRule {
+      val banded = query()
+      val got = banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+      assert(!hasBnlj(banded.queryExecution.executedPlan))
+    }
+  }
+
   test("rule leaves non-range joins and non-inner shapes untouched") {
     val (views, clicks) = fixtures()
     withRule {
