@@ -155,14 +155,22 @@ object TextAnalysis {
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
   private val PhonePat = "[+]?[0-9][0-9()., -]{6,}[0-9]"
 
-  def redact(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents").select(
+  /** Frame-in/frame-out form: a pure stateless projection, so it
+    * composes onto ANY `(doc_id, text)` frame — batch or readStream —
+    * unchanged. The driver-contract entry below binds it to the fixture
+    * table.
+    */
+  def redactColumns(df: DataFrame): DataFrame =
+    df.select(
       col("doc_id"),
       regexp_replace(
         regexp_replace(col("text"), lit(EmailPat), lit("<EMAIL>")),
         lit(PhonePat), lit("<PHONE>")).as("text_redacted"),
       regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_emails"),
       regexp_count(col("text"), lit(PhonePat)).cast("long").as("n_phones"))
+
+  def redact(spark: SparkSession, dir: String): DataFrame =
+    redactColumns(Tables(spark, dir, "documents"))
 
   val redactSql: String =
     s"""SELECT doc_id,
@@ -185,9 +193,9 @@ object TextAnalysis {
   private val ChunkLen = 64
   private val ChunkStride = 48
 
-  def chunk(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+  /** Frame-in/frame-out form (stateless generator — streaming-safe). */
+  def chunkColumns(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0), size(col("w")) - 1, lit(ChunkStride))).as("s"))
       .select(
@@ -195,6 +203,9 @@ object TextAnalysis {
         expr(s"CAST(s div $ChunkStride AS BIGINT)").as("chunk_id"),
         size(expr(s"slice(w, s + 1, $ChunkLen)")).cast("long").as("n_tokens"),
         array_join(expr(s"slice(w, s + 1, $ChunkLen)"), " ").as("chunk_text"))
+
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkColumns(Tables(spark, dir, "documents"))
 
   val chunkSql: String =
     s"""SELECT doc_id,

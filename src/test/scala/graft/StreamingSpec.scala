@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStream
@@ -135,6 +136,38 @@ class StreamingSpec extends SparkSpec {
       assert(u1.length == 2, s"expected 2 closed sessions, got ${u1.toSeq}")
       assert(u1(0) == (1L, "2024-01-01 00:00:00.0", 2L, 3.0)) // events at :00 + :10
       assert(u1(1)._3 == 1L) // the :50 event alone
+    } finally q.stop()
+  }
+
+  test("text scrub + chunk pipeline runs incrementally on a stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // The frame-level text operators are stateless projections /
+    // generators, so the SAME code path as the batch oracle queries
+    // composes onto readStream unchanged: scrub PII, then window the
+    // scrubbed text into chunks.
+    val scrubbed = graft.operators.TextAnalysis
+      .redactColumns(mem.toDF().toDF("doc_id", "text"))
+      .select(col("doc_id"), col("text_redacted").as("text"), col("n_emails"))
+    val chunked = graft.operators.TextAnalysis.chunkColumns(scrubbed)
+    val q = chunked.writeStream.format("memory").queryName("chunks_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val longDoc = (1 to 70).map(i => s"w$i").mkString(" ")
+      mem.addData((1L, s"contact a@b.com then $longDoc"), (2L, "tiny doc"))
+      q.processAllAvailable()
+      mem.addData((3L, "second batch arrives later"))
+      q.processAllAvailable()
+      val rows = spark.table("chunks_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+      // doc 1: 73 tokens after scrub -> chunks at 0 and 48; email scrubbed
+      assert(rows((1L, 0L))._1 == 64)
+      assert(rows((1L, 0L))._2.startsWith("contact <EMAIL> then w1 "))
+      assert(rows((1L, 1L))._1 == 73 - 48)
+      assert(rows((2L, 0L)) == ((2L, "tiny doc")))
+      assert(rows((3L, 0L))._1 == 4) // incremental batch processed alone
+      assert(rows.size == 4)
     } finally q.stop()
   }
 }
