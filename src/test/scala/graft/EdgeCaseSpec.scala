@@ -52,6 +52,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.embeddingNearDup(spark, dir).count() == 0)
   }
 
+  test("round-3 text/dedup operators tolerate null text without throwing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nulls").toString
+    Seq((1L, "a real document body here"), (2L, null))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // chunk: split(null) is null, the explode generator emits nothing —
+    // the null-text row silently drops (same shape as the old simhash fix)
+    assert(TextAnalysis.chunk(spark, dir).collect().map(_.getLong(0)).toSet == Set(1L))
+    // tfidf: explode(null) drops the row; only doc 1 ranks
+    assert(TextAnalysis.tfidfTop(spark, dir).collect().map(_.getLong(0)).toSet == Set(1L))
+    // redact: regexp funcs propagate null, row survives with null fields
+    val red = TextAnalysis.redact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(red == Map(1L -> false, 2L -> true))
+    // incremental: null fingerprint never matches history — passes through
+    assert(Dedup.incremental(spark, dir).count() >= 0) // no throw is the contract
+  }
+
+  test("emb_quantize drops zero vectors and tolerates empty input") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qempty").toString
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.quantize(spark, dir).count() == 0)
+  }
+
   test("null text rows drop from simhash like the declarative form did") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("nulltext").toString
