@@ -267,6 +267,66 @@ object TextAnalysis {
       |  FROM tf JOIN df USING (term), n)
       |WHERE rank <= 3""".stripMargin
 
+  /** Feature-hashing vectorizer (hashing trick / CountSketch form) —
+    * the featurization step that turns raw text into fixed-width
+    * vectors without a vocabulary: each token hashes to one of 64
+    * slots and contributes ±1 (the sign from an independent hash bit
+    * unbiases collisions), giving an integer sketch whose dot products
+    * approximate token-overlap. Everything is exact integer arithmetic
+    * on a cross-engine-identical hash (an md5 hex prefix parsed as an
+    * int — Spark's `xxhash64` and DuckDB's `hash` are incompatible, the
+    * usual blocker for oracle-checking hash featurizers), so the oracle
+    * matches bit-for-bit; the L2 norm is one sqrt of an exact integer.
+    * Shape: explode → two map-side-combined aggregations keyed by
+    * (doc, slot) then doc — the dense 64-vector materializes from the
+    * per-doc map, never via a vocabulary broadcast or a driver loop.
+    * The vector rides out as a canonical CSV string (the arrow list
+    * field-name mismatch would fail strict schema compares).
+    */
+  private val HashDim = 64
+
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long").as("hv"))
+      .select(col("doc_id"), (col("hv") % HashDim).as("slot"),
+        when(expr(s"hv div $HashDim") % 2 === 0, 1L).otherwise(-1L).as("sign"))
+      .groupBy(col("doc_id"), col("slot")).agg(sum(col("sign")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(expr("map_from_entries(collect_list(struct(slot, c)))").as("m"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${HashDim - 1}), i -> coalesce(element_at(m, CAST(i AS BIGINT)), 0L))")
+          .as("vec"))
+      .select(col("doc_id"),
+        expr("array_join(transform(vec, x -> CAST(x AS STRING)), ',')").as("vec_csv"),
+        round(sqrt(expr("aggregate(vec, 0L, (a, x) -> a + x * x)").cast("double")), 6)
+          .as("l2norm"),
+        expr("CAST(size(filter(vec, x -> x != 0)) AS BIGINT)").as("nnz"))
+
+  val hashEmbedSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+       |), sl AS (
+       |  SELECT doc_id, hv % $HashDim AS slot,
+       |         CASE WHEN (hv // $HashDim) % 2 = 0 THEN 1 ELSE -1 END AS sign
+       |  FROM (SELECT doc_id,
+       |               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS hv
+       |        FROM toks)
+       |), agg AS (
+       |  SELECT doc_id, slot, CAST(sum(sign) AS BIGINT) AS c FROM sl GROUP BY 1, 2
+       |), dense AS (
+       |  SELECT d.doc_id, r.i AS slot, coalesce(a.c, 0) AS c
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range(0, $HashDim)) AS i) r
+       |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.slot = r.i
+       |)
+       |SELECT doc_id,
+       |       array_to_string(list(CAST(c AS VARCHAR) ORDER BY slot), ',') AS vec_csv,
+       |       round(sqrt(CAST(sum(c * c) AS DOUBLE)), 6) AS l2norm,
+       |       CAST(count(*) FILTER (WHERE c != 0) AS BIGINT) AS nnz
+       |FROM dense GROUP BY doc_id""".stripMargin
+
   /** Two-pass corpus statistic: per-document ratio of bigrams that are
     * corpus-frequent (count ≥ 25) — an n-gram language-model-style
     * fluency signal with exact integer semantics (no float-accumulation
@@ -326,6 +386,7 @@ object TextAnalysis {
     Op("text_redact", redact _, Some(redactSql)),
     Op("text_chunk", chunk _, Some(chunkSql)),
     Op("text_tfidf_top", tfidfTop _, Some(tfidfTopSql)),
+    Op("text_hash_embed", hashEmbed _, Some(hashEmbedSql)),
     Op("text_bigram_commonality", bigramCommonality _, Some(bigramCommonalitySql)),
   )
 }

@@ -126,6 +126,24 @@ class TextEventsSpec extends SparkSpec {
     assert(kept == Set(5L, 9L))
   }
 
+  test("hash-embed: repeated token accumulates in one signed slot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hemb").toString
+    Seq((1L, "x x x"), (2L, "x x x"), (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.hashEmbed(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getLong(3))).toMap
+    // one distinct token, three occurrences: a single slot at ±3
+    assert(rows(1L)._2 == 3.0 && rows(1L)._3 == 1)
+    assert(rows(1L)._1.split(",").map(_.toInt).count(_ != 0) == 1)
+    assert(rows(1L)._1.split(",").map(_.toInt).find(_ != 0).exists(v => v == 3 || v == -3))
+    // featurization is deterministic: identical text -> identical vector
+    assert(rows(1L)._1 == rows(2L)._1)
+    // 64 slots always materialize, dense and fixed-width
+    assert(rows(3L)._1.split(",").length == 64)
+  }
+
   test("outliers: only the extreme value exceeds 3 sigma") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("outl").toString
