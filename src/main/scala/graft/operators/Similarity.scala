@@ -426,8 +426,73 @@ object Similarity {
       |    FROM embeddings)
       |  WHERE scale > 0)""".stripMargin
 
+  /** Top-k search over the int8-QUANTIZED corpus — the serving-side
+    * payoff of `quantize`: the scan reads 4×-smaller vectors and the
+    * scoring inner loop is integer multiply-adds (a long dot product of
+    * values ≤127 over 64 dims cannot overflow), with one double divide
+    * per candidate at the end. Per-vector scales cancel out of cosine,
+    * so the score is cos(q(a), q(b)) directly. Unlike the IVF/LSH
+    * paths this is FULLY oracled, not rows-only: quantization is
+    * deterministic, the dot products are exact integers (thus exact
+    * doubles), and the top-k tie-break (score desc, id asc) matches the
+    * oracle's window ordering — so even though the ANSWER is
+    * approximate relative to float cosine, the COMPUTATION is
+    * bit-reproducible. The suite additionally gates recall against the
+    * exact brute-force baseline (≥ 0.9 at sf0.001).
+    */
+  def topkQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val qz = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        (expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))") / 127.0)
+          .as("scale"))
+      .where(col("scale") > 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS INT))")
+          .as("qv"))
+    val q = qz.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"))
+    val topk = udaf(new TopKAgg(K))
+    qz.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("CAST(aggregate(zip_with(q_qv, qv, (x, y) -> CAST(x AS BIGINT) * y), 0L, (a, x) -> a + x) AS DOUBLE)")
+          / sqrt(expr("CAST(aggregate(qv, 0L, (a, x) -> a + CAST(x AS BIGINT) * x) AS DOUBLE)")
+            * expr("CAST(aggregate(q_qv, 0L, (a, x) -> a + CAST(x AS BIGINT) * x) AS DOUBLE)")))
+          .as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("cos"))
+  }
+
+  val topkQuantizedSql: String =
+    s"""WITH qz AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS qv
+       |  FROM (SELECT vec_id, embedding,
+       |               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |        FROM embeddings)
+       |  WHERE scale > 0
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |         (CAST(list_sum(list_transform(list_zip(q.qv, x.qv),
+       |                 p -> CAST(p[1] AS BIGINT) * p[2])) AS DOUBLE)
+       |          / sqrt(CAST(list_sum(list_transform(x.qv, v -> CAST(v AS BIGINT) * v)) AS DOUBLE)
+       |               * CAST(list_sum(list_transform(q.qv, v -> CAST(v AS BIGINT) * v)) AS DOUBLE))) AS cos
+       |  FROM qz q, qz x
+       |  WHERE q.vec_id < $NumQueries AND x.vec_id != q.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $K""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceSql)),
+    Op("sim_topk_quantized", topkQuantized _, Some(topkQuantizedSql)),
     Op("emb_quantize", quantize _, Some(quantizeSql)),
     Op("sim_topk_ivf", topkIvf _, None),
     Op("sim_topk_ivf_check", topkIvfCheck _, Some(topkCheckSql)),

@@ -72,6 +72,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(approx.groupBy(_._1).values.forall(_.size <= 10))
   }
 
+  test("quantized top-k search: high recall vs exact, scores near-exact") {
+    val exactRows = Similarity.topkBruteForce(spark, sfDir).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exactCos = exactRows.map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val qRows = Similarity.topkQuantized(spark, sfDir).collect()
+    val quant = qRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // int8 only perturbs near-ties: recall must stay high, not just usable
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 quantization lost too much recall: $recall")
+    // and the quantized cosine tracks the true cosine closely
+    for (r <- qRows; key = (r.getLong(0), r.getLong(2)); c <- exactCos.get(key))
+      assert(math.abs(r.getDouble(3) - c) < 0.02, s"$key quantized cos drifted")
+    assert(quant.groupBy(_._1).values.forall(_.size <= 10))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Similarity.embeddingNearDup(spark, sfDir).collect()
     rows.foreach { r =>
