@@ -390,7 +390,9 @@ object Similarity {
     * dropped explicitly — quantizing them is undefined and engines
     * disagree on inf casts.
     */
-  def quantize(spark: SparkSession, dir: String): DataFrame =
+  /** (vec_id, embedding, scale, q): the shared quantization projection
+    * under both the export query and the quantized search. */
+  private def quantizedVectors(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         (expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))") / 127.0)
@@ -399,6 +401,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("scale"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS INT))")
           .as("q"))
+
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    quantizedVectors(spark, dir)
       .select(col("vec_id"),
         size(col("embedding")).cast("long").as("n_dims"),
         round(col("scale"), 9).as("scale_r"),
@@ -441,14 +446,7 @@ object Similarity {
     * exact brute-force baseline (≥ 0.9 at sf0.001).
     */
   def topkQuantized(spark: SparkSession, dir: String): DataFrame = {
-    val qz = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        (expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))") / 127.0)
-          .as("scale"))
-      .where(col("scale") > 0)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS INT))")
-          .as("qv"))
+    val qz = quantizedVectors(spark, dir).select(col("vec_id"), col("q").as("qv"))
     val q = qz.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"))
     val topk = udaf(new TopKAgg(K))
