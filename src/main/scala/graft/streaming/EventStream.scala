@@ -92,6 +92,46 @@ object EventStream {
 
   private val GapMs = 30L * 60 * 1000
 
+  final case class Outlier(event_id: Long, event_type: String,
+      value: Double, z: Double)
+  final case class MomentState(n: Long, sum: Double, sumSq: Double)
+
+  /** Streaming per-type outlier flagging — the streaming twin of the
+    * batch `Events.outliers`: running moments (count, sum, sum of
+    * squares) per event type via `flatMapGroupsWithState`, flagging an
+    * event when it sits beyond three standard deviations of the
+    * distribution seen SO FAR (the online formulation — a stream has no
+    * second pass, so early events score against less history; the warm-up
+    * is gated by a minimum observation count). State is three numbers per
+    * event type — O(|types|) total, no watermark needed because it never
+    * grows with the stream.
+    */
+  private val MinObs = 10
+
+  def outliers(events: Dataset[Event]): Dataset[Outlier] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MomentState, Outlier](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Event], state: GroupState[MomentState]) =>
+          var s = state.getOption.getOrElse(MomentState(0L, 0.0, 0.0))
+          val out = List.newBuilder[Outlier]
+          // deterministic fold order within a batch
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (s.n >= MinObs) {
+              val mean = s.sum / s.n
+              val std = math.sqrt(math.max(s.sumSq / s.n - mean * mean, 0.0))
+              if (std > 0 && math.abs(e.value - mean) > 3 * std)
+                out += Outlier(e.event_id, tpe, e.value, (e.value - mean) / std)
+            }
+            s = MomentState(s.n + 1, s.sum + e.value, s.sumSq + e.value * e.value)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization with custom state:
     * `flatMapGroupsWithState` keyed by user, event-time timeout. A
     * session closes when 30 minutes pass with no event (detected either

@@ -139,6 +139,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming outliers flag extremes against running per-type moments") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.outliers(mem.toDS())
+      .writeStream.format("memory").queryName("outliers_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // warm-up batch: 12 ordinary clicks build the moments (>= MinObs)
+      mem.addData((1 to 12).map(i => Event(i.toLong, ts(i), 1, "click", 10.0 + (i % 3))): _*)
+      q.processAllAvailable()
+      assert(spark.table("outliers_out").count() == 0) // nothing extreme yet
+      // second batch: one extreme value among ordinary ones
+      mem.addData(
+        Event(20, ts(20), 1, "click", 11.0),
+        Event(21, ts(21), 1, "click", 500.0),
+        Event(22, ts(22), 2, "view", 9.0)) // different type: still warming up
+      q.processAllAvailable()
+      val flagged = spark.table("outliers_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(flagged == Set((21L, "click")))
+    } finally q.stop()
+  }
+
   test("text scrub + chunk pipeline runs incrementally on a stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
