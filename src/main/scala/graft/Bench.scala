@@ -15,6 +15,9 @@ object Bench {
       "SPARK_GRAFT_SHUFFLE_PARTITIONS", math.min(cpus.toInt, 8).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // same session wiring a production deployment gets: cosine_sim SQL
+      // registration plus the RangeJoinBanding optimizer rule
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -36,19 +39,35 @@ object Bench {
     // scalar_funcs) as bare scans — the noop write executes every
     // expression and ships every row to the sink boundary, measuring
     // what a consumer of the result would actually pay (BENCH_NOTES.md).
+    // A failed query must never deflate the total: its error is recorded
+    // per-query in the JSON and the process exits nonzero, so a broken
+    // build cannot masquerade as a fast one.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("\\s+", " ").take(200))
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => q(k) + ":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => q(k) + ":" + q(e) }
+    val errJson = if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

@@ -9,6 +9,8 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the library's Catalyst surface (cosine_sim SQL + RangeJoinBanding)
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // µs parquet timestamps (not INT96): pyarrow then reads the dumps

@@ -102,17 +102,18 @@ object Events {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
       |FROM events WHERE event_id < 1000""".stripMargin
 
-  /** Banded interval join — view→click attribution within a 4-hour
-    * window, the batch twin of `EventStream.viewClickJoin`. A naive
-    * inequality join is O(n²) per user; Spark would plan it as a
-    * broadcast-nested-loop. Instead both sides are keyed by
-    * (user_id, time-band): the band width equals the window, the build
-    * side replicates into exactly TWO bands (its own and the next), so
-    * every true pair collides in exactly one band and the whole thing is
-    * a plain equi-join — hash-partitioned, AQE-eligible, no BNLJ, with
-    * per-task work bounded by per-(user, 4h) density rather than per-user
-    * history. The exact interval predicate then prunes band false
-    * positives at full timestamp precision.
+  /** Interval join — view→click attribution within a 4-hour window, the
+    * batch twin of `EventStream.viewClickJoin`. Written as the DECLARATIVE
+    * range join (`user equality AND c_ts ∈ [v_ts, v_ts + 4h)`); the
+    * `RangeJoinBanding` optimizer rule (injected by `GraftExtensions`)
+    * rewrites it into the banded equi-join — build side replicated into
+    * exactly two bands, band joined in as an extra hash key, the exact
+    * predicate pruning band false positives — so the physical plan is
+    * hash-partitioned and AQE-eligible with per-task work bounded by
+    * per-(user, 4h) density. Without the rule the query is still correct
+    * (equi-join on user with the range as a post-join filter), just not
+    * banded; `RangeJoinRuleSpec` pins the `__graft_band` key in this
+    * operator's physical plan.
     */
   private val WindowSec = 14400 // 4 hours; also the band width
 
@@ -120,15 +121,13 @@ object Events {
     val ev = Tables(spark, dir, "events")
     val views = ev.where(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
-      .withColumn("band", explode(array(
-        expr(s"unix_timestamp(v_ts) div $WindowSec"),
-        expr(s"unix_timestamp(v_ts) div $WindowSec + 1"))))
     val clicks = ev.where(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"),
-        expr(s"unix_timestamp(c_ts) div $WindowSec").as("band"))
-    views.join(clicks, Seq("user_id", "band"))
-      .where(col("c_ts") >= col("v_ts") &&
-        col("c_ts") < col("v_ts") + expr(s"INTERVAL $WindowSec SECONDS"))
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+    views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") < col("v_ts") + expr(s"INTERVAL $WindowSec SECONDS"))
       .select(col("view_id"), col("click_id"), col("user_id"),
         (unix_timestamp(col("c_ts")) - unix_timestamp(col("v_ts"))).as("gap_sec"))
   }

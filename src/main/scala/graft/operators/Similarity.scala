@@ -362,15 +362,47 @@ object Similarity {
           === col("cos"), 1)).as("n_correct_cos"))
   }
 
+  /** LSH twin of the value check: band collision carries NO structural
+    * lower bound on a query's candidate pool — a query may collide with
+    * fewer than K vectors, or none, on a sparse fixture — so pinning
+    * exactly K rows would assert fixture density, not an operator
+    * contract. The claims that ARE structural at any scale: every query
+    * emits a check row (zero-candidate queries included via the left
+    * join), at most K results each, and every emitted cosine exact
+    * against the raw embeddings.
+    */
+  private def topkStructCheck(result: DataFrame, e: DataFrame): DataFrame = {
+    val qEmb = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    qEmb.select(col("query_id"))
+      .join(topkValueCheck(result, e), Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_results"), lit(0L)) <= K).as("n_le_k"),
+        (coalesce(col("n_correct_cos"), lit(0L))
+          === coalesce(col("n_results"), lit(0L))).as("all_cos_exact"))
+  }
+
   def topkIvfCheck(spark: SparkSession, dir: String): DataFrame =
     topkValueCheck(topkIvf(spark, dir), emb(spark, dir))
 
   def topkLshCheck(spark: SparkSession, dir: String): DataFrame =
-    topkValueCheck(topkLsh(spark, dir), emb(spark, dir))
+    topkStructCheck(topkLsh(spark, dir), emb(spark, dir))
 
+  /** Strict exactly-K oracle — IVF only. IVF's candidate pool is the
+    * union of the query's NProbe probed cells, which partition the whole
+    * corpus: expected pool ≈ corpus · NProbe / NList (≥ thousands of
+    * vectors at sf ≥ 0.001 for NProbe=4, NList=16), so K full results
+    * per query is a property of the algorithm's geometry at any fixture
+    * this library ships, not a lucky density. LSH has no such bound and
+    * uses the relaxed `topkLshCheckSql` instead.
+    */
   val topkCheckSql: String =
     s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_results,
        |       CAST($K AS BIGINT) AS n_correct_cos
+       |FROM embeddings WHERE vec_id < $NumQueries""".stripMargin
+
+  val topkLshCheckSql: String =
+    s"""SELECT vec_id AS query_id, TRUE AS n_le_k, TRUE AS all_cos_exact
        |FROM embeddings WHERE vec_id < $NumQueries""".stripMargin
 
   /** Symmetric int8 quantization — the storage/serving compression step
@@ -445,14 +477,40 @@ object Similarity {
     * bit-reproducible. The suite additionally gates recall against the
     * exact brute-force baseline (≥ 0.9 at sf0.001).
     */
+  /** The SERVED int8 corpus: the quantization projection is written ONCE
+    * through `SnapshotStore.writeTableSnapshot` as `array<tinyint>` — the
+    * genuinely-4×-smaller layout `quantize` promises — and every
+    * subsequent search reads the stored parquet instead of re-deriving
+    * int8 from the float corpus inline. The store is content-addressed:
+    * the snapshot ts is the corpus file's (length, mtime) identity, so a
+    * regenerated fixture invalidates it and a repeat query is a pure
+    * 4×-smaller scan. In a deployment this is the offline index-build
+    * step (run at ingest, snapshot versioned like any other table);
+    * keying it off the corpus identity here makes the same economics
+    * observable in a single-process run.
+    */
+  private[graft] def servedInt8(spark: SparkSession, dir: String): DataFrame = {
+    val (store, ts) = graft.sources.SnapshotStore
+      .contentAddressed(spark, s"$dir/embeddings.parquet", "graft_int8")
+    if (!store.hasTableSnapshot("emb_int8", ts))
+      store.writeTableSnapshot(
+        quantizedVectors(spark, dir)
+          .select(col("vec_id"), expr("transform(q, x -> CAST(x AS TINYINT))").as("q8")),
+        "emb_int8", ts)
+    store.readTableSnapshot(spark, "emb_int8", ts)
+      .select(col("vec_id"), col("q8"))
+  }
+
   def topkQuantized(spark: SparkSession, dir: String): DataFrame = {
     // int8 values are exact in float32 and every product/sum stays far
     // below 2^53, so scoring through the native float-array cosine
     // expression is bit-identical to the oracle's integer formulation —
     // and runs in CosineSim's primitive codegen loop instead of boxed
     // higher-order functions (measured 1.5 s -> brute-force-class).
-    val qz = quantizedVectors(spark, dir)
-      .select(col("vec_id"), expr("transform(q, x -> CAST(x AS FLOAT))").as("qv"))
+    // The corpus comes from the persisted int8 snapshot, not an inline
+    // re-quantization: the scan this query pays is the compressed one.
+    val qz = servedInt8(spark, dir)
+      .select(col("vec_id"), expr("transform(q8, x -> CAST(x AS FLOAT))").as("qv"))
     val q = qz.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"))
     val topk = udaf(new TopKAgg(K))
@@ -498,7 +556,7 @@ object Similarity {
     Op("sim_topk_ivf", topkIvf _, None),
     Op("sim_topk_ivf_check", topkIvfCheck _, Some(topkCheckSql)),
     Op("sim_topk_lsh", topkLsh _, None),
-    Op("sim_topk_lsh_check", topkLshCheck _, Some(topkCheckSql)),
+    Op("sim_topk_lsh_check", topkLshCheck _, Some(topkLshCheckSql)),
     Op("dedup_embedding_cosine", embeddingNearDup _, Some(embeddingNearDupSql)),
   )
 }

@@ -36,12 +36,28 @@ object TableMigrator {
     * the count from the same job, not from a second full scan-and-cast
     * of the source. Only a sink that never runs an action (a recording
     * test sink) falls back to counting.
+    *
+    * SINK CONTRACT: a sink must either FULLY materialize the frame (any
+    * complete action — a parquet/JDBC write, collect) or run no action
+    * at all. A sink that runs a *partial* action (`limit(n).collect()`,
+    * an aborted write) posts a partial count as the migrated-row figure,
+    * which nothing downstream can detect — the observed metric reports
+    * whatever the sink's action actually scanned.
+    *
+    * `metricGraceSec` bounds how long to wait for the listener bus to
+    * surface the metric after the sink returns: metrics post
+    * asynchronously, so on a loaded machine a sink that DID execute can
+    * lag the return by seconds; falling back too eagerly silently pays a
+    * second full scan-and-cast. Already-posted metrics short-circuit via
+    * `isCompleted` regardless. Pass 0 for sinks known to run no action
+    * (recording test sinks) to skip the wait entirely.
     */
   def migrate(
       spark: SparkSession,
       catalog: Seq[TableDef],
       source: String => DataFrame,
-      sink: (String, DataFrame) => Unit): Seq[MigrationResult] =
+      sink: (String, DataFrame) => Unit,
+      metricGraceSec: Int = 10): Seq[MigrationResult] =
     catalog.map { t =>
       val ddl = SqliteDdl.createTable(t.name, t.columns) +:
         t.indexes.map(SqliteDdl.createIndex(t.name, _))
@@ -51,15 +67,17 @@ object TableMigrator {
       val obs = org.apache.spark.sql.Observation(s"migrate_${t.name}")
       import org.apache.spark.sql.functions.{count, lit}
       sink(t.name, df.observe(obs, count(lit(1)).as("rows")))
-      // Metrics post asynchronously on the listener bus, so give a sink
-      // that DID execute the frame a bounded window to surface them;
-      // only an unexecuted frame (no action ⇒ the future never
-      // completes) falls through to the counting job.
-      val rows = try {
-        import scala.concurrent.Await
-        import scala.concurrent.duration._
-        Await.result(obs.future, 2.seconds).getAs[Long]("rows")
-      } catch { case _: java.util.concurrent.TimeoutException => df.count() }
+      // Fast path: metric already on the bus when the sink returns.
+      // Otherwise wait out the grace window; only an unexecuted frame
+      // (no action ⇒ the future never completes) or an exhausted grace
+      // falls through to the counting job.
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      val rows =
+        if (obs.future.isCompleted || metricGraceSec > 0)
+          try Await.result(obs.future, metricGraceSec.max(0).seconds).getAs[Long]("rows")
+          catch { case _: java.util.concurrent.TimeoutException => df.count() }
+        else df.count()
       MigrationResult(t.name, ddl, rows)
     }
 

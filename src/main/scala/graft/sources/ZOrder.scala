@@ -52,19 +52,25 @@ object ZOrder {
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
       partitions: Int = 8): Unit = {
     val maxCode = (1L << Bits) - 1
+    // Bounds columns carry the internal __graft_ prefix so a user frame
+    // that itself has a "min1"/"max1" column can't collide (ambiguous
+    // reference in norm()) or be silently dropped below.
     val bounds = df.agg(
-      min(col(c1)).cast("double").as("min1"), max(col(c1)).cast("double").as("max1"),
-      min(col(c2)).cast("double").as("min2"), max(col(c2)).cast("double").as("max2"))
+      min(col(c1)).cast("double").as("__graft_min1"),
+      max(col(c1)).cast("double").as("__graft_max1"),
+      min(col(c2)).cast("double").as("__graft_min2"),
+      max(col(c2)).cast("double").as("__graft_max2"))
     def norm(c: String, lo: Column, hi: Column): Column =
       when(hi > lo,
         ((col(c).cast("double") - lo) / (hi - lo) * maxCode).cast("long"))
         .otherwise(lit(0L))
     val z = df.crossJoin(broadcast(bounds))
       .withColumn("__graft_z",
-        zvalue(norm(c1, col("min1"), col("max1")), norm(c2, col("min2"), col("max2"))))
+        zvalue(norm(c1, col("__graft_min1"), col("__graft_max1")),
+          norm(c2, col("__graft_min2"), col("__graft_max2"))))
     z.repartitionByRange(partitions, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
-      .drop("__graft_z", "min1", "max1", "min2", "max2")
+      .drop("__graft_z", "__graft_min1", "__graft_max1", "__graft_min2", "__graft_max2")
       .write.mode("overwrite").parquet(path)
   }
 }

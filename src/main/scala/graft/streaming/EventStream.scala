@@ -117,8 +117,16 @@ object EventStream {
         (tpe: String, it: Iterator[Event], state: GroupState[MomentState]) =>
           var s = state.getOption.getOrElse(MomentState(0L, 0.0, 0.0))
           val out = List.newBuilder[Outlier]
-          // deterministic fold order within a batch
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // Constant-memory fold in the iterator's arrival order — the
+          // group is NOT buffered (a hot event type in one micro-batch
+          // would otherwise materialize fully on the heap). An online
+          // detector's emissions are inherently order-dependent — each
+          // event scores against the history seen so far — so a
+          // within-batch sort would buy batch-local determinism only, at
+          // O(batch) memory; cross-batch arrival order is already the
+          // stream's own. Moments themselves are order-free (count/sum/
+          // sumSq commute), so state converges identically either way.
+          it.foreach { e =>
             if (s.n >= MinObs) {
               val mean = s.sum / s.n
               val std = math.sqrt(math.max(s.sumSq / s.n - mean * mean, 0.0))
@@ -152,6 +160,14 @@ object EventStream {
             Iterator.single(Session(userId, new Timestamp(s.start),
               new Timestamp(s.last), s.n, s.total))
           } else {
+            // Session semantics NEED time order, so this one buffers and
+            // sorts — bounded by ONE user's events within ONE micro-batch
+            // (not the user's history, which lives folded in SessionState).
+            // That bound is the operator's memory contract: a single user
+            // hot enough to overflow a heap within one micro-batch should
+            // be rate-limited upstream or trigger-bounded
+            // (maxFilesPerTrigger / maxOffsetsPerTrigger), the standard
+            // Structured Streaming knobs for exactly this.
             val events = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var closed = List.empty[Session]
             var cur = state.getOption

@@ -99,9 +99,23 @@ object RangeJoinBanding extends Rule[LogicalPlan] with PredicateHelper {
     lower.toSeq ++ upper.toSeq
   }
 
+  /** Epoch seconds of a timestamp expression. TIMESTAMP casts straight
+    * to LONG; TIMESTAMP_NTZ cannot (`Cast.canCast` forbids NTZ→numeric),
+    * so it hops through an instant cast pinned to UTC — a supported,
+    * difference-preserving mapping (UTC has no DST, so naive-time
+    * differences equal instant differences and the two-band identity
+    * carries over exactly). The explicit zone id keeps the Cast resolved
+    * post-analysis and independent of the session time zone.
+    */
+  private def epochSec(ts: Expression): Expression = ts.dataType match {
+    case TimestampNTZType =>
+      Cast(Cast(ts, TimestampType, Some("UTC")), LongType)
+    case _ => Cast(ts, LongType)
+  }
+
   private def bandOf(ts: Expression, bandSec: Long): Expression =
     IntegralDivide(
-      Add(Cast(ts, LongType), Literal(EpochShiftSec)),
+      Add(epochSec(ts), Literal(EpochShiftSec)),
       Literal(bandSec))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

@@ -140,14 +140,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall@10 $recall < 0.7 at sf0.01")
   }
 
-  test("more Lloyd rounds never break assignment; recall stays usable") {
-    val exact = Similarity.topkBruteForce(spark, sfDir).collect()
+  test("Lloyd sweep at sf0.01: recall@10 non-decreasing in rounds, >= 0.8 at 2+") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = Similarity.topkBruteForce(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val approx = Similarity.topkIvfTrained(spark, sfDir, 2).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.3, s"2-round IVF recall $recall collapsed")
-    assert(approx.groupBy(_._1).values.forall(_.size <= 10))
+    val recalls = (1 to 3).map { rounds =>
+      val approx = Similarity.topkIvfTrained(spark, dir, rounds).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(approx.groupBy(_._1).values.forall(_.size <= 10))
+      rounds -> (exact & approx).size.toDouble / exact.size
+    }
+    info(s"recall@10 by lloydRounds: $recalls")
+    // Lloyd minimizes quantization error, not recall@10: recall is a step
+    // function of cell boundaries, so a round can jitter it slightly
+    // (measured 0.87 → 0.87 → 0.86 on this fixture). Gate: never falls
+    // more than 0.02 per round, and 2+ rounds hold the 0.8 floor.
+    recalls.sliding(2).foreach { case Seq((ra, a), (rb, b)) =>
+      assert(b >= a - 0.02, s"recall fell from $a (rounds=$ra) to $b (rounds=$rb)")
+    }
+    recalls.filter(_._1 >= 2).foreach { case (r, rec) =>
+      assert(rec >= 0.8, s"recall@10 $rec < 0.8 at lloydRounds=$r")
+    }
   }
 
   test("int8 quantization: max element hits ±127, error within scale/2") {
@@ -170,13 +183,47 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("value-check queries: every returned cosine is the true cosine") {
-    for (check <- Seq(Similarity.topkIvfCheck _, Similarity.topkLshCheck _)) {
-      val rows = check(spark, sfDir).collect()
-      assert(rows.length == 10) // one row per query
-      rows.foreach { r =>
-        assert(r.getLong(1) == 10L, s"query ${r.getLong(0)} returned ${r.getLong(1)} rows")
-        assert(r.getLong(2) == 10L, s"query ${r.getLong(0)} has wrong cosines")
-      }
+    // IVF: strict exactly-K form (candidate pool ≈ corpus·NProbe/NList
+    // bounds it structurally; see topkCheckSql).
+    val ivf = Similarity.topkIvfCheck(spark, sfDir).collect()
+    assert(ivf.length == 10) // one row per query
+    ivf.foreach { r =>
+      assert(r.getLong(1) == 10L, s"query ${r.getLong(0)} returned ${r.getLong(1)} rows")
+      assert(r.getLong(2) == 10L, s"query ${r.getLong(0)} has wrong cosines")
     }
+    // LSH: relaxed structural form — ≤ K results, all cosines exact,
+    // every query present even with zero band collisions.
+    val lsh = Similarity.topkLshCheck(spark, sfDir).collect()
+    assert(lsh.length == 10)
+    lsh.foreach { r =>
+      assert(r.getBoolean(1), s"query ${r.getLong(0)} exceeded K results")
+      assert(r.getBoolean(2), s"query ${r.getLong(0)} has wrong cosines")
+    }
+  }
+
+  test("quantized search serves from the persisted int8 snapshot, not the float corpus") {
+    // Two invocations: the first may build the store; the second must
+    // read it. The corpus-side file scan in the physical plan has to
+    // point at the int8 store, and its read schema must be the tinyint
+    // array — proof the query pays the 4×-smaller scan it advertises.
+    Similarity.topkQuantized(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val df = Similarity.topkQuantized(spark, sfDir)
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }.collect {
+      case r: org.apache.spark.sql.execution.datasources.HadoopFsRelation => r
+    }
+    val store = rels.filter(
+      _.location.rootPaths.exists(_.toString.contains("graft_int8")))
+    assert(store.nonEmpty, "corpus scan must read the int8 snapshot store")
+    // BOTH sides (corpus and broadcast query set) come off the store:
+    // no scan of the float fixture remains anywhere in the plan.
+    assert(rels.forall(
+      !_.location.rootPaths.exists(_.toString.contains("testdata"))),
+      s"float corpus still scanned: ${rels.map(_.location.rootPaths)}")
+    assert(store.exists(_.dataSchema.catalogString.contains("array<tinyint>")),
+      s"store scan should read int8 vectors, got ${store.map(_.dataSchema.catalogString)}")
+    assert(df.count() == 100)
   }
 }

@@ -25,7 +25,8 @@ class MigratorSpec extends SparkSpec {
     var written = Map.empty[String, DataFrame]
     val results = TableMigrator.migrate(spark, catalog,
       source = _ => licence,
-      sink = (name, df) => written += name -> df)
+      sink = (name, df) => written += name -> df,
+      metricGraceSec = 0) // recording sink runs no action: skip the metric wait
 
     assert(results.head.ddl == Seq(
       "CREATE TABLE licence (licenceid INTEGER, licencetype TEXT, active INTEGER, fee TEXT);",

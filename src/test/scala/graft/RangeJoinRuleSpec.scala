@@ -108,6 +108,49 @@ class RangeJoinRuleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("TIMESTAMP_NTZ range join: banded via the UTC epoch hop, results identical") {
+    // NTZ cannot Cast to LongType (canCast forbids NTZ→numeric); the rule
+    // must derive epoch seconds through the UTC instant hop instead of
+    // emitting an invalid cast that fails at planning.
+    val (views0, clicks0) = fixtures()
+    val views = views0.selectExpr(
+      "view_id", "v_user", "CAST(v_ts AS TIMESTAMP_NTZ) AS v_ts")
+    val clicks = clicks0.selectExpr(
+      "click_id", "c_user", "CAST(c_ts AS TIMESTAMP_NTZ) AS c_ts")
+    assert(views.schema("v_ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    def query() = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") < col("v_ts") + expr("INTERVAL 14400 SECONDS"))
+      .select(col("view_id"), col("click_id"))
+
+    val expected = query().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 13L), (3L, 14L)))
+    withRule {
+      val banded = query()
+      val got = banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+      assert(banded.queryExecution.executedPlan.toString().contains("__graft_band"),
+        "NTZ range join should band, not fall back or fail")
+    }
+  }
+
+  test("Events.intervalJoin dogfoods the rule: __graft_band in the physical plan") {
+    // The operator is written as the plain declarative range join; the
+    // banding must come from the optimizer rule, not hand-written bands.
+    val noRule = graft.operators.Events.intervalJoin(spark, sfDir)
+    assert(!noRule.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+    val expected = noRule.collect().map(_.getLong(0)).sorted.toSeq
+    withRule {
+      val banded = graft.operators.Events.intervalJoin(spark, sfDir)
+      val got = banded.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expected)
+      assert(banded.queryExecution.executedPlan.toString().contains("__graft_band"),
+        "operator's physical plan must carry the rule-generated band key")
+    }
+  }
+
   test("rule leaves non-range joins and non-inner shapes untouched") {
     val (views, clicks) = fixtures()
     withRule {
