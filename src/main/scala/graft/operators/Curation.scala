@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Op, Tables}
+
+/** Corpus-curation operators — the steps between "deduplicated documents"
+  * and "training batches" in a large-scale data pipeline (north-star
+  * extensions; no counterpart in the reference's 381-line surface):
+  *
+  *  - `pack`:          greedy sequence packing into fixed token budgets,
+  *                     sharded so packing parallelizes;
+  *  - `contamination`: n-gram overlap against a benchmark set — the
+  *                     standard eval-decontamination join;
+  *  - `qualityGate`:   percentile-threshold filtering (keep the top
+  *                     quintile by a quality signal);
+  *  - `balancedSample`: per-class downsampling to the smallest class,
+  *                     deterministic via hash order.
+  *
+  * Each is exactly SQL-expressible, so all four are fully oracled.
+  */
+object Curation {
+
+  // ------------------------------------------------------------- packing
+  /** Tokens per training sequence. Small enough that the fixture's short
+    * documents produce multi-doc packs. */
+  private val PackBudget = 512
+  /** Writer-task shards. Packing needs a running sum, which is inherently
+    * sequential — so it is SHARDED: each shard packs independently under
+    * a per-shard window (the way distributed packing actually runs: one
+    * writer task per shard, each emitting its own bin sequence). The
+    * cumulative-sum window parallelizes across shards and no global
+    * single-partition window ever exists; at 100 TB shard count scales
+    * with writers and the plan shape is unchanged.
+    */
+  private val PackShards = 8
+
+  /** Pack documents into ≤-budget training bins, greedy in doc_id order
+    * within each shard: a document starts in the bin its running prefix
+    * ends in (`(cum − tokens) div budget`) — bins can overflow by one
+    * document (standard greedy packing; oversized documents get bins of
+    * their own). Output is pack-level: docs per pack, token fill, and
+    * the fill ratio the trainer cares about.
+    */
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % PackShards).as("shard"),
+        size(split(trim(col("text")), " ")).cast("long").as("tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - tokens) div $PackBudget"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .withColumn("fill_ratio",
+        round(col("pack_tokens").cast("double") / PackBudget, 6))
+  }
+
+  val packSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, shard, tokens,
+       |         CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t
+       |)
+       |SELECT shard, (cum - tokens) // $PackBudget AS pack_id,
+       |       count(*) AS n_docs,
+       |       CAST(sum(tokens) AS BIGINT) AS pack_tokens,
+       |       min(doc_id) AS first_doc,
+       |       round(CAST(sum(tokens) AS DOUBLE) / $PackBudget, 6) AS fill_ratio
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- contamination check
+  /** Shared-n-gram threshold: ≥ 2 distinct shared 8-grams flags a pair
+    * (one shared 8-gram happens by phrase coincidence; two is the
+    * standard dirty signal at this gram size). */
+  private val GramWords = 8
+  private val BenchDocs = 20 // doc_id < 20 stands in for the benchmark set
+  private val MinShared = 2
+
+  /** Benchmark contamination: for every corpus document, the benchmark
+    * documents it shares ≥ MinShared distinct 8-grams with. Both sides
+    * reduce to DISTINCT n-gram keys before the join (a document's
+    * repeated phrase counts once), the join key is the md5 of the gram —
+    * 16-byte keys shuffle, never text — and the benchmark side is tiny
+    * by construction, so Spark broadcasts it and the corpus side never
+    * shuffles at all: the scan streams through a broadcast hash join
+    * into a partial-aggregated pair count. At 100 TB this is the
+    * canonical decontamination shape (benchmark n-gram set ≪ corpus).
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame, idCol: String) = df
+      .select(col("doc_id").as(idCol), split(trim(col("text")), " ").as("w"))
+      .where(size(col("w")) >= GramWords)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(w) - ${GramWords - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(w, i, $GramWords))))")).as("g"))
+      .distinct()
+    val d = Tables(spark, dir, "documents")
+    val corpus = grams(d.where(col("doc_id") >= BenchDocs), "doc_id")
+    val bench = grams(d.where(col("doc_id") < BenchDocs), "bench_id")
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= MinShared)
+  }
+
+  val contaminationSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       |  WHERE len(string_split(trim(text), ' ')) >= $GramWords
+       |), g AS (
+       |  SELECT DISTINCT doc_id,
+       |         md5(array_to_string(list_slice(w, i, i + ${GramWords - 1}), ' ')) AS g
+       |  FROM s, unnest(range(1, len(w) - ${GramWords - 2})) AS t(i)
+       |)
+       |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+       |FROM g c JOIN g b ON c.g = b.g
+       |WHERE c.doc_id >= $BenchDocs AND b.doc_id < $BenchDocs
+       |GROUP BY 1, 2 HAVING count(*) >= $MinShared""".stripMargin
+
+  // ------------------------------------------------------- quality gate
+  private val GatePercentile = 0.8
+
+  /** Percentile quality gate: keep documents at or above the corpus's
+    * 80th percentile of a quality signal (here `n_chars` — any scalar
+    * score slots in). Shape: ONE tiny scalar aggregation (exact
+    * interpolated percentile), broadcast into the filter — never a
+    * global sort or rank window over the corpus. The gate scan is then
+    * embarrassingly parallel; at 100 TB the threshold aggregation is
+    * the only reduce, and swapping `percentile` for
+    * `approx_percentile` makes it single-pass at a documented error.
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val thr = d.agg(
+      expr(s"percentile(n_chars, $GatePercentile)").as("thr"))
+    d.join(broadcast(thr), col("n_chars") >= col("thr"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("thr"), 6).as("threshold"))
+  }
+
+  val qualityGateSql: String =
+    s"""SELECT doc_id, lang, n_chars,
+       |       round((SELECT quantile_cont(n_chars, $GatePercentile)
+       |              FROM documents), 6) AS threshold
+       |FROM documents
+       |WHERE n_chars >= (SELECT quantile_cont(n_chars, $GatePercentile)
+       |                  FROM documents)""".stripMargin
+
+  // -------------------------------------------------- balanced sampling
+  /** Per-class balanced downsample: every language keeps exactly
+    * min-class-count documents, selected deterministically by hash order
+    * (md5 of the id — a seeded shuffle both engines compute identically,
+    * uncorrelated with any data property). The rank window partitions by
+    * class, so parallelism is |classes| and the skew bound is the
+    * largest class; at 100 TB with few classes the same selection runs
+    * as a per-class hash-threshold scan instead (keep iff
+    * hash < m/|class| quantile of hashes) — one pass, no rank, same
+    * deterministic sample. The windowed form is kept here because it is
+    * exact at any m and oracle-identical.
+    */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val minCount = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("m"))
+    val h = md5(col("doc_id").cast("string"))
+    val rk = row_number().over(
+      Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc))
+    d.select(col("doc_id"), col("lang"), h.as("pick_key"))
+      .withColumn("rk", rk)
+      .join(broadcast(minCount), col("rk") <= col("m"))
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+  }
+
+  val balancedSampleSql: String =
+    """WITH m AS (
+      |  SELECT min(c) AS m FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
+      |), r AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+      |FROM r, m WHERE rk <= m""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("curate_pack", pack _, Some(packSql)),
+    Op("curate_contamination", contamination _, Some(contaminationSql)),
+    Op("curate_quality_gate", qualityGate _, Some(qualityGateSql)),
+    Op("curate_balanced_sample", balancedSample _, Some(balancedSampleSql)),
+  )
+}

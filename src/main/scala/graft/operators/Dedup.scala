@@ -64,16 +64,61 @@ object Dedup {
     */
   private val PrefixWords = 20
 
-  def incremental(spark: SparkSession, dir: String): DataFrame = {
-    val fp = md5(array_join(
-      slice(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "),
-        1, PrefixWords), " ")).as("fingerprint")
-    val d = Tables(spark, dir, "documents").select(col("doc_id"), fp)
-    val hist = d.where(col("doc_id") % 2 === 0).select(col("fingerprint")).distinct()
-    d.where(col("doc_id") % 2 === 1)
+  /** (doc_id, fingerprint): the canonical 20-word-prefix key. */
+  private def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(array_join(
+        slice(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "),
+          1, PrefixWords), " ")).as("fingerprint"))
+
+  /** Admit `batch` rows whose fingerprint is first-in-batch AND absent
+    * from `histFp` (a fingerprint-column frame — in production, the
+    * persisted store). One map-side-combined groupBy on the hash + one
+    * anti join; shuffles 16-byte keys, never text. */
+  private[graft] def incrementalAgainst(batch: DataFrame,
+      histFp: DataFrame): DataFrame =
+    fingerprints(batch)
       .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id"))
-      .join(hist, Seq("fingerprint"), "left_anti")
+      .join(histFp.select(col("fingerprint")).distinct(), Seq("fingerprint"), "left_anti")
       .select(col("doc_id"), col("fingerprint"))
+
+  /** One corpus-growth step against a persisted fingerprint store: admit
+    * `batch` against the `prevTs` snapshot, then write `nextTs` =
+    * history ∪ admitted. The admitted frame is localCheckpoint'd so the
+    * caller's action does not recompute the anti join the store write
+    * already ran. At warehouse scale the store is fingerprint-only
+    * (16-byte keys — orders of magnitude smaller than the corpus) and the
+    * union-distinct compaction can be replaced by an append-only
+    * bucketed layout; the read/admit/extend contract is identical.
+    */
+  def incrementalStep(spark: SparkSession, store: graft.sources.SnapshotStore,
+      batch: DataFrame, prevTs: String, nextTs: String): DataFrame = {
+    val hist = store.readTableSnapshot(spark, "dedup_fp", prevTs)
+      .select(col("fingerprint"))
+    val admitted = incrementalAgainst(batch, hist).localCheckpoint()
+    store.writeTableSnapshot(
+      hist.union(admitted.select(col("fingerprint"))).distinct(), "dedup_fp", nextTs)
+    admitted
+  }
+
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    // History/batch split by doc_id parity so both drop paths fire at
+    // any sf. The historical fingerprints ROUND-TRIP through the
+    // snapshot store — written once per corpus version (content-
+    // addressed), then the batch anti-joins the STORED frame, exactly
+    // the production corpus-growth pattern (fingerprint store persisted
+    // between ingest batches, never re-derived from the corpus).
+    val (store, ts) = graft.sources.SnapshotStore
+      .contentAddressed(spark, s"$dir/documents.parquet", "graft_fpstore")
+    if (!store.hasTableSnapshot("dedup_fp", ts))
+      store.writeTableSnapshot(
+        fingerprints(d.where(col("doc_id") % 2 === 0))
+          .select(col("fingerprint")).distinct(),
+        "dedup_fp", ts)
+    incrementalAgainst(
+      d.where(col("doc_id") % 2 === 1),
+      store.readTableSnapshot(spark, "dedup_fp", ts))
   }
 
   val incrementalSql: String =

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+
+  test("pack: token conservation, greedy fill, shard-local bin ids") {
+    val packs = Curation.pack(spark, sfDir).collect()
+    val corpusTokens = Tables(spark, sfDir, "documents")
+      .agg(sum(size(split(trim(col("text")), " ")))).collect()(0).getLong(0)
+    // every token lands in exactly one pack
+    assert(packs.map(_.getLong(3)).sum == corpusTokens)
+    assert(packs.forall(_.getLong(2) >= 1)) // n_docs
+    // Greedy start-bin assignment reconstructs exactly from the output:
+    // each next pack's id equals the shard's running token prefix div
+    // the budget. (Underfull mid-shard packs are the spill of an
+    // overfull predecessor — the doc that crossed the boundary carried
+    // its tokens into the earlier pack — so no naive "only the tail is
+    // underfull" claim holds, but the prefix arithmetic is exact.)
+    val byShard = packs.groupBy(_.getLong(0))
+    byShard.values.foreach { ps =>
+      val sorted = ps.sortBy(_.getLong(1)).toSeq
+      assert(sorted.head.getLong(1) == 0L, "first pack of a shard is bin 0")
+      var run = 0L
+      for (pair <- sorted.sliding(2) if pair.length == 2) {
+        run += pair(0).getLong(3)
+        assert(pair(1).getLong(1) == run / 512,
+          s"pack ${pair(1).getLong(1)} does not continue prefix $run")
+      }
+    }
+  }
+
+  test("contamination: a lifted benchmark phrase flags, fresh text does not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contam").toString
+    val benchText = "the quick brown fox jumps over the lazy dog tonight"
+    Seq(
+      (1L, benchText, "en", "bench", 0L),      // benchmark member
+      // corpus doc lifting 9 consecutive benchmark words => two 8-grams
+      (30L, "prefix words " + benchText.split(" ").take(9).mkString(" ") + " suffix", "en", "web", 0L),
+      // corpus doc sharing ONE 8-gram only (first 8 words then diverges)
+      (31L, benchText.split(" ").take(8).mkString(" ") + " completely different ending here", "en", "web", 0L),
+      (32L, "entirely unrelated content with no overlap whatsoever at all today", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Curation.contamination(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((30L, 1L)), s"lifted phrase not flagged: $got")
+    assert(got((30L, 1L)) == 2L) // 9 lifted words = exactly two 8-grams
+    assert(!got.keySet.exists(_._1 == 31L), "single-gram coincidence must stay below threshold")
+    assert(!got.keySet.exists(_._1 == 32L))
+  }
+
+  test("quality gate keeps exactly the top-quintile tail, threshold attached") {
+    val d = Tables(spark, sfDir, "documents")
+    val total = d.count()
+    val rows = Curation.qualityGate(spark, sfDir).collect()
+    val thr = rows.head.getDouble(3)
+    assert(rows.forall(_.getLong(2) >= thr), "a kept doc fell below the threshold")
+    assert(rows.forall(_.getDouble(3) == thr)) // one global threshold
+    // exact-percentile gate keeps ~20%: ties can push it slightly over
+    assert(rows.length >= total / 5 && rows.length <= total * 3 / 10,
+      s"${rows.length} of $total kept — not a 20% gate")
+    // nothing ABOVE the threshold was dropped
+    val above = d.where(col("n_chars") >= thr).count()
+    assert(rows.length.toLong == above)
+  }
+
+  test("balanced sample: every language keeps exactly the min class count") {
+    val d = Tables(spark, sfDir, "documents")
+    val classCounts = d.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = classCounts.values.min
+    val sample = Curation.balancedSample(spark, sfDir).collect()
+    val byLang = sample.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byLang.keySet == classCounts.keySet, "a class vanished from the sample")
+    assert(byLang.values.forall(_.toLong == m),
+      s"unbalanced sample: $byLang (min class $m)")
+    // deterministic: a second run picks the same documents
+    val again = Curation.balancedSample(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(again == sample.map(_.getLong(0)).toSet)
+  }
+}

@@ -201,6 +201,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: fingerprint store round-trips across two batches") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("fpstore").toString
+    val store = new graft.sources.SnapshotStore(root)
+    // Seed: an empty history snapshot (a brand-new corpus).
+    store.writeTableSnapshot(Seq.empty[String].toDF("fingerprint"), "dedup_fp", "t0")
+
+    val batch1 = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), // in-batch dup
+      (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val admitted1 = operators.Dedup.incrementalStep(spark, store, batch1, "t0", "t1")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted1 == Set(1L, 3L), "first batch: in-batch dup collapses, both uniques admitted")
+
+    val batch2 = Seq(
+      (10L, "alpha beta gamma"),  // dup of batch 1 — must hit the STORE, not recompute
+      (11L, "eta theta iota")).toDF("doc_id", "text")
+    val admitted2 = operators.Dedup.incrementalStep(spark, store, batch2, "t1", "t2")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted2 == Set(11L), "second batch: stored fingerprint blocks the replay")
+
+    // The store grew monotonically and the pointer tracks the head.
+    assert(store.latestSnapshotTs("dedup_fp") == "t2")
+    assert(store.readTableSnapshot(spark, "dedup_fp", "t2").count() == 3)
+    assert(store.readTableSnapshot(spark, "dedup_fp", "t1").count() == 2)
+  }
+
   test("quantized search serves from the persisted int8 snapshot, not the float corpus") {
     // Two invocations: the first may build the store; the second must
     // read it. The corpus-side file scan in the physical plan has to

@@ -144,6 +144,38 @@ class TextEventsSpec extends SparkSpec {
     assert(rows(3L)._1.split(",").length == 64)
   }
 
+  test("fast hash-embed: same sketch family stats as the md5 form, claims hold") {
+    // The xxhash64 variant swaps the hash family, not the featurization:
+    // both are uniform hashes into 64 signed slots, so corpus-level
+    // sketch statistics (mean occupied slots, mean vector norm) must
+    // agree closely even though individual slots differ.
+    def stats(df: org.apache.spark.sql.DataFrame): (Long, Double, Double) = {
+      import org.apache.spark.sql.functions._
+      val r = df.agg(count(lit(1)), avg(col("nnz")), avg(col("l2norm"))).collect()(0)
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    val (nM, nnzM, l2M) = stats(TextAnalysis.hashEmbed(spark, sfDir))
+    val (nF, nnzF, l2F) = stats(TextAnalysis.hashEmbedFast(spark, sfDir))
+    assert(nM == nF, "both variants must featurize every document")
+    // Tolerance note: the fixture draws from a small shared vocabulary,
+    // so each family's FIXED vocab→slot mapping is one lottery draw with
+    // a std of a few slots (measured md5=20.0 vs xxhash64=16.9 mean
+    // occupied) — 25% bounds family luck while still failing a skewed
+    // or degenerate slot projection, as does the absolute floor.
+    assert(nnzF > 8, s"fast variant's slots collapsed: mean nnz $nnzF")
+    assert(math.abs(nnzM - nnzF) / nnzM < 0.25,
+      s"mean nnz diverged: md5=$nnzM fast=$nnzF")
+    assert(math.abs(l2M - l2F) / l2M < 0.25,
+      s"mean l2norm diverged: md5=$l2M fast=$l2F")
+    // and the conservation claims the oracle checks are all true
+    val checks = TextAnalysis.hashEmbedFastCheck(spark, sfDir).collect()
+    assert(checks.length.toLong == nF)
+    checks.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+        s"doc ${r.getLong(0)} failed a conservation claim")
+    }
+  }
+
   test("outliers: only the extreme value exceeds 3 sigma") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("outl").toString
