@@ -195,10 +195,103 @@ object Curation {
       |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
       |FROM r, m WHERE rk <= m""".stripMargin
 
+  // ----------------------------------------------------- mixture sampling
+  /** Fraction of total corpus tokens the mixture keeps. */
+  private val MixtureKeep = 0.5
+
+  /** Token-budgeted mixture sampling: re-weight the corpus so each source
+    * contributes its TARGET share of kept tokens (here a stand-in config:
+    * even-indexed sources weight 1.0, odd 0.5), keeping documents in
+    * seeded-hash order until the source's token budget is crossed — the
+    * up/down-sampling step that sets a training corpus's source mixture.
+    * A document is kept iff its cumulative prefix STARTS inside the
+    * budget (greedy, same convention as `pack`), so the sample is stable
+    * under re-runs and across engines. Shape: one count-sized aggregation
+    * for budgets (broadcast back), one per-source cumulative-sum window —
+    * parallelism |sources|, skew bounded by the largest source, identical
+    * to how a mixture job shards in production (one writer per source).
+    */
+  def mixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("tokens"))
+    val weight = when(
+      substring(col("source"), 4, 10).cast("int") % 2 === 0, lit(1.0))
+      .otherwise(lit(0.5))
+    val perSource = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", weight)
+    val totals = perSource.agg(sum(col("w")).as("sum_w"))
+    val totalTokens = d.agg(sum(col("tokens")).as("total"))
+    val budget = perSource
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(totalTokens))
+      .select(col("source"),
+        (col("w") / col("sum_w") * col("total") * MixtureKeep).as("budget"))
+    val byHash = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("tokens")).over(byHash))
+      .join(budget, Seq("source"))
+      .where(col("cum") - col("tokens") < col("budget"))
+      .select(col("source"), col("doc_id"), col("tokens"), col("cum"),
+        round(col("budget"), 6).as("budget"))
+  }
+
+  val mixtureSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens,
+       |         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+       |              THEN 1.0 ELSE 0.5 END AS w
+       |  FROM documents
+       |), b AS (
+       |  SELECT source, any_value(w) AS w FROM d GROUP BY source
+       |), bb AS (
+       |  SELECT source,
+       |         w / (SELECT sum(w) FROM b) *
+       |           (SELECT sum(tokens) FROM d) * $MixtureKeep AS budget
+       |  FROM b
+       |), c AS (
+       |  SELECT doc_id, source, tokens,
+       |         CAST(sum(tokens) OVER (PARTITION BY source
+       |                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM d
+       |)
+       |SELECT c.source, c.doc_id, c.tokens, c.cum, round(bb.budget, 6) AS budget
+       |FROM c JOIN bb ON c.source = bb.source
+       |WHERE c.cum - c.tokens < bb.budget""".stripMargin
+
+  // ------------------------------------------------ train/val/test split
+  /** Deterministic stratified split: the md5 of a salted doc id lands in
+    * one of 256 hex buckets; buckets below 'cd' (205/256 ≈ 80%) are
+    * train, below 'e6' (another ~10%) are val, the rest test. A pure
+    * seeded projection — no shuffle, no state, reproducible on any
+    * engine and stable when the corpus grows (a document's split never
+    * changes), which is exactly why hash splits, not random splits, are
+    * the production standard.
+    */
+  def split3(spark: SparkSession, dir: String): DataFrame = {
+    val b = substring(md5(concat_ws(":", lit("split"),
+      col("doc_id").cast("string"))), 1, 2)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+          .as("split"))
+  }
+
+  val split3Sql: String =
+    """SELECT doc_id, source, n_chars,
+      |       CASE WHEN substr(md5(concat_ws(':', 'split', CAST(doc_id AS VARCHAR))), 1, 2) < 'cd' THEN 'train'
+      |            WHEN substr(md5(concat_ws(':', 'split', CAST(doc_id AS VARCHAR))), 1, 2) < 'e6' THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("curate_pack", pack _, Some(packSql)),
     Op("curate_contamination", contamination _, Some(contaminationSql)),
     Op("curate_quality_gate", qualityGate _, Some(qualityGateSql)),
     Op("curate_balanced_sample", balancedSample _, Some(balancedSampleSql)),
+    Op("curate_mixture", mixture _, Some(mixtureSql)),
+    Op("curate_split", split3 _, Some(split3Sql)),
   )
 }

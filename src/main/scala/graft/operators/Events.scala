@@ -182,8 +182,133 @@ object Events {
       |FROM events e JOIN m USING (event_type)
       |WHERE abs(e.value - m.mean) > m.std * 3""".stripMargin
 
+  /** Ordered conversion funnel view → click → purchase: a user advances a
+    * stage only with an event STRICTLY AFTER their previous stage's first
+    * event (first view, then first click after that view, then first
+    * purchase after that click). Each stage is one filtered scan reduced
+    * to a per-user frame, joined to the previous stage's per-user frame
+    * on user_id — type filters push to the scan, every shuffle carries
+    * user-level rows, and the final stage counts are 3 rows. The closing
+    * lag window runs over those 3 rows, not the data.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val view = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val click = ev.where(col("event_type") === "click")
+      .join(view, Seq("user_id"))
+      .where(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val buy = ev.where(col("event_type") === "purchase")
+      .join(click, Seq("user_id"))
+      .where(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    def stage(no: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(no).cast("long").as("stage_no"), lit(name).as("stage"),
+          col("n_users"))
+    val stages = stage(1, "view", view)
+      .unionAll(stage(2, "click", click))
+      .unionAll(stage(3, "purchase", buy))
+    stages.withColumn("pct_prev",
+      coalesce(
+        round(col("n_users").cast("double") /
+          lag(col("n_users"), 1).over(Window.orderBy(col("stage_no"))), 6),
+        lit(1.0)))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id
+      |), s AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage_no, 'view' AS stage, count(*) AS n_users FROM v
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'click', count(*) FROM c
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM p
+      |)
+      |SELECT stage_no, stage, n_users,
+      |       coalesce(round(CAST(n_users AS DOUBLE) /
+      |                      lag(n_users) OVER (ORDER BY stage_no), 6), 1.0)
+      |         AS pct_prev
+      |FROM s""".stripMargin
+
+  /** Event-type transition matrix (the Markov-chain view of user
+    * behavior): consecutive event pairs per user via lead(), counted per
+    * (from, to). One shuffle on user_id for the window, then a shuffle of
+    * the ~|types|² reduced frame — per-user skew is the only bound, same
+    * as sessionize.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(byUser).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val transitionsSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts ASC, event_id ASC) AS to_type
+      |  FROM events
+      |)
+      |SELECT from_type, to_type, count(*) AS n_transitions,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM t WHERE to_type IS NOT NULL
+      |GROUP BY from_type, to_type""".stripMargin
+
+  /** Cohort retention: users grouped by first-seen day, counted on each
+    * later active day as (cohort_day, day_offset) — the classic retention
+    * triangle. Both aggregations key on user_id (one shuffle, reused),
+    * the distinct day set is per-user-bounded, and the final frame is
+    * |days|² rows at most. No event-level data crosses the second
+    * shuffle.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("ts").cast("date")).as("cohort_day"))
+    val active = ev.select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val retentionSql: String =
+    """WITH c AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events GROUP BY user_id
+      |), a AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |)
+      |SELECT c.cohort_day,
+      |       date_diff('day', c.cohort_day, a.day) AS day_offset,
+      |       count(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("events_hourly", hourly _, Some(hourlySql)),
+    Op("events_funnel", funnel _, Some(funnelSql)),
+    Op("events_transitions", transitions _, Some(transitionsSql)),
+    Op("events_retention", retention _, Some(retentionSql)),
     Op("events_outliers", outliers _, Some(outliersSql)),
     Op("events_sessionize", sessionize _, Some(sessionizeSql)),
     Op("events_json_extract", jsonExtract _, Some(jsonExtractSql)),

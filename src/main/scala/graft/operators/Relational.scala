@@ -327,9 +327,58 @@ object Relational {
       |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** TPC-H Q3-shaped three-way analytics join: unshipped-revenue top-N
+    * for one market segment. The plan a warehouse wants at any scale:
+    * the segment-filtered customer dim BROADCASTS into the orders scan
+    * (both date filters push to parquet), the orders side is already
+    * keyed on the join column when lineitem shuffles in, and the partial
+    * aggregation + TakeOrderedAndProject keep the sort driver-bounded at
+    * N rows per partition. Revenue uses the exact-decimal-core /
+    * double-boundary discipline of q1_agg; the orderkey tiebreak makes
+    * the top-10 deterministic.
+    */
+  def q3TopShipping(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-07-01").cast("date")
+    val cust = Tables(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables(spark, dir, "orders")
+      .where(col("o_orderdate").cast("date") < cut)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables(spark, dir, "lineitem")
+      .where(col("l_shipdate").cast("date") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val dec = (c: Column) => c.cast("decimal(18,2)")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3TopShippingSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |         AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-07-01'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1998-07-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("p2p_links", p2pLinks _, Some(p2pLinksSql)),
     Op("q1_agg", q1Agg _, Some(q1AggSql)),
+    Op("q3_top_shipping", q3TopShipping _, Some(q3TopShippingSql)),
     Op("j_using", jUsing _, Some(jUsingSql)),
     Op("j_fanout", jFanout _, Some(jFanoutSql)),
     Op("j_semi", jSemi _, Some(jSemiSql)),

@@ -432,8 +432,104 @@ object TextAnalysis {
       |FROM b LEFT OUTER JOIN f ON b.bigram = f.bigram
       |GROUP BY b.doc_id""".stripMargin
 
+  /** Repetition metrics (the Gopher-style quality rules): per document,
+    * the duplicate-bigram fraction and the single most repeated bigram's
+    * share of all bigrams; documents past the duplicate threshold are
+    * flagged. Bigrams shuffle as md5 keys (16 bytes, never text) into a
+    * per-(doc, gram) count, then reduce per doc — two shuffles, both of
+    * already-reduced frames, the same shape as `tfidfTop`. The fractions
+    * are a single IEEE division each, so they compare exactly across
+    * engines.
+    */
+  private val DupFracFlag = 0.2
+
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> md5(concat_ws(' ', slice(w, i, 2))))")).as("g"))
+    val dupFrac = lit(1.0) -
+      col("n_distinct").cast("double") / col("n_bigrams")
+    grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_rep"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        round(dupFrac, 6).as("dup_frac"),
+        round(col("max_rep").cast("double") / col("n_bigrams"), 6)
+          .as("top_share"),
+        (dupFrac > DupFracFlag).as("repetitive"))
+  }
+
+  val repetitionSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       |  WHERE len(string_split(trim(text), ' ')) >= 2
+       |), g AS (
+       |  SELECT doc_id,
+       |         md5(array_to_string(list_slice(w, i, i + 1), ' ')) AS g
+       |  FROM s, unnest(range(1, len(w))) AS t(i)
+       |), cnt AS (
+       |  SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |         count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_rep
+       |  FROM cnt GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_bigrams, n_distinct,
+       |       round(1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams, 6) AS dup_frac,
+       |       round(CAST(max_rep AS DOUBLE) / n_bigrams, 6) AS top_share,
+       |       (1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams) > $DupFracFlag AS repetitive
+       |FROM agg""".stripMargin
+
+  /** Unigram cross-entropy scoring — the perplexity-proxy quality signal
+    * (a document of globally-rare tokens scores high, boilerplate scores
+    * low): H(doc) = −mean over tokens of ln p(token), with p from the
+    * corpus's own unigram counts. Shape at scale: token stream →
+    * map-side-combined vocabulary count (vocab-sized, shuffled on the
+    * token hash), stream re-joined to the vocab on the token key, per-doc
+    * mean. The scalar corpus total broadcasts. The per-doc mean is
+    * rounded to 4 decimals: each ln() can differ across engines in its
+    * last ulp (~1e-15 abs), and the sum-order slack of a per-doc float
+    * mean is of the same magnitude — 1e-4 rounding leaves ~11 orders of
+    * headroom, the same determinism argument as every rounded double in
+    * this suite.
+    */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("t"))
+    toks.join(vocab, Seq("w"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(col("c").cast("double") / col("t")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-avg(col("lp")), 4).as("cross_entropy"))
+  }
+
+  val perplexitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+      |  FROM documents
+      |), v AS (
+      |  SELECT w, count(*) AS c FROM toks GROUP BY w
+      |)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(-avg(ln(CAST(c AS DOUBLE) / (SELECT count(*) FROM toks))), 4)
+      |         AS cross_entropy
+      |FROM toks JOIN v USING (w)
+      |GROUP BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_tokens", tokens _, Some(tokensSql)),
+    Op("text_repetition", repetition _, Some(repetitionSql)),
+    Op("text_perplexity", perplexity _, Some(perplexitySql)),
     Op("text_quality", quality _, Some(qualitySql)),
     Op("text_langid", langId _, Some(langIdSql)),
     Op("text_fingerprint", fingerprint _, Some(fingerprintSql)),

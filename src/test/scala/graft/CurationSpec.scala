@@ -83,4 +83,35 @@ class CurationSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(again == sample.map(_.getLong(0)).toSet)
   }
+
+  test("mixture: per-source kept tokens track the weighted budgets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mix").toString
+    // 4 docs × 10 tokens per source; src0 weight 1.0, src1 weight 0.5
+    val text = ('a' to 'j').mkString(" ") // 10 single-letter tokens
+    (0 until 8).map(i => (i.toLong, text, "en", s"src${i % 2}", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // total 80 tokens, keep half = 40; budgets: src0 = 1/1.5·40 = 26.67,
+    // src1 = 0.5/1.5·40 = 13.33 → greedy keeps 3 docs of src0, 2 of src1
+    val kept = Curation.mixture(spark, dir).collect()
+    val bySource = kept.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(bySource == Map("src0" -> 3, "src1" -> 2), s"got $bySource")
+    // deterministic: same documents on a second run
+    val again = Curation.mixture(spark, dir).collect().map(_.getLong(1)).toSet
+    assert(again == kept.map(_.getLong(1)).toSet)
+  }
+
+  test("split: deterministic, stratification-free hash assignment near 80/10/10") {
+    val rows = Curation.split3(spark, sfDir).collect()
+    val bySplit = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    val n = rows.length
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // 205/23/28 of 256 buckets; allow wide slack at fixture size
+    assert(bySplit("train") > n * 7 / 10 && bySplit("train") < n * 9 / 10, s"$bySplit")
+    // a document's split never changes: stable under re-run and corpus growth
+    val again = Curation.split3(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(rows.forall(r => again(r.getLong(0)) == r.getString(3)))
+  }
 }

@@ -49,4 +49,20 @@ class RelationalSpec extends SparkSpec {
       .agg(sum("count_order")).head()
     assert(row.getLong(0) == Tables(spark, sfDir, "lineitem").count())
   }
+
+  test("q3: top-N is revenue-sorted, filters hold, customer dim broadcasts") {
+    val df = Relational.q3TopShipping(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "not sorted")
+    // every surviving order predates the cut (lineitem side is filtered
+    // pre-aggregation, so it can't be checked from the output — the
+    // oracle covers it)
+    assert(df.where(col("o_orderdate").cast("date") >=
+      lit("1998-07-01").cast("date")).count() == 0)
+    // plan: the segment-filtered customer side must arrive via broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+  }
 }

@@ -207,6 +207,91 @@ class TextEventsSpec extends SparkSpec {
     assert(sessions == Set((1L, 2L), (2L, 1L))) // (session_seq, n_events)
   }
 
+  test("funnel: stages require strictly-ordered view → click → purchase") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fun").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    def ev(id: Long, user: Long, typ: String, offSec: Int) =
+      (id, new java.sql.Timestamp(t0 + offSec * 1000L), user, typ, 1.0, "{}")
+    Seq(
+      ev(1L, 7L, "view", 0), ev(2L, 7L, "click", 10), ev(3L, 7L, "purchase", 20),
+      ev(4L, 8L, "click", 0),                       // click with no view: nowhere
+      ev(5L, 9L, "click", 0), ev(6L, 9L, "view", 10) // click BEFORE view: stage 1 only
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = Events.funnel(spark, dir).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows("view") == ((2L, 1.0)))     // users 7 and 9
+    assert(rows("click") == ((1L, 0.5)))    // only user 7 clicked after viewing
+    assert(rows("purchase") == ((1L, 1.0)))
+  }
+
+  test("transitions: consecutive pairs per user, cross-user pairs excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tr").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    def ev(id: Long, user: Long, typ: String, offSec: Int) =
+      (id, new java.sql.Timestamp(t0 + offSec * 1000L), user, typ, 1.0, "{}")
+    Seq(
+      ev(1L, 7L, "view", 0), ev(2L, 7L, "click", 10), ev(3L, 7L, "click", 20),
+      ev(4L, 8L, "purchase", 5) // single event: no transition
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = Events.transitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == Map(("view", "click") -> 1L, ("click", "click") -> 1L))
+  }
+
+  test("retention: cohort day from first event, offsets count distinct users") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ret").toString
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 09:00:00")
+    Seq(
+      (1L, t(0), 7L, "view", 1.0, "{}"),
+      (2L, t(2), 7L, "view", 1.0, "{}"),  // day-2 return
+      (3L, t(0), 8L, "view", 1.0, "{}"),
+      (4L, t(0), 8L, "click", 1.0, "{}")  // same day, same user: one active day
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = Events.retention(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(m == Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("repetition: duplicate-bigram fraction and top share") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (1L, "a b a b a b", "en", "s", 11L), // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
+      (2L, "x y z w", "en", "s", 7L)       // all distinct
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.repetition(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(m(1L) == ((5L, 2L, 0.6, 0.6, true)))
+    assert(m(2L) == ((3L, 3L, 0.0, round6(1.0 / 3), false)))
+  }
+
+  test("perplexity: unigram cross-entropy from corpus counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ppl").toString
+    Seq(
+      (1L, "a a", "en", "s", 3L),
+      (2L, "a b", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // corpus: a×3, b×1, total 4 → p(a)=.75, p(b)=.25
+    val m = TextAnalysis.perplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(1L)._1 == 2L)
+    assert(math.abs(m(1L)._2 - (-math.log(0.75))) < 1e-3)
+    assert(math.abs(m(2L)._2 - (-(math.log(0.75) + math.log(0.25)) / 2)) < 1e-3)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("multimodal meta stub: md5 + fake dimensions, binary-safe") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mm").toString
