@@ -282,8 +282,112 @@ object Analytics {
       |                         FROM part p2
       |                         WHERE p2.p_brand = p.p_brand)""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form under ROLLUP/CUBE): the
+    * full pair, the returnflag margin, and the grand total — but NOT the
+    * linestatus margin, which is what neither rollup nor cube can express.
+    * Same Expand-based physical plan as cube, one expansion per set.
+    */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
+  /** Distribution drift between two halves of the event stream —
+    * population stability index per event type over fixed value buckets,
+    * the standing data-quality check in front of a training pipeline.
+    * ONE scan: each (type, bucket) row carries both periods' counts as
+    * conditional aggregates; per-type totals come from a window over that
+    * ~|types|·|buckets| frame, so nothing event-sized shuffles twice.
+    * Laplace-smoothed over OBSERVED buckets (a bucket empty in both
+    * periods contributes nothing — presence is deterministic, so the
+    * bucket set agrees across engines). PSI > 0.2 is the conventional
+    * "investigate" threshold.
+    */
+  private val DriftBuckets = 10
+  private val DriftCut = "2024-01-16"
+
+  def statsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = least(floor(col("value") / 50.0), lit(DriftBuckets - 1))
+      .cast("long")
+    val inA = col("ts").cast("date") < lit(DriftCut).cast("date")
+    val byType = Window.partitionBy(col("event_type"))
+    val counts = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), bucket.as("bucket"))
+      .agg(count(when(inA, 1)).as("ca"), count(when(!inA, 1)).as("cb"))
+      .withColumn("na", sum(col("ca")).over(byType))
+      .withColumn("nb", sum(col("cb")).over(byType))
+    val p = (col("ca") + 1).cast("double") / (col("na") + DriftBuckets)
+    val q = (col("cb") + 1).cast("double") / (col("nb") + DriftBuckets)
+    counts
+      .select(col("event_type"), ((p - q) * log(p / q)).as("term"))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("term")), 6).as("psi"))
+      .select(col("event_type"), col("psi"), (col("psi") > 0.2).as("drifted"))
+  }
+
+  val statsDriftSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type,
+       |         least(CAST(floor(value / 50.0) AS BIGINT), ${DriftBuckets - 1}) AS bucket,
+       |         count(CASE WHEN CAST(ts AS DATE) < DATE '$DriftCut' THEN 1 END) AS ca,
+       |         count(CASE WHEN CAST(ts AS DATE) >= DATE '$DriftCut' THEN 1 END) AS cb
+       |  FROM events GROUP BY 1, 2
+       |), t AS (
+       |  SELECT event_type, ca, cb,
+       |         sum(ca) OVER (PARTITION BY event_type) AS na,
+       |         sum(cb) OVER (PARTITION BY event_type) AS nb
+       |  FROM c
+       |), terms AS (
+       |  SELECT event_type,
+       |         (CAST(ca + 1 AS DOUBLE) / (na + $DriftBuckets) -
+       |          CAST(cb + 1 AS DOUBLE) / (nb + $DriftBuckets)) *
+       |         ln((CAST(ca + 1 AS DOUBLE) / (na + $DriftBuckets)) /
+       |            (CAST(cb + 1 AS DOUBLE) / (nb + $DriftBuckets))) AS term
+       |  FROM t
+       |)
+       |SELECT event_type, round(sum(term), 6) AS psi,
+       |       round(sum(term), 6) > 0.2 AS drifted
+       |FROM terms GROUP BY event_type""".stripMargin
+
+  /** Unpivot/melt — wide metric columns to (metric, value) rows, the
+    * inverse of `events_pivot` and the long-form reshape feature jobs
+    * want. A pure per-row Expand (×|metrics|), no shuffle; the filter
+    * pushes to the scan.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .where(col("l_orderkey") < 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+
+  val unpivotMetricsSql: String =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+      |FROM lineitem WHERE l_orderkey < 100
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |FROM lineitem WHERE l_orderkey < 100
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |FROM lineitem WHERE l_orderkey < 100""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q2_corr_subquery", corrSubquery _, Some(corrSubquerySql)),
+    Op("agg_grouping_sets", aggGroupingSets _, Some(aggGroupingSetsSql)),
+    Op("stats_drift", statsDrift _, Some(statsDriftSql)),
+    Op("reshape_unpivot", unpivotMetrics _, Some(unpivotMetricsSql)),
     Op("scalar_funcs", scalarFuncs _, Some(scalarFuncsSql)),
     Op("agg_approx", aggApprox _, None),
     Op("agg_approx_check", aggApproxCheck _, Some(aggApproxCheckSql)),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Op, Tables}
@@ -609,8 +610,43 @@ object Dedup {
        |)
        |SELECT u AS doc_id, min(x) AS canonical_id FROM walk GROUP BY u""".stripMargin
 
+  /** Keep-best dedup: where `exact` keeps the MIN id per duplicate group,
+    * production pipelines keep the best REPRESENTATIVE — here the longest
+    * document (quality stand-in), id as tiebreak. One shuffle on the
+    * normalized-text fingerprint; the rank and the group count share that
+    * window partitioning, so no second exchange. At 100 TB this is the
+    * canonical "collapse mirrors, keep the richest copy" step and the key
+    * is the 16-byte md5, never the text.
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val byFp = Window.partitionBy(col("fp"))
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), fp.as("fp"))
+    d.withColumn("rk", row_number().over(
+        byFp.orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .withColumn("n_dups", count(lit(1)).over(byFp))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("fp"), col("n_chars"), col("n_dups"))
+  }
+
+  val keepBestSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, n_chars,
+      |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, fp, n_chars,
+      |         row_number() OVER (PARTITION BY fp
+      |           ORDER BY n_chars DESC, doc_id ASC) AS rk,
+      |         count(*) OVER (PARTITION BY fp) AS n_dups
+      |  FROM f
+      |)
+      |SELECT doc_id, fp, n_chars, n_dups FROM r WHERE rk = 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", exact _, Some(exactSql)),
+    Op("dedup_keep_best", keepBest _, Some(keepBestSql)),
     Op("dedup_incremental", incremental _, Some(incrementalSql)),
     Op("dedup_clusters", clusters _, Some(clustersSql)),
     Op("dedup_minhash_lsh", minhashLsh _, Some(minhashLshSql)),

@@ -76,6 +76,54 @@ class SnapshotStore(root: String, hadoopConf: Configuration = new Configuration(
       ts.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Upsert merge — the slowly-growing-table write path (SCD-1 / CDC
+    * apply): the new batch is merged into the latest snapshot keeping,
+    * per key, the row with the highest `version` (batch wins ties), and
+    * the result lands as a NEW immutable snapshot — history stays
+    * readable, readers of `latest` flip atomically with the pointer.
+    * One shuffle on the key for the rank; at any scale the cost is the
+    * merged table's size, the same as a lakehouse MERGE rewrite without
+    * file-level pruning (which needs a table format's transaction log,
+    * out of scope here; the snapshot layout is the transaction).
+    */
+  def upsertTableSnapshot(spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame, kind: String, ts: String,
+      key: String, version: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val merged =
+      if (hasAnySnapshot(kind)) {
+        val prev = readTableSnapshot(spark, kind, latestSnapshotTs(kind))
+          .drop("snapshot_ts").withColumn("__graft_src", lit(0))
+        val cur = batch.withColumn("__graft_src", lit(1))
+        val w = Window.partitionBy(col(key))
+          .orderBy(col(version).desc, col("__graft_src").desc)
+        prev.unionByName(cur)
+          .withColumn("__graft_rk", row_number().over(w))
+          .where(col("__graft_rk") === 1)
+          .drop("__graft_rk", "__graft_src")
+      } else batch
+    writeTableSnapshot(merged, kind, ts)
+  }
+
+  private def hasAnySnapshot(kind: String): Boolean = {
+    val p = path(s"${kind}_latest", "POINTER")
+    fs(p).exists(p)
+  }
+
+  /** Small-file compaction: rewrite the LATEST snapshot of `kind` into
+    * `numFiles` files as a new snapshot (coalesce, no shuffle — the
+    * file-count fix for a store that accumulated many tiny
+    * streaming/upsert writes; readers pay open-file overhead per file,
+    * and parquet row groups amortize better in fewer, larger files).
+    */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
+      kind: String, ts: String, numFiles: Int = 1): Unit = {
+    val cur = readTableSnapshot(spark, kind, latestSnapshotTs(kind))
+      .drop("snapshot_ts")
+    writeTableSnapshot(cur.coalesce(numFiles), kind, ts)
+  }
+
   /** Has `writeTableSnapshot(kind, ts)` completed? Keyed off the parquet
     * `_SUCCESS` marker, so a write that died mid-flight does not count. */
   def hasTableSnapshot(kind: String, ts: String): Boolean =

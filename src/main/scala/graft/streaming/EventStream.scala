@@ -51,6 +51,17 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join the unbounded event stream to a
+    * bounded dimension frame (user tier, source metadata, …). Structured
+    * Streaming re-plans the static side per micro-batch, so a small dim
+    * arrives as a broadcast hash join — no streaming state at all, the
+    * cheapest join class a stream can do (and the dim may be re-read
+    * from a snapshot store between batches to pick up slowly-changing
+    * values). Column pruning applies to the static side as usual.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Stream → versioned store bridge: every micro-batch lands as an
     * immutable table snapshot (`kind/snapshot_ts=batch-<id>/`) with the
     * latest pointer advanced afterwards — `foreachBatch` is the seam

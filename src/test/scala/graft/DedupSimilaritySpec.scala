@@ -253,4 +253,18 @@ class DedupSimilaritySpec extends SparkSpec {
       s"store scan should read int8 vectors, got ${store.map(_.dataSchema.catalogString)}")
     assert(df.count() == 100)
   }
+  test("keep-best dedup keeps the longest copy, counts the group") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kb").toString
+    Seq(
+      (1L, "Hello  World", "en", "s", 11L),   // same normalized text...
+      (2L, "hello world", "en", "s", 12L),    // ...longer n_chars: kept
+      (3L, " HELLO WORLD ", "en", "s", 5L),
+      (4L, "unique doc", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Dedup.keepBest(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows == Map(2L -> 3L, 4L -> 1L), s"got $rows")
+  }
 }

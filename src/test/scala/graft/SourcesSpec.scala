@@ -90,6 +90,42 @@ class SourcesSpec extends SparkSpec {
 
   // ------------------------------------------------------------ zip ingest
 
+  test("upsert snapshot: batch wins per key by version, history immutable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ups").toString
+    val store = new SnapshotStore(root)
+    store.upsertTableSnapshot(spark,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "version"),
+      "docs", "t1", "id", "version")
+    // key 2 updated (higher version), key 1 stale update ignored, key 3 new
+    store.upsertTableSnapshot(spark,
+      Seq((2L, "B", 2L), (1L, "stale", 0L), (3L, "c", 1L)).toDF("id", "v", "version"),
+      "docs", "t2", "id", "version")
+    val latest = store.readTableSnapshot(spark, "docs", store.latestSnapshotTs("docs"))
+    val m = latest.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "a", 2L -> "B", 3L -> "c"), s"got $m")
+    // the t1 snapshot is untouched history
+    val old = store.readTableSnapshot(spark, "docs", "t1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("compaction: latest snapshot rewritten to one file, data identical") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cmp").toString
+    val store = new SnapshotStore(root)
+    store.writeTableSnapshot(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(8),
+      "ev", "t1")
+    store.compactSnapshot(spark, "ev", "t2")
+    val dir = new java.io.File(s"$root/ev/snapshot_ts=t2")
+    assert(dir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(store.latestSnapshotTs("ev") == "t2")
+    val d = store.readTableSnapshot(spark, "ev", "t2")
+    assert(d.count() == 100 && d.agg(org.apache.spark.sql.functions.sum("id"))
+      .head().getLong(0) == 5050L)
+  }
+
   test("zip ingest finds a member and errors with reference shape") {
     val bos = new java.io.ByteArrayOutputStream()
     val zout = new java.util.zip.ZipOutputStream(bos)

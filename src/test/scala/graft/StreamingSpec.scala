@@ -38,6 +38,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins a broadcast dim per micro-batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val q = EventStream.enrich(mem.toDF(), dim, "user_id")
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(10), 1, "click", 1.0),
+        Event(2, ts(20), 2, "view", 2.0),
+        Event(3, ts(30), 9, "view", 3.0)) // no dim row: left join keeps it
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> Some("free"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
