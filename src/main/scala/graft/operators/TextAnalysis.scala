@@ -503,7 +503,9 @@ object TextAnalysis {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("t"))
+    // corpus token total = Σ vocab counts: a reduction over the (already
+    // reduced) vocab frame, saving a third full corpus scan
+    val total = vocab.agg(sum(col("c")).as("t"))
     toks.join(vocab, Seq("w"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"),

@@ -203,4 +203,35 @@ object EventStream {
           }
       }
   }
+
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+  final case class LastEvent(tsMs: Long, eventId: Long, tpe: String)
+
+  /** Streaming twin of the batch `Events.transitions`: emit a
+    * (from, to) pair for every consecutive event of a user, INCLUDING
+    * across micro-batch boundaries — the state is the user's single last
+    * event (O(1) per user, the minimum any cross-batch pairing needs; a
+    * downstream `groupBy(from, to).count` turns the pair stream into the
+    * live transition matrix). Like sessionize, pairing needs time order,
+    * so the per-(user, micro-batch) slice is sorted under the same
+    * bounded-memory contract documented there.
+    */
+  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[LastEvent]) =>
+          val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = List.newBuilder[Transition]
+          var last = state.getOption
+          batch.foreach { e =>
+            last.foreach(p => out += Transition(userId, p.tpe, e.event_type))
+            last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

@@ -59,6 +59,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions pair consecutive events across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.transitions(mem.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(10), 1, "view", 1.0),
+        Event(2, ts(20), 1, "click", 1.0),
+        Event(3, ts(5), 2, "signup", 1.0))
+      q.processAllAvailable()
+      // second micro-batch: user 1's pair spans the batch boundary
+      mem.addData(Event(4, ts(30), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("trans_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows == Set(
+        (1L, "view", "click"),
+        (1L, "click", "purchase")), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -15,9 +15,12 @@ object ExplainTool {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val queries = graft.SparkEntry.queries
-    args.drop(1).foreach { n =>
+    val (flags, names) = args.drop(1).partition(_.startsWith("-"))
+    val execute = flags.contains("-x") // run first: final AQE plan, reuse visible
+    names.foreach { n =>
       println(s"===== $n =====")
       val df = queries(n)(spark, dir)
+      if (execute) df.collect() // finalize THIS df's AQE plan (reuse visible)
       println(df.queryExecution.executedPlan.toString
         .linesIterator.map(_.take(160)).mkString("\n"))
     }
