@@ -71,6 +71,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.incremental(spark, dir).count() >= 0) // no throw is the contract
   }
 
+  test("round-4 text/dedup/curation operators tolerate null text and empties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nulls4").toString
+    Seq((1L, "a real document body here", "en", "src0", 25L),
+        (2L, null, "en", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // repetition: split(null) is null, size(null) is null — fails the
+    // >= 2 filter, the null-text row silently drops
+    assert(TextAnalysis.repetition(spark, dir).collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    // perplexity: explode(null) emits nothing — row drops
+    assert(TextAnalysis.perplexity(spark, dir).collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    // keep-best: md5(null) is null — null-text rows form their own
+    // null-key group and survive (they are not text duplicates)
+    assert(Dedup.keepBest(spark, dir).count() == 2)
+    // mixture/split: token count null → cum null → dropped vs budget;
+    // the split is text-independent so both docs are assigned
+    assert(graft.operators.Curation.mixture(spark, dir).count() >= 1)
+    assert(graft.operators.Curation.split3(spark, dir).count() == 2)
+    // empty corpus: all of the above return empty, not errors
+    val empty = emptyDocsDir()
+    assert(TextAnalysis.repetition(spark, empty).count() == 0)
+    assert(TextAnalysis.perplexity(spark, empty).count() == 0)
+    assert(Dedup.keepBest(spark, empty).count() == 0)
+    assert(graft.operators.Curation.split3(spark, empty).count() == 0)
+  }
+
   test("emb_quantize drops zero vectors and tolerates empty input") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("qempty").toString
