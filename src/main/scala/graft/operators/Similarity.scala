@@ -183,14 +183,49 @@ object Similarity {
       .select(col("cell").as("cent_id"),
         expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("cent_emb"))
 
-  def topkIvf(spark: SparkSession, dir: String): DataFrame =
-    topkIvfTrained(spark, dir, LloydRounds)
+  /** The SERVED IVF index: codebook training and corpus assignment run
+    * ONCE per corpus version and land as two store tables — `ivf_centroids`
+    * (NLIST rows) and `ivf_cells` (the corpus with its cell key, written
+    * LAST so it doubles as the index-complete marker). Every subsequent
+    * search reads the stored tables: the query pays probe + scan of its
+    * nprobe cells, never Lloyd training — the offline-index /
+    * online-serve split every production ANN deployment has, same
+    * content-addressed economics as the int8 path (`servedInt8`).
+    */
+  private[graft] def servedIvfIndex(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val (store, ts) = graft.sources.SnapshotStore
+      .contentAddressed(spark, s"$dir/embeddings.parquet", "graft_ivf")
+    if (!store.hasTableSnapshot("ivf_cells", ts)) {
+      val e = emb(spark, dir)
+      var cent = e.where(col("vec_id") < NList)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      for (_ <- 0 until LloydRounds)
+        cent = lloydStep(assignCells(e, cent)).localCheckpoint()
+      store.writeTableSnapshot(cent, "ivf_centroids", ts)
+      store.writeTableSnapshot(assignCells(e, cent), "ivf_cells", ts)
+    }
+    (store.readTableSnapshot(spark, "ivf_centroids", ts)
+        .select(col("cent_id"), col("cent_emb")),
+      store.readTableSnapshot(spark, "ivf_cells", ts)
+        .select(col("vec_id"), col("embedding"), col("cell")))
+  }
+
+  def topkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (cent, assigned) = servedIvfIndex(spark, dir)
+    val q = emb(spark, dir).where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    ivfSearch(q, cent, assigned)
+  }
 
   /** IVF with an explicit training depth: `lloydRounds` k-means update
     * rounds over the seeded codebook before the corpus is assigned.
     * Each round's tiny centroid frame is materialized (localCheckpoint)
     * so round r+1 starts from r's RESULT, not a replay of its plan —
     * training cost is rounds × (one broadcast-join scan + two aggs).
+    * Trains inline (no store) — this is the SWEEP entry point the suite
+    * uses to compare training depths; `topkIvf` serves the persisted
+    * index.
     */
   def topkIvfTrained(spark: SparkSession, dir: String,
       lloydRounds: Int): DataFrame = {
@@ -199,11 +234,16 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     for (_ <- 0 until lloydRounds)
       cent = lloydStep(assignCells(e, cent)).localCheckpoint()
-    val assigned = assignCells(e, cent)
-
-    // Probe pass: each query searches its NPROBE nearest cells only.
     val q = e.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    ivfSearch(q, cent, assignCells(e, cent))
+  }
+
+  /** Probe + search over a (trained or store-read) index: each query
+    * ranks the NLIST centroids, searches its NPROBE nearest cells only.
+    */
+  private def ivfSearch(q: DataFrame, cent: DataFrame,
+      assigned: DataFrame): DataFrame = {
     val probeK = udaf(new TopKAgg(NProbe))
     val probes = q.join(broadcast(cent), expr("true"))
       .select(col("query_id"), col("q_emb"),

@@ -204,6 +204,45 @@ object EventStream {
       }
   }
 
+  final case class FunnelState(stage: Int, lastTsMs: Long)
+  final case class StageAdvance(user_id: Long, stage: String, ts: Timestamp)
+
+  private val FunnelOrder = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+
+  /** Streaming twin of the batch `Events.funnel`: per user, advance
+    * through view → click → purchase, each stage requiring an event
+    * STRICTLY AFTER the previous stage's advance — emitted live as
+    * `StageAdvance` rows (a downstream `groupBy(stage).count` is the
+    * running funnel). State is two numbers per user — the stage reached
+    * and its event time — the O(1) minimum for ordered-funnel semantics;
+    * no watermark needed because state never grows with the stream.
+    * Per-(user, micro-batch) slices sort under the bounded-memory
+    * contract documented at `sessionize`.
+    */
+  def funnel(events: Dataset[Event]): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = List.newBuilder[StageAdvance]
+          batch.foreach { e =>
+            FunnelOrder.get(e.event_type).foreach { stage =>
+              if (stage == s.stage + 1 &&
+                  (s.stage == 0 || e.ts.getTime > s.lastTsMs)) {
+                s = FunnelState(stage, e.ts.getTime)
+                out += StageAdvance(userId, e.event_type, e.ts)
+              }
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   final case class Transition(user_id: Long, from_type: String, to_type: String)
   final case class LastEvent(tsMs: Long, eventId: Long, tpe: String)
 

@@ -253,6 +253,30 @@ class DedupSimilaritySpec extends SparkSpec {
       s"store scan should read int8 vectors, got ${store.map(_.dataSchema.catalogString)}")
     assert(df.count() == 100)
   }
+  test("IVF serves from the persisted index: centroids+cells read, no retrain") {
+    // First invocation may build the index; the second must read both
+    // store tables and train nothing (no Lloyd subplan — training runs
+    // eagerly inside servedIvfIndex only when the marker is absent).
+    Similarity.topkIvf(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val df = Similarity.topkIvf(spark, sfDir)
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }.collect {
+      case r: org.apache.spark.sql.execution.datasources.HadoopFsRelation => r
+    }
+    val roots = rels.flatMap(_.location.rootPaths.map(_.toString))
+    assert(roots.exists(_.contains("graft_ivf")), s"no store scan in $roots")
+    assert(roots.count(_.contains("ivf_cells")) >= 1, "corpus must come from ivf_cells")
+    assert(roots.count(_.contains("ivf_centroids")) >= 1, "probe side must read stored centroids")
+    // the only fixture scan left is the query-vector side
+    assert(roots.count(_.contains("testdata")) <= 1, s"fixture scanned more than once: $roots")
+    // the served result matches the inline-trained formulation row-for-row
+    val served = df.collect().map(_.toString).sorted
+    val inline = Similarity.topkIvfTrained(spark, sfDir, 1).collect().map(_.toString).sorted
+    assert(served.sameElements(inline), "store round-trip changed results")
+  }
+
   test("keep-best dedup keeps the longest copy, counts the group") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("kb").toString

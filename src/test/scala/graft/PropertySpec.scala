@@ -43,4 +43,53 @@ class PropertySpec extends SparkSpec {
       assert(folded == items.sortBy(s => (-s.score, s.id)).take(k))
     }
   }
+
+  test("funnel stages are monotone non-increasing on the fixture") {
+    val rows = graft.operators.Events.funnel(spark, sfDir).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(rows.length == 3)
+    assert(rows.zip(rows.tail).forall { case (a, b) => a >= b },
+      s"stage counts grew: ${rows.mkString(",")}")
+  }
+
+  test("retention day-0 equals cohort size; transitions conserve event count") {
+    // every user is active on their own cohort day, so offset-0 rows sum
+    // to the number of distinct users
+    val ret = graft.operators.Events.retention(spark, sfDir).collect()
+    val day0 = ret.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val users = Tables(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(day0 == users, s"day-0 total $day0 != $users users")
+    // each user's transitions = their events - 1 (chain property), so the
+    // matrix total is n_events - n_users(with >=1 event)
+    val trans = graft.operators.Events.transitions(spark, sfDir).collect()
+      .map(_.getLong(2)).sum
+    val events = Tables(spark, sfDir, "events").count()
+    assert(trans == events - users, s"$trans != $events - $users")
+  }
+
+  test("mixture kept tokens stay within budget + one document overflow") {
+    val kept = graft.operators.Curation.mixture(spark, sfDir).collect()
+    kept.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val budget = rows.head.getDouble(4)
+      val total = rows.map(_.getLong(2)).sum
+      val maxDoc = rows.map(_.getLong(2)).max
+      assert(total < budget + maxDoc,
+        s"$src kept $total tokens vs budget $budget (+max doc $maxDoc)")
+      // greedy keep: every kept doc STARTS inside the budget
+      assert(rows.forall(r => r.getLong(3) - r.getLong(2) < budget))
+    }
+  }
+
+  test("repetition fractions are consistent bounds") {
+    graft.operators.TextAnalysis.repetition(spark, sfDir).collect().foreach { r =>
+      val (n, nd) = (r.getLong(1), r.getLong(2))
+      val (dup, top) = (r.getDouble(3), r.getDouble(4))
+      assert(nd >= 1 && nd <= n)
+      assert(dup >= 0.0 && dup < 1.0)
+      // the most-repeated bigram is at least the average multiplicity
+      // (1e-6 slack: top_share is rounded to 6 decimals)
+      assert(top >= 1.0 / nd - 1e-6 && top <= (n - nd + 1).toDouble / n + 1e-6)
+    }
+  }
 }

@@ -59,6 +59,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel advances strictly-ordered stages across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.funnel(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(10), 1, "view", 1.0),
+        Event(2, ts(5), 2, "click", 1.0),  // click before any view: ignored
+        Event(3, ts(20), 1, "click", 1.0))
+      q.processAllAvailable()
+      // next batch: purchase completes user 1's funnel; user 2's view
+      // starts theirs (the earlier click stays consumed)
+      mem.addData(
+        Event(4, ts(30), 1, "purchase", 1.0),
+        Event(5, ts(40), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set(
+        (1L, "view"), (1L, "click"), (1L, "purchase"),
+        (2L, "view")), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming transitions pair consecutive events across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
