@@ -528,10 +528,110 @@ object TextAnalysis {
       |FROM toks JOIN v USING (w)
       |GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------ chunk-level retrieval
+  private val RagK = 5
+  private val RagQueryDocs = 5 // chunks of doc_id < 5 are the query set
+
+  /** Chunk-level retrieval (the RAG indexing/query shape, end-to-end in
+    * one plan): documents are chunked (`chunkColumns`), each chunk is
+    * feature-hash embedded (the md5 hashing trick of `hashEmbed`), and
+    * each query chunk retrieves its top-k nearest chunks from OTHER
+    * documents by cosine. The cosine join is an INVERTED INDEX, not a
+    * dense all-pairs pass: sparse (chunk, slot, weight) rows join on the
+    * slot key — the posting-list shape — so partial products shuffle on
+    * slots and reduce per (query, candidate) pair, and a candidate
+    * surfaces only if it shares a nonzero slot with the query (with
+    * 64 dense slots that is every real chunk; zero-norm degenerates are
+    * filtered on both sides). Everything before the final division is
+    * exact integer arithmetic on the cross-engine md5 hash, so the
+    * oracle matches bit-for-bit; ranking ties break on the integer chunk
+    * key. Chunk key = doc_id·4096 + chunk_id (chunk_id < 4096 holds for
+    * any document under ~196k tokens — the chunker's stride bound).
+    */
+  def ragChunkTopk(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkColumns(Tables(spark, dir, "documents"))
+      .select((col("doc_id") * 4096 + col("chunk_id")).as("ckey"),
+        col("doc_id"), col("chunk_text"))
+    val agg = chunks
+      .select(col("ckey"), col("doc_id"),
+        explode(split(col("chunk_text"), " ")).as("term"))
+      .select(col("ckey"), col("doc_id"),
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long").as("hv"))
+      .select(col("ckey"), col("doc_id"), (col("hv") % HashDim).as("slot"),
+        when(expr(s"hv div $HashDim") % 2 === 0, 1L).otherwise(-1L).as("sign"))
+      .groupBy(col("ckey"), col("doc_id"), col("slot"))
+      .agg(sum(col("sign")).as("c"))
+    val norms = agg.groupBy(col("ckey"))
+      .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
+      .where(col("nrm") > 0)
+    val qSide = agg.where(col("doc_id") < RagQueryDocs)
+      .select(col("ckey").as("q_key"), col("doc_id").as("q_doc"),
+        col("slot"), col("c").as("qc"))
+    val dots = qSide.join(agg, Seq("slot"))
+      .where(col("doc_id") =!= col("q_doc"))
+      .groupBy(col("q_key"), col("ckey"))
+      .agg(sum(col("qc") * col("c")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("ckey").as("q_key"), col("nrm").as("q_nrm")),
+        Seq("q_key"))
+      .join(norms, Seq("ckey"))
+      .select(col("q_key"), col("ckey"),
+        (col("dot").cast("double") / (col("q_nrm") * col("nrm"))).as("cos"))
+    val topk = udaf(new graft.functions.TopKAgg(RagK))
+    scored.groupBy(col("q_key"))
+      .agg(topk(col("ckey"), col("cos")).as("top"))
+      .select(col("q_key").as("query_key"),
+        posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("query_key"), (col("pos") + 1).cast("long").as("rank"),
+        col("n.id").as("neighbor_key"), round(col("n.score"), 6).as("cos"))
+  }
+
+  val ragChunkTopkSql: String =
+    s"""WITH chunks AS (
+       |  SELECT doc_id * 4096 + CAST(s // $ChunkStride AS BIGINT) AS ckey,
+       |         doc_id,
+       |         array_to_string(w[s + 1 : s + $ChunkLen], ' ') AS chunk_text
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |       unnest(range(0, len(w), $ChunkStride)) AS t(s)
+       |), sl AS (
+       |  SELECT ckey, doc_id, hv % $HashDim AS slot,
+       |         CASE WHEN (hv // $HashDim) % 2 = 0 THEN 1 ELSE -1 END AS sign
+       |  FROM (SELECT ckey, doc_id,
+       |               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS hv
+       |        FROM (SELECT ckey, doc_id,
+       |                     unnest(string_split(chunk_text, ' ')) AS term
+       |              FROM chunks))
+       |), agg AS (
+       |  SELECT ckey, doc_id, slot, CAST(sum(sign) AS BIGINT) AS c
+       |  FROM sl GROUP BY 1, 2, 3
+       |), nrm AS (
+       |  SELECT ckey, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
+       |  FROM agg GROUP BY ckey HAVING sqrt(CAST(sum(c * c) AS DOUBLE)) > 0
+       |), dots AS (
+       |  SELECT q.ckey AS q_key, a.ckey,
+       |         CAST(sum(q.c * a.c) AS BIGINT) AS dot
+       |  FROM (SELECT * FROM agg WHERE doc_id < $RagQueryDocs) q
+       |  JOIN agg a USING (slot)
+       |  WHERE a.doc_id != q.doc_id
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT d.q_key AS query_key, d.ckey AS neighbor_key,
+       |         CAST(d.dot AS DOUBLE) / (qn.nrm * an.nrm) AS cos,
+       |         CAST(row_number() OVER (PARTITION BY d.q_key
+       |                ORDER BY CAST(d.dot AS DOUBLE) / (qn.nrm * an.nrm) DESC,
+       |                         d.ckey ASC) AS BIGINT) AS rank
+       |  FROM dots d
+       |  JOIN nrm qn ON qn.ckey = d.q_key
+       |  JOIN nrm an ON an.ckey = d.ckey
+       |)
+       |SELECT query_key, rank, neighbor_key, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $RagK""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_tokens", tokens _, Some(tokensSql)),
     Op("text_repetition", repetition _, Some(repetitionSql)),
     Op("text_perplexity", perplexity _, Some(perplexitySql)),
+    Op("rag_chunk_topk", ragChunkTopk _, Some(ragChunkTopkSql)),
     Op("text_quality", quality _, Some(qualitySql)),
     Op("text_langid", langId _, Some(langIdSql)),
     Op("text_fingerprint", fingerprint _, Some(fingerprintSql)),

@@ -289,6 +289,29 @@ class TextEventsSpec extends SparkSpec {
     assert(math.abs(m(2L)._2 - (-(math.log(0.75) + math.log(0.25)) / 2)) < 1e-3)
   }
 
+  test("rag retrieval: a copied chunk ranks first, own-doc chunks never appear") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rag").toString
+    val shared = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val noise = (100 to 160).map(i => s"other$i").mkString(" ")
+    Seq(
+      (1L, shared, "en", "s", 100L),           // query doc (doc_id < 5)
+      (10L, shared, "en", "s", 100L),          // exact copy in the corpus
+      (11L, noise, "en", "s", 100L))           // unrelated
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis.ragChunkTopk(spark, dir).collect()
+    val q = 1L * 4096 // doc 1, chunk 0
+    val mine = rows.filter(_.getLong(0) == q)
+    assert(mine.nonEmpty)
+    // rank 1 is doc 10's copied chunk at cosine 1
+    val first = mine.find(_.getLong(1) == 1L).get
+    assert(first.getLong(2) == 10L * 4096)
+    assert(math.abs(first.getDouble(3) - 1.0) < 1e-6)
+    // no neighbor from the query's own document
+    assert(rows.forall(r => r.getLong(2) / 4096 != r.getLong(0) / 4096))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
