@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Op, Tables}
@@ -375,8 +376,41 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey ASC
       |LIMIT 10""".stripMargin
 
+  /** Sliding-frame window aggregates — the ROWS BETWEEN surface beyond
+    * rank/lag: a 4-event moving average and a running total per user.
+    * Both cores are DECIMAL sums (exact, so the engines' different
+    * sliding-frame strategies — incremental add/remove vs segment trees —
+    * cannot produce different floats); the division to a double happens
+    * once at the boundary. One shuffle on user_id, shared by both frames.
+    */
+  def windowMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sliding = byUser.rowsBetween(-3, Window.currentRow)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = col("value").cast("decimal(18,4)")
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(sum(dec).over(sliding).cast("double") /
+          count(lit(1)).over(sliding), 6).as("moving_avg"),
+        sum(dec).over(running).cast("double").as("running_total"))
+  }
+
+  val windowMovingAvgSql: String =
+    """SELECT event_id, user_id, value,
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w4 AS DOUBLE) /
+      |             count(*) OVER w4, 6) AS moving_avg,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER wall AS DOUBLE)
+      |         AS running_total
+      |FROM events
+      |WINDOW w4 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+      |       wall AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("p2p_links", p2pLinks _, Some(p2pLinksSql)),
+    Op("window_moving_avg", windowMovingAvg _, Some(windowMovingAvgSql)),
     Op("q1_agg", q1Agg _, Some(q1AggSql)),
     Op("q3_top_shipping", q3TopShipping _, Some(q3TopShippingSql)),
     Op("j_using", jUsing _, Some(jUsingSql)),

@@ -50,6 +50,21 @@ class RelationalSpec extends SparkSpec {
     assert(row.getLong(0) == Tables(spark, sfDir, "lineitem").count())
   }
 
+  test("moving average: 4-row sliding frame, running total per user") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mavg").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (1 to 6).map(i => (i.toLong, new java.sql.Timestamp(t0 + i * 1000L), 7L,
+        "click", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = Relational.windowMovingAvg(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows(1L) == ((1.0, 1.0)))
+    assert(rows(4L) == ((2.5, 10.0)))   // (1+2+3+4)/4
+    assert(rows(6L) == ((4.5, 21.0)))   // (3+4+5+6)/4 — row 1,2 slid out
+  }
+
   test("q3: top-N is revenue-sorted, filters hold, customer dim broadcasts") {
     val df = Relational.q3TopShipping(spark, sfDir)
     val rows = df.collect()
