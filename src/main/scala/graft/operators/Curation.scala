@@ -286,8 +286,36 @@ object Curation {
       |            ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------- curriculum phases
+  private val CurriculumPhases = 4
+
+  /** Curriculum binning: order the corpus by a quality signal (n_chars
+    * as the stand-in) and cut it into equal-size training phases —
+    * curriculum learning's "easy/clean first" schedule as a deterministic
+    * assignment (ntile over a TOTAL order; the doc_id tiebreak makes
+    * equal-quality placement reproducible). One global-order window: at
+    * corpus scale the same assignment runs as a range-partitioned sort
+    * (ntile boundaries from `approx_percentile` cut points broadcast into
+    * a scan) — the windowed form is kept because it is exact at any N and
+    * oracle-identical; the output is doc-level so downstream writers
+    * partition by phase.
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ntile(CurriculumPhases).over(
+          Window.orderBy(col("n_chars").desc, col("doc_id").asc))
+          .cast("long").as("phase"))
+
+  val curriculumSql: String =
+    s"""SELECT doc_id, source, n_chars,
+       |       CAST(ntile($CurriculumPhases) OVER (
+       |         ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS phase
+       |FROM documents""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("curate_pack", pack _, Some(packSql)),
+    Op("curate_curriculum", curriculum _, Some(curriculumSql)),
     Op("curate_contamination", contamination _, Some(contaminationSql)),
     Op("curate_quality_gate", qualityGate _, Some(qualityGateSql)),
     Op("curate_balanced_sample", balancedSample _, Some(balancedSampleSql)),

@@ -84,6 +84,20 @@ class CurationSpec extends SparkSpec {
     assert(again == sample.map(_.getLong(0)).toSet)
   }
 
+  test("curriculum: equal-size phases, quality monotone across phases") {
+    val rows = Curation.curriculum(spark, sfDir).collect()
+    val byPhase = rows.groupBy(_.getLong(3))
+    assert(byPhase.keySet == (1L to 4L).toSet)
+    val sizes = byPhase.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"unequal phases: $sizes") // ntile contract
+    // phase 1 holds the highest-quality tail (mean order is the
+    // tie-robust form of the ordering claim)
+    val meanBy = byPhase.view.mapValues(rs =>
+      rs.map(_.getLong(2)).sum.toDouble / rs.length).toMap
+    assert(meanBy(1L) > meanBy(2L) && meanBy(2L) > meanBy(3L) &&
+      meanBy(3L) > meanBy(4L), s"phase means not descending: $meanBy")
+  }
+
   test("mixture: per-source kept tokens track the weighted budgets") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mix").toString
