@@ -292,20 +292,68 @@ object Curation {
   /** Curriculum binning: order the corpus by a quality signal (n_chars
     * as the stand-in) and cut it into equal-size training phases —
     * curriculum learning's "easy/clean first" schedule as a deterministic
-    * assignment (ntile over a TOTAL order; the doc_id tiebreak makes
-    * equal-quality placement reproducible). One global-order window: at
-    * corpus scale the same assignment runs as a range-partitioned sort
-    * (ntile boundaries from `approx_percentile` cut points broadcast into
-    * a scan) — the windowed form is kept because it is exact at any N and
-    * oracle-identical; the output is doc-level so downstream writers
-    * partition by phase.
+    * assignment (exactly `ntile` over a TOTAL order; the doc_id tiebreak
+    * makes equal-quality placement reproducible).
+    *
+    * Scale shape — NO global window and no single-partition sort:
+    *  1. range-repartition on the total order (n_chars desc, doc_id asc)
+    *     and sort WITHIN each partition — every task sorts only its slab;
+    *  2. local rank = `monotonically_increasing_id` low bits + 1 (the id
+    *     is `pid << 33 | row-index-within-partition`, and after the
+    *     partition-local sort the row index IS the local sort rank), so
+    *     no Window node exists anywhere in the plan;
+    *  3. per-partition counts aggregate the SAME range exchange (Spark's
+    *     ReuseExchange computes it once) down to ≤ numPartitions rows;
+    *     prefix offsets come from a triangular self-join on that
+    *     metadata-sized frame, broadcast back;
+    *  4. global rank = offset + local rank; phase = closed-form ntile
+    *     arithmetic (first N mod P buckets get one extra row).
+    * Everything the corpus touches is one range shuffle + broadcast
+    * joins; parallelism is numPartitions at any corpus size. Exact — the
+    * oracle stays plain `ntile` SQL.
     */
-  def curriculum(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val order = Seq(col("n_chars").desc, col("doc_id").asc)
+    val shuffled = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartitionByRange(parts, order: _*)
+    // mid = (shuffle partition id << 33) + intra-partition row index; the
+    // partition-local sort makes the row index the local sort rank.
+    val ranged = shuffled
+      .sortWithinPartitions(order: _*)
       .select(col("doc_id"), col("source"), col("n_chars"),
-        ntile(CurriculumPhases).over(
-          Window.orderBy(col("n_chars").desc, col("doc_id").asc))
-          .cast("long").as("phase"))
+        spark_partition_id().as("pid"),
+        (monotonically_increasing_id()
+          .bitwiseAND(lit((1L << 33) - 1)) + 1L).as("lr"))
+    // Counts read the SAME exchange (no sort needed to count) — pinned
+    // as a ReusedExchange in CurationSpec so both branches provably see
+    // one range partitioning (range bounds are sampled per exchange).
+    val counts = shuffled.groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("cnt"))
+    // Prefix offset per partition: rows in all lower-range partitions.
+    // Triangular self-join over ≤ numPartitions rows — metadata-sized.
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    // Exact ntile(P) over global rank r of N rows: the first N mod P
+    // buckets hold (N div P)+1 rows, the rest N div P. `if` evaluates
+    // only the taken branch, so q = 0 (N < P) never divides by zero.
+    ranged
+      .join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("r", col("off") + col("lr"))
+      .withColumn("q", expr(s"n div ${CurriculumPhases}L"))
+      .withColumn("rem", col("n") % CurriculumPhases)
+      .withColumn("cut", col("rem") * (col("q") + 1L))
+      .withColumn("phase", expr(
+        "if(r <= cut, (r - 1) div (q + 1) + 1," +
+          " rem + (r - cut - 1) div q + 1)"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("phase").cast("long").as("phase"))
+  }
 
   val curriculumSql: String =
     s"""SELECT doc_id, source, n_chars,

@@ -98,6 +98,33 @@ class CurationSpec extends SparkSpec {
       meanBy(3L) > meanBy(4L), s"phase means not descending: $meanBy")
   }
 
+  test("curriculum plan: ntile-exact with no Window and no global Sort") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Curation.curriculum(spark, sfDir)
+    // exact parity with the single-partition windowed form it replaced
+    val ref = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        ntile(4).over(Window.orderBy(col("n_chars").desc, col("doc_id").asc))
+          .cast("long").as("phase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == ref, "rank-arithmetic phases diverge from ntile")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"curriculum plan must not contain a Window node:\n$plan")
+    // Sort prints as "Sort [keys], <global>, 0" — every sort must be
+    // partition-local (global=false); a global sort would mean the
+    // single-task shape this operator exists to avoid.
+    assert(!plan.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"),
+      s"curriculum plan contains a GLOBAL sort:\n$plan")
+    // The per-partition counts MUST read the same range exchange as the
+    // ranked rows: range bounds are sampled per exchange, so without
+    // reuse the offsets could describe a different partitioning.
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+      || plan.contains("StageReuse") || plan.contains("reuses"),
+      s"range exchange not reused between rank and count branches:\n$plan")
+  }
+
   test("mixture: per-source kept tokens track the weighted budgets") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mix").toString
