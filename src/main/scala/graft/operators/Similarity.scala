@@ -150,7 +150,12 @@ object Similarity {
     */
   private val NList = 16
   private val NProbe = 4
-  private val LloydRounds = 1
+  /** Served-index training depth. 2, not 1: the Lloyd sweep spec
+    * (DedupSimilaritySpec "Lloyd sweep at sf0.01") measures recall@10
+    * ≥ 0.8 from 2 rounds up, and the served gate below holds the same
+    * 0.8 floor — the index must train at least to the depth its own
+    * evidence says the bar needs. */
+  private val LloydRounds = 2
 
   /** Assign each corpus vector to its nearest centroid (argmax cosine):
     * one broadcast-join scan + a k=1 bounded aggregation. The group key
@@ -194,8 +199,12 @@ object Similarity {
     */
   private[graft] def servedIvfIndex(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val (store, ts) = graft.sources.SnapshotStore
-      .contentAddressed(spark, s"$dir/embeddings.parquet", "graft_ivf")
+    // The namespace carries the training hyperparameters: the snapshot
+    // key alone is corpus bytes, so a depth/geometry change must change
+    // the address or a stale shallower index would keep being served.
+    val (store, ts) = graft.sources.SnapshotStore.contentAddressed(
+      spark, s"$dir/embeddings.parquet",
+      s"graft_ivf_n${NList}_r${LloydRounds}")
     if (!store.hasTableSnapshot("ivf_cells", ts)) {
       val e = emb(spark, dir)
       var cent = e.where(col("vec_id") < NList)

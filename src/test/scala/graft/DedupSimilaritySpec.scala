@@ -128,7 +128,7 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("IVF recall@10 >= 0.7 against brute force at sf0.01") {
+  test("served IVF recall@10 >= 0.8 against brute force at sf0.01") {
     val dir = "/root/testdata/sf0.01"
     val exact = Similarity.topkBruteForce(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -136,8 +136,10 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     // An explicit floor (VERDICT r2 #6): future speedups to the probe
-    // path or training loop cannot silently trade recall away.
-    assert(recall >= 0.7, s"IVF recall@10 $recall < 0.7 at sf0.01")
+    // path or training loop cannot silently trade recall away. 0.8, not
+    // 0.7: the Lloyd sweep below proves the served depth (2 rounds)
+    // reaches 0.8, so the served index is gated at what it trains to.
+    assert(recall >= 0.8, s"served IVF recall@10 $recall < 0.8 at sf0.01")
   }
 
   test("Lloyd sweep at sf0.01: recall@10 non-decreasing in rounds, >= 0.8 at 2+") {
@@ -273,7 +275,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(roots.count(_.contains("testdata")) <= 1, s"fixture scanned more than once: $roots")
     // the served result matches the inline-trained formulation row-for-row
     val served = df.collect().map(_.toString).sorted
-    val inline = Similarity.topkIvfTrained(spark, sfDir, 1).collect().map(_.toString).sorted
+    val inline = Similarity.topkIvfTrained(spark, sfDir, 2).collect().map(_.toString).sorted
     assert(served.sameElements(inline), "store round-trip changed results")
   }
 
