@@ -159,18 +159,55 @@ object Curation {
        |                  FROM documents)""".stripMargin
 
   // -------------------------------------------------- balanced sampling
-  /** Per-class balanced downsample: every language keeps exactly
-    * min-class-count documents, selected deterministically by hash order
-    * (md5 of the id — a seeded shuffle both engines compute identically,
-    * uncorrelated with any data property). The rank window partitions by
-    * class, so parallelism is |classes| and the skew bound is the
-    * largest class; at 100 TB with few classes the same selection runs
-    * as a per-class hash-threshold scan instead (keep iff
-    * hash < m/|class| quantile of hashes) — one pass, no rank, same
-    * deterministic sample. The windowed form is kept here because it is
-    * exact at any m and oracle-identical.
+  /** Per-class balanced downsample, SERVING PATH: keep a document iff
+    * the first 32 bits of its id hash fall below the class's keep
+    * fraction m/c (m = min class count, c = the class's count), i.e.
+    * `substr(md5(id),1,8) < hex((m·2³²) div c)` — hex strings compare
+    * lexicographically exactly as the numbers they encode, and the
+    * smallest class (m = c) short-circuits to keep-all. One pass over
+    * the corpus after a class-count aggregation broadcast back: no
+    * rank, no sort, no per-class window — parallelism stays the scan's
+    * at any corpus size, which is why this is the shape a 100 TB
+    * balancing job runs. The price is per-class counts of Binomial(c,
+    * m/c) — concentrated at m (±√m), not exactly m; the windowed form
+    * below (`balancedSampleExact`, served as the `_check` twin) is the
+    * exact-m reference. Integer arithmetic throughout (m < 2³¹ by the
+    * BIGINT bound, fail-fast on overflow), so the sample is
+    * bit-reproducible on any engine — the oracle runs the identical
+    * rule, making this approximate-in-count op fully value-oracled.
     */
   def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+    val m = counts.agg(min(col("c")).as("m"))
+    val cut = lower(lpad(hex(expr("(m * 4294967296) div c")), 8, "0"))
+    d.join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(m))
+      .where(col("c") === col("m") ||
+        substring(md5(col("doc_id").cast("string")), 1, 8) < cut)
+      .select(col("doc_id"), col("lang"),
+        col("c").as("class_count"), col("m").as("min_count"))
+  }
+
+  val balancedSampleSql: String =
+    """WITH c AS (
+      |  SELECT lang, count(*) AS c FROM documents GROUP BY lang
+      |), m AS (
+      |  SELECT min(c) AS m FROM c
+      |)
+      |SELECT d.doc_id, d.lang, c.c AS class_count, m.m AS min_count
+      |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+      |WHERE c.c = m.m OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+      |      lower(lpad(hex((m.m * 4294967296) // c.c), 8, '0'))""".stripMargin
+
+  /** Exact-m per-class downsample (the `_check` reference for
+    * `balancedSample`): every language keeps exactly min-class-count
+    * documents in deterministic hash order. The rank window partitions
+    * by class, so parallelism is |classes| and the skew bound is the
+    * largest class — correct at any m, but not the shape to ship at
+    * 100 TB; the hash-threshold serving path above is.
+    */
+  def balancedSampleExact(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val minCount = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
       .agg(min(col("c")).as("m"))
@@ -183,7 +220,7 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
   }
 
-  val balancedSampleSql: String =
+  val balancedSampleExactSql: String =
     """WITH m AS (
       |  SELECT min(c) AS m FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
       |), r AS (
@@ -367,6 +404,8 @@ object Curation {
     Op("curate_contamination", contamination _, Some(contaminationSql)),
     Op("curate_quality_gate", qualityGate _, Some(qualityGateSql)),
     Op("curate_balanced_sample", balancedSample _, Some(balancedSampleSql)),
+    Op("curate_balanced_sample_check", balancedSampleExact _,
+      Some(balancedSampleExactSql)),
     Op("curate_mixture", mixture _, Some(mixtureSql)),
     Op("curate_split", split3 _, Some(split3Sql)),
   )

@@ -68,20 +68,49 @@ class CurationSpec extends SparkSpec {
     assert(rows.length.toLong == above)
   }
 
-  test("balanced sample: every language keeps exactly the min class count") {
+  test("balanced sample (exact check): every language keeps exactly min count") {
     val d = Tables(spark, sfDir, "documents")
     val classCounts = d.groupBy(col("lang")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val m = classCounts.values.min
-    val sample = Curation.balancedSample(spark, sfDir).collect()
+    val sample = Curation.balancedSampleExact(spark, sfDir).collect()
     val byLang = sample.groupBy(_.getString(1)).view.mapValues(_.length).toMap
     assert(byLang.keySet == classCounts.keySet, "a class vanished from the sample")
     assert(byLang.values.forall(_.toLong == m),
       s"unbalanced sample: $byLang (min class $m)")
     // deterministic: a second run picks the same documents
+    val again = Curation.balancedSampleExact(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(again == sample.map(_.getLong(0)).toSet)
+  }
+
+  test("balanced sample serving path: hash threshold, no sort, counts near m") {
+    val d = Tables(spark, sfDir, "documents")
+    val classCounts = d.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = classCounts.values.min
+    val df = Curation.balancedSample(spark, sfDir)
+    val sample = df.collect()
+    val byLang = sample.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byLang.keySet == classCounts.keySet, "a class vanished from the sample")
+    // the smallest class short-circuits to keep-all = exactly m
+    val minLang = classCounts.minBy(_._2)._1
+    assert(byLang(minLang).toLong == m)
+    // other classes: Binomial(c, m/c) concentrates at m; 4·√m is ~4σ
+    val tol = 4 * math.sqrt(m.toDouble)
+    byLang.foreach { case (lang, n) =>
+      assert(math.abs(n - m) <= tol,
+        s"$lang kept $n docs, expected $m ± $tol")
+    }
+    // deterministic: a second run picks the same documents
     val again = Curation.balancedSample(spark, sfDir).collect()
       .map(_.getLong(0)).toSet
     assert(again == sample.map(_.getLong(0)).toSet)
+    // the scale contract: one scan + broadcast joins — no Sort, no
+    // Window, no per-class rank anywhere in the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"serving path grew a Window:\n$plan")
+    assert(!plan.contains("Sort ["), s"serving path grew a Sort:\n$plan")
   }
 
   test("curriculum: equal-size phases, quality monotone across phases") {
