@@ -235,6 +235,13 @@ object Curation {
   // ----------------------------------------------------- mixture sampling
   /** Fraction of total corpus tokens the mixture keeps. */
   private val MixtureKeep = 0.5
+  /** Prefix-sum shards per source. Sharding is BY HASH RANGE (top bits
+    * of the selection hash), so shards are contiguous in the selection
+    * order and the global per-source prefix decomposes exactly into
+    * (sum of lower shards' totals) + (running sum within the shard) —
+    * the same sharded-prefix-sum shape as `pack`, except pack shards an
+    * arbitrary order and mixture must shard ITS order. */
+  private val MixtureShards = 8
 
   /** Token-budgeted mixture sampling: re-weight the corpus so each source
     * contributes its TARGET share of kept tokens (here a stand-in config:
@@ -243,17 +250,28 @@ object Curation {
     * up/down-sampling step that sets a training corpus's source mixture.
     * A document is kept iff its cumulative prefix STARTS inside the
     * budget (greedy, same convention as `pack`), so the sample is stable
-    * under re-runs and across engines. Shape: one count-sized aggregation
-    * for budgets (broadcast back), one per-source cumulative-sum window —
-    * parallelism |sources|, skew bounded by the largest source, identical
-    * to how a mixture job shards in production (one writer per source).
+    * under re-runs and across engines.
+    *
+    * Scale shape: one count-sized aggregation for budgets (broadcast
+    * back); the per-source running sum is sharded by hash range — the
+    * window partitions on (source, shard), so parallelism is
+    * |sources| × shards and the skew bound is a shard of the largest
+    * source, not the whole source; per-(source, shard) totals reduce to
+    * a metadata-sized frame whose triangular self-join yields the
+    * broadcast prefix offsets. The ORACLE stays the single per-source
+    * global window, which is exactly the point: the sharded
+    * decomposition must reproduce it bit-for-bit.
+    *
+    * Weights use try_cast on both engines (ADVICE r4): a source id not
+    * of the form src<int> gets the null→0.5 branch everywhere instead
+    * of diverging (lenient cast here, strict CAST in the oracle).
     */
   def mixture(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(split(trim(col("text")), " ")).cast("long").as("tokens"))
     val weight = when(
-      substring(col("source"), 4, 10).cast("int") % 2 === 0, lit(1.0))
+      expr("try_cast(substring(source, 4, 10) AS int)") % 2 === 0, lit(1.0))
       .otherwise(lit(0.5))
     val perSource = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .withColumn("w", weight)
@@ -263,10 +281,30 @@ object Curation {
       .crossJoin(broadcast(totals)).crossJoin(broadcast(totalTokens))
       .select(col("source"),
         (col("w") / col("sum_w") * col("total") * MixtureKeep).as("budget"))
-    val byHash = Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    // shard = top bits of the selection hash: monotone in hash order, so
+    // (shard, h, doc_id) order == (h, doc_id) order
+    val h = md5(col("doc_id").cast("string"))
+    val sharded = d
+      .withColumn("h", h)
+      .withColumn("shard", (conv(substring(col("h"), 1, 2), 16, 10)
+        .cast("int") / (256 / MixtureShards)).cast("int"))
+    val inShard = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.withColumn("cum", sum(col("tokens")).over(byHash))
+    // per-(source, shard) totals → prefix offsets over lower shards;
+    // |sources| × shards rows — metadata-sized, broadcast back
+    val shardTotals = sharded.groupBy(col("source"), col("shard"))
+      .agg(sum(col("tokens")).as("t"))
+    val offsets = shardTotals.as("a")
+      .join(shardTotals.as("b"),
+        col("a.source") === col("b.source") &&
+          col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.source").as("source"), col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.t")), lit(0L)).as("off"))
+    sharded
+      .withColumn("local_cum", sum(col("tokens")).over(inShard))
+      .join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("cum", col("off") + col("local_cum"))
       .join(budget, Seq("source"))
       .where(col("cum") - col("tokens") < col("budget"))
       .select(col("source"), col("doc_id"), col("tokens"), col("cum"),
@@ -277,7 +315,7 @@ object Curation {
     s"""WITH d AS (
        |  SELECT doc_id, source,
        |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens,
-       |         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+       |         CASE WHEN TRY_CAST(substr(source, 4, 10) AS INT) % 2 = 0
        |              THEN 1.0 ELSE 0.5 END AS w
        |  FROM documents
        |), b AS (

@@ -172,6 +172,38 @@ class CurationSpec extends SparkSpec {
     assert(again == kept.map(_.getLong(1)).toSet)
   }
 
+  test("mixture: sharded prefix sums reproduce the global per-source window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Curation.mixture(spark, sfDir)
+    // global-window reference formulation, computed inline
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = d.withColumn("cum", sum(col("tokens")).over(w))
+      .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getLong(3)).toMap
+    val got = df.collect()
+    got.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      assert(ref(key) == r.getLong(3),
+        s"sharded cum ${r.getLong(3)} != global cum ${ref(key)} for $key")
+    }
+    assert(got.nonEmpty)
+    // the only Window in the plan partitions on (source, shard): the
+    // per-source single-task window this rewrite removes would print
+    // windowspecdefinition(source#N, <sort>...) with no shard key
+    val plan = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected a window in:\n$plan")
+    specs.foreach { s =>
+      assert(s.contains("source#") && s.contains("shard#"),
+        s"window not sharded: windowspecdefinition($s)")
+    }
+  }
+
   test("split: deterministic, stratification-free hash assignment near 80/10/10") {
     val rows = Curation.split3(spark, sfDir).collect()
     val bySplit = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
