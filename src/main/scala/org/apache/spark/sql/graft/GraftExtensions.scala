@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
+    e.injectFunction(GraftExtensions.hashEmbedVecDescriptor)
     e.injectOptimizerRule(_ => RangeJoinBanding)
   }
 }
@@ -36,8 +37,27 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       cosineSimBuilder)
 
+  private val hashEmbedVecBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "hash_embed_vec takes (tokens, dim)")
+    val dim = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"hash_embed_vec dim must be an int literal, got $other")
+    }
+    HashEmbedVec(exprs(0), dim)
+  }
+
+  private[graft] val hashEmbedVecDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hash_embed_vec"),
+      new ExpressionInfo(classOf[HashEmbedVec].getName, "hash_embed_vec"),
+      hashEmbedVecBuilder)
+
   /** Register on a live session's function registry. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineSimBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash_embed_vec", hashEmbedVecBuilder, "built-in")
+  }
 }

@@ -312,10 +312,25 @@ class TextEventsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(2) / 4096 != r.getLong(0) / 4096))
   }
 
+  test("rag retrieval plan: query side broadcast, pair rows never shuffled") {
+    val df = graft.operators.TextAnalysis.ragChunkTopk(spark, sfDir)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // the Q×N scoring join must be a broadcast of the dense query
+    // vectors, not a shuffle of pair/posting rows
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$plan")
+    // the per-query top-k aggregate must have a partial (map-side)
+    // phase, so what crosses the final exchange is bounded k-buffers,
+    // not raw scored pairs
+    assert(plan.contains("partial_topkagg"),
+      s"TopKAgg has no partial phase:\n$plan")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  test("multimodal meta stub: md5 + fake dimensions, binary-safe") {
+  test("multimodal meta: md5 + pseudo-dims fallback for non-image bytes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mm").toString
     Seq((0L, "abc", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -324,6 +339,6 @@ class TextEventsSpec extends SparkSpec {
     assert(r.getString(1) == "image")
     assert(r.getLong(2) == 3L)
     assert(r.getString(3) == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
-    assert(r.getInt(4) == 19 && r.getInt(5) == 19)
+    assert(r.getInt(4) == 19 && r.getInt(5) == 19 && r.getInt(6) == 3)
   }
 }
