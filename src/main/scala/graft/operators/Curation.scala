@@ -371,41 +371,46 @@ object Curation {
     * makes equal-quality placement reproducible).
     *
     * Scale shape — NO global window and no single-partition sort:
-    *  1. range-repartition on the total order (n_chars desc, doc_id asc)
-    *     and sort WITHIN each partition — every task sorts only its slab;
-    *  2. local rank = `monotonically_increasing_id` low bits + 1 (the id
-    *     is `pid << 33 | row-index-within-partition`, and after the
-    *     partition-local sort the row index IS the local sort rank), so
-    *     no Window node exists anywhere in the plan;
-    *  3. per-partition counts aggregate the SAME range exchange (Spark's
-    *     ReuseExchange computes it once) down to ≤ numPartitions rows;
-    *     prefix offsets come from a triangular self-join on that
-    *     metadata-sized frame, broadcast back;
+    *  1. range-bin the corpus on DETERMINISTIC cut points: the exact
+    *     interior percentiles of the quality key (one scalar reduce,
+    *     broadcast back), bin = count of cut points above the row's
+    *     key. Deterministic binning is the load-bearing choice: an
+    *     earlier form used `repartitionByRange` + partition ids, whose
+    *     SAMPLED range bounds differ between the rank and count
+    *     branches whenever the exchange is not reused — caught as an
+    *     off-by-one-partition phase shift by the sf0.1 oracle. A plan's
+    *     correctness must not depend on the optimizer choosing reuse;
+    *  2. local rank = `row_number` over a window PARTITIONED by bin
+    *     (parallelism = numPartitions at any corpus size; each task
+    *     sorts only its slab — skew bound is the largest run of ties,
+    *     since ties share a bin);
+    *  3. per-bin counts reduce to ≤ numPartitions rows; prefix offsets
+    *     come from a triangular self-join on that metadata-sized frame,
+    *     broadcast back;
     *  4. global rank = offset + local rank; phase = closed-form ntile
     *     arithmetic (first N mod P buckets get one extra row).
-    * Everything the corpus touches is one range shuffle + broadcast
-    * joins; parallelism is numPartitions at any corpus size. Exact — the
+    * One corpus shuffle (the bin window) + broadcast joins. Exact — the
     * oracle stays plain `ntile` SQL.
     */
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    val order = Seq(col("n_chars").desc, col("doc_id").asc)
-    val shuffled = Tables(spark, dir, "documents")
+    val fracs = (1 until parts).map(i => i.toDouble / parts)
+    val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .repartitionByRange(parts, order: _*)
-    // mid = (shuffle partition id << 33) + intra-partition row index; the
-    // partition-local sort makes the row index the local sort rank.
-    val ranged = shuffled
-      .sortWithinPartitions(order: _*)
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        spark_partition_id().as("pid"),
-        (monotonically_increasing_id()
-          .bitwiseAND(lit((1L << 33) - 1)) + 1L).as("lr"))
-    // Counts read the SAME exchange (no sort needed to count) — pinned
-    // as a ReusedExchange in CurationSpec so both branches provably see
-    // one range partitioning (range bounds are sampled per exchange).
-    val counts = shuffled.groupBy(spark_partition_id().as("pid"))
-      .agg(count(lit(1)).as("cnt"))
+    val cuts = d.agg(expr(
+      s"percentile(n_chars, array(${fracs.mkString(", ")}))").as("cuts"))
+    // bin 0 holds the highest-quality rows (descending order), so a
+    // row's bin = how many cut points sit strictly above its key; the
+    // mapping is monotone along the sort order, which is what makes
+    // bin-local ranks + prefix offsets reconstruct the global rank.
+    val binned = d.crossJoin(broadcast(cuts))
+      .withColumn("pid",
+        expr("size(filter(cuts, c -> c > n_chars))").cast("int"))
+      .drop("cuts")
+    val byBin = Window.partitionBy(col("pid"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ranged = binned.withColumn("lr", row_number().over(byBin).cast("long"))
+    val counts = binned.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
     // Prefix offset per partition: rows in all lower-range partitions.
     // Triangular self-join over ≤ numPartitions rows — metadata-sized.
     val offsets = counts.as("a")

@@ -139,19 +139,20 @@ class CurationSpec extends SparkSpec {
     val got = df.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got == ref, "rank-arithmetic phases diverge from ntile")
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"),
-      s"curriculum plan must not contain a Window node:\n$plan")
+    // every Window must partition on the percentile bin — a window with
+    // no partition key is the single-task shape this operator removes
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected the bin-local rank window in:\n$plan")
+    specs.foreach { s =>
+      assert(s.contains("pid#"),
+        s"window not partitioned by bin: windowspecdefinition($s)\n$plan")
+    }
     // Sort prints as "Sort [keys], <global>, 0" — every sort must be
     // partition-local (global=false); a global sort would mean the
     // single-task shape this operator exists to avoid.
     assert(!plan.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"),
       s"curriculum plan contains a GLOBAL sort:\n$plan")
-    // The per-partition counts MUST read the same range exchange as the
-    // ranked rows: range bounds are sampled per exchange, so without
-    // reuse the offsets could describe a different partitioning.
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
-      || plan.contains("StageReuse") || plan.contains("reuses"),
-      s"range exchange not reused between rank and count branches:\n$plan")
   }
 
   test("mixture: per-source kept tokens track the weighted budgets") {
