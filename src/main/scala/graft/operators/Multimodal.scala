@@ -27,7 +27,7 @@ object Multimodal {
   final case class Asset(asset_id: Long, kind: String, payload: Array[Byte],
       source: String)
   final case class AssetMeta(asset_id: Long, kind: String, n_bytes: Long,
-      content_md5: String, width: Int, height: Int)
+      content_md5: String, width: Int, height: Int, channels: Int)
 
   /** Binary asset table derived from the documents fixture: payload =
     * UTF-8 bytes, modality assigned round-robin.
@@ -44,11 +44,15 @@ object Multimodal {
       .as[Asset]
   }
 
-  /** The per-partition "decode" pass. A real implementation opens one
-    * codec context per partition and decodes each payload; the stub
-    * derives deterministic fake dimensions from the byte length. The
-    * `???`-equivalent seam is `decodeStub` — swap it for a JNI/libjpeg
-    * call without touching the surrounding plumbing.
+  /** The per-partition decode pass. Header decode is REAL for the two
+    * public container formats a pure-JVM parse covers — PNG (IHDR) and
+    * BMP (BITMAPINFOHEADER) — and falls back to deterministic
+    * length-derived pseudo-dimensions for payloads that are neither
+    * (the text fixture), which keeps the oracle recomputable. Full
+    * pixel decode (JPEG entropy coding, video codecs) remains the
+    * declared seam a JNI/libjpeg/ffmpeg integration would fill; the
+    * surrounding plumbing — typed Dataset, per-partition init,
+    * binary-safe bytes — is what a swap-in needs and is tested.
     */
   def extractMeta(assets: Dataset[Asset]): Dataset[AssetMeta] = {
     import assets.sparkSession.implicits._
@@ -57,19 +61,61 @@ object Multimodal {
       // "expensive per-task init" slot a real decoder would occupy.
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { a =>
-        val (w, h) = decodeStub(a.payload)
+        val (w, h, ch) = decodeHeader(a.payload)
         md.reset()
         val hex = md.digest(a.payload).map("%02x".format(_)).mkString
-        AssetMeta(a.asset_id, a.kind, a.payload.length.toLong, hex, w, h)
+        AssetMeta(a.asset_id, a.kind, a.payload.length.toLong, hex, w, h, ch)
       }
     }
   }
 
-  /** STUB decoder: fake dimensions from the payload length. Replace with
-    * a real codec; deterministic so the oracle can recompute it.
+  private val PngMagic =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Header decode: (width, height, channels).
+    *  - PNG: big-endian IHDR width/height; channels from the color type
+    *    (grayscale 1, RGB 3, palette 1, gray+alpha 2, RGBA 4).
+    *  - BMP: little-endian BITMAPINFOHEADER width/|height| (negative
+    *    height = top-down rows), channels = bits-per-pixel / 8.
+    *  - A payload that MATCHES a magic but has a truncated or invalid
+    *    header decodes to (-1, -1, 0) — the quarantine marker a real
+    *    pipeline routes on, never an exception mid-scan.
+    *  - Anything else: deterministic pseudo-dims from the byte length
+    *    (the fixture path — text payloads — recomputable by the oracle),
+    *    channels 3.
     */
-  private def decodeStub(payload: Array[Byte]): (Int, Int) =
-    (16 + (payload.length % 640), 16 + (payload.length % 480))
+  private[operators] def decodeHeader(p: Array[Byte]): (Int, Int, Int) = {
+    def beInt(o: Int) = ((p(o) & 255) << 24) | ((p(o + 1) & 255) << 16) |
+      ((p(o + 2) & 255) << 8) | (p(o + 3) & 255)
+    def leInt(o: Int) = (p(o) & 255) | ((p(o + 1) & 255) << 8) |
+      ((p(o + 2) & 255) << 16) | ((p(o + 3) & 255) << 24)
+    def leShort(o: Int) = (p(o) & 255) | ((p(o + 1) & 255) << 8)
+    val corrupt = (-1, -1, 0)
+    if (p.length >= 8 && p.take(8).sameElements(PngMagic)) {
+      // IHDR must be the first chunk: 4-byte length (13), "IHDR" tag,
+      // 4+4 dims, bit depth, color type
+      if (p.length < 26 || beInt(8) != 13 ||
+        !(p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R'))
+        corrupt
+      else {
+        val w = beInt(16); val h = beInt(20)
+        val ch = p(25) match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => -1
+        }
+        if (w <= 0 || h <= 0 || ch < 0) corrupt else (w, h, ch)
+      }
+    } else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') {
+      if (p.length < 30 || leInt(14) < 40) corrupt
+      else {
+        val w = leInt(18); val h = math.abs(leInt(22))
+        val bpp = leShort(28)
+        if (w <= 0 || h == 0 || bpp < 8 || bpp % 8 != 0) corrupt
+        else (w, h, bpp / 8)
+      }
+    } else
+      (16 + (p.length % 640), 16 + (p.length % 480), 3)
+  }
 
   def meta(spark: SparkSession, dir: String): DataFrame =
     extractMeta(assets(spark, dir)).toDF()
@@ -80,7 +126,8 @@ object Multimodal {
       |       octet_length(encode(text)) AS n_bytes,
       |       md5(text) AS content_md5,
       |       CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
-      |       CAST(16 + octet_length(encode(text)) % 480 AS INT) AS height
+      |       CAST(16 + octet_length(encode(text)) % 480 AS INT) AS height,
+      |       CAST(3 AS INT) AS channels
       |FROM documents""".stripMargin
 
   final case class Frame(asset_id: Long, frame_idx: Int, frame_offset: Long,

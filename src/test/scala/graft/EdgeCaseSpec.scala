@@ -88,6 +88,16 @@ class EdgeCaseSpec extends SparkSpec {
     // keep-best: md5(null) is null — null-text rows form their own
     // null-key group and survive (they are not text duplicates)
     assert(Dedup.keepBest(spark, dir).count() == 2)
+    // TWO null-text docs must BOTH survive (ADVICE r4: a shared NULL
+    // fingerprint group would collapse non-duplicates to one survivor)
+    val dir2 = java.nio.file.Files.createTempDirectory("nulls4b").toString
+    Seq((1L, "a real document body here", "en", "src0", 25L),
+        (2L, null, "en", "src1", 0L),
+        (3L, null, "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    assert(Dedup.keepBest(spark, dir2).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
     // mixture/split: token count null → cum null → dropped vs budget;
     // the split is text-independent so both docs are assigned
     assert(graft.operators.Curation.mixture(spark, dir).count() >= 1)
@@ -149,5 +159,42 @@ class EdgeCaseSpec extends SparkSpec {
         |       cosine_sim(array(CAST(1.0 AS FLOAT)), CAST(NULL AS ARRAY<FLOAT>)) AS b
         |""".stripMargin).head()
     assert(rows.isNullAt(0) && rows.isNullAt(1))
+  }
+
+  test("multimodal header decode: real PNG/BMP dims, corrupt headers quarantine") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def be(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def le(v: Int) = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val pngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    // minimal RGBA PNG header: magic + IHDR(len 13) 640×480, depth 8, color 6
+    val png = pngMagic ++ be(13) ++ "IHDR".getBytes ++ be(640) ++ be(480) ++
+      Array(8.toByte, 6.toByte, 0.toByte, 0.toByte, 0.toByte)
+    // minimal BMP header: "BM" + 12 filler bytes, then BITMAPINFOHEADER
+    // (size 40) with 320×200 at 24 bpp; height negative = top-down
+    val bmp = "BM".getBytes ++ Array.fill(12)(0.toByte) ++ le(40) ++
+      le(320) ++ le(-200) ++ Array(1.toByte, 0.toByte) ++
+      Array(24.toByte, 0.toByte)
+    // PNG magic but truncated before the dims — must quarantine, not throw
+    val corrupt = pngMagic ++ be(13) ++ "IHDR".getBytes ++ be(640).take(2)
+    // PNG magic but a non-IHDR first chunk — also corrupt
+    val wrongChunk = pngMagic ++ be(13) ++ "IDAT".getBytes ++ be(640) ++
+      be(480) ++ Array(8.toByte, 6.toByte, 0.toByte, 0.toByte, 0.toByte)
+    val assets = spark.createDataset(Seq(
+      Multimodal.Asset(1L, "image", png, "s"),
+      Multimodal.Asset(2L, "image", bmp, "s"),
+      Multimodal.Asset(3L, "image", corrupt, "s"),
+      Multimodal.Asset(4L, "image", wrongChunk, "s"),
+      Multimodal.Asset(5L, "image", "plain text".getBytes, "s")))
+    val m = Multimodal.extractMeta(assets).collect()
+      .map(r => r.asset_id -> ((r.width, r.height, r.channels))).toMap
+    assert(m(1L) == ((640, 480, 4)), s"PNG decode: ${m(1L)}")
+    assert(m(2L) == ((320, 200, 3)), s"BMP decode: ${m(2L)}")
+    assert(m(3L) == ((-1, -1, 0)), s"truncated PNG must quarantine: ${m(3L)}")
+    assert(m(4L) == ((-1, -1, 0)), s"IHDR-less PNG must quarantine: ${m(4L)}")
+    assert(m(5L) == ((26, 26, 3)), s"text fallback pseudo-dims: ${m(5L)}")
   }
 }
