@@ -327,8 +327,14 @@ object Analytics {
       .agg(count(when(inA, 1)).as("ca"), count(when(!inA, 1)).as("cb"))
       .withColumn("na", sum(col("ca")).over(byType))
       .withColumn("nb", sum(col("cb")).over(byType))
-    val p = (col("ca") + 1).cast("double") / (col("na") + DriftBuckets)
-    val q = (col("cb") + 1).cast("double") / (col("nb") + DriftBuckets)
+      .withColumn("nobs", count(lit(1)).over(byType))
+    // +1 per OBSERVED bucket in the numerator ⇒ the denominator adds the
+    // per-type observed-bucket count, so each period's smoothed masses
+    // sum to exactly 1 over the type's bucket frame (ADVICE r4: a fixed
+    // +DriftBuckets denominator biased PSI for types covering fewer than
+    // the full grid).
+    val p = (col("ca") + 1).cast("double") / (col("na") + col("nobs"))
+    val q = (col("cb") + 1).cast("double") / (col("nb") + col("nobs"))
     counts
       .select(col("event_type"), ((p - q) * log(p / q)).as("term"))
       .groupBy(col("event_type"))
@@ -346,14 +352,15 @@ object Analytics {
        |), t AS (
        |  SELECT event_type, ca, cb,
        |         sum(ca) OVER (PARTITION BY event_type) AS na,
-       |         sum(cb) OVER (PARTITION BY event_type) AS nb
+       |         sum(cb) OVER (PARTITION BY event_type) AS nb,
+       |         count(*) OVER (PARTITION BY event_type) AS nobs
        |  FROM c
        |), terms AS (
        |  SELECT event_type,
-       |         (CAST(ca + 1 AS DOUBLE) / (na + $DriftBuckets) -
-       |          CAST(cb + 1 AS DOUBLE) / (nb + $DriftBuckets)) *
-       |         ln((CAST(ca + 1 AS DOUBLE) / (na + $DriftBuckets)) /
-       |            (CAST(cb + 1 AS DOUBLE) / (nb + $DriftBuckets))) AS term
+       |         (CAST(ca + 1 AS DOUBLE) / (na + nobs) -
+       |          CAST(cb + 1 AS DOUBLE) / (nb + nobs)) *
+       |         ln((CAST(ca + 1 AS DOUBLE) / (na + nobs)) /
+       |            (CAST(cb + 1 AS DOUBLE) / (nb + nobs))) AS term
        |  FROM t
        |)
        |SELECT event_type, round(sum(term), 6) AS psi,

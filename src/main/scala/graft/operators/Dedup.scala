@@ -619,7 +619,15 @@ object Dedup {
     * is the 16-byte md5, never the text.
     */
   def keepBest(spark: SparkSession, dir: String): DataFrame = {
-    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    // md5(NULL) is NULL in both engines, so null-text documents would
+    // all share one NULL fingerprint group and collapse to a single
+    // survivor despite not being duplicates of each other (ADVICE r4).
+    // A null-text doc gets a per-doc key instead — it survives alone.
+    // (Empty-STRING texts still hash to the md5('') group: identical
+    // content is a genuine duplicate set.)
+    val fp = when(col("text").isNull,
+      concat(lit("null:"), col("doc_id").cast("string")))
+      .otherwise(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
     val byFp = Window.partitionBy(col("fp"))
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"), fp.as("fp"))
@@ -633,7 +641,9 @@ object Dedup {
   val keepBestSql: String =
     """WITH f AS (
       |  SELECT doc_id, n_chars,
-      |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |         CASE WHEN text IS NULL THEN 'null:' || CAST(doc_id AS VARCHAR)
+      |              ELSE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |         END AS fp
       |  FROM documents
       |), r AS (
       |  SELECT doc_id, fp, n_chars,

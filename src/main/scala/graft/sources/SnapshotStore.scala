@@ -93,6 +93,13 @@ class SnapshotStore(root: String, hadoopConf: Configuration = new Configuration(
     import org.apache.spark.sql.expressions.Window
     val merged =
       if (hasAnySnapshot(kind)) {
+        // The merge reads the latest snapshot LAZILY; writing the result
+        // to the same snapshot_ts would overwrite the directory still
+        // being read mid-job (ADVICE r4). Snapshots are immutable —
+        // a merge must land as a NEW ts.
+        require(ts != latestSnapshotTs(kind),
+          s"upsert for '$kind' must use a new snapshot ts, not the " +
+            s"latest one ($ts) it reads from")
         val prev = readTableSnapshot(spark, kind, latestSnapshotTs(kind))
           .drop("snapshot_ts").withColumn("__graft_src", lit(0))
         val cur = batch.withColumn("__graft_src", lit(1))
@@ -119,6 +126,11 @@ class SnapshotStore(root: String, hadoopConf: Configuration = new Configuration(
     */
   def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
       kind: String, ts: String, numFiles: Int = 1): Unit = {
+    // Same lazy-read hazard as upsertTableSnapshot: compacting INTO the
+    // snapshot being read would corrupt or lose the latest snapshot.
+    require(ts != latestSnapshotTs(kind),
+      s"compaction for '$kind' must land as a new snapshot ts, not " +
+        s"overwrite the latest one ($ts) it reads from")
     val cur = readTableSnapshot(spark, kind, latestSnapshotTs(kind))
       .drop("snapshot_ts")
     writeTableSnapshot(cur.coalesce(numFiles), kind, ts)

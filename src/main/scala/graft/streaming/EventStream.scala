@@ -214,9 +214,14 @@ object EventStream {
     * STRICTLY AFTER the previous stage's advance — emitted live as
     * `StageAdvance` rows (a downstream `groupBy(stage).count` is the
     * running funnel). State is two numbers per user — the stage reached
-    * and its event time — the O(1) minimum for ordered-funnel semantics;
-    * no watermark needed because state never grows with the stream.
-    * Per-(user, micro-batch) slices sort under the bounded-memory
+    * and its event time — the O(1)-PER-USER minimum for ordered-funnel
+    * semantics. Total state is O(|users|), not O(events): it does not
+    * grow with stream LENGTH, but it does grow with user CARDINALITY —
+    * a long-running production deployment with unbounded user churn
+    * adds an event-time timeout evicting users idle past its retention
+    * horizon (dropping a user forgets funnel progress, so the horizon
+    * is a product decision, not a default this operator should bake
+    * in). Per-(user, micro-batch) slices sort under the bounded-memory
     * contract documented at `sessionize`.
     */
   def funnel(events: Dataset[Event]): Dataset[StageAdvance] = {
@@ -251,7 +256,11 @@ object EventStream {
     * across micro-batch boundaries — the state is the user's single last
     * event (O(1) per user, the minimum any cross-batch pairing needs; a
     * downstream `groupBy(from, to).count` turns the pair stream into the
-    * live transition matrix). Like sessionize, pairing needs time order,
+    * live transition matrix). As with `funnel`, total state is
+    * O(|users|) — bounded per user but growing with user cardinality;
+    * an idle-user timeout is the production eviction valve (here it
+    * would only forget one already-paired event, so it is safe at any
+    * horizon). Like sessionize, pairing needs time order,
     * so the per-(user, micro-batch) slice is sorted under the same
     * bounded-memory contract documented there.
     */
