@@ -63,4 +63,61 @@ class StreamingFileSpec extends SparkSpec {
     runOnce()
     assert(outRows() == out, "checkpointed restart duplicated rows")
   }
+
+  test("funnel state survives kill/restart: stage advances span restarts exactly once") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("funnelstream").toString
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val schema = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value").schema
+
+    // Each runOnce is a fresh StreamingQuery instance recovering the
+    // per-user FunnelState (2 numbers) from the checkpoint — the
+    // kill+restart cycle a production stream survives.
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$root/in")
+      EventStream.funnel(stream.as[EventStream.Event])
+        .writeStream
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    def outRows() = spark.read.parquet(s"$root/out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // run 1: user 7 reaches stage 1 (view); a click BEFORE the view
+    // must not advance anything after recovery either
+    Seq((1L, t(1), 7L, "click", 0.0), (2L, t(2), 7L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$root/in")
+    runOnce()
+    assert(outRows() == Set((7L, "view")))
+
+    // "kill" happened here: the next run is a new query instance. Its
+    // click STRICTLY AFTER the recovered stage-1 timestamp advances to
+    // stage 2 — provable only if FunnelState(stage=1, ts=00:02)
+    // round-tripped through the checkpoint.
+    Seq((3L, t(3), 7L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$root/in")
+    runOnce()
+    assert(outRows() == Set((7L, "view"), (7L, "click")))
+
+    // second restart: purchase completes the funnel; an out-of-order
+    // duplicate click at an EARLIER ts must not re-emit
+    Seq((4L, t(1), 7L, "click", 0.0), (5L, t(9), 7L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$root/in")
+    runOnce()
+    val done = outRows()
+    assert(done == Set((7L, "view"), (7L, "click"), (7L, "purchase")))
+
+    // restart with no new data: recovery alone must emit nothing
+    runOnce()
+    assert(outRows() == done, "restart duplicated funnel advances")
+  }
 }
