@@ -288,27 +288,37 @@ object TextAnalysis {
   /** (doc_id, slot, sign) → the dense HashDim-vector row: two map-side-
     * combined aggregations then a pure projection; shared by the
     * oracle-parity (md5) and production (xxhash64) hash families. */
-  private def densifyHashed(slotted: DataFrame): DataFrame =
-    slotted
-      .groupBy(col("doc_id"), col("slot")).agg(sum(col("sign")).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(expr("map_from_entries(collect_list(struct(slot, c)))").as("m"))
-      .select(col("doc_id"),
-        expr(s"transform(sequence(0, ${HashDim - 1}), i -> coalesce(element_at(m, CAST(i AS BIGINT)), 0L))")
-          .as("vec"))
+  /** Dense-vector summary columns shared by the embed variants. */
+  private def vecStats(withVec: DataFrame): DataFrame =
+    withVec
       .select(col("doc_id"),
         expr("array_join(transform(vec, x -> CAST(x AS STRING)), ',')").as("vec_csv"),
         round(sqrt(expr("aggregate(vec, 0L, (a, x) -> a + x * x)").cast("double")), 6)
           .as("l2norm"),
         expr("CAST(size(filter(vec, x -> x != 0)) AS BIGINT)").as("nnz"))
 
-  def hashEmbed(spark: SparkSession, dir: String): DataFrame =
-    densifyHashed(Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+  private def densifyHashed(slotted: DataFrame): DataFrame =
+    vecStats(slotted
+      .groupBy(col("doc_id"), col("slot")).agg(sum(col("sign")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(expr("map_from_entries(collect_list(struct(slot, c)))").as("m"))
       .select(col("doc_id"),
-        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long").as("hv"))
-      .select(col("doc_id"), (col("hv") % HashDim).as("slot"),
-        when(expr(s"hv div $HashDim") % 2 === 0, 1L).otherwise(-1L).as("sign")))
+        expr(s"transform(sequence(0, ${HashDim - 1}), i -> coalesce(element_at(m, CAST(i AS BIGINT)), 0L))")
+          .as("vec")))
+
+  /** One-pass projection via the native `HashEmbedVec` fold: no explode,
+    * no shuffle — the whole operator is scan-parallel (the previous
+    * explode → two keyed aggregations shape shuffled every token row
+    * twice; same md5 slot/sign arithmetic, so the oracle is unchanged).
+    * Null-text documents drop, matching the explode-of-null semantics
+    * the SQL twin's unnest has.
+    */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame =
+    vecStats(Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.HashEmbedVec(
+          split(trim(col("text")), " "), HashDim).as("vec"))
+      .where(col("vec").isNotNull))
 
   /** Production-hash variant of `hashEmbed`: slot and sign come straight
     * off Spark's native `xxhash64` — one codegen'd long hash per token,
