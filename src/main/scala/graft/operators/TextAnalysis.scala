@@ -297,15 +297,6 @@ object TextAnalysis {
           .as("l2norm"),
         expr("CAST(size(filter(vec, x -> x != 0)) AS BIGINT)").as("nnz"))
 
-  private def densifyHashed(slotted: DataFrame): DataFrame =
-    vecStats(slotted
-      .groupBy(col("doc_id"), col("slot")).agg(sum(col("sign")).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(expr("map_from_entries(collect_list(struct(slot, c)))").as("m"))
-      .select(col("doc_id"),
-        expr(s"transform(sequence(0, ${HashDim - 1}), i -> coalesce(element_at(m, CAST(i AS BIGINT)), 0L))")
-          .as("vec")))
-
   /** One-pass projection via the native `HashEmbedVec` fold: no explode,
     * no shuffle — the whole operator is scan-parallel (the previous
     * explode → two keyed aggregations shape shuffled every token row
@@ -327,19 +318,19 @@ object TextAnalysis {
     * it was the bench's largest pure-hash cost). Slot = low 6 bits
     * (HashDim is a power of two), sign = bit 6 — disjoint bit fields of
     * one hash, mirroring the md5 form's (hv % dim, hv/dim parity) split.
-    * Same explode → two reduced aggregations shape; not row-oracled
+    * Same native one-pass `HashEmbedVec` fold as `hashEmbed` (the xx64
+    * family calls the literal `XxHash64Function` the built-in uses, so
+    * the fold reproduces `xxhash64(term)` exactly); not row-oracled
     * (different hash family ⇒ different slots) — `hashEmbedFastCheck`
     * carries the oracle-checkable claims instead, and the suite pins
     * distributional agreement with the md5 form.
     */
   def hashEmbedFast(spark: SparkSession, dir: String): DataFrame =
-    densifyHashed(Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
-      .select(col("doc_id"), xxhash64(col("term")).as("hv"))
+    vecStats(Tables(spark, dir, "documents")
       .select(col("doc_id"),
-        col("hv").bitwiseAND(HashDim - 1).as("slot"),
-        when(shiftright(col("hv"), 6).bitwiseAND(1) === 0, 1L).otherwise(-1L)
-          .as("sign")))
+        org.apache.spark.sql.graft.HashEmbedVec(
+          split(trim(col("text")), " "), HashDim, xx64 = true).as("vec"))
+      .where(col("vec").isNotNull))
 
   /** Oracle-checkable conservation claims over the fast variant: every
     * token lands in exactly one slot with sign ±1, so per document the

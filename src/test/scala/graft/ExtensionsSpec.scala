@@ -30,4 +30,37 @@ class ExtensionsSpec extends SparkSpec {
     val c = spark.sql("SELECT cosine_sim(a, b) FROM vecs").head().getDouble(0)
     assert(math.abs(c - 10.0 / 14.0) < 1e-12)
   }
+
+  test("hash_embed_vec md5 family matches the SQL md5 arithmetic per token") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT hash_embed_vec(array('alpha'), 64) AS v,
+        |       CAST(conv(substring(md5('alpha'), 1, 8), 16, 10) AS BIGINT) AS hv
+        |""".stripMargin).head()
+    val vec = r.getSeq[Long](0)
+    val hv = r.getLong(1)
+    assert(vec.length == 64)
+    val expectedSign = if ((hv / 64) % 2 == 0) 1L else -1L
+    assert(vec((hv % 64).toInt) == expectedSign, "slot/sign mismatch vs md5 SQL")
+    assert(vec.count(_ != 0L) == 1)
+  }
+
+  test("HashEmbedVec xx64 family reproduces the builtin xxhash64 per token") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one token per row: the fold's slot/sign must equal the builtin's
+    // (a wrong seed or hash variant passes conservation checks but not this)
+    val df = Seq("alpha", "beta", "gamma", "7", "").toDF("t")
+      .select(col("t"), xxhash64(col("t")).as("hv"),
+        org.apache.spark.sql.graft.HashEmbedVec(
+          array(col("t")), 64, xx64 = true).as("v"))
+    df.collect().foreach { r =>
+      val hv = r.getLong(1)
+      val vec = r.getSeq[Long](2)
+      val slot = (hv & 63L).toInt
+      val sign = if (((hv >> 6) & 1L) == 0L) 1L else -1L
+      assert(vec(slot) == sign, s"token '${r.getString(0)}' slot/sign mismatch")
+      assert(vec.count(_ != 0L) == 1)
+    }
+  }
 }
