@@ -395,18 +395,27 @@ object Curation {
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
     val fracs = (1 until parts).map(i => i.toDouble / parts)
+    // Composite total-order key: one long whose DESCENDING order is
+    // exactly (n_chars DESC, doc_id ASC), so percentile cuts on it
+    // break ties and bins stay uniform even on a COARSE quality score
+    // (binning on n_chars alone would collapse a 5-tier score to 5
+    // bins — parallelism 5 at any cluster size). Bounds: n_chars <
+    // 2²² and doc_id < 2⁴⁰ fit the product in a long; beyond ~2⁵³ the
+    // double-typed cut points lose ulps but stay MONOTONE, which is
+    // the only property binning needs — boundary ties just merge.
     val d = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("n_chars") * (1L << 40) - col("doc_id")).as("k"))
     val cuts = d.agg(expr(
-      s"percentile(n_chars, array(${fracs.mkString(", ")}))").as("cuts"))
+      s"percentile(k, array(${fracs.mkString(", ")}))").as("cuts"))
     // bin 0 holds the highest-quality rows (descending order), so a
     // row's bin = how many cut points sit strictly above its key; the
     // mapping is monotone along the sort order, which is what makes
     // bin-local ranks + prefix offsets reconstruct the global rank.
     val binned = d.crossJoin(broadcast(cuts))
       .withColumn("pid",
-        expr("size(filter(cuts, c -> c > n_chars))").cast("int"))
-      .drop("cuts")
+        expr("size(filter(cuts, c -> c > k))").cast("int"))
+      .drop("cuts", "k")
     val byBin = Window.partitionBy(col("pid"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     val ranged = binned.withColumn("lr", row_number().over(byBin).cast("long"))

@@ -129,9 +129,13 @@ class CurationSpec extends SparkSpec {
 
   test("curriculum plan: ntile-exact with no Window and no global Sort") {
     import org.apache.spark.sql.expressions.Window
-    val df = Curation.curriculum(spark, sfDir)
+    // sf0.1, not the default sf0.001: the round-5 partitioning bug
+    // (sampled range bounds diverging between branches) only surfaced
+    // at 5000 rows — parity here must cover that scale.
+    val bigDir = "/root/testdata/sf0.1"
+    val df = Curation.curriculum(spark, bigDir)
     // exact parity with the single-partition windowed form it replaced
-    val ref = Tables(spark, sfDir, "documents")
+    val ref = Tables(spark, bigDir, "documents")
       .select(col("doc_id"),
         ntile(4).over(Window.orderBy(col("n_chars").desc, col("doc_id").asc))
           .cast("long").as("phase"))
