@@ -134,17 +134,37 @@ object Curation {
 
   /** Percentile quality gate: keep documents at or above the corpus's
     * 80th percentile of a quality signal (here `n_chars` — any scalar
-    * score slots in). Shape: ONE tiny scalar aggregation (exact
-    * interpolated percentile), broadcast into the filter — never a
-    * global sort or rank window over the corpus. The gate scan is then
-    * embarrassingly parallel; at 100 TB the threshold aggregation is
-    * the only reduce, and swapping `percentile` for
-    * `approx_percentile` makes it single-pass at a documented error.
+    * score slots in). The threshold is EXACT but never buffers the
+    * corpus: built-in `percentile` holds every value of the group in
+    * one aggregation buffer (a corpus-sized single-task buffer for a
+    * global percentile), so the exact interpolated quantile is derived
+    * from the VALUE HISTOGRAM instead — one (value, count) aggregation
+    * whose frame is |distinct score values| (bounded for any discrete
+    * quality score), a cumulative count over that reduced frame, and
+    * the two order statistics around rank 1 + (N−1)·q interpolated
+    * exactly as `quantile_cont` defines. The gate scan then streams
+    * against the broadcast scalar — no global sort or rank anywhere.
     */
   def qualityGate(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
-    val thr = d.agg(
-      expr(s"percentile(n_chars, $GatePercentile)").as("thr"))
+    val hist = d.where(col("n_chars").isNotNull)
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    // cumulative counts over the reduced histogram frame
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("n_chars").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = hist.agg(sum(col("cnt")).as("n"))
+    // continuous-quantile position p (1-based): lo/hi order statistics
+    // are the smallest values whose cumulative count reaches ⌊p⌋ / ⌈p⌉
+    val thr = cum.crossJoin(broadcast(total))
+      .select(col("n_chars"), col("cum"),
+        (lit(1.0) + (col("n") - 1).cast("double") * GatePercentile).as("p"))
+      .agg(
+        max(col("p")).as("p"),
+        min(when(col("cum") >= floor(col("p")), col("n_chars"))).as("lo"),
+        min(when(col("cum") >= ceil(col("p")), col("n_chars"))).as("hi"))
+      .select((col("lo") +
+        (col("hi") - col("lo")) * (col("p") - floor(col("p")))).as("thr"))
     d.join(broadcast(thr), col("n_chars") >= col("thr"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         round(col("thr"), 6).as("threshold"))
@@ -406,16 +426,28 @@ object Curation {
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"),
         (col("n_chars") * (1L << 40) - col("doc_id")).as("k"))
-    val cuts = d.agg(expr(
-      s"percentile(k, array(${fracs.mkString(", ")}))").as("cuts"))
+    // Cut points only set bin BALANCE — ranks are recomputed exactly
+    // from actual per-bin counts below, so any monotone cuts give the
+    // right answer. That buys two scale properties: approx_percentile
+    // (mergeable sketch, bounded memory — exact percentile would buffer
+    // the whole corpus's keys in ONE aggregation buffer), and a driver
+    // collect of the numPartitions-1 doubles so both consumers of `pid`
+    // share LITERAL constants — the same metadata-sized collect a
+    // RangePartitioner does for its sample, and it makes cross-branch
+    // cut divergence (the bug the sampled-bounds form had) impossible
+    // by construction.
+    val cutVals = d.agg(expr(
+      s"approx_percentile(k, array(${fracs.mkString(", ")}), 10000)")
+      .as("cuts")).head().getSeq[Double](0)
     // bin 0 holds the highest-quality rows (descending order), so a
     // row's bin = how many cut points sit strictly above its key; the
     // mapping is monotone along the sort order, which is what makes
     // bin-local ranks + prefix offsets reconstruct the global rank.
-    val binned = d.crossJoin(broadcast(cuts))
+    val cutArr = array(cutVals.map(lit): _*)
+    val binned = d
       .withColumn("pid",
-        expr("size(filter(cuts, c -> c > k))").cast("int"))
-      .drop("cuts", "k")
+        size(filter(cutArr, c => c > col("k").cast("double"))).cast("int"))
+      .drop("k")
     val byBin = Window.partitionBy(col("pid"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     val ranged = binned.withColumn("lr", row_number().over(byBin).cast("long"))
