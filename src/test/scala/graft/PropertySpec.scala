@@ -92,4 +92,35 @@ class PropertySpec extends SparkSpec {
       assert(top >= 1.0 / nd - 1e-6 && top <= (n - nd + 1).toDouble / n + 1e-6)
     }
   }
+
+  test("HashEmbedVec: random token arrays match an independent md5 fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 64
+    // independent reference path: hex-string md5 via DigestUtils, the
+    // way the SQL oracle derives it — not the expression's byte math
+    def refVec(tokens: Seq[String]): Seq[Long] = {
+      val acc = new Array[Long](dim)
+      tokens.foreach { t =>
+        val hv = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            t.getBytes("UTF-8")).substring(0, 8), 16)
+        acc((hv % dim).toInt) += (if ((hv / dim) % 2 == 0) 1L else -1L)
+      }
+      acc.toSeq
+    }
+    val cases = (1 to 60).map { i =>
+      val n = rnd.nextInt(80)
+      val toks = Seq.fill(n)(rnd.alphanumeric.take(1 + rnd.nextInt(10)).mkString) ++
+        (if (i % 5 == 0) Seq("", "§ünïcødé", "a b") else Nil)
+      (i.toLong, toks)
+    }
+    val got = cases.toDF("id", "toks")
+      .select(col("id"), org.apache.spark.sql.graft.HashEmbedVec(
+        col("toks"), dim).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    cases.foreach { case (id, toks) =>
+      assert(got(id) == refVec(toks), s"fold diverged for case $id")
+    }
+  }
 }
