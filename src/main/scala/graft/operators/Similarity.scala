@@ -475,12 +475,17 @@ object Similarity {
     * under both the export query and the quantized search. */
   private def quantizedVectors(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("label"), col("embedding"),
         (expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))") / 127.0)
           .as("scale"))
       .where(col("scale") > 0)
-      .select(col("vec_id"), col("embedding"), col("scale"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS INT))")
+      .select(col("vec_id"), col("label"), col("embedding"), col("scale"),
+        // nullif guard: the scale > 0 filter above removes zero vectors,
+        // but Catalyst may evaluate this projection before the filter in
+        // a collapsed stage — under ANSI a 0.0 divisor then THROWS
+        // mid-scan instead of the row being dropped. null propagates
+        // harmlessly through the arithmetic of a row that cannot survive.
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / nullif(scale, 0.0d) + 0.5d) AS INT))")
           .as("q"))
 
   def quantize(spark: SparkSession, dir: String): DataFrame =
@@ -490,7 +495,7 @@ object Similarity {
         round(col("scale"), 9).as("scale_r"),
         expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')").as("q_csv"),
         expr("""round(array_max(zip_with(embedding, q,
-                 (x, qi) -> abs(CAST(x AS DOUBLE) - qi * scale))) / scale, 6)""")
+                 (x, qi) -> abs(CAST(x AS DOUBLE) - qi * scale))) / nullif(scale, 0.0d), 6)""")
           .as("max_err_over_scale"),
         expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"))
 
@@ -511,6 +516,52 @@ object Similarity {
       |           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
       |    FROM embeddings)
       |  WHERE scale > 0)""".stripMargin
+
+  /** Per-label class prototypes over the int8-quantized corpus: for
+    * every (label, dimension), the mean and variance of the quantized
+    * coordinate — the nearest-class-mean / per-class-drift primitive a
+    * labeled embedding corpus gets audited with. Quantized, not float,
+    * coordinates are the point: per-vector max-normalization makes the
+    * prototype a DIRECTION statistic (matching the cosine geometry the
+    * similarity stack uses), and integer sums make the whole operator
+    * exact — mean and variance come out of (Σq, Σq², n) integer
+    * aggregates with one final IEEE division each, so it is FULLY
+    * oracled despite averaging floats' quantized images.
+    *
+    * Shape at scale: posexplode (linear ×dim) into a partial-aggregated
+    * groupBy — the exchange carries |labels|·dim partial rows per task,
+    * never vectors.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    quantizedVectors(spark, dir)
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "qi")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qi")).as("s"),
+        sum(col("qi") * col("qi")).as("ss"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("mean_q"),
+        round((col("ss") * col("n") - col("s") * col("s")).cast("double")
+          / (col("n") * col("n")), 6).as("var_q"))
+
+  val labelCentroidsSql: String =
+    """WITH qv AS (
+      |  SELECT label,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS q
+      |  FROM (
+      |    SELECT label, embedding,
+      |           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |    FROM embeddings)
+      |  WHERE scale > 0
+      |), flat AS (
+      |  SELECT label, CAST(i - 1 AS BIGINT) AS dim, q[i] AS qi
+      |  FROM qv, unnest(range(1, len(q) + 1)) AS t(i)
+      |)
+      |SELECT label, dim, count(*) AS n,
+      |       round(CAST(sum(qi) AS DOUBLE) / count(*), 6) AS mean_q,
+      |       round(CAST(sum(qi * qi) * count(*) - sum(qi) * sum(qi) AS DOUBLE)
+      |             / (count(*) * count(*)), 6) AS var_q
+      |FROM flat GROUP BY 1, 2""".stripMargin
 
   /** Top-k search over the int8-QUANTIZED corpus — the serving-side
     * payoff of `quantize`: the scan reads 4×-smaller vectors and the
@@ -602,6 +653,7 @@ object Similarity {
     Op("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceSql)),
     Op("sim_topk_quantized", topkQuantized _, Some(topkQuantizedSql)),
     Op("emb_quantize", quantize _, Some(quantizeSql)),
+    Op("sim_label_centroids", labelCentroids _, Some(labelCentroidsSql)),
     Op("sim_topk_ivf", topkIvf _, None),
     Op("sim_topk_ivf_check", topkIvfCheck _, Some(topkCheckSql)),
     Op("sim_topk_lsh", topkLsh _, None),

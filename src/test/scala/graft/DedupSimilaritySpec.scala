@@ -279,6 +279,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(served.sameElements(inline), "store round-trip changed results")
   }
 
+  test("label centroids: exact integer mean/variance of quantized coords") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("centroids").toString
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0),  // q = [127, 0]
+      (2L, Array(0.0f, 2.0f), 0),  // q = [0, 127]
+      (3L, Array(-3.0f, 3.0f), 1), // q = [-127, 127]
+      (4L, Array(0.0f, 0.0f), 1))  // zero vector: dropped (scale 0)
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.labelCentroids(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // label 0, dim 0: q values {127, 0} -> mean 63.5, var 127^2/4
+    assert(got((0, 0L)) == ((2L, 63.5, 4032.25)))
+    assert(got((0, 1L)) == ((2L, 63.5, 4032.25)))
+    // label 1: only the nonzero vector survives -> zero variance
+    assert(got((1, 0L)) == ((1L, -127.0, 0.0)))
+    assert(got((1, 1L)) == ((1L, 127.0, 0.0)))
+  }
+
   test("keep-best dedup keeps the longest copy, counts the group") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("kb").toString

@@ -117,6 +117,15 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$dir/embeddings.parquet")
     assert(Similarity.quantize(spark, dir).count() == 0)
+    // an ACTUAL zero vector must drop, not throw: ANSI divide-by-zero
+    // fired inside the collapsed projection before the nullif guard
+    // (the scale > 0 filter alone does not pin evaluation order)
+    val dir2 = java.nio.file.Files.createTempDirectory("qzero").toString
+    Seq((1L, Array(1.0f, -2.0f), 0), (2L, Array(0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir2/embeddings.parquet")
+    assert(Similarity.quantize(spark, dir2).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("null text rows drop from simhash like the declarative form did") {
