@@ -90,13 +90,19 @@ object Curation {
 
   /** Benchmark contamination: for every corpus document, the benchmark
     * documents it shares ≥ MinShared distinct 8-grams with. Both sides
-    * reduce to DISTINCT n-gram keys before the join (a document's
+    * reduce to DISTINCT n-gram keys before the pair join (a document's
     * repeated phrase counts once), the join key is the md5 of the gram —
     * 16-byte keys shuffle, never text — and the benchmark side is tiny
-    * by construction, so Spark broadcasts it and the corpus side never
-    * shuffles at all: the scan streams through a broadcast hash join
-    * into a partial-aggregated pair count. At 100 TB this is the
-    * canonical decontamination shape (benchmark n-gram set ≪ corpus).
+    * by construction, so Spark broadcasts it.
+    *
+    * The load-bearing scale move is the SEMI-JOIN REDUCTION: corpus
+    * grams are pre-filtered map-side against the broadcast benchmark
+    * gram set BEFORE their distinct, so the only corpus rows that ever
+    * reach an exchange are grams that actually collide with the
+    * benchmark (a vanishing fraction of a clean corpus). Filtering
+    * commutes with distinct, so results are identical — without it the
+    * distinct shuffles every corpus gram, which is the dominant cost of
+    * decontamination at 100 TB.
     */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     def grams(df: DataFrame, idCol: String) = df
@@ -105,10 +111,11 @@ object Curation {
       .select(col(idCol), explode(expr(
         s"transform(sequence(1, size(w) - ${GramWords - 1}), " +
           s"i -> md5(concat_ws(' ', slice(w, i, $GramWords))))")).as("g"))
-      .distinct()
     val d = Tables(spark, dir, "documents")
+    val bench = grams(d.where(col("doc_id") < BenchDocs), "bench_id").distinct()
     val corpus = grams(d.where(col("doc_id") >= BenchDocs), "doc_id")
-    val bench = grams(d.where(col("doc_id") < BenchDocs), "bench_id")
+      .join(broadcast(bench.select(col("g"))).as("bg"), Seq("g"), "left_semi")
+      .distinct()
     corpus.join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
