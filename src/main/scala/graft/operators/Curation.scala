@@ -489,6 +489,62 @@ object Curation {
        |         ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS phase
        |FROM documents""".stripMargin
 
+  // ------------------------------------------- temperature sampling
+  /** Fraction of the corpus the temperature-balanced sample targets. */
+  private val TempBudgetFrac = 0.3
+
+  /** Temperature-scaled language sampling — the multilingual rebalancing
+    * step (sample language l with probability ∝ p_l^T): high-resource
+    * languages are downsampled and low-resource ones kept, flattening
+    * the language distribution without inverting it. T = 0.5 so the
+    * weight is `sqrt`, which IEEE defines as correctly rounded — both
+    * engines derive bit-identical per-language weights; the only
+    * order-sensitive arithmetic is the |langs|-term weight sum, whose
+    * ulp wobble would have to move the 2⁻³² selection cut across a doc
+    * hash to flip a row (P ≈ |docs|·2⁻³² per ulp — negligible).
+    *
+    * Selection reuses the balanced-sample integer-cut rule: keep iff
+    * the first 32 hash bits fall below ⌊rate·2³²⌋ rendered as 8 hex
+    * chars, so the kept set is reproducible on any engine. Shape at
+    * scale: one map-side-combined |langs|-row aggregation broadcast
+    * back; the corpus itself never shuffles — scan, hash, filter.
+    */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val perLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val t = perLang.agg(sum(col("n")).cast("double").as("total"),
+      sum(sqrt(col("n").cast("double"))).as("sum_w"))
+    val rates = perLang.crossJoin(broadcast(t))
+      .select(col("lang"),
+        least(lit(1.0), lit(TempBudgetFrac) * col("total") *
+          sqrt(col("n").cast("double")) / col("sum_w") /
+          col("n").cast("double")).as("rate"))
+    val cut =
+      lpad(lower(hex(floor(col("rate") * 4294967296.0).cast("long"))), 8, "0")
+    d.join(broadcast(rates), Seq("lang"))
+      .where(col("rate") >= 1.0 ||
+        substring(md5(col("doc_id").cast("string")), 1, 8) < cut)
+      .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate_r"))
+  }
+
+  val temperatureSampleSql: String =
+    s"""WITH pl AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+       |             sum(sqrt(CAST(n AS DOUBLE))) AS sum_w FROM pl),
+       |r AS (
+       |  SELECT lang,
+       |         least(CAST(1.0 AS DOUBLE),
+       |               CAST($TempBudgetFrac AS DOUBLE) * total
+       |                 * sqrt(CAST(n AS DOUBLE)) / sum_w
+       |                 / CAST(n AS DOUBLE)) AS rate
+       |  FROM pl, t)
+       |SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate_r
+       |FROM documents d JOIN r USING (lang)
+       |WHERE r.rate >= 1.0
+       |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+       |      lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
+       |           8, '0')""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("curate_pack", pack _, Some(packSql)),
     Op("curate_curriculum", curriculum _, Some(curriculumSql)),
@@ -498,6 +554,8 @@ object Curation {
     Op("curate_balanced_sample_check", balancedSampleExact _,
       Some(balancedSampleExactSql)),
     Op("curate_mixture", mixture _, Some(mixtureSql)),
+    Op("curate_temperature_sample", temperatureSample _,
+      Some(temperatureSampleSql)),
     Op("curate_split", split3 _, Some(split3Sql)),
   )
 }

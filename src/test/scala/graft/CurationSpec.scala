@@ -221,4 +221,29 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(rows.forall(r => again(r.getLong(0)) == r.getString(3)))
   }
+
+  test("temperature sample: flattens the language distribution, never inverts it") {
+    val corpus = Tables(spark, sfDir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Curation.temperatureSample(spark, sfDir).collect()
+    val rates = kept.map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(rates.keySet == corpus.keySet, "every language survives sampling")
+    // T=0.5 monotonicity: rarer languages keep a HIGHER fraction …
+    val byCount = corpus.toSeq.sortBy(_._2)
+    for (Seq((rare, _), (common, _)) <- byCount.sliding(2))
+      assert(rates(rare) >= rates(common), s"$rare rate < $common rate")
+    // … but sampled counts still rank in corpus order (flattened, not
+    // inverted): expected kept ∝ sqrt(n), monotone in n
+    val keptByLang = kept.groupBy(_.getString(1)).view.mapValues(_.length)
+    for (Seq((rare, _), (common, _)) <- byCount.sliding(2))
+      assert(keptByLang(common) >= keptByLang(rare) * 4 / 5,
+        s"inverted: $common kept ${keptByLang(common)} < $rare ${keptByLang(rare)}")
+    // kept counts concentrate on n·rate (binomial, generous 3σ-ish slack)
+    corpus.foreach { case (l, n) =>
+      val expect = n * rates(l)
+      assert(math.abs(keptByLang(l) - expect) < 3 * math.sqrt(expect) + 3,
+        s"$l kept ${keptByLang(l)} vs expected $expect")
+    }
+  }
 }
