@@ -654,8 +654,62 @@ object Dedup {
       |)
       |SELECT doc_id, fp, n_chars, n_dups FROM r WHERE rk = 1""".stripMargin
 
+  // ---------------------------------------------- repeated-span scoring
+  /** Words per span — the scale at which a shared phrase stops being
+    * coincidence and starts being boilerplate/memorization. */
+  private val SpanGram = 8
+
+  /** Per-document repeated-span statistics — the corpus-vs-corpus form
+    * of exact-substring dedup scoring: for every document, how many of
+    * its distinct 8-word spans also appear in ANY other document, and
+    * what fraction of the document that is (the signal span-level
+    * dedup/memorization filters cut on).
+    *
+    * Shape at scale: per-doc distinctness is established MAP-SIDE
+    * (`array_distinct` before the explode), so no (doc, gram) shuffle
+    * ever happens; the exchanges that remain carry 16-byte gram hashes
+    * — (1) partition by gram for the doc-frequency count, (2) the
+    * partial-aggregated per-doc rollup. A gram-keyed exchange over the
+    * corpus is the cost FLOOR of corpus-vs-corpus exact overlap — no
+    * broadcast reduction exists here, unlike `curate_contamination`
+    * where the benchmark side is bounded.
+    */
+  def repeatedNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .where(size(col("w")) >= SpanGram)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(w) - ${SpanGram - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(w, i, $SpanGram)))))")).as("g"))
+    grams
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("nd") >= 2, lit(1))).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+  }
+
+  val repeatedNgramsSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       |  WHERE len(string_split(trim(text), ' ')) >= $SpanGram
+       |), g AS (
+       |  SELECT DISTINCT doc_id,
+       |         md5(array_to_string(list_slice(w, i, i + ${SpanGram - 1}), ' ')) AS g
+       |  FROM s, unnest(range(1, len(w) - ${SpanGram - 2})) AS t(i)
+       |), c AS (
+       |  SELECT doc_id, count(*) OVER (PARTITION BY g) AS nd FROM g
+       |)
+       |SELECT doc_id, count(*) AS n_grams,
+       |       count(CASE WHEN nd >= 2 THEN 1 END) AS n_dup_grams,
+       |       round(CAST(count(CASE WHEN nd >= 2 THEN 1 END) AS DOUBLE)
+       |             / count(*), 6) AS dup_frac
+       |FROM c GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", exact _, Some(exactSql)),
+    Op("dedup_repeated_ngrams", repeatedNgrams _, Some(repeatedNgramsSql)),
     Op("dedup_keep_best", keepBest _, Some(keepBestSql)),
     Op("dedup_incremental", incremental _, Some(incrementalSql)),
     Op("dedup_clusters", clusters _, Some(clustersSql)),

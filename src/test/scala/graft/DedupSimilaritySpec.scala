@@ -314,4 +314,28 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(rows == Map(2L -> 3L, 4L -> 1L), s"got $rows")
   }
+
+  test("repeated n-grams: shared spans counted exactly, short docs excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")   // one shared 8-gram
+    Seq(
+      // doc 1: 8 unique words + the boilerplate span → 9 grams total,
+      // exactly 1 of which (the pure-boilerplate window) is shared
+      (1L, (1 to 8).map(i => s"x$i").mkString(" ") + " " + boiler),
+      // doc 2: boilerplate + 8 unique words → symmetric
+      (2L, boiler + " " + (1 to 8).map(i => s"y$i").mkString(" ")),
+      // doc 3: a repeated phrase WITHIN one doc counts once (distinct)
+      (3L, ((1 to 8).map(i => s"z$i") ++ (1 to 8).map(i => s"z$i")).mkString(" ")),
+      (4L, "too short for any span")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.repeatedNgrams(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!got.contains(4L), "sub-span docs produce no grams")
+    assert(got(1L) == ((9L, 1L)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((9L, 1L)), s"doc 2: ${got(2L)}")
+    // doc 3: 16 words → 9 windows, but window z2..z1-wrap repeats make
+    // distinct grams = 9 with z-cycle overlaps shared only with itself
+    assert(got(3L)._2 == 0L, s"within-doc repeats are not cross-doc dups: ${got(3L)}")
+  }
 }
