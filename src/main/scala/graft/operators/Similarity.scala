@@ -663,8 +663,98 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
        |FROM ranked WHERE rank <= $K""".stripMargin
 
+  // ------------------------------------------- random sign projection
+  /** Output dimensionality of the Johnson–Lindenstrauss reduction. */
+  private val ProjDims = 16
+
+  /** ±1 sign matrix, derived once from MD5 parity of the (i, j) cell
+    * coordinates — deterministic, and embedded as LITERALS in both the
+    * Spark plan and the SQL oracle, so no cross-engine hash arithmetic
+    * is ever evaluated per row. Achlioptas (2003): ±1 entries satisfy
+    * the JL distance-preservation guarantee with E‖Px‖² = D·‖x‖². */
+  private lazy val projSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(ProjDims) { j =>
+      Array.tabulate(64) { i =>
+        if ((md.digest(s"${i}_$j".getBytes("UTF-8"))(0) & 1) == 0) 1 else -1
+      }
+    }
+  }
+
+  /** Random-projection dimensionality reduction over the QUANTIZED
+    * corpus (64 → 16 dims): p_j = Σ_i s_ij·q_i with s ∈ {±1} — the
+    * standard cheap pre-filter for ANN at scale (a 4× narrower vector
+    * scans 4× faster; candidates re-rank on the full vector). Projecting
+    * int8 images instead of floats makes every sum EXACT integer
+    * arithmetic (|p_j| ≤ 64·127), so the operator is fully oracled —
+    * the float-matrix form would be order-sensitive in both engines.
+    * The sign matrix is sized to the corpus's embedding dim (the
+    * fixture contract: 64).
+    *
+    * Shape at scale: posexplode (linear ×dim) with per-element scalar
+    * quantization ABOVE the explode (the `labelCentroids` lesson: the
+    * whole stack stays in whole-stage codegen), sign lookup from
+    * 64-element literal arrays (no join), partial-aggregated groupBy —
+    * the one exchange carries a single 17-column row per vector.
+    */
+  def randomProject(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        (expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+          / 127.0).as("scale"),
+        col("embedding"))
+      .where(col("scale") > 0)
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr("CAST(floor(CAST(x AS DOUBLE) / nullif(scale, 0.0d) + 0.5d) AS BIGINT)")
+          .as("qi"))
+    val sums = (0 until ProjDims).map { j =>
+      val s = array(projSigns(j).map(lit): _*)
+      sum(col("qi") * element_at(s, col("i") + 1)).as(s"p$j")
+    }
+    val agg = exploded.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+    val norm = (0 until ProjDims).map(j => col(s"p$j") * col(s"p$j"))
+      .reduce(_ + _)
+    agg.select(col("vec_id"),
+      concat_ws(",",
+        (0 until ProjDims).map(j => col(s"p$j").cast("string")): _*).as("p_csv"),
+      norm.as("p_norm2"))
+  }
+
+  val randomProjectSql: String = {
+    val pExprs = (0 until ProjDims).map { j =>
+      val signs = projSigns(j).mkString("[", ", ", "]")
+      s"CAST(sum(qi * ($signs)[i]) AS BIGINT) AS p$j"
+    }.mkString(",\n         ")
+    val csv = (0 until ProjDims).map(j => s"CAST(p$j AS VARCHAR)")
+      .mkString("concat_ws(',', ", ", ", ")")
+    val norm = (0 until ProjDims).map(j => s"p$j * p$j").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |         list_max(list_transform(embedding,
+       |                  x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qv
+       |  FROM base WHERE scale > 0
+       |), e AS (
+       |  SELECT vec_id, i, qv[i] AS qi
+       |  FROM q, unnest(range(1, len(qv) + 1)) AS t(i)
+       |), p AS (
+       |  SELECT vec_id,
+       |         $pExprs
+       |  FROM e GROUP BY vec_id
+       |)
+       |SELECT vec_id, $csv AS p_csv, $norm AS p_norm2
+       |FROM p""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceSql)),
+    Op("emb_random_project", randomProject _, Some(randomProjectSql)),
     Op("sim_topk_quantized", topkQuantized _, Some(topkQuantizedSql)),
     Op("emb_quantize", quantize _, Some(quantizeSql)),
     Op("sim_label_centroids", labelCentroids _, Some(labelCentroidsSql)),

@@ -338,4 +338,34 @@ class DedupSimilaritySpec extends SparkSpec {
     // distinct grams = 9 with z-cycle overlaps shared only with itself
     assert(got(3L)._2 == 0L, s"within-doc repeats are not cross-doc dups: ${got(3L)}")
   }
+
+  test("random projection: exact integer images, JL distances preserved in expectation") {
+    val proj = Similarity.randomProject(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(",").map(_.toLong)).toMap
+    // norm bookkeeping column matches its own csv payload
+    Similarity.randomProject(spark, sfDir).collect().foreach { r =>
+      val p = r.getString(1).split(",").map(_.toLong)
+      assert(p.length == 16 && r.getLong(2) == p.map(x => x * x).sum)
+    }
+    // quantized source vectors, re-derived independently
+    val q = Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id",
+        """transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+          |  nullif(array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0, 0.0d)
+          |  + 0.5d) AS BIGINT))""".stripMargin.replaceAll("\n", " "))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // E‖P(u−v)‖² = D·‖u−v‖² for ±1 signs: the mean ratio over sampled
+    // pairs concentrates near 1; individual pairs spread (D = 16)
+    val ids = proj.keys.toSeq.sorted.take(40)
+    val ratios = ids.sliding(2, 2).collect { case Seq(a, b) =>
+      val du = q(a).zip(q(b)).map { case (x, y) => (x - y).toDouble }
+      val dp = proj(a).zip(proj(b)).map { case (x, y) => (x - y).toDouble }
+      val d2 = du.map(x => x * x).sum
+      if (d2 == 0) 1.0 else dp.map(x => x * x).sum / (16.0 * d2)
+    }.toSeq
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.6 && mean < 1.6, s"JL mean ratio $mean off: $ratios")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0), s"pair ratio out of band: $ratios")
+  }
 }
