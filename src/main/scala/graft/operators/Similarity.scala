@@ -683,13 +683,24 @@ object Similarity {
 
   /** Random-projection dimensionality reduction over the QUANTIZED
     * corpus (64 → 16 dims): p_j = Σ_i s_ij·q_i with s ∈ {±1} — the
-    * standard cheap pre-filter for ANN at scale (a 4× narrower vector
-    * scans 4× faster; candidates re-rank on the full vector). Projecting
-    * int8 images instead of floats makes every sum EXACT integer
-    * arithmetic (|p_j| ≤ 64·127), so the operator is fully oracled —
-    * the float-matrix form would be order-sensitive in both engines.
-    * The sign matrix is sized to the corpus's embedding dim (the
-    * fixture contract: 64).
+    * standard distance-preserving sketch (clustering, dedup blocking,
+    * visualization; JL guarantees E‖Px‖² = D·‖x‖²). Projecting int8
+    * images instead of floats makes every sum EXACT integer arithmetic
+    * (|p_j| ≤ 64·127), so the operator is fully oracled — the
+    * float-matrix form would be order-sensitive in both engines. The
+    * sign matrix is sized to the corpus's embedding dim (the fixture
+    * contract: 64).
+    *
+    * Deliberately NOT served as an ANN candidate filter: on this
+    * corpus's weak similarity structure (true top-10 cosines barely
+    * above background — the same adversarial regime that killed banded
+    * sign-LSH for the exact near-dup in round 2), the measured
+    * projected-cosine rank of true neighbors has median 169 / p80 558
+    * of n=2000 — reaching the library's 0.8 recall bar would keep ~28%
+    * of the corpus as candidates, matching IVF's scan fraction while
+    * paying an extra full re-rank join. D=16 distortion (~25%) cannot
+    * separate a cosine band ~0.1 wide; the served ANN paths stay
+    * IVF/quantized.
     *
     * Shape at scale: posexplode (linear ×dim) with per-element scalar
     * quantization ABOVE the explode (the `labelCentroids` lesson: the
@@ -697,7 +708,9 @@ object Similarity {
     * 64-element literal arrays (no join), partial-aggregated groupBy —
     * the one exchange carries a single 17-column row per vector.
     */
-  def randomProject(spark: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, p0..p15): the shared projected-integer frame under both
+    * the export query and the projected candidate search. */
+  private def projectedInts(spark: SparkSession, dir: String): DataFrame = {
     val exploded = Tables(spark, dir, "embeddings")
       .select(col("vec_id"),
         (expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
@@ -713,7 +726,11 @@ object Similarity {
       val s = array(projSigns(j).map(lit): _*)
       sum(col("qi") * element_at(s, col("i") + 1)).as(s"p$j")
     }
-    val agg = exploded.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+    exploded.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+  }
+
+  def randomProject(spark: SparkSession, dir: String): DataFrame = {
+    val agg = projectedInts(spark, dir)
     val norm = (0 until ProjDims).map(j => col(s"p$j") * col(s"p$j"))
       .reduce(_ + _)
     agg.select(col("vec_id"),
