@@ -707,8 +707,47 @@ object Dedup {
        |             / count(*), 6) AS dup_frac
        |FROM c GROUP BY 1""".stripMargin
 
+  /** Per-source dedup observability — the report a pipeline run emits
+    * before anyone trusts its dedup stage: documents, distinct
+    * normalized fingerprints, and the implied duplicate rate, per
+    * source. Same normalization (and the same null-text per-doc key)
+    * as `keepBest`, so the rates reconcile exactly with what that
+    * operator would drop. Shape: count-distinct over (source, 16-byte
+    * fp) — one reduced pair-frame shuffle, then a |sources|-row rollup.
+    */
+  def report(spark: SparkSession, dir: String): DataFrame = {
+    val fp = when(col("text").isNull,
+      concat(lit("null:"), col("doc_id").cast("string")))
+      .otherwise(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+    Tables(spark, dir, "documents")
+      .select(col("source"), fp.as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .withColumn("n_dups", col("n_docs") - col("n_distinct"))
+      .withColumn("dup_rate",
+        round(col("n_dups").cast("double") / col("n_docs"), 6))
+  }
+
+  val reportSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT CASE WHEN text IS NULL
+      |                THEN 'null:' || CAST(doc_id AS VARCHAR)
+      |                ELSE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |              END) AS n_distinct,
+      |       count(*) - count(DISTINCT CASE WHEN text IS NULL
+      |                THEN 'null:' || CAST(doc_id AS VARCHAR)
+      |                ELSE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |              END) AS n_dups,
+      |       round(CAST(count(*) - count(DISTINCT CASE WHEN text IS NULL
+      |                THEN 'null:' || CAST(doc_id AS VARCHAR)
+      |                ELSE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |              END) AS DOUBLE) / count(*), 6) AS dup_rate
+      |FROM documents GROUP BY source""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", exact _, Some(exactSql)),
+    Op("dedup_report", report _, Some(reportSql)),
     Op("dedup_repeated_ngrams", repeatedNgrams _, Some(repeatedNgramsSql)),
     Op("dedup_keep_best", keepBest _, Some(keepBestSql)),
     Op("dedup_incremental", incremental _, Some(incrementalSql)),

@@ -304,8 +304,78 @@ object Events {
       |FROM a JOIN c ON a.user_id = c.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------- robust outliers (MAD)
+  /** Exact per-type continuous quantile over an (event_type, v, cnt)
+    * value histogram — `Curation.qualityGate`'s interpolation
+    * arithmetic, partitioned by type. The windows and the rollup run
+    * over the REDUCED histogram frame, never the events. */
+  private def histQuantile(hist: DataFrame, q: Double): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val cumW = byType.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .withColumn("p", lit(1.0) + (col("n") - 1).cast("double") * q)
+      .groupBy(col("event_type"))
+      .agg(max(col("p")).as("p"),
+        min(when(col("cum") >= floor(col("p")), col("v"))).as("lo"),
+        min(when(col("cum") >= ceil(col("p")), col("v"))).as("hi"))
+      .select(col("event_type"),
+        (col("lo") + (col("hi") - col("lo")) *
+          (col("p") - floor(col("p")))).as("qv"))
+  }
+
+  /** Robust per-type outliers — modified z-score |0.6745·(x−median) /
+    * MAD| > 3.5 (Iglewicz–Hoban), the estimator that does NOT let the
+    * outliers inflate their own yardstick the way mean/std z-scores do.
+    * Median and MAD are EXACT continuous quantiles, but never buffer a
+    * group: the fixture's `value` is a 2-decimal measurement grid, so
+    * the (type, value) histogram is a genuinely reduced frame (~18k
+    * rows per 100k events, bounded by the grid at any corpus size) and
+    * both quantiles come out of windows over it — the same
+    * histogram-decomposition contract as the quality gate. The flag
+    * scan streams against the broadcast per-type scalars. mad = 0
+    * degenerates the score (x ≠ med ⇒ ±∞); those types are excluded
+    * explicitly rather than letting engines disagree on inf/NaN
+    * comparisons.
+    */
+  def outliersMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val hist = ev.groupBy(col("event_type"), col("value").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = histQuantile(hist, 0.5).withColumnRenamed("qv", "med")
+    val devHist = hist.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), abs(col("v") - col("med")).as("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = histQuantile(devHist, 0.5).withColumnRenamed("qv", "mad")
+    val c = lit(0.6745)
+    ev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .where(col("mad") > 0 &&
+        abs(c * (col("value") - col("med")) / col("mad")) > 3.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(c * (col("value") - col("med")) / col("mad"), 6).as("mz"))
+  }
+
+  val outliersMadSql: String =
+    """WITH m AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1
+      |), d AS (
+      |  SELECT e.event_type,
+      |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM events e JOIN m USING (event_type) GROUP BY 1
+      |)
+      |SELECT e.event_id, e.event_type, e.value,
+      |       round(CAST(0.6745 AS DOUBLE) * (e.value - m.med) / d.mad, 6) AS mz
+      |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
+      |WHERE d.mad > 0
+      |  AND abs(CAST(0.6745 AS DOUBLE) * (e.value - m.med) / d.mad) > 3.5""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("events_hourly", hourly _, Some(hourlySql)),
+    Op("events_outliers_mad", outliersMad _, Some(outliersMadSql)),
     Op("events_funnel", funnel _, Some(funnelSql)),
     Op("events_transitions", transitions _, Some(transitionsSql)),
     Op("events_retention", retention _, Some(retentionSql)),

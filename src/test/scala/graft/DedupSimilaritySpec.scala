@@ -339,6 +339,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L)._2 == 0L, s"within-doc repeats are not cross-doc dups: ${got(3L)}")
   }
 
+  test("dedup report reconciles exactly with keep-best survivors") {
+    val rep = Dedup.report(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val survivors = Dedup.keepBest(spark, sfDir).count()
+    // Per-source distincts can only over-count the global survivor set
+    // (a fingerprint spanning sources is distinct in each); equality
+    // holds iff no dup family crosses a source boundary.
+    assert(rep.values.map(_._2).sum >= survivors,
+      "per-source distinct fingerprints at least cover the keep-best survivors")
+    val total = Tables(spark, sfDir, "documents").count()
+    assert(rep.values.map(_._1).sum == total)
+    rep.values.foreach { case (n, d) => assert(d <= n && d > 0) }
+  }
+
   test("random projection: exact integer images, JL distances preserved in expectation") {
     val proj = Similarity.randomProject(spark, sfDir).collect()
       .map(r => r.getLong(0) ->

@@ -341,4 +341,25 @@ class TextEventsSpec extends SparkSpec {
     assert(r.getString(3) == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
     assert(r.getInt(4) == 19 && r.getInt(5) == 19 && r.getInt(6) == 3)
   }
+
+  test("MAD outliers: hand-computed modified z, zero-MAD type excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mad").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows =
+      // type "a": 20×10.0, 20×10.5, one 1000.0 → median 10.5 (21st of
+      // 41), dev median 0.5, so mz(1000) = 0.6745·989.5/0.5 = 1334.8355
+      (1 to 20).map(i => (i.toLong, t0, 1L, "a", 10.0, "{}")) ++
+      (21 to 40).map(i => (i.toLong, t0, 1L, "a", 10.5, "{}")) ++
+      Seq((41L, t0, 1L, "a", 1000.0, "{}")) ++
+      // type "b": constant but one spike → MAD = 0, type excluded
+      (50 to 60).map(i => (i.toLong, t0, 1L, "b", 7.0, "{}")) ++
+      Seq((61L, t0, 1L, "b", 9999.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Events.outliersMad(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(41L),
+      s"expected only the type-a spike: ${got.mkString(", ")}")
+    assert(math.abs(got.head.getDouble(3) - 1334.8355) < 1e-4)
+  }
 }
