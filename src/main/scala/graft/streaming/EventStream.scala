@@ -282,4 +282,76 @@ object EventStream {
           out.result().iterator
       }
   }
+
+  // ------------------------------------------------------ drift monitor
+  /** Same fixed value-bucket grid as the batch `Analytics.statsDrift`. */
+  private val DriftBuckets = 10
+  private val DriftBucketWidth = 50.0
+
+  /** Streaming PSI drift monitor, stage 1: tumbling-window (type,
+    * bucket) counts on the statsDrift bucket grid. Append mode after
+    * the watermark, so a window emits exactly once — when it can no
+    * longer change — which is what makes the downstream PSI of that
+    * window FINAL. State is the open windows' ~|types|·|buckets|
+    * partial counts: bounded regardless of stream length or user
+    * cardinality.
+    */
+  def windowedBuckets(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        least(floor(col("value") / DriftBucketWidth),
+          lit((DriftBuckets - 1).toLong)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("bucket"), col("cnt"))
+
+  /** Stage 2 — pure batch, run inside the `foreachBatch` seam: PSI of
+    * each closed window against a baseline count frame `(event_type,
+    * bucket, cnt)` (typically last week's counts read from a snapshot).
+    * Smoothing follows the batch op (ADVICE r4 form): +1 per bucket
+    * observed in the UNION frame, denominator adds the per-(window,
+    * type) observed-bucket count, so both masses sum to exactly 1. A
+    * type present in the baseline but absent from a window is still
+    * scored — against the all-smoothing stream side — because a type
+    * that vanished from the stream IS drift. Every frame here is
+    * ≤ |windows|·|types|·|buckets| rows: metadata-sized by contract.
+    */
+  def psiOfWindows(wc: DataFrame, baseline: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => Frame}
+    val wins = wc.select(col("window_start")).distinct()
+    val base = baseline.select(col("event_type"), col("bucket"),
+      col("cnt").as("bc")).crossJoin(wins)
+    val joined = wc
+      .join(base, Seq("window_start", "event_type", "bucket"), "full_outer")
+      .select(col("window_start"), col("event_type"), col("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("c"),
+        coalesce(col("bc"), lit(0L)).as("b"))
+    val byWT = Frame.partitionBy(col("window_start"), col("event_type"))
+    val counts = joined
+      .withColumn("n", sum(col("c")).over(byWT))
+      .withColumn("bn", sum(col("b")).over(byWT))
+      .withColumn("nobs", count(lit(1)).over(byWT))
+    val p = (col("c") + 1).cast("double") / (col("n") + col("nobs"))
+    val q = (col("b") + 1).cast("double") / (col("bn") + col("nobs"))
+    counts
+      .select(col("window_start"), col("event_type"),
+        ((p - q) * log(p / q)).as("term"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(round(sum(col("term")), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.2)
+  }
+
+  /** End-to-end wiring: the windowed-bucket stream hands each batch of
+    * CLOSED windows to `onAlert` as finalized per-(window, type) PSI
+    * rows — the monitoring hook a production pipeline points at its
+    * alerting. The baseline stays a plain batch frame re-planned per
+    * micro-batch (broadcast-sized by the bucket-grid contract). */
+  def driftSink(events: DataFrame, baseline: DataFrame)(
+      onAlert: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    windowedBuckets(events).writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) onAlert(psiOfWindows(batch, baseline))
+      }
 }

@@ -266,4 +266,59 @@ class StreamingSpec extends SparkSpec {
       assert(rows.size == 4)
     } finally q.stop()
   }
+
+  test("PSI of windows: matching window quiet, shifted window flagged") {
+    import spark.implicits._
+    val w1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val w2 = Timestamp.valueOf("2024-01-01 01:00:00")
+    // baseline: type "click" spread evenly over buckets 0..3
+    val baseline = (0 to 3).map(b => ("click", b.toLong, 100L))
+      .toDF("event_type", "bucket", "cnt")
+    val wc = Seq(
+      // window 1 matches the baseline shape
+      (w1, "click", 0L, 25L), (w1, "click", 1L, 25L),
+      (w1, "click", 2L, 25L), (w1, "click", 3L, 25L),
+      // window 2 collapses onto one bucket
+      (w2, "click", 0L, 100L))
+      .toDF("window_start", "event_type", "bucket", "cnt")
+    val psi = EventStream.psiOfWindows(wc, baseline).collect()
+      .map(r => r.getTimestamp(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(!psi(w1)._2, s"matching window drifted: ${psi(w1)}")
+    assert(psi(w2)._2 && psi(w2)._1 > 1.0, s"shifted window quiet: ${psi(w2)}")
+  }
+
+  test("drift sink: closed windows emit once with final PSI") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val baseline = (0 to 3).map(b => ("click", b.toLong, 100L))
+      .toDF("event_type", "bucket", "cnt")
+    val alerts = scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
+    val mem = MemoryStream[Event]
+    val q = EventStream.driftSink(mem.toDF(), baseline) { d =>
+      alerts ++= d.collect().map(r =>
+        (r.getTimestamp(0).toString, r.getDouble(2), r.getBoolean(3)))
+    }.start()
+    try {
+      // window [0h,1h): matches baseline; window [1h,2h): all one bucket
+      val even = (0 until 20).map(i =>
+        Event(i.toLong, ts(i * 3), 1L, "click", (i % 4) * 50.0 + 10.0))
+      val shifted = (0 until 20).map(i =>
+        Event(100L + i, ts(60 + i * 2), 1L, "click", 10.0))
+      mem.addData(even ++ shifted: _*)
+      q.processAllAvailable()
+      // sentinel far ahead: watermark (2 h) passes both window ends
+      mem.addData(Event(999L, ts(6 * 60), 1L, "click", 10.0))
+      q.processAllAvailable()
+      mem.addData(Event(1000L, ts(6 * 60 + 1), 1L, "click", 10.0))
+      q.processAllAvailable()
+      val byWindow = alerts.groupBy(_._1)
+      assert(byWindow.contains("2024-01-01 00:00:00.0") &&
+        byWindow.contains("2024-01-01 01:00:00.0"), s"got $alerts")
+      assert(byWindow("2024-01-01 00:00:00.0").map(a => a._1).size == 1,
+        "a closed window emits exactly once")
+      assert(!byWindow("2024-01-01 00:00:00.0").head._3)
+      assert(byWindow("2024-01-01 01:00:00.0").head._3,
+        s"shifted window not flagged: $alerts")
+    } finally q.stop()
+  }
 }
