@@ -376,6 +376,66 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey ASC
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q5 shape (local-supplier volume): revenue by nation where
+    * the customer and the supplier share a nation, region-filtered,
+    * over one order-date year — the classic multi-fact join-planning
+    * exercise. The bounded nation⋈region tree broadcasts (hinted: a
+    * true dimension at any scale); customer and supplier carry NO
+    * broadcast hints — they scale with the corpus, the planner
+    * broadcasts them unaided at fixture size, and at 100× they are
+    * allowed to become shuffle joins (the round-2 hint discipline).
+    * The date filter pushes to the orders parquet scan, and the
+    * same-nation constraint rides INSIDE the supplier join as an
+    * equi-condition, so it prunes during the join rather than after.
+    */
+  def q5RegionVolume(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("date")
+    val hi = lit("1997-01-01").cast("date")
+    val nat = Tables(spark, dir, "nation")
+      .join(Tables(spark, dir, "region").where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+    val ord = Tables(spark, dir, "orders")
+      .where(col("o_orderdate").cast("date") >= lo &&
+        col("o_orderdate").cast("date") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val dec = (c: Column) => c.cast("decimal(18,2)")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc)
+  }
+
+  val q5RegionVolumeSql: String =
+    """SELECT n_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |         AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC""".stripMargin
+
   /** Sliding-frame window aggregates — the ROWS BETWEEN surface beyond
     * rank/lag: a 4-event moving average and a running total per user.
     * Both cores are DECIMAL sums (exact, so the engines' different
@@ -413,6 +473,7 @@ object Relational {
     Op("window_moving_avg", windowMovingAvg _, Some(windowMovingAvgSql)),
     Op("q1_agg", q1Agg _, Some(q1AggSql)),
     Op("q3_top_shipping", q3TopShipping _, Some(q3TopShippingSql)),
+    Op("q5_region_volume", q5RegionVolume _, Some(q5RegionVolumeSql)),
     Op("j_using", jUsing _, Some(jUsingSql)),
     Op("j_fanout", jFanout _, Some(jFanoutSql)),
     Op("j_semi", jSemi _, Some(jSemiSql)),

@@ -80,4 +80,21 @@ class RelationalSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(400))
   }
+
+  test("q5: same-nation constraint joins, date filter reaches the orders scan") {
+    val df = Relational.q5RegionVolume(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 25, "at most |nations| rows")
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "not sorted")
+    val plan = df.queryExecution.executedPlan.toString
+    // the same-nation predicate must participate in a join condition,
+    // not hang above it as a post-join Filter over the fan-out
+    assert(!"Filter .*c_nationkey#\\d+L? = s_nationkey".r
+      .findFirstIn(plan).isDefined, "same-nation applied as post-filter")
+    // the order-date range is pushed into the parquet scan
+    assert(plan.contains("PushedFilters") &&
+      "o_orderdate.*(GreaterThanOrEqual|IsNotNull)".r.findFirstIn(plan).isDefined,
+      plan.take(600))
+  }
 }
