@@ -342,7 +342,13 @@ object Events {
     */
   def outliersMad(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
-    val hist = ev.groupBy(col("event_type"), col("value").as("v"))
+    // NULL values must not reach the histogram: the oracle's
+    // quantile_cont ignores NULLs, while a null bucket row here would
+    // inflate n/nobs and shift both quantiles. (The flag scan needs no
+    // guard — null value makes the score NULL, dropped by WHERE in
+    // both engines.)
+    val hist = ev.where(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val med = histQuantile(hist, 0.5).withColumnRenamed("qv", "med")
     val devHist = hist.join(broadcast(med), Seq("event_type"))

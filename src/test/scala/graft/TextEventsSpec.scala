@@ -355,8 +355,13 @@ class TextEventsSpec extends SparkSpec {
       // type "b": constant but one spike → MAD = 0, type excluded
       (50 to 60).map(i => (i.toLong, t0, 1L, "b", 7.0, "{}")) ++
       Seq((61L, t0, 1L, "b", 9999.0, "{}"))
-    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.parquet(s"$dir/events.parquet")
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // null values must not shift the quantiles (the oracle ignores them)
+    val withNulls = df.union(Seq((90L, t0, 1L, "a", Double.NaN, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("value", org.apache.spark.sql.functions.lit(null)
+        .cast("double")))
+    withNulls.write.parquet(s"$dir/events.parquet")
     val got = Events.outliersMad(spark, dir).collect()
     assert(got.map(_.getLong(0)).toSet == Set(41L),
       s"expected only the type-a spike: ${got.mkString(", ")}")
