@@ -529,6 +529,65 @@ object TextAnalysis {
       |FROM toks JOIN v USING (w)
       |GROUP BY doc_id""".stripMargin
 
+  /** Bigram-conditional cross-entropy — the second-order companion to
+    * `perplexity`: H(doc) = −mean over bigrams of ln P(b|a), with
+    * P(b|a) = (c(a,b)+1) / (c(a)+V) Laplace-smoothed from the corpus's
+    * own counts (so unseen contexts are well-defined and the model is
+    * fully determined by the data — no training artifact to ship).
+    * Boilerplate scores LOW (its bigrams are corpus-frequent), genuinely
+    * novel word order scores high — a sharper fluency signal than
+    * unigram rarity. Shape at scale: bigram pairs are generated as a
+    * pure projection (transform over the split array, no self-join);
+    * the count frames shuffle on token/pair keys (reduced,
+    * map-side-combined); V reuses the unigram reduction's row count
+    * rather than re-scanning the corpus; the per-doc mean rounds to
+    * 1e-4 under the same ln-ulp argument as `perplexity`.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+    val bg = d.where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(w)), " +
+          "i -> struct(element_at(w, i-1) AS a, element_at(w, i) AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cu = d.select(explode(col("w")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val v = cu.agg(count(lit(1)).as("v"))
+    val cb = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    bg.join(cb, Seq("a", "b")).join(cu, Seq("a"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("cab").cast("double") + 1) /
+          (col("ca") + col("v")).cast("double")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("lp")), 4).as("bigram_cross_entropy"))
+  }
+
+  val bigramLmSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(trim(text), ' ')) >= 2
+      |), bg AS (
+      |  SELECT doc_id, w[i-1] AS a, w[i] AS b
+      |  FROM s, unnest(range(2, len(w) + 1)) AS t(i)
+      |), cu AS (
+      |  SELECT a, count(*) AS ca FROM (
+      |    SELECT unnest(string_split(trim(text), ' ')) AS a FROM documents)
+      |  GROUP BY 1
+      |), vs AS (
+      |  SELECT count(*) AS v FROM cu
+      |), cb AS (
+      |  SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(-avg(ln((CAST(cab AS DOUBLE) + 1) /
+      |                     CAST(ca + v AS DOUBLE))), 4) AS bigram_cross_entropy
+      |FROM bg JOIN cb USING (a, b) JOIN cu USING (a) CROSS JOIN vs
+      |GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------ chunk-level retrieval
   private val RagK = 5
   private val RagQueryDocs = 5 // chunks of doc_id < 5 are the query set
@@ -661,6 +720,7 @@ object TextAnalysis {
     Op("text_tokens", tokens _, Some(tokensSql)),
     Op("text_repetition", repetition _, Some(repetitionSql)),
     Op("text_perplexity", perplexity _, Some(perplexitySql)),
+    Op("text_bigram_lm", bigramLm _, Some(bigramLmSql)),
     Op("rag_chunk_topk", ragChunkTopk _, Some(ragChunkTopkSql)),
     Op("text_quality", quality _, Some(qualitySql)),
     Op("text_langid", langId _, Some(langIdSql)),

@@ -289,6 +289,28 @@ class TextEventsSpec extends SparkSpec {
     assert(math.abs(m(2L)._2 - (-(math.log(0.75) + math.log(0.25)) / 2)) < 1e-3)
   }
 
+  test("bigram LM: Laplace-smoothed conditionals, hand-computed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("blm").toString
+    Seq(
+      (1L, "a b a b", "en", "s", 7L),
+      (2L, "a b", "en", "s", 3L),
+      (3L, "c", "en", "s", 1L)    // single token: no bigrams, excluded
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // unigrams: a×3, b×3, c×1 → V=3; bigrams: (a,b)×3, (b,a)×1
+    // P(b|a) = (3+1)/(3+3) = 2/3; P(a|b) = (1+1)/(3+3) = 1/3
+    val m = TextAnalysis.bigramLm(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!m.contains(3L))
+    assert(m(1L)._1 == 3L && m(2L)._1 == 1L)
+    val h1 = -(2 * math.log(2.0 / 3) + math.log(1.0 / 3)) / 3
+    assert(math.abs(m(1L)._2 - h1) < 1e-3, s"doc1: ${m(1L)._2} vs $h1")
+    assert(math.abs(m(2L)._2 - (-math.log(2.0 / 3))) < 1e-3)
+    // boilerplate (frequent bigrams) scores strictly below novel order
+    assert(m(2L)._2 < m(1L)._2)
+  }
+
   test("rag retrieval: a copied chunk ranks first, own-doc chunks never appear") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("rag").toString
