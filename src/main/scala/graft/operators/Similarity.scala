@@ -769,9 +769,54 @@ object Similarity {
        |FROM p""".stripMargin
   }
 
+  /** Corpus similarity audit: the distribution of pairwise cosines over
+    * a DETERMINISTIC pair sample — the number that tells you whether a
+    * similarity threshold τ sits in the distribution's tail (useful)
+    * or its bulk (meaningless), before anyone runs a dedup pass with
+    * it. Sampling is two DISJOINT hash buckets of vectors (first md5
+    * hex char '0' vs '1', ~1/16 of the corpus each — disjointness
+    * makes every cross pair distinct-by-construction, no self-pairs,
+    * no double counting), crossed exactly: |corpus/16|² pairs at
+    * fixture scale. At 100 TB the sample is capped by DEEPENING the
+    * hash prefix (each extra hex char cuts each side 16×, the pair
+    * count 256×) — the knob is in the constant, the plan shape never
+    * changes. NaN cosines (zero vectors) are excluded on both engines
+    * rather than letting them pick a bucket by engine-specific float
+    * semantics.
+    */
+  def cosineAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    def samp(prefix: String, idc: String, embc: String) =
+      e.where(substring(md5(col("vec_id").cast("string")), 1, 1) === prefix)
+        .select(col("vec_id").as(idc), col("embedding").as(embc))
+    samp("0", "vec_a", "emb_a").crossJoin(samp("1", "vec_b", "emb_b"))
+      .select(V.cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .where(!isnan(col("cos")))
+      .groupBy(floor(col("cos") * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("cos")), 6).as("mean_cos"))
+  }
+
+  val cosineAuditSql: String = {
+    val cos = duckCos("a.embedding", "b.embedding")
+    s"""WITH a AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+       |), b AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '1'
+       |), pairs AS (
+       |  SELECT $cos AS cos FROM a, b
+       |)
+       |SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
+       |       count(*) AS n_pairs, round(avg(cos), 6) AS mean_cos
+       |FROM pairs WHERE NOT isnan(cos)
+       |GROUP BY 1""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceSql)),
     Op("emb_random_project", randomProject _, Some(randomProjectSql)),
+    Op("sim_cosine_audit", cosineAudit _, Some(cosineAuditSql)),
     Op("sim_topk_quantized", topkQuantized _, Some(topkQuantizedSql)),
     Op("emb_quantize", quantize _, Some(quantizeSql)),
     Op("sim_label_centroids", labelCentroids _, Some(labelCentroidsSql)),

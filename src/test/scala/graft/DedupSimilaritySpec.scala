@@ -353,6 +353,20 @@ class DedupSimilaritySpec extends SparkSpec {
     rep.values.foreach { case (n, d) => assert(d <= n && d > 0) }
   }
 
+  test("cosine audit: disjoint samples, exact pair accounting, sane buckets") {
+    val hist = Similarity.cosineAudit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "substr(md5(CAST(vec_id AS STRING)), 1, 1) AS h")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val (na, nb) = (ids.count(_._2 == "0"), ids.count(_._2 == "1"))
+    assert(hist.values.sum == na.toLong * nb, "every cross pair lands in exactly one bucket")
+    assert(hist.keys.forall(b => b >= -10 && b <= 9))
+    // random-ish corpus: the bulk of mass sits in |cos| < 0.3
+    val bulk = hist.filter { case (b, _) => b >= -3 && b < 3 }.values.sum
+    assert(bulk.toDouble / hist.values.sum > 0.8, s"bulk ${bulk}: $hist")
+  }
+
   test("random projection: exact integer images, JL distances preserved in expectation") {
     val proj = Similarity.randomProject(spark, sfDir).collect()
       .map(r => r.getLong(0) ->
