@@ -379,8 +379,61 @@ object Events {
       |WHERE d.mad > 0
       |  AND abs(CAST(0.6745 AS DOUBLE) * (e.value - m.med) / d.mad) > 3.5""".stripMargin
 
+  /** Seasonality-adjusted volume anomalies: each (type, day, hour) cell
+    * is scored against the baseline of ITS OWN hour-of-day across all
+    * days — the check that catches "3 AM volume at 3 PM levels" without
+    * false-flagging ordinary daily rhythm (a plain hourly z-score flags
+    * every peak hour). Counts are integers, so every moment (Σc, Σc²)
+    * is EXACT long arithmetic reduced over day-level frames; mean/std/z
+    * are then fixed single-IEEE-op sequences — deterministic in any
+    * engine. Shape at scale: one map-side-combined aggregation to
+    * (type, day, hour) cells (the only corpus-sized pass), a
+    * |types|·24-row baseline rollup broadcast back over the cell frame.
+    * Zero-variance baselines are excluded like `outliersMad`'s mad=0.
+    */
+  def seasonal(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    val base = cells.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("s"),
+        sum(col("n_events") * col("n_events")).as("qq"))
+      .select(col("event_type"), col("hod"), col("n_days"),
+        (col("s").cast("double") / col("n_days")).as("mean"),
+        sqrt(col("qq").cast("double") / col("n_days") -
+          (col("s").cast("double") / col("n_days")) *
+          (col("s").cast("double") / col("n_days"))).as("std"))
+    cells.join(broadcast(base), Seq("event_type", "hod"))
+      .where(col("std") > 0 &&
+        abs((col("n_events") - col("mean")) / col("std")) > 2)
+      .select(col("event_type"), col("day"), col("hod"), col("n_events"),
+        round((col("n_events") - col("mean")) / col("std"), 6).as("z"))
+  }
+
+  val seasonalSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1, 2, 3
+      |), base AS (
+      |  SELECT event_type, hod,
+      |         CAST(sum(n_events) AS DOUBLE) / count(*) AS mean,
+      |         sqrt(CAST(sum(n_events * n_events) AS DOUBLE) / count(*) -
+      |              (CAST(sum(n_events) AS DOUBLE) / count(*)) *
+      |              (CAST(sum(n_events) AS DOUBLE) / count(*))) AS std
+      |  FROM cells GROUP BY 1, 2
+      |)
+      |SELECT c.event_type, c.day, c.hod, c.n_events,
+      |       round((c.n_events - b.mean) / b.std, 6) AS z
+      |FROM cells c JOIN base b USING (event_type, hod)
+      |WHERE b.std > 0 AND abs((c.n_events - b.mean) / b.std) > 2""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("events_hourly", hourly _, Some(hourlySql)),
+    Op("events_seasonal", seasonal _, Some(seasonalSql)),
     Op("events_outliers_mad", outliersMad _, Some(outliersMadSql)),
     Op("events_funnel", funnel _, Some(funnelSql)),
     Op("events_transitions", transitions _, Some(transitionsSql)),

@@ -364,6 +364,28 @@ class TextEventsSpec extends SparkSpec {
     assert(r.getInt(4) == 19 && r.getInt(5) == 19 && r.getInt(6) == 3)
   }
 
+  test("seasonal anomalies: spike vs own hour-of-day baseline, peaks stay quiet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("seas").toString
+    def t(day: Int, hour: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:$m%02d:00")
+    var id = 0L
+    def burst(day: Int, hour: Int, n: Int) = (1 to n).map { i =>
+      id += 1; (id, t(day, hour, i % 60), 1L, "click", 1.0, "{}")
+    }
+    // hour 3 baseline: 5/day over 9 days, then a 40-event spike day 10.
+    // hour 15 is ALWAYS busy (40/day): peak load is normal, not anomalous.
+    val rows = (1 to 9).flatMap(d => burst(d, 3, 5) ++ burst(d, 15, 40)) ++
+      burst(10, 3, 40) ++ burst(10, 15, 40)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Events.seasonal(spark, dir).collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2)) -> r.getDouble(4)).toMap
+    assert(got.contains(("2024-01-10", 3L)), s"spike not flagged: $got")
+    assert(got(("2024-01-10", 3L)) > 2)
+    assert(!got.keys.exists(_._2 == 15L), s"busy-but-normal hour flagged: $got")
+  }
+
   test("MAD outliers: hand-computed modified z, zero-MAD type excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mad").toString
