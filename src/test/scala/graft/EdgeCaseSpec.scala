@@ -110,6 +110,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.Curation.split3(spark, empty).count() == 0)
   }
 
+  test("round-5 continuation operators tolerate null text and empties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nulls5").toString
+    Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "), "en", "src0", 50L),
+        (2L, null, "en", "src1", 0L),
+        (3L, "short", "de", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // repeated ngrams: split(null) null → size null fails >= 8; short too
+    assert(Dedup.repeatedNgrams(spark, dir).collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    // bigram LM: null text emits no bigrams and no unigrams — excluded
+    assert(TextAnalysis.bigramLm(spark, dir).collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    // dedup report: the null-text doc counts as its own distinct key
+    val rep = graft.operators.Dedup.report(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep == Map("src0" -> 2L, "src1" -> 1L))
+    // temperature sampling survives a null-text doc (text-independent)
+    // and a single-language corpus keeps rate = min(1, budget·1) < 1
+    val rates = graft.operators.Curation.temperatureSample(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(rates.keySet.subsetOf(Set("en", "de")))
+    // empty corpus: all return empty, not errors
+    val empty = emptyDocsDir()
+    assert(Dedup.repeatedNgrams(spark, empty).count() == 0)
+    assert(TextAnalysis.bigramLm(spark, empty).count() == 0)
+    assert(graft.operators.Dedup.report(spark, empty).count() == 0)
+    assert(graft.operators.Curation.temperatureSample(spark, empty).count() == 0)
+  }
+
   test("emb_quantize drops zero vectors and tolerates empty input") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("qempty").toString
