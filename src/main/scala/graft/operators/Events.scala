@@ -431,8 +431,45 @@ object Events {
       |FROM cells c JOIN base b USING (event_type, hod)
       |WHERE b.std > 0 AND abs((c.n_events - b.mean) / b.std) > 2""".stripMargin
 
+  /** Rolling active users (DAU + trailing-7-day WAU) — the engagement
+    * surface every event warehouse serves. A rolling COUNT DISTINCT
+    * cannot ride a window frame (distinctness doesn't decompose), so
+    * the exact formulation is contribution-explode: reduce events to
+    * the distinct (day, user) frame ONCE, then each user-day
+    * contributes to the 7 target days it is visible from and the rollup
+    * de-duplicates per target day. Every exchange after the first
+    * carries user-day keys (already reduced ~|events|/activity-rate);
+    * the ×7 fan-out is of that reduced frame, the standard exact shape
+    * — the approximate swap at extreme scale is HLL sketch merge
+    * (`agg_approx`'s family), documented not shipped. The join to DAU
+    * also restricts WAU to observed days (no phantom trailing days).
+    */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables(spark, dir, "events")
+      .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("day"),
+        col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"))
+  }
+
+  val activeUsersSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      |), dau AS (
+      |  SELECT day, count(*) AS dau FROM du GROUP BY 1
+      |), wau AS (
+      |  SELECT day + CAST(i AS INTEGER) AS day, count(DISTINCT user_id) AS wau
+      |  FROM du, unnest(range(0, 7)) AS t(i) GROUP BY 1
+      |)
+      |SELECT day, dau, wau FROM dau JOIN wau USING (day)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("events_hourly", hourly _, Some(hourlySql)),
+    Op("events_active_users", activeUsers _, Some(activeUsersSql)),
     Op("events_seasonal", seasonal _, Some(seasonalSql)),
     Op("events_outliers_mad", outliersMad _, Some(outliersMadSql)),
     Op("events_funnel", funnel _, Some(funnelSql)),

@@ -364,6 +364,29 @@ class TextEventsSpec extends SparkSpec {
     assert(r.getInt(4) == 19 && r.getInt(5) == 19 && r.getInt(6) == 3)
   }
 
+  test("active users: WAU unions the trailing week, DAU counts the day") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dau").toString
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    Seq(
+      (1L, t(1), 10L, "view", 1.0, "{}"),
+      (2L, t(1), 11L, "view", 1.0, "{}"),
+      (3L, t(1), 10L, "click", 1.0, "{}"),  // same user+day: counts once
+      (4L, t(5), 10L, "view", 1.0, "{}"),   // returns within the week
+      (5L, t(5), 12L, "view", 1.0, "{}"),
+      (6L, t(20), 10L, "view", 1.0, "{}"))  // far later: fresh window
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Events.activeUsers(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("2024-01-01") == ((2L, 2L)))
+    // day 5: DAU {10,12}; WAU = union of day1 {10,11} and day5 {10,12}
+    assert(got("2024-01-05") == ((2L, 3L)))
+    assert(got("2024-01-20") == ((1L, 1L)))
+    assert(got.keySet == Set("2024-01-01", "2024-01-05", "2024-01-20"),
+      s"phantom trailing days present: ${got.keySet}")
+  }
+
   test("seasonal anomalies: spike vs own hour-of-day baseline, peaks stay quiet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("seas").toString
