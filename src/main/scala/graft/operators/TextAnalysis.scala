@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Op, Tables}
@@ -87,26 +87,29 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "ein"),
     "fr" -> Seq("le", "la", "et", "un"))
 
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scoreCols = markers.map { case (l, ws) =>
-      val list = ws.map(w => s"'$w'").mkString(", ")
-      expr(s"size(filter(split(trim(text), ' '), w -> w IN ($list)))")
-        .cast("long").as(s"score_$l")
-    }
+  private def langScoreCols: Seq[Column] = markers.map { case (l, ws) =>
+    val list = ws.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(split(trim(text), ' '), w -> w IN ($list)))")
+      .cast("long").as(s"score_$l")
+  }
+
+  // Fold over ALL languages (the last one needs its own WHEN branch
+  // too, with earlier languages winning ties via their >= tests — a
+  // langs.init fold made the final language unreachable).
+  private def langPredCol: Column = {
     val langs = markers.map(_._1)
-    // Fold over ALL languages (the last one needs its own WHEN branch
-    // too, with earlier languages winning ties via their >= tests — a
-    // langs.init fold made the final language unreachable).
-    val pred = langs.foldRight(lit("und")) { (l, rest) =>
+    langs.foldRight(lit("und")) { (l, rest) =>
       val geAll = langs.filter(_ != l)
         .map(o => col(s"score_$l") >= col(s"score_$o"))
         .reduce(_ && _)
       when(col(s"score_$l") > 0 && geAll, lit(l)).otherwise(rest)
     }
-    Tables(spark, dir, "documents")
-      .select(col("doc_id") +: scoreCols: _*)
-      .withColumn("lang_pred", pred)
   }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id") +: langScoreCols: _*)
+      .withColumn("lang_pred", langPredCol)
 
   val langIdSql: String = {
     val scores = markers.map { case (l, ws) =>
@@ -125,6 +128,52 @@ object TextAnalysis {
        |  SELECT doc_id,
        |         $scores
        |  FROM documents)""".stripMargin
+  }
+
+  /** Language-label audit: the confusion matrix between the DECLARED
+    * `lang` column and the stopword-voting prediction — the check that
+    * tells you whether a source's language metadata can be trusted
+    * before a language-conditioned sampling step (like
+    * `curate_temperature_sample`) consumes it. Scan-only scoring pass,
+    * then one rollup to the ≤ (|langs|+1)² matrix; the row share rides
+    * a window over that matrix frame, never the corpus.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val byDeclared = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    Tables(spark, dir, "documents")
+      .select(col("lang") +: langScoreCols: _*)
+      .withColumn("lang_pred", langPredCol)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(byDeclared), 6))
+  }
+
+  val langConfusionSql: String = {
+    val scores = markers.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(trim(text), ' '), w -> w IN ($list))) AS score_$l"
+    }.mkString(",\n           ")
+    val langs = markers.map(_._1)
+    val cases = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN score_$l > 0 AND $geAll THEN '$l'"
+    }.mkString("\n              ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |         CASE $cases
+       |              ELSE 'und' END AS lang_pred
+       |  FROM (
+       |    SELECT lang,
+       |           $scores
+       |    FROM documents)
+       |)
+       |SELECT lang, lang_pred, count(*) AS n_docs,
+       |       round(CAST(count(*) AS DOUBLE) /
+       |             sum(count(*)) OVER (PARTITION BY lang), 6) AS row_share
+       |FROM scored GROUP BY 1, 2""".stripMargin
   }
 
   /** Document fingerprinting: md5 over whitespace-normalized lowercase
@@ -724,6 +773,7 @@ object TextAnalysis {
     Op("rag_chunk_topk", ragChunkTopk _, Some(ragChunkTopkSql)),
     Op("text_quality", quality _, Some(qualitySql)),
     Op("text_langid", langId _, Some(langIdSql)),
+    Op("text_lang_confusion", langConfusion _, Some(langConfusionSql)),
     Op("text_fingerprint", fingerprint _, Some(fingerprintSql)),
     Op("text_redact", redact _, Some(redactSql)),
     Op("text_chunk", chunk _, Some(chunkSql)),

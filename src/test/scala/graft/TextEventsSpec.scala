@@ -289,6 +289,28 @@ class TextEventsSpec extends SparkSpec {
     assert(math.abs(m(2L)._2 - (-(math.log(0.75) + math.log(0.25)) / 2)) < 1e-3)
   }
 
+  test("lang confusion: diagonal for marker text, row shares sum to 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("conf").toString
+    Seq(
+      (1L, "the cat and the dog of a house", "en", "s", 30L), // en → en
+      (2L, "el perro y la casa de verdad", "es", "s", 28L),   // es → es
+      (3L, "the cat and the dog of a house", "es", "s", 30L), // mislabeled
+      (4L, "zzz qqq www", "en", "s", 11L)                     // no markers → und
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.langConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("en", "en"))._1 == 1L && got(("en", "und"))._1 == 1L)
+    assert(got(("es", "es"))._1 == 1L && got(("es", "en"))._1 == 1L,
+      s"mislabeled doc missed: $got")
+    // per-declared-language shares sum to 1
+    got.keys.map(_._1).toSet.foreach { l: String =>
+      val s = got.collect { case ((`l`, _), (_, share)) => share }.sum
+      assert(math.abs(s - 1.0) < 1e-6, s"$l shares: $s")
+    }
+  }
+
   test("bigram LM: Laplace-smoothed conditionals, hand-computed") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("blm").toString
