@@ -390,8 +390,57 @@ object Analytics {
       |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
       |FROM lineitem WHERE l_orderkey < 100""".stripMargin
 
+  /** Join-key skew diagnostic — the pre-flight check before any large
+    * shuffle join: per candidate key, the frequency distribution of the
+    * key (max / p50 / p99 counts, the heaviest key's row share, and
+    * max/avg ratio). This is how a pipeline DECIDES between a plain
+    * shuffle join, a broadcast, and `Skew.saltedJoin` — at 100 TB you
+    * measure skew on the reduced frame first, you don't discover it as
+    * a straggler task. Shape: one map-side-combined reduction per key to
+    * its (key, cnt) frame (the only corpus-sized passes), then a scalar
+    * aggregation over each reduced frame; output is |keys audited| rows.
+    * Percentiles are Spark's exact `percentile` — (n−1)p linear
+    * interpolation over integer counts, the same fixed IEEE sequence
+    * DuckDB's quantile_cont computes, so the oracle compare is exact.
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, key: String): DataFrame =
+      Tables(spark, dir, table)
+        .groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .agg(
+          lit(s"$table.$key").as("join_key"),
+          sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_cnt"),
+          round(percentile(col("cnt"), lit(0.5)), 6).as("p50_cnt"),
+          round(percentile(col("cnt"), lit(0.99)), 6).as("p99_cnt"))
+        .select(col("join_key"), col("n_rows"), col("n_keys"), col("max_cnt"),
+          col("p50_cnt"), col("p99_cnt"),
+          round(col("max_cnt") / (col("n_rows").cast("double") /
+            col("n_keys")), 6).as("skew_ratio"),
+          round(col("max_cnt") / col("n_rows").cast("double"), 6)
+            .as("top1_share"))
+    audit("events", "user_id")
+      .unionAll(audit("events", "event_type"))
+      .unionAll(audit("orders", "o_custkey"))
+  }
+
+  val skewReportSql: String =
+    Seq(("events", "user_id"), ("events", "event_type"),
+      ("orders", "o_custkey")).map { case (t, k) =>
+      s"""SELECT '$t.$k' AS join_key, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |       count(*) AS n_keys, max(cnt) AS max_cnt,
+         |       round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+         |       round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+         |       round(max(cnt) / (CAST(sum(cnt) AS DOUBLE) / count(*)), 6)
+         |         AS skew_ratio,
+         |       round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top1_share
+         |FROM (SELECT $k, count(*) AS cnt FROM $t GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val ops: Seq[Op] = Seq(
     Op("q2_corr_subquery", corrSubquery _, Some(corrSubquerySql)),
+    Op("stats_skew_report", skewReport _, Some(skewReportSql)),
     Op("agg_grouping_sets", aggGroupingSets _, Some(aggGroupingSetsSql)),
     Op("stats_drift", statsDrift _, Some(statsDriftSql)),
     Op("reshape_unpivot", unpivotMetrics _, Some(unpivotMetricsSql)),

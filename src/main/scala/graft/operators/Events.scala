@@ -467,8 +467,51 @@ object Events {
       |)
       |SELECT day, dau, wau FROM dau JOIN wau USING (day)""".stripMargin
 
+  /** Date-spine gap fill: per-(type, day) daily counts with the missing
+    * days of each type's own [first, last] span materialized as explicit
+    * zero rows — the step every downstream rolling average / forecast
+    * needs (a absent day silently read as "no data" instead of "zero
+    * events" biases any trailing mean). Shape at scale: the only
+    * corpus-sized pass is the map-side-combined reduction to
+    * (type, day) cells; the spine is generated by exploding
+    * `sequence(first, last)` on the |types|-row span frame — its size is
+    * bounded by the calendar (|types| × span-days), never by |events| —
+    * and the fill join runs spine-LEFT-cells on those two reduced
+    * frames. `is_gap` keeps filled rows distinguishable for audits.
+    */
+  def gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = cells.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1)")).as("day"))
+    spine.join(cells, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("is_gap"))
+  }
+
+  val gapfillSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT event_type,
+      |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |        FROM cells GROUP BY 1)
+      |)
+      |SELECT s.event_type, s.day,
+      |       COALESCE(c.n_events, 0) AS n_events,
+      |       c.n_events IS NULL AS is_gap
+      |FROM spine s LEFT JOIN cells c
+      |  ON s.event_type = c.event_type AND s.day = c.day""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("events_hourly", hourly _, Some(hourlySql)),
+    Op("events_gapfill", gapfill _, Some(gapfillSql)),
     Op("events_active_users", activeUsers _, Some(activeUsersSql)),
     Op("events_seasonal", seasonal _, Some(seasonalSql)),
     Op("events_outliers_mad", outliersMad _, Some(outliersMadSql)),

@@ -65,4 +65,32 @@ class SkewApproxSpec extends SparkSpec {
     assert(!m("stable")._2, s"stable distribution flagged: ${m("stable")}")
     assert(m("shifty")._1 > m("stable")._1)
   }
+
+  test("skew report: hand-computed frequency stats on a constructed hot key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("skew").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    // user 1: 8 rows (hot); users 2..5: 1 row each → 12 rows, 5 keys
+    val rows = (1 to 8).map(i => (i.toLong, t0, 1L, "view", 1.0, "{}")) ++
+      (2 to 5).map(u => (100L + u, t0, u.toLong, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // orders table must exist for the third audit branch
+    Seq((1L, 1L, "O", 1.0, t0, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = Analytics.skewReport(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val u = r("events.user_id")
+    assert(u.getLong(1) == 12L && u.getLong(2) == 5L && u.getLong(3) == 8L)
+    assert(u.getDouble(4) == 1.0)               // p50 of [8,1,1,1,1]
+    assert(u.getDouble(6) == round6(8.0 / (12.0 / 5.0)))  // max/avg
+    assert(u.getDouble(7) == round6(8.0 / 12.0))          // top1 share
+    val ty = r("events.event_type")
+    assert(ty.getLong(2) == 1L && ty.getDouble(7) == 1.0) // one type owns all rows
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

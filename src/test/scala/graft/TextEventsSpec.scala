@@ -258,6 +258,28 @@ class TextEventsSpec extends SparkSpec {
     assert(m == Map(0L -> 2L, 2L -> 1L))
   }
 
+  test("gapfill: missing interior days land as zero rows, spans stay per-type") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gap").toString
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    Seq(
+      (1L, t(1), 7L, "view", 1.0, "{}"),
+      (2L, t(1), 8L, "view", 1.0, "{}"),
+      (3L, t(4), 7L, "view", 1.0, "{}"),  // days 2,3 are gaps for view
+      (4L, t(2), 7L, "click", 1.0, "{}")  // click spans a single day: no gaps
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = Events.gapfill(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows == Map(
+      ("view", "2024-01-01") -> ((2L, false)),
+      ("view", "2024-01-02") -> ((0L, true)),
+      ("view", "2024-01-03") -> ((0L, true)),
+      ("view", "2024-01-04") -> ((1L, false)),
+      ("click", "2024-01-02") -> ((1L, false))))
+  }
+
   test("repetition: duplicate-bigram fraction and top share") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("rep").toString
