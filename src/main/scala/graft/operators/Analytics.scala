@@ -438,9 +438,90 @@ object Analytics {
          |FROM (SELECT $k, count(*) AS cnt FROM $t GROUP BY 1)""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** Pareto / ABC analysis: rank suppliers by revenue and classify by
+    * cumulative revenue share (A ≤ 80%, B ≤ 95%, C the tail) — the
+    * concentration question ("which 20% of suppliers carry 80% of
+    * volume?") every warehouse answers. Scale shape mirrors
+    * `Curation.curriculum`'s global-order decomposition — NO global
+    * window: the corpus-sized pass is the map-side-combined reduction to
+    * the \|suppliers\| frame; then deterministic revenue cut points
+    * (approx_percentile, broadcast as literals) range-bin that frame,
+    * the running sum runs in a window PARTITIONED by bin, and broadcast
+    * per-bin revenue offsets (triangular join over ≤ numPartitions
+    * metadata rows) reconstruct the exact global cumulative sum. All
+    * accumulation is DECIMAL — bin-local + offset decomposition is
+    * exact, so the oracle stays the plain global-window SQL. The share
+    * is cast to double and rounded only at the boundary; the A/B/C cut
+    * is applied to the ROUNDED share so both engines classify
+    * identically on threshold-grazing values.
+    */
+  def aggPareto(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sup = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("decimal(38,4)").as("rev"))
+    val fracs = (1 until parts).map(i => i.toDouble / parts)
+    val cutVals: Seq[Double] =
+      if (fracs.isEmpty) Nil
+      else sup.agg(expr(
+        s"approx_percentile(CAST(rev AS DOUBLE), array(${fracs.mkString(", ")}), 10000)")
+        .as("cuts")).head().getSeq[Double](0)
+    // bin 0 = highest revenue (descending order): count of cuts strictly
+    // above the row's revenue; monotone along the sort order, ties merge.
+    val cutArr =
+      if (cutVals.isEmpty) array().cast("array<double>")
+      else array(cutVals.map(lit): _*)
+    val binned = sup.withColumn("pid",
+      size(filter(cutArr, c => c > col("rev").cast("double"))).cast("int"))
+    val byBin = Window.partitionBy(col("pid"))
+      .orderBy(col("rev").desc, col("l_suppkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = binned.withColumn("lcum",
+      sum(col("rev")).over(byBin).cast("decimal(38,4)"))
+    val binRev = binned.groupBy(col("pid"))
+      .agg(sum(col("rev")).cast("decimal(38,4)").as("brev"))
+    val offsets = binRev.as("a")
+      .join(binRev.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.brev")), lit(0).cast("decimal(38,4)")).as("off"))
+    val total = binned.agg(sum(col("rev")).cast("decimal(38,4)").as("tot"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_share",
+        round((col("off") + col("lcum")).cast("double") /
+          col("tot").cast("double"), 6))
+      .select(col("l_suppkey"), col("rev").cast("double").as("revenue"),
+        col("cum_share"),
+        when(col("cum_share") <= 0.8, "A")
+          .when(col("cum_share") <= 0.95, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  val aggParetoSql: String =
+    """WITH sup AS (
+      |  SELECT l_suppkey,
+      |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |                       AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS rev
+      |  FROM lineitem GROUP BY 1
+      |), c AS (
+      |  SELECT l_suppkey, CAST(rev AS DOUBLE) AS revenue,
+      |         round(CAST(sum(rev) OVER (ORDER BY rev DESC, l_suppkey)
+      |                    AS DOUBLE) /
+      |               CAST((SELECT sum(rev) FROM sup) AS DOUBLE), 6)
+      |           AS cum_share
+      |  FROM sup
+      |)
+      |SELECT l_suppkey, revenue, cum_share,
+      |       CASE WHEN cum_share <= 0.8 THEN 'A'
+      |            WHEN cum_share <= 0.95 THEN 'B'
+      |            ELSE 'C' END AS abc_class
+      |FROM c""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q2_corr_subquery", corrSubquery _, Some(corrSubquerySql)),
     Op("stats_skew_report", skewReport _, Some(skewReportSql)),
+    Op("agg_pareto", aggPareto _, Some(aggParetoSql)),
     Op("agg_grouping_sets", aggGroupingSets _, Some(aggGroupingSetsSql)),
     Op("stats_drift", statsDrift _, Some(statsDriftSql)),
     Op("reshape_unpivot", unpivotMetrics _, Some(unpivotMetricsSql)),

@@ -745,7 +745,69 @@ object Dedup {
       |              END) AS DOUBLE) / count(*), 6) AS dup_rate
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Edit-distance near-dup pairs with LOSSLESS segment blocking — the
+    * entity-resolution primitive (same record, small typo) that Jaccard
+    * shingles are blind to. Finds all doc pairs whose 24-char text
+    * prefixes are within Levenshtein distance 2, without the all-pairs
+    * cross product, via the PassJoin pigeonhole (Li, Deng, Feng: "PASS-
+    * JOIN: a partition-based method for similarity joins", PVLDB 2011;
+    * public literature): split each key into d+1 = 3 segments — at most
+    * d = 2 edits can touch at most 2 of them, so some segment survives
+    * verbatim in the other string, displaced by at most the net indel
+    * count before it (≤ d). Index side emits its 3 segments at their
+    * exact positions; probe side emits every length-8 substring starting
+    * within ±2 of each segment start; candidates are the (segment index,
+    * piece) equi-join — provably a superset of all true pairs, which the
+    * exact `levenshtein` then verifies. The all-pairs oracle therefore
+    * proves the blocking lossless on the corpus, the same contract as
+    * the MinHash ops. Shape at scale: two corpus-sized projections (3
+    * resp. ≤15 rows each), one equi-join keyed on 8-char pieces whose
+    * volume tracks key entropy (near-linear on natural text; degenerate
+    * shared prefixes concentrate it — the same caveat as any blocking
+    * scheme), pair-distinct on 16-byte keys, then O(pairs) verify.
+    * Restricted to docs with ≥ 24 chars so every key has full segments;
+    * equal-length keys also make the oracle's semantics unambiguous.
+    */
+  def editPairs(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables(spark, dir, "documents")
+      .where(col("text").isNotNull && length(col("text")) >= 24)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("s"))
+    val seg = keys.select(col("doc_id").as("a"), col("s").as("sa"),
+      posexplode(array(
+        substring(col("s"), 1, 8),
+        substring(col("s"), 9, 8),
+        substring(col("s"), 17, 8))).as(Seq("i", "piece")))
+    // probe pieces: for segment i at 1-based start p_i ∈ {1, 9, 17},
+    // all substrings of length 8 starting in [p_i − 2, p_i + 2] ∩ [1, 17]
+    val probePieces = (0 to 2).flatMap { i =>
+      val p0 = 1 + 8 * i
+      (p0 - 2 to p0 + 2).filter(p => p >= 1 && p <= 17).distinct
+        .map(p => s"struct($i AS i, substring(s, $p, 8) AS piece)")
+    }.mkString("array_distinct(array(", ", ", "))")
+    val probe = keys.select(col("doc_id").as("b"), col("s").as("sb"),
+      expr(probePieces).as("pieces"))
+      .select(col("b"), col("sb"), explode(col("pieces")).as("pp"))
+      .select(col("b"), col("sb"), col("pp.i").as("i"), col("pp.piece").as("piece"))
+    seg.join(probe, Seq("i", "piece"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
+      .where(levenshtein(col("sa"), col("sb")) <= 2)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        levenshtein(col("sa"), col("sb")).as("dist"))
+  }
+
+  val editPairsSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, substr(text, 1, 24) AS s
+      |  FROM documents WHERE text IS NOT NULL AND length(text) >= 24
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+      |FROM k a, k b
+      |WHERE a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= 2""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("dedup_edit_pairs", editPairs _, Some(editPairsSql)),
     Op("dedup_exact", exact _, Some(exactSql)),
     Op("dedup_report", report _, Some(reportSql)),
     Op("dedup_repeated_ngrams", repeatedNgrams _, Some(repeatedNgramsSql)),

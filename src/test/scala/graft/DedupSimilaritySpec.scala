@@ -23,6 +23,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hamming(rows(1L), rows(3L)) >= 16)
   }
 
+  test("edit pairs: substitutions, an indel SHIFT, and distance-3 exclusion") {
+    import spark.implicits._
+    val base = "abcdefghijklmnopqrstuvwx" // exactly 24 chars
+    val sub1 = "abcdefghijklmnopqrstuvwZ"           // 1 substitution
+    val sub2 = "ZbcdefghijklmnopqrstuvwY"           // 2 substitutions
+    // delete first char, append one: every aligned position differs from
+    // base (Hamming 24) but lev = 2 — only the ±2 shifted probe finds it
+    val shift = "bcdefghijklmnopqrstuvwxZ"
+    val far = "abcQefgWijklmnopqrsTuvwY" + ""       // 3 substitutions: excluded
+    val pad = " tail beyond the prefix window"
+    val dir = java.nio.file.Files.createTempDirectory("editp").toString
+    Seq((1L, base + pad), (2L, sub1 + pad), (3L, sub2 + pad),
+      (4L, shift + pad), (5L, far + pad), (6L, "short"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.editPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)) == Some(1))
+    assert(pairs.get((1L, 3L)) == Some(2))
+    assert(pairs.get((1L, 4L)) == Some(2), s"shifted pair missed: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(!pairs.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
   test("minhash LSH finds constructed near-dups, skips unrelated docs") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"t$i").mkString(" ")

@@ -66,6 +66,28 @@ class SkewApproxSpec extends SparkSpec {
     assert(m("shifty")._1 > m("stable")._1)
   }
 
+  test("pareto: cumulative shares and ABC classes on constructed revenues") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pareto").toString
+    val d0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // revenues (price, discount 0): 80, 15, 4, 1 → cum shares .8, .95, .99, 1
+    Seq(
+      (1L, 1L, 10L, 1, 1.0, 80.0, 0.0, 0.0, "N", "O", d0),
+      (2L, 1L, 20L, 1, 1.0, 15.0, 0.0, 0.0, "N", "O", d0),
+      (3L, 1L, 30L, 1, 1.0, 4.0, 0.0, 0.0, "N", "O", d0),
+      (4L, 1L, 40L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0)
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = Analytics.aggPareto(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(2), x.getString(3))).toMap
+    assert(r(10L) == ((0.8, "A")))
+    assert(r(20L) == ((0.95, "B")))
+    assert(r(30L) == ((0.99, "C")))
+    assert(r(40L) == ((1.0, "C")))
+  }
+
   test("skew report: hand-computed frequency stats on a constructed hot key") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("skew").toString
