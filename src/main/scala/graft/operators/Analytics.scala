@@ -518,10 +518,270 @@ object Analytics {
       |            ELSE 'C' END AS abc_class
       |FROM c""".stripMargin
 
+  /** Per-group trend detection: ordinary least squares of daily event
+    * volume against the day index, per event type — "is this stream
+    * growing, and how fast?" answered as (slope, intercept, r²) instead
+    * of eyeballing a chart. Everything up to the final divisions is
+    * EXACT integer arithmetic: x = offset from the type's own first day,
+    * y = daily count, and the five moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate as DECIMAL(38,0) — no float order-dependence, so the
+    * closed-form OLS quotients are single IEEE ops on identical operands
+    * in any engine (rounded once at the boundary). Shape at scale: one
+    * map-side-combined corpus pass to (type, day) cells, then a
+    * \|types\|-row moment reduction — the regression itself never sees
+    * more than \|types\| rows. Degenerate groups (one day, or zero
+    * x-variance) are excluded rather than dividing by zero.
+    */
+  def statsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val withX = cells
+      .withColumn("x",
+        datediff(col("day"),
+          min(col("day")).over(Window.partitionBy(col("event_type"))))
+          .cast("long"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val m = withX.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      sum(d38(col("x"))).as("sx"),
+      sum(d38(col("y"))).as("sy"),
+      sum(d38(col("x") * col("y"))).as("sxy"),
+      sum(d38(col("x") * col("x"))).as("sxx"),
+      sum(d38(col("y") * col("y"))).as("syy"))
+    m.withColumn("den", d38(col("n_days")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("num", d38(col("n_days")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("deny", d38(col("n_days")) * col("syy") - col("sy") * col("sy"))
+      .where(col("n_days") >= 2 && col("den") =!= 0)
+      .select(
+        col("event_type"), col("n_days"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("slope"),
+        round((col("sy").cast("double") -
+          col("num").cast("double") / col("den").cast("double") *
+            col("sx").cast("double")) / col("n_days").cast("double"), 6)
+          .as("intercept"),
+        when(col("deny") === 0, lit(1.0))
+          .otherwise(round(
+            col("num").cast("double") * col("num").cast("double") /
+              (col("den").cast("double") * col("deny").cast("double")), 6))
+          .as("r2"))
+  }
+
+  val statsTrendSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+      |  FROM events GROUP BY 1, 2
+      |), wx AS (
+      |  SELECT event_type, y,
+      |         CAST(day - min(day) OVER (PARTITION BY event_type) AS BIGINT) AS x
+      |  FROM cells
+      |), m AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+      |         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+      |         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+      |         sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+      |  FROM wx GROUP BY 1
+      |), d AS (
+      |  SELECT *,
+      |         CAST(n_days AS DECIMAL(38,0)) * sxx - sx * sx AS den,
+      |         CAST(n_days AS DECIMAL(38,0)) * sxy - sx * sy AS num,
+      |         CAST(n_days AS DECIMAL(38,0)) * syy - sy * sy AS deny
+      |  FROM m
+      |)
+      |SELECT event_type, n_days,
+      |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS slope,
+      |       round((CAST(sy AS DOUBLE) -
+      |              CAST(num AS DOUBLE) / CAST(den AS DOUBLE) *
+      |                CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE), 6)
+      |         AS intercept,
+      |       CASE WHEN deny = 0 THEN 1.0
+      |            ELSE round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+      |                       (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
+      |       END AS r2
+      |FROM d WHERE n_days >= 2 AND den <> 0""".stripMargin
+
+  /** Chi-square independence test: is event type independent of
+    * day-of-week? The categorical-drift hypothesis test behind "did the
+    * traffic mix change by weekday" — returns the χ² statistic, degrees
+    * of freedom, and Cramér's V effect size. Cross-engine float safety:
+    * each cell's (obs − exp)²/exp contribution is a fixed IEEE sequence
+    * on exact integer marginals, ROUNDED to 6 decimals, then summed as
+    * DECIMAL(28,6) — summing a multiset of 6-decimal values in decimal
+    * is order-independent, so the statistic is bit-identical in any
+    * engine (the ≤ 0.5e-6·cells rounding bias is deterministic and far
+    * below any significance threshold). Shape: one map-side-combined
+    * pass to the \|types\|·7 cell frame; marginals via windows over that
+    * tiny frame; single-row output.
+    */
+  def statsChisq(spark: SparkSession, dir: String): DataFrame = {
+    val observed = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n_obs"))
+    // densify: χ² counts UNOBSERVED cells too ((0−e)²/e = e) — groupBy
+    // drops them, so rebuild the full grid from the two marginal key
+    // sets (tiny frames crossed, then zero-filled)
+    val cells = observed.select(col("event_type")).distinct()
+      .crossJoin(observed.select(col("dow")).distinct())
+      .join(observed, Seq("event_type", "dow"), "left")
+      .withColumn("n", coalesce(col("n_obs"), lit(0L)))
+    val wr = Window.partitionBy(col("event_type"))
+    val wc = Window.partitionBy(col("dow"))
+    val wall = Window.partitionBy()
+    val contrib = cells
+      .withColumn("rt", sum(col("n")).over(wr))
+      .withColumn("ct", sum(col("n")).over(wc))
+      .withColumn("tot", sum(col("n")).over(wall))
+      .withColumn("exp",
+        col("rt").cast("double") * col("ct").cast("double") /
+          col("tot").cast("double"))
+      .withColumn("c",
+        round((col("n").cast("double") - col("exp")) *
+          (col("n").cast("double") - col("exp")) / col("exp"), 6)
+          .cast("decimal(28,6)"))
+    contrib.agg(
+      sum(col("c")).cast("double").as("chi2"),
+      ((countDistinct(col("event_type")) - 1) *
+        (countDistinct(col("dow")) - 1)).as("df"),
+      max(col("tot")).as("n_obs"),
+      round(sqrt(sum(col("c")).cast("double") /
+        (max(col("tot")).cast("double") *
+          least(countDistinct(col("event_type")) - 1,
+            countDistinct(col("dow")) - 1).cast("double"))), 6)
+        .as("cramers_v"))
+  }
+
+  val statsChisqSql: String =
+    """WITH observed AS (
+      |  SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS n_obs
+      |  FROM events GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT t.event_type, d.dow, COALESCE(o.n_obs, 0) AS n
+      |  FROM (SELECT DISTINCT event_type FROM observed) t
+      |  CROSS JOIN (SELECT DISTINCT dow FROM observed) d
+      |  LEFT JOIN observed o
+      |    ON o.event_type = t.event_type AND o.dow = d.dow
+      |), x AS (
+      |  SELECT *,
+      |         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+      |         CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+      |         CAST(sum(n) OVER () AS BIGINT) AS tot
+      |  FROM cells
+      |), c AS (
+      |  SELECT *,
+      |         CAST(round((CAST(n AS DOUBLE) -
+      |                     CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
+      |                       CAST(tot AS DOUBLE)) *
+      |                    (CAST(n AS DOUBLE) -
+      |                     CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
+      |                       CAST(tot AS DOUBLE)) /
+      |                    (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
+      |                       CAST(tot AS DOUBLE)), 6)
+      |              AS DECIMAL(28,6)) AS contrib
+      |  FROM x
+      |)
+      |SELECT CAST(sum(contrib) AS DOUBLE) AS chi2,
+      |       (count(DISTINCT event_type) - 1) *
+      |         (count(DISTINCT dow) - 1) AS df,
+      |       max(tot) AS n_obs,
+      |       round(sqrt(CAST(sum(contrib) AS DOUBLE) /
+      |                  (CAST(max(tot) AS DOUBLE) *
+      |                   CAST(least(count(DISTINCT event_type) - 1,
+      |                              count(DISTINCT dow) - 1) AS DOUBLE))), 6)
+      |         AS cramers_v
+      |FROM c""".stripMargin
+
+  /** Pearson correlation matrix over the fact table's numeric columns in
+    * ONE scan — data profiling's "which measures move together". The
+    * built-in `corr` accumulates floats in partition order (non-
+    * deterministic across engines AND across runs); this computes every
+    * moment (Σx, Σx², Σxy per pair) as EXACT DECIMAL sums on the 2-dp
+    * value grid in a single aggregation (map-side combined, one row
+    * out), then forms each correlation as a fixed IEEE sequence on
+    * identical operands. The three pairs unpivot from that one row —
+    * the scan reads exactly three columns once.
+    */
+  def statsCorr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val colsL = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val d = (c: String) => col(c).cast("decimal(18,4)")
+    val moments = li.agg(
+      count(lit(1)).as("n"),
+      sum(d(colsL(0))).as("s0"), sum(d(colsL(1))).as("s1"), sum(d(colsL(2))).as("s2"),
+      sum((d(colsL(0)) * d(colsL(0))).cast("decimal(38,8)")).as("q0"),
+      sum((d(colsL(1)) * d(colsL(1))).cast("decimal(38,8)")).as("q1"),
+      sum((d(colsL(2)) * d(colsL(2))).cast("decimal(38,8)")).as("q2"),
+      sum((d(colsL(0)) * d(colsL(1))).cast("decimal(38,8)")).as("p01"),
+      sum((d(colsL(0)) * d(colsL(2))).cast("decimal(38,8)")).as("p02"),
+      sum((d(colsL(1)) * d(colsL(2))).cast("decimal(38,8)")).as("p12"))
+    def corrCol(sa: String, sb: String, qa: String, qb: String, p: String) = {
+      val n = col("n").cast("double")
+      val num = n * col(p).cast("double") -
+        col(sa).cast("double") * col(sb).cast("double")
+      val da = n * col(qa).cast("double") -
+        col(sa).cast("double") * col(sa).cast("double")
+      val db = n * col(qb).cast("double") -
+        col(sb).cast("double") * col(sb).cast("double")
+      round(num / (sqrt(da) * sqrt(db)), 6)
+    }
+    moments.select(explode(array(
+      struct(lit(colsL(0)).as("col_a"), lit(colsL(1)).as("col_b"),
+        corrCol("s0", "s1", "q0", "q1", "p01").as("corr")),
+      struct(lit(colsL(0)).as("col_a"), lit(colsL(2)).as("col_b"),
+        corrCol("s0", "s2", "q0", "q2", "p02").as("corr")),
+      struct(lit(colsL(1)).as("col_a"), lit(colsL(2)).as("col_b"),
+        corrCol("s1", "s2", "q1", "q2", "p12").as("corr")))).as("e"))
+      .select(col("e.col_a"), col("e.col_b"), col("e.corr"))
+  }
+
+  val statsCorrSql: String =
+    """WITH m AS (
+      |  SELECT count(*) AS n,
+      |         sum(CAST(l_quantity AS DECIMAL(18,4))) AS s0,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS s1,
+      |         sum(CAST(l_discount AS DECIMAL(18,4))) AS s2,
+      |         sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) *
+      |                  CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS q0,
+      |         sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) *
+      |                  CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS q1,
+      |         sum(CAST(CAST(l_discount AS DECIMAL(19,4)) *
+      |                  CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS q2,
+      |         sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) *
+      |                  CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS p01,
+      |         sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) *
+      |                  CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS p02,
+      |         sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) *
+      |                  CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS p12
+      |  FROM lineitem
+      |)
+      |SELECT col_a, col_b,
+      |       round((CAST(n AS DOUBLE) * CAST(p AS DOUBLE) -
+      |              CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+      |             (sqrt(CAST(n AS DOUBLE) * CAST(qa AS DOUBLE) -
+      |                   CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+      |              sqrt(CAST(n AS DOUBLE) * CAST(qb AS DOUBLE) -
+      |                   CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS corr
+      |FROM m, (VALUES
+      |  ('l_quantity', 'l_extendedprice'), ('l_quantity', 'l_discount'),
+      |  ('l_extendedprice', 'l_discount')) AS pairs(col_a, col_b),
+      |LATERAL (SELECT
+      |  CASE col_a WHEN 'l_quantity' THEN s0 WHEN 'l_extendedprice' THEN s1 ELSE s2 END AS sa,
+      |  CASE col_b WHEN 'l_quantity' THEN s0 WHEN 'l_extendedprice' THEN s1 ELSE s2 END AS sb,
+      |  CASE col_a WHEN 'l_quantity' THEN q0 WHEN 'l_extendedprice' THEN q1 ELSE q2 END AS qa,
+      |  CASE col_b WHEN 'l_quantity' THEN q0 WHEN 'l_extendedprice' THEN q1 ELSE q2 END AS qb,
+      |  CASE WHEN col_a = 'l_quantity' AND col_b = 'l_extendedprice' THEN p01
+      |       WHEN col_a = 'l_quantity' AND col_b = 'l_discount' THEN p02
+      |       ELSE p12 END AS p) AS sel""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q2_corr_subquery", corrSubquery _, Some(corrSubquerySql)),
     Op("stats_skew_report", skewReport _, Some(skewReportSql)),
     Op("agg_pareto", aggPareto _, Some(aggParetoSql)),
+    Op("stats_trend", statsTrend _, Some(statsTrendSql)),
+    Op("stats_chisq", statsChisq _, Some(statsChisqSql)),
+    Op("stats_corr", statsCorr _, Some(statsCorrSql)),
     Op("agg_grouping_sets", aggGroupingSets _, Some(aggGroupingSetsSql)),
     Op("stats_drift", statsDrift _, Some(statsDriftSql)),
     Op("reshape_unpivot", unpivotMetrics _, Some(unpivotMetricsSql)),

@@ -509,9 +509,61 @@ object Events {
       |FROM spine s LEFT JOIN cells c
       |  ON s.event_type = c.event_type AND s.day = c.day""".stripMargin
 
+  /** Gap fill + last-observation-carried-forward: the daily mean value
+    * per type, with missing days first materialized by the `gapfill`
+    * spine and then filled with the MOST RECENT observed day's value —
+    * the time-series repair step (LOCF) downstream forecasting expects,
+    * as opposed to `gapfill`'s zero-fill (right for counts, wrong for
+    * level metrics like a temperature or a balance). The fill is
+    * `last(_, ignoreNulls)` over a window partitioned BY TYPE ordered by
+    * day — parallelism = \|types\|, but the frame under each partition is
+    * calendar-bounded (span days), never corpus-bounded, because it runs
+    * after the daily reduction. Daily means are DECIMAL-exact sums over
+    * the 2-dp value grid divided once; the carried value is bit-copied,
+    * so cross-engine parity is exact.
+    */
+  def gapfillLocf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg((sum(col("value").cast("decimal(18,4)")).cast("double") /
+        count(lit(1)).cast("double")).as("day_mean"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("filled_mean",
+        last(col("day_mean"), ignoreNulls = true).over(byType))
+      .select(col("event_type"), col("day"),
+        col("day_mean").isNull.as("is_filled"), col("filled_mean"))
+  }
+
+  val gapfillLocfSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) /
+      |           CAST(count(*) AS DOUBLE) AS day_mean
+      |  FROM events GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT event_type,
+      |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |        FROM daily GROUP BY 1)
+      |)
+      |SELECT s.event_type, s.day,
+      |       d.day_mean IS NULL AS is_filled,
+      |       last_value(d.day_mean IGNORE NULLS) OVER (
+      |         PARTITION BY s.event_type ORDER BY s.day ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_mean
+      |FROM spine s LEFT JOIN daily d
+      |  ON s.event_type = d.event_type AND s.day = d.day""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("events_hourly", hourly _, Some(hourlySql)),
     Op("events_gapfill", gapfill _, Some(gapfillSql)),
+    Op("events_gapfill_locf", gapfillLocf _, Some(gapfillLocfSql)),
     Op("events_active_users", activeUsers _, Some(activeUsersSql)),
     Op("events_seasonal", seasonal _, Some(seasonalSql)),
     Op("events_outliers_mad", outliersMad _, Some(outliersMadSql)),

@@ -66,6 +66,70 @@ class SkewApproxSpec extends SparkSpec {
     assert(m("shifty")._1 > m("stable")._1)
   }
 
+  test("trend: hand-computed OLS slope on a perfectly linear series") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("trend").toString
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    // "up": counts 1,2,3 on days 1..3 → slope 1, intercept 1, r2 1
+    // "flat": 2,2 → slope 0, r2 1 (deny=0 branch)
+    val up = (1 to 3).flatMap(d => (1 to d).map(i =>
+      (d * 100L + i, t(d), 1L, "up", 1.0, "{}")))
+    val flat = (1 to 2).flatMap(d => (1 to 2).map(i =>
+      (1000L + d * 10 + i, t(d), 1L, "flat", 1.0, "{}")))
+    (up ++ flat).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = Analytics.statsTrend(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m("up") == ((3L, 1.0, 1.0, 1.0)))
+    assert(m("flat") == ((2L, 0.0, 2.0, 1.0)))
+  }
+
+  test("chisq: zero statistic on an exactly independent table, positive otherwise") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chisq").toString
+    // Mon Jan 1 / Tue Jan 2 2024; counts a:(2,2) b:(3,3) → independent
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    val indep =
+      (1 to 2).map(i => (10L + i, t(1), 1L, "a", 1.0, "{}")) ++
+      (1 to 2).map(i => (20L + i, t(2), 1L, "a", 1.0, "{}")) ++
+      (1 to 3).map(i => (30L + i, t(1), 1L, "b", 1.0, "{}")) ++
+      (1 to 3).map(i => (40L + i, t(2), 1L, "b", 1.0, "{}"))
+    indep.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Analytics.statsChisq(spark, dir).head()
+    assert(r.getDouble(0) == 0.0 && r.getLong(1) == 1L && r.getLong(2) == 10L)
+    assert(r.getDouble(3) == 0.0)
+
+    val dir2 = java.nio.file.Files.createTempDirectory("chisq2").toString
+    // perfectly dependent: a only Mon, b only Tue → chi2 = n, V = 1
+    val dep =
+      (1 to 5).map(i => (10L + i, t(1), 1L, "a", 1.0, "{}")) ++
+      (1 to 5).map(i => (30L + i, t(2), 1L, "b", 1.0, "{}"))
+    dep.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir2/events.parquet")
+    val r2 = Analytics.statsChisq(spark, dir2).head()
+    assert(r2.getDouble(0) == 10.0 && r2.getDouble(3) == 1.0)
+  }
+
+  test("corr: constructed perfect positive and negative correlation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corr").toString
+    val d0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // price = 10*qty (corr +1); discount = 1 - 0.1*qty (corr -1 with both)
+    val rows = (1 to 5).map(q =>
+      (q.toLong, 1L, 1L, q, q.toDouble, 10.0 * q, 1.0 - 0.1 * q, 0.0, "N", "O", d0))
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val m = Analytics.statsCorr(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("l_quantity", "l_extendedprice")) == 1.0)
+    assert(m(("l_quantity", "l_discount")) == -1.0)
+    assert(m(("l_extendedprice", "l_discount")) == -1.0)
+  }
+
   test("pareto: cumulative shares and ABC classes on constructed revenues") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pareto").toString

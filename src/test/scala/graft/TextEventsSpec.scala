@@ -280,6 +280,24 @@ class TextEventsSpec extends SparkSpec {
       ("click", "2024-01-02") -> ((1L, false))))
   }
 
+  test("locf: gap days carry the last observed mean forward, not zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("locf").toString
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    Seq(
+      (1L, t(1), 7L, "m", 10.0, "{}"),
+      (2L, t(1), 8L, "m", 20.0, "{}"),  // day 1 mean 15
+      (3L, t(4), 7L, "m", 40.0, "{}")   // days 2,3 missing → carry 15
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = Events.gapfillLocf(spark, dir).collect()
+      .map(r => r.getDate(1).toString -> (r.getBoolean(2), r.getDouble(3))).toMap
+    assert(rows("2024-01-01") == ((false, 15.0)))
+    assert(rows("2024-01-02") == ((true, 15.0)))
+    assert(rows("2024-01-03") == ((true, 15.0)))
+    assert(rows("2024-01-04") == ((false, 40.0)))
+  }
+
   test("repetition: duplicate-bigram fraction and top share") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("rep").toString
