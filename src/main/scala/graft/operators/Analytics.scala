@@ -775,9 +775,76 @@ object Analytics {
       |       WHEN col_a = 'l_quantity' AND col_b = 'l_discount' THEN p02
       |       ELSE p12 END AS p) AS sel""".stripMargin
 
+  /** Data-quality assertion suite as one queryable result: each rule
+    * (null key, non-positive amount, out-of-range date, orphan foreign
+    * key, NaN metric, empty text) reports violations/checked — the
+    * contract gate a pipeline runs BEFORE publishing a snapshot, shaped
+    * so a scheduler can alert on any n_violations > 0 row. Each branch
+    * is a single-scan conditional aggregation pruned to the columns it
+    * audits; the referential-integrity rule is a LEFT ANTI join count
+    * (orders side broadcastable when dimension-sized, shuffle otherwise
+    * — Catalyst's choice, not hand-pinned). Union of one-row frames.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val ev = Tables(spark, dir, "events")
+    val docs = Tables(spark, dir, "documents")
+    def rule(name: String, df: DataFrame, bad: Column): DataFrame =
+      df.agg(lit(name).as("rule"),
+        sum(when(bad, 1L).otherwise(0L)).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+    val orphan = li.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(lit("lineitem.l_orderkey_orphan").as("rule"),
+        count(lit(1)).as("n_violations"),
+        first(lit(-1L)).as("n_checked"))
+      .select(col("rule"), col("n_violations"),
+        coalesce(col("n_checked"), lit(-1L)).as("n_checked"))
+    rule("orders.o_totalprice_nonpositive", orders, col("o_totalprice") <= 0)
+      .unionAll(rule("orders.o_orderdate_out_of_range", orders,
+        col("o_orderdate") < to_timestamp(lit("1990-01-01")) ||
+          col("o_orderdate") >= to_timestamp(lit("2030-01-01"))))
+      .unionAll(rule("events.value_nan_or_null", ev,
+        col("value").isNull || isnan(col("value"))))
+      .unionAll(rule("documents.text_empty_or_null", docs,
+        col("text").isNull || length(trim(col("text"))) === 0))
+      .unionAll(orphan)
+  }
+
+  val dqChecksSql: String =
+    """SELECT 'orders.o_totalprice_nonpositive' AS rule,
+      |       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_violations,
+      |       count(*) AS n_checked FROM orders
+      |UNION ALL
+      |SELECT 'orders.o_orderdate_out_of_range',
+      |       CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+      |                       OR o_orderdate >= TIMESTAMP '2030-01-01'
+      |                     THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(*) FROM orders
+      |UNION ALL
+      |SELECT 'events.value_nan_or_null',
+      |       CAST(sum(CASE WHEN value IS NULL OR isnan(value)
+      |                     THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(*) FROM events
+      |UNION ALL
+      |SELECT 'documents.text_empty_or_null',
+      |       CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+      |                     THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(*) FROM documents
+      |UNION ALL
+      |SELECT 'lineitem.l_orderkey_orphan',
+      |       (SELECT count(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                          WHERE o.o_orderkey = l.l_orderkey)),
+      |       -1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q2_corr_subquery", corrSubquery _, Some(corrSubquerySql)),
     Op("stats_skew_report", skewReport _, Some(skewReportSql)),
+    Op("dq_checks", dqChecks _, Some(dqChecksSql)),
     Op("agg_pareto", aggPareto _, Some(aggParetoSql)),
     Op("stats_trend", statsTrend _, Some(statsTrendSql)),
     Op("stats_chisq", statsChisq _, Some(statsChisqSql)),

@@ -560,10 +560,127 @@ object Events {
       |FROM spine s LEFT JOIN daily d
       |  ON s.event_type = d.event_type AND s.day = d.day""".stripMargin
 
+  /** Conversion latency distribution: for every user whose first
+    * purchase follows their first view, the view→purchase delay —
+    * reported as exact percentiles plus the converter count. The timing
+    * companion to `funnel` (which counts stage reach, not speed).
+    * Shape at scale: one filtered user-keyed reduction to first-view
+    * rows, a second purchase-only pass joined user-keyed against that
+    * reduced frame (the `ts > first_view` predicate rides INSIDE the
+    * join), reduced again to per-user first conversion — every exchange
+    * is user-keyed, and the percentile aggregation sees only the
+    * \|converters\| latency frame. Latencies are integer seconds, so the
+    * (n−1)p interpolation is the same fixed IEEE sequence both engines.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val firstView = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fv"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .where(col("ts") > col("fv"))
+      .groupBy(col("user_id"), col("fv")).agg(min(col("ts")).as("fp"))
+      .select(col("user_id"),
+        (unix_timestamp(col("fp")) - unix_timestamp(col("fv")))
+          .as("latency_sec"))
+    conv.agg(
+      count(lit(1)).as("n_converted"),
+      round(expr("percentile(latency_sec, 0.25)"), 6).as("p25_sec"),
+      round(expr("percentile(latency_sec, 0.5)"), 6).as("p50_sec"),
+      round(expr("percentile(latency_sec, 0.9)"), 6).as("p90_sec"),
+      max(col("latency_sec")).as("max_sec"))
+  }
+
+  val funnelLatencySql: String =
+    """WITH fv AS (
+      |  SELECT user_id, min(ts) AS fv FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), conv AS (
+      |  SELECT e.user_id,
+      |         -- floor each side BEFORE subtracting: Spark's
+      |         -- unix_timestamp truncates sub-second parts per value
+      |         CAST(floor(epoch(min(e.ts))) - floor(epoch(min(fv.fv)))
+      |              AS BIGINT) AS latency_sec
+      |  FROM events e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > fv.fv
+      |  GROUP BY e.user_id
+      |)
+      |SELECT count(*) AS n_converted,
+      |       round(quantile_cont(latency_sec, 0.25), 6) AS p25_sec,
+      |       round(quantile_cont(latency_sec, 0.5), 6) AS p50_sec,
+      |       round(quantile_cont(latency_sec, 0.9), 6) AS p90_sec,
+      |       max(latency_sec) AS max_sec
+      |FROM conv""".stripMargin
+
+  /** Event-type co-occurrence with lift — market-basket association on
+    * the (user, hour) basket: how much more often do two event types
+    * appear in the same user-hour than independence predicts? Everything
+    * reduces FIRST: distinct (user, hour, type) baskets (≤ 5 types per
+    * basket, so the within-basket pair self-join fans out by \|types\|,
+    * not by events), then pair counts and per-type basket counts are
+    * \|types\|²-sized frames. Lift = P(a,b)/(P(a)·P(b)) over basket
+    * space — exact integer counts, two IEEE ops, rounded once.
+    */
+  def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables(spark, dir, "events")
+      .select(col("user_id"), date_trunc("HOUR", col("ts")).as("hr"),
+        col("event_type")).distinct()
+    val nBaskets = baskets.select(col("user_id"), col("hr")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val typeCounts = baskets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.hr") === col("b.hr") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(typeCounts.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n_type", "na")), Seq("type_a"))
+      .join(broadcast(typeCounts.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n_type", "nb")), Seq("type_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        round(col("n_both").cast("double") * col("n_baskets").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("lift"))
+  }
+
+  val cooccurrenceSql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr, event_type
+      |  FROM events
+      |), nb AS (
+      |  SELECT count(*) AS n_baskets
+      |  FROM (SELECT DISTINCT user_id, hr FROM baskets)
+      |), tc AS (
+      |  SELECT event_type, count(*) AS n_type FROM baskets GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         count(*) AS n_both
+      |  FROM baskets a JOIN baskets b
+      |    ON a.user_id = b.user_id AND a.hr = b.hr
+      |   AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT type_a, type_b, n_both,
+      |       round(CAST(n_both AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE) /
+      |             (CAST(ta.n_type AS DOUBLE) * CAST(tb.n_type AS DOUBLE)), 6)
+      |         AS lift
+      |FROM pairs
+      |JOIN tc ta ON ta.event_type = pairs.type_a
+      |JOIN tc tb ON tb.event_type = pairs.type_b
+      |CROSS JOIN nb""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("events_hourly", hourly _, Some(hourlySql)),
     Op("events_gapfill", gapfill _, Some(gapfillSql)),
     Op("events_gapfill_locf", gapfillLocf _, Some(gapfillLocfSql)),
+    Op("events_funnel_latency", funnelLatency _, Some(funnelLatencySql)),
+    Op("events_cooccurrence", cooccurrence _, Some(cooccurrenceSql)),
     Op("events_active_users", activeUsers _, Some(activeUsersSql)),
     Op("events_seasonal", seasonal _, Some(seasonalSql)),
     Op("events_outliers_mad", outliersMad _, Some(outliersMadSql)),

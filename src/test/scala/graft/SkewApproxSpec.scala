@@ -152,6 +152,20 @@ class SkewApproxSpec extends SparkSpec {
     assert(r(40L) == ((1.0, "C")))
   }
 
+  test("pareto plan: the running-sum window partitions on the bin, never global") {
+    val df = Analytics.aggPareto(spark, sfDir)
+    df.collect()
+    // every windowspecdefinition must carry the pid partition key — a
+    // global cumulative window would print with no partition column
+    val plan = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected a window in:\n$plan")
+    specs.foreach { s =>
+      assert(s.contains("pid#"), s"window not bin-partitioned: ($s)")
+    }
+  }
+
   test("skew report: hand-computed frequency stats on a constructed hot key") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("skew").toString

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Events, Multimodal, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Events, Multimodal, TextAnalysis}
 
 class TextEventsSpec extends SparkSpec {
 
@@ -296,6 +296,77 @@ class TextEventsSpec extends SparkSpec {
     assert(rows("2024-01-02") == ((true, 15.0)))
     assert(rows("2024-01-03") == ((true, 15.0)))
     assert(rows("2024-01-04") == ((false, 40.0)))
+  }
+
+  test("funnel latency: first purchase after first view; pre-view purchase ignored") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flat").toString
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    Seq(
+      (1L, t(10), 7L, "view", 1.0, "{}"),
+      (2L, t(70), 7L, "purchase", 1.0, "{}"),   // 60 min after first view
+      (3L, t(90), 7L, "purchase", 1.0, "{}"),   // later purchase ignored
+      (4L, t(5), 8L, "purchase", 1.0, "{}"),    // BEFORE any view: no conversion
+      (5L, t(20), 8L, "view", 1.0, "{}"),
+      (6L, t(30), 9L, "view", 1.0, "{}")        // never purchases
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Events.funnelLatency(spark, dir).head()
+    assert(r.getLong(0) == 1L)                   // only user 7 converts
+    assert(r.getDouble(2) == 3600.0 && r.getLong(4) == 3600L)
+  }
+
+  test("cooccurrence: lift from constructed baskets, same-type pairs excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cooc").toString
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // baskets: (u7,h0): view+click; (u7,h1): view; (u8,h0): click
+    // n_baskets=3, n(view)=2, n(click)=2, n(view,click)=1
+    // lift = 1*3/(2*2) = 0.75
+    Seq(
+      (1L, t(10), 7L, "view", 1.0, "{}"),
+      (2L, t(20), 7L, "click", 1.0, "{}"),
+      (3L, t(15), 7L, "view", 1.0, "{}"),   // dup type in basket: distinct
+      (4L, t(70), 7L, "view", 1.0, "{}"),
+      (5L, t(30), 8L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = Events.cooccurrence(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)) ==
+      (("click", "view", 1L, 0.75)))
+  }
+
+  test("dq checks: planted violations are counted per rule") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dq").toString
+    val d0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq(
+      (1L, 1L, "O", 10.0, d0, "1-URGENT"),
+      (2L, 1L, "O", -5.0, d0, "1-URGENT"),  // nonpositive price
+      (3L, 1L, "O", 10.0, java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), "x")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority").write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0),
+      (99L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0))  // orphan key 99
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, d0, 7L, "view", Double.NaN, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    Seq((1L, "  ", "en", "s", 2L), (2L, "ok", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = Analytics.dqChecks(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("orders.o_totalprice_nonpositive") == ((1L, 3L)))
+    assert(m("orders.o_orderdate_out_of_range") == ((1L, 3L)))
+    assert(m("events.value_nan_or_null") == ((1L, 1L)))
+    assert(m("documents.text_empty_or_null") == ((1L, 2L)))
+    assert(m("lineitem.l_orderkey_orphan")._1 == 1L)
   }
 
   test("repetition: duplicate-bigram fraction and top share") {
