@@ -520,81 +520,17 @@ object Dedup {
     * "keep one survivor per duplicate group", and transitivity is the
     * point (A~B, B~C ⇒ one group even when A~C was never measured).
     *
-    * Spark side: min-label propagation WITH pointer jumping — each round
-    * a node takes the min of its own label, its neighbors' labels, and
-    * its label's label (`label(label(id))`). The shortcut step is what
-    * makes rounds grow as log(diameter) instead of diameter (the same
-    * shortcutting idea as hash-to-min connected components), so the
-    * round cap is effectively unreachable; if it IS hit the operator
-    * throws rather than silently returning non-converged labels. Every
-    * frame in the loop is over the pair graph only — tiny relative to
-    * the corpus (documents appearing in some near-dup pair). Per round:
-    * superseded label frames are unpersisted, lineage is truncated with
-    * `localCheckpoint` every few rounds, and convergence is read off the
-    * SAME count() action that materializes the round (one job, no
-    * separate isEmpty probe). The oracle states the same fixpoint as a
-    * recursive reachability CTE.
+    * The labeling loop itself — min-label propagation with pointer
+    * jumping, log-diameter rounds, per-round cache hygiene, throws on
+    * non-convergence — lives in `Graph.connectedComponents` (shared with
+    * the ship-graph `graph_components` operator); every frame in it is
+    * over the pair graph only, tiny relative to the corpus. The oracle
+    * states the same fixpoint as a recursive reachability CTE.
     */
-  private val MaxRounds = 50
-  private val CheckpointEvery = 8
-
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    var labels = edges.select(col("doc_a").as("id")).distinct()
-      .withColumn("label", col("id"))
-    labels.persist() // referenced 3× per round (neighbor, jump ×2)
-    // The persisted frame BACKING `labels`: from round 2 on `labels` is
-    // a Project over the round's materialized frame, and
-    // Dataset.unpersist only drops a cache entry whose plan matches the
-    // receiver — unpersisting the projection would be a no-op and every
-    // round's frame would stay pinned for the rest of the session.
-    // (On localCheckpoint rounds `backing` isn't in the CacheManager at
-    // all; unpersist is harmless there and the checkpoint storage is
-    // reclaimed by the ContextCleaner once unreferenced.)
-    var backing = labels
-    var rounds = 0
-    var changed = 1L
-    while (changed > 0 && rounds < MaxRounds) {
-      val neighborMin = edges
-        .join(labels, edges("doc_b") === labels("id"))
-        .groupBy(edges("doc_a").as("nid"))
-        .agg(min(col("label")).as("nmin"))
-      val jump = labels.as("l")
-        .join(labels.select(col("id").as("jid"), col("label").as("jlabel")),
-          col("l.label") === col("jid"))
-        .select(col("l.id").as("id"), col("l.label").as("label"),
-          col("jlabel"))
-      val next = jump
-        .join(neighborMin, col("id") === col("nid"), "left_outer")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), col("jlabel"),
-            coalesce(col("nmin"), col("label"))).as("label"))
-      val mat =
-        if ((rounds + 1) % CheckpointEvery == 0) next.localCheckpoint()
-        else { next.persist(); next }
-      changed = mat.where(col("label") =!= col("old")).count()
-      backing.unpersist() // safe: the count above materialized `mat`
-      backing = mat
-      labels = mat.select(col("id"), col("label"))
-      rounds += 1
-    }
-    edges.unpersist()
-    if (changed > 0) {
-      backing.unpersist()
-      throw new IllegalStateException(
-        s"clusters: no fixpoint after $MaxRounds pointer-jumping rounds " +
-          "(component labels would be wrong — refusing to return them)")
-    }
-    // Materialize the small final labeling, then release the last
-    // round's frame — nothing stays cached after the operator returns.
-    val out = labels
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    Graph.connectedComponents(
+      minhashLsh(spark, dir).select(col("doc_a").as("u"), col("doc_b").as("v")))
       .select(col("id").as("doc_id"), col("label").as("canonical_id"))
-      .localCheckpoint()
-    backing.unpersist()
-    out
-  }
 
   val clustersSql: String =
     s"""WITH RECURSIVE pairs AS (

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  test("connected components: two islands and an isolated edge, exact labels") {
+    import spark.implicits._
+    // component {1,2,3,4} (a path), component {10,11}, component {20,21,22}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (21L, 20L), (21L, 22L), (22L, 20L)).toDF("u", "v")
+    val labels = Graph.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components: long path converges within the round cap (pointer jumping)") {
+    import spark.implicits._
+    // a 60-edge path has diameter > MaxRounds(50): plain label
+    // propagation would NOT converge inside the cap — pointer jumping
+    // finishing proves the log-diameter shortcut is active
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("u", "v")
+    val labels = Graph.connectedComponents(pairs).collect()
+    assert(labels.length == 61 && labels.forall(_.getLong(1) == 0L))
+  }
+
+  test("triangle census: known counts on a hand graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant 5-1 + isolated edge 6-7;
+    // input includes a duplicate and a reversed edge to exercise
+    // canonicalization
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (5L, 1L), (6L, 7L), (6L, 7L)).toDF("u", "v")
+    val r = Graph.triangleStats(pairs).head()
+    // degrees: 1->4, 2..4->3, 5->1, 6,7->1; wedges = 6+3+3+3+0+0+0 = 15
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 8L, 15L, 4L)))
+    assert(r.getDouble(4) == 0.8) // 3*4/15
+  }
+
+  test("triangle census: triangle-free and empty graphs") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val s = Graph.triangleStats(star).head()
+    assert(s.getLong(3) == 0L && s.getDouble(4) == 0.0)
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    val e = Graph.triangleStats(empty).head()
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3)) ==
+      ((0L, 0L, 0L, 0L)))
+  }
+
+  test("integer pagerank: matches a scalar reference implementation exactly") {
+    import spark.implicits._
+    // small directed graph incl. a dangling node (4) and a 2-cycle
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.pagerankInt(edges, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // scalar mirror of the documented arithmetic: floor divisions on Longs
+    val scale = 1000000000000L
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L, 4L), 3L -> Seq(1L))
+    val n = nodes.size
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 5) {
+      val sums = nodes.map { u =>
+        u -> out.toSeq.collect {
+          case (v, ds) if ds.contains(u) => r(v) / ds.size
+        }.sum
+      }.toMap
+      r = nodes.map(u => u -> ((15L * scale) / (100L * n) +
+        (85L * sums(u)) / 100L)).toMap
+    }
+    assert(got == r)
+  }
+
+  test("pagerank op: ranks are positive, customers outrank suppliers, output is 20") {
+    val rows = Graph.pagerank(spark, sfDir).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getLong(2) > 0L))
+    // suppliers have no in-links: every supplier rank is the base term,
+    // strictly below any customer that received contributions — the
+    // top-20 of this graph must be all customers
+    assert(rows.forall(_.getString(0) == "customer"))
+  }
+
+  test("graph ops leave nothing cached behind") {
+    Graph.components(spark, sfDir).collect()
+    Graph.nearDupTriangles(spark, sfDir).collect()
+    Graph.pagerank(spark, sfDir).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "graph operators must release their loop caches")
+  }
+
+  test("degree histogram: mass balances to node and edge counts") {
+    val e = Graph.degrees(spark, sfDir).collect()
+    val bySide = e.groupBy(_.getString(0))
+    // sum(degree * n_nodes) per side = |edges|; both sides must agree
+    val mass = bySide.map { case (s, rows) =>
+      s -> rows.map(r => r.getLong(1) * r.getLong(2)).sum
+    }
+    assert(mass("supplier") == mass("customer") && mass("supplier") > 0)
+  }
+}
