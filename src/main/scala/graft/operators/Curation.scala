@@ -388,6 +388,50 @@ object Curation {
       |            ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  /** Group-aware (leakage-safe) 80/10/10 split: `split3` hashes each
+    * document independently, so two near-duplicate documents can land in
+    * train and test — exactly the contamination a held-out set must not
+    * contain. Here the hash unit is the near-dup CLUSTER: every document
+    * carries its component's canonical id from the MinHash pair graph
+    * (`Dedup.clusters`, singletons are their own group), and the split
+    * bucket is the md5 of that GROUP id — so an entire duplicate family
+    * moves as one unit and can never straddle splits (pinned by a
+    * CurationSpec assertion over the actual pair set).
+    *
+    * Scale shape: the clustering rides the pointer-jumping loop (frames
+    * confined to the pair graph); the corpus then takes ONE left join
+    * against the label frame (pair-graph-sized, usually far smaller than
+    * the corpus — AQE broadcasts it when small) and a codegen'd hash
+    * projection. The salt prefix is shared with `split3`, so the two
+    * splits agree wherever a document is its own group.
+    */
+  def splitGroupAware(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Dedup.clusters(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    val withGroup = Tables(spark, dir, "documents")
+      .join(groups, Seq("doc_id"), "left_outer")
+      .withColumn("group_id", coalesce(col("canonical_id"), col("doc_id")))
+    val b = substring(md5(concat_ws(":", lit("split"),
+      col("group_id").cast("string"))), 1, 2)
+    withGroup.select(col("doc_id"), col("source"), col("group_id"),
+      when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+        .as("split"))
+  }
+
+  val splitGroupAwareSql: String =
+    s"""WITH labels AS (
+       |${Dedup.clustersSql}
+       |), g AS (
+       |  SELECT d.doc_id, d.source,
+       |         COALESCE(l.canonical_id, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, source, group_id,
+       |       CASE WHEN substr(md5(concat_ws(':', 'split', CAST(group_id AS VARCHAR))), 1, 2) < 'cd' THEN 'train'
+       |            WHEN substr(md5(concat_ws(':', 'split', CAST(group_id AS VARCHAR))), 1, 2) < 'e6' THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM g""".stripMargin
+
   // --------------------------------------------------- curriculum phases
   private val CurriculumPhases = 4
 
@@ -557,5 +601,6 @@ object Curation {
     Op("curate_temperature_sample", temperatureSample _,
       Some(temperatureSampleSql)),
     Op("curate_split", split3 _, Some(split3Sql)),
+    Op("curate_split_groupaware", splitGroupAware _, Some(splitGroupAwareSql)),
   )
 }

@@ -246,4 +246,31 @@ class CurationSpec extends SparkSpec {
         s"$l kept ${keptByLang(l)} vs expected $expect")
     }
   }
+
+  test("group-aware split: no near-dup pair straddles splits; plain split does leak") {
+    import graft.operators.Dedup
+    val split = Curation.splitGroupAware(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dups $a/$b split across ${split(a)}/${split(b)}")
+    }
+    // every document is assigned, buckets roughly 80/10/10
+    val d = Tables(spark, sfDir, "documents").count()
+    assert(split.size == d)
+    val byBucket = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byBucket.keySet == Set("train", "val", "test"))
+    assert(byBucket("train") > byBucket("val") &&
+      byBucket("train") > byBucket("test"))
+    // sanity of the MOTIVATION: the per-document split leaks on this
+    // corpus (some near-dup pair straddles) — if it ever stops leaking,
+    // the fixture no longer exercises the group-aware guarantee
+    val plain = Curation.split3(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(pairs.exists { case (a, b) => plain(a) != plain(b) },
+      "per-document split no longer leaks; test fixture too weak")
+  }
 }
