@@ -675,8 +675,36 @@ object Events {
       |JOIN tc tb ON tb.event_type = pairs.type_b
       |CROSS JOIN nb""".stripMargin
 
+  /** Exact heavy hitters: the top-10 users by event volume with their
+    * share of the stream — the batch ground truth the streaming
+    * space-saving sketch (`EventStream.heavyHitters`) approximates, and
+    * the pair is spec-linked: the sketch's superset/bound guarantees are
+    * asserted against THIS exact ranking. One map-side-combined
+    * user-keyed reduction, then `TakeOrdered` on (count desc, user) —
+    * no global sort; the total is a broadcast scalar.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val total = counts.agg(sum(col("n_events")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+      .limit(10)
+      .select(col("user_id"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_total"), 6)
+          .as("share"))
+  }
+
+  val heavyHittersSql: String =
+    """SELECT user_id, n_events,
+      |       round(CAST(n_events AS DOUBLE) /
+      |             (SELECT count(*) FROM events), 6) AS share
+      |FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+      |ORDER BY n_events DESC, user_id ASC LIMIT 10""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("events_hourly", hourly _, Some(hourlySql)),
+    Op("events_heavy_hitters", heavyHitters _, Some(heavyHittersSql)),
     Op("events_gapfill", gapfill _, Some(gapfillSql)),
     Op("events_gapfill_locf", gapfillLocf _, Some(gapfillLocfSql)),
     Op("events_funnel_latency", funnelLatency _, Some(funnelLatencySql)),

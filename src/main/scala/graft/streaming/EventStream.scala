@@ -283,6 +283,63 @@ object EventStream {
       }
   }
 
+  // ------------------------------------------------------ heavy hitters
+  final case class HeavyHitter(shard: Int, user_id: Long, est_count: Long,
+      max_overcount: Long)
+
+  /** Streaming heavy hitters: space-saving sketch per shard — the
+    * bounded-memory answer to "which users dominate the stream RIGHT
+    * NOW". Unlike `funnel`/`transitions` (whose per-user state grows
+    * with user cardinality, eviction valve documented there), state here
+    * is HARD-bounded at k counters per shard regardless of stream length
+    * or user count: a new user beyond capacity inherits the minimum
+    * counter's count (recorded as `max_overcount`) and evicts it — the
+    * classic space-saving trade. Guarantees (Metwally et al.'s published
+    * bounds, restated): est_count ≥ true count ≥ est_count −
+    * max_overcount, and any user whose true count in a shard exceeds
+    * (shard events)/k is guaranteed present. Sharding by `user_id % S`
+    * keeps each group's work parallel; the union of shard sketches is a
+    * superset of the global top hitters (merge downstream, or query
+    * per-shard). Each micro-batch slice is pre-aggregated before it
+    * touches the sketch, and users are applied in sorted order so the
+    * sketch content is deterministic for a given batch sequence.
+    * Update-mode emission: each batch re-emits the shard's current
+    * counters (≤ k rows), newest estimate wins downstream.
+    */
+  def heavyHitters(events: Dataset[Event], k: Int = 10,
+      shards: Int = 4): Dataset[HeavyHitter] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id % shards).toInt)
+      .flatMapGroupsWithState[Map[Long, (Long, Long)], HeavyHitter](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, it: Iterator[Event],
+            state: GroupState[Map[Long, (Long, Long)]]) =>
+          var counters = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
+          val slice = it.toSeq.groupBy(_.user_id).view
+            .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+          slice.foreach { case (u, c) =>
+            counters.get(u) match {
+              case Some((cnt, err)) =>
+                counters = counters.updated(u, (cnt + c, err))
+              case None if counters.size < k =>
+                counters = counters.updated(u, (c, 0L))
+              case None =>
+                // evict the deterministic minimum; the newcomer inherits
+                // its count as the overcount bound
+                val (mu, (mc, _)) =
+                  counters.minBy { case (uu, (cc, _)) => (cc, uu) }
+                counters = counters - mu + (u -> (mc + c, mc))
+            }
+          }
+          state.update(counters)
+          counters.toSeq
+            .sortBy { case (u, (c, _)) => (-c, u) }
+            .map { case (u, (c, e)) => HeavyHitter(shard, u, c, e) }
+            .iterator
+      }
+  }
+
   // ------------------------------------------------------ drift monitor
   /** Same fixed value-bucket grid as the batch `Analytics.statsDrift`. */
   private val DriftBuckets = 10

@@ -321,4 +321,44 @@ class StreamingSpec extends SparkSpec {
         s"shifted window not flagged: $alerts")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: space-saving bounds hold across batches, state capped at k") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // one shard (all users ≡ 0 mod 4), k=3 → eviction is exercised:
+    // true counts  u4: 30, u8: 20, u12: 4, u16..u36 (6 users): 1 each
+    val heavy = (0 until 18).map(i => Event(i.toLong, ts(i), 4L, "view", 1.0)) ++
+      (0 until 12).map(i => Event(100L + i, ts(i), 8L, "view", 1.0)) ++
+      (0 until 2).map(i => Event(200L + i, ts(i), 12L, "view", 1.0))
+    val later = (0 until 12).map(i => Event(300L + i, ts(30 + i), 4L, "view", 1.0)) ++
+      (0 until 8).map(i => Event(400L + i, ts(30 + i), 8L, "view", 1.0)) ++
+      (0 until 2).map(i => Event(500L + i, ts(30 + i), 12L, "view", 1.0)) ++
+      (0 until 6).map(i => Event(600L + i, ts(40 + i), 16L + 4 * i, "view", 1.0))
+    val q = EventStream.heavyHitters(mem.toDS(), k = 3, shards = 4)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(heavy: _*)
+      q.processAllAvailable()
+      mem.addData(later: _*)
+      q.processAllAvailable()
+      // last emission per shard = the current sketch
+      val out = spark.table("hh_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val lastBatch = out.drop(out.length / 2) // update mode: batch 2 rows are the tail
+      assert(lastBatch.length <= 3, s"state exceeded k: $lastBatch")
+      val sketch = lastBatch.map { case (_, u, c, e) => u -> ((c, e)) }.toMap
+      val truth = Map(4L -> 30L, 8L -> 20L, 12L -> 4L)
+      // guaranteed hitters (true count > N/k = 70/3) must be present
+      assert(sketch.contains(4L) && sketch.contains(8L))
+      sketch.foreach { case (u, (est, over)) =>
+        val t = truth.getOrElse(u, 1L)
+        assert(est >= t, s"u$u est $est < true $t")
+        assert(est - over <= t, s"u$u lower bound ${est - over} > true $t")
+      }
+      // the dominant user's count is EXACT (never evicted): 18 + 12
+      assert(sketch(4L) == ((30L, 0L)))
+    } finally q.stop()
+  }
 }
