@@ -80,6 +80,40 @@ object CsvJsonEgress {
     count
   }
 
+  /** JSONL (one JSON object per line) — the de-facto training-corpus
+    * interchange format. Unlike the K2/K3 single-file boundary
+    * artifacts, JSONL is a DISTRIBUTED format here: one shard per task
+    * (Spark's json sink is already JSON Lines), optionally compressed,
+    * so a 100 TB corpus writes with full parallelism. Values keep their
+    * types (a JSONL consumer parses JSON scalars, unlike the CSV chain's
+    * all-string degradation). Multi-line text survives because JSON
+    * string escaping (`\n`) keeps every record on one physical line.
+    */
+  def writeJsonl(df: DataFrame, dest: String,
+      compression: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+    compression.foreach(c => w.option("compression", c))
+    w.json(dest)
+  }
+
+  /** Read JSONL with an EXPLICIT schema — inference is a full extra pass
+    * over the corpus at scale, so it is disabled by contract. Malformed
+    * lines are quarantined, not dropped: PERMISSIVE mode keeps them as
+    * all-null rows carrying the raw line in `_corrupt_record`, so a
+    * `dq_checks`-style gate can count them before the corpus is used
+    * (silently losing lines is the failure mode this guards against).
+    * Caveat (Spark contract): a query may not reference ONLY
+    * `_corrupt_record` — include a data column in the projection (or
+    * cache first) when counting quarantined lines.
+    */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** Move the single `part-*` file out of a one-partition write dir. */
   private def promoteSingle(tmpDir: String, dest: String, ext: String,
       hadoopConf: Configuration): Unit = {

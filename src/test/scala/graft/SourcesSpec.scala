@@ -163,4 +163,36 @@ class SourcesSpec extends SparkSpec {
     assert(json.contains(""""id":"1""""))
     assert(json.contains(""""score":"1.5""""))
   }
+
+  test("JSONL: typed roundtrip, multi-line text stays one record, bad line quarantined") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl").toString
+    val docs = Seq(
+      (1L, "plain text", 10L),
+      (2L, "line one\nline two\ttab", 20L), // newline must be escaped, not split
+      (3L, null.asInstanceOf[String], 30L)
+    ).toDF("doc_id", "text", "n_chars")
+    CsvJsonEgress.writeJsonl(docs, s"$dir/corpus")
+
+    val back = CsvJsonEgress.readJsonl(spark, s"$dir/corpus", docs.schema)
+    val rows = back.collect().map(r =>
+      r.getLong(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
+    assert(rows(2L) == ((Some("line one\nline two\ttab"), 20L)))
+    assert(rows(3L)._1.isEmpty)
+    // types survive (no all-string degradation on this path)
+    assert(back.schema("n_chars").dataType.typeName == "long")
+
+    // a malformed line is quarantined with the raw text, never dropped.
+    // (Filtering on _corrupt_record must reference a data column too —
+    // Spark refuses corrupt-column-only scans; readJsonl's doc says so.)
+    Files.write(java.nio.file.Paths.get(s"$dir/corpus/zz-bad.json"),
+      "{\"doc_id\": 9, \"text\": unterminated\n".getBytes)
+    val all = CsvJsonEgress.readJsonl(spark, s"$dir/corpus", docs.schema)
+      .collect()
+    assert(all.length == 4)
+    val bad = all.filter(r => r.getAs[String]("_corrupt_record") != null)
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record")
+      .contains("unterminated"))
+    assert(all.count(r => r.getAs[String]("_corrupt_record") == null) == 3)
+  }
 }
