@@ -467,6 +467,52 @@ object Events {
       |)
       |SELECT day, dau, wau FROM dau JOIN wau USING (day)""".stripMargin
 
+  /** Rolling WAU via HLL sketch merge — the scale swap `activeUsers`
+    * documents: rolling COUNT DISTINCT doesn't decompose over frames,
+    * and the exact contribution-explode ships (day, user) keys, linear
+    * in corpus. Here each day reduces ONCE to a fixed-size DataSketches
+    * HLL (the only corpus-sized pass), and the trailing-7-day union
+    * merges 7 sketches per day — the explode fans out |days|×7 SKETCH
+    * rows, bounded by the calendar, never by |events| or |users|. Same
+    * contribution-explode framing as the exact twin (no day-contiguity
+    * assumption, no global window). Engine-specific sketch bytes →
+    * rows-only; the `_check` twin below is the oracled accuracy claim.
+    */
+  def wauSketch(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("day"),
+        col("sk"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_approx"))
+      // report only days that themselves have activity, like the twin
+      .join(daily.select(col("day")), Seq("day"))
+  }
+
+  /** Oracled accuracy contract for `wauSketch`: per day, the estimate
+    * must sit within 5% of the exact rolling WAU (DataSketches HLL at
+    * Spark's default lgConfigK=12 has rsd ≈ 1.6%; 5% ≈ 3σ). The oracle
+    * recomputes the exact side and pins every flag true.
+    */
+  def wauSketchCheck(spark: SparkSession, dir: String): DataFrame =
+    activeUsers(spark, dir)
+      .join(wauSketch(spark, dir), Seq("day"))
+      .select(col("day"), col("wau"),
+        (abs(col("wau_approx") - col("wau")) <=
+          greatest(col("wau") * 0.05, lit(3.0))).as("wau_ok"))
+
+  val wauSketchCheckSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      |), wau AS (
+      |  SELECT day + CAST(i AS INTEGER) AS day, count(DISTINCT user_id) AS wau
+      |  FROM du, unnest(range(0, 7)) AS t(i) GROUP BY 1
+      |)
+      |SELECT d.day, w.wau, true AS wau_ok
+      |FROM (SELECT DISTINCT day FROM du) d JOIN wau w ON w.day = d.day""".stripMargin
+
   /** Date-spine gap fill: per-(type, day) daily counts with the missing
     * days of each type's own [first, last] span materialized as explicit
     * zero rows — the step every downstream rolling average / forecast
@@ -710,6 +756,8 @@ object Events {
     Op("events_funnel_latency", funnelLatency _, Some(funnelLatencySql)),
     Op("events_cooccurrence", cooccurrence _, Some(cooccurrenceSql)),
     Op("events_active_users", activeUsers _, Some(activeUsersSql)),
+    Op("events_wau_sketch", wauSketch _, None),
+    Op("events_wau_sketch_check", wauSketchCheck _, Some(wauSketchCheckSql)),
     Op("events_seasonal", seasonal _, Some(seasonalSql)),
     Op("events_outliers_mad", outliersMad _, Some(outliersMadSql)),
     Op("events_funnel", funnel _, Some(funnelSql)),

@@ -338,6 +338,25 @@ class TextEventsSpec extends SparkSpec {
       (("click", "view", 1L, 0.75)))
   }
 
+  test("wau sketch: exact at small cardinality, window framing matches the exact twin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wau").toString
+    def d(day: Int, u: Long, id: Long) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), u, "view", 1.0, "{}")
+    // day 1: users 1,2; day 5: user 3; day 9: user 1 (day 1 falls out of
+    // day 9's trailing week); day 3 has no events → no output row
+    Seq(d(1, 1L, 1), d(1, 2L, 2), d(5, 3L, 3), d(9, 1L, 4))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val approx = Events.wauSketch(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // HLL is exact at these cardinalities
+    assert(approx == Map("2024-01-01" -> 2L, "2024-01-05" -> 3L,
+      "2024-01-09" -> 2L))
+    val check = Events.wauSketchCheck(spark, dir).collect()
+    assert(check.length == 3 && check.forall(_.getBoolean(2)))
+  }
+
   test("dq checks: planted violations are counted per rule") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dq").toString
