@@ -48,6 +48,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of every attempted query: a query that ERRORS above leaves
+    // no dump directory, and a dump-directory walk alone cannot tell
+    // "failed" from "never existed" — the local gate reads this to fail
+    // loudly on missing dumps instead of skipping them.
+    val manifest = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/_queries.json"), manifest)
     spark.stop()
   }
 }

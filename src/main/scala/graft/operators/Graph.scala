@@ -47,21 +47,33 @@ object Graph {
     * rounds grow as log(diameter). Throws rather than returning
     * non-converged labels.
     *
-    * Every round ends in `localCheckpoint`, not `persist`: `labels`
-    * feeds three frames per round (the neighbor join and both pointer-
-    * jump sides), so without lineage truncation the LOGICAL PLAN triples
-    * in size every round — exponential analyzer/explain cost that OOMs
-    * the driver on high-diameter graphs (a 60-edge path did, in
-    * GraphSpec) long before data size matters. The checkpoint is the
-    * same job that feeds the convergence count, so truncation costs no
-    * extra pass; superseded checkpoint blocks are reclaimed by the
-    * ContextCleaner once unreferenced.
+    * Every round ends in a LAZY `localCheckpoint` PLUS `persist`, and
+    * both halves are load-bearing (each alone fails on a real graph):
+    *  - without the checkpoint, the logical plan triples per round
+    *    (`labels` feeds the neighbor join and both pointer-jump sides) —
+    *    exponential analyzer/explain cost that OOMed the driver on a
+    *    60-edge path (GraphSpec);
+    *  - without the persist, planning reads the checkpoint's
+    *    PROPAGATED stats (`LogicalRDD.originStats` carries the origin
+    *    plan's sizeInBytes ESTIMATE, it never re-measures), and that
+    *    estimate multiplies through three joins per round — a
+    *    super-exponential BigInt whose arithmetic first slows planning
+    *    to minutes and then throws `BigInteger would overflow` (hit at
+    *    sf0.1, 17+ rounds). The persist routes planning through
+    *    `InMemoryRelation`, whose stats are the REAL materialized bytes.
+    * The lazy checkpoint, the cache fill, and the convergence count all
+    * ride ONE job per round; superseded caches are released each round
+    * and checkpoint blocks are reclaimed by the ContextCleaner.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("u"), col("v")).union(
       pairs.select(col("v").as("u"), col("u").as("v"))).cache()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    var backing = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .withColumn("old", col("label"))
+      .localCheckpoint(eager = false)
+    backing.persist()
+    var labels = backing.select(col("id"), col("label"))
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < MaxRounds) {
@@ -79,19 +91,27 @@ object Graph {
         .select(col("id"), col("label").as("old"),
           least(col("label"), col("jlabel"),
             coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
-      // the checkpoint above already materialized `mat`; this count is a
-      // cheap scan of the checkpointed blocks, not a recomputation
+        .localCheckpoint(eager = false)
+      mat.persist()
+      // one job: runs the round, populates checkpoint + cache, counts
       changed = mat.where(col("label") =!= col("old")).count()
+      backing.unpersist() // safe: the count above materialized `mat`
+      backing = mat
       labels = mat.select(col("id"), col("label"))
       rounds += 1
     }
     edges.unpersist()
-    if (changed > 0)
+    if (changed > 0) {
+      backing.unpersist()
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $MaxRounds pointer-" +
           "jumping rounds (labels would be wrong — refusing to return them)")
-    labels
+    }
+    // materialize the small final labeling, then release the last round's
+    // cache — nothing stays cached after the operator returns
+    val out = labels.localCheckpoint()
+    backing.unpersist()
+    out
   }
 
   /** PageRank in integer micro-units, fixed `iters` power iterations.

@@ -26,6 +26,22 @@ class GraphSpec extends SparkSpec {
     assert(labels.length == 61 && labels.forall(_.getLong(1) == 0L))
   }
 
+  test("connected components: ~18-round graph survives (stats/plan growth regression)") {
+    import spark.implicits._
+    // a 150k-edge path needs ~log2(diameter) ≈ 18 pointer-jumping
+    // rounds — past both historical failure thresholds: plan-size
+    // tripling OOMed explain at ~7 rounds (fixed by per-round
+    // checkpoints), and checkpoint-PROPAGATED stats estimates overflowed
+    // BigInteger at ~17 rounds (fixed by per-round persist, so planning
+    // reads real InMemoryRelation sizes). This must finish in seconds,
+    // not minutes, and converge exactly.
+    val n = 150000L
+    val pairs = spark.range(n).select(col("id").as("u"), (col("id") + 1).as("v"))
+    val labels = Graph.connectedComponents(pairs)
+    assert(labels.count() == n + 1)
+    assert(labels.agg(max(col("label"))).head().getLong(0) == 0L)
+  }
+
   test("triangle census: known counts on a hand graph") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles) + pendant 5-1 + isolated edge 6-7;

@@ -28,7 +28,19 @@ def canon(cols, rows):
     return cols, rows
 
 fail = 0
-for name in sorted(os.listdir(out_dir)):
+# A query that errors in Verify leaves NO dump dir — walk the manifest of
+# attempted queries (when present), not the surviving directories, so a
+# missing dump is a loud failure instead of a silent skip.
+manifest_path = os.path.join(out_dir, "_queries.json")
+if os.path.exists(manifest_path):
+    names = json.load(open(manifest_path))
+    for name in names:
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"[FAIL] {name}: no dump directory (query errored in Verify)")
+            fail += 1
+else:
+    names = sorted(os.listdir(out_dir))
+for name in names:
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
         continue

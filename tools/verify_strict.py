@@ -30,7 +30,18 @@ def canon(cols, rows):
     return cols, rows
 
 fail = 0
-for name in sorted(os.listdir(out_dir)):
+# Walk the manifest of attempted queries when present (see verify_local):
+# an errored query leaves no dump dir and must fail, not be skipped.
+manifest_path = os.path.join(out_dir, "_queries.json")
+if os.path.exists(manifest_path):
+    names = json.load(open(manifest_path))
+    for name in names:
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"[FAIL] {name}: no dump directory (query errored in Verify)")
+            fail += 1
+else:
+    names = sorted(os.listdir(out_dir))
+for name in names:
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
         continue
