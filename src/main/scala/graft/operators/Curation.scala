@@ -398,7 +398,7 @@ object Curation {
     * moves as one unit and can never straddle splits (pinned by a
     * CurationSpec assertion over the actual pair set).
     *
-    * Scale shape: the clustering rides the pointer-jumping loop (frames
+    * Scale shape: the clustering rides the star-contraction loop (frames
     * confined to the pair graph); the corpus then takes ONE left join
     * against the label frame (pair-graph-sized, usually far smaller than
     * the corpus — AQE broadcasts it when small) and a codegen'd hash

@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   *
   * Every algorithm is chosen for its DISTRIBUTED form, not ported from
   * a single-machine shape:
-  *  - components: min-label propagation with pointer jumping
-  *    (log-diameter rounds, frames confined to the edge set) — the same
-  *    loop `Dedup.clusters` runs, extracted here as the shared core;
+  *  - components: alternating large-star/small-star contraction
+  *    (O(log² n) rounds on any graph, frames confined to the edge set)
+  *    — the shared core `Dedup.clusters` also rides;
   *  - PageRank: fixed-iteration power method in INTEGER micro-units —
   *    every contribution is `rank div outdeg` on BIGINTs, so sums are
   *    order-independent and Spark and the SQL oracle produce
@@ -38,79 +38,162 @@ object Graph {
 
   private val MaxRounds = 50
 
-  /** Connected components by min-label propagation with pointer jumping.
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" — O(log² n) rounds on ANY graph).
     *
     * Input: one row per undirected edge, columns (`u`, `v`). Output:
     * (`id`, `label`) for every endpoint, `label` = min node id in the
-    * component. Each round a node takes the min of its own label, its
-    * neighbors' labels, and its label's label — the shortcut makes
-    * rounds grow as log(diameter). Throws rather than returning
-    * non-converged labels.
+    * component. Throws rather than returning non-converged labels.
     *
-    * Every round ends in a LAZY `localCheckpoint` PLUS `persist`, and
-    * both halves are load-bearing (each alone fails on a real graph):
-    *  - without the checkpoint, the logical plan triples per round
-    *    (`labels` feeds the neighbor join and both pointer-jump sides) —
-    *    exponential analyzer/explain cost that OOMed the driver on a
-    *    60-edge path (GraphSpec);
-    *  - without the persist, planning reads the checkpoint's
-    *    PROPAGATED stats (`LogicalRDD.originStats` carries the origin
-    *    plan's sizeInBytes ESTIMATE, it never re-measures), and that
-    *    estimate multiplies through three joins per round — a
-    *    super-exponential BigInt whose arithmetic first slows planning
-    *    to minutes and then throws `BigInteger would overflow` (hit at
-    *    sf0.1, 17+ rounds). The persist routes planning through
-    *    `InMemoryRelation`, whose stats are the REAL materialized bytes.
-    * The lazy checkpoint, the cache fill, and the convergence count all
-    * ride ONE job per round; superseded caches are released each round
-    * and checkpoint blocks are reclaimed by the ContextCleaner.
+    * Why not min-label propagation with pointer jumping (this core's
+    * first form): its pointer doubling only compresses label CHAINS —
+    * merging two local-minimum basins still crawls one edge-hop per
+    * round, so rounds track the graph's effective diameter (measured: 29
+    * rounds on the sf0.1 ship subgraph; the path-graph specs converge
+    * fast only because ids are ordered along the path). The star
+    * operations instead REWRITE the edge set toward a star forest —
+    * large-star points every larger neighbor at the neighborhood
+    * minimum, small-star folds the smaller neighbors — and provably
+    * converge in logarithmically many alternations with the component
+    * minimum as each star's root. Every step is a groupBy(min) + an
+    * equi-join + a distinct: plain exchanges at any scale.
+    *
+    * Each alternation ends in a LAZY `localCheckpoint` PLUS `persist`,
+    * and both halves are load-bearing (each alone failed on a real
+    * graph in this core's loop-shaped history):
+    *  - without the checkpoint the logical plan multiplies per round —
+    *    exponential analyzer/explain cost (OOMed on a 60-edge path);
+    *  - without the persist, planning reads the checkpoint's PROPAGATED
+    *    stats (`LogicalRDD.originStats` carries the origin plan's
+    *    sizeInBytes ESTIMATE, never re-measured), which multiply
+    *    per round into a BigInt whose arithmetic first slows planning to
+    *    minutes and then throws `BigInteger would overflow` (hit at
+    *    sf0.1). The persist routes planning through `InMemoryRelation`'s
+    *    REAL materialized bytes.
+    * The checkpoint, cache fill, and the convergence count ride one job
+    * per alternation; superseded caches are released each round.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("u"), col("v")).union(
-      pairs.select(col("v").as("u"), col("u").as("v"))).cache()
-    var backing = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .withColumn("old", col("label"))
-      .localCheckpoint(eager = false)
-    backing.persist()
-    var labels = backing.select(col("id"), col("label"))
+    val input = pairs.select(col("u"), col("v"))
+    // canonical node set (for singletons via self-pairs, and the final
+    // left join that labels every endpoint)
+    val nodes = input.select(col("u").as("id"))
+      .union(input.select(col("v").as("id"))).distinct().cache()
+
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // m(u) = min(N(u) ∪ {u}) over the symmetrized neighborhood
+    def mins(s: DataFrame): DataFrame = s.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // large-star: (v, m(u)) for each neighbor v > u. No distinct here:
+    // duplicates are bounded (≤ 2|E| rows) and small-star's closing
+    // distinct dedups the round — one exchange instead of two.
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      s.join(mins(s), "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+    }
+    // small-star: (v, m(u)) for each neighbor v ≤ u, plus (u, m(u))
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = mins(s)
+      s.join(m, "u").where(col("v") < col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+
+    var edges = input.where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(eager = false)
+    edges.persist()
     var rounds = 0
-    var changed = 1L
-    while (changed > 0 && rounds < MaxRounds) {
-      val neighborMin = edges
-        .join(labels, edges("v") === labels("id"))
-        .groupBy(edges("u").as("nid"))
-        .agg(min(col("label")).as("nmin"))
-      val jump = labels.as("l")
-        .join(labels.select(col("id").as("jid"), col("label").as("jlabel")),
-          col("l.label") === col("jid"))
-        .select(col("l.id").as("id"), col("l.label").as("label"),
-          col("jlabel"))
-      val mat = jump
-        .join(neighborMin, col("id") === col("nid"), "left_outer")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), col("jlabel"),
-            coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(eager = false)
-      mat.persist()
-      // one job: runs the round, populates checkpoint + cache, counts
-      changed = mat.where(col("label") =!= col("old")).count()
-      backing.unpersist() // safe: the count above materialized `mat`
-      backing = mat
-      labels = mat.select(col("id"), col("label"))
-      rounds += 1
+    var converged = false
+    var prevCount = -1L
+    // AQE re-optimizes at every exchange; on this loop's edge-graph-sized
+    // frames that re-planning latency dominates the actual work (~8
+    // exchanges × N rounds of milliseconds-sized shuffles). It is
+    // switched off for the loop — and replaced, not just removed: the
+    // shuffle width is re-derived from the MEASURED edge count every
+    // round (~64k edges per partition, capped at the session setting),
+    // which is the same width decision AQE's coalescing would make,
+    // paid once per round instead of once per stage. Both confs are
+    // restored on exit.
+    val spark = pairs.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val widthWas = spark.conf.get("spark.sql.shuffle.partitions")
+    def setWidth(edgeCount: Long): Unit =
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, math.min(widthWas.toLong, edgeCount / 64000 + 1)).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Whole-stage codegen recompiles EVERY round: the round's plan is
+    // new (fresh expression ids over a new checkpoint RDD), so its
+    // generated source never hits the codegen cache — ~6 Janino
+    // compilations per round of pure driver latency. Below ~10M edges
+    // the interpreted path wins outright (measured: compilation was the
+    // round, the data is milliseconds); above it, per-row codegen gains
+    // amortize the compiles and the threshold keeps codegen on.
+    val codegenWas = spark.conf.get("spark.sql.codegen.wholeStage")
+    def setCodegen(edgeCount: Long): Unit =
+      spark.conf.set("spark.sql.codegen.wholeStage",
+        (edgeCount >= 10000000L).toString)
+    // Broadcast joins add three build-side jobs (driver collect +
+    // broadcast each) of pure latency per round; on the loop's frames a
+    // merge join at the size-derived width is one linear pipeline. At
+    // scale the star-edge frame is never dimension-sized anyway.
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t0 = System.nanoTime()
+      prevCount = edges.count()
+      setWidth(prevCount)
+      setCodegen(prevCount)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] edge build ${(System.nanoTime() - t0) / 1e9}%.2fs n=$prevCount")
+      while (!converged && rounds < MaxRounds) {
+        val tr = System.nanoTime()
+        // one alternation per materialized round: chaining two (to
+        // amortize fixed costs) was measured 5× SLOWER — the inner
+        // star's output is never materialized, so the outer star plans
+        // against compounded estimates and a doubled join depth
+        val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+        next.persist()
+        val nextCount = next.count() // one job: round + checkpoint + cache
+        // set equality: same cardinality and no edge outside the old set
+        converged = nextCount == prevCount &&
+          next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+        edges.unpersist()
+        edges = next
+        prevCount = nextCount
+        setWidth(nextCount)
+        rounds += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(f"[cc] round $rounds edges=$nextCount converged=$converged ${(System.nanoTime() - tr) / 1e9}%.2fs")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", widthWas)
+      spark.conf.set("spark.sql.codegen.wholeStage", codegenWas)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
     }
-    edges.unpersist()
-    if (changed > 0) {
-      backing.unpersist()
+    if (!converged) {
+      edges.unpersist(); nodes.unpersist()
       throw new IllegalStateException(
-        s"connectedComponents: no fixpoint after $MaxRounds pointer-" +
-          "jumping rounds (labels would be wrong — refusing to return them)")
+        s"connectedComponents: no fixpoint after $MaxRounds star rounds " +
+          "(component labels would be wrong — refusing to return them)")
     }
-    // materialize the small final labeling, then release the last round's
-    // cache — nothing stays cached after the operator returns
-    val out = labels.localCheckpoint()
-    backing.unpersist()
+    // converged: `edges` is a star forest (child, root) with the
+    // component minimum as root; roots and singletons label themselves
+    val out = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("lbl")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+      .localCheckpoint()
+    edges.unpersist(); nodes.unpersist()
     out
   }
 
@@ -138,14 +221,18 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
+    // out-degree is static across iterations: attach it to the edge
+    // frame ONCE and cache that, so each unrolled iteration pays only
+    // the rank join + the dst reduction (the degree join would otherwise
+    // repeat `iters` times)
+    val eOut = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+      "src").cache()
     val n = nodes.agg(count(lit(1)).as("n"))
     def withParams(df: DataFrame): DataFrame = df.crossJoin(broadcast(n))
     var ranks = withParams(nodes)
       .select(col("node"), expr(s"${Scale}L div n").as("r"))
     for (_ <- 1 to iters) {
-      val sums = e
-        .join(outdeg, "src")
+      val sums = eOut
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
@@ -156,7 +243,7 @@ object Graph {
             expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
     }
     val out = ranks.localCheckpoint()
-    Seq(e, nodes, outdeg).foreach(_.unpersist())
+    Seq(e, nodes, eOut).foreach(_.unpersist())
     out
   }
 

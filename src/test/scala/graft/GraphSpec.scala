@@ -16,21 +16,21 @@ class GraphSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
-  test("connected components: long path converges within the round cap (pointer jumping)") {
+  test("connected components: long path converges within the round cap") {
     import spark.implicits._
-    // a 60-edge path has diameter > MaxRounds(50): plain label
-    // propagation would NOT converge inside the cap — pointer jumping
-    // finishing proves the log-diameter shortcut is active
+    // a 60-edge path has diameter > MaxRounds(50): one-hop label
+    // propagation would NOT converge inside the cap — finishing proves
+    // the star contraction's logarithmic round count is real
     val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("u", "v")
     val labels = Graph.connectedComponents(pairs).collect()
     assert(labels.length == 61 && labels.forall(_.getLong(1) == 0L))
   }
 
-  test("connected components: ~18-round graph survives (stats/plan growth regression)") {
+  test("connected components: deep graph survives many rounds (stats/plan growth regression)") {
     import spark.implicits._
-    // a 150k-edge path needs ~log2(diameter) ≈ 18 pointer-jumping
-    // rounds — past both historical failure thresholds: plan-size
-    // tripling OOMed explain at ~7 rounds (fixed by per-round
+    // a 150k-edge path runs ~19 star rounds — past both historical
+    // failure thresholds of this core's loop shape: per-round plan
+    // multiplication OOMed explain within ~7 rounds (fixed by per-round
     // checkpoints), and checkpoint-PROPAGATED stats estimates overflowed
     // BigInteger at ~17 rounds (fixed by per-round persist, so planning
     // reads real InMemoryRelation sizes). This must finish in seconds,
