@@ -12,7 +12,8 @@ object SparkEntry {
   def allOps: Seq[Op] =
     Relational.ops ++ Events.ops ++ TextAnalysis.ops ++ Dedup.ops ++
       Similarity.ops ++ Multimodal.ops ++ Reshape.ops ++ Analytics.ops ++
-      Skew.ops ++ DocsPipeline.ops ++ Curation.ops ++ Graph.ops
+      Skew.ops ++ DocsPipeline.ops ++ Curation.ops ++ Graph.ops ++
+      RuntimeFilter.ops ++ History.ops
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Op, Tables}
+
+/** Slowly-changing-dimension history — turning an append-only change log
+  * into SCD-type-2 validity intervals, the standard warehouse shape for
+  * "what was this entity's state at time t". The reference's snapshot
+  * layout (fetch.go:49-66 keeps every dated database version) answers
+  * that question by storing full copies; the SCD2 form answers it
+  * relationally: one row per (entity, state-run) with
+  * [valid_from, valid_to) bounds, NULL valid_to marking the open run.
+  *
+  * Built from the orders log as the fixture change stream: a customer's
+  * order status over order time stands in for any entity-attribute
+  * change feed (CDC topic, snapshot diff, audit log).
+  *
+  * Scale shape: every window partitions by the entity key — parallelism
+  * is the key-hash partitioning at any log size, no global ordering
+  * anywhere. The two windows (change detection, then interval close)
+  * share one (custkey)-keyed exchange: the second window's sort on the
+  * COLLAPSED frame rides the partitioning the first already installed.
+  * At 100 TB the log shuffles once on the entity key — the minimum any
+  * per-entity ordering can pay.
+  */
+object History {
+
+  /** SCD2 intervals of per-customer order status:
+    *  1. order the entity's log by (event time, log sequence) — the
+    *     orderkey tiebreak makes same-timestamp runs deterministic;
+    *  2. keep CHANGE rows only (status differs from the previous row's
+    *     — `lag` over the entity window; the first row always starts a
+    *     run);
+    *  3. close each interval with the NEXT change's start (`lead` over
+    *     the collapsed frame); the open run keeps NULL and
+    *     `is_current = true`;
+    *  4. `version` numbers the entity's runs in order.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val byEntity = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val changes = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
+        col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderstatus"), 1).over(byEntity))
+      .where(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+    val collapsed = Window.partitionBy(col("custkey"))
+      .orderBy(col("valid_from").asc, col("o_orderkey").asc)
+    changes
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"), col("o_orderkey"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(collapsed))
+      .withColumn("version", row_number().over(collapsed).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("o_orderkey")
+  }
+
+  val scd2Sql: String =
+    """WITH log AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev
+      |  FROM orders
+      |), changes AS (
+      |  SELECT o_custkey AS custkey, o_orderstatus AS status,
+      |         o_orderdate AS valid_from, o_orderkey
+      |  FROM log
+      |  WHERE prev IS NULL OR prev <> o_orderstatus
+      |)
+      |SELECT custkey, status, valid_from,
+      |       lead(valid_from) OVER w AS valid_to,
+      |       CAST(row_number() OVER w AS BIGINT) AS version,
+      |       lead(valid_from) OVER w IS NULL AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY custkey
+      |             ORDER BY valid_from ASC, o_orderkey ASC)""".stripMargin
+
+  /** Point-in-time lookup riding the SCD2 frame: each entity's state at
+    * a fixed timestamp — the query SCD2 exists to make cheap. Exactly
+    * one row per entity with history at or before the probe instant
+    * (`valid_from <= t < valid_to`, open intervals unbounded above), so
+    * the filter is index-shaped: at scale it prunes on `valid_from`
+    * partitioning rather than replaying the log.
+    */
+  def asOfState(spark: SparkSession, dir: String): DataFrame = {
+    val t = lit("1998-06-01").cast("timestamp")
+    scd2(spark, dir)
+      .where(col("valid_from") <= t &&
+        (col("valid_to").isNull || col("valid_to") > t))
+      .select(col("custkey"), col("status"), col("valid_from"),
+        col("version"))
+  }
+
+  val asOfStateSql: String =
+    s"""WITH log AS (
+       |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+       |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+       |           ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev
+       |  FROM orders
+       |), changes AS (
+       |  SELECT o_custkey AS custkey, o_orderstatus AS status,
+       |         o_orderdate AS valid_from, o_orderkey
+       |  FROM log
+       |  WHERE prev IS NULL OR prev <> o_orderstatus
+       |), scd AS (
+       |  SELECT custkey, status, valid_from,
+       |         lead(valid_from) OVER w AS valid_to,
+       |         CAST(row_number() OVER w AS BIGINT) AS version
+       |  FROM changes
+       |  WINDOW w AS (PARTITION BY custkey
+       |               ORDER BY valid_from ASC, o_orderkey ASC)
+       |)
+       |SELECT custkey, status, valid_from, version
+       |FROM scd
+       |WHERE valid_from <= TIMESTAMP '1998-06-01'
+       |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-06-01')""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("scd2_history", scd2 _, Some(scd2Sql)),
+    Op("scd2_asof_state", asOfState _, Some(asOfStateSql)),
+  )
+}
