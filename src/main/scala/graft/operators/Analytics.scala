@@ -841,8 +841,72 @@ object Analytics {
       |                          WHERE o.o_orderkey = l.l_orderkey)),
       |       -1""".stripMargin
 
+  // ------------------------------------------- KLL quantile sketches
+  import org.apache.spark.sql.graft.KllColumn
+
+  /** Per-type value quantiles via KLL sketch STORE-THEN-ROLLUP: each
+    * (type, day) cell reduces once to a fixed ~5 KB sketch (the only
+    * corpus-sized pass, map-side combined), and the per-type quantiles
+    * come from MERGING the daily partials — the shape that lets a 100 TB
+    * warehouse keep per-partition sketch rows and answer any later
+    * rollup (type, week, global) without re-scanning raw values, exactly
+    * like `events_wau_sketch` does for distinct counts. An exact global
+    * percentile would buffer every value of a group in one aggregation
+    * buffer; `percentile_approx` (GK) cannot merge stored partials.
+    * Sketch estimates are engine-specific → rows-only; the `_check`
+    * twin is the oracled accuracy contract (KLL's published rank-error
+    * bound, Karnin–Lang–Liberty 2016).
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(KllColumn.sketchAgg(col("value")).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(KllColumn.mergeAgg(col("sk")).as("sk"))
+      .select(col("event_type"),
+        KllColumn.quantile(col("sk"), 0.5).as("p50"),
+        KllColumn.quantile(col("sk"), 0.9).as("p90"),
+        KllColumn.quantile(col("sk"), 0.99).as("p99"))
+  }
+
+  /** Oracled rank-error contract for `quantileSketch`: the estimate for
+    * rank p must land at a value whose TRUE inclusive rank is within
+    * 2× the sketch's published normalized rank-error bound (k=200 →
+    * ε ≈ 1.65% at 99% confidence; 2ε makes the gate deterministic in
+    * practice across KLL's randomized compaction). One extra corpus
+    * scan computes the exact ranks as conditional aggregates against
+    * the broadcast |types|-row estimate frame; the oracle recomputes
+    * nothing sketch-side — it pins every flag true over the same
+    * (type, p) grid.
+    */
+  def quantileSketchCheck(spark: SparkSession, dir: String): DataFrame = {
+    val tol = 2.0 * KllColumn.normalizedRankError()
+    val ests = quantileSketch(spark, dir)
+    val ranks = Tables(spark, dir, "events")
+      .where(col("value").isNotNull)
+      .join(broadcast(ests), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("r90"),
+        sum(when(col("value") <= col("p99"), 1L).otherwise(0L)).as("r99"))
+    ranks.select(col("event_type"), expr(
+      "stack(3, 0.5D, r50, 0.9D, r90, 0.99D, r99) AS (p, r)"), col("n"))
+      .select(col("event_type"), col("p"),
+        (abs(col("r") / col("n") - col("p")) <= tol).as("rank_ok"))
+  }
+
+  val quantileSketchCheckSql: String =
+    """SELECT event_type, p, true AS rank_ok
+      |FROM (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL)
+      |CROSS JOIN (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q2_corr_subquery", corrSubquery _, Some(corrSubquerySql)),
+    Op("agg_quantile_sketch", quantileSketch _, None),
+    Op("agg_quantile_sketch_check", quantileSketchCheck _,
+      Some(quantileSketchCheckSql)),
     Op("stats_skew_report", skewReport _, Some(skewReportSql)),
     Op("dq_checks", dqChecks _, Some(dqChecksSql)),
     Op("agg_pareto", aggPareto _, Some(aggParetoSql)),

@@ -193,4 +193,43 @@ class SkewApproxSpec extends SparkSpec {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("KLL sketch quantiles: every estimate's true rank within the published bound") {
+    val flags = Analytics.quantileSketchCheck(spark, sfDir).collect()
+    assert(flags.nonEmpty)
+    assert(flags.forall(_.getBoolean(2)),
+      flags.filterNot(_.getBoolean(2)).mkString(", "))
+  }
+
+  test("KLL merge path equals direct sketching within the rank bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.KllColumn
+    // 10k values split into 20 partial sketches, merged — the estimate
+    // must agree with a direct single sketch within 2× the rank bound
+    // (both paths see the same stream; KLL compaction is randomized so
+    // exact equality is not the contract, the bound is)
+    val vals = (1 to 10000).map(i => (i % 20, i.toDouble)).toDF("g", "v")
+    val merged = vals.groupBy(col("g")).agg(KllColumn.sketchAgg(col("v")).as("sk"))
+      .agg(KllColumn.mergeAgg(col("sk")).as("sk"))
+      .select(KllColumn.quantile(col("sk"), 0.5).as("q")).head().getDouble(0)
+    val direct = vals.agg(KllColumn.sketchAgg(col("v")).as("sk"))
+      .select(KllColumn.quantile(col("sk"), 0.5).as("q")).head().getDouble(0)
+    val tol = 2.0 * KllColumn.normalizedRankError() * 10000
+    assert(math.abs(merged - 5000.0) <= tol, s"merged $merged")
+    assert(math.abs(direct - 5000.0) <= tol, s"direct $direct")
+  }
+
+  test("KLL sketch bytes are fixed-size: 100x the data, same buffer scale") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.KllColumn
+    def bytesFor(n: Int): Int =
+      (1 to n).map(_.toDouble).toDF("v")
+        .agg(KllColumn.sketchAgg(col("v")).as("sk"))
+        .select(length(col("sk"))).head().getInt(0)
+    val small = bytesFor(1000)
+    val big = bytesFor(100000)
+    assert(big <= small * 2, s"sketch grew $small -> $big bytes at 100x")
+  }
 }
