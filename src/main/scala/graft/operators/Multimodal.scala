@@ -77,6 +77,7 @@ object Multimodal {
     *    (grayscale 1, RGB 3, palette 1, gray+alpha 2, RGBA 4).
     *  - BMP: little-endian BITMAPINFOHEADER width/|height| (negative
     *    height = top-down rows), channels = bits-per-pixel / 8.
+    *  - GIF (87a/89a): little-endian u16 logical-screen dims, RGB out.
     *  - A payload that MATCHES a magic but has a truncated or invalid
     *    header decodes to (-1, -1, 0) — the quarantine marker a real
     *    pipeline routes on, never an exception mid-scan.
@@ -104,6 +105,15 @@ object Multimodal {
           case _ => -1
         }
         if (w <= 0 || h <= 0 || ch < 0) corrupt else (w, h, ch)
+      }
+    } else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
+      // GIF87a/89a logical screen descriptor: LE u16 width/height at 6/8;
+      // frames decode to RGB regardless of palette depth
+      if (p.length < 10) corrupt
+      else {
+        val w = leShort(6); val h = leShort(8)
+        if (w <= 0 || h <= 0) corrupt else (w, h, 3)
       }
     } else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') {
       if (p.length < 30 || leInt(14) < 40) corrupt

@@ -223,12 +223,18 @@ class EdgeCaseSpec extends SparkSpec {
     // PNG magic but a non-IHDR first chunk — also corrupt
     val wrongChunk = pngMagic ++ be(13) ++ "IDAT".getBytes ++ be(640) ++
       be(480) ++ Array(8.toByte, 6.toByte, 0.toByte, 0.toByte, 0.toByte)
+    // GIF89a logical screen 1024×768; truncated GIF must quarantine
+    val gif = "GIF89a".getBytes ++ Array(0.toByte, 4.toByte) ++
+      Array(0.toByte, 3.toByte) ++ Array.fill(3)(0.toByte)
+    val gifShort = "GIF89a".getBytes ++ Array(0.toByte)
     val assets = spark.createDataset(Seq(
       Multimodal.Asset(1L, "image", png, "s"),
       Multimodal.Asset(2L, "image", bmp, "s"),
       Multimodal.Asset(3L, "image", corrupt, "s"),
       Multimodal.Asset(4L, "image", wrongChunk, "s"),
-      Multimodal.Asset(5L, "image", "plain text".getBytes, "s")))
+      Multimodal.Asset(5L, "image", "plain text".getBytes, "s"),
+      Multimodal.Asset(6L, "image", gif, "s"),
+      Multimodal.Asset(7L, "image", gifShort, "s")))
     val m = Multimodal.extractMeta(assets).collect()
       .map(r => r.asset_id -> ((r.width, r.height, r.channels))).toMap
     assert(m(1L) == ((640, 480, 4)), s"PNG decode: ${m(1L)}")
@@ -236,5 +242,7 @@ class EdgeCaseSpec extends SparkSpec {
     assert(m(3L) == ((-1, -1, 0)), s"truncated PNG must quarantine: ${m(3L)}")
     assert(m(4L) == ((-1, -1, 0)), s"IHDR-less PNG must quarantine: ${m(4L)}")
     assert(m(5L) == ((26, 26, 3)), s"text fallback pseudo-dims: ${m(5L)}")
+    assert(m(6L) == ((1024, 768, 3)), s"GIF decode: ${m(6L)}")
+    assert(m(7L) == ((-1, -1, 0)), s"truncated GIF must quarantine: ${m(7L)}")
   }
 }
