@@ -164,6 +164,33 @@ class SourcesSpec extends SparkSpec {
     assert(json.contains(""""score":"1.5""""))
   }
 
+  test("partitioned lake: pruned day read, dynamic overwrite touches only its day") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("lake").toString + "/events"
+    PartitionedLake.writeEventsByDay(spark, sfDir, root)
+    val days = spark.read.parquet(root).select(col("day")).distinct().count()
+    assert(days > 1, "fixture spans one day — partition test needs several")
+    // pruned read: partition filter present, exactly one partition scanned
+    val d = spark.read.parquet(root)
+      .agg(min(col("day")).cast("string")).head().getString(0)
+    val one = PartitionedLake.readDay(spark, root, d)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("isnotnull(day"),
+      scan.take(1500))
+    assert(one.select(col("day")).distinct().count() == 1)
+    val beforeRows = one.count()
+    // dynamic overwrite of ONE day: other partitions survive untouched
+    val total = spark.read.parquet(root).count()
+    val replacement = spark.read.parquet(root)
+      .where(col("day") === lit(d).cast("date")).limit(5)
+    PartitionedLake.writePartitioned(replacement, root, Seq("day"))
+    val after = spark.read.parquet(root)
+    assert(after.where(col("day") === lit(d).cast("date")).count() == 5,
+      "overwritten day should hold exactly the replacement rows")
+    assert(after.count() == total - beforeRows + 5,
+      "static-overwrite semantics leaked: other days were truncated")
+  }
+
   test("JSONL: typed roundtrip, multi-line text stays one record, bad line quarantined") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl").toString

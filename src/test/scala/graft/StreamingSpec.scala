@@ -361,4 +361,31 @@ class StreamingSpec extends SparkSpec {
       assert(sketch(4L) == ((30L, 0L)))
     } finally q.stop()
   }
+
+  test("streaming pack: prefix-sum state spans micro-batches, matches the batch greedy rule") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.CorpusStream
+    import graft.streaming.CorpusStream.Doc
+    val mem = MemoryStream[Doc]
+    val q = CorpusStream.packStream(mem.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("pack_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // shard 0: tokens 60, 60, 60 — packs 0, 0 (starts at 60), 1
+      // shard 1: tokens 250 (oversized: own pack), then 30
+      mem.addData(Doc(1, 0, 60), Doc(2, 0, 60), Doc(10, 1, 250))
+      q.processAllAvailable()
+      mem.addData(Doc(3, 0, 60), Doc(11, 1, 30)) // state carries 120 / 250
+      q.processAllAvailable()
+      val got = spark.table("pack_out").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+      // batch greedy rule: pack = cum_before div budget
+      assert(got(1L) == ((0L, 0L)))
+      assert(got(2L) == ((0L, 60L)))
+      assert(got(3L) == ((1L, 20L)), s"cross-batch prefix lost: ${got(3L)}")
+      assert(got(10L) == ((0L, 0L)))
+      assert(got(11L) == ((2L, 50L)), s"oversized doc prefix: ${got(11L)}")
+    } finally q.stop()
+  }
 }
