@@ -363,6 +363,82 @@ object Curation {
        |FROM c JOIN bb ON c.source = bb.source
        |WHERE c.cum - c.tokens < bb.budget""".stripMargin
 
+  // ------------------------------------- PPS systematic weighted sample
+  /** Target draws for the PPS sample. */
+  private val PpsTarget = 100L
+  private val PpsShards = 8
+
+  /** Weighted sampling with inclusion probability ∝ weight (here
+    * `n_chars` — any quality score slots in), by SYSTEMATIC
+    * probability-proportional-to-size selection: lay every document's
+    * weight end-to-end along a line in seeded-hash order (the hash
+    * order is the method's built-in randomization), then select each
+    * document whose weight interval crosses a multiple of
+    * `total_weight / target`. The crossing test is pure BIGINT —
+    * `floor(cum·n / W) > floor((cum−w)·n / W)` — so both engines pick
+    * the identical sample: no ln/pow (not correctly rounded across
+    * engines, unlike the sqrt `temperatureSample` leans on), no float
+    * boundaries. The float-keyed alternative (Efraimidis–Spirakis
+    * u^(1/w) ranking) was rejected for exactly that cross-engine
+    * boundary risk.
+    *
+    * Scale shape: same sharded prefix-sum decomposition as `mixture` —
+    * shard by the top bits of the selection hash (contiguous in the
+    * selection order), per-shard running sums under a (shard)-keyed
+    * window, shard totals reduce to a metadata-sized frame whose
+    * triangular self-join yields broadcast offsets. One corpus shuffle.
+    *
+    * Standard PPS caveat, inherited deliberately: a document heavier
+    * than W/n crosses several multiples but is emitted once, so the
+    * draw count can fall below `target` on extremely skewed weights
+    * (the fixture's ~uniform doc lengths keep it exact; CurationSpec
+    * pins the draw-count contract).
+    */
+  def ppsSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        greatest(col("n_chars"), lit(1L)).as("w"))
+    val h = md5(concat_ws(":", lit("pps"), col("doc_id").cast("string")))
+    val sharded = d
+      .withColumn("h", h)
+      .withColumn("shard", (conv(substring(col("h"), 1, 2), 16, 10)
+        .cast("int") / (256 / PpsShards)).cast("int"))
+    val inShard = Window.partitionBy(col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shardTotals = sharded.groupBy(col("shard"))
+      .agg(sum(col("w")).as("t"))
+    val offsets = shardTotals.as("a")
+      .join(shardTotals.as("b"), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.t")), lit(0L)).as("off"))
+    val total = shardTotals.agg(sum(col("t")).as("tw"))
+    sharded
+      .withColumn("local_cum", sum(col("w")).over(inShard))
+      .join(broadcast(offsets), Seq("shard"))
+      .withColumn("cum", col("off") + col("local_cum"))
+      .crossJoin(broadcast(total))
+      .where(expr(s"(cum * $PpsTarget) div tw") >
+        expr(s"((cum - w) * $PpsTarget) div tw"))
+      .select(col("doc_id"), col("lang"), col("w").as("weight"),
+        col("cum"))
+  }
+
+  val ppsSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+       |         md5(concat_ws(':', 'pps', CAST(doc_id AS VARCHAR))) AS h
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, lang, w,
+       |         CAST(sum(w) OVER (ORDER BY h ASC, doc_id ASC
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM d
+       |), t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d)
+       |SELECT doc_id, lang, w AS weight, cum
+       |FROM c CROSS JOIN t
+       |WHERE (cum * $PpsTarget) // tw > ((cum - w) * $PpsTarget) // tw""".stripMargin
+
   // ------------------------------------------------ train/val/test split
   /** Deterministic stratified split: the md5 of a salted doc id lands in
     * one of 256 hex buckets; buckets below 'cd' (205/256 ≈ 80%) are
@@ -600,6 +676,7 @@ object Curation {
     Op("curate_mixture", mixture _, Some(mixtureSql)),
     Op("curate_temperature_sample", temperatureSample _,
       Some(temperatureSampleSql)),
+    Op("curate_pps_sample", ppsSample _, Some(ppsSampleSql)),
     Op("curate_split", split3 _, Some(split3Sql)),
     Op("curate_split_groupaware", splitGroupAware _, Some(splitGroupAwareSql)),
   )

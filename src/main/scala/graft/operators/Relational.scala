@@ -436,6 +436,66 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC""".stripMargin
 
+  /** TPC-H Q6 shape — the pure scan-aggregate: one table, three
+    * band predicates, one DECIMAL-exact product sum. The whole query
+    * should compile to scan → filter → partial agg → one-row exchange →
+    * final agg, with every predicate in PushedFilters; it exists
+    * (beyond its own usefulness as the "what would this discount have
+    * earned" probe) as the canonical evidence that band predicates
+    * reach the parquet reader — if this plan ever grows a join or a
+    * wide shuffle, scan pushdown regressed.
+    */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(18,2)")
+    Tables(spark, dir, "lineitem")
+      .where(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1997-01-01").cast("date") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+        col("l_quantity") < 25)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q6RevenueSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.04
+      |  AND l_quantity < 25""".stripMargin
+
+  /** TPC-H Q4 shape — order-priority service report: count orders per
+    * priority that had at least one LATE line (shipped over 60 days
+    * after the order date; the fixture has no commit/receipt dates, so
+    * lateness is ship-vs-order lag). The EXISTS compiles to a LEFT SEMI
+    * join keyed on the order — lineitem reduces map-side by the date
+    * predicate BEFORE the exchange, and each order ships through the
+    * semi join at most once however many late lines it has.
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    val late = Tables(spark, dir, "lineitem")
+      .join(ord.select(col("o_orderkey").as("lk"), col("o_orderdate")),
+        col("l_orderkey") === col("lk"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"))
+    ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** Sliding-frame window aggregates — the ROWS BETWEEN surface beyond
     * rank/lag: a 4-event moving average and a running total per user.
     * Both cores are DECIMAL sums (exact, so the engines' different
@@ -474,6 +534,8 @@ object Relational {
     Op("q1_agg", q1Agg _, Some(q1AggSql)),
     Op("q3_top_shipping", q3TopShipping _, Some(q3TopShippingSql)),
     Op("q5_region_volume", q5RegionVolume _, Some(q5RegionVolumeSql)),
+    Op("q6_band_revenue", q6Revenue _, Some(q6RevenueSql)),
+    Op("q4_late_priority", q4Priority _, Some(q4PrioritySql)),
     Op("j_using", jUsing _, Some(jUsingSql)),
     Op("j_fanout", jFanout _, Some(jFanoutSql)),
     Op("j_semi", jSemi _, Some(jSemiSql)),

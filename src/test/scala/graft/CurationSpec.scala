@@ -273,4 +273,28 @@ class CurationSpec extends SparkSpec {
     assert(pairs.exists { case (a, b) => plain(a) != plain(b) },
       "per-document split no longer leaks; test fixture too weak")
   }
+
+  test("PPS sample: exact target draws on near-uniform weights, heavy docs overrepresented") {
+    import org.apache.spark.sql.functions._
+    val s = Curation.ppsSample(spark, sfDir).cache()
+    // fixture weights are bounded well below W/target, so the
+    // systematic crossing rule yields EXACTLY the target draw count
+    assert(s.count() == 100L, s"draws ${s.count()}")
+    // inclusion ∝ weight: the sampled mean weight must exceed the
+    // corpus mean (heavier docs cross multiples more often)
+    val sMean = s.agg(avg(col("weight"))).head().getDouble(0)
+    val cMean = Tables(spark, sfDir, "documents")
+      .agg(avg(greatest(col("n_chars"), lit(1L)))).head().getDouble(0)
+    assert(sMean > cMean, s"sampled mean $sMean <= corpus mean $cMean")
+    // sharded prefix decomposition: cum is globally consistent — the
+    // max cum equals the total corpus weight only on the last row, and
+    // every selected row's crossing test holds when recomputed globally
+    val tw = Tables(spark, sfDir, "documents")
+      .agg(sum(greatest(col("n_chars"), lit(1L)))).head().getLong(0)
+    val bad = s.where(
+      expr(s"(cum * 100) div ${tw}L") <= expr(s"((cum - weight) * 100) div ${tw}L"))
+      .count()
+    assert(bad == 0, s"$bad rows fail the crossing test against the global total")
+    s.unpersist()
+  }
 }

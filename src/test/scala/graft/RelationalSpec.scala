@@ -97,4 +97,26 @@ class RelationalSpec extends SparkSpec {
       "o_orderdate.*(GreaterThanOrEqual|IsNotNull)".r.findFirstIn(plan).isDefined,
       plan.take(600))
   }
+
+  test("q6: pure scan-aggregate — band predicates pushed, no join, no wide shuffle") {
+    import graft.operators.Relational
+    val df = Relational.q6Revenue(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "Q6 grew a join:\n" + plan.take(800))
+    // discount/quantity bands reach the parquet reader
+    assert("PushedFilters: \\[[^\\]]*l_discount".r.findFirstIn(plan).isDefined,
+      plan.take(1200))
+    assert(df.head().getLong(1) > 0)
+  }
+
+  test("q4: late-line EXISTS dedups per order — semi join in the plan") {
+    import graft.operators.Relational
+    val df = Relational.q4Priority(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(800))
+    // every order counted at most once per priority bucket
+    val total = df.collect().map(_.getLong(1)).sum
+    val orders = Tables(spark, sfDir, "orders").count()
+    assert(total <= orders)
+  }
 }
