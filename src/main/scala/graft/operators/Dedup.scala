@@ -514,6 +514,75 @@ object Dedup {
     } finally sig.unpersist()
   }
 
+  /** Harness-checkable contract for `simhashPairs` — pins the "lossless
+    * d ≤ 3 banding" claim made above, which was the one registered query
+    * with no CORRECTNESS row (r5 verdict #1). Two invariants, both
+    * computed Spark-side and pinned to constants by the DuckDB twin:
+    *
+    *  1. Soundness over the FULL corpus: every emitted pair really is at
+    *     Hamming distance ≤ 3, recomputed here from fresh signatures
+    *     rather than trusted from the pair frame's own `hamming` column
+    *     (`n_bad_hamming_full` must be 0).
+    *  2. Completeness on a bounded subset (doc_id < PairsCheckDocs): the
+    *     quadratic all-pairs bit_count scan — the formulation banding
+    *     exists to avoid — finds no qualifying pair the banding missed
+    *     (`n_missed` = 0), and the two pair sets have equal cardinality
+    *     (`n_diff` = 0; together with n_missed = 0 and banded ⊆ quadratic
+    *     from invariant 1, that is set equality).
+    *
+    * The oracle can state these zeros without a DuckDB xxhash64 because
+    * the invariants are implementation-independent; `n_subset_docs` comes
+    * from the raw table so the row is anchored to real data rather than
+    * being a tautology. Quadratic work is bounded by contract:
+    * PairsCheckDocs² comparisons, never corpus².
+    */
+  private val PairsCheckDocs = 200
+
+  def simhashPairsCheck(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairs(spark, dir) // already localCheckpointed
+    val sig = simhash(spark, dir).select(col("doc_id"), col("simhash")).persist()
+    try {
+      val re = pairs
+        .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ra")),
+          "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("rb")),
+          "doc_b")
+        .select(bit_count(col("ra").bitwiseXOR(col("rb"))).as("h2"))
+      val bad = re.agg(count(when(col("h2") > 3, 1)).as("n_bad_hamming_full"))
+
+      val sub = sig.where(col("doc_id") < PairsCheckDocs)
+      val quad = sub.as("x")
+        .join(broadcast(sub.as("y")), col("x.doc_id") < col("y.doc_id"))
+        .where(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 3)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      val bandedSub = pairs
+        .where(col("doc_a") < PairsCheckDocs && col("doc_b") < PairsCheckDocs)
+        .select(col("doc_a"), col("doc_b"))
+      val missed = quad
+        .join(bandedSub, Seq("doc_a", "doc_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      val diff = quad.agg(count(lit(1)).as("nq"))
+        .crossJoin(broadcast(bandedSub.agg(count(lit(1)).as("nb"))))
+        .select((col("nq") - col("nb")).as("n_diff"))
+      val nDocs = Tables(spark, dir, "documents")
+        .where(col("text").isNotNull && col("doc_id") < PairsCheckDocs)
+        .agg(count(lit(1)).as("n_subset_docs"))
+
+      nDocs.crossJoin(broadcast(diff)).crossJoin(broadcast(missed))
+        .crossJoin(broadcast(bad))
+        .select(col("n_subset_docs"), col("n_diff"), col("n_missed"),
+          col("n_bad_hamming_full"))
+    } finally sig.unpersist()
+  }
+
+  val simhashPairsCheckSql: String =
+    s"""SELECT count(*) AS n_subset_docs,
+       |       CAST(0 AS BIGINT) AS n_diff,
+       |       CAST(0 AS BIGINT) AS n_missed,
+       |       CAST(0 AS BIGINT) AS n_bad_hamming_full
+       |FROM documents
+       |WHERE text IS NOT NULL AND doc_id < $PairsCheckDocs""".stripMargin
+
   /** Near-duplicate clustering: connected components over the MinHash
     * pair graph, labeling every involved document with its component's
     * minimum doc_id — the step that turns pairwise similarity into
@@ -755,5 +824,7 @@ object Dedup {
     Op("dedup_simhash", simhash _, None),
     Op("dedup_simhash_check", simhashCheck _, Some(simhashCheckSql)),
     Op("dedup_simhash_pairs", simhashPairs _, None),
+    Op("dedup_simhash_pairs_check", simhashPairsCheck _,
+      Some(simhashPairsCheckSql)),
   )
 }

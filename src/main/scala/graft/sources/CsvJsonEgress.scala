@@ -58,25 +58,48 @@ object CsvJsonEgress {
     * `''`, so every object carries the full field list. Returns the row
     * count, so callers that need it don't re-execute the plan.
     */
+  /** K3 is a FINAL-MILE operator for small boundary artifacts (the
+    * reference's is ~385 rows); a misuse on a corpus-scale frame would
+    * crawl through the driver iterator for hours. The guard fails loudly
+    * once `maxRows` is exceeded — checked during iteration, so no extra
+    * count() job and at most maxRows+1 rows are pulled — and deletes the
+    * truncated artifact so a partial file can never be mistaken for the
+    * real one (the completion-marker discipline of SURVEY §2.4 O3).
+    * Corpus-scale egress belongs on `writeJsonl`.
+    */
+  val MaxJsonArrayRows = 1000000L
+
   def writeJsonArray(df: DataFrame, dest: String,
-      hadoopConf: Configuration = new Configuration()): Long = {
+      hadoopConf: Configuration = new Configuration(),
+      maxRows: Long = MaxJsonArrayRows): Long = {
     val rows = allStrings(df)
       .select(to_json(struct(
         df.columns.map(c => coalesce(col(c), lit("")).as(c)).toSeq: _*)).as("j"))
     val p = new Path(dest)
-    val out = p.getFileSystem(hadoopConf).create(p, true)
+    val fs = p.getFileSystem(hadoopConf)
+    val out = fs.create(p, true)
     var count = 0L
+    var ok = false
     try {
       out.write('[')
       // toLocalIterator pulls one partition at a time — bounded driver memory.
       val it = rows.toLocalIterator()
       while (it.hasNext) {
+        if (count >= maxRows)
+          throw new IllegalStateException(
+            s"writeJsonArray($dest) exceeded $maxRows rows — this single-file " +
+              s"driver-streamed sink is for small boundary artifacts; use " +
+              s"writeJsonl for distributed corpus-scale egress")
         if (count > 0) out.write(',')
         out.write(it.next().getString(0).getBytes("UTF-8"))
         count += 1
       }
       out.write(']')
-    } finally out.close()
+      ok = true
+    } finally {
+      out.close()
+      if (!ok) fs.delete(p, false)
+    }
     count
   }
 

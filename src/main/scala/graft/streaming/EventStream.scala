@@ -216,35 +216,54 @@ object EventStream {
     * running funnel). State is two numbers per user — the stage reached
     * and its event time — the O(1)-PER-USER minimum for ordered-funnel
     * semantics. Total state is O(|users|), not O(events): it does not
-    * grow with stream LENGTH, but it does grow with user CARDINALITY —
-    * a long-running production deployment with unbounded user churn
-    * adds an event-time timeout evicting users idle past its retention
-    * horizon (dropping a user forgets funnel progress, so the horizon
-    * is a product decision, not a default this operator should bake
-    * in). Per-(user, micro-batch) slices sort under the bounded-memory
-    * contract documented at `sessionize`.
+    * grow with stream LENGTH, but it does grow with user CARDINALITY.
+    * `idleEvictMs` is the production valve for that (r5 verdict #4): when
+    * set, the stream is watermarked and a user whose last funnel advance
+    * is older than the horizon has their state evicted via
+    * `EventTimeTimeout` — the `sessionize` precedent. Eviction forgets
+    * funnel progress (a late returner restarts from stage 0), so the
+    * horizon is a product retention decision and the default stays
+    * no-eviction. The timeout timestamp is clamped above the current
+    * watermark because Spark rejects a timeout already in the past —
+    * a stage-0 user (lastTsMs = MinValue) simply evicts at the next
+    * batch, which loses nothing. Per-(user, micro-batch) slices sort
+    * under the bounded-memory contract documented at `sessionize`.
     */
-  def funnel(events: Dataset[Event]): Dataset[StageAdvance] = {
+  def funnel(events: Dataset[Event],
+      idleEvictMs: Option[Long] = None,
+      watermarkDelay: String = "2 hours"): Dataset[StageAdvance] = {
     import events.sparkSession.implicits._
-    events
+    val src = idleEvictMs.fold(events)(_ => events.withWatermark("ts", watermarkDelay))
+    val timeoutConf = idleEvictMs.fold(GroupStateTimeout.NoTimeout)(_ =>
+      GroupStateTimeout.EventTimeTimeout)
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, StageAdvance](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
-          val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          val out = List.newBuilder[StageAdvance]
-          batch.foreach { e =>
-            FunnelOrder.get(e.event_type).foreach { stage =>
-              if (stage == s.stage + 1 &&
-                  (s.stage == 0 || e.ts.getTime > s.lastTsMs)) {
-                s = FunnelState(stage, e.ts.getTime)
-                out += StageAdvance(userId, e.event_type, e.ts)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val out = List.newBuilder[StageAdvance]
+            batch.foreach { e =>
+              FunnelOrder.get(e.event_type).foreach { stage =>
+                if (stage == s.stage + 1 &&
+                    (s.stage == 0 || e.ts.getTime > s.lastTsMs)) {
+                  s = FunnelState(stage, e.ts.getTime)
+                  out += StageAdvance(userId, e.event_type, e.ts)
+                }
               }
             }
+            state.update(s)
+            idleEvictMs.foreach { idle =>
+              state.setTimeoutTimestamp(
+                math.max(s.lastTsMs + idle, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          state.update(s)
-          out.result().iterator
       }
   }
 
@@ -258,28 +277,47 @@ object EventStream {
     * downstream `groupBy(from, to).count` turns the pair stream into the
     * live transition matrix). As with `funnel`, total state is
     * O(|users|) — bounded per user but growing with user cardinality;
-    * an idle-user timeout is the production eviction valve (here it
-    * would only forget one already-paired event, so it is safe at any
-    * horizon). Like sessionize, pairing needs time order,
-    * so the per-(user, micro-batch) slice is sorted under the same
-    * bounded-memory contract documented there.
+    * `idleEvictMs` is the eviction valve (r5 verdict #4), and here it is
+    * safe at ANY horizon: evicting forgets one already-paired event, so
+    * the only cost is that an idle user's next event opens no pair —
+    * exactly the semantics of "their previous activity aged out". Same
+    * `EventTimeTimeout` + watermark-clamp mechanics as `funnel`. Like
+    * sessionize, pairing needs time order, so the per-(user, micro-batch)
+    * slice is sorted under the same bounded-memory contract documented
+    * there.
     */
-  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+  def transitions(events: Dataset[Event],
+      idleEvictMs: Option[Long] = None,
+      watermarkDelay: String = "2 hours"): Dataset[Transition] = {
     import events.sparkSession.implicits._
-    events
+    val src = idleEvictMs.fold(events)(_ => events.withWatermark("ts", watermarkDelay))
+    val timeoutConf = idleEvictMs.fold(GroupStateTimeout.NoTimeout)(_ =>
+      GroupStateTimeout.EventTimeTimeout)
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[LastEvent, Transition](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[LastEvent]) =>
-          val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = List.newBuilder[Transition]
-          var last = state.getOption
-          batch.foreach { e =>
-            last.foreach(p => out += Transition(userId, p.tpe, e.event_type))
-            last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = List.newBuilder[Transition]
+            var last = state.getOption
+            batch.foreach { e =>
+              last.foreach(p => out += Transition(userId, p.tpe, e.event_type))
+              last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+            }
+            last.foreach { l =>
+              state.update(l)
+              idleEvictMs.foreach { idle =>
+                state.setTimeoutTimestamp(
+                  math.max(l.tsMs + idle, state.getCurrentWatermarkMs() + 1))
+              }
+            }
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }
   }
 

@@ -119,6 +119,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dup refuses input past the quadratic-contract bound") {
+    // The audit twin must fail loudly BEFORE launching Θ(n²) work, and
+    // the error must name the scalable alternatives (r5 verdict #2).
+    spark.conf.set("spark.graft.maxExactPairRows", "1")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.embeddingNearDup(spark, sfDir)
+      }
+      assert(ex.getMessage.contains("dedup_minhash_lsh"))
+      assert(ex.getMessage.contains("maxExactPairRows"))
+    } finally spark.conf.unset("spark.graft.maxExactPairRows")
+    // and with the default bound the fixture-scale audit still plans
+    assert(Similarity.embeddingNearDup(spark, sfDir).columns.length == 3)
+  }
+
+  test("simhash pairs check: banding is lossless at d<=3 vs quadratic scan") {
+    val r = Dedup.simhashPairsCheck(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("n_diff")) == 0L, row.toString)
+    assert(row.getLong(row.fieldIndex("n_missed")) == 0L, row.toString)
+    assert(row.getLong(row.fieldIndex("n_bad_hamming_full")) == 0L, row.toString)
+    assert(row.getLong(row.fieldIndex("n_subset_docs")) > 0L, row.toString)
+  }
+
   test("theta-join keys on the composite block pair, not a single block") {
     import org.apache.spark.sql.execution.joins._
     val df = Similarity.embeddingNearDup(spark, sfDir)

@@ -164,6 +164,22 @@ class SourcesSpec extends SparkSpec {
     assert(json.contains(""""score":"1.5""""))
   }
 
+  test("writeJsonArray guard: oversized frame fails loudly, no partial file") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i, s"r$i")).toDF("id", "name")
+    val dir = Files.createTempDirectory("egressguard").toString
+    val dest = s"$dir/big.json"
+    val ex = intercept[IllegalStateException] {
+      CsvJsonEgress.writeJsonArray(df, dest, maxRows = 3)
+    }
+    assert(ex.getMessage.contains("writeJsonl"))
+    // the truncated artifact must not survive to be mistaken for output
+    assert(!Files.exists(java.nio.file.Paths.get(dest)))
+    // at exactly the bound the write still succeeds
+    assert(CsvJsonEgress.writeJsonArray(df, dest, maxRows = 10) == 10)
+    assert(Files.exists(java.nio.file.Paths.get(dest)))
+  }
+
   test("partitioned lake: pruned day read, dynamic overwrite touches only its day") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("lake").toString + "/events"

@@ -110,6 +110,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel idle eviction: state expires, late returner restarts cleanly") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // 30-minute idle horizon, 2h watermark delay (the defaults' shape).
+    val q = EventStream.funnel(mem.toDS(), idleEvictMs = Some(30L * 60 * 1000))
+      .writeStream.format("memory").queryName("funnel_evict_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 reaches stage 2 (view → click), timeout armed at 00:50
+      mem.addData(
+        Event(1, ts(10), 1, "view", 1.0),
+        Event(2, ts(20), 1, "click", 1.0))
+      q.processAllAvailable()
+      // another user far in the future advances the watermark past 00:50
+      mem.addData(Event(3, ts(300), 2, "view", 1.0))
+      q.processAllAvailable()
+      // next batch fires user 1's timeout (timeouts evaluate against the
+      // watermark as of batch start, so the eviction lands here)
+      mem.addData(Event(4, ts(310), 2, "click", 1.0))
+      q.processAllAvailable()
+      // user 1 returns: with state evicted, purchase cannot advance a
+      // forgotten stage-2 funnel (stage 0 → 3 is invalid) but a fresh
+      // view re-opens from stage 0 — the "late event re-opens cleanly"
+      // contract
+      mem.addData(
+        Event(5, ts(320), 1, "purchase", 1.0),
+        Event(6, ts(330), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_evict_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+      assert(!rows.contains((1L, "purchase", ts(320))),
+        s"stage-2 state survived the idle horizon: $rows")
+      assert(rows.contains((1L, "view", ts(330))), s"re-open missing: $rows")
+      assert(rows.contains((2L, "view", ts(300))))
+    } finally q.stop()
+  }
+
+  test("transitions idle eviction: aged-out last event opens no pair") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.transitions(mem.toDS(),
+        idleEvictMs = Some(30L * 60 * 1000))
+      .writeStream.format("memory").queryName("trans_evict_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, ts(10), 1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(300), 2, "signup", 1.0)) // advance watermark
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(310), 2, "click", 1.0))  // fires 1's timeout
+      q.processAllAvailable()
+      // user 1 returns after the horizon: no (view → click) pair — the
+      // aged-out event is forgotten — but pairing resumes from the new one
+      mem.addData(Event(4, ts(320), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(5, ts(330), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("trans_evict_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(!rows.contains((1L, "view", "click")),
+        s"evicted last-event state still paired: $rows")
+      assert(rows.contains((1L, "click", "purchase")), s"got $rows")
+      assert(rows.contains((2L, "signup", "click")))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
