@@ -91,4 +91,114 @@ class MigratorSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("a", "b", "c"))
     assert(back.head().getString(1) == "2.5")
   }
+
+  // ------------------------------------------------ MDB catalog reader
+
+  /** Synthetic Jet4 page fixtures, built to the same published layout
+    * the reader implements (mdbtools HACKING; see MdbCatalog scaladoc).
+    * No real .mdb can exist in the zero-egress build, so the fixture is
+    * the spec: it pins the offsets, the quarantine behavior, and the
+    * CastMatrix bridge — full row decode stays the declared seam.
+    */
+  private val PageSize = 4096
+
+  private def jetHeader(version: Int, fmt: String = "Standard Jet DB")
+      : Array[Byte] = {
+    val p = new Array[Byte](PageSize)
+    Array[Byte](0x00, 0x01, 0x00, 0x00).copyToArray(p, 0)
+    fmt.getBytes("US-ASCII").copyToArray(p, 4)
+    p(0x14) = version.toByte
+    p
+  }
+
+  private def tdefPage(tableType: Int,
+      cols: Seq[(String, Int, Int, Boolean)], // (name, typeCode, colNum, fixed)
+      numRealIdx: Int = 0,
+      truncateNames: Boolean = false): Array[Byte] = {
+    val p = new Array[Byte](PageSize)
+    val buf = java.nio.ByteBuffer.wrap(p)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    p(0) = 0x02; p(1) = 0x01
+    p(0x28) = tableType.toByte
+    buf.putShort(0x2D, cols.size.toShort)
+    buf.putInt(0x33, numRealIdx)
+    val descBase = 0x3F + numRealIdx * 12
+    cols.zipWithIndex.foreach { case ((_, code, colNum, fixed), i) =>
+      val off = descBase + i * 25
+      p(off) = code.toByte
+      buf.putShort(off + 5, colNum.toShort)
+      p(off + 15) = if (fixed) 0x01 else 0x00
+    }
+    var off = descBase + cols.size * 25
+    cols.foreach { case (name, _, _, _) =>
+      val b = name.getBytes("UTF-16LE")
+      buf.putShort(off, (if (truncateNames) 3000 else b.length).toShort)
+      off += 2
+      b.copyToArray(p, off)
+      off += b.length
+    }
+    p
+  }
+
+  test("MDB catalog: header gate, tdef walk, quarantine, CastMatrix bridge") {
+    import graft.sources.MdbCatalog
+    val sys = tdefPage(0x53, Seq(("Name", 0x0A, 0, false)))
+    val user = tdefPage(0x4F, Seq(
+      ("licenceid", 0x04, 0, true),    // LONG
+      ("licencetype", 0x0A, 1, false), // TEXT
+      ("active", 0x01, 2, true),       // BOOLEAN
+      ("fee", 0x05, 3, true),          // MONEY
+      ("issued", 0x08, 4, true)),      // SHORT_DATE_TIME
+      numRealIdx = 2)
+    val dataPage = { val d = new Array[Byte](PageSize); d(0) = 0x01; d }
+    val badCode = tdefPage(0x4F, Seq(("mystery", 0x7E, 0, true)))
+    val truncated = tdefPage(0x4F, Seq(("n", 0x0A, 0, false)),
+      truncateNames = true)
+    val bytes = jetHeader(0x01) ++ dataPage ++ sys ++ user ++ badCode ++ truncated
+
+    val cat = MdbCatalog.read(bytes).fold(e => fail(e), identity)
+    assert(cat.pageSize == PageSize && cat.version == 0x01)
+    // intact tables parsed, sorted by catalog column number
+    assert(cat.tables.map(_.page) == Seq(2, 3))
+    assert(cat.tables.head.system)
+    val lic = cat.tables(1)
+    assert(!lic.system)
+    assert(lic.columns.map(_.name) ==
+      Seq("licenceid", "licencetype", "active", "fee", "issued"))
+    assert(lic.columns.map(_.accessType) ==
+      Seq(ALong, AText, ABoolean, AMoney, AShortDateTime))
+    assert(lic.columns.map(_.fixed) == Seq(true, false, true, true, true))
+    // corrupt pages quarantine with reasons; the scan survives them
+    val q = cat.quarantined.toMap
+    assert(q(4).contains("unhandled Jet type code 0x7e"))
+    assert(q(5).contains("name length"))
+    // the bridge feeds the migration loop: user tables only, named from
+    // the caller's map, Access types ready for the §1.2 matrix
+    val defs = MdbCatalog.toTableDefs(cat, Map(3 -> "licence"))
+    assert(defs.map(_.name) == Seq("licence"))
+    assert(defs.head.columns == Seq("licenceid" -> ALong,
+      "licencetype" -> AText, "active" -> ABoolean, "fee" -> AMoney,
+      "issued" -> AShortDateTime))
+    assert(schemaFor(defs.head.columns).fieldNames.length == 5)
+  }
+
+  test("MDB catalog: non-mdb and unsupported inputs fail at the door") {
+    import graft.sources.MdbCatalog
+    // wrong magic
+    assert(MdbCatalog.read("PK not a jet database file".getBytes("US-ASCII"))
+      .left.exists(_.contains("magic")))
+    // truncated header
+    assert(MdbCatalog.read(Array[Byte](0x00, 0x01))
+      .left.exists(_.contains("truncated")))
+    // right magic, garbled format string
+    val garbled = jetHeader(0x01, "Standard XYZ DB")
+    assert(MdbCatalog.read(garbled).left.exists(_.contains("format string")))
+    // Jet3 is recognized and reported as the declared seam, not mis-parsed
+    val jet3 = jetHeader(0x00).take(2048)
+    assert(MdbCatalog.read(jet3 ++ new Array[Byte](2048))
+      .left.exists(_.contains("Jet3")))
+    // ACE (accdb) headers pass the gate with the Jet4 layout
+    val ace = jetHeader(0x02, "Standard ACE DB")
+    assert(MdbCatalog.read(ace).exists(_.tables.isEmpty))
+  }
 }
