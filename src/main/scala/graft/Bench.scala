@@ -49,7 +49,13 @@ object Bench {
     // smaller than its own spread is noise, readable from this round's
     // artifact alone without cross-referencing previous rounds.
     val BenchRuns = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=<comma-separated name prefixes> narrows the suite
+    // for targeted local probes (e.g. the graph-family sf1 scale runs);
+    // the driver leaves it unset and always measures everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to BenchRuns).map { _ =>
         val t0 = System.nanoTime()

@@ -526,6 +526,8 @@ object Graph {
       edges = next
       prev = c
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[kcore] round $rounds edges=$c converged=$converged")
     }
     if (!converged) {
       edges.unpersist()
