@@ -418,8 +418,14 @@ object Curation {
       .join(broadcast(offsets), Seq("shard"))
       .withColumn("cum", col("off") + col("local_cum"))
       .crossJoin(broadcast(total))
-      .where(expr(s"(cum * $PpsTarget) div tw") >
-        expr(s"((cum - w) * $PpsTarget) div tw"))
+      // DECIMAL(38,0), not BIGINT, for the crossing products: cum·target
+      // reaches total_corpus_weight × target, which at 100 TB (W ≈ 1e14
+      // chars) overflows a signed 64-bit long as soon as the target has
+      // six digits — silently, into a wrong sample (AUDIT r6 #2). The
+      // 38-digit decimal holds W·target to ~1e31; DuckDB's twin gets the
+      // same headroom via HUGEINT. Quotients stay long-sized (≤ target).
+      .where(expr(s"(CAST(cum AS DECIMAL(38,0)) * $PpsTarget) div tw") >
+        expr(s"(CAST(cum - w AS DECIMAL(38,0)) * $PpsTarget) div tw"))
       .select(col("doc_id"), col("lang"), col("w").as("weight"),
         col("cum"))
   }
@@ -437,7 +443,8 @@ object Curation {
        |), t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d)
        |SELECT doc_id, lang, w AS weight, cum
        |FROM c CROSS JOIN t
-       |WHERE (cum * $PpsTarget) // tw > ((cum - w) * $PpsTarget) // tw""".stripMargin
+       |WHERE (CAST(cum AS HUGEINT) * $PpsTarget) // tw
+       |    > (CAST(cum - w AS HUGEINT) * $PpsTarget) // tw""".stripMargin
 
   // ------------------------------------------------ train/val/test split
   /** Deterministic stratified split: the md5 of a salted doc id lands in

@@ -85,6 +85,14 @@ case class KllQuantile(child: Expression, p: Double)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "kll_quantile"
 
+  /** An EMPTY sketch (an all-null group aggregated by KllDoublesAgg,
+    * whose own output is non-nullable bytes) evaluates to null here, so
+    * nullability must not be inherited from the child: a non-nullable
+    * declaration would let consumers elide the null check and read
+    * garbage (AUDIT r6 #1).
+    */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(bytes: Any): Any = {
     val sk = KllDoublesSketch.heapify(Memory.wrap(bytes.asInstanceOf[Array[Byte]]))
     if (sk.isEmpty) null

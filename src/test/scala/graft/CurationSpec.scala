@@ -297,4 +297,22 @@ class CurationSpec extends SparkSpec {
     assert(bad == 0, s"$bad rows fail the crossing test against the global total")
     s.unpersist()
   }
+
+  test("PPS sample survives corpus-scale weights without 64-bit overflow") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10 docs of 1e17 chars each: total weight 1e18, so cum·target hits
+    // 1e20 — far past Long.MaxValue (~9.2e18). The old BIGINT crossing
+    // products wrapped silently; the DECIMAL(38,0) form must select
+    // every doc (each spans exactly target/10 = 10 multiples of W/100).
+    val dir = java.nio.file.Files.createTempDirectory("ppsbig").toString
+    (1 to 10).map(i => (i.toLong, "en", "x", 100000000000000000L))
+      .toDF("doc_id", "lang", "text", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val s = Curation.ppsSample(spark, dir).collect()
+    assert(s.length == 10,
+      s"overflow in the crossing products: selected ${s.length} of 10")
+    // and cum itself stayed exact (last row = total weight)
+    assert(s.map(_.getAs[Long]("cum")).max == 1000000000000000000L)
+  }
 }

@@ -220,6 +220,25 @@ class SkewApproxSpec extends SparkSpec {
     assert(math.abs(direct - 5000.0) <= tol, s"direct $direct")
   }
 
+  test("KLL quantile of an empty sketch is null and declared nullable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.KllColumn
+    // An all-null group yields an EMPTY (but non-null) sketch; the
+    // quantile over it is null, so the expression must declare nullable
+    // even though its child never is — a non-nullable declaration lets
+    // consumers elide the null check and read garbage (AUDIT r6 #1).
+    val df = Seq((1, Option.empty[Double]), (1, None), (2, Some(7.0)))
+      .toDF("g", "v")
+      .groupBy(col("g")).agg(KllColumn.sketchAgg(col("v")).as("sk"))
+      .select(col("g"), KllColumn.quantile(col("sk"), 0.5).as("q"))
+    assert(df.schema("q").nullable)
+    val rows = df.collect().map(r => r.getInt(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1).isEmpty, "empty sketch must yield null, not a value")
+    assert(rows(2).contains(7.0))
+  }
+
   test("KLL sketch bytes are fixed-size: 100x the data, same buffer scale") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
