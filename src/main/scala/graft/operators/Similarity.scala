@@ -791,6 +791,46 @@ object Similarity {
        |FROM p""".stripMargin
   }
 
+  /** Semantic eval-decontamination — the embedding-space complement of
+    * `Curation.contamination` (shared 8-grams): a paraphrased benchmark
+    * leak shares NO surface n-grams with its source but keeps a high
+    * embedding cosine, so a decontamination pass needs both signals.
+    * Benchmark = `vec_id < EmbBenchVecs` (standing in for an eval
+    * suite's embeddings); every corpus vector whose cosine to any
+    * benchmark vector reaches τ is flagged with that benchmark id.
+    *
+    * Scale shape: the benchmark side is FIXED-SIZE BY CONTRACT (an eval
+    * suite is thousands of items, not a corpus), so it broadcasts and
+    * the corpus pays exactly ONE scan with the |bench| cosines fused
+    * into the scan's projection — no corpus shuffle anywhere, the same
+    * broadcast-dense shape as `rag_chunk_topk`. The crossJoin is the
+    * deliberate bounded-side exception to the 1-row-aggregate rule:
+    * |corpus| × |bench| is linear in the corpus with a contract-bounded
+    * constant. τ = 0.35 sits in the fixture distribution's tail
+    * (25 pairs at sf0.01, 91 at sf0.1 — observable, not bulk).
+    */
+  private val EmbBenchVecs = 20
+  private val EmbContaminationTau = 0.35
+
+  def contaminationEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val bench = e.where(col("vec_id") < EmbBenchVecs)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"))
+    e.where(col("vec_id") >= EmbBenchVecs)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"),
+        V.cosine(col("embedding"), col("b_emb")).as("cos"))
+      .where(col("cos") >= EmbContaminationTau)
+      .select(col("vec_id"), col("bench_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  val contaminationEmbeddingSql: String =
+    s"""SELECT c.vec_id, b.vec_id AS bench_id,
+       |       round(${duckCos("c.embedding", "b.embedding")}, 6) AS cos
+       |FROM embeddings c, embeddings b
+       |WHERE c.vec_id >= $EmbBenchVecs AND b.vec_id < $EmbBenchVecs
+       |  AND ${duckCos("c.embedding", "b.embedding")} >= $EmbContaminationTau""".stripMargin
+
   /** Corpus similarity audit: the distribution of pairwise cosines over
     * a DETERMINISTIC pair sample — the number that tells you whether a
     * similarity threshold τ sits in the distribution's tail (useful)
@@ -847,5 +887,7 @@ object Similarity {
     Op("sim_topk_lsh", topkLsh _, None),
     Op("sim_topk_lsh_check", topkLshCheck _, Some(topkLshCheckSql)),
     Op("dedup_embedding_cosine", embeddingNearDup _, Some(embeddingNearDupSql)),
+    Op("curate_contamination_emb", contaminationEmbedding _,
+      Some(contaminationEmbeddingSql)),
   )
 }

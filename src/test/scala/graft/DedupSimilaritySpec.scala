@@ -144,6 +144,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("n_subset_docs")) > 0L, row.toString)
   }
 
+  test("embedding contamination flags a paraphrase-shaped leak, not noise") {
+    import spark.implicits._
+    // bench vector 0; corpus vector 100 = same direction lightly
+    // perturbed (a paraphrase keeps the embedding); corpus vector 101 =
+    // orthogonal (fresh text). Dim matches the fixture's 64.
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val near = base.zipWithIndex.map { case (v, i) =>
+      if (i % 7 == 0) v + 0.02f else v }
+    val ortho = Array.tabulate(64)(i =>
+      (if (i % 2 == 0) math.cos(i * 3 + 2) else -math.sin(i * 2 + 5)).toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("embcontam").toString
+    Seq((0L, base), (100L, near), (101L, ortho))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val flagged = Similarity.contaminationEmbedding(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged.contains((100L, 0L)), s"paraphrase leak missed: $flagged")
+    assert(!flagged.exists(_._1 == 101L), s"orthogonal vector flagged: $flagged")
+  }
+
   test("theta-join keys on the composite block pair, not a single block") {
     import org.apache.spark.sql.execution.joins._
     val df = Similarity.embeddingNearDup(spark, sfDir)
