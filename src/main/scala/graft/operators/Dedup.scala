@@ -302,9 +302,18 @@ object Dedup {
     * small.
     */
   private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
-      threshold: Double): DataFrame = {
-    val a = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      threshold: Double): DataFrame =
+    verifyJaccardSides(candidates, shingled, shingled, threshold)
+
+  /** Two-sided variant: candidate (doc_a, doc_b) pairs verified against
+    * separate shingle frames per side — the shape incremental ingest
+    * needs, where doc_a is a new-batch document and doc_b a historical
+    * one from a different (at scale: candidate-only fetched) frame.
+    */
+  private def verifyJaccardSides(candidates: DataFrame, aShingled: DataFrame,
+      bShingled: DataFrame, threshold: Double): DataFrame = {
+    val a = aShingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = bShingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     candidates
       .join(a, "doc_a").join(b, "doc_b")
       // Size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
@@ -333,6 +342,111 @@ object Dedup {
     val sh = wordShingles(Tables(spark, dir, "documents")).persist()
     try verifyJaccard(lshCandidates(sh), sh, 0.8).localCheckpoint()
     finally sh.unpersist()
+  }
+
+  /** Incremental MinHash near-dedup — the corpus-growth twin of
+    * `minhashLsh`, the way near-dedup actually runs at 100 TB: the
+    * historical corpus is represented by its PERSISTED band-bucket index
+    * ((doc_id, band, bucket) — fixed 16 rows/doc regardless of text
+    * size), a new batch LSHes only itself, and candidates come from
+    * joining the batch's buckets against the STORED index — the corpus
+    * is never re-shingled, never re-signed, never re-paired against
+    * itself.
+    *
+    * Admission contract (deterministic, order-free, SQL-expressible —
+    * near-dup equality is NOT transitive, so "first in batch" needs a
+    * rule, not an ordering): a batch document is admitted iff
+    *   1. it has no verified Jaccard ≥ 0.8 match in history, AND
+    *   2. it is the canonical (min doc_id) member of its batch-internal
+    *      near-dup cluster (connected components over verified batch
+    *      pairs — one representative per novel family; a family whose
+    *      canonical matched history is dropped entirely, the
+    *      conservative reading of "this family is not novel").
+    * Documents too short to shingle (< 3 words) cannot match anything
+    * and are admitted — mirrored exactly by the oracle.
+    *
+    * History/batch split by doc_id parity like `incremental`, so both
+    * drop paths and the store round-trip exercise at any sf. The
+    * history SHINGLES used by the verify stage are recomputed here at
+    * fixture scale; at 100 TB that stage fetches only the CANDIDATE
+    * documents' texts (candidate volume is linear in the true-dup rate
+    * — the LSH scaling argument at the top of this file), while the
+    * index side stays stored longs.
+    */
+  def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val hist = d.where(col("doc_id") % 2 === 0)
+    val batch = d.where(col("doc_id") % 2 === 1)
+    val (store, ts) = graft.sources.SnapshotStore
+      .contentAddressed(spark, s"$dir/documents.parquet", "graft_lshstore")
+    if (!store.hasTableSnapshot("lsh_index", ts))
+      store.writeTableSnapshot(
+        signatureBuckets(wordShingles(hist)), "lsh_index", ts)
+    val index = store.readTableSnapshot(spark, "lsh_index", ts)
+    val bsh = wordShingles(batch).persist()
+    val hsh = wordShingles(hist).persist()
+    try {
+      val bb = signatureBuckets(bsh)
+      val histCands = bb.as("x").join(index.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val histMatched = verifyJaccardSides(histCands, bsh, hsh, 0.8)
+        .select(col("doc_a").as("doc_id")).distinct()
+      val batchPairs = verifyJaccard(lshCandidates(bsh), bsh, 0.8)
+      val nonCanonical = Graph.connectedComponents(
+          batchPairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+        .where(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"))
+      batch.select(col("doc_id"))
+        .join(histMatched, Seq("doc_id"), "left_anti")
+        .join(nonCanonical, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    } finally { bsh.unpersist(); hsh.unpersist() }
+  }
+
+  val minhashIncrementalSql: String = {
+    val shingleExpr =
+      """list_distinct([concat_ws(' ', words[i], words[i+1], words[i+2])
+        |                for i in range(1, len(words) - 1)])""".stripMargin
+        .replace("words", "string_split(trim(text), ' ')")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, $shingleExpr AS shingles
+       |  FROM documents WHERE len(string_split(trim(text), ' ')) >= 3
+       |), e AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT i.doc_a, i.doc_b
+       |  FROM inter i
+       |  JOIN sh sa ON sa.doc_id = i.doc_a
+       |  JOIN sh sb ON sb.doc_id = i.doc_b
+       |  WHERE CAST(i.n AS DOUBLE) /
+       |        (len(sa.shingles) + len(sb.shingles) - i.n) >= 0.8
+       |), histmatch AS (
+       |  SELECT DISTINCT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS doc_id
+       |  FROM pairs WHERE (doc_a % 2) <> (doc_b % 2)
+       |), bedges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  WHERE doc_a % 2 = 1 AND doc_b % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |  WHERE doc_a % 2 = 1 AND doc_b % 2 = 1
+       |), walk(u, x) AS (
+       |  SELECT DISTINCT u, u FROM bedges
+       |  UNION
+       |  SELECT w.u, e2.v FROM walk w JOIN bedges e2 ON e2.u = w.x
+       |), noncanon AS (
+       |  SELECT u AS doc_id FROM walk GROUP BY u HAVING u <> min(x)
+       |)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 2 = 1
+       |  AND doc_id NOT IN (SELECT doc_id FROM histmatch)
+       |  AND doc_id NOT IN (SELECT doc_id FROM noncanon)""".stripMargin
   }
 
   /** Oracle: the semantic spec — exact all-pairs shingle Jaccard ≥ τ.
@@ -820,6 +934,8 @@ object Dedup {
     Op("dedup_incremental", incremental _, Some(incrementalSql)),
     Op("dedup_clusters", clusters _, Some(clustersSql)),
     Op("dedup_minhash_lsh", minhashLsh _, Some(minhashLshSql)),
+    Op("dedup_minhash_incremental", minhashIncremental _,
+      Some(minhashIncrementalSql)),
     Op("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     Op("dedup_simhash", simhash _, None),
     Op("dedup_simhash_check", simhashCheck _, Some(simhashCheckSql)),

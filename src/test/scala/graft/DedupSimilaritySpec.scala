@@ -144,6 +144,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("n_subset_docs")) > 0L, row.toString)
   }
 
+  test("incremental minhash: history match drops, novel family keeps one, short admits") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"t$i").mkString(" ")
+    val family = (200 to 280).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      2L -> base,                               // history
+      3L -> base.replace("t40 ", "t40 x "),     // batch: near-dup of history → dropped
+      5L -> family,                             // batch: novel family canonical → admitted
+      7L -> family.replace("u240 ", "u240 y "), // batch: same family → dropped
+      9L -> (300 to 380).map(i => s"v$i").mkString(" "), // batch: unrelated → admitted
+      11L -> "two words")                       // batch: too short to shingle → admitted
+    val dir = java.nio.file.Files.createTempDirectory("mhinc").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val admitted = Dedup.minhashIncremental(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(admitted == Set(5L, 9L, 11L), s"got $admitted")
+  }
+
   test("embedding contamination flags a paraphrase-shaped leak, not noise") {
     import spark.implicits._
     // bench vector 0; corpus vector 100 = same direction lightly
