@@ -140,6 +140,89 @@ object Multimodal {
       |       CAST(3 AS INT) AS channels
       |FROM documents""".stripMargin
 
+  final case class AudioMeta(asset_id: Long, n_bytes: Long, sample_rate: Int,
+      channels: Int, bits: Int, n_frames: Long, duration_ms: Long)
+
+  /** Audio metadata pass — the WAV/RIFF twin of `extractMeta`'s image
+    * headers: a real pure-JVM chunk walk for the one audio container a
+    * header parse fully covers (RIFF/WAVE: `fmt ` chunk for sample
+    * rate / channels / bit depth / block align, `data` chunk size for
+    * the frame count and duration). Compressed codecs (MP3/AAC/OGG)
+    * remain the declared decoder seam. A payload that claims RIFF but
+    * has a truncated or inconsistent header quarantines to -1 fields —
+    * routed, never thrown — and non-RIFF payloads (the text fixture) get
+    * deterministic pseudo-audio the oracle recomputes.
+    */
+  def extractAudioMeta(assets: Dataset[Asset]): Dataset[AudioMeta] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { a =>
+        val (sr, ch, bits, frames) = decodeWav(a.payload)
+        val dur = if (sr > 0) frames * 1000L / sr else -1L
+        AudioMeta(a.asset_id, a.payload.length.toLong, sr, ch, bits, frames, dur)
+      }
+    }
+  }
+
+  /** (sample_rate, channels, bits_per_sample, n_frames). RIFF chunks are
+    * word-aligned (odd sizes pad one byte); the walk stops once both
+    * `fmt ` and `data` have been seen. Declared sizes are trusted for
+    * `data` (a streamed file may truncate the payload; the header is
+    * still the authority on intended length, same as image dims).
+    */
+  private[operators] def decodeWav(p: Array[Byte]): (Int, Int, Int, Long) = {
+    def leInt(o: Int) = (p(o) & 255) | ((p(o + 1) & 255) << 8) |
+      ((p(o + 2) & 255) << 16) | ((p(o + 3) & 255) << 24)
+    def leShort(o: Int) = (p(o) & 255) | ((p(o + 1) & 255) << 8)
+    def tag(o: Int, s: String) = p.length >= o + 4 &&
+      p(o) == s(0) && p(o + 1) == s(1) && p(o + 2) == s(2) && p(o + 3) == s(3)
+    val corrupt = (-1, -1, -1, -1L)
+    if (tag(0, "RIFF")) {
+      if (!tag(8, "WAVE")) corrupt
+      else {
+        var off = 12
+        var sr = 0; var ch = 0; var bits = 0; var blockAlign = 0
+        var dataSize = -1L
+        var bad = false
+        while (!bad && off + 8 <= p.length && (sr == 0 || dataSize < 0)) {
+          val size = leInt(off + 4).toLong & 0xFFFFFFFFL
+          if (tag(off, "fmt ")) {
+            if (size < 16 || off + 24 > p.length) bad = true
+            else {
+              ch = leShort(off + 10)
+              sr = leInt(off + 12)
+              blockAlign = leShort(off + 20)
+              bits = leShort(off + 22)
+            }
+          } else if (tag(off, "data")) dataSize = size
+          val step = 8L + size + (size & 1)
+          if (off + step > Int.MaxValue) bad = true else off += step.toInt
+        }
+        if (bad || sr <= 0 || ch <= 0 || bits <= 0 || blockAlign <= 0 ||
+          dataSize < 0) corrupt
+        else (sr, ch, bits, dataSize / blockAlign)
+      }
+    } else {
+      // deterministic pseudo-audio from the byte length — the fixture
+      // path, recomputable declaratively by the oracle
+      val n = p.length
+      (16000, 1 + n % 2, 16, n.toLong)
+    }
+  }
+
+  def audioMeta(spark: SparkSession, dir: String): DataFrame =
+    extractAudioMeta(assets(spark, dir)).toDF()
+
+  val audioMetaSql: String =
+    """SELECT doc_id AS asset_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       CAST(16000 AS INT) AS sample_rate,
+      |       CAST(1 + octet_length(encode(text)) % 2 AS INT) AS channels,
+      |       CAST(16 AS INT) AS bits,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
+      |       CAST(octet_length(encode(text)) * 1000 // 16000 AS BIGINT) AS duration_ms
+      |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+
   final case class Frame(asset_id: Long, frame_idx: Int, frame_offset: Long,
       frame_md5: String)
 
@@ -206,5 +289,6 @@ object Multimodal {
   val ops: Seq[Op] = Seq(
     Op("multimodal_meta", meta _, Some(metaSql)),
     Op("multimodal_frames", frames _, Some(framesSql)),
+    Op("multimodal_audio_meta", audioMeta _, Some(audioMetaSql)),
   )
 }

@@ -245,4 +245,41 @@ class EdgeCaseSpec extends SparkSpec {
     assert(m(6L) == ((1024, 768, 3)), s"GIF decode: ${m(6L)}")
     assert(m(7L) == ((-1, -1, 0)), s"truncated GIF must quarantine: ${m(7L)}")
   }
+
+  test("WAV header decode: real fmt/data chunk walk, corrupt RIFF quarantines") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    // canonical 44-byte PCM header: 44100 Hz stereo 16-bit, 1000 frames
+    // (data size 4000, block align 4), with a JUNK chunk before fmt to
+    // exercise the chunk walk (odd size 3 → padded to 4)
+    def chunk(tag: String, body: Array[Byte]) =
+      tag.getBytes ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val fmt = chunk("fmt ", le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16))
+    val wavBody = chunk("JUNK", Array[Byte](1, 2, 3)) ++ fmt ++
+      chunk("data", Array.fill(4000)(0.toByte))
+    val wav = "RIFF".getBytes ++ le32(4 + wavBody.length) ++
+      "WAVE".getBytes ++ wavBody
+    // RIFF/WAVE magic but the fmt chunk is truncated — quarantine
+    val truncated = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1)
+    // RIFF but not WAVE (an AVI) — quarantine, not the text fallback
+    val avi = "RIFF".getBytes ++ le32(8) ++ "AVI ".getBytes ++ le32(0)
+    val assets = spark.createDataset(Seq(
+      Multimodal.Asset(1L, "audio", wav, "s"),
+      Multimodal.Asset(2L, "audio", truncated, "s"),
+      Multimodal.Asset(3L, "audio", avi, "s"),
+      Multimodal.Asset(4L, "audio", "plain text!".getBytes, "s")))
+    val m = Multimodal.extractAudioMeta(assets).collect()
+      .map(r => r.asset_id ->
+        ((r.sample_rate, r.channels, r.bits, r.n_frames, r.duration_ms))).toMap
+    assert(m(1L) == ((44100, 2, 16, 1000L, 22L)), s"WAV decode: ${m(1L)}")
+    assert(m(2L) == ((-1, -1, -1, -1L, -1L)), s"truncated fmt: ${m(2L)}")
+    assert(m(3L) == ((-1, -1, -1, -1L, -1L)), s"non-WAVE RIFF: ${m(3L)}")
+    assert(m(4L) == ((16000, 2, 16, 11L, 0L)), s"text fallback: ${m(4L)}")
+  }
 }
