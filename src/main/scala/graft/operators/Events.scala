@@ -748,7 +748,62 @@ object Events {
       |FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
       |ORDER BY n_events DESC, user_id ASC LIMIT 10""".stripMargin
 
+  // --------------------------------------- sequence training examples
+  /** Context window length for next-event-prediction examples. */
+  private val SeqContext = 4
+
+  /** Training-example construction from the event log — the step that
+    * turns raw behavioral logs into (context, label) pairs for a
+    * next-event-prediction model: per user, in event-time order, every
+    * event with at least `SeqContext` predecessors becomes one example
+    * whose context is the preceding `SeqContext` event types and whose
+    * label is the event itself.
+    *
+    * Scale shape: ONE shuffle on the user key; the sliding windows are
+    * frame-bounded (`ROWS BETWEEN SeqContext PRECEDING AND 1
+    * PRECEDING`) over each user's partition, so state per row is the
+    * fixed-size context buffer — no global ordering, no per-user
+    * explosion beyond one output row per input event. The (ts,
+    * event_id) tiebreak makes same-timestamp sequences deterministic on
+    * both engines. At 100 TB this is the canonical log→examples pass:
+    * shuffle once on user, write examples partitioned by the training
+    * split downstream.
+    */
+  def sequenceExamples(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("context", collect_list(col("event_type"))
+        .over(w.rowsBetween(-SeqContext, -1)))
+      .where(size(col("context")) === SeqContext)
+      // list columns never survive the driver's arrow-schema compare
+      // (Spark's parquet child is `element`, DuckDB's is `l`), so arrays
+      // serialize to a joined string at the boundary — the repo-wide
+      // convention (`vec_csv`, `q_csv`); a consumer re-splits on space.
+      .select(col("user_id"), col("seq"),
+        array_join(col("context"), " ").as("context_csv"),
+        col("event_type").as("label"))
+  }
+
+  val sequenceExamplesSql: String =
+    s"""SELECT user_id, seq, array_to_string(context, ' ') AS context_csv,
+       |       label FROM (
+       |  SELECT user_id,
+       |         CAST(row_number() OVER w AS BIGINT) AS seq,
+       |         list(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY ts ASC, event_id ASC
+       |           ROWS BETWEEN $SeqContext PRECEDING AND 1 PRECEDING) AS context,
+       |         event_type AS label
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       |)
+       |WHERE len(context) = $SeqContext""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("events_sequence_examples", sequenceExamples _,
+      Some(sequenceExamplesSql)),
     Op("events_hourly", hourly _, Some(hourlySql)),
     Op("events_heavy_hitters", heavyHitters _, Some(heavyHittersSql)),
     Op("events_gapfill", gapfill _, Some(gapfillSql)),
