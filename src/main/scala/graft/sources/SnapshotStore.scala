@@ -16,14 +16,37 @@ import java.nio.charset.StandardCharsets
   * end-to-end for that snapshot.
   *
   * Uses the Hadoop FileSystem API, so the same code addresses `file://`,
-  * `hdfs://`, `gs://`, or `s3a://` roots unchanged — per-object storage
-  * classes (NEARLINE history / STANDARD latest, `fetch.go:49-53`) are a
-  * deployment concern of the object store, not of this layer.
+  * `hdfs://`, `gs://`, or `s3a://` roots unchanged. The reference's
+  * per-object storage classes (NEARLINE history / STANDARD latest,
+  * `fetch.go:49-53`) have no FileSystem-API verb, so the store RECORDS
+  * each object's intended class in a hidden `_storage_class/` sidecar
+  * (underscore prefix = invisible to Spark/Hadoop input listing): a
+  * `gs://` deployment maps the recorded class to the
+  * `x-goog-storage-class` header or a lifecycle rule, and the policy —
+  * cold immutable history, hot mutable pointer — is pinned by spec
+  * instead of living only in deployment docs.
   */
 class SnapshotStore(root: String, hadoopConf: Configuration = new Configuration()) {
 
   private def path(kind: String, name: String) = new Path(s"$root/$kind/$name")
   private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  /** Reference storage-class policy (`fetch.go:49-53`): the `latest`
+    * pointer (and the `POINTER` file of table snapshots) is re-read
+    * every run → STANDARD; timestamped history is written once and
+    * read ~never → NEARLINE.
+    */
+  def storageClassFor(name: String): String =
+    if (name == "latest" || name == "POINTER") "STANDARD" else "NEARLINE"
+
+  private def recordClass(kind: String, name: String): Unit =
+    writeBytes(path(kind, s"_storage_class/$name"),
+      storageClassFor(name).getBytes(StandardCharsets.UTF_8))
+
+  /** The class recorded for an object at write time (deployment shims
+    * read this to apply the real object-store attribute). */
+  def storageClassOf(kind: String, name: String): String =
+    readArtifactString(kind, s"_storage_class/$name")
 
   /** The idempotence gate: tri-state exists / not-exists / unknown-error,
     * like the reference's `objectExists` (`fetch.go:163-178` — an
@@ -39,8 +62,9 @@ class SnapshotStore(root: String, hadoopConf: Configuration = new Configuration(
     */
   def writeArtifact(kind: String, ts: String, bytes: Array[Byte],
       alsoLatest: Boolean = true): Unit = {
-    if (alsoLatest) writeBytes(path(kind, "latest"), bytes)
+    if (alsoLatest) { writeBytes(path(kind, "latest"), bytes); recordClass(kind, "latest") }
     writeBytes(path(kind, ts), bytes)
+    recordClass(kind, ts)
   }
 
   /** Run `pipeline` once per snapshot: skip (returning false) when the
@@ -74,6 +98,8 @@ class SnapshotStore(root: String, hadoopConf: Configuration = new Configuration(
     }
     writeBytes(path(s"${kind}_latest", "POINTER"),
       ts.getBytes(StandardCharsets.UTF_8))
+    recordClass(s"${kind}_latest", "POINTER")
+    recordClass(kind, s"snapshot_ts=$ts")
   }
 
   /** Upsert merge — the slowly-growing-table write path (SCD-1 / CDC

@@ -164,6 +164,24 @@ class SourcesSpec extends SparkSpec {
     assert(json.contains(""""score":"1.5""""))
   }
 
+  test("storage classes recorded: NEARLINE history, STANDARD latest pointer") {
+    import graft.sources.SnapshotStore
+    import spark.implicits._
+    val root = Files.createTempDirectory("classes").toString
+    val store = new SnapshotStore(root)
+    store.writeArtifact("prism.json", "20260813T000000Z", "{}".getBytes)
+    // the reference's split (fetch.go:49-53): cold immutable history,
+    // hot re-read pointer
+    assert(store.storageClassOf("prism.json", "20260813T000000Z") == "NEARLINE")
+    assert(store.storageClassOf("prism.json", "latest") == "STANDARD")
+    store.writeTableSnapshot(Seq((1L, "a")).toDF("id", "v"), "dim", "t1")
+    assert(store.storageClassOf("dim", "snapshot_ts=t1") == "NEARLINE")
+    assert(store.storageClassOf("dim_latest", "POINTER") == "STANDARD")
+    // the sidecar dir is invisible to Spark's listing: the snapshot
+    // still reads back clean through the normal pruned path
+    assert(store.readTableSnapshot(spark, "dim", "t1").count() == 1)
+  }
+
   test("writeJsonArray guard: oversized frame fails loudly, no partial file") {
     import spark.implicits._
     val df = (1 to 10).map(i => (i, s"r$i")).toDF("id", "name")
