@@ -382,7 +382,41 @@ object Dedup {
     if (!store.hasTableSnapshot("lsh_index", ts))
       store.writeTableSnapshot(
         signatureBuckets(wordShingles(hist)), "lsh_index", ts)
-    val index = store.readTableSnapshot(spark, "lsh_index", ts)
+    admitAgainst(batch, hist,
+      store.readTableSnapshot(spark, "lsh_index", ts))
+  }
+
+  /** One corpus-growth step for the near-dup index — the `incrementalStep`
+    * twin: admit `batch` against the `prevTs` band-bucket index, then
+    * write `nextTs` = stored index ∪ the ADMITTED documents' buckets, so
+    * the next batch sees them as history. Only admitted docs extend the
+    * index: a rejected near-dup must not become an anchor that rejects
+    * future docs its canonical would have missed (the index stays exactly
+    * "one entry per surviving document"). The admitted frame is
+    * localCheckpoint'd by `admitAgainst`, so the store write and the
+    * caller's action share one computation.
+    */
+  def minhashIncrementalStep(spark: SparkSession,
+      store: graft.sources.SnapshotStore, batch: DataFrame, hist: DataFrame,
+      prevTs: String, nextTs: String): DataFrame = {
+    val index = store.readTableSnapshot(spark, "lsh_index", prevTs)
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val admitted = admitAgainst(batch, hist, index)
+    val admittedBuckets = signatureBuckets(
+      wordShingles(batch.join(admitted, Seq("doc_id"), "left_semi")))
+    store.writeTableSnapshot(index.unionByName(admittedBuckets),
+      "lsh_index", nextTs)
+    admitted
+  }
+
+  /** The admission core shared by the query and the step: batch vs a
+    * stored band-bucket index, exact-Jaccard verified, cluster-canonical
+    * within the batch (contract documented at `minhashIncremental`).
+    * `hist` supplies candidate texts for the verify stage — at scale,
+    * fetched for candidates only.
+    */
+  private def admitAgainst(batch: DataFrame, hist: DataFrame,
+      index: DataFrame): DataFrame = {
     val bsh = wordShingles(batch).persist()
     val hsh = wordShingles(hist).persist()
     try {

@@ -162,6 +162,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(admitted == Set(5L, 9L, 11L), s"got $admitted")
   }
 
+  test("minhash incremental step: admitted docs extend the index, rejected don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val famA = (1 to 80).map(i => s"a$i").mkString(" ")
+    val famB = (200 to 280).map(i => s"b$i").mkString(" ")
+    val hist = Seq(2L -> famA).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhstep").toString
+    val store = new graft.sources.SnapshotStore(dir)
+    // bootstrap: a step from an EMPTY index admits all of `hist` and
+    // writes its buckets as t1 — the same public path every later batch
+    // uses, no separate index builder
+    store.writeTableSnapshot(
+      Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bucket"),
+      "lsh_index", "t0")
+    val histBuckets = Dedup.minhashIncrementalStep(spark, store,
+      batch = hist, hist = hist.limit(0), prevTs = "t0", nextTs = "t1")
+    assert(histBuckets.collect().map(_.getLong(0)).toSet == Set(2L))
+    // batch 1: a near-dup of history (rejected) + a novel doc (admitted)
+    val batch1 = Seq(
+      3L -> famA.replace("a40 ", "a40 x "),
+      5L -> famB).toDF("doc_id", "text")
+    val admitted1 = Dedup.minhashIncrementalStep(spark, store,
+      batch = batch1, hist = hist.unionByName(batch1), prevTs = "t1", nextTs = "t2")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted1 == Set(5L), s"got $admitted1")
+    // batch 2: near-dup of the ADMITTED doc 5 → rejected by the extended
+    // index; near-dup of the REJECTED doc 3 (but not of doc 2's exact
+    // text shape) would need doc 3 in the index — it must NOT be there,
+    // so only the doc-5 family is blocked
+    val batch2 = Seq(7L -> famB.replace("b240 ", "b240 y "))
+      .toDF("doc_id", "text")
+    val admitted2 = Dedup.minhashIncrementalStep(spark, store,
+      batch = batch2, hist = hist.unionByName(batch1).unionByName(batch2),
+      prevTs = "t2", nextTs = "t3")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted2.isEmpty, s"doc 7 should hit admitted doc 5's index: $admitted2")
+    // the index grew by exactly the admitted docs: 2 (seed), 5 (batch 1)
+    val indexed = store.readTableSnapshot(spark, "lsh_index", "t3")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(2L, 5L), s"index contents: $indexed")
+  }
+
   test("embedding contamination flags a paraphrase-shaped leak, not noise") {
     import spark.implicits._
     // bench vector 0; corpus vector 100 = same direction lightly
