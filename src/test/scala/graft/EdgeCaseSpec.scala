@@ -50,6 +50,26 @@ class EdgeCaseSpec extends SparkSpec {
       .write.parquet(s"$dir/embeddings.parquet")
     assert(Similarity.topkBruteForce(spark, dir).count() == 0)
     assert(Similarity.embeddingNearDup(spark, dir).count() == 0)
+    assert(Similarity.contaminationEmbedding(spark, dir).count() == 0)
+  }
+
+  test("round-6 operators tolerate degenerate inputs without throwing") {
+    import spark.implicits._
+    // all-short batch: nothing shingles, everything admits (the documented
+    // can't-match-anything contract), no empty-frame crash in the
+    // components call on zero batch pairs
+    val dir = java.nio.file.Files.createTempDirectory("r6edge").toString
+    Seq((1L, "ab"), (3L, "cd ef")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val admitted = graft.operators.Dedup.minhashIncremental(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L), s"short docs must admit: $admitted")
+    // a user with fewer events than the context window yields no examples
+    val edir = java.nio.file.Files.createTempDirectory("r6seq").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$edir/events.parquet")
+    assert(graft.operators.Events.sequenceExamples(spark, edir).count() == 0)
   }
 
   test("round-3 text/dedup operators tolerate null text without throwing") {

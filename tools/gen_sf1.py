@@ -76,6 +76,8 @@ TABLES = {
 
 
 def main():
+    import os
+    os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE TEMP TABLE r AS SELECT i FROM range({COPIES}) t(i)")
     for name, sql in TABLES.items():
