@@ -123,4 +123,96 @@ class PropertySpec extends SparkSpec {
       assert(got(id) == refVec(toks), s"fold diverged for case $id")
     }
   }
+
+  test("MdbCatalog: random tdef pages round-trip; fuzzed pages never throw") {
+    import graft.sources.MdbCatalog
+    val PageSize = 4096
+    val ValidCodes = Seq(0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08,
+      0x09, 0x0A, 0x0B, 0x0C, 0x0F, 0x10)
+    def header: Array[Byte] = {
+      val p = new Array[Byte](PageSize)
+      Array[Byte](0x00, 0x01, 0x00, 0x00).copyToArray(p, 0)
+      "Standard Jet DB".getBytes("US-ASCII").copyToArray(p, 4)
+      p(0x14) = 0x01; p
+    }
+    def tdef(tableType: Int, cols: Seq[(String, Int, Int)],
+        numRealIdx: Int): Array[Byte] = {
+      val p = new Array[Byte](PageSize)
+      val buf = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p(0) = 0x02; p(1) = 0x01
+      p(0x28) = tableType.toByte
+      buf.putShort(0x2D, cols.size.toShort)
+      buf.putInt(0x33, numRealIdx)
+      val descBase = 0x3F + numRealIdx * 12
+      cols.zipWithIndex.foreach { case ((_, code, colNum), i) =>
+        p(descBase + i * 25) = code.toByte
+        buf.putShort(descBase + i * 25 + 5, colNum.toShort)
+      }
+      var off = descBase + cols.size * 25
+      cols.foreach { case (name, _, _) =>
+        val b = name.getBytes("UTF-16LE")
+        buf.putShort(off, b.length.toShort); off += 2
+        b.copyToArray(p, off); off += b.length
+      }
+      p
+    }
+    // round-trip: random catalogs survive build → parse exactly
+    (1 to 40).foreach { i =>
+      val nCols = 1 + rnd.nextInt(12)
+      val cols = (0 until nCols).map { c =>
+        (s"c${c}_" + rnd.alphanumeric.take(rnd.nextInt(8)).mkString,
+          ValidCodes(rnd.nextInt(ValidCodes.size)), c)
+      }
+      val sys = rnd.nextBoolean()
+      val bytes = header ++ tdef(if (sys) 0x53 else 0x4F, cols,
+        rnd.nextInt(5))
+      val cat = MdbCatalog.read(bytes).fold(e => fail(s"case $i: $e"), identity)
+      assert(cat.tables.size == 1 && cat.quarantined.isEmpty, s"case $i")
+      val t = cat.tables.head
+      assert(t.system == sys)
+      assert(t.columns.map(c => (c.name, c.typeCode, c.colNum)) == cols,
+        s"case $i round-trip diverged")
+    }
+    // fuzz: random bytes behind a tdef page marker must quarantine or
+    // parse, never throw — the half-damaged-database contract
+    (1 to 200).foreach { i =>
+      val junk = new Array[Byte](PageSize)
+      rnd.nextBytes(junk)
+      junk(0) = 0x02; junk(1) = 0x01
+      MdbCatalog.read(header ++ junk).fold(
+        e => fail(s"fuzz $i rejected whole file: $e"),
+        cat => assert(cat.tables.size + cat.quarantined.size == 1))
+    }
+  }
+
+  test("WAV decode: fuzzed RIFF payloads never throw, outputs stay consistent") {
+    import graft.operators.Multimodal
+    val payloads = (1 to 200).map { i =>
+      val n = rnd.nextInt(200)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      // half the cases get a RIFF/WAVE prefix so the chunk walk runs on
+      // garbage chunk structure, not just the fallback path
+      if (i % 2 == 0 && n >= 12) {
+        "RIFF".getBytes.copyToArray(b, 0)
+        "WAVE".getBytes.copyToArray(b, 8)
+      }
+      Multimodal.Asset(i.toLong, "audio", b, "fuzz")
+    }
+    import spark.implicits._
+    val out = Multimodal.extractAudioMeta(spark.createDataset(payloads))
+      .collect()
+    assert(out.length == payloads.size)
+    out.foreach { m =>
+      // quarantined rows are all-(-1); decoded/fallback rows are all-sane
+      val quarantined = m.sample_rate == -1
+      if (quarantined)
+        assert(m.channels == -1 && m.bits == -1 && m.n_frames == -1L &&
+          m.duration_ms == -1L, s"mixed quarantine row: $m")
+      else
+        assert(m.sample_rate > 0 && m.channels > 0 && m.bits > 0 &&
+          m.n_frames >= 0L && m.duration_ms >= 0L, s"insane decode: $m")
+    }
+  }
 }
