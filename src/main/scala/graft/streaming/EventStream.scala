@@ -267,6 +267,58 @@ object EventStream {
       }
   }
 
+  final case class SeqExample(user_id: Long, context: Seq[String],
+      label: String, ts: Timestamp)
+
+  /** Streaming twin of the batch `Events.sequenceExamples`: per user, in
+    * event-time order, every event whose user already has `k` predecessors
+    * emits a (context, label) training pair — INCLUDING across micro-batch
+    * boundaries, which is the whole point of carrying state (the batch op
+    * re-windows the full log; the stream remembers exactly the last `k`
+    * event types per user and nothing else). State is a bounded k-list —
+    * O(k) per user, O(k·|users|) total — with the same optional
+    * `idleEvictMs` EventTimeTimeout valve as `funnel`/`transitions` for
+    * unbounded user churn (evicting forgets at most k context tokens; a
+    * returning user warms up again after k events, the honest semantics
+    * of "their context aged out"). Per-(user, micro-batch) slices sort
+    * under the `sessionize` bounded-memory contract.
+    */
+  def sequenceExamples(events: Dataset[Event], k: Int = 4,
+      idleEvictMs: Option[Long] = None,
+      watermarkDelay: String = "2 hours"): Dataset[SeqExample] = {
+    import events.sparkSession.implicits._
+    val src = idleEvictMs.fold(events)(_ => events.withWatermark("ts", watermarkDelay))
+    val timeoutConf = idleEvictMs.fold(GroupStateTimeout.NoTimeout)(_ =>
+      GroupStateTimeout.EventTimeTimeout)
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[String], SeqExample](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[String]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var ctx = state.getOption.getOrElse(Nil) // most recent LAST
+            val out = List.newBuilder[SeqExample]
+            batch.foreach { e =>
+              if (ctx.size >= k)
+                out += SeqExample(userId, ctx.takeRight(k), e.event_type, e.ts)
+              ctx = (ctx :+ e.event_type).takeRight(k)
+            }
+            state.update(ctx)
+            idleEvictMs.foreach { idle =>
+              val last = batch.lastOption.map(_.ts.getTime)
+                .getOrElse(Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(last + idle, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   final case class Transition(user_id: Long, from_type: String, to_type: String)
   final case class LastEvent(tsMs: Long, eventId: Long, tpe: String)
 

@@ -178,6 +178,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sequence examples carry context across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sequenceExamples(mem.toDS(), k = 2)
+      .writeStream.format("memory").queryName("seq_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 gets view, click — not enough context yet, no
+      // examples emitted
+      mem.addData(
+        Event(1, ts(10), 1, "view", 1.0),
+        Event(2, ts(20), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("seq_out").count() == 0)
+      // batch 2: purchase has [view, click] behind it — the context
+      // spans the batch boundary; signup then has [click, purchase]
+      mem.addData(
+        Event(3, ts(30), 1, "purchase", 1.0),
+        Event(4, ts(40), 1, "signup", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("seq_out").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toList, r.getString(2)))
+        .toSet
+      assert(rows == Set(
+        (1L, List("view", "click"), "purchase"),
+        (1L, List("click", "purchase"), "signup")), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
