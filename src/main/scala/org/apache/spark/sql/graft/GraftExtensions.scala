@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
     e.injectFunction(GraftExtensions.hashEmbedVecDescriptor)
+    e.injectFunction(GraftExtensions.kllSketchAggDescriptor)
+    e.injectFunction(GraftExtensions.kllMergeAggDescriptor)
+    e.injectFunction(GraftExtensions.kllQuantileDescriptor)
     e.injectOptimizerRule(_ => RangeJoinBanding)
   }
 }
@@ -53,11 +56,80 @@ object GraftExtensions {
       new ExpressionInfo(classOf[HashEmbedVec].getName, "hash_embed_vec"),
       hashEmbedVecBuilder)
 
+  // -------------------------------------------------- KLL SQL surface
+  // The sketch pipeline in SQL: `kll_sketch_agg(v [, k])` per group,
+  // stored bytes rolled up with `kll_merge_agg(sk [, k])`, read with
+  // `kll_quantile(sk, p)` — the store-then-rollup shape documented at
+  // KllSketch.scala, reachable without the Column API.
+
+  // Function resolution runs BEFORE constant folding, so a SQL argument
+  // like `CAST(0.9 AS DOUBLE)` is not yet a Literal — accept anything
+  // foldable and evaluate it here.
+  private def intLit(e: Expression, what: String): Int =
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be an int literal, got $e")
+    else e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other =>
+        throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+    }
+
+  private def doubleLit(e: Expression, what: String): Double =
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be a numeric literal, got $e")
+    else e.eval() match {
+      case d: Double => d
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case other =>
+        throw new IllegalArgumentException(s"$what must be numeric, got $other")
+    }
+
+  private val kllSketchAggBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => KllDoublesAgg(child, KllColumn.DefaultK)
+    case Seq(child, k) => KllDoublesAgg(child, intLit(k, "kll_sketch_agg k"))
+    case _ => throw new IllegalArgumentException("kll_sketch_agg(value[, k])")
+  }
+
+  private[graft] val kllSketchAggDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllDoublesAgg].getName, "kll_sketch_agg"),
+      kllSketchAggBuilder)
+
+  private val kllMergeAggBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => KllMergeAgg(child, KllColumn.DefaultK)
+    case Seq(child, k) => KllMergeAgg(child, intLit(k, "kll_merge_agg k"))
+    case _ => throw new IllegalArgumentException("kll_merge_agg(sketch[, k])")
+  }
+
+  private[graft] val kllMergeAggDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      kllMergeAggBuilder)
+
+  private val kllQuantileBuilder: Seq[Expression] => Expression = {
+    case Seq(sketch, p) => KllQuantile(sketch, doubleLit(p, "kll_quantile p"))
+    case _ => throw new IllegalArgumentException("kll_quantile(sketch, p)")
+  }
+
+  private[graft] val kllQuantileDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      kllQuantileBuilder)
+
   /** Register on a live session's function registry. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", cosineSimBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hash_embed_vec", hashEmbedVecBuilder, "built-in")
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "built-in")
+    reg.createOrReplaceTempFunction("hash_embed_vec", hashEmbedVecBuilder, "built-in")
+    reg.createOrReplaceTempFunction("kll_sketch_agg", kllSketchAggBuilder, "built-in")
+    reg.createOrReplaceTempFunction("kll_merge_agg", kllMergeAggBuilder, "built-in")
+    reg.createOrReplaceTempFunction("kll_quantile", kllQuantileBuilder, "built-in")
   }
 }

@@ -17,6 +17,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getDouble(1) == 0.0)
   }
 
+  test("KLL pipeline callable from pure SQL: sketch, store, merge, quantile") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    (1 to 10000).map(i => (i % 20, i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("kll_vals")
+    // the full store-then-rollup shape in one SQL statement: per-group
+    // sketches (as they would be persisted), merged, then read
+    val q = spark.sql(
+      """SELECT kll_quantile(kll_merge_agg(sk), 0.5) AS p50,
+        |       kll_quantile(kll_merge_agg(sk, 200), CAST(0.9 AS DOUBLE)) AS p90
+        |FROM (SELECT g, kll_sketch_agg(v) AS sk FROM kll_vals GROUP BY g)
+        |""".stripMargin).head()
+    val tol = 2.0 * org.apache.spark.sql.graft.KllColumn.normalizedRankError() * 10000
+    assert(math.abs(q.getDouble(0) - 5000.0) <= tol, s"p50 ${q.getDouble(0)}")
+    assert(math.abs(q.getDouble(1) - 9000.0) <= tol, s"p90 ${q.getDouble(1)}")
+    // literal-argument validation fails loudly, not mysteriously
+    val ex = intercept[Exception](
+      spark.sql("SELECT kll_quantile(kll_sketch_agg(v), v) FROM kll_vals"))
+    assert(ex.getMessage.contains("literal"))
+  }
+
   test("extensions class injects without error and codegen path evaluates") {
     // construction-time wiring (the injectFunction list is consumed on
     // session build; here we exercise the builder function itself)
