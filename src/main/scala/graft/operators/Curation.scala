@@ -363,6 +363,77 @@ object Curation {
        |FROM c JOIN bb ON c.source = bb.source
        |WHERE c.cum - c.tokens < bb.budget""".stripMargin
 
+  // ------------------------------------------ loss-band data selection
+  private val LossBandLo = 0.2
+  private val LossBandHi = 0.8
+
+  /** Model-score ("goldilocks") data selection: keep documents whose
+    * unigram cross-entropy sits in the middle band of the corpus
+    * distribution — the selection rule behind loss-based filtering:
+    * the LOW tail is boilerplate the model already knows (training
+    * signal ~0), the HIGH tail is noise/garbage it never will, the
+    * middle is where learning happens. Complements `qualityGate`
+    * (single-tail threshold on a heuristic) with a TWO-SIDED band on a
+    * model-derived score; any per-doc loss column (a real LM's, at
+    * production) slots into the same shape.
+    *
+    * Thresholds are EXACT inclusive-rank order statistics (smallest
+    * score whose cumulative count reaches ⌈q·n⌉ — `quantile_disc`
+    * semantics), computed on the REDUCED distinct-score histogram like
+    * `qualityGate`: the corpus never sorts globally, the histogram
+    * window runs over |distinct scores| rows, and both thresholds ride
+    * one broadcast-back scalar frame. Band-edge comparisons are safe
+    * across engines because the score is the already-hash-stable
+    * rounded `cross_entropy` from `text_perplexity`.
+    */
+  def lossBand(spark: SparkSession, dir: String): DataFrame = {
+    val ce = TextAnalysis.perplexity(spark, dir)
+    val hist = ce.groupBy(col("cross_entropy")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("cross_entropy").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = hist.agg(sum(col("cnt")).as("n"))
+    val thr = cum.crossJoin(broadcast(total)).agg(
+      min(when(col("cum") >= ceil(col("n") * LossBandLo), col("cross_entropy")))
+        .as("band_lo"),
+      min(when(col("cum") >= ceil(col("n") * LossBandHi), col("cross_entropy")))
+        .as("band_hi"))
+    ce.crossJoin(broadcast(thr))
+      .where(col("cross_entropy") >= col("band_lo") &&
+        col("cross_entropy") <= col("band_hi"))
+      .select(col("doc_id"), col("n_tokens"), col("cross_entropy"),
+        col("band_lo"), col("band_hi"))
+  }
+
+  val lossBandSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+       |  FROM documents
+       |), v AS (
+       |  SELECT w, count(*) AS c FROM toks GROUP BY w
+       |), ce AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |         round(-avg(ln(CAST(c AS DOUBLE) / (SELECT count(*) FROM toks))), 4)
+       |           AS cross_entropy
+       |  FROM toks JOIN v USING (w)
+       |  GROUP BY doc_id
+       |), h AS (
+       |  SELECT cross_entropy, count(*) AS cnt FROM ce GROUP BY 1
+       |), cc AS (
+       |  SELECT cross_entropy,
+       |         CAST(sum(cnt) OVER (ORDER BY cross_entropy ASC
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM h
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ce),
+       |t AS (
+       |  SELECT min(CASE WHEN cum >= ceil(n * $LossBandLo) THEN cross_entropy END) AS band_lo,
+       |         min(CASE WHEN cum >= ceil(n * $LossBandHi) THEN cross_entropy END) AS band_hi
+       |  FROM cc CROSS JOIN nn
+       |)
+       |SELECT ce.doc_id, ce.n_tokens, ce.cross_entropy, t.band_lo, t.band_hi
+       |FROM ce CROSS JOIN t
+       |WHERE ce.cross_entropy >= t.band_lo AND ce.cross_entropy <= t.band_hi""".stripMargin
+
   // ------------------------------------- PPS systematic weighted sample
   /** Target draws for the PPS sample. */
   private val PpsTarget = 100L
@@ -677,6 +748,7 @@ object Curation {
     Op("curate_curriculum", curriculum _, Some(curriculumSql)),
     Op("curate_contamination", contamination _, Some(contaminationSql)),
     Op("curate_quality_gate", qualityGate _, Some(qualityGateSql)),
+    Op("curate_loss_band", lossBand _, Some(lossBandSql)),
     Op("curate_balanced_sample", balancedSample _, Some(balancedSampleSql)),
     Op("curate_balanced_sample_check", balancedSampleExact _,
       Some(balancedSampleExactSql)),

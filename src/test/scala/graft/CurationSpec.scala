@@ -298,6 +298,25 @@ class CurationSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("loss band keeps the middle of the score distribution, drops both tails") {
+    import org.apache.spark.sql.functions._
+    val all = graft.operators.TextAnalysis.perplexity(spark, sfDir)
+    val kept = Curation.lossBand(spark, sfDir).cache()
+    val n = all.count(); val k = kept.count()
+    assert(k > 0 && k < n, s"band kept $k of $n — not a band")
+    // every kept score inside [band_lo, band_hi]; at least one doc
+    // dropped on EACH side (two-sided, unlike qualityGate)
+    val row = kept.agg(min(col("cross_entropy")), max(col("cross_entropy")),
+      first(col("band_lo")), first(col("band_hi"))).head()
+    assert(row.getDouble(0) >= row.getDouble(2) && row.getDouble(1) <= row.getDouble(3))
+    val below = all.where(col("cross_entropy") < row.getDouble(2)).count()
+    val above = all.where(col("cross_entropy") > row.getDouble(3)).count()
+    assert(below > 0 && above > 0, s"tails not dropped: below=$below above=$above")
+    // the thresholds really are the ceil(q*n) order statistics
+    assert(below <= (0.2 * n).ceil.toLong && above <= n - (0.8 * n).ceil.toLong + 1)
+    kept.unpersist()
+  }
+
   test("PPS sample survives corpus-scale weights without 64-bit overflow") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
