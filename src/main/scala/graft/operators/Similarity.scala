@@ -831,6 +831,45 @@ object Similarity {
        |WHERE c.vec_id >= $EmbBenchVecs AND b.vec_id < $EmbBenchVecs
        |  AND ${duckCos("c.embedding", "b.embedding")} >= $EmbContaminationTau""".stripMargin
 
+  /** Recall contract for the served ANN paths, as a HARNESS-CHECKABLE
+    * row (the `dedup_simhash_pairs_check` move applied to recall): the
+    * suite's recall gates live in specs the driver never runs, so this
+    * query recomputes recall@K of the served IVF and hyperplane-LSH
+    * paths against the exact brute-force baseline and emits the
+    * pass/fail verdicts. The oracle pins `n_exact` from its own exact
+    * top-k SQL (a real-data anchor: NumQueries × K rows) and the
+    * verdicts to TRUE — an ANN regression that drops recall below the
+    * floors now fails CORRECTNESS, not just `sbt test`. Floors match
+    * the spec gates (IVF ≥ 0.7 served; LSH ≥ 0.3 at fixture scale —
+    * hyperplane banding is recall-weaker on low-separation corpora,
+    * which is exactly why the floor is pinned rather than assumed).
+    */
+  private val IvfRecallFloor = 0.7
+  private val LshRecallFloor = 0.3
+
+  def recallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = topkBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    def hits(approx: DataFrame, name: String): DataFrame =
+      exact.join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as(name))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(hits(topkIvf(spark, dir), "ivf_hits")))
+      .crossJoin(broadcast(hits(topkLsh(spark, dir), "lsh_hits")))
+      .select(col("n_exact"),
+        (col("ivf_hits").cast("double") / col("n_exact") >= IvfRecallFloor)
+          .as("ivf_recall_ok"),
+        (col("lsh_hits").cast("double") / col("n_exact") >= LshRecallFloor)
+          .as("lsh_recall_ok"))
+  }
+
+  val recallAuditSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |       true AS ivf_recall_ok,
+       |       true AS lsh_recall_ok
+       |FROM ($topkBruteForceSql)""".stripMargin
+
   /** Corpus similarity audit: the distribution of pairwise cosines over
     * a DETERMINISTIC pair sample — the number that tells you whether a
     * similarity threshold τ sits in the distribution's tail (useful)
@@ -889,5 +928,6 @@ object Similarity {
     Op("dedup_embedding_cosine", embeddingNearDup _, Some(embeddingNearDupSql)),
     Op("curate_contamination_emb", contaminationEmbedding _,
       Some(contaminationEmbeddingSql)),
+    Op("sim_recall_audit", recallAudit _, Some(recallAuditSql)),
   )
 }
