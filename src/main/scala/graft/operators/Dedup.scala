@@ -152,13 +152,25 @@ object Dedup {
     * odds ~|shingles|²/2⁶⁴), and the long-array intersect is ~5× cheaper
     * than string hashing per candidate pair.
     */
-  private def wordShingles(docs: DataFrame): DataFrame = {
+  /** Test seam for the incremental verify stage's candidates-only
+    * contract: when set, `admitAgainst` threads this accumulator into
+    * the HISTORY-side shingle pass, which adds 1 per history document it
+    * actually scans. DedupSimilaritySpec asserts the count equals the
+    * distinct candidate ids — not the corpus size. Never set outside
+    * tests; `None` keeps the hot path accumulator-free.
+    */
+  @volatile private[graft] var histShingleProbe:
+    Option[org.apache.spark.util.LongAccumulator] = None
+
+  private def wordShingles(docs: DataFrame,
+      probe: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), trim(col("text")).as("t"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (docId, t) =>
+          probe.foreach(_.add(1L))
           val words = t.split(' ')
           if (words.length < 3) None
           else Some((docId, distinctSorted(Array.tabulate(words.length - 2) { i =>
@@ -366,12 +378,12 @@ object Dedup {
     * and are admitted — mirrored exactly by the oracle.
     *
     * History/batch split by doc_id parity like `incremental`, so both
-    * drop paths and the store round-trip exercise at any sf. The
-    * history SHINGLES used by the verify stage are recomputed here at
-    * fixture scale; at 100 TB that stage fetches only the CANDIDATE
-    * documents' texts (candidate volume is linear in the true-dup rate
-    * — the LSH scaling argument at the top of this file), while the
-    * index side stays stored longs.
+    * drop paths and the store round-trip exercise at any sf. The verify
+    * stage fetches only the CANDIDATE documents' texts — `admitAgainst`
+    * semi-joins history to the candidate ids before shingling, so
+    * per-batch history work is linear in the true-dup rate (the LSH
+    * scaling argument at the top of this file), while the index side
+    * stays stored longs.
     */
   def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
@@ -412,20 +424,38 @@ object Dedup {
   /** The admission core shared by the query and the step: batch vs a
     * stored band-bucket index, exact-Jaccard verified, cluster-canonical
     * within the batch (contract documented at `minhashIncremental`).
-    * `hist` supplies candidate texts for the verify stage — at scale,
-    * fetched for candidates only.
+    * `hist` supplies candidate texts for the verify stage — fetched for
+    * CANDIDATES ONLY: the candidate pairs are computed first from the
+    * batch's buckets against the stored index (no history text touched),
+    * then `hist` is left-semi-joined to the distinct candidate `doc_b`
+    * ids BEFORE shingling, so per-batch history work is O(|candidates|)
+    * — linear in the true-dup rate — not O(|corpus|). The semi-join must
+    * sit UPSTREAM of `wordShingles` because the shingle pass is an
+    * opaque `mapPartitions` Catalyst cannot push a join through; pinned
+    * by DedupSimilaritySpec via `histShingleProbe`.
+    *
+    * Replay idempotence: the candidate join drops `doc_a === doc_b`
+    * pairs, so a batch document already present in the index (a replayed
+    * batch) does not self-match at Jaccard 1.0 and reject itself — the
+    * replay re-admits the same survivors.
     */
   private def admitAgainst(batch: DataFrame, hist: DataFrame,
       index: DataFrame): DataFrame = {
     val bsh = wordShingles(batch).persist()
-    val hsh = wordShingles(hist).persist()
+    var hshRef: DataFrame = null
     try {
       val bb = signatureBuckets(bsh)
       val histCands = bb.as("x").join(index.as("y"),
           col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket"))
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") =!= col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
+        .localCheckpoint() // reused: candidate-id fetch + verify join
+      val candIds = histCands.select(col("doc_b").as("doc_id")).distinct()
+      val hsh = wordShingles(hist.join(candIds, Seq("doc_id"), "left_semi"),
+        histShingleProbe).persist()
+      hshRef = hsh
       val histMatched = verifyJaccardSides(histCands, bsh, hsh, 0.8)
         .select(col("doc_a").as("doc_id")).distinct()
       val batchPairs = verifyJaccard(lshCandidates(bsh), bsh, 0.8)
@@ -437,7 +467,7 @@ object Dedup {
         .join(histMatched, Seq("doc_id"), "left_anti")
         .join(nonCanonical, Seq("doc_id"), "left_anti")
         .localCheckpoint()
-    } finally { bsh.unpersist(); hsh.unpersist() }
+    } finally { bsh.unpersist(); if (hshRef ne null) hshRef.unpersist() }
   }
 
   val minhashIncrementalSql: String = {

@@ -231,6 +231,14 @@ object Graph {
     def withParams(df: DataFrame): DataFrame = df.crossJoin(broadcast(n))
     var ranks = withParams(nodes)
       .select(col("node"), expr(s"${Scale}L div n").as("r"))
+    // Per-iteration LAZY localCheckpoint — the components-loop hygiene at
+    // `connectedComponents`: without it the unrolled chain is analyzed/
+    // optimized as ONE deep plan on first execution (r6 measured a 16 s
+    // first-run planning spike vs a 5 s steady state). The lazy barrier
+    // keeps per-iteration planning flat while the whole chain still
+    // executes as one job at the final materialization; the intermediate
+    // node-sized rank caches are released once the result exists.
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iters) {
       val sums = eOut
         .join(ranks, col("src") === col("node"))
@@ -241,9 +249,12 @@ object Graph {
         .select(col("node"),
           (expr(s"(15 * ${Scale}L) div (100 * n)") +
             expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        .localCheckpoint(eager = false)
+      intermediates += ranks
     }
     val out = ranks.localCheckpoint()
     Seq(e, nodes, eOut).foreach(_.unpersist())
+    intermediates.foreach(_.unpersist())
     out
   }
 

@@ -97,7 +97,11 @@ object CsvJsonEgress {
       out.write(']')
       ok = true
     } finally {
-      out.close()
+      // close() can itself throw (flush of the final buffer); it must not
+      // skip the delete, or the partial artifact the guard promises can
+      // never survive would survive (ADVICE r6).
+      try out.close()
+      catch { case e: Throwable => if (ok) throw e }
       if (!ok) fs.delete(p, false)
     }
     count

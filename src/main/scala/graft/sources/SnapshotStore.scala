@@ -213,9 +213,24 @@ object SnapshotStore {
       srcPath: String, namespace: String): (SnapshotStore, String) = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new Path(srcPath)
-    val st = p.getFileSystem(hconf).getFileStatus(p)
+    val fs = p.getFileSystem(hconf)
+    val st = fs.getFileStatus(p)
+    // For a DIRECTORY source (a parquet dataset), (len, mtime) degenerates
+    // to mtime-only — len is the fs block entry, not content — and a
+    // regenerated fixture within mtime granularity would serve a stale
+    // cached artifact across JVM runs (the store lives in java.io.tmpdir).
+    // Fold every child's (name, len, mtime) into the key instead.
+    val key =
+      if (st.isDirectory) {
+        val h = fs.listStatus(p).sortBy(_.getPath.getName)
+          .foldLeft(1125899906842597L) { (acc, c) =>
+            ((acc * 31 + c.getPath.getName.hashCode) * 31 + c.getLen) * 31 +
+              c.getModificationTime
+          }
+        s"d_${java.lang.Long.toHexString(h)}"
+      } else s"${st.getLen}_${st.getModificationTime}"
     val root = s"${System.getProperty("java.io.tmpdir")}/$namespace/" +
       Integer.toHexString(srcPath.hashCode)
-    (new SnapshotStore(root, hconf), s"${st.getLen}_${st.getModificationTime}")
+    (new SnapshotStore(root, hconf), key)
   }
 }
