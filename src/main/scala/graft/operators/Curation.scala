@@ -385,6 +385,18 @@ object Curation {
     * one broadcast-back scalar frame. Band-edge comparisons are safe
     * across engines because the score is the already-hash-stable
     * rounded `cross_entropy` from `text_perplexity`.
+    *
+    * BOUNDEDNESS INVARIANT (do not weaken): the unpartitioned
+    * `Window.orderBy` below is acceptable ONLY because its input is the
+    * distinct-score histogram, whose cardinality is bounded by the
+    * score's 4-dp rounding in `TextAnalysis.perplexity` — unigram
+    * cross-entropies live in roughly (0, 30] nats, so there are at most
+    * a few ×10⁵ representable values at ANY corpus size; the window
+    * never sees a corpus-sized frame. If the rounding is ever removed
+    * or deepened past ~6 dp, this must switch to the sharded
+    * prefix-sum decomposition used by `curriculum`/`aggPareto`.
+    * CurationSpec pins the shape: the Window's subtree must contain
+    * the cross_entropy groupBy (histogram) aggregate.
     */
   def lossBand(spark: SparkSession, dir: String): DataFrame = {
     val ce = TextAnalysis.perplexity(spark, dir)

@@ -834,9 +834,9 @@ object Similarity {
   /** Recall contract for the served ANN paths, as a HARNESS-CHECKABLE
     * row (the `dedup_simhash_pairs_check` move applied to recall): the
     * suite's recall gates live in specs the driver never runs, so this
-    * query recomputes recall@K of the served IVF and hyperplane-LSH
-    * paths against the exact brute-force baseline and emits the
-    * pass/fail verdicts. The oracle pins `n_exact` from its own exact
+    * query recomputes recall@K of the served IVF, hyperplane-LSH, and
+    * int8-quantized paths against the exact brute-force baseline and
+    * emits the pass/fail verdicts. The oracle pins `n_exact` from its own exact
     * top-k SQL (a real-data anchor: NumQueries × K rows) and the
     * verdicts to TRUE — an ANN regression that drops recall below the
     * floors now fails CORRECTNESS, not just `sbt test`. Floors match
@@ -846,6 +846,9 @@ object Similarity {
     */
   private val IvfRecallFloor = 0.7
   private val LshRecallFloor = 0.3
+  // int8 only perturbs near-ties (DedupSimilaritySpec's gate); a drop
+  // below 0.9 means the quantization or the served snapshot broke
+  private val QuantizedRecallFloor = 0.9
 
   def recallAudit(spark: SparkSession, dir: String): DataFrame = {
     val exact = topkBruteForce(spark, dir)
@@ -857,17 +860,21 @@ object Similarity {
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(hits(topkIvf(spark, dir), "ivf_hits")))
       .crossJoin(broadcast(hits(topkLsh(spark, dir), "lsh_hits")))
+      .crossJoin(broadcast(hits(topkQuantized(spark, dir), "quant_hits")))
       .select(col("n_exact"),
         (col("ivf_hits").cast("double") / col("n_exact") >= IvfRecallFloor)
           .as("ivf_recall_ok"),
         (col("lsh_hits").cast("double") / col("n_exact") >= LshRecallFloor)
-          .as("lsh_recall_ok"))
+          .as("lsh_recall_ok"),
+        (col("quant_hits").cast("double") / col("n_exact") >= QuantizedRecallFloor)
+          .as("quantized_recall_ok"))
   }
 
   val recallAuditSql: String =
     s"""SELECT CAST(count(*) AS BIGINT) AS n_exact,
        |       true AS ivf_recall_ok,
-       |       true AS lsh_recall_ok
+       |       true AS lsh_recall_ok,
+       |       true AS quantized_recall_ok
        |FROM ($topkBruteForceSql)""".stripMargin
 
   /** Corpus similarity audit: the distribution of pairwise cosines over

@@ -317,6 +317,30 @@ class CurationSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("loss band window runs over the reduced histogram, never the corpus") {
+    // Plan pin for the boundedness invariant documented at
+    // Curation.lossBand: the unpartitioned Window is tolerable only
+    // because its input is the distinct-score HISTOGRAM (bounded by the
+    // 4-dp score rounding), so every Window node in the optimized plan
+    // must have the cross_entropy groupBy aggregate somewhere below it.
+    // A rounding change that feeds the window corpus-sized rows would
+    // remove that aggregate and fail here before it ships.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => WinNode}
+    val plan = Curation.lossBand(spark, sfDir).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: WinNode => w }
+    assert(windows.nonEmpty, "expected the histogram cumulative window")
+    for (w <- windows) {
+      val histAggBelow = w.collect {
+        case a: Aggregate if a.groupingExpressions.exists(
+          _.references.exists(_.name == "cross_entropy")) => a
+      }
+      assert(histAggBelow.nonEmpty,
+        "Window input is not the distinct-score histogram aggregate — " +
+          "the unpartitioned window would scan corpus-sized input; see " +
+          "the boundedness invariant in Curation.lossBand scaladoc")
+    }
+  }
+
   test("PPS sample survives corpus-scale weights without 64-bit overflow") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

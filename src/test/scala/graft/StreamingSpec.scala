@@ -110,6 +110,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel default path: no eviction — a long-dormant user keeps progress") {
+    // Pins the README contract for the idleEvictMs default (OFF): with no
+    // valve, state survives ANY idle gap, so a user returning long after
+    // everyone else moved on still advances from their remembered stage —
+    // exact batch-twin parity, at the cost of O(|all-time users|) state.
+    // Production deployments on unbounded populations must set the valve
+    // (previous test pins that path's semantics).
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.funnel(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_default_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(10), 1, "view", 1.0),
+        Event(2, ts(20), 1, "click", 1.0))
+      q.processAllAvailable()
+      // hours of other-user traffic that would advance any watermark far
+      // past user 1's idle horizon
+      mem.addData(Event(3, ts(300), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(310), 2, "click", 1.0))
+      q.processAllAvailable()
+      // user 1 returns: stage-2 state must still be there — purchase
+      // completes the funnel instead of restarting from stage 0
+      mem.addData(Event(5, ts(320), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_default_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+      assert(rows.contains((1L, "purchase", ts(320))),
+        s"default (no-evict) path lost dormant state: $rows")
+    } finally q.stop()
+  }
+
   test("funnel idle eviction: state expires, late returner restarts cleanly") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
