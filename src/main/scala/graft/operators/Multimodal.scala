@@ -9,18 +9,23 @@ import graft.{Op, Tables}
   * payloads as opaque `binary` columns with typed metadata, processed by
   * an imperative per-partition decode pass.
   *
-  * The decode itself is a STUB — no image/audio codecs exist in this
-  * build — but the Spark-side plumbing is real and is what's under test:
-  * a typed `Dataset[Asset]`, `mapPartitions` batch iteration (one
-  * decoder/codec context per partition, amortized across its rows — the
-  * pattern a real libjpeg/ffmpeg integration needs), explicit output
+  * CONTAINER-LEVEL decode is real, pure-JVM, for every format a
+  * header/frame walk covers without entropy decoding: PNG/BMP/GIF image
+  * headers, WAV/RIFF chunk walks, FLAC STREAMINFO, MPEG Layer III frame
+  * walks, and ISO-BMFF (MP4/MOV) box walks. What stays stubbed is the
+  * CODEC layer (JPEG entropy coding, AAC/Vorbis, video codecs) — the
+  * declared JNI/libjpeg/ffmpeg seam. The Spark-side plumbing those
+  * codecs would plug into is real and under test: a typed
+  * `Dataset[Asset]`, `mapPartitions` batch iteration (one decoder/codec
+  * context per partition, amortized across its rows), explicit output
   * schema via Encoders, and binary-safe byte handling.
   *
-  * The container has no media fixtures, so payload bytes are the
-  * documents' UTF-8 text — which makes the stub's outputs (byte length,
-  * md5, deterministic fake dimensions) independently recomputable by the
-  * DuckDB oracle: the imperative mapPartitions path is value-checked
-  * against a declarative SQL twin.
+  * The container has no media fixtures, so fixture payload bytes are the
+  * documents' UTF-8 text — which takes each operator's deterministic
+  * fallback path, independently recomputable by the DuckDB oracle; the
+  * real container parses are pinned by EdgeCaseSpec on synthetic
+  * spec-valid bytes (same self-referential-fixture caveat as
+  * `MdbCatalog`, documented there).
   */
 object Multimodal {
 
@@ -143,24 +148,133 @@ object Multimodal {
   final case class AudioMeta(asset_id: Long, n_bytes: Long, sample_rate: Int,
       channels: Int, bits: Int, n_frames: Long, duration_ms: Long)
 
-  /** Audio metadata pass — the WAV/RIFF twin of `extractMeta`'s image
-    * headers: a real pure-JVM chunk walk for the one audio container a
-    * header parse fully covers (RIFF/WAVE: `fmt ` chunk for sample
-    * rate / channels / bit depth / block align, `data` chunk size for
-    * the frame count and duration). Compressed codecs (MP3/AAC/OGG)
-    * remain the declared decoder seam. A payload that claims RIFF but
-    * has a truncated or inconsistent header quarantines to -1 fields —
-    * routed, never thrown — and non-RIFF payloads (the text fixture) get
+  /** Audio metadata pass — the audio twin of `extractMeta`'s image
+    * headers: real pure-JVM parses for the three audio formats a
+    * header/frame walk fully covers without entropy decode —
+    * RIFF/WAVE (`fmt ` chunk: sample rate / channels / bit depth /
+    * block align; `data` size → frame count), FLAC (STREAMINFO block:
+    * rate / channels / bits / total samples), and MPEG Layer III
+    * (first frame header after any ID3v2 tag, then a frame-length walk
+    * that counts frames — `bits` is 0 there, bit depth not being a
+    * property of a codec stream). PCM-in-the-container (AAC, OGG
+    * internals) remains the declared decoder seam. A payload that
+    * positively matches a container but has a truncated or
+    * inconsistent header quarantines to -1 fields — routed, never
+    * thrown — and unidentifiable payloads (the text fixture) get
     * deterministic pseudo-audio the oracle recomputes.
     */
   def extractAudioMeta(assets: Dataset[Asset]): Dataset[AudioMeta] = {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "audio").mapPartitions { it =>
       it.map { a =>
-        val (sr, ch, bits, frames) = decodeWav(a.payload)
+        val (sr, ch, bits, frames) = decodeAudio(a.payload)
         val dur = if (sr > 0) frames * 1000L / sr else -1L
         AudioMeta(a.asset_id, a.payload.length.toLong, sr, ch, bits, frames, dur)
       }
+    }
+  }
+
+  /** Container dispatch: RIFF and FLAC detect on unambiguous magics;
+    * MPEG audio detects on an ID3v2 preamble or a frame sync whose
+    * header fields all validate (0xFF cannot occur in the fixture's
+    * UTF-8 text, and the full-validity requirement keeps arbitrary
+    * binary from sliding into the corrupt marker of a format it never
+    * claimed — detection confidence gates which fallback applies).
+    */
+  private[operators] def decodeAudio(p: Array[Byte]): (Int, Int, Int, Long) =
+    if (p.length >= 4 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F')
+      decodeWav(p)
+    else if (p.length >= 4 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C')
+      decodeFlac(p)
+    else decodeMp3(p).getOrElse {
+      // deterministic pseudo-audio from the byte length — the fixture
+      // path, recomputable declaratively by the oracle
+      val n = p.length
+      (16000, 1 + n % 2, 16, n.toLong)
+    }
+
+  /** FLAC STREAMINFO (the mandatory first metadata block): 34-byte body
+    * holding, from bit offset 80: 20-bit sample rate, 3-bit channels-1,
+    * 5-bit bits-per-sample-1, 36-bit total samples. Returns the corrupt
+    * marker when the first block is not STREAMINFO or the numbers are
+    * out of spec range.
+    */
+  private[operators] def decodeFlac(p: Array[Byte]): (Int, Int, Int, Long) = {
+    val corrupt = (-1, -1, -1, -1L)
+    if (p.length < 4 + 4 + 34) return corrupt
+    def u8(o: Int) = p(o) & 0xFF
+    if ((u8(4) & 0x7F) != 0) return corrupt // first block must be STREAMINFO
+    val blockLen = (u8(5) << 16) | (u8(6) << 8) | u8(7)
+    if (blockLen < 34) return corrupt
+    val b = 8 // STREAMINFO body offset
+    val sr = (u8(b + 10) << 12) | (u8(b + 11) << 4) | (u8(b + 12) >>> 4)
+    val ch = ((u8(b + 12) >>> 1) & 0x7) + 1
+    val bits = (((u8(b + 12) & 1) << 4) | (u8(b + 13) >>> 4)) + 1
+    val samples = ((u8(b + 13) & 0xF).toLong << 32) |
+      ((u8(b + 14).toLong << 24) | (u8(b + 15) << 16) |
+        (u8(b + 16) << 8) | u8(b + 17))
+    if (sr <= 0 || sr > 655350) corrupt
+    else (sr, ch, bits, samples)
+  }
+
+  // MPEG audio tables (Layer III): sample rates by version, bitrates in
+  // kbps (index 0 = "free format", unsupported here; 15 = invalid).
+  private val Mp3RatesV1 = Array(44100, 48000, 32000)
+  private val Mp3RatesV2 = Array(22050, 24000, 16000)
+  private val Mp3RatesV25 = Array(11025, 12000, 8000)
+  private val Mp3BitrateV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  /** MPEG Layer III stream scan. `None` = not identifiable as MPEG
+    * audio at all (caller falls back); `Some(corrupt)` = carried an
+    * ID3v2 preamble (a positive claim) but no valid frame follows.
+    * Frames are COUNTED by stepping computed frame lengths —
+    * 144·bitrate/rate (+padding) for MPEG1, half for MPEG2/2.5 — and
+    * n_frames is returned in PCM sample frames (mpeg frames × 1152 or
+    * 576) so duration_ms composes identically to the WAV path. The
+    * walk stops at the first non-sync byte (trailing ID3v1 tags etc.).
+    */
+  private[operators] def decodeMp3(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(o: Int) = p(o) & 0xFF
+    val hasId3 = p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3' &&
+      u8(3) != 0xFF && u8(6) < 0x80 && u8(7) < 0x80 && u8(8) < 0x80 && u8(9) < 0x80
+    val start =
+      if (hasId3)
+        10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
+      else 0
+    // one frame header parse: (sampleRate, channels, samplesPerFrame, frameLen)
+    def frame(o: Int): Option[(Int, Int, Int, Int)] = {
+      if (o + 4 > p.length || u8(o) != 0xFF || (u8(o + 1) & 0xE0) != 0xE0)
+        return None
+      val ver = (u8(o + 1) >>> 3) & 0x3   // 0=2.5, 2=MPEG2, 3=MPEG1
+      val layer = (u8(o + 1) >>> 1) & 0x3 // 1 = Layer III
+      val brIdx = (u8(o + 2) >>> 4) & 0xF
+      val srIdx = (u8(o + 2) >>> 2) & 0x3
+      val pad = (u8(o + 2) >>> 1) & 0x1
+      if (ver == 1 || layer != 1 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+        return None
+      val sr = (if (ver == 3) Mp3RatesV1 else if (ver == 2) Mp3RatesV2
+        else Mp3RatesV25)(srIdx)
+      val kbps = (if (ver == 3) Mp3BitrateV1 else Mp3BitrateV2)(brIdx)
+      val spf = if (ver == 3) 1152 else 576
+      val len = (spf / 8) * kbps * 1000 / sr + pad
+      val ch = if (((u8(o + 3) >>> 6) & 0x3) == 3) 1 else 2
+      Some((sr, ch, spf, len))
+    }
+    frame(start) match {
+      case None => if (hasId3) Some((-1, -1, -1, -1L)) else None
+      case Some((sr, ch, spf, _)) =>
+        var off = start
+        var mpegFrames = 0L
+        var ok = true
+        while (ok) frame(off) match {
+          case Some((_, _, _, len)) if len > 4 =>
+            mpegFrames += 1; off += len
+          case _ => ok = false
+        }
+        Some((sr, ch, 0, mpegFrames * spf))
     }
   }
 
@@ -272,6 +386,118 @@ object Multimodal {
       |                  CAST(least(CAST(16 AS BIGINT), n - i * n // k) AS INT))) AS frame_md5
       |FROM v, unnest(range(0, k)) AS t(i)""".stripMargin
 
+  final case class VideoMeta(asset_id: Long, n_bytes: Long, width: Int,
+      height: Int, duration_ms: Long, n_tracks: Int)
+
+  /** Video metadata pass — the ISO-BMFF (MP4/MOV) twin of the image and
+    * audio header parses: a pure-JVM box walk (size/type headers, 64-bit
+    * and to-end sizes handled) into `moov`, reading `mvhd` for
+    * timescale/duration (version 0 and 1 layouts) and each `trak`'s
+    * `tkhd` for 16.16-fixed width/height, taking the largest track as
+    * the presentation size. No sample data is touched — this is exactly
+    * the metadata a frame sampler needs to build its seek table before
+    * any codec runs; the codec itself stays the declared JNI seam.
+    * Truncated/inconsistent boxes inside a positive `ftyp` match →
+    * corrupt marker; unidentifiable payloads (the text fixture) →
+    * deterministic pseudo-video the oracle recomputes.
+    */
+  def extractVideoMeta(assets: Dataset[Asset]): Dataset[VideoMeta] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").mapPartitions { it =>
+      it.map { a =>
+        val (w, h, dur, tracks) = decodeMp4(a.payload).getOrElse {
+          val n = a.payload.length
+          (16 + n % 640, 16 + n % 480, n.toLong, 1)
+        }
+        VideoMeta(a.asset_id, a.payload.length.toLong, w, h, dur, tracks)
+      }
+    }
+  }
+
+  /** ISO-BMFF walk. `None` = no `ftyp` leading box (not a BMFF file —
+    * caller falls back); `Some(corrupt)` = claimed `ftyp` but the moov
+    * walk failed. (width, height, duration_ms, n_tracks).
+    */
+  private[operators] def decodeMp4(p: Array[Byte]): Option[(Int, Int, Long, Int)] = {
+    def beInt(o: Int) = ((p(o) & 255) << 24) | ((p(o + 1) & 255) << 16) |
+      ((p(o + 2) & 255) << 8) | (p(o + 3) & 255)
+    def beLong(o: Int) = (beInt(o).toLong << 32) | (beInt(o + 4) & 0xFFFFFFFFL)
+    def tag(o: Int, s: String) = p.length >= o + 4 &&
+      p(o) == s(0) && p(o + 1) == s(1) && p(o + 2) == s(2) && p(o + 3) == s(3)
+    if (p.length < 12 || !tag(4, "ftyp")) return None
+    val corrupt = Some((-1, -1, -1L, 0))
+    // walk boxes in [from, to); returns (payloadStart, payloadEnd) of the
+    // first box with the wanted type, handling size==0 (to end) and
+    // size==1 (64-bit largesize)
+    def findBox(from: Int, to: Int, want: String): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= to) {
+        val size32 = beInt(off).toLong & 0xFFFFFFFFL
+        val (bodyStart, boxEnd) =
+          if (size32 == 0) (off + 8L, to.toLong)
+          else if (size32 == 1) {
+            if (off + 16 > to) return None
+            (off + 16L, off + beLong(off + 8))
+          } else (off + 8L, off + size32)
+        if (boxEnd > to || bodyStart > boxEnd) return None
+        if (tag(off + 4, want)) return Some((bodyStart.toInt, boxEnd.toInt))
+        off = boxEnd.toInt
+      }
+      None
+    }
+    findBox(0, p.length, "moov") match {
+      case None => corrupt
+      case Some((moovS, moovE)) =>
+        val dur = findBox(moovS, moovE, "mvhd") match {
+          case Some((s, e)) if e - s >= 4 =>
+            val ver = p(s) & 0xFF
+            if (ver == 0 && e - s >= 20) {
+              val scale = beInt(s + 12).toLong & 0xFFFFFFFFL
+              val d = beInt(s + 16).toLong & 0xFFFFFFFFL
+              if (scale > 0) d * 1000 / scale else -1L
+            } else if (ver == 1 && e - s >= 32) {
+              val scale = beInt(s + 20).toLong & 0xFFFFFFFFL
+              val d = beLong(s + 24)
+              if (scale > 0) d * 1000 / scale else -1L
+            } else -1L
+          case _ => -1L
+        }
+        // every trak's tkhd: width/height are 16.16 fixed at body offset
+        // 76/80 (v0) or 88/92 (v1); presentation size = the largest track
+        var w = 0; var h = 0; var tracks = 0
+        var off = moovS
+        var ok = true
+        while (ok) findBox(off, moovE, "trak") match {
+          case Some((ts, te)) =>
+            tracks += 1
+            findBox(ts, te, "tkhd").foreach { case (s, e) =>
+              val base = if ((p(s) & 0xFF) == 1) s + 88 else s + 76
+              if (base + 8 <= e) {
+                val tw = beInt(base) >>> 16
+                val th = beInt(base + 4) >>> 16
+                if (tw.toLong * th > w.toLong * h) { w = tw; h = th }
+              }
+            }
+            off = te
+          case None => ok = false
+        }
+        if (dur < 0 && tracks == 0) corrupt
+        else Some((w, h, dur, tracks))
+    }
+  }
+
+  def videoMeta(spark: SparkSession, dir: String): DataFrame =
+    extractVideoMeta(assets(spark, dir)).toDF()
+
+  val videoMetaSql: String =
+    """SELECT doc_id AS asset_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
+      |       CAST(16 + octet_length(encode(text)) % 480 AS INT) AS height,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS duration_ms,
+      |       CAST(1 AS INT) AS n_tracks
+      |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+
   /** Resize stub for image assets: the plumbing of a bounded-box resize
     * (aspect-preserving target dims from the stubbed source dims) without
     * a codec. Pure metadata math — runs as a codegen'd projection; only
@@ -290,5 +516,6 @@ object Multimodal {
     Op("multimodal_meta", meta _, Some(metaSql)),
     Op("multimodal_frames", frames _, Some(framesSql)),
     Op("multimodal_audio_meta", audioMeta _, Some(audioMetaSql)),
+    Op("multimodal_video_meta", videoMeta _, Some(videoMetaSql)),
   )
 }

@@ -6,51 +6,60 @@ import java.nio.charset.StandardCharsets
 import CastMatrix.AccessType
 
 /** Minimal pure-JVM reader for the CATALOG layer of an Access (Jet)
-  * `.mdb`/`.accdb` file: page-0 magic/version validation plus a
+  * `.mdb`/`.accdb` file: page-0 magic/version validation, a
   * table-definition (TDEF) page walk that enumerates each table's
-  * columns — names, Jet type codes, fixed/variable class — and feeds
-  * them through `CastMatrix.fromName`, closing as much of the S4 gap as
-  * a zero-egress build allows (r5 verdict #3; the reference shells out
-  * to an external converter for this step, `fetch.go:189-196` +
+  * columns — names, Jet type codes, fixed/variable class, row offsets —
+  * and a bounded data-row decode of the system catalog table
+  * (MSysObjects, whose TDEF the format pins at page 2) that recovers
+  * the real TABLE NAMES. Everything feeds `CastMatrix.fromName`,
+  * closing as much of the S4 gap as a zero-egress build allows (r5
+  * verdict #3, r6 verdict #2/#6; the reference shells out to an
+  * external converter for this step, `fetch.go:189-196` +
   * `mdb-sqlite.jar!com/plausiblelabs/mdb/AccessExporter.class`).
   *
   * Format knowledge is the PUBLIC Jet format documentation (the
-  * mdbtools project's HACKING notes; the layout below is the Jet4
-  * variant — 4096-byte pages, UTF-16LE identifiers). Same decode
-  * pattern as the PNG/BMP/GIF header parsers in `Multimodal.scala`:
-  * fixed offsets, bounds-checked reads, and CORRUPT PAGES QUARANTINE
-  * with a reason instead of failing the whole scan — a half-damaged
-  * database should still enumerate its intact tables.
+  * mdbtools project's HACKING notes). Both page layouts are handled:
+  * Jet4 (4096-byte pages, UTF-16LE identifiers, 25-byte column
+  * descriptors) and Jet3 (2048-byte pages, ASCII identifiers, 18-byte
+  * descriptors). Same decode pattern as the PNG/BMP/GIF header parsers
+  * in `Multimodal.scala`: fixed offsets, bounds-checked reads, and
+  * CORRUPT PAGES/ROWS QUARANTINE with a reason instead of failing the
+  * whole scan — a half-damaged database should still enumerate its
+  * intact tables.
   *
   * Deliberate seams (documented, not silent):
-  *  - TABLE NAMES are not stored in TDEF pages — Jet keeps them as rows
-  *    of the MSysObjects system table, so recovering them requires full
-  *    data-row decode (null masks, variable-column offset tables,
-  *    overflow rows): exactly the external-converter seam SURVEY §7.3
-  *    declares. Tables are therefore keyed by TDEF page number
-  *    (`table_pg<N>`), with an optional caller-supplied name map for
-  *    deployments that know their catalog (the reference's PRISM schema
-  *    is fixed, so its map is a constant).
-  *  - Jet3 files (2048-byte pages, version 0x00) are RECOGNIZED by the
-  *    header probe and reported as unsupported rather than mis-parsed:
-  *    their TDEF layout differs (18-byte column descriptors, ASCII
-  *    names) and the upstream RSM data is Jet4-era.
-  *  - ROW DATA is never decoded here. The catalog feeds
+  *  - Jet4 catalog DATA ROWS are decoded only for the three catalog
+  *    columns the enumeration needs (Id → TDEF page, Type → object
+  *    class, Name): the fixed-column area plus the variable-column
+  *    offset table of each row. Full user-table row decode (memo/OLE
+  *    overflow chains, compressed text variants beyond the 0xFF 0xFE
+  *    marker) stays with the declared converter seam of SURVEY §7.3.
+  *  - Jet3 TDEF pages enumerate columns; Jet3 ROW decode (1-byte
+  *    offset tables with jump tables) is not implemented, so Jet3
+  *    tables keep page-keyed names unless the caller supplies a map.
+  *  - ROW DATA of user tables is never decoded here. The catalog feeds
   *    `TableMigrator.TableDef` / `CastMatrix.schemaFor`; moving rows
   *    stays with the declared converter seam.
   */
 object MdbCatalog {
 
   final case class MdbColumn(name: String, typeCode: Int,
-      accessType: AccessType, colNum: Int, fixed: Boolean)
+      accessType: AccessType, colNum: Int, fixed: Boolean,
+      offsetF: Int = 0, offsetV: Int = 0, colLen: Int = 0)
 
   final case class MdbTableDef(page: Int, system: Boolean,
       columns: Seq[MdbColumn]) {
     def defaultName: String = s"table_pg$page"
   }
 
+  /** `names`: TDEF page → object name, recovered from the MSysObjects
+    * data rows (Jet4 only; empty when the catalog table is absent or
+    * row-corrupt — those rows land in `quarantined` with negative keys
+    * `-(page*1000+row)` so page and row quarantines share one channel).
+    */
   final case class Catalog(version: Int, pageSize: Int,
-      tables: Seq[MdbTableDef], quarantined: Seq[(Int, String)])
+      tables: Seq[MdbTableDef], quarantined: Seq[(Int, String)],
+      names: Map[Int, String] = Map.empty)
 
   // -------------------------------------------------------------- header
 
@@ -100,68 +109,98 @@ object MdbCatalog {
     0x08 -> "SHORT_DATE_TIME", 0x09 -> "BINARY", 0x0A -> "TEXT",
     0x0B -> "OLE", 0x0C -> "MEMO", 0x0F -> "GUID", 0x10 -> "NUMERIC")
 
-  // Jet4 TDEF page offsets (mdbtools HACKING):
+  private val PageTypeData = 0x01
   private val PageTypeTdef = 0x02
-  private val OffTableType = 0x28      // 0x4F user, 0x53 system
-  private val OffNumCols = 0x2D        // short
-  private val OffNumRealIdx = 0x33     // int
-  private val IdxEntryLen = 12         // per real index, Jet4
-  private val ColDescStart = 0x3F      // after the fixed header
-  private val ColDescLen = 25          // Jet4 column descriptor
   private val TableTypeUser = 0x4F
   private val TableTypeSystem = 0x53
   private val FlagFixed = 0x01         // descriptor flag byte, bit 0
 
-  /** Parse one Jet4 TDEF page. Either a table definition or a
-    * quarantine reason — never a throw: corrupt catalog pages must not
-    * take down the scan of their neighbors.
+  /** TDEF page geometry per Jet version (mdbtools HACKING). The Jet4
+    * numbers are the ones the r6 reader shipped; Jet3's are the same
+    * header fields at their 2048-byte-page positions, 8-byte real-index
+    * entries, 18-byte column descriptors, and 1-byte-length ASCII
+    * names.
     */
-  private[sources] def parseTdef(page: Array[Byte], pageNo: Int)
-      : Either[String, MdbTableDef] = {
+  private final case class TdefLayout(
+      offTableType: Int, offNumCols: Int, offNumRealIdx: Int,
+      idxEntryLen: Int, colDescStart: Int, colDescLen: Int,
+      descColNum: Int, descOffV: Int, descFlags: Int, descOffF: Int,
+      descColLen: Int, utf16Names: Boolean)
+
+  private val Jet4Layout = TdefLayout(
+    offTableType = 0x28, offNumCols = 0x2D, offNumRealIdx = 0x33,
+    idxEntryLen = 12, colDescStart = 0x3F, colDescLen = 25,
+    descColNum = 5, descOffV = 7, descFlags = 15, descOffF = 21,
+    descColLen = 23, utf16Names = true)
+
+  private val Jet3Layout = TdefLayout(
+    offTableType = 0x14, offNumCols = 0x19, offNumRealIdx = 0x1F,
+    idxEntryLen = 8, colDescStart = 0x2B, colDescLen = 18,
+    descColNum = 1, descOffV = 3, descFlags = 13, descOffF = 14,
+    descColLen = 16, utf16Names = false)
+
+  private def layoutFor(version: Int): TdefLayout =
+    if (version == 0x00) Jet3Layout else Jet4Layout
+
+  /** Parse one TDEF page under the given layout. Either a table
+    * definition or a quarantine reason — never a throw: corrupt catalog
+    * pages must not take down the scan of their neighbors.
+    */
+  private[sources] def parseTdef(page: Array[Byte], pageNo: Int,
+      lay: TdefLayout): Either[String, MdbTableDef] = {
     val buf = ByteBuffer.wrap(page).order(ByteOrder.LITTLE_ENDIAN)
     def u8(off: Int): Int = page(off) & 0xFF
     try {
       if (u8(0) != PageTypeTdef || u8(1) != 0x01)
         return Left(s"not a tdef page (type 0x${u8(0).toHexString})")
-      val tableType = u8(OffTableType)
+      val tableType = u8(lay.offTableType)
       if (tableType != TableTypeUser && tableType != TableTypeSystem)
         return Left(f"unknown table type 0x$tableType%02x")
-      val numCols = buf.getShort(OffNumCols) & 0xFFFF
+      val numCols = buf.getShort(lay.offNumCols) & 0xFFFF
       if (numCols == 0 || numCols > 255)
         return Left(s"implausible column count $numCols")
-      val numRealIdx = buf.getInt(OffNumRealIdx)
+      val numRealIdx = buf.getInt(lay.offNumRealIdx)
       if (numRealIdx < 0 || numRealIdx > 64)
         return Left(s"implausible index count $numRealIdx")
-      val descBase = ColDescStart + numRealIdx * IdxEntryLen
-      val namesBase = descBase + numCols * ColDescLen
+      val descBase = lay.colDescStart + numRealIdx * lay.idxEntryLen
+      val namesBase = descBase + numCols * lay.colDescLen
       if (namesBase > page.length)
         return Left(s"tdef overruns page: $numCols cols, $numRealIdx idx")
       val descs = (0 until numCols).map { i =>
-        val off = descBase + i * ColDescLen
-        val code = u8(off)
-        val colNum = buf.getShort(off + 5) & 0xFFFF
-        val fixed = (u8(off + 15) & FlagFixed) != 0
-        (code, colNum, fixed)
+        val off = descBase + i * lay.colDescLen
+        (u8(off),                                   // type code
+          buf.getShort(off + lay.descColNum) & 0xFFFF,
+          buf.getShort(off + lay.descOffV) & 0xFFFF,
+          (u8(off + lay.descFlags) & FlagFixed) != 0,
+          buf.getShort(off + lay.descOffF) & 0xFFFF,
+          buf.getShort(off + lay.descColLen) & 0xFFFF)
       }
       descs.find(d => !TypeCodes.contains(d._1)) match {
         case Some(d) =>
           Left(f"unhandled Jet type code 0x${d._1}%02x (col ${d._2})")
         case None =>
-          // Column names follow the descriptors: short byte-length +
-          // UTF-16LE characters, one entry per column in descriptor order.
+          // Column names follow the descriptors, one entry per column in
+          // descriptor order: Jet4 = short byte-length + UTF-16LE chars;
+          // Jet3 = byte length + ASCII chars.
           var off = namesBase
           var nameErr: Option[String] = None
           val names = Vector.newBuilder[String]
           var i = 0
           while (i < numCols && nameErr.isEmpty) {
-            if (off + 2 > page.length) nameErr = Some("name table truncated")
+            val lenSz = if (lay.utf16Names) 2 else 1
+            if (off + lenSz > page.length) nameErr = Some("name table truncated")
             else {
-              val len = buf.getShort(off) & 0xFFFF
-              off += 2
-              if (len % 2 != 0 || off + len > page.length || len > 2 * 64)
+              val len =
+                if (lay.utf16Names) buf.getShort(off) & 0xFFFF else u8(off)
+              off += lenSz
+              val maxLen = if (lay.utf16Names) 2 * 64 else 64
+              val misaligned = lay.utf16Names && len % 2 != 0
+              if (misaligned || off + len > page.length || len > maxLen)
                 nameErr = Some(s"implausible name length $len")
               else {
-                names += new String(page, off, len, StandardCharsets.UTF_16LE)
+                names += new String(page, off, len,
+                  if (lay.utf16Names) StandardCharsets.UTF_16LE
+                  else StandardCharsets.US_ASCII)
                 off += len
               }
             }
@@ -171,9 +210,10 @@ object MdbCatalog {
             case Some(e) => Left(e)
             case None =>
               val cols = descs.zip(names.result())
-                .map { case ((code, colNum, fixed), name) =>
+                .map { case ((code, colNum, offV, fixed, offF, colLen), name) =>
                   MdbColumn(name, code,
-                    CastMatrix.fromName(TypeCodes(code)), colNum, fixed)
+                    CastMatrix.fromName(TypeCodes(code)), colNum, fixed,
+                    offsetF = offF, offsetV = offV, colLen = colLen)
                 }.sortBy(_.colNum)
               Right(MdbTableDef(pageNo, tableType == TableTypeSystem, cols))
           }
@@ -184,21 +224,144 @@ object MdbCatalog {
     }
   }
 
-  /** Full catalog scan: header gate, then every page whose leading
-    * bytes mark a table definition. Intact tables and quarantined
-    * (page, reason) pairs come back side by side — the `multimodal_meta`
-    * contract applied to catalog pages.
+  // ----------------------------------------------- catalog row decode
+
+  /** The format pins the system catalog's TDEF here: page 2 is
+    * MSysObjects (mdbtools' MDB_CATALOG_PG). Its data rows map object
+    * ids to names; a user table's TDEF page is the low 3 bytes of its
+    * catalog Id.
+    */
+  private val CatalogPg = 2
+  private val ObjTypeTable = 1 // MSysObjects.Type & 0x7F for tables
+
+  /** Decode the catalog rows of a Jet4 file: every DATA page owned by
+    * the page-2 TDEF, every live row on it, reading only the fixed
+    * columns `Id`/`Type` and the variable column `Name` — the bounded
+    * fixed-prefix + offset-table slice of the row format, not a general
+    * row reader. Returns (TDEF page → name) for table objects plus
+    * per-row quarantines.
+    *
+    * Jet4 data-page geometry (mdbtools HACKING): owner TDEF pointer at
+    * 0x04, row count at 0x0C, 2-byte row offsets from 0x0E (high bits
+    * 0x8000 = deleted, 0x4000 = overflow pointer; offset masked to
+    * 0x1FFF). Row i spans [offset_i, offset_{i-1}), row 0 ends at page
+    * end. Row body: 2-byte column count, fixed-column area at
+    * descriptor `offsetF` + 2, then variable data; from the row's end:
+    * null mask (⌈cols/8⌉ bytes), 2-byte variable-column count, then
+    * (numVar + 1) 2-byte data offsets walking backward. Text is
+    * UTF-16LE, or the 0xFF 0xFE-marked single-byte compressed variant.
+    */
+  private def readCatalogNames(bytes: Array[Byte], pageSize: Int,
+      msys: MdbTableDef): (Map[Int, String], Seq[(Int, String)]) = {
+    val names = Map.newBuilder[Int, String]
+    val quarantined = Vector.newBuilder[(Int, String)]
+    val colId = msys.columns.find(c => c.name == "Id" && c.fixed)
+    val colType = msys.columns.find(c => c.name == "Type" && c.fixed)
+    val colName = msys.columns.find(c => c.name == "Name" && !c.fixed)
+    if (colId.isEmpty || colType.isEmpty || colName.isEmpty)
+      return (Map.empty,
+        Seq(CatalogPg -> "catalog tdef lacks Id/Type/Name columns"))
+    val nPages = bytes.length / pageSize
+    for (p <- 1 until nPages) {
+      val base = p * pageSize
+      val buf = ByteBuffer.wrap(bytes, base, pageSize).slice()
+        .order(ByteOrder.LITTLE_ENDIAN)
+      if ((buf.get(0) & 0xFF) == PageTypeData &&
+          buf.getInt(0x04) == CatalogPg) {
+        val numRows = buf.getShort(0x0C) & 0xFFFF
+        if (numRows > (pageSize - 0x0E) / 2)
+          quarantined += (p -> s"implausible row count $numRows")
+        else {
+          var prevStart = pageSize
+          for (r <- 0 until numRows) {
+            val raw = buf.getShort(0x0E + 2 * r) & 0xFFFF
+            val start = raw & 0x1FFF
+            val deleted = (raw & 0x8000) != 0
+            val overflow = (raw & 0x4000) != 0
+            val end = prevStart
+            if (start < pageSize) prevStart = start
+            if (!deleted && !overflow) {
+              decodeCatalogRow(buf, start, end, pageSize,
+                colId.get, colType.get, colName.get) match {
+                case Right(Some((id, typ, name)))
+                    if (typ & 0x7F) == ObjTypeTable =>
+                  names += ((id & 0xFFFFFF) -> name)
+                case Right(_) => // non-table object: fine, skip
+                case Left(reason) =>
+                  quarantined += (-(p * 1000 + r) -> reason)
+              }
+            }
+          }
+        }
+      }
+    }
+    (names.result(), quarantined.result())
+  }
+
+  /** One catalog row → (Id, Type, Name), or Right(None) when the Name
+    * is null, or Left(reason) on a structurally corrupt row.
+    */
+  private def decodeCatalogRow(buf: ByteBuffer, start: Int, end: Int,
+      pageSize: Int, colId: MdbColumn, colType: MdbColumn,
+      colName: MdbColumn): Either[String, Option[(Int, Int, String)]] = {
+    if (start + 2 > end || end > pageSize)
+      return Left(s"row bounds [$start,$end) invalid")
+    val colCount = buf.getShort(start) & 0xFFFF
+    if (colCount == 0 || colCount > 255)
+      return Left(s"implausible row column count $colCount")
+    val maskSz = (colCount + 7) / 8
+    val varCntOff = end - maskSz - 2
+    if (varCntOff < start + 2) return Left("row too short for trailer")
+    val numVar = buf.getShort(varCntOff) & 0xFFFF
+    if (numVar > colCount) return Left(s"implausible var-col count $numVar")
+    val offTableBase = varCntOff - 2 * (numVar + 1)
+    if (offTableBase < start + 2) return Left("var offset table underruns row")
+    def varExtent(idx: Int): Either[String, (Int, Int)] = {
+      if (idx >= numVar) return Left(s"var index $idx out of range")
+      val s = buf.getShort(varCntOff - 2 * (idx + 1)) & 0xFFFF
+      val e = buf.getShort(varCntOff - 2 * (idx + 2)) & 0xFFFF
+      if (s > e || start + e > end) Left(s"var extent [$s,$e) invalid")
+      else Right((start + s, start + e))
+    }
+    def fixedInt(c: MdbColumn, width: Int): Either[String, Int] = {
+      val off = start + 2 + c.offsetF
+      if (off + width > end) Left(s"fixed col ${c.name} overruns row")
+      else Right(if (width == 2) buf.getShort(off).toInt else buf.getInt(off))
+    }
+    for {
+      id <- fixedInt(colId, 4)
+      typ <- fixedInt(colType,
+        if (colType.accessType == CastMatrix.AInt) 2 else 4)
+      ext <- varExtent(colName.offsetV)
+    } yield {
+      val (s, e) = ext
+      if (e == s) None // null/empty name: nothing to recover
+      else Some((id, typ, decodeJet4Text(buf, s, e)))
+    }
+  }
+
+  /** Jet4 stored text: UTF-16LE, or single-byte compressed when marked
+    * with the 0xFF 0xFE prefix.
+    */
+  private def decodeJet4Text(buf: ByteBuffer, s: Int, e: Int): String = {
+    val bytes = new Array[Byte](e - s)
+    var i = 0
+    while (i < bytes.length) { bytes(i) = buf.get(s + i); i += 1 }
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+        (bytes(1) & 0xFF) == 0xFE)
+      new String(bytes, 2, bytes.length - 2, StandardCharsets.ISO_8859_1)
+    else new String(bytes, StandardCharsets.UTF_16LE)
+  }
+
+  /** Full catalog scan: header gate, TDEF walk (both Jet versions),
+    * then — Jet4 only — the MSysObjects row decode that resolves TDEF
+    * pages to real names. Intact tables and quarantined (page, reason)
+    * pairs come back side by side — the `multimodal_meta` contract
+    * applied to catalog pages.
     */
   def read(bytes: Array[Byte]): Either[String, Catalog] =
     readHeader(bytes).flatMap { case (version, pageSize) =>
-      if (version == 0x00)
-        Left("Jet3 (2048-byte pages) catalog decode not implemented: " +
-          "external converter seam (SURVEY §7.3)")
-      else scanPages(bytes, version, pageSize)
-    }
-
-  private def scanPages(bytes: Array[Byte], version: Int,
-      pageSize: Int): Either[String, Catalog] = {
+      val lay = layoutFor(version)
       val nPages = bytes.length / pageSize
       val tables = Vector.newBuilder[MdbTableDef]
       val quarantined = Vector.newBuilder[(Int, String)]
@@ -207,26 +370,35 @@ object MdbCatalog {
         if ((bytes(off.toInt) & 0xFF) == PageTypeTdef) {
           val page = java.util.Arrays.copyOfRange(
             bytes, off.toInt, off.toInt + pageSize)
-          parseTdef(page, p) match {
+          parseTdef(page, p, lay) match {
             case Right(t) => tables += t
             case Left(reason) => quarantined += (p -> reason)
           }
         }
       }
-      Right(Catalog(version, pageSize, tables.result(), quarantined.result()))
-  }
+      val tbls = tables.result()
+      val (names, rowQuarantines) =
+        if (version == 0x00) (Map.empty[Int, String], Nil)
+        else tbls.find(_.page == CatalogPg) match {
+          case Some(msys) => readCatalogNames(bytes, pageSize, msys)
+          case None => (Map.empty[Int, String], Nil)
+        }
+      Right(Catalog(version, pageSize, tbls,
+        quarantined.result() ++ rowQuarantines, names))
+    }
 
   /** Bridge to the migration loop: user tables only (the reference's
-    * converter also walks user tables; MSys* stay behind), with names
-    * resolved from the caller's map where known. Indexes are left empty
-    * — per-index column lists live in the same row-decoded system
-    * catalog as table names (the declared seam).
+    * converter also walks user tables; MSys* stay behind), named by
+    * precedence caller map → recovered MSysObjects name → page key.
+    * Indexes are left empty — per-index column lists live in system
+    * tables beyond the bounded catalog-row slice (the declared seam).
     */
   def toTableDefs(cat: Catalog,
       names: Map[Int, String] = Map.empty): Seq[TableMigrator.TableDef] =
     cat.tables.filterNot(_.system).map { t =>
       TableMigrator.TableDef(
-        names.getOrElse(t.page, t.defaultName),
+        names.getOrElse(t.page,
+          cat.names.getOrElse(t.page, t.defaultName)),
         t.columns.map(c => c.name -> c.accessType))
     }
 }

@@ -302,4 +302,90 @@ class EdgeCaseSpec extends SparkSpec {
     assert(m(3L) == ((-1, -1, -1, -1L, -1L)), s"non-WAVE RIFF: ${m(3L)}")
     assert(m(4L) == ((16000, 2, 16, 11L, 0L)), s"text fallback: ${m(4L)}")
   }
+
+  test("FLAC STREAMINFO decode: rate/channels/bits/samples, wrong first block quarantines") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // 44100 Hz stereo 16-bit, 88200 total samples (2000 ms):
+    // STREAMINFO bit-packing per the published spec
+    val body = new Array[Byte](34)
+    body(10) = 0x0A; body(11) = 0xC4.toByte   // sample rate 44100, high 16 of 20 bits
+    body(12) = 0x42                            // rate low nibble | (ch-1)=1 | bps high bit
+    body(13) = 0xF0.toByte                     // bps low nibble (16-1=15) | samples high nibble
+    body(14) = 0x00; body(15) = 0x01; body(16) = 0x58; body(17) = 0x88.toByte // 88200
+    val flac = "fLaC".getBytes ++
+      Array(0x00.toByte, 0.toByte, 0.toByte, 34.toByte) ++ body
+    // first metadata block is VORBIS_COMMENT (type 4), not STREAMINFO
+    val wrongBlock = "fLaC".getBytes ++
+      Array(0x04.toByte, 0.toByte, 0.toByte, 34.toByte) ++ body
+    val assets = spark.createDataset(Seq(
+      Multimodal.Asset(1L, "audio", flac, "s"),
+      Multimodal.Asset(2L, "audio", wrongBlock, "s"),
+      Multimodal.Asset(3L, "audio", "fLaC".getBytes, "s"))) // truncated
+    val m = Multimodal.extractAudioMeta(assets).collect()
+      .map(r => r.asset_id ->
+        ((r.sample_rate, r.channels, r.bits, r.n_frames, r.duration_ms))).toMap
+    assert(m(1L) == ((44100, 2, 16, 88200L, 2000L)), s"FLAC decode: ${m(1L)}")
+    assert(m(2L) == ((-1, -1, -1, -1L, -1L)), s"non-STREAMINFO first: ${m(2L)}")
+    assert(m(3L) == ((-1, -1, -1, -1L, -1L)), s"truncated FLAC: ${m(3L)}")
+  }
+
+  test("MPEG Layer III decode: frame walk counts sample frames, bad ID3 stream quarantines") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // MPEG1 Layer III 44100 Hz 128 kbps stereo, no padding: frame length
+    // 144*128000/44100 = 417 bytes
+    val hdr = Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte)
+    def frame = hdr ++ Array.fill(413)(0x55.toByte)
+    val bare = frame ++ frame ++ frame ++ "TAGtrailing-id3v1".getBytes
+    // the same stream behind an ID3v2 tag (10-byte header + 100-byte body)
+    val id3 = "ID3".getBytes ++ Array(3, 0, 0).map(_.toByte) ++
+      Array(0, 0, 0, 100).map(_.toByte) ++ Array.fill(100)(0x00.toByte)
+    val tagged = id3 ++ bare
+    // positive ID3 claim but no valid MPEG frame follows → corrupt
+    val id3Garbage = id3 ++ "not audio at all".getBytes
+    val assets = spark.createDataset(Seq(
+      Multimodal.Asset(1L, "audio", bare, "s"),
+      Multimodal.Asset(2L, "audio", tagged, "s"),
+      Multimodal.Asset(3L, "audio", id3Garbage, "s")))
+    val m = Multimodal.extractAudioMeta(assets).collect()
+      .map(r => r.asset_id ->
+        ((r.sample_rate, r.channels, r.bits, r.n_frames, r.duration_ms))).toMap
+    // 3 mpeg frames × 1152 samples = 3456 sample frames; 78 ms at 44.1 kHz;
+    // bits = 0 (bit depth is not a property of a codec stream)
+    assert(m(1L) == ((44100, 2, 0, 3456L, 78L)), s"MP3 decode: ${m(1L)}")
+    assert(m(2L) == ((44100, 2, 0, 3456L, 78L)), s"ID3-tagged: ${m(2L)}")
+    assert(m(3L) == ((-1, -1, -1, -1L, -1L)), s"ID3 with garbage: ${m(3L)}")
+  }
+
+  test("MP4 box walk: mvhd duration + largest tkhd dims, truncated moov quarantines") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def box(tag: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ tag.getBytes ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+    // mvhd v0: timescale 600, duration 1200 → 2000 ms (100-byte body)
+    val mvhd = box("mvhd", new Array[Byte](12) ++ be32(600) ++ be32(1200) ++
+      new Array[Byte](80))
+    // tkhd v0: width 1280, height 720 as 16.16 fixed at body 76/80
+    val tkhd = box("tkhd", new Array[Byte](76) ++ be32(1280 << 16) ++
+      be32(720 << 16))
+    val trak = box("trak", tkhd)
+    val mp4 = ftyp ++ box("moov", mvhd ++ trak)
+    // ftyp claimed but the moov box size overruns the payload
+    val truncated = ftyp ++ be32(4096) ++ "moov".getBytes
+    val assets = spark.createDataset(Seq(
+      Multimodal.Asset(1L, "video", mp4, "s"),
+      Multimodal.Asset(2L, "video", truncated, "s"),
+      Multimodal.Asset(3L, "video", "just some text".getBytes, "s")))
+    val m = Multimodal.extractVideoMeta(assets).collect()
+      .map(r => r.asset_id ->
+        ((r.width, r.height, r.duration_ms, r.n_tracks))).toMap
+    assert(m(1L) == ((1280, 720, 2000L, 1)), s"MP4 decode: ${m(1L)}")
+    assert(m(2L) == ((-1, -1, -1L, 0)), s"truncated moov: ${m(2L)}")
+    // text fallback: pseudo dims/duration from byte length (14 bytes)
+    assert(m(3L) == ((30, 30, 14L, 1)), s"text fallback: ${m(3L)}")
+  }
 }

@@ -182,6 +182,165 @@ class MigratorSpec extends SparkSpec {
     assert(schemaFor(defs.head.columns).fieldNames.length == 5)
   }
 
+  /** Jet3 TDEF page (2048 bytes): table type at 0x14, column count at
+    * 0x19, real-index count at 0x1F, 8-byte index entries from 0x2B,
+    * 18-byte column descriptors, 1-byte-length ASCII names.
+    */
+  private def tdef3Page(tableType: Int,
+      cols: Seq[(String, Int, Int, Boolean)],
+      numRealIdx: Int = 0): Array[Byte] = {
+    val p = new Array[Byte](2048)
+    val buf = java.nio.ByteBuffer.wrap(p)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    p(0) = 0x02; p(1) = 0x01
+    p(0x14) = tableType.toByte
+    buf.putShort(0x19, cols.size.toShort)
+    buf.putInt(0x1F, numRealIdx)
+    val descBase = 0x2B + numRealIdx * 8
+    cols.zipWithIndex.foreach { case ((_, code, colNum, fixed), i) =>
+      val off = descBase + i * 18
+      p(off) = code.toByte
+      buf.putShort(off + 1, colNum.toShort)
+      p(off + 13) = if (fixed) 0x01 else 0x00
+    }
+    var off = descBase + cols.size * 18
+    cols.foreach { case (name, _, _, _) =>
+      val b = name.getBytes("US-ASCII")
+      p(off) = b.length.toByte
+      off += 1
+      b.copyToArray(p, off)
+      off += b.length
+    }
+    p
+  }
+
+  test("MDB catalog: Jet3 tdef pages enumerate columns (r6 verdict #6)") {
+    import graft.sources.MdbCatalog
+    val user = tdef3Page(0x4F, Seq(
+      ("clientid", 0x04, 0, true),   // LONG
+      ("clientname", 0x0A, 1, false), // TEXT
+      ("since", 0x08, 2, true)),      // SHORT_DATE_TIME
+      numRealIdx = 1)
+    val bad = tdef3Page(0x4F, Seq(("m", 0x7E, 0, true)))
+    val bytes = jetHeader(0x00).take(2048) ++ user ++ bad
+    val cat = MdbCatalog.read(bytes).fold(e => fail(e), identity)
+    assert(cat.version == 0x00 && cat.pageSize == 2048)
+    assert(cat.tables.map(_.page) == Seq(1))
+    assert(cat.tables.head.columns.map(_.name) ==
+      Seq("clientid", "clientname", "since"))
+    assert(cat.tables.head.columns.map(_.accessType) ==
+      Seq(ALong, AText, AShortDateTime))
+    assert(cat.quarantined.toMap.apply(2).contains("unhandled Jet type"))
+    // Jet3 names stay the declared seam: page-keyed unless the caller maps
+    assert(cat.names.isEmpty)
+    assert(MdbCatalog.toTableDefs(cat).map(_.name) == Seq("table_pg1"))
+  }
+
+  // ------------------------------------- MSysObjects name recovery (r7)
+
+  /** The catalog table's 3-column slice the name decode needs, with the
+    * row-format fields (fixed offset / var index / length) populated:
+    * Id LONG fixed @0, Type INT fixed @4, Name TEXT var index 0.
+    */
+  private def msysTdefPage: Array[Byte] = {
+    val p = tdefPage(0x53, Seq(
+      ("Id", 0x04, 0, true), ("Type", 0x03, 1, true), ("Name", 0x0A, 2, false)))
+    val buf = java.nio.ByteBuffer.wrap(p)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // descriptor fields beyond what tdefPage writes: offset_F at +21,
+    // offset_V at +7, col_len at +23 (Jet4 25-byte descriptor)
+    val descBase = 0x3F
+    buf.putShort(descBase + 21, 0.toShort)       // Id fixed offset 0
+    buf.putShort(descBase + 23, 4.toShort)
+    buf.putShort(descBase + 25 + 21, 4.toShort)  // Type fixed offset 4
+    buf.putShort(descBase + 25 + 23, 2.toShort)
+    buf.putShort(descBase + 50 + 7, 0.toShort)   // Name var index 0
+    p
+  }
+
+  /** One Jet4 catalog data row for the 3-column slice: 2-byte column
+    * count, Id int @2, Type short @6, name bytes @8; trailer from the
+    * end = null mask (1 byte), var count (1), then the two offsets
+    * (start, end) walking backward.
+    */
+  private def msysRow(id: Int, objType: Int, name: Array[Byte]): Array[Byte] = {
+    val len = 2 + 6 + name.length + 2 * 2 + 2 + 1
+    val r = new Array[Byte](len)
+    val buf = java.nio.ByteBuffer.wrap(r)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(0, 3.toShort)
+    buf.putInt(2, id)
+    buf.putShort(6, objType.toShort)
+    name.copyToArray(r, 8)
+    val varCntOff = len - 1 - 2
+    buf.putShort(varCntOff, 1.toShort)
+    buf.putShort(varCntOff - 2, 8.toShort)                  // var[0] start
+    buf.putShort(varCntOff - 4, (8 + name.length).toShort)  // var end
+    r(len - 1) = 0x07 // null mask: all three columns present
+    r
+  }
+
+  /** Assemble a Jet4 data page owned by `owner`: rows packed from the
+    * page end backward, 2-byte offsets (with optional flag bits) from
+    * 0x0E, row count at 0x0C.
+    */
+  private def jet4DataPage(owner: Int,
+      rows: Seq[(Array[Byte], Int)]): Array[Byte] = {
+    val p = new Array[Byte](PageSize)
+    val buf = java.nio.ByteBuffer.wrap(p)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    p(0) = 0x01; p(1) = 0x01
+    buf.putInt(0x04, owner)
+    buf.putShort(0x0C, rows.size.toShort)
+    var end = PageSize
+    rows.zipWithIndex.foreach { case ((row, flags), i) =>
+      val start = end - row.length
+      row.copyToArray(p, start)
+      buf.putShort(0x0E + 2 * i, (start | flags).toShort)
+      end = start
+    }
+    p
+  }
+
+  test("MDB catalog: MSysObjects rows recover real table names (r6 verdict #2)") {
+    import graft.sources.MdbCatalog
+    val licence = tdefPage(0x4F, Seq(("licenceid", 0x04, 0, true)))
+    val spectrum = tdefPage(0x4F, Seq(("freq", 0x07, 0, true)))
+    val corrupt = msysRow(9, 1, "x".getBytes("UTF-16LE"))
+    // wreck the var offset table: end before start
+    java.nio.ByteBuffer.wrap(corrupt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(corrupt.length - 7, 2000.toShort)
+    val rows = Seq(
+      msysRow(2, 1, "MSysObjects".getBytes("UTF-16LE")) -> 0,
+      msysRow(3, 1, "licence".getBytes("UTF-16LE")) -> 0,
+      // high Id bytes beyond the page number must be masked off; the
+      // compressed-text variant carries the 0xFF 0xFE marker
+      msysRow(0x01000000 | 4, 1,
+        Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+          "spectrum".getBytes("ISO-8859-1")) -> 0,
+      msysRow(99, 5, "aQueryNotATable".getBytes("UTF-16LE")) -> 0,
+      msysRow(98, 1, "deletedGhost".getBytes("UTF-16LE")) -> 0x8000,
+      corrupt -> 0)
+    val bytes = jetHeader(0x01) ++ new Array[Byte](PageSize) ++
+      msysTdefPage ++ licence ++ spectrum ++ jet4DataPage(2, rows)
+    val cat = MdbCatalog.read(bytes).fold(e => fail(e), identity)
+    // names resolved from catalog rows: page := low 3 bytes of Id; the
+    // non-table object, the deleted row, and the corrupt row contribute
+    // nothing (the corrupt one quarantines with a row-keyed reason)
+    assert(cat.names == Map(2 -> "MSysObjects", 3 -> "licence",
+      4 -> "spectrum"), s"got ${cat.names}")
+    assert(cat.quarantined.exists { case (k, r) =>
+      k == -(5 * 1000 + 5) && r.contains("var extent") },
+      s"corrupt row not quarantined: ${cat.quarantined}")
+    // the migration bridge now enumerates BY NAME with no caller map...
+    assert(MdbCatalog.toTableDefs(cat).map(_.name).toSet ==
+      Set("licence", "spectrum"))
+    // ...and an explicit caller map still wins (deployment overrides)
+    assert(MdbCatalog.toTableDefs(cat, Map(3 -> "licence_renamed"))
+      .map(_.name).toSet == Set("licence_renamed", "spectrum"))
+  }
+
   test("MDB catalog: non-mdb and unsupported inputs fail at the door") {
     import graft.sources.MdbCatalog
     // wrong magic
@@ -193,10 +352,14 @@ class MigratorSpec extends SparkSpec {
     // right magic, garbled format string
     val garbled = jetHeader(0x01, "Standard XYZ DB")
     assert(MdbCatalog.read(garbled).left.exists(_.contains("format string")))
-    // Jet3 is recognized and reported as the declared seam, not mis-parsed
+    // Jet3 headers pass the gate (TDEF enumeration landed in r7); a
+    // Jet3 file with no tdef pages is an empty catalog, and names stay
+    // unresolved (row decode is the declared Jet3 seam)
     val jet3 = jetHeader(0x00).take(2048)
-    assert(MdbCatalog.read(jet3 ++ new Array[Byte](2048))
-      .left.exists(_.contains("Jet3")))
+    val cat3 = MdbCatalog.read(jet3 ++ new Array[Byte](2048))
+      .fold(e => fail(e), identity)
+    assert(cat3.version == 0x00 && cat3.pageSize == 2048 &&
+      cat3.tables.isEmpty && cat3.names.isEmpty)
     // ACE (accdb) headers pass the gate with the Jet4 layout
     val ace = jetHeader(0x02, "Standard ACE DB")
     assert(MdbCatalog.read(ace).exists(_.tables.isEmpty))
