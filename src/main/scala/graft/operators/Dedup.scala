@@ -443,15 +443,22 @@ object Dedup {
       index: DataFrame): DataFrame = {
     val bsh = wordShingles(batch).persist()
     var hshRef: DataFrame = null
+    var candRef: DataFrame = null
     try {
       val bb = signatureBuckets(bsh)
+      // persist, not an eager checkpoint: the frame is read twice (the
+      // candidate-id fetch feeding the semi-join, and the verify join)
+      // but both reads live in the SAME final job, so a lazy cache
+      // shares the computation without paying a separate materialization
+      // barrier up front.
       val histCands = bb.as("x").join(index.as("y"),
           col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") =!= col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-        .localCheckpoint() // reused: candidate-id fetch + verify join
+        .persist()
+      candRef = histCands
       val candIds = histCands.select(col("doc_b").as("doc_id")).distinct()
       val hsh = wordShingles(hist.join(candIds, Seq("doc_id"), "left_semi"),
         histShingleProbe).persist()
@@ -467,7 +474,11 @@ object Dedup {
         .join(histMatched, Seq("doc_id"), "left_anti")
         .join(nonCanonical, Seq("doc_id"), "left_anti")
         .localCheckpoint()
-    } finally { bsh.unpersist(); if (hshRef ne null) hshRef.unpersist() }
+    } finally {
+      bsh.unpersist()
+      if (hshRef ne null) hshRef.unpersist()
+      if (candRef ne null) candRef.unpersist()
+    }
   }
 
   val minhashIncrementalSql: String = {
