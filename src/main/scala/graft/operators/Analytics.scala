@@ -902,7 +902,81 @@ object Analytics {
       |FROM (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL)
       |CROSS JOIN (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)""".stripMargin
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the `value`
+    * distributions of two event types — the distribution-shift test that
+    * complements `stats_drift`'s binned PSI with a bin-free exact D =
+    * max |F₁(v) − F₂(v)| over the pooled empirical CDFs (supremum is
+    * attained at a sample point, so scanning distinct values is exact).
+    *
+    * Scale shape — the ECDF needs a global running sum, and the naive
+    * form is one unpartitioned `Window.orderBy(value)`: a single-task
+    * sort of every distinct value. Instead, the same sharded prefix-sum
+    * decomposition as `curate_curriculum`/`agg_pareto`: (1) reduce to
+    * per-distinct-value counts (one shuffle, map-side combine); (2)
+    * range-bin on deterministic approx-percentile cut points (collected
+    * once, metadata-sized, shared as literals); (3) within-bin running
+    * sums under a window PARTITIONED by bin; (4) per-bin totals →
+    * prefix offsets via a triangular self-join on ≤ numPartitions rows,
+    * broadcast back; (5) one max reduce. Every task sorts only its
+    * value slab at any corpus size.
+    */
+  def statsKs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ev = Tables(spark, dir, "events")
+      .where($"event_type".isin("click", "view") && $"value".isNotNull)
+      .select($"value",
+        when($"event_type" === "click", 1L).otherwise(0L).as("g1"),
+        when($"event_type" === "view", 1L).otherwise(0L).as("g2"))
+    val d = ev.groupBy("value").agg(sum("g1").as("c1"), sum("g2").as("c2"))
+    val fracs = (1 until parts).map(i => i.toDouble / parts)
+    val cutVals = d.agg(expr(
+      s"approx_percentile(value, array(${fracs.mkString(", ")}), 10000)")
+      .as("cuts")).head().getSeq[Double](0)
+    val cutArr = array(cutVals.map(lit): _*)
+    // bin = cut points strictly below the value: monotone in value, so
+    // within-bin order + lower-bin totals reconstruct the global ECDF.
+    val binned = d.withColumn("pid",
+      size(filter(cutArr, c => c < col("value"))).cast("int"))
+    val byVal = Window.partitionBy("pid").orderBy("value")
+    val local = binned
+      .withColumn("l1", sum("c1").over(byVal))
+      .withColumn("l2", sum("c2").over(byVal))
+    val totals = binned.groupBy("pid")
+      .agg(sum("c1").as("t1"), sum("c2").as("t2"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.t1")), lit(0L)).as("o1"),
+        coalesce(sum(col("b.t2")), lit(0L)).as("o2"))
+    val nn = binned.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(nn))
+      .select($"n1", $"n2",
+        abs(($"o1" + $"l1").cast("double") / $"n1" -
+          ($"o2" + $"l2").cast("double") / $"n2").as("dd"))
+      .groupBy("n1", "n2")
+      .agg(round(max($"dd"), 6).as("ks_d"))
+  }
+
+  val statsKsSql: String =
+    """WITH s AS (
+      |  SELECT value,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+      |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |d AS (SELECT value, sum(g1) AS c1, sum(g2) AS c2 FROM s GROUP BY value),
+      |c AS (SELECT sum(c1) OVER (ORDER BY value) AS cum1,
+      |             sum(c2) OVER (ORDER BY value) AS cum2,
+      |             sum(c1) OVER () AS n1, sum(c2) OVER () AS n2 FROM d)
+      |SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+      |       round(max(abs(CAST(cum1 AS DOUBLE) / n1 -
+      |                     CAST(cum2 AS DOUBLE) / n2)), 6) AS ks_d
+      |FROM c""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stats_ks", statsKs _, Some(statsKsSql)),
     Op("q2_corr_subquery", corrSubquery _, Some(corrSubquerySql)),
     Op("agg_quantile_sketch", quantileSketch _, None),
     Op("agg_quantile_sketch_check", quantileSketchCheck _,

@@ -1000,7 +1000,96 @@ object Dedup {
       |FROM k a, k b
       |WHERE a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= 2""".stripMargin
 
+  /** Cross-document duplicated-SPAN detection — the word-granular
+    * analogue of exact-substring training dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", §3:
+    * suffix-array ExactSubstr): every 8-word gram occurring in ≥ 2
+    * distinct documents marks its start position, and maximal runs of
+    * marked positions (gap ≤ 8 ⇒ overlapping-or-adjacent gram coverage)
+    * merge into trimmable spans `[span_start, span_end]` (1-based word
+    * indices). Unlike document-level minhash/simhash above, this finds
+    * the boilerplate INSIDE otherwise-distinct documents — licenses,
+    * navigation chrome, quoted passages — which is what span trimming
+    * removes without dropping whole docs.
+    *
+    * Scale shape (100 TB): the corpus-wide duplicate scan aggregates
+    * (xxhash64(gram), doc_id) — 16 bytes per gram, never gram text —
+    * with map-side partial `countDistinct`. The surviving dup-hash set
+    * is proportional to the *duplicated* volume only; when small, AQE
+    * broadcasts it back over the gram stream (no second full shuffle),
+    * and only CANDIDATE grams re-group by their full string for the
+    * exactness confirm — so a 64-bit hash collision can never fabricate
+    * a span, and the non-duplicated bulk's text never crosses the wire.
+    * Island-merge is one window over the already-reduced hit frame.
+    */
+  def crossSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 8
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val words = Tables(spark, dir, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "w")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"w")
+    val gram = concat_ws(" ",
+      col("w") +: (1 until n).map(i => lead("w", i).over(byPos)): _*)
+    val grams = words
+      .select($"doc_id", $"pos", gram.as("gram"),
+        lead("w", n - 1).over(byPos).as("last_w"))
+      .where($"last_w".isNotNull)
+      .select($"doc_id", $"pos", $"gram", xxhash64($"gram").as("gh"))
+    val dupHashes = grams.groupBy("gh")
+      .agg(countDistinct("doc_id").as("nd")).where($"nd" >= 2).select("gh")
+    // No broadcast hint: the dup set scales with corpus duplication, so
+    // the promise is AQE's to make from its measured size, not ours.
+    val cand = grams.join(dupHashes, "gh")
+    val confirmed = cand.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd2")).where($"nd2" >= 2)
+      .select("gram")
+    val hits = cand.join(confirmed, "gram").select("doc_id", "pos")
+    val grp = hits
+      .select($"doc_id", $"pos",
+        when($"pos" - lag("pos", 1).over(byPos) <= n, 0)
+          .otherwise(1).as("brk"))
+      .select($"doc_id", $"pos", sum("brk").over(byPos).as("grp"))
+    grp.groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (n - 1)).as("span_end"),
+        (max("pos") + n - min("pos")).as("span_words"),
+        count(lit(1)).as("n_dup_grams"))
+      .drop("grp")
+  }
+
+  val crossSpansSql: String = {
+    val leads = (1 until 8)
+      .map(i => s"lead(w,$i) OVER dw").mkString(" || ' ' || ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |         generate_subscripts(string_split(text,' '),1) AS pos
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, pos, w || ' ' || $leads AS gram,
+       |         lead(w,7) OVER dw AS last_w
+       |  FROM words WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |g2 AS (SELECT doc_id, pos, gram FROM grams WHERE last_w IS NOT NULL),
+       |dup AS (SELECT gram FROM g2 GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT doc_id, pos FROM g2
+       |         WHERE gram IN (SELECT gram FROM dup)),
+       |isl AS (SELECT doc_id, pos,
+       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |                 ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk
+       |        FROM hits),
+       |gr AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+       |         ORDER BY pos) AS grp FROM isl)
+       |SELECT doc_id,
+       |       CAST(min(pos) AS BIGINT) AS span_start,
+       |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       |       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_words,
+       |       CAST(count(*) AS BIGINT) AS n_dup_grams
+       |FROM gr GROUP BY doc_id, grp""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("dedup_cross_spans", crossSpans _, Some(crossSpansSql)),
     Op("dedup_edit_pairs", editPairs _, Some(editPairsSql)),
     Op("dedup_exact", exact _, Some(exactSql)),
     Op("dedup_report", report _, Some(reportSql)),

@@ -119,8 +119,59 @@ object History {
        |WHERE valid_from <= TIMESTAMP '1998-06-01'
        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-06-01')""".stripMargin
 
+  /** Snapshot-to-snapshot corpus diff — the query a versioned snapshot
+    * layout exists to answer (the reference keeps every dated snapshot
+    * plus a latest pointer, `fetch.go:247-265`; SnapshotStore mirrors
+    * that layout): which documents were added, removed, or changed
+    * between two corpus versions? The demonstration derives both
+    * versions deterministically from `documents` (v_old drops
+    * `doc_id % 10 = 0`, v_new drops `% 10 = 1` and rewrites `% 7 = 0`),
+    * the same convention the incremental-dedup ops use for their
+    * history/batch split.
+    *
+    * Scale shape (100 TB): text never reaches the join — each side
+    * reduces to (doc_id, md5 fingerprint) in its scan, so the full-outer
+    * join shuffles 24-byte rows keyed by doc_id. With both snapshot
+    * versions bucketed by doc_id at write time (sources/Bucketing), the
+    * diff runs exchange-free; `unchanged` rows (the overwhelming bulk of
+    * any real delta) are filtered before output.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val vOld = docs.where($"doc_id" % 10 =!= 0)
+      .select($"doc_id", md5($"text").as("fp"))
+    val vNew = docs.where($"doc_id" % 10 =!= 1)
+      .select($"doc_id",
+        md5(when($"doc_id" % 7 === 0, upper($"text"))
+          .otherwise($"text")).as("fp"))
+    vOld.as("o").join(vNew.as("n"), Seq("doc_id"), "full_outer")
+      .where($"o.fp".isNull || $"n.fp".isNull || $"o.fp" =!= $"n.fp")
+      .select($"doc_id",
+        when($"o.fp".isNull, "added")
+          .when($"n.fp".isNull, "removed")
+          .otherwise("changed").as("status"))
+  }
+
+  val corpusDiffSql: String =
+    """WITH v_old AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents
+      |  WHERE doc_id % 10 <> 0),
+      |v_new AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN upper(text)
+      |                  ELSE text END) AS fp
+      |  FROM documents WHERE doc_id % 10 <> 1)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |       CASE WHEN o.doc_id IS NULL THEN 'added'
+      |            WHEN n.doc_id IS NULL THEN 'removed'
+      |            ELSE 'changed' END AS status
+      |FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id
+      |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("scd2_history", scd2 _, Some(scd2Sql)),
     Op("scd2_asof_state", asOfState _, Some(asOfStateSql)),
+    Op("corpus_diff", corpusDiff _, Some(corpusDiffSql)),
   )
 }

@@ -765,7 +765,58 @@ object TextAnalysis {
        |SELECT query_key, rank, neighbor_key, round(cos, 6) AS cos
        |FROM ranked WHERE rank <= $RagK""".stripMargin
 
+  /** Tokenizer-fertility report per (lang, source) — the corpus-mix
+    * diagnostic a pretraining run reads before setting sampling weights:
+    * how many sub-word tokens a slice costs per whitespace word
+    * (`fertility`) and per character (`chars_per_bpe`). High-fertility
+    * slices (non-Latin scripts, code, noisy OCR) consume
+    * disproportionate training budget per document; this surfaces that
+    * per slice using the same whitespace + BPE-ish tokenizations as
+    * `text_tokens`, so the two ops agree by construction.
+    *
+    * Scale shape: one scan, all ratios computed AFTER the (lang, source)
+    * aggregation — per-doc token counts reduce map-side into ≤ |langs| ×
+    * |sources| groups; nothing corpus-sized survives the shuffle.
+    */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws"),
+        size(expr(
+          "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+          .cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"),
+        sum("chars").as("n_chars"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("ws_tokens"), col("bpe_tokens"), col("n_chars"),
+        round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("bpe_tokens"), 6)
+          .as("chars_per_bpe"))
+
+  val fertilitySql: String =
+    """WITH t AS (
+      |  SELECT lang, source,
+      |         len(string_split_regex(trim(text), '\s+')) AS ws,
+      |         len(regexp_extract_all(text,
+      |             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe,
+      |         length(text) AS chars
+      |  FROM documents)
+      |SELECT lang, source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+      |       CAST(sum(chars) AS BIGINT) AS n_chars,
+      |       round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS fertility,
+      |       round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 6) AS chars_per_bpe
+      |FROM t GROUP BY lang, source""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("text_fertility", fertility _, Some(fertilitySql)),
     Op("text_tokens", tokens _, Some(tokensSql)),
     Op("text_repetition", repetition _, Some(repetitionSql)),
     Op("text_perplexity", perplexity _, Some(perplexitySql)),

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Dedup, History, TextAnalysis}
+
+/** Pins for the round-7 additions: cross-document span dedup, corpus
+  * snapshot diff, tokenizer fertility, and the exact two-sample KS
+  * statistic. Oracle parity is the driver's job; these pin the
+  * SEMANTICS the oracle can't see failing (span merge rules, diff
+  * status assignment, cross-op consistency, plan shape).
+  */
+class DeltaStatsSpec extends SparkSpec {
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xspan").toString
+    rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("cross spans: overlapping 8-gram hits merge into one exact span") {
+    // doc 1: 10 unique words, a 12-word block shared with doc 2, 3 more.
+    // The 5 overlapping 8-gram start positions (11..15) must merge into
+    // ONE span [11, 22] of 12 words in each document.
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val dir = docsDir(Seq(
+      1L -> ((1 to 10).map(i => s"a$i").mkString(" ") + " " + shared + " a11 a12 a13"),
+      2L -> ((1 to 4).map(i => s"b$i").mkString(" ") + " " + shared),
+      3L -> (1 to 30).map(i => s"c$i").mkString(" ")))
+    val got = Dedup.crossSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 11L, 22L, 12L, 5L),
+      (2L, 5L, 16L, 12L, 5L)), s"got $got")
+  }
+
+  test("cross spans: a 7-word overlap is below the gram size — no span") {
+    val seven = (1 to 7).map(i => s"s$i").mkString(" ")
+    val dir = docsDir(Seq(
+      1L -> (seven + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      2L -> (seven + " " + (1 to 10).map(i => s"b$i").mkString(" "))))
+    assert(Dedup.crossSpans(spark, dir).count() == 0)
+  }
+
+  test("cross spans: blocks separated by more than the gram span stay split") {
+    // Two 8-word shared blocks with 12 unique words between them: the
+    // dup-gram starts are 9 and 29 (gap 20 > 8) — two spans per doc.
+    val b1 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val b2 = (1 to 8).map(i => s"y$i").mkString(" ")
+    val dir = docsDir(Seq(
+      1L -> ((1 to 8).map(i => s"a$i").mkString(" ") + " " + b1 + " " +
+        (1 to 12).map(i => s"m$i").mkString(" ") + " " + b2),
+      2L -> (b1 + " " + (1 to 12).map(i => s"n$i").mkString(" ") + " " + b2)))
+    val byDoc = Dedup.crossSpans(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byDoc == Map(1L -> 2, 2L -> 2), s"got $byDoc")
+  }
+
+  test("corpus diff: status census reconstructs from the version rules") {
+    val docs = Tables(spark, sfDir, "documents").cache()
+    try {
+      val added = docs.where(col("doc_id") % 10 === 0).count()
+      val removed = docs.where(col("doc_id") % 10 === 1).count()
+      val changed = docs.where(col("doc_id") % 7 === 0 &&
+        col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1 &&
+        upper(col("text")) =!= col("text")).count()
+      val got = History.corpusDiff(spark, sfDir).groupBy("status").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("added" -> added, "removed" -> removed,
+        "changed" -> changed), s"got $got")
+    } finally docs.unpersist()
+  }
+
+  test("fertility: aggregating text_tokens per slice reproduces the report") {
+    val perDoc = TextAnalysis.tokens(spark, sfDir)
+      .join(Tables(spark, sfDir, "documents")
+        .select("doc_id", "lang", "source"), "doc_id")
+      .groupBy("lang", "source")
+      .agg(sum("n_ws_tokens").as("ws"), sum("n_bpe_tokens").as("bpe"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val rep = TextAnalysis.fertility(spark, sfDir).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (ws, bpe) = perDoc((r.getString(0), r.getString(1)))
+      assert(r.getLong(3) == ws && r.getLong(4) == bpe)
+      assert(math.abs(r.getDouble(6) - bpe.toDouble / ws) < 1e-6,
+        s"fertility drifted for ${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
+  test("stats_ks equals the collected brute-force KS; windows stay sharded") {
+    val vals = Tables(spark, sfDir, "events")
+      .where(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val s1 = vals.collect { case ("click", v) => v }.sorted
+    val s2 = vals.collect { case ("view", v) => v }.sorted
+    val expected = (s1 ++ s2).distinct.map { v =>
+      math.abs(s1.count(_ <= v).toDouble / s1.length -
+        s2.count(_ <= v).toDouble / s2.length)
+    }.max
+    val df = Analytics.statsKs(spark, sfDir)
+    val row = df.collect().head
+    assert(row.getLong(0) == s1.length && row.getLong(1) == s2.length)
+    assert(math.abs(row.getDouble(2) - expected) < 1e-6,
+      s"KS ${row.getDouble(2)} != brute-force $expected")
+    // Plan pin for the sharded-prefix-sum contract: the ECDF must never
+    // run under an UNPARTITIONED window (single-task global sort of the
+    // distinct-value frame at corpus scale) — every Window node carries
+    // the range-bin partition key.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => WinNode}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: WinNode => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "unpartitioned Window in stats_ks — the sharded ECDF decomposition " +
+        "was lost; see Analytics.statsKs scaladoc"))
+  }
+}
