@@ -341,6 +341,162 @@ class MigratorSpec extends SparkSpec {
       .map(_.name).toSet == Set("licence_renamed", "spectrum"))
   }
 
+  // (name, typeCode, colNum, fixed, offsetF, offsetV, colLen): one of
+  // every decodable scalar class + a var TEXT + a MEMO seam column.
+  // Fixed area: id@0(4) b@4(1) cnt@5(2) price@7(8) ratio@15(8)
+  // made@23(8) gid@31(16) = 47 bytes; flag lives in the null mask.
+  private val widgetCols = Seq(
+    ("id", 0x04, 0, true, 0, 0, 0), ("flag", 0x01, 1, true, 0, 0, 0),
+    ("b", 0x02, 2, true, 4, 0, 0), ("cnt", 0x03, 3, true, 5, 0, 0),
+    ("price", 0x05, 4, true, 7, 0, 0), ("ratio", 0x07, 5, true, 15, 0, 0),
+    ("made", 0x08, 6, true, 23, 0, 0), ("gid", 0x0F, 7, true, 31, 0, 0),
+    ("name", 0x0A, 8, false, 0, 0, 0), ("note", 0x0C, 9, false, 0, 1, 0))
+
+  private def tdef4Rich(tableType: Int,
+      cols: Seq[(String, Int, Int, Boolean, Int, Int, Int)]): Array[Byte] = {
+    val p = tdefPage(tableType, cols.map(c => (c._1, c._2, c._3, c._4)))
+    val buf = java.nio.ByteBuffer.wrap(p)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    cols.zipWithIndex.foreach { case ((_, _, _, _, offF, offV, colLen), i) =>
+      val off = 0x3F + i * 25
+      buf.putShort(off + 7, offV.toShort)
+      buf.putShort(off + 21, offF.toShort)
+      buf.putShort(off + 23, colLen.toShort)
+    }
+    p
+  }
+
+  /** One widgets data row. `rowCols = 9` simulates a row written before
+    * the `note` column was added to the table.
+    */
+  private def widgetRow(id: Int, flag: Boolean, b: Int, cnt: Option[Int],
+      priceRaw: Long, ratio: Double, days: Double, guid: Array[Byte],
+      name: Option[String], rowCols: Int = 10): Array[Byte] = {
+    val nameBytes = name.map(_.getBytes("UTF-16LE")).getOrElse(Array.empty[Byte])
+    val noteBytes: Array[Byte] =
+      if (rowCols > 9) Array[Byte](1, 2, 3, 4) else Array.empty
+    val numVar = if (rowCols > 9) 2 else 1
+    val varStart = 2 + 47
+    val len = varStart + nameBytes.length + noteBytes.length +
+      2 * (numVar + 1) + 2 + 2
+    val r = new Array[Byte](len)
+    val buf = java.nio.ByteBuffer.wrap(r)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(0, rowCols.toShort)
+    buf.putInt(2, id)
+    r(2 + 4) = b.toByte
+    cnt.foreach(v => buf.putShort(2 + 5, v.toShort))
+    buf.putLong(2 + 7, priceRaw)
+    buf.putDouble(2 + 15, ratio)
+    buf.putDouble(2 + 23, days)
+    guid.copyToArray(r, 2 + 31)
+    nameBytes.copyToArray(r, varStart)
+    noteBytes.copyToArray(r, varStart + nameBytes.length)
+    val maskOff = len - 2
+    val varCntOff = maskOff - 2
+    buf.putShort(varCntOff, numVar.toShort)
+    buf.putShort(varCntOff - 2, varStart.toShort)
+    if (numVar == 2)
+      buf.putShort(varCntOff - 4, (varStart + nameBytes.length).toShort)
+    buf.putShort(varCntOff - 2 * (numVar + 1),
+      (varStart + nameBytes.length + noteBytes.length).toShort)
+    var mask = 0
+    def set(bit: Int): Unit = mask |= (1 << bit)
+    set(0); if (flag) set(1); set(2); if (cnt.isDefined) set(3)
+    set(4); set(5); set(6); set(7)
+    if (name.isDefined) set(8)
+    if (rowCols > 9) set(9)
+    buf.putShort(maskOff, mask.toShort)
+    r
+  }
+
+  test("MDB rows: every scalar type decodes; nulls, seams, flags quarantine") {
+    import graft.sources.MdbCatalog
+    val guid = Array[Byte](0x04, 0x03, 0x02, 0x01, 0x06, 0x05, 0x08, 0x07,
+      0x09, 0x0a, 0x0b, 0x0c, 0x0d, 0x0e, 0x0f, 0x10)
+    val r1 = widgetRow(7, flag = true, 200, Some(-5), 1234567L, 2.5,
+      36526.5, guid, Some("Gizmo"))
+    val r2 = widgetRow(8, flag = false, 3, None, -50000L, -0.25,
+      25569.0, guid, None)
+    val old = widgetRow(9, flag = true, 1, Some(2), 0L, 0.0,
+      36526.0, guid, Some("Old"), rowCols = 9)
+    val corrupt = widgetRow(10, flag = true, 1, Some(2), 0L, 0.0, 0.0,
+      guid, Some("x"))
+    // wreck the NAME var extent (its end = var[1]'s start slot): the
+    // memo slot would not do — its extent is never read, the column
+    // seam-nulls first
+    java.nio.ByteBuffer.wrap(corrupt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(corrupt.length - 8, 3000.toShort)
+    val bytes = jetHeader(0x01) ++ tdef4Rich(0x4F, widgetCols) ++
+      jet4DataPage(1, Seq(r1 -> 0, r2 -> 0, old -> 0,
+        widgetRow(99, flag = true, 0, None, 0L, 0.0, 0.0, guid, None) -> 0x8000,
+        widgetRow(98, flag = true, 0, None, 0L, 0.0, 0.0, guid, None) -> 0x4000,
+        corrupt -> 0))
+    val cat = MdbCatalog.read(bytes).fold(e => fail(e), identity)
+    val tdef = cat.tables.find(_.page == 1).getOrElse(fail("tdef missing"))
+    val (rows, quar) = MdbCatalog.readRows(bytes, 4096, tdef)
+    val ts = (d: String) => java.sql.Timestamp.from(java.time.Instant.parse(d))
+    assert(rows.size == 3, s"got ${rows.size} rows, quar=$quar")
+    assert(rows(0) == Seq(7L, true, 200, -5,
+      java.math.BigDecimal.valueOf(1234567L, 4), 2.5,
+      ts("2000-01-01T12:00:00Z"),
+      "01020304-0506-0708-090a-0b0c0d0e0f10", "Gizmo", null),
+      s"r1 decoded as ${rows(0)}")
+    // r2: flag false from the mask, cnt/name null, epoch day 25569 = 1970
+    assert(rows(1) == Seq(8L, false, 3, null,
+      java.math.BigDecimal.valueOf(-50000L, 4), -0.25,
+      ts("1970-01-01T00:00:00Z"),
+      "01020304-0506-0708-090a-0b0c0d0e0f10", null, null),
+      s"r2 decoded as ${rows(1)}")
+    // pre-ALTER row: the note column post-dates it -> null
+    assert(rows(2)(0) == 9L && rows(2)(8) == "Old" && rows(2)(9) == null)
+    // memo seam noted once per page (the data page is page index 2),
+    // overflow + corrupt rows quarantined by their row-keyed slots
+    assert(quar.exists { case (k, msg) => k == 2 && msg.contains("note") &&
+      msg.contains("MEMO") }, s"quar=$quar")
+    assert(quar.count { case (_, msg) => msg.contains("MEMO") } == 1,
+      "seam note must fire once per page, not per row")
+    assert(quar.exists { case (k, msg) => k == -(2 * 1000 + 4) &&
+      msg.contains("overflow") })
+    assert(quar.exists { case (k, msg) => k == -(2 * 1000 + 5) &&
+      msg.contains("var extent") })
+  }
+
+  test("MDB end-to-end: catalog + row decode + K1 transport, no converter") {
+    import graft.sources.{MdbCatalog, TableMigrator}
+    val guid = Array[Byte](0x04, 0x03, 0x02, 0x01, 0x06, 0x05, 0x08, 0x07,
+      0x09, 0x0a, 0x0b, 0x0c, 0x0d, 0x0e, 0x0f, 0x10)
+    // page1 filler, page2 MSysObjects tdef, page3 widgets tdef,
+    // page4 catalog rows (naming page 3), page5 widgets rows
+    val bytes = jetHeader(0x01) ++ new Array[Byte](PageSize) ++
+      msysTdefPage ++ tdef4Rich(0x4F, widgetCols) ++
+      jet4DataPage(2, Seq(
+        msysRow(2, 1, "MSysObjects".getBytes("UTF-16LE")) -> 0,
+        msysRow(3, 1, "widgets".getBytes("UTF-16LE")) -> 0)) ++
+      jet4DataPage(3, Seq(
+        widgetRow(7, flag = true, 200, Some(-5), 1234567L, 2.5,
+          36526.5, guid, Some("Gizmo")) -> 0))
+    val cat = MdbCatalog.read(bytes).fold(e => fail(e), identity)
+    val defs = MdbCatalog.toTableDefs(cat)
+    assert(defs.map(_.name) == Seq("widgets"))
+    val byName = cat.tables.map(t =>
+      cat.names.getOrElse(t.page, t.defaultName) -> t).toMap
+    val rec = new JdbcRecorder
+    val results = TableMigrator.migrateJdbc(spark, defs,
+      name => MdbCatalog.tableDataFrame(spark, bytes, cat.pageSize,
+        byName(name), name),
+      rec.connection)
+    assert(results.map(r => r.table -> r.rows) == Seq("widgets" -> 1L))
+    // §1.2 parity at the wire: BOOLEAN as 0/1 int, MONEY as its 4-dp
+    // string, everything else typed passthrough
+    assert(rec.inserted.size == 1)
+    val row = rec.inserted.head
+    assert(row(0) == 7L && row(1) == 1 && row(2) == 200 && row(3) == -5)
+    assert(row(4) == "123.4567", s"money wire value ${row(4)}")
+    assert(row(8) == "Gizmo" && row(9) == null)
+  }
+
   test("MDB catalog: non-mdb and unsupported inputs fail at the door") {
     import graft.sources.MdbCatalog
     // wrong magic
