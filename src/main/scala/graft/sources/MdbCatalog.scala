@@ -34,9 +34,12 @@ import CastMatrix.AccessType
   *    offset table of each row. Full user-table row decode (memo/OLE
   *    overflow chains, compressed text variants beyond the 0xFF 0xFE
   *    marker) stays with the declared converter seam of SURVEY §7.3.
-  *  - Jet3 TDEF pages enumerate columns; Jet3 ROW decode (1-byte
-  *    offset tables with jump tables) is not implemented, so Jet3
-  *    tables keep page-keyed names unless the caller supplies a map.
+  *  - Jet3 TDEF pages enumerate columns, and Jet3 ROWS decode through
+  *    the same path as Jet4 (1-byte counts/offsets, single-byte text,
+  *    rows at 0x08/0x0A) for rows up to 255 bytes; longer Jet3 rows
+  *    need the var-offset jump table and quarantine instead. Jet3
+  *    MSysObjects rows are not decoded, so Jet3 tables keep page-keyed
+  *    names unless the caller supplies a map.
   *  - Jet4 USER-TABLE rows decode via `readRows`/`tableDataFrame` for
   *    every scalar + inline type (BOOLEAN/BYTE/INT/LONG/MONEY/FLOAT/
   *    DOUBLE/SHORT_DATE_TIME/GUID/TEXT/BINARY) — the full common-case
@@ -345,6 +348,20 @@ object MdbCatalog {
     }
   }
 
+  /** Stored text by Jet version: Jet3 is single-byte (ISO-8859-1 as the
+    * CP1252 stand-in for the common range); Jet4 defers to the
+    * UTF-16LE / 0xFF 0xFE-compressed decode below.
+    */
+  private def decodeText(buf: ByteBuffer, s: Int, e: Int,
+      jet3: Boolean): String =
+    if (!jet3) decodeJet4Text(buf, s, e)
+    else {
+      val bytes = new Array[Byte](e - s)
+      var i = 0
+      while (i < bytes.length) { bytes(i) = buf.get(s + i); i += 1 }
+      new String(bytes, StandardCharsets.ISO_8859_1)
+    }
+
   /** Jet4 stored text: UTF-16LE, or single-byte compressed when marked
     * with the 0xFF 0xFE prefix.
     */
@@ -392,23 +409,32 @@ object MdbCatalog {
       s"${hx(8)}${hx(9)}-${hx(10)}${hx(11)}${hx(12)}${hx(13)}${hx(14)}${hx(15)}"
   }
 
-  /** Decode every live data row of one Jet4 user table: rows come back
-    * in page/slot order with values in `tdef.columns` order (colNum
+  /** Decode every live data row of one user table: rows come back in
+    * page/slot order with values in `tdef.columns` order (colNum
     * ascending, matching `CastMatrix.schemaFor`), null for SQL NULL.
     * JVM types align with `CastMatrix.sparkType`: Boolean, Integer
     * (BYTE/INT), Long, Timestamp, Double (FLOAT/DOUBLE), BigDecimal
     * scale 4 (MONEY), String (TEXT/GUID), Array[Byte] (BINARY).
+    *
+    * The Jet version follows from `pageSize` (the header maps them
+    * 1:1): 2048 ⇒ Jet3 — 1-byte row column counts, 1-byte var trailers,
+    * single-byte text, rows at 0x08/0x0A; 4096 ⇒ Jet4 — 2-byte fields,
+    * UTF-16LE/compressed text, rows at 0x0C/0x0E.
     *
     * Seams surface as (key, reason) quarantines, never as silently
     * wrong values: structurally corrupt rows get the negative
     * `-(page*1000+row)` key and are dropped; MEMO/OLE/NUMERIC columns
     * decode to null with one note per (page, column); overflow rows
     * (0x4000 — their body lives on another page) are skipped with a
-    * note. Columns beyond the row's own column count (added to the
-    * table after the row was written) are null, per the format.
+    * note, as are Jet3 rows past 255 bytes (their var offsets need the
+    * jump table this reader does not implement). Columns beyond the
+    * row's own column count (added to the table after the row was
+    * written) are null, per the format.
     */
   def readRows(bytes: Array[Byte], pageSize: Int, tdef: MdbTableDef)
       : (Seq[Seq[Any]], Seq[(Int, String)]) = {
+    val jet3 = pageSize == 2048
+    val (offNumRows, offRowTable) = if (jet3) (0x08, 0x0A) else (0x0C, 0x0E)
     val rows = Vector.newBuilder[Seq[Any]]
     val quarantined = Vector.newBuilder[(Int, String)]
     val seamNoted = scala.collection.mutable.Set.empty[(Int, String)]
@@ -419,13 +445,13 @@ object MdbCatalog {
         .order(ByteOrder.LITTLE_ENDIAN)
       if ((buf.get(0) & 0xFF) == PageTypeData &&
           buf.getInt(0x04) == tdef.page) {
-        val numRows = buf.getShort(0x0C) & 0xFFFF
-        if (numRows > (pageSize - 0x0E) / 2)
+        val numRows = buf.getShort(offNumRows) & 0xFFFF
+        if (numRows > (pageSize - offRowTable) / 2)
           quarantined += (p -> s"implausible row count $numRows")
         else {
           var prevStart = pageSize
           for (r <- 0 until numRows) {
-            val raw = buf.getShort(0x0E + 2 * r) & 0xFFFF
+            val raw = buf.getShort(offRowTable + 2 * r) & 0xFFFF
             val start = raw & 0x1FFF
             val deleted = (raw & 0x8000) != 0
             val overflow = (raw & 0x4000) != 0
@@ -435,7 +461,7 @@ object MdbCatalog {
               quarantined += (-(p * 1000 + r) ->
                 "overflow row (body on another page): converter seam")
             else if (!deleted) {
-              decodeDataRow(buf, start, end, pageSize, tdef, p,
+              decodeDataRow(buf, start, end, pageSize, tdef, p, jet3,
                   note => { if (seamNoted.add((p, note)))
                     quarantined += (p -> note) }) match {
                 case Right(vals) => rows += vals
@@ -456,35 +482,42 @@ object MdbCatalog {
     * nine good columns for one memo.
     */
   private def decodeDataRow(buf: ByteBuffer, start: Int, end: Int,
-      pageSize: Int, tdef: MdbTableDef, page: Int,
+      pageSize: Int, tdef: MdbTableDef, page: Int, jet3: Boolean,
       seamNote: String => Unit): Either[String, Seq[Any]] = {
-    if (start + 2 > end || end > pageSize)
+    val cntSz = if (jet3) 1 else 2   // row col count + var trailer width
+    if (start + cntSz > end || end > pageSize)
       return Left(s"row bounds [$start,$end) invalid")
-    val rowCols = buf.getShort(start) & 0xFFFF
+    if (jet3 && end - start > 255)
+      return Left("jet3 row over 255 bytes needs the var-offset jump " +
+        "table: converter seam")
+    val rowCols =
+      if (jet3) buf.get(start) & 0xFF else buf.getShort(start) & 0xFFFF
     if (rowCols == 0 || rowCols > 255)
       return Left(s"implausible row column count $rowCols")
     val maskSz = (rowCols + 7) / 8
     val maskOff = end - maskSz
-    if (maskOff < start + 2) return Left("row too short for null mask")
+    if (maskOff < start + cntSz) return Left("row too short for null mask")
     def maskBit(colNum: Int): Boolean =
       (buf.get(maskOff + colNum / 8) & (1 << (colNum % 8))) != 0
+    def uN(off: Int): Int =
+      if (jet3) buf.get(off) & 0xFF else buf.getShort(off) & 0xFFFF
     val hasVar = tdef.columns.exists(c => !c.fixed && c.colNum < rowCols)
     val (numVar, varCntOff) =
       if (!hasVar) (0, maskOff)
       else {
-        val off = maskOff - 2
-        if (off < start + 2) return Left("row too short for var trailer")
-        val n = buf.getShort(off) & 0xFFFF
+        val off = maskOff - cntSz
+        if (off < start + cntSz) return Left("row too short for var trailer")
+        val n = uN(off)
         if (n > rowCols) return Left(s"implausible var-col count $n")
         (n, off)
       }
-    val offTableBase = varCntOff - 2 * (numVar + 1)
-    if (hasVar && offTableBase < start + 2)
+    val offTableBase = varCntOff - cntSz * (numVar + 1)
+    if (hasVar && offTableBase < start + cntSz)
       return Left("var offset table underruns row")
     def varExtent(idx: Int): Either[String, (Int, Int)] = {
       if (idx >= numVar) return Left(s"var index $idx out of range")
-      val s = buf.getShort(varCntOff - 2 * (idx + 1)) & 0xFFFF
-      val e = buf.getShort(varCntOff - 2 * (idx + 2)) & 0xFFFF
+      val s = uN(varCntOff - cntSz * (idx + 1))
+      val e = uN(varCntOff - cntSz * (idx + 2))
       if (s > e || start + e > end) Left(s"var extent [$s,$e) invalid")
       else Right((start + s, start + e))
     }
@@ -512,7 +545,7 @@ object MdbCatalog {
               "beyond the descriptor slice — converter seam")
             vals(i) = null
           case t if c.fixed =>
-            val off = start + 2 + c.offsetF
+            val off = start + cntSz + c.offsetF
             val w = fixedWidth(c)
             if (off + w > end) err = Some(s"fixed col ${c.name} overruns row")
             else vals(i) = t match {
@@ -525,14 +558,14 @@ object MdbCatalog {
                 java.math.BigDecimal.valueOf(buf.getLong(off), 4)
               case AShortDateTime => jetDate(buf.getDouble(off))
               case AGuid => guidString(sliceBytes(off, off + 16))
-              case AText => decodeJet4Text(buf, off, off + w)
+              case AText => decodeText(buf, off, off + w, jet3)
               case _ => sliceBytes(off, off + w) // fixed BINARY
             }
           case t =>
             varExtent(c.offsetV) match {
               case Left(reason) => err = Some(s"col ${c.name}: $reason")
               case Right((s, e)) => vals(i) = t match {
-                case AText | AGuid => decodeJet4Text(buf, s, e)
+                case AText | AGuid => decodeText(buf, s, e, jet3)
                 case _ => sliceBytes(s, e) // var BINARY
               }
             }

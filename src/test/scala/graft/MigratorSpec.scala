@@ -497,6 +497,70 @@ class MigratorSpec extends SparkSpec {
     assert(row(8) == "Gizmo" && row(9) == null)
   }
 
+  test("MDB rows: Jet3 rows decode; jump-table rows quarantine honestly") {
+    import graft.sources.MdbCatalog
+    // clientid LONG fixed @0 (4B), since DOUBLE-dated fixed @4 (8B),
+    // clientname TEXT var index 0. Fixed area = 12 bytes.
+    val tdefP = tdef3Page(0x4F, Seq(
+      ("clientid", 0x04, 0, true), ("clientname", 0x0A, 1, false),
+      ("since", 0x08, 2, true)))
+    val b3 = java.nio.ByteBuffer.wrap(tdefP)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val descBase = 0x2B
+    b3.putShort(descBase + 14, 0.toShort)       // clientid fixed off 0
+    b3.putShort(descBase + 18 + 3, 0.toShort)   // clientname var index 0
+    b3.putShort(descBase + 36 + 14, 4.toShort)  // since fixed off 4
+    def jet3Row(id: Int, name: Option[String], days: Double,
+        pad: Int = 0): Array[Byte] = {
+      val nb = name.map(_.getBytes("ISO-8859-1")).getOrElse(Array.empty[Byte])
+      val varStart = 1 + 12
+      val len = varStart + nb.length + pad + 2 + 1 + 1 // offs, cnt, mask
+      val r = new Array[Byte](len)
+      val buf = java.nio.ByteBuffer.wrap(r)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      r(0) = 3
+      buf.putInt(1, id)
+      buf.putDouble(1 + 4, days)
+      nb.copyToArray(r, varStart)
+      r(len - 1) = (0x05 | (if (name.isDefined) 0x02 else 0)).toByte
+      r(len - 2) = 1 // numVar
+      r(len - 3) = varStart.toByte
+      r(len - 4) = (varStart + nb.length).toByte
+      r
+    }
+    val longRow = jet3Row(9, Some("x"), 0.0, pad = 240) // > 255 bytes
+    def jet3DataPage(owner: Int, rows: Seq[Array[Byte]]): Array[Byte] = {
+      val p = new Array[Byte](2048)
+      val buf = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p(0) = 0x01; p(1) = 0x01
+      buf.putInt(0x04, owner)
+      buf.putShort(0x08, rows.size.toShort)
+      var end = 2048
+      rows.zipWithIndex.foreach { case (row, i) =>
+        val start = end - row.length
+        row.copyToArray(p, start)
+        buf.putShort(0x0A + 2 * i, start.toShort)
+        end = start
+      }
+      p
+    }
+    val bytes = jetHeader(0x00).take(2048) ++ tdefP ++
+      jet3DataPage(1, Seq(
+        jet3Row(41, Some("Aroha Wireless"), 36526.0),
+        jet3Row(42, None, 25569.5),
+        longRow))
+    val cat = MdbCatalog.read(bytes).fold(e => fail(e), identity)
+    val tdef = cat.tables.find(_.page == 1).getOrElse(fail("tdef missing"))
+    val (rows, quar) = MdbCatalog.readRows(bytes, 2048, tdef)
+    val ts = (d: String) => java.sql.Timestamp.from(java.time.Instant.parse(d))
+    assert(rows == Seq(
+      Seq(41L, "Aroha Wireless", ts("2000-01-01T00:00:00Z")),
+      Seq(42L, null, ts("1970-01-01T12:00:00Z"))), s"got $rows")
+    assert(quar.exists { case (k, msg) => k == -(2 * 1000 + 2) &&
+      msg.contains("jump table") }, s"quar=$quar")
+  }
+
   test("MDB catalog: non-mdb and unsupported inputs fail at the door") {
     import graft.sources.MdbCatalog
     // wrong magic
