@@ -755,7 +755,58 @@ object Curation {
        |      lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
        |           8, '0')""".stripMargin
 
+  /** Mixture-weight PLANNING — the step before `mixture` samples: given
+    * a uniform target share per source and what each source actually
+    * has, how many tokens can each contribute and at what rate? The
+    * availability cap (`planned = min(avail, target)`) is the
+    * waterfilling first step every mixture recipe needs; the report
+    * surfaces the deficit a rebalancing (or upsampling) decision is
+    * made from. All quantities are INTEGER arithmetic — `target = T div
+    * K` — so both engines plan the identical mixture; only the
+    * diagnostic `rate` is a rounded ratio.
+    *
+    * Scale shape: one scan reducing to ≤ |sources| rows map-side, the
+    * scalar total broadcast back over the tiny frame. Nothing
+    * corpus-sized survives the first aggregation.
+    */
+  def mixtureSolver(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bySource = Tables(spark, dir, "documents")
+      .select($"source",
+        size(split($"text", " ")).cast("long").as("toks"))
+      .groupBy("source").agg(sum("toks").as("avail_tokens"))
+    val totals = bySource.agg(
+      sum("avail_tokens").as("t"), count(lit(1)).as("k"))
+    bySource.crossJoin(broadcast(totals))
+      .select($"source", $"avail_tokens",
+        ($"t" / $"k").cast("long").as("target_tokens"),
+        least($"avail_tokens", ($"t" / $"k").cast("long"))
+          .as("planned_tokens"))
+      .select($"source", $"avail_tokens", $"target_tokens",
+        $"planned_tokens",
+        round($"planned_tokens".cast("double") / $"avail_tokens", 6)
+          .as("rate"),
+        ($"target_tokens" - $"planned_tokens").as("deficit_tokens"))
+  }
+
+  val mixtureSolverSql: String =
+    """WITH s AS (
+      |  SELECT source,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |           AS avail_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT sum(avail_tokens) AS t, count(*) AS k FROM s)
+      |SELECT source, avail_tokens,
+      |       CAST(t // k AS BIGINT) AS target_tokens,
+      |       CAST(least(avail_tokens, t // k) AS BIGINT) AS planned_tokens,
+      |       round(CAST(least(avail_tokens, t // k) AS DOUBLE)
+      |             / avail_tokens, 6) AS rate,
+      |       CAST(t // k - least(avail_tokens, t // k) AS BIGINT)
+      |         AS deficit_tokens
+      |FROM s CROSS JOIN t""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("curate_mixture_solver", mixtureSolver _, Some(mixtureSolverSql)),
     Op("curate_pack", pack _, Some(packSql)),
     Op("curate_curriculum", curriculum _, Some(curriculumSql)),
     Op("curate_contamination", contamination _, Some(contaminationSql)),

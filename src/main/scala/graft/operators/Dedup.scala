@@ -1021,41 +1021,142 @@ object Dedup {
     * exactness confirm — so a 64-bit hash collision can never fabricate
     * a span, and the non-duplicated bulk's text never crosses the wire.
     * Island-merge is one window over the already-reduced hit frame.
+    * (`SpanGram` is shared with the repeated-span scorer above: the
+    * same 8-word boilerplate threshold.)
     */
-  def crossSpans(spark: SparkSession, dir: String): DataFrame = {
+
+  /** Exploded word stream shared by the span family: (doc_id, 1-based
+    * pos, w). One corpus scan, no shuffle.
+    */
+  private def spanWords(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val n = 8
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val words = Tables(spark, dir, "documents")
+    Tables(spark, dir, "documents")
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "w")))
       .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"w")
+  }
+
+  /** Confirmed duplicated-gram hits grouped into islands: (doc_id, pos,
+    * min_doc, grp) where min_doc is the gram's global minimum owner and
+    * grp numbers maximal runs of hit positions with gap ≤ SpanGram.
+    * The hash-prefilter/string-confirm staging is described on
+    * `crossSpans`.
+    */
+  private def spanIslands(words: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val n = SpanGram
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val gram = concat_ws(" ",
-      col("w") +: (1 until n).map(i => lead("w", i).over(byPos)): _*)
+      c("w") +: (1 until n).map(i => lead("w", i).over(byPos)): _*)
     val grams = words
-      .select($"doc_id", $"pos", gram.as("gram"),
+      .select(c("doc_id"), c("pos"), gram.as("gram"),
         lead("w", n - 1).over(byPos).as("last_w"))
-      .where($"last_w".isNotNull)
-      .select($"doc_id", $"pos", $"gram", xxhash64($"gram").as("gh"))
+      .where(c("last_w").isNotNull)
+      .select(c("doc_id"), c("pos"), c("gram"), xxhash64(c("gram")).as("gh"))
     val dupHashes = grams.groupBy("gh")
-      .agg(countDistinct("doc_id").as("nd")).where($"nd" >= 2).select("gh")
+      .agg(countDistinct("doc_id").as("nd")).where(c("nd") >= 2).select("gh")
     // No broadcast hint: the dup set scales with corpus duplication, so
     // the promise is AQE's to make from its measured size, not ours.
     val cand = grams.join(dupHashes, "gh")
     val confirmed = cand.groupBy("gram")
-      .agg(countDistinct("doc_id").as("nd2")).where($"nd2" >= 2)
-      .select("gram")
-    val hits = cand.join(confirmed, "gram").select("doc_id", "pos")
-    val grp = hits
-      .select($"doc_id", $"pos",
-        when($"pos" - lag("pos", 1).over(byPos) <= n, 0)
+      .agg(countDistinct("doc_id").as("nd2"), min("doc_id").as("min_doc"))
+      .where(c("nd2") >= 2).select("gram", "min_doc")
+    val hits = cand.join(confirmed, "gram")
+      .select("doc_id", "pos", "min_doc")
+    hits
+      .select(c("doc_id"), c("pos"), c("min_doc"),
+        when(c("pos") - lag("pos", 1).over(byPos) <= n, 0)
           .otherwise(1).as("brk"))
-      .select($"doc_id", $"pos", sum("brk").over(byPos).as("grp"))
-    grp.groupBy("doc_id", "grp")
+      .select(c("doc_id"), c("pos"), c("min_doc"),
+        sum("brk").over(byPos).as("grp"))
+  }
+
+  def crossSpans(spark: SparkSession, dir: String): DataFrame = {
+    val n = SpanGram
+    spanIslands(spanWords(spark, dir)).groupBy("doc_id", "grp")
       .agg(min("pos").as("span_start"),
         (max("pos") + (n - 1)).as("span_end"),
         (max("pos") + n - min("pos")).as("span_words"),
         count(lit(1)).as("n_dup_grams"))
       .drop("grp")
+  }
+
+  /** The spans APPLIED — the second half of ExactSubstr dedup: rebuild
+    * each document's text with its duplicated spans REMOVED, except in
+    * the span's KEEPER document, so exactly one copy of every
+    * duplicated passage survives the corpus. Keeper = the minimum
+    * doc_id over the global minimum owners of the span's grams — a
+    * pure function of the span's content, so both engines (and any two
+    * cluster runs) pick the same survivor without coordination.
+    *
+    * Scale shape: everything up to the island frame is `crossSpans`'s
+    * hash-staged pipeline; the trim adds one `sequence` explode over
+    * span EXTENTS (bounded by duplicated volume, not corpus volume)
+    * and one doc_id-keyed shuffle to reassemble text — the unavoidable
+    * cost of emitting rewritten documents rather than a report. The
+    * reassembly sort is per-doc (words of one document), never global.
+    */
+  def spanTrim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = SpanGram
+    val words = spanWords(spark, dir)
+    val spans = spanIslands(words).groupBy("doc_id", "grp")
+      .agg(min("pos").as("s"), (max("pos") + (n - 1)).as("e"),
+        min("min_doc").as("owner"))
+      .where($"owner" =!= $"doc_id")
+    val drop = spans.select($"doc_id",
+      explode(sequence($"s", $"e")).as("pos"))
+    val kept = words.join(drop, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_words"),
+        array_join(
+          transform(array_sort(collect_list(struct($"pos", $"w"))),
+            x => x("w")), " ").as("trimmed_text"))
+    Tables(spark, dir, "documents").select($"doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"kept_words", lit(0L)).as("kept_words"),
+        coalesce($"trimmed_text", lit("")).as("trimmed_text"))
+  }
+
+  val spanTrimSql: String = {
+    val leads = (1 until SpanGram)
+      .map(i => s"lead(w,$i) OVER dw").mkString(" || ' ' || ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |         generate_subscripts(string_split(text,' '),1) AS pos
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, pos, w || ' ' || $leads AS gram,
+       |         lead(w,${SpanGram - 1}) OVER dw AS last_w
+       |  FROM words WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |g2 AS (SELECT doc_id, pos, gram FROM grams WHERE last_w IS NOT NULL),
+       |dup AS (SELECT gram, min(doc_id) AS min_doc FROM g2 GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT g2.doc_id, g2.pos, dup.min_doc FROM g2
+       |         JOIN dup USING (gram)),
+       |isl AS (SELECT doc_id, pos, min_doc,
+       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |                 ORDER BY pos) <= $SpanGram THEN 0 ELSE 1 END AS brk
+       |        FROM hits),
+       |gr AS (SELECT doc_id, pos, min_doc, sum(brk) OVER (
+       |         PARTITION BY doc_id ORDER BY pos) AS grp FROM isl),
+       |spans AS (SELECT doc_id, min(pos) AS s,
+       |                 max(pos) + ${SpanGram - 1} AS e,
+       |                 min(min_doc) AS owner
+       |          FROM gr GROUP BY doc_id, grp
+       |          HAVING min(min_doc) <> doc_id),
+       |drop_pos AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos
+       |             FROM spans),
+       |kept AS (SELECT w.doc_id,
+       |                CAST(count(*) AS BIGINT) AS kept_words,
+       |                string_agg(w.w, ' ' ORDER BY w.pos) AS trimmed_text
+       |         FROM words w ANTI JOIN drop_pos d
+       |           ON w.doc_id = d.doc_id AND w.pos = d.pos
+       |         GROUP BY w.doc_id)
+       |SELECT d.doc_id,
+       |       COALESCE(k.kept_words, 0) AS kept_words,
+       |       COALESCE(k.trimmed_text, '') AS trimmed_text
+       |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin
   }
 
   val crossSpansSql: String = {
@@ -1090,6 +1191,7 @@ object Dedup {
 
   val ops: Seq[Op] = Seq(
     Op("dedup_cross_spans", crossSpans _, Some(crossSpansSql)),
+    Op("dedup_span_trim", spanTrim _, Some(spanTrimSql)),
     Op("dedup_edit_pairs", editPairs _, Some(editPairsSql)),
     Op("dedup_exact", exact _, Some(exactSql)),
     Op("dedup_report", report _, Some(reportSql)),

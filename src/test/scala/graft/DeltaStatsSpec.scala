@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Dedup, History, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dedup, History, TextAnalysis}
 
 /** Pins for the round-7 additions: cross-document span dedup, corpus
   * snapshot diff, tokenizer fertility, and the exact two-sample KS
@@ -58,6 +58,43 @@ class DeltaStatsSpec extends SparkSpec {
     val byDoc = Dedup.crossSpans(spark, dir).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
     assert(byDoc == Map(1L -> 2, 2L -> 2), s"got $byDoc")
+  }
+
+  test("span trim: keeper doc survives intact, the other loses the span") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val d1 = (1 to 10).map(i => s"a$i").mkString(" ") + " " + shared
+    val d2 = (1 to 4).map(i => s"b$i").mkString(" ") + " " + shared
+    val d3 = (1 to 30).map(i => s"c$i").mkString(" ")
+    val dir = docsDir(Seq(1L -> d1, 2L -> d2, 3L -> d3))
+    val got = Dedup.spanTrim(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // doc 1 is every shared gram's minimum owner: intact. doc 2 keeps
+    // only its unique prefix. doc 3 had no duplicated span.
+    assert(got(1L) == ((22L, d1)), s"keeper mutated: ${got(1L)}")
+    assert(got(2L) == ((4L, "b1 b2 b3 b4")), s"got ${got(2L)}")
+    assert(got(3L) == ((30L, d3)))
+  }
+
+  test("span trim: a fully duplicated doc trims to the empty string") {
+    val t = (1 to 16).map(i => s"s$i").mkString(" ")
+    val dir = docsDir(Seq(1L -> t, 2L -> t))
+    val got = Dedup.spanTrim(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) == ((16L, t)) && got(2L) == ((0L, "")), s"got $got")
+  }
+
+  test("mixture solver: integer waterfilling reconstructs from availability") {
+    val rep = Curation.mixtureSolver(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(rep.nonEmpty)
+    val total = rep.values.map(_._1).sum
+    val k = rep.size
+    rep.foreach { case (src, (avail, target, planned, deficit)) =>
+      assert(target == total / k, s"$src target")
+      assert(planned == math.min(avail, target), s"$src planned")
+      assert(deficit == target - planned && deficit >= 0, s"$src deficit")
+    }
   }
 
   test("corpus diff: status census reconstructs from the version rules") {
