@@ -920,14 +920,20 @@ object Analytics {
     * broadcast back; (5) one max reduce. Every task sorts only its
     * value slab at any corpus size.
     */
-  def statsKs(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared two-sample rank machinery: per-distinct-value counts of the
+    * two samples with their INCLUSIVE running sums in value order, plus
+    * sample totals — the sharded-prefix-sum decomposition described on
+    * `statsKs`. Output: (value, c1, c2, cum1, cum2, n1, n2).
+    */
+  private def pooledCums(spark: SparkSession, dir: String,
+      typeA: String, typeB: String): DataFrame = {
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
     val ev = Tables(spark, dir, "events")
-      .where($"event_type".isin("click", "view") && $"value".isNotNull)
+      .where($"event_type".isin(typeA, typeB) && $"value".isNotNull)
       .select($"value",
-        when($"event_type" === "click", 1L).otherwise(0L).as("g1"),
-        when($"event_type" === "view", 1L).otherwise(0L).as("g2"))
+        when($"event_type" === typeA, 1L).otherwise(0L).as("g1"),
+        when($"event_type" === typeB, 1L).otherwise(0L).as("g2"))
     val d = ev.groupBy("value").agg(sum("g1").as("c1"), sum("g2").as("c2"))
     val fracs = (1 until parts).map(i => i.toDouble / parts)
     val cutVals = d.agg(expr(
@@ -952,12 +958,95 @@ object Analytics {
     val nn = binned.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     local.join(broadcast(offsets), Seq("pid"))
       .crossJoin(broadcast(nn))
+      .select($"value", $"c1", $"c2",
+        ($"o1" + $"l1").as("cum1"), ($"o2" + $"l2").as("cum2"),
+        $"n1", $"n2")
+  }
+
+  def statsKs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pooledCums(spark, dir, "click", "view")
       .select($"n1", $"n2",
-        abs(($"o1" + $"l1").cast("double") / $"n1" -
-          ($"o2" + $"l2").cast("double") / $"n2").as("dd"))
+        abs($"cum1".cast("double") / $"n1" -
+          $"cum2".cast("double") / $"n2").as("dd"))
       .groupBy("n1", "n2")
       .agg(round(max($"dd"), 6).as("ks_d"))
   }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) between the same two samples as
+    * `statsKs` — the rank test that detects a location shift where KS
+    * detects any shape difference. Tie-corrected normal approximation.
+    *
+    * Exactness across engines: the rank sum is computed in INTEGERS —
+    * `2·avgRank = 2·cumBefore + c + 1` per distinct value, so
+    * `2·R₁ = Σ c₁·(2·cumBefore + c + 1)` never touches a float, and the
+    * accumulation order that makes float sums engine-dependent (the
+    * q1_agg DECIMAL lesson) cannot bite. Sums ride DECIMAL(38,0)
+    * because at 100 TB `c₁ · 2N` products overflow BIGINT (the PPS
+    * overflow lesson, AUDIT_r6); z alone drops to float, by the same
+    * literal formula on both sides. Scale shape: `pooledCums`'s sharded
+    * prefix sums — no global window.
+    */
+  def statsMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    pooledCums(spark, dir, "click", "view")
+      .select($"n1", $"n2",
+        ($"c1".cast(dec) *
+          (lit(2) * ($"cum1" + $"cum2" - $"c1" - $"c2") +
+            $"c1" + $"c2" + 1).cast(dec)).as("two_r1_term"),
+        (($"c1" + $"c2").cast(dec) * ($"c1" + $"c2").cast(dec) *
+          ($"c1" + $"c2").cast(dec) - ($"c1" + $"c2").cast(dec))
+          .as("tie_term"))
+      .groupBy("n1", "n2")
+      .agg(sum("two_r1_term").as("two_r1"), sum("tie_term").as("ties"))
+      // drop to double only HERE, with the identical expression shape
+      // as the SQL twin (decimal division scales differ across engines)
+      .select($"n1", $"n2",
+        (($"two_r1".cast("double") -
+          $"n1".cast("double") * ($"n1" + 1)) / 2.0).as("u1"),
+        $"ties")
+      .select($"n1", $"n2", $"u1",
+        round(($"u1" - $"n1".cast("double") * $"n2" / 2.0) /
+          sqrt($"n1".cast("double") * $"n2" / 12.0 *
+            (($"n1" + $"n2" + 1).cast("double") -
+              $"ties".cast("double") /
+                (($"n1" + $"n2").cast("double") *
+                  ($"n1" + $"n2" - 1)))), 6).as("z"))
+  }
+
+  val statsMannWhitneySql: String =
+    """WITH s AS (
+      |  SELECT value,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+      |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |d AS (SELECT value, sum(g1) AS c1, sum(g2) AS c2 FROM s GROUP BY value),
+      |c AS (SELECT c1, c2,
+      |             sum(c1 + c2) OVER (ORDER BY value) AS cum,
+      |             sum(c1) OVER () AS n1, sum(c2) OVER () AS n2 FROM d),
+      |a AS (SELECT CAST(max(n1) AS BIGINT) AS n1,
+      |             CAST(max(n2) AS BIGINT) AS n2,
+      |             sum(CAST(c1 AS DECIMAL(38,0)) *
+      |                 CAST(2 * (cum - c1 - c2) + c1 + c2 + 1
+      |                      AS DECIMAL(38,0))) AS two_r1,
+      |             sum(CAST(c1 + c2 AS DECIMAL(38,0)) *
+      |                 CAST(c1 + c2 AS DECIMAL(38,0)) *
+      |                 CAST(c1 + c2 AS DECIMAL(38,0)) -
+      |                 CAST(c1 + c2 AS DECIMAL(38,0))) AS ties
+      |      FROM c)
+      |SELECT n1, n2,
+      |       (CAST(two_r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1))
+      |         / 2.0 AS u1,
+      |       round(((CAST(two_r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1))
+      |               / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0) /
+      |             sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 *
+      |                  (CAST(n1 + n2 + 1 AS DOUBLE) -
+      |                   CAST(ties AS DOUBLE) /
+      |                     (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))),
+      |             6) AS z
+      |FROM a""".stripMargin
 
   val statsKsSql: String =
     """WITH s AS (
@@ -977,6 +1066,7 @@ object Analytics {
 
   val ops: Seq[Op] = Seq(
     Op("stats_ks", statsKs _, Some(statsKsSql)),
+    Op("stats_mannwhitney", statsMannWhitney _, Some(statsMannWhitneySql)),
     Op("q2_corr_subquery", corrSubquery _, Some(corrSubquerySql)),
     Op("agg_quantile_sketch", quantileSketch _, None),
     Op("agg_quantile_sketch_check", quantileSketchCheck _,

@@ -611,10 +611,115 @@ object Graph {
        |GROUP BY x""".stripMargin
   }
 
+  // -------------------------------------------------------------- BFS
+
+  /** Radius bound shared with the oracle's recursion guard — both sides
+    * compute "hop distance, for every node within `BfsRadius` hops",
+    * so the operator is exact under the SAME truncation regardless of
+    * the graph's true diameter.
+    */
+  private val BfsRadius = 8
+
+  /** Single-source shortest HOPS over the peak-shipment subgraph
+    * (same filtered edge set as `components`/`kcore`), source = the
+    * minimum customer node — a pure function of the edge set, so both
+    * engines and any two cluster runs pick it without coordination.
+    *
+    * Scale shape: textbook frontier BFS — each round joins only the
+    * FRONTIER (nodes first reached last round) against the persisted
+    * edge frame and anti-joins the visited set, so total work is
+    * O(edges within the radius), not O(rounds · edges). Per-round lazy
+    * `localCheckpoint` is the components-loop planning hygiene; the
+    * loop exits early on an empty frontier (sf0.1 reaches fixpoint in
+    * 5 rounds; the radius bound is the contract, the early exit just
+    * skips provably-empty work).
+    */
+  /** Frontier BFS core over a DIRECTED edge frame (u, v): hop distance
+    * from `src` for every node reachable within `radius` hops.
+    * Symmetrize the input first for an undirected walk.
+    */
+  def bfs(input: DataFrame, src: Long, radius: Int = BfsRadius): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val edges = input.persist()
+    var dist = Seq((src, 0L)).toDF("node", "d").persist()
+    var frontier = dist
+    var r = 1
+    var done = false
+    while (r <= radius && !done) {
+      val next = frontier.join(edges, frontier("node") === edges("u"))
+        .select(edges("v").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("d"))
+        .localCheckpoint(eager = false).persist()
+      if (next.isEmpty) { next.unpersist(); done = true }
+      else {
+        val merged = dist.union(next)
+          .localCheckpoint(eager = false).persist()
+        merged.count()
+        dist.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        dist = merged
+        frontier = next
+        r += 1
+      }
+    }
+    // eager cut so every loop cache can release without recompute risk
+    val finalDist = dist.localCheckpoint()
+    if (frontier ne dist) frontier.unpersist()
+    dist.unpersist()
+    edges.unpersist()
+    finalDist
+  }
+
+  def bfsShip(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "lineitem").as("l")
+      .join(Tables(spark, dir, "orders").as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .where(expr(ComponentEdgeCond))
+      .select(suppNode(col("l.l_suppkey")).as("u"),
+        custNode(col("o.o_custkey")).as("v"))
+      .distinct()
+    val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val src = edges.agg(min(when(col("u") % 2 === 0, col("u"))).as("n"))
+      .head().getLong(0)
+    bfs(edges, src)
+      .select(
+        when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("customer"))
+          .as("side"),
+        expr("node div 2").as("key"),
+        col("d").as("hops"))
+  }
+
+  val bfsShipSql: String =
+    s"""WITH RECURSIVE e AS MATERIALIZED (
+       |  SELECT u, v FROM (
+       |    SELECT DISTINCT l_suppkey * 2 + 1 AS u, o_custkey * 2 AS v
+       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    WHERE $ComponentEdgeCond)
+       |  UNION ALL
+       |  SELECT v, u FROM (
+       |    SELECT DISTINCT l_suppkey * 2 + 1 AS u, o_custkey * 2 AS v
+       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    WHERE $ComponentEdgeCond)
+       |),
+       |src AS (SELECT min(u) AS node FROM e WHERE u % 2 = 0),
+       |walk(node, d) AS (
+       |  SELECT node, 0 FROM src
+       |  UNION
+       |  SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.node
+       |  WHERE w.d < $BfsRadius
+       |)
+       |SELECT CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END
+       |         AS side,
+       |       node // 2 AS key, CAST(min(d) AS BIGINT) AS hops
+       |FROM walk GROUP BY node""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("graph_degree", degrees _, Some(degreesSql)),
     Op("graph_components", components _, Some(componentsSql)),
     Op("graph_pagerank", pagerank _, Some(pagerankSql)),
     Op("graph_triangles", nearDupTriangles _, Some(nearDupTrianglesSql)),
-    Op("graph_kcore", kcoreShip _, Some(kcoreShipSql)))
+    Op("graph_kcore", kcoreShip _, Some(kcoreShipSql)),
+    Op("graph_bfs", bfsShip _, Some(bfsShipSql)))
 }

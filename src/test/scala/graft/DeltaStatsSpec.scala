@@ -130,6 +130,37 @@ class DeltaStatsSpec extends SparkSpec {
     }
   }
 
+  test("mann-whitney: integer rank sums match a collected reference") {
+    val vals = Tables(spark, sfDir, "events")
+      .where(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val s1 = vals.collect { case ("click", v) => v }
+    val s2 = vals.collect { case ("view", v) => v }
+    val all = (s1 ++ s2).sorted
+    // average ranks with ties, 1-based
+    val rankOf = all.distinct.map { v =>
+      val lo = all.indexWhere(_ == v) + 1
+      val hi = all.lastIndexWhere(_ == v) + 1
+      v -> (lo + hi) / 2.0
+    }.toMap
+    val r1 = s1.map(rankOf).sum
+    val u1 = r1 - s1.length.toLong * (s1.length + 1) / 2.0
+    val n1 = s1.length.toDouble
+    val n2 = s2.length.toDouble
+    val n = n1 + n2
+    val ties = all.groupBy(identity).values
+      .map(g => g.length.toDouble).map(c => c * c * c - c).sum
+    val z = (u1 - n1 * n2 / 2.0) /
+      math.sqrt(n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1))))
+    val row = Analytics.statsMannWhitney(spark, sfDir).collect().head
+    assert(row.getLong(0) == s1.length && row.getLong(1) == s2.length)
+    assert(math.abs(row.getDouble(2) - u1) < 1e-6,
+      s"U ${row.getDouble(2)} != reference $u1")
+    assert(math.abs(row.getDouble(3) - z) < 1e-5,
+      s"z ${row.getDouble(3)} != reference $z")
+  }
+
   test("stats_ks equals the collected brute-force KS; windows stay sharded") {
     val vals = Tables(spark, sfDir, "events")
       .where(col("event_type").isin("click", "view") && col("value").isNotNull)

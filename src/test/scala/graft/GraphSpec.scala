@@ -42,6 +42,22 @@ class GraphSpec extends SparkSpec {
     assert(labels.agg(max(col("label"))).head().getLong(0) == 0L)
   }
 
+  test("bfs: exact hops on a hand graph, radius truncation, early exit") {
+    import spark.implicits._
+    def sym(s: Seq[(Long, Long)]) = (s ++ s.map(_.swap)).toDF("u", "v")
+    // path 0-1-2-3 plus a branch 1-10; node 99 disconnected via 99-98
+    val e = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 10L), (99L, 98L)))
+    val d = Graph.bfs(e, 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 10L -> 2L, 3L -> 3L),
+      s"got $d") // disconnected 98/99 absent; early exit after round 4
+    // radius bound truncates a 12-path at hop 3 exactly
+    val path = sym((0L until 12L).map(i => (i, i + 1)))
+    val d3 = Graph.bfs(path, 0L, radius = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"got $d3")
+  }
+
   test("triangle census: known counts on a hand graph") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles) + pendant 5-1 + isolated edge 6-7;
