@@ -942,8 +942,15 @@ object Analytics {
     val cutArr = array(cutVals.map(lit): _*)
     // bin = cut points strictly below the value: monotone in value, so
     // within-bin order + lower-bin totals reconstruct the global ECDF.
+    // Eager checkpoint: binned feeds THREE consumers (local cums,
+    // per-bin totals, grand totals) and would re-run the event scan +
+    // distinct reduce per branch; the frame is distinct-VALUE-sized
+    // (the fixture's 2-dp grid; any production metric is similarly
+    // quantized), so the cut is cheap and caps the corpus passes at
+    // the one the distinct reduce already made.
     val binned = d.withColumn("pid",
       size(filter(cutArr, c => c < col("value"))).cast("int"))
+      .localCheckpoint()
     val byVal = Window.partitionBy("pid").orderBy("value")
     val local = binned
       .withColumn("l1", sum("c1").over(byVal))

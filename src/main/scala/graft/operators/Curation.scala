@@ -771,10 +771,14 @@ object Curation {
     */
   def mixtureSolver(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Eager checkpoint: bySource feeds both the totals reduce and the
+    // output join; without the cut the corpus scan+tokenize runs twice.
+    // The frame is ≤ |sources| rows — free to materialize.
     val bySource = Tables(spark, dir, "documents")
       .select($"source",
         size(split($"text", " ")).cast("long").as("toks"))
       .groupBy("source").agg(sum("toks").as("avail_tokens"))
+      .localCheckpoint()
     val totals = bySource.agg(
       sum("avail_tokens").as("t"), count(lit(1)).as("k"))
     bySource.crossJoin(broadcast(totals))

@@ -1056,7 +1056,15 @@ object Dedup {
       .agg(countDistinct("doc_id").as("nd")).where(c("nd") >= 2).select("gh")
     // No broadcast hint: the dup set scales with corpus duplication, so
     // the promise is AQE's to make from its measured size, not ours.
-    val cand = grams.join(dupHashes, "gh")
+    //
+    // Eager checkpoint — plan-audit finding: cand feeds TWO consumers
+    // (the string confirm and the hits join), and without a cut the
+    // corpus-sized scan+explode+gram-window subtree above it re-executes
+    // once per consumer (4 scans total in the explain). cand is
+    // CANDIDATE-sized (bounded by duplicated volume), so materializing
+    // it is cheap at any corpus size and caps the corpus passes at two:
+    // one to build the dup-hash set, one to filter candidates.
+    val cand = grams.join(dupHashes, "gh").localCheckpoint()
     val confirmed = cand.groupBy("gram")
       .agg(countDistinct("doc_id").as("nd2"), min("doc_id").as("min_doc"))
       .where(c("nd2") >= 2).select("gram", "min_doc")
