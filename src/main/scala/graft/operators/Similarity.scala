@@ -318,17 +318,22 @@ object Similarity {
     * accumulation) and null embeddings keep sig 0; arrays shorter than
     * 64 contribute zero terms for the missing dimensions.
     */
+  /** One hyperplane coefficient h(j, d) — DRIVER-computable (plain
+    * xxhash arithmetic), which is what lets `semanticDedup`'s oracle
+    * embed the full hyperplane family as SQL literals and recompute
+    * bit-identical signatures in DuckDB.
+    */
+  private[graft] def hyperplaneVal(j: Int, d: Int): Double =
+    ((org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashInt(j * 4096 + d, 42L) & 65535L) - 32768L).toDouble
+
   private def hyperplaneSigs(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val nb = NBits
     e.as[(Long, scala.collection.Seq[Float])]
       .mapPartitions { it =>
-        import org.apache.spark.sql.catalyst.expressions.XXH64
-        val h = Array.tabulate(nb * 64) { i =>
-          ((XXH64.hashInt((i / 64) * 4096 + (i % 64), 42L) & 65535L)
-            - 32768L).toDouble
-        }
+        val h = Array.tabulate(nb * 64)(i => hyperplaneVal(i / 64, i % 64))
         it.map { case (vecId, embS) =>
           var sig = 0L
           if (embS != null) {
@@ -921,7 +926,107 @@ object Similarity {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------- semantic dedup (SemDeDup)
+
+  private val SemTau = 0.9
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster
+    * the embedding space, drop all-but-one of each within-cluster
+    * near-identical group). The cluster proxy here is the hyperplane
+    * LSH family above — banded 4×4 over the 16-bit signature — instead
+    * of trained k-means cells, for one decisive reason: the hyperplanes
+    * are DRIVER-COMPUTED CONSTANTS, so the DuckDB twin embeds them as
+    * literals, recomputes bit-identical signatures, and the WHOLE
+    * operator is strictly oracled — where a k-means proxy (float-mean
+    * training) can never be cross-engine reproducible and would demote
+    * the op to a check-twin. At τ = 0.9 the banding math closes:
+    * per-bit agreement p = 1 − arccos(0.9)/π ≈ 0.86, candidate recall
+    * 1 − (1 − p⁴)⁴ ≈ 0.95 — the regime the round-2 lesson pinned for
+    * hyperplane LSH (τ ≥ 0.8), unlike low-τ near-dup which belongs on
+    * `dedup_minhash_lsh`.
+    *
+    * Keeper rule: a vector drops iff some CONFIRMED (exact cosine ≥ τ)
+    * candidate neighbor has a smaller id; `kept_by` names the smallest
+    * such neighbor as evidence. The minimum id of every semantic group
+    * always survives.
+    *
+    * Scale shape: the band-collision join and candidate dedup ship
+    * (id, band, bucket) longs only — embeddings are re-attached by
+    * equi-join for CANDIDATE pairs alone, so the float arrays never
+    * ride the corpus-wide exchange; the confirm stage is bounded by
+    * candidate volume (near-identical pairs are the rare case). Widen
+    * NBits for bigger corpora — bucket population, not algorithm,
+    * is the knob.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val idSigs = hyperplaneSigs(emb(spark, dir))
+      .select(col("vec_id"), col("sig"))
+    def bands(idAs: String) = {
+      val bandCols = (0 until NBits / BitsPerBand).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * BitsPerBand)
+            .bitwiseAND((1L << BitsPerBand) - 1).as("bucket"))
+      }
+      idSigs.select(col("vec_id").as(idAs),
+        explode(array(bandCols: _*)).as("k"))
+        .select(col(idAs), col("k.band").as("band"), col("k.bucket").as("bucket"))
+    }
+    val cand = bands("id_a").join(bands("id_b"), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val e = emb(spark, dir)
+    val confirmed = cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")),
+        Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")),
+        Seq("id_b"))
+      .where(V.cosine(col("emb_a"), col("emb_b")) >= SemTau)
+    val drops = confirmed.groupBy(col("id_b").as("vec_id"))
+      .agg(min("id_a").as("kept_by"))
+    idSigs.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("sig").as("bucket"),
+        when(col("kept_by").isNull, "keep").otherwise("drop").as("status"),
+        col("kept_by"))
+  }
+
+  val semanticDedupSql: String = {
+    def dot(j: Int) = {
+      val lits = (0 until 64).map(d => hyperplaneVal(j, d))
+        .mkString("[", ", ", "]")
+      s"""list_sum(list_transform(list_zip(embedding, $lits),
+         |           x -> CAST(x[1] AS DOUBLE) * x[2]))""".stripMargin
+    }
+    val sigExpr = (0 until NBits)
+      .map(j => s"(CASE WHEN ${dot(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("\n       + ")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding,
+       |         CAST($sigExpr AS BIGINT) AS sig
+       |  FROM embeddings),
+       |bd AS (SELECT vec_id, sig, band,
+       |              (sig >> (band * $BitsPerBand)) &
+       |                ${(1L << BitsPerBand) - 1} AS bucket
+       |       FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |         FROM bd x JOIN bd y
+       |           ON x.band = y.band AND x.bucket = y.bucket
+       |          AND x.vec_id < y.vec_id),
+       |conf AS (SELECT c.id_a, c.id_b
+       |         FROM cand c
+       |         JOIN embeddings a ON a.vec_id = c.id_a
+       |         JOIN embeddings b ON b.vec_id = c.id_b
+       |         WHERE ${duckCos("a.embedding", "b.embedding")} >= $SemTau),
+       |drops AS (SELECT id_b AS vec_id, min(id_a) AS kept_by
+       |          FROM conf GROUP BY id_b)
+       |SELECT s.vec_id, s.sig AS bucket,
+       |       CASE WHEN d.kept_by IS NULL THEN 'keep' ELSE 'drop' END
+       |         AS status,
+       |       d.kept_by
+       |FROM s LEFT JOIN drops d ON s.vec_id = d.vec_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("dedup_semantic", semanticDedup _, Some(semanticDedupSql)),
     Op("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceSql)),
     Op("emb_random_project", randomProject _, Some(randomProjectSql)),
     Op("sim_cosine_audit", cosineAudit _, Some(cosineAuditSql)),

@@ -7,6 +7,25 @@ import graft.operators.{Dedup, Similarity}
 
 class DedupSimilaritySpec extends SparkSpec {
 
+  test("semantic dedup: min id survives, near-identicals drop, distinct keep") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    val base = Array.tabulate(64)(d => math.sin(d * 1.7).toFloat * 3f + 4f)
+    val v2 = base.map(x => x * 1.01f)            // same direction: cos = 1
+    val v4 = base.clone(); v4(0) += 0.001f       // cos ~ 1 - 1e-8
+    val v3 = Array.tabulate(64)(d => math.cos(d * 2.3).toFloat * 5f - 1f)
+    Seq((1L, base.toSeq), (2L, v2.toSeq), (3L, v3.toSeq), (4L, v4.toSeq))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.semanticDedup(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) == (("keep", -1L)), s"min id must survive: $got")
+    assert(got(2L) == (("drop", 1L)), s"identical direction must drop: $got")
+    assert(got(4L) == (("drop", 1L)), s"perturbed copy must drop: $got")
+    assert(got(3L)._1 == "keep", s"distinct direction must keep: $got")
+  }
+
   test("simhash: near-identical docs are Hamming-close, unrelated far") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
