@@ -256,4 +256,76 @@ class SourcesSpec extends SparkSpec {
       .contains("unterminated"))
     assert(all.count(r => r.getAs[String]("_corrupt_record") == null) == 3)
   }
+
+  // ------------------------------------------------------- WARC ingest
+
+  private def warcRecord(typ: String, uri: String,
+      payload: Array[Byte], extra: String = ""): Array[Byte] = {
+    val head = s"WARC/1.0\r\n" +
+      s"WARC-Type: $typ\r\n" +
+      (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+      "WARC-Date: 2024-05-01T00:00:00Z\r\n" +
+      extra +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    head.getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  test("WARC: records parse, HTTP splits, corrupt record resyncs") {
+    import graft.sources.WarcIngest
+    val html = "<html>kia ora</html>"
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Server: x\r\n\r\n" + html).getBytes("US-ASCII")
+    val info = warcRecord("warcinfo", "", "software: graft\r\n".getBytes("US-ASCII"))
+    val resp = warcRecord("response", "https://example.nz/", http)
+    // corrupt: claims more payload than the stream holds
+    val corrupt = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 99999\r\n\r\nshort").getBytes("US-ASCII")
+    val resp2 = warcRecord("response", "https://example.nz/2",
+      ("HTTP/1.1 404 Not Found\r\n\r\nnope").getBytes("US-ASCII"))
+    val stream = info ++ resp ++ corrupt ++ resp2
+    val (recs, quar) = WarcIngest.records(stream)
+    assert(recs.map(_.warcType) == Seq("warcinfo", "response", "response"))
+    val r = recs(1)
+    assert(r.targetUri == "https://example.nz/" && r.httpStatus == 200 &&
+      r.httpContentType == "text/html" &&
+      new String(r.body, "US-ASCII") == html)
+    assert(recs(2).httpStatus == 404)
+    // the corrupt record quarantined at ITS offset; later records intact
+    assert(quar.size == 1 &&
+      quar.head._1 == (info.length + resp.length).toLong &&
+      quar.head._2.contains("overruns"), s"quar=$quar")
+    // gzip round-trip: the same stream compressed parses identically
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(stream); g.close(); bos.toByteArray
+    }
+    val (recs2, quar2) = WarcIngest.records(gz)
+    assert(recs2.map(_.targetUri) == recs.map(_.targetUri) &&
+      quar2.size == 1)
+  }
+
+  test("WARC: binaryFile frame distributes records + quarantines per file") {
+    import graft.sources.WarcIngest
+    val dir = java.nio.file.Files.createTempDirectory("warc").toString
+    val seg1 = warcRecord("response", "https://a.nz/",
+      "HTTP/1.1 200 OK\r\n\r\nbody-a".getBytes("US-ASCII"))
+    val seg2 = warcRecord("response", "https://b.nz/",
+      "HTTP/1.1 200 OK\r\n\r\nbody-b".getBytes("US-ASCII")) ++
+      "WARC/1.0\r\nbroken".getBytes("US-ASCII")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/seg1.warc"), seg1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/seg2.warc"), seg2)
+    val df = WarcIngest.toDataFrame(spark, s"$dir/*.warc")
+    val rows = df.collect()
+    val good = rows.filter(_.getAs[String]("warc_type") == "response")
+    val quar = rows.filter(_.getAs[String]("warc_type") == "_quarantine")
+    assert(good.map(_.getAs[String]("target_uri")).sorted.toSeq ==
+      Seq("https://a.nz/", "https://b.nz/"))
+    assert(good.forall(_.getAs[Int]("http_status") == 200))
+    assert(quar.length == 1 &&
+      quar.head.getAs[String]("path").endsWith("seg2.warc") &&
+      quar.head.getAs[String]("target_uri").contains("unterminated"))
+  }
 }
