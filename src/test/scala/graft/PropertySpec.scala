@@ -186,6 +186,90 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("WARC: fuzzed streams never throw; records + quarantines partition") {
+    import graft.sources.WarcIngest
+    // pure fuzz: arbitrary bytes parse to (possibly empty) records +
+    // quarantines, never an exception
+    (1 to 200).foreach { i =>
+      val junk = new Array[Byte](64 + rnd.nextInt(2048))
+      rnd.nextBytes(junk)
+      val (recs, quar) = WarcIngest.records(junk)
+      assert(recs.forall(_.offset >= 0) && quar.forall(_._1 >= 0), s"fuzz $i")
+    }
+    // seeded fuzz: plant a VALID record inside random garbage — the
+    // parser must recover it via resync regardless of surroundings.
+    // (Guard: the garbage must not itself contain a magic AFTER the
+    // planted record's offset table-free body — regenerate on clash.)
+    (1 to 60).foreach { i =>
+      val payload = s"HTTP/1.1 200 OK\r\n\r\nok-$i".getBytes("US-ASCII")
+      val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://f.nz/$i\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+        payload ++ "\r\n\r\n".getBytes("US-ASCII")
+      var pre = new Array[Byte](rnd.nextInt(256))
+      var post = new Array[Byte](rnd.nextInt(256))
+      rnd.nextBytes(pre); rnd.nextBytes(post)
+      // random bytes can't contain the ASCII magic by accident often,
+      // but make it impossible: zero any 'W'
+      pre = pre.map(b => if (b == 'W'.toByte) 0.toByte else b)
+      post = post.map(b => if (b == 'W'.toByte) 0.toByte else b)
+      val (recs, _) = WarcIngest.records(pre ++ rec ++ post)
+      assert(recs.exists(_.targetUri == s"https://f.nz/$i"),
+        s"seeded record $i lost in garbage")
+    }
+  }
+
+  test("MDB rows: fuzzed data pages never throw; decoded rows type-check") {
+    import graft.sources.{CastMatrix, MdbCatalog}
+    // a real tdef (from the round-trip builder above) + fuzzed DATA
+    // pages owned by it: every outcome is rows or quarantines, no throw
+    val PageSize = 4096
+    def header: Array[Byte] = {
+      val p = new Array[Byte](PageSize)
+      Array[Byte](0x00, 0x01, 0x00, 0x00).copyToArray(p, 0)
+      "Standard Jet DB".getBytes("US-ASCII").copyToArray(p, 4)
+      p(0x14) = 0x01; p
+    }
+    def tdef(cols: Seq[(String, Int, Int)]): Array[Byte] = {
+      val p = new Array[Byte](PageSize)
+      val buf = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p(0) = 0x02; p(1) = 0x01
+      p(0x28) = 0x4F
+      buf.putShort(0x2D, cols.size.toShort)
+      buf.putInt(0x33, 0)
+      cols.zipWithIndex.foreach { case ((_, code, colNum), i) =>
+        p(0x3F + i * 25) = code.toByte
+        buf.putShort(0x3F + i * 25 + 5, colNum.toShort)
+        p(0x3F + i * 25 + 15) = 0x01 // fixed
+      }
+      var off = 0x3F + cols.size * 25
+      cols.foreach { case (name, _, _) =>
+        val b = name.getBytes("UTF-16LE")
+        buf.putShort(off, b.length.toShort); off += 2
+        b.copyToArray(p, off); off += b.length
+      }
+      p
+    }
+    val base = header ++ tdef(Seq(("a", 0x04, 0), ("b", 0x07, 1)))
+    (1 to 200).foreach { i =>
+      val page = new Array[Byte](PageSize)
+      rnd.nextBytes(page)
+      page(0) = 0x01; page(1) = 0x01
+      java.nio.ByteBuffer.wrap(page)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0x04, 1)
+      val bytes = base ++ page
+      val cat = MdbCatalog.read(bytes).fold(e => fail(e), identity)
+      val t = cat.tables.head
+      val (rows, _) = MdbCatalog.readRows(bytes, PageSize, t)
+      rows.foreach { r =>
+        assert(r.size == 2, s"fuzz $i row arity")
+        assert(r(0) == null || r(0).isInstanceOf[java.lang.Long])
+        assert(r(1) == null || r(1).isInstanceOf[java.lang.Double])
+      }
+    }
+  }
+
   test("WAV decode: fuzzed RIFF payloads never throw, outputs stay consistent") {
     import graft.operators.Multimodal
     val payloads = (1 to 200).map { i =>
