@@ -1055,6 +1055,51 @@ object Analytics {
       |             6) AS z
       |FROM a""".stripMargin
 
+  /** Exact ROC AUC of `value` as a score separating purchases from
+    * errors — the eval metric a quality-scorer gate reads. AUC is the
+    * Mann–Whitney U normalized by n₁·n₂ (the probability a random
+    * positive outscores a random negative, ties at half credit), so it
+    * reuses the same INTEGER rank-sum formulation and sharded prefix
+    * machinery: no float accumulates before the final ratio.
+    */
+  def statsAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    pooledCums(spark, dir, "purchase", "error")
+      .select($"n1", $"n2",
+        ($"c1".cast(dec) *
+          (lit(2) * ($"cum1" + $"cum2" - $"c1" - $"c2") +
+            $"c1" + $"c2" + 1).cast(dec)).as("two_r1_term"))
+      .groupBy("n1", "n2")
+      .agg(sum("two_r1_term").as("two_r1"))
+      .select($"n1", $"n2",
+        round((($"two_r1".cast("double") -
+          $"n1".cast("double") * ($"n1" + 1)) / 2.0) /
+          ($"n1".cast("double") * $"n2"), 6).as("auc"))
+  }
+
+  val statsAucSql: String =
+    """WITH s AS (
+      |  SELECT value,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+      |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS g2
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL),
+      |d AS (SELECT value, sum(g1) AS c1, sum(g2) AS c2 FROM s GROUP BY value),
+      |c AS (SELECT c1, c2,
+      |             sum(c1 + c2) OVER (ORDER BY value) AS cum,
+      |             sum(c1) OVER () AS n1, sum(c2) OVER () AS n2 FROM d),
+      |a AS (SELECT CAST(max(n1) AS BIGINT) AS n1,
+      |             CAST(max(n2) AS BIGINT) AS n2,
+      |             sum(CAST(c1 AS DECIMAL(38,0)) *
+      |                 CAST(2 * (cum - c1 - c2) + c1 + c2 + 1
+      |                      AS DECIMAL(38,0))) AS two_r1
+      |      FROM c)
+      |SELECT n1, n2,
+      |       round(((CAST(two_r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1))
+      |               / 2.0) / (CAST(n1 AS DOUBLE) * n2), 6) AS auc
+      |FROM a""".stripMargin
+
   val statsKsSql: String =
     """WITH s AS (
       |  SELECT value,
@@ -1074,6 +1119,7 @@ object Analytics {
   val ops: Seq[Op] = Seq(
     Op("stats_ks", statsKs _, Some(statsKsSql)),
     Op("stats_mannwhitney", statsMannWhitney _, Some(statsMannWhitneySql)),
+    Op("stats_auc", statsAuc _, Some(statsAucSql)),
     Op("q2_corr_subquery", corrSubquery _, Some(corrSubquerySql)),
     Op("agg_quantile_sketch", quantileSketch _, None),
     Op("agg_quantile_sketch_check", quantileSketchCheck _,

@@ -715,7 +715,68 @@ object Graph {
        |       node // 2 AS key, CAST(min(d) AS BIGINT) AS hops
        |FROM walk GROUP BY node""".stripMargin
 
+  // ---------------------------------------- neighbor-overlap scoring
+
+  private val JaccardTopN = 20
+
+  /** Link-prediction candidate scoring: Jaccard overlap of supplier
+    * neighborhoods between customer pairs of the peak-shipment
+    * subgraph — common-neighbor evidence that two customers behave
+    * alike, the classic "people also bought" primitive. Top-N pairs
+    * under the total order (jaccard DESC, a, b), so the cut is
+    * deterministic under ties.
+    *
+    * Scale shape: pair generation is the supplier-keyed self-join —
+    * cost Σ deg(s)², the structural floor for common-neighbor methods;
+    * the filtered subgraph bounds hub degrees here, and at 100 TB the
+    * standard guards apply unchanged (drop super-hubs or sample their
+    * neighbor lists BEFORE the self-join — both one extra filter on
+    * the same frame). Degrees broadcast back over the pair frame; the
+    * top-N is a TakeOrdered, never a global sort.
+    */
+  def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "lineitem").as("l")
+      .join(Tables(spark, dir, "orders").as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .where(expr(ComponentEdgeCond))
+      .select(col("l.l_suppkey").as("s"), col("o.o_custkey").as("c"))
+      .distinct()
+    val deg = e.groupBy("c").agg(count(lit(1)).as("deg"))
+    val common = e.as("a").join(e.as("b"), Seq("s"))
+      .where(col("a.c") < col("b.c"))
+      .groupBy(col("a.c").as("ca"), col("b.c").as("cb"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("c").as("ca"), col("deg").as("da")), Seq("ca"))
+      .join(deg.select(col("c").as("cb"), col("deg").as("db")), Seq("cb"))
+      .select(col("ca"), col("cb"), col("common"),
+        round(col("common").cast("double") /
+          (col("da") + col("db") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("ca").asc, col("cb").asc)
+      .limit(JaccardTopN)
+  }
+
+  val jaccardNeighborsSql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE $ComponentEdgeCond),
+       |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY c),
+       |common AS (
+       |  SELECT a.c AS ca, b.c AS cb, CAST(count(*) AS BIGINT) AS common
+       |  FROM e a JOIN e b ON a.s = b.s AND a.c < b.c
+       |  GROUP BY a.c, b.c)
+       |SELECT ca, cb, common,
+       |       round(CAST(common AS DOUBLE) /
+       |             (da.deg + db.deg - common), 6) AS jaccard
+       |FROM common
+       |JOIN deg da ON da.c = ca
+       |JOIN deg db ON db.c = cb
+       |ORDER BY jaccard DESC, ca ASC, cb ASC
+       |LIMIT $JaccardTopN""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("graph_jaccard", jaccardNeighbors _, Some(jaccardNeighborsSql)),
     Op("graph_degree", degrees _, Some(degreesSql)),
     Op("graph_components", components _, Some(componentsSql)),
     Op("graph_pagerank", pagerank _, Some(pagerankSql)),

@@ -161,6 +161,52 @@ class DeltaStatsSpec extends SparkSpec {
       s"z ${row.getDouble(3)} != reference $z")
   }
 
+  test("auc equals the collected pair-counting AUC") {
+    val vals = Tables(spark, sfDir, "events")
+      .where(col("event_type").isin("purchase", "error") && col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val pos = vals.collect { case ("purchase", v) => v }
+    val neg = vals.collect { case ("error", v) => v }
+    // AUC = P(pos > neg) + P(pos = neg)/2, counted pairwise
+    val wins = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = wins / (pos.length.toDouble * neg.length)
+    val row = Analytics.statsAuc(spark, sfDir).collect().head
+    assert(row.getLong(0) == pos.length && row.getLong(1) == neg.length)
+    assert(math.abs(row.getDouble(2) - expected) < 1e-6,
+      s"AUC ${row.getDouble(2)} != pairwise $expected")
+  }
+
+  test("graph jaccard equals the collected neighbor-overlap computation") {
+    import graft.operators.Graph
+    val edges = Tables(spark, sfDir, "lineitem").as("l")
+      .join(Tables(spark, sfDir, "orders").as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .where(col("l.l_quantity") >= 49 &&
+        month(col("l.l_shipdate")).isin(1, 2))
+      .select(col("l.l_suppkey").as("s"), col("o.o_custkey").as("c"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp: Map[Long, Set[Long]] =
+      edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nbrs: Map[Long, Set[Long]] =
+      edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSet }
+    val pairs: Set[(Long, Long)] = bySupp.values.toSeq.flatMap { cs =>
+      for (a <- cs.toSeq; b <- cs.toSeq if a < b) yield (a, b)
+    }.toSet
+    val expected: Seq[(Long, Long, Long, Double)] = pairs.toSeq.map {
+      case (a, b) =>
+        val common = (nbrs(a) & nbrs(b)).size
+        (a, b, common.toLong,
+          common.toDouble / (nbrs(a).size + nbrs(b).size - common))
+    }.sortBy { case (a, b, _, j) => (-j, a, b) }.take(20)
+      .map { case (a, b, c, j) => (a, b, c, math.rint(j * 1e6) / 1e6) }
+    val got = Graph.jaccardNeighbors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("stats_ks equals the collected brute-force KS; windows stay sharded") {
     val vals = Tables(spark, sfDir, "events")
       .where(col("event_type").isin("click", "view") && col("value").isNotNull)
