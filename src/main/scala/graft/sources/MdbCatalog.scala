@@ -28,18 +28,12 @@ import CastMatrix.AccessType
   * intact tables.
   *
   * Deliberate seams (documented, not silent):
-  *  - Jet4 catalog DATA ROWS are decoded only for the three catalog
-  *    columns the enumeration needs (Id → TDEF page, Type → object
-  *    class, Name): the fixed-column area plus the variable-column
-  *    offset table of each row. Full user-table row decode (memo/OLE
-  *    overflow chains, compressed text variants beyond the 0xFF 0xFE
-  *    marker) stays with the declared converter seam of SURVEY §7.3.
   *  - Jet3 TDEF pages enumerate columns, and Jet3 ROWS decode through
   *    the same path as Jet4 (1-byte counts/offsets, single-byte text,
   *    rows at 0x08/0x0A) for rows up to 255 bytes; longer Jet3 rows
-  *    need the var-offset jump table and quarantine instead. Jet3
-  *    MSysObjects rows are not decoded, so Jet3 tables keep page-keyed
-  *    names unless the caller supplies a map.
+  *    need the var-offset jump table and quarantine instead. Name
+  *    recovery rides the same decoder, so BOTH Jet versions enumerate
+  *    tables by their real MSysObjects names.
   *  - Jet4 USER-TABLE rows decode via `readRows`/`tableDataFrame` for
   *    every scalar + inline type (BOOLEAN/BYTE/INT/LONG/MONEY/FLOAT/
   *    DOUBLE/SHORT_DATE_TIME/GUID/TEXT/BINARY) — the full common-case
@@ -61,7 +55,7 @@ object MdbCatalog {
   }
 
   /** `names`: TDEF page → object name, recovered from the MSysObjects
-    * data rows (Jet4 only; empty when the catalog table is absent or
+    * data rows (both Jet versions; empty when the catalog is absent or
     * row-corrupt — those rows land in `quarantined` with negative keys
     * `-(page*1000+row)` so page and row quarantines share one channel).
     */
@@ -259,93 +253,36 @@ object MdbCatalog {
     * (numVar + 1) 2-byte data offsets walking backward. Text is
     * UTF-16LE, or the 0xFF 0xFE-marked single-byte compressed variant.
     */
+  /** Catalog-name recovery is now a THIN projection over the general
+    * row decoder (`readRows` on the MSysObjects TDEF), so it works for
+    * BOTH Jet versions with one decode path: every live catalog row
+    * yields (Id, Type, Name) by column NAME lookup, table-typed objects
+    * map `Id & 0xFFFFFF` (flag bits live in the high byte) → name.
+    * Rows with null names contribute nothing; structurally corrupt rows
+    * carry readRows' row-keyed quarantines through unchanged.
+    */
   private def readCatalogNames(bytes: Array[Byte], pageSize: Int,
       msys: MdbTableDef): (Map[Int, String], Seq[(Int, String)]) = {
-    val names = Map.newBuilder[Int, String]
-    val quarantined = Vector.newBuilder[(Int, String)]
-    val colId = msys.columns.find(c => c.name == "Id" && c.fixed)
-    val colType = msys.columns.find(c => c.name == "Type" && c.fixed)
-    val colName = msys.columns.find(c => c.name == "Name" && !c.fixed)
-    if (colId.isEmpty || colType.isEmpty || colName.isEmpty)
+    val idxOf = msys.columns.map(_.name).zipWithIndex.toMap
+    if (!Seq("Id", "Type", "Name").forall(idxOf.contains))
       return (Map.empty,
         Seq(CatalogPg -> "catalog tdef lacks Id/Type/Name columns"))
-    val nPages = bytes.length / pageSize
-    for (p <- 1 until nPages) {
-      val base = p * pageSize
-      val buf = ByteBuffer.wrap(bytes, base, pageSize).slice()
-        .order(ByteOrder.LITTLE_ENDIAN)
-      if ((buf.get(0) & 0xFF) == PageTypeData &&
-          buf.getInt(0x04) == CatalogPg) {
-        val numRows = buf.getShort(0x0C) & 0xFFFF
-        if (numRows > (pageSize - 0x0E) / 2)
-          quarantined += (p -> s"implausible row count $numRows")
-        else {
-          var prevStart = pageSize
-          for (r <- 0 until numRows) {
-            val raw = buf.getShort(0x0E + 2 * r) & 0xFFFF
-            val start = raw & 0x1FFF
-            val deleted = (raw & 0x8000) != 0
-            val overflow = (raw & 0x4000) != 0
-            val end = prevStart
-            if (start < pageSize) prevStart = start
-            if (!deleted && !overflow) {
-              decodeCatalogRow(buf, start, end, pageSize,
-                colId.get, colType.get, colName.get) match {
-                case Right(Some((id, typ, name)))
-                    if (typ & 0x7F) == ObjTypeTable =>
-                  names += ((id & 0xFFFFFF) -> name)
-                case Right(_) => // non-table object: fine, skip
-                case Left(reason) =>
-                  quarantined += (-(p * 1000 + r) -> reason)
-              }
-            }
-          }
-        }
+    val (rows, quarantined) = readRows(bytes, pageSize, msys)
+    def asLong(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(l.longValue)
+      case i: java.lang.Integer => Some(i.longValue)
+      case _ => None
+    }
+    val names = rows.flatMap { r =>
+      (asLong(r(idxOf("Id"))), asLong(r(idxOf("Type"))),
+        r(idxOf("Name"))) match {
+        case (Some(id), Some(typ), name: String)
+            if (typ & 0x7F) == ObjTypeTable && name.nonEmpty =>
+          Some((id & 0xFFFFFF).toInt -> name)
+        case _ => None // non-table object or null name: skip
       }
-    }
-    (names.result(), quarantined.result())
-  }
-
-  /** One catalog row → (Id, Type, Name), or Right(None) when the Name
-    * is null, or Left(reason) on a structurally corrupt row.
-    */
-  private def decodeCatalogRow(buf: ByteBuffer, start: Int, end: Int,
-      pageSize: Int, colId: MdbColumn, colType: MdbColumn,
-      colName: MdbColumn): Either[String, Option[(Int, Int, String)]] = {
-    if (start + 2 > end || end > pageSize)
-      return Left(s"row bounds [$start,$end) invalid")
-    val colCount = buf.getShort(start) & 0xFFFF
-    if (colCount == 0 || colCount > 255)
-      return Left(s"implausible row column count $colCount")
-    val maskSz = (colCount + 7) / 8
-    val varCntOff = end - maskSz - 2
-    if (varCntOff < start + 2) return Left("row too short for trailer")
-    val numVar = buf.getShort(varCntOff) & 0xFFFF
-    if (numVar > colCount) return Left(s"implausible var-col count $numVar")
-    val offTableBase = varCntOff - 2 * (numVar + 1)
-    if (offTableBase < start + 2) return Left("var offset table underruns row")
-    def varExtent(idx: Int): Either[String, (Int, Int)] = {
-      if (idx >= numVar) return Left(s"var index $idx out of range")
-      val s = buf.getShort(varCntOff - 2 * (idx + 1)) & 0xFFFF
-      val e = buf.getShort(varCntOff - 2 * (idx + 2)) & 0xFFFF
-      if (s > e || start + e > end) Left(s"var extent [$s,$e) invalid")
-      else Right((start + s, start + e))
-    }
-    def fixedInt(c: MdbColumn, width: Int): Either[String, Int] = {
-      val off = start + 2 + c.offsetF
-      if (off + width > end) Left(s"fixed col ${c.name} overruns row")
-      else Right(if (width == 2) buf.getShort(off).toInt else buf.getInt(off))
-    }
-    for {
-      id <- fixedInt(colId, 4)
-      typ <- fixedInt(colType,
-        if (colType.accessType == CastMatrix.AInt) 2 else 4)
-      ext <- varExtent(colName.offsetV)
-    } yield {
-      val (s, e) = ext
-      if (e == s) None // null/empty name: nothing to recover
-      else Some((id, typ, decodeJet4Text(buf, s, e)))
-    }
+    }.toMap
+    (names, quarantined)
   }
 
   /** Stored text by Jet version: Jet3 is single-byte (ISO-8859-1 as the
@@ -595,7 +532,7 @@ object MdbCatalog {
   }
 
   /** Full catalog scan: header gate, TDEF walk (both Jet versions),
-    * then — Jet4 only — the MSysObjects row decode that resolves TDEF
+    * then the MSysObjects row decode (both Jet versions) resolving TDEF
     * pages to real names. Intact tables and quarantined (page, reason)
     * pairs come back side by side — the `multimodal_meta` contract
     * applied to catalog pages.
@@ -618,9 +555,11 @@ object MdbCatalog {
         }
       }
       val tbls = tables.result()
+      // Both Jet versions now resolve names: the general row decoder
+      // handles Jet3's 1-byte row format (≤ 255-byte rows; longer
+      // catalog rows quarantine with the jump-table reason).
       val (names, rowQuarantines) =
-        if (version == 0x00) (Map.empty[Int, String], Nil)
-        else tbls.find(_.page == CatalogPg) match {
+        tbls.find(_.page == CatalogPg) match {
           case Some(msys) => readCatalogNames(bytes, pageSize, msys)
           case None => (Map.empty[Int, String], Nil)
         }

@@ -561,6 +561,62 @@ class MigratorSpec extends SparkSpec {
       msg.contains("jump table") }, s"quar=$quar")
   }
 
+  test("MDB catalog: Jet3 MSysObjects rows also recover real names") {
+    import graft.sources.MdbCatalog
+    // Jet3 MSysObjects slice: Id LONG fixed @0, Type INT fixed @4,
+    // Name TEXT var index 0 — the page-2 catalog, 2048-byte layout
+    val msys3 = tdef3Page(0x53, Seq(
+      ("Id", 0x04, 0, true), ("Type", 0x03, 1, true), ("Name", 0x0A, 2, false)))
+    val b3 = java.nio.ByteBuffer.wrap(msys3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b3.putShort(0x2B + 14, 0.toShort)       // Id fixed offset 0
+    b3.putShort(0x2B + 18 + 14, 4.toShort)  // Type fixed offset 4
+    b3.putShort(0x2B + 36 + 3, 0.toShort)   // Name var index 0
+    val user = tdef3Page(0x4F, Seq(("clientid", 0x04, 0, true)))
+    def catRow(id: Int, typ: Int, name: String): Array[Byte] = {
+      val nb = name.getBytes("US-ASCII")
+      val varStart = 1 + 6
+      val len = varStart + nb.length + 2 + 1 + 1
+      val r = new Array[Byte](len)
+      val buf = java.nio.ByteBuffer.wrap(r)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      r(0) = 3
+      buf.putInt(1, id)
+      buf.putShort(1 + 4, typ.toShort)
+      nb.copyToArray(r, varStart)
+      r(len - 1) = 0x07                  // all three columns present
+      r(len - 2) = 1                     // numVar
+      r(len - 3) = varStart.toByte
+      r(len - 4) = (varStart + nb.length).toByte
+      r
+    }
+    def dataPage3(owner: Int, rows: Seq[Array[Byte]]): Array[Byte] = {
+      val p = new Array[Byte](2048)
+      val buf = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p(0) = 0x01; p(1) = 0x01
+      buf.putInt(0x04, owner)
+      buf.putShort(0x08, rows.size.toShort)
+      var end = 2048
+      rows.zipWithIndex.foreach { case (row, i) =>
+        val start = end - row.length
+        row.copyToArray(p, start)
+        buf.putShort(0x0A + 2 * i, start.toShort)
+        end = start
+      }
+      p
+    }
+    val bytes = jetHeader(0x00).take(2048) ++ new Array[Byte](2048) ++
+      msys3 ++ user ++ dataPage3(2, Seq(
+        catRow(2, 1, "MSysObjects"),
+        catRow(3, 1, "licence3"),
+        catRow(99, 5, "notATable")))
+    val cat = MdbCatalog.read(bytes).fold(e => fail(e), identity)
+    assert(cat.names == Map(2 -> "MSysObjects", 3 -> "licence3"),
+      s"got ${cat.names}, quar ${cat.quarantined}")
+    assert(MdbCatalog.toTableDefs(cat).map(_.name) == Seq("licence3"))
+  }
+
   test("MDB catalog: non-mdb and unsupported inputs fail at the door") {
     import graft.sources.MdbCatalog
     // wrong magic
