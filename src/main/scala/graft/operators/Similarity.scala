@@ -327,10 +327,18 @@ object Similarity {
     ((org.apache.spark.sql.catalyst.expressions.XXH64
       .hashInt(j * 4096 + d, 42L) & 65535L) - 32768L).toDouble
 
-  private def hyperplaneSigs(e: DataFrame): DataFrame = {
+  private def hyperplaneSigs(e: DataFrame): DataFrame =
+    hyperplaneSigsN(e, NBits)
+
+  /** Signature pass parameterized by bit count (≤ 64): the top-k LSH
+    * family uses NBits = 16; `semanticDedup` widens to 48 so its bands
+    * can be 8 bits — bucket COUNT is what keeps banded candidate
+    * volume subquadratic, and 16 buckets per band stops being a
+    * partition long before 16-bucket bands stop being cheap.
+    */
+  private def hyperplaneSigsN(e: DataFrame, nb: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val nb = NBits
     e.as[(Long, scala.collection.Seq[Float])]
       .mapPartitions { it =>
         val h = Array.tabulate(nb * 64)(i => hyperplaneVal(i / 64, i % 64))
@@ -928,22 +936,33 @@ object Similarity {
 
   // ------------------------------------------- semantic dedup (SemDeDup)
 
-  private val SemTau = 0.9
+  // τ, signature width, and band geometry are ONE tuning unit: at
+  // τ = 0.95 per-bit agreement is p = 1 − arccos(.95)/π ≈ 0.90, so an
+  // 8-bit band matches a true pair with p⁸ ≈ 0.43 and six bands give
+  // candidate recall 1 − (1 − p⁸)⁶ ≈ 0.97 — while 2⁸ buckets per band
+  // keep candidate volume subquadratic. The first cut (4-bit bands from
+  // the top-k family) measured 49.7 s at sf1: 16 buckets per band is a
+  // PARTITION of the corpus, not a blocking scheme — candidate pairs
+  // grew with n²/16. Widening buckets, not probing fewer bands, is the
+  // scale dial (BENCH_NOTES r7).
+  private val SemTau = 0.95
+  private val SemBits = 48
+  private val SemBandBits = 8
+  private val SemBands = SemBits / SemBandBits
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster
     * the embedding space, drop all-but-one of each within-cluster
-    * near-identical group). The cluster proxy here is the hyperplane
-    * LSH family above — banded 4×4 over the 16-bit signature — instead
-    * of trained k-means cells, for one decisive reason: the hyperplanes
-    * are DRIVER-COMPUTED CONSTANTS, so the DuckDB twin embeds them as
+    * near-identical group). The cluster proxy here is hyperplane LSH —
+    * banded 6×8 over a 48-bit signature — instead of trained k-means
+    * cells, for one decisive reason: the hyperplanes are
+    * DRIVER-COMPUTED CONSTANTS, so the DuckDB twin embeds them as
     * literals, recomputes bit-identical signatures, and the WHOLE
     * operator is strictly oracled — where a k-means proxy (float-mean
     * training) can never be cross-engine reproducible and would demote
-    * the op to a check-twin. At τ = 0.9 the banding math closes:
-    * per-bit agreement p = 1 − arccos(0.9)/π ≈ 0.86, candidate recall
-    * 1 − (1 − p⁴)⁴ ≈ 0.95 — the regime the round-2 lesson pinned for
-    * hyperplane LSH (τ ≥ 0.8), unlike low-τ near-dup which belongs on
-    * `dedup_minhash_lsh`.
+    * the op to a check-twin. At τ = 0.95 the 6×8 banding gives
+    * candidate recall ≈ 0.97 (see the constants above) — the high-τ
+    * regime the round-2 lesson pinned for hyperplane LSH; low-τ
+    * near-dup belongs on `dedup_minhash_lsh`.
     *
     * Keeper rule: a vector drops iff some CONFIRMED (exact cosine ≥ τ)
     * candidate neighbor has a smaller id; `kept_by` names the smallest
@@ -959,13 +978,13 @@ object Similarity {
     * is the knob.
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val idSigs = hyperplaneSigs(emb(spark, dir))
+    val idSigs = hyperplaneSigsN(emb(spark, dir), SemBits)
       .select(col("vec_id"), col("sig"))
     def bands(idAs: String) = {
-      val bandCols = (0 until NBits / BitsPerBand).map { b =>
+      val bandCols = (0 until SemBands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), b * BitsPerBand)
-            .bitwiseAND((1L << BitsPerBand) - 1).as("bucket"))
+          shiftright(col("sig"), b * SemBandBits)
+            .bitwiseAND((1L << SemBandBits) - 1).as("bucket"))
       }
       idSigs.select(col("vec_id").as(idAs),
         explode(array(bandCols: _*)).as("k"))
@@ -996,17 +1015,18 @@ object Similarity {
       s"""list_sum(list_transform(list_zip(embedding, $lits),
          |           x -> CAST(x[1] AS DOUBLE) * x[2]))""".stripMargin
     }
-    val sigExpr = (0 until NBits)
+    val sigExpr = (0 until SemBits)
       .map(j => s"(CASE WHEN ${dot(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
       .mkString("\n       + ")
+    val bandList = (0 until SemBands).mkString("[", ", ", "]")
     s"""WITH s AS (
        |  SELECT vec_id, embedding,
        |         CAST($sigExpr AS BIGINT) AS sig
        |  FROM embeddings),
        |bd AS (SELECT vec_id, sig, band,
-       |              (sig >> (band * $BitsPerBand)) &
-       |                ${(1L << BitsPerBand) - 1} AS bucket
-       |       FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+       |              (sig >> (band * $SemBandBits)) &
+       |                ${(1L << SemBandBits) - 1} AS bucket
+       |       FROM s CROSS JOIN (SELECT unnest($bandList) AS band)),
        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |         FROM bd x JOIN bd y
        |           ON x.band = y.band AND x.bucket = y.bucket
