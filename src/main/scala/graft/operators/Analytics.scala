@@ -464,9 +464,13 @@ object Analytics {
     val fracs = (1 until parts).map(i => i.toDouble / parts)
     val cutVals: Seq[Double] =
       if (fracs.isEmpty) Nil
-      else sup.agg(expr(
-        s"approx_percentile(CAST(rev AS DOUBLE), array(${fracs.mkString(", ")}), 10000)")
-        .as("cuts")).head().getSeq[Double](0)
+      else {
+        // null = empty input: one bin, empty result (EdgeCaseSpec)
+        val cutRow = sup.agg(expr(
+          s"approx_percentile(CAST(rev AS DOUBLE), array(${fracs.mkString(", ")}), 10000)")
+          .as("cuts")).head()
+        if (cutRow.isNullAt(0)) Nil else cutRow.getSeq[Double](0)
+      }
     // bin 0 = highest revenue (descending order): count of cuts strictly
     // above the row's revenue; monotone along the sort order, ties merge.
     val cutArr =
@@ -936,10 +940,17 @@ object Analytics {
         when($"event_type" === typeB, 1L).otherwise(0L).as("g2"))
     val d = ev.groupBy("value").agg(sum("g1").as("c1"), sum("g2").as("c2"))
     val fracs = (1 until parts).map(i => i.toDouble / parts)
-    val cutVals = d.agg(expr(
+    // null cuts = EMPTY input (approx_percentile of zero rows): fall
+    // through to a single bin so the op returns empty, not an NPE —
+    // the first-batch-of-a-new-pipeline contract (EdgeCaseSpec).
+    val cutRow = d.agg(expr(
       s"approx_percentile(value, array(${fracs.mkString(", ")}), 10000)")
-      .as("cuts")).head().getSeq[Double](0)
-    val cutArr = array(cutVals.map(lit): _*)
+      .as("cuts")).head()
+    val cutVals: Seq[Double] =
+      if (cutRow.isNullAt(0)) Nil else cutRow.getSeq[Double](0)
+    val cutArr =
+      if (cutVals.isEmpty) array().cast("array<double>")
+      else array(cutVals.map(lit): _*)
     // bin = cut points strictly below the value: monotone in value, so
     // within-bin order + lower-bin totals reconstruct the global ECDF.
     // Eager checkpoint: binned feeds THREE consumers (local cums,

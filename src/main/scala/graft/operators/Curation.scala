@@ -653,14 +653,19 @@ object Curation {
     // RangePartitioner does for its sample, and it makes cross-branch
     // cut divergence (the bug the sampled-bounds form had) impossible
     // by construction.
-    val cutVals = d.agg(expr(
+    // null cuts = empty corpus: one bin, empty result (EdgeCaseSpec)
+    val cutRow = d.agg(expr(
       s"approx_percentile(k, array(${fracs.mkString(", ")}), 10000)")
-      .as("cuts")).head().getSeq[Double](0)
+      .as("cuts")).head()
+    val cutVals: Seq[Double] =
+      if (cutRow.isNullAt(0)) Nil else cutRow.getSeq[Double](0)
     // bin 0 holds the highest-quality rows (descending order), so a
     // row's bin = how many cut points sit strictly above its key; the
     // mapping is monotone along the sort order, which is what makes
     // bin-local ranks + prefix offsets reconstruct the global rank.
-    val cutArr = array(cutVals.map(lit): _*)
+    val cutArr =
+      if (cutVals.isEmpty) array().cast("array<double>")
+      else array(cutVals.map(lit): _*)
     val binned = d
       .withColumn("pid",
         size(filter(cutArr, c => c > col("k").cast("double"))).cast("int"))

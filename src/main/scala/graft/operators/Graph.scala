@@ -681,9 +681,15 @@ object Graph {
         custNode(col("o.o_custkey")).as("v"))
       .distinct()
     val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val src = edges.agg(min(when(col("u") % 2 === 0, col("u"))).as("n"))
-      .head().getLong(0)
-    bfs(edges, src)
+    // null min = empty edge set: no source exists, return the empty
+    // frame instead of NPE-ing (EdgeCaseSpec)
+    val srcRow = edges.agg(min(when(col("u") % 2 === 0, col("u"))).as("n"))
+      .head()
+    if (srcRow.isNullAt(0)) {
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long)].toDF("side", "key", "hops")
+    }
+    bfs(edges, srcRow.getLong(0))
       .select(
         when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("customer"))
           .as("side"),

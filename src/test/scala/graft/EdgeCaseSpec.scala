@@ -72,6 +72,51 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.Events.sequenceExamples(spark, edir).count() == 0)
   }
 
+  test("round-7 continuation operators are empty- and null-safe") {
+    import spark.implicits._
+    import graft.operators.{Analytics, Curation, Graph, History, Similarity}
+    // empty documents: span family, diff, fertility, solver, curriculum
+    val dir = emptyDocsDir()
+    assert(Dedup.crossSpans(spark, dir).count() == 0)
+    assert(Dedup.spanTrim(spark, dir).count() == 0)
+    assert(History.corpusDiff(spark, dir).count() == 0)
+    assert(TextAnalysis.fertility(spark, dir).count() == 0)
+    assert(Curation.mixtureSolver(spark, dir).count() == 0)
+    assert(Curation.curriculum(spark, dir).count() == 0)
+    // empty events: the rank-test family's percentile cuts come back
+    // null — one bin, empty result, no NPE
+    val edir = java.nio.file.Files.createTempDirectory("r7ev").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$edir/events.parquet")
+    assert(Analytics.statsKs(spark, edir).count() == 0)
+    assert(Analytics.statsMannWhitney(spark, edir).count() == 0)
+    assert(Analytics.statsAuc(spark, edir).count() == 0)
+    // empty join graph: BFS has no source, jaccard has no pairs,
+    // pareto's revenue cuts are null
+    val gdir = java.nio.file.Files.createTempDirectory("r7g").toString
+    Seq.empty[(Long, Long, Long, Long, Double, Double, Double,
+        java.sql.Timestamp)]
+      .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+      .write.parquet(s"$gdir/lineitem.parquet")
+    Seq.empty[(Long, Long, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+      .write.parquet(s"$gdir/orders.parquet")
+    assert(Graph.bfsShip(spark, gdir).count() == 0)
+    assert(Graph.jaccardNeighbors(spark, gdir).count() == 0)
+    assert(Analytics.aggPareto(spark, gdir).count() == 0)
+    // empty embeddings: semantic dedup yields no rows
+    val vdir = java.nio.file.Files.createTempDirectory("r7v").toString
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .write.parquet(s"$vdir/embeddings.parquet")
+    assert(Similarity.semanticDedup(spark, vdir).count() == 0)
+  }
+
   test("round-3 text/dedup operators tolerate null text without throwing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("nulls").toString
