@@ -1111,6 +1111,83 @@ object Analytics {
       |               / 2.0) / (CAST(n1 AS DOUBLE) * n2), 6) AS auc
       |FROM a""".stripMargin
 
+  /** Welch's unequal-variance t-test between the same two samples as
+    * `stats_ks`/`stats_mannwhitney` — the parametric member of the A/B
+    * family (t statistic + Welch–Satterthwaite degrees of freedom).
+    *
+    * Exactness across engines: sums and sums-of-squares ride DECIMAL
+    * (the q1_agg lesson — the 2-dp value grid is exact in decimal,
+    * never in binary), so both engines reach the float boundary with
+    * IDENTICAL (S, Q, n) triples; means/variances/t/df then drop to
+    * double through the same literal expression DAG on both sides.
+    * Scale shape: ONE scan reducing to a single row of conditional
+    * aggregates — no shuffle beyond the scalar-agg exchange.
+    */
+  def statsWelch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .where($"event_type".isin("click", "view") && $"value".isNotNull)
+      .select($"event_type", $"value".cast("decimal(18,2)").as("v"))
+    ev.agg(
+      sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n1"),
+      sum(when($"event_type" === "view", 1L).otherwise(0L)).as("n2"),
+      sum(when($"event_type" === "click", $"v")).as("s1"),
+      sum(when($"event_type" === "view", $"v")).as("s2"),
+      sum(when($"event_type" === "click", $"v" * $"v")).as("q1"),
+      sum(when($"event_type" === "view", $"v" * $"v")).as("q2"))
+      .select($"n1", $"n2",
+        ($"s1".cast("double") / $"n1").as("m1"),
+        ($"s2".cast("double") / $"n2").as("m2"),
+        (($"q1".cast("double") -
+          $"s1".cast("double") * $"s1".cast("double") / $"n1") /
+          ($"n1" - 1)).as("v1"),
+        (($"q2".cast("double") -
+          $"s2".cast("double") * $"s2".cast("double") / $"n2") /
+          ($"n2" - 1)).as("v2"))
+      .select($"n1", $"n2",
+        round($"m1" - $"m2", 6).as("mean_diff"),
+        round(($"m1" - $"m2") / sqrt($"v1" / $"n1" + $"v2" / $"n2"), 6)
+          .as("t"),
+        round(($"v1" / $"n1" + $"v2" / $"n2") *
+          ($"v1" / $"n1" + $"v2" / $"n2") /
+          (($"v1" / $"n1") * ($"v1" / $"n1") / ($"n1" - 1) +
+            ($"v2" / $"n2") * ($"v2" / $"n2") / ($"n2" - 1)), 6).as("df"))
+  }
+
+  val statsWelchSql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |a AS (
+      |  SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n1,
+      |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n2,
+      |         sum(CASE WHEN event_type = 'click' THEN v END) AS s1,
+      |         sum(CASE WHEN event_type = 'view' THEN v END) AS s2,
+      |         sum(CASE WHEN event_type = 'click' THEN v * v END) AS q1,
+      |         sum(CASE WHEN event_type = 'view' THEN v * v END) AS q2
+      |  FROM s),
+      |m AS (
+      |  SELECT n1, n2,
+      |         CAST(s1 AS DOUBLE) / n1 AS m1,
+      |         CAST(s2 AS DOUBLE) / n2 AS m2,
+      |         (CAST(q1 AS DOUBLE) -
+      |          CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1)
+      |           AS v1,
+      |         (CAST(q2 AS DOUBLE) -
+      |          CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1)
+      |           AS v2
+      |  FROM a)
+      |SELECT n1, n2,
+      |       round(m1 - m2, 6) AS mean_diff,
+      |       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t,
+      |       round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2) /
+      |             ((v1 / n1) * (v1 / n1) / (n1 - 1) +
+      |              (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df
+      |FROM m""".stripMargin
+
   val statsKsSql: String =
     """WITH s AS (
       |  SELECT value,
@@ -1131,6 +1208,7 @@ object Analytics {
     Op("stats_ks", statsKs _, Some(statsKsSql)),
     Op("stats_mannwhitney", statsMannWhitney _, Some(statsMannWhitneySql)),
     Op("stats_auc", statsAuc _, Some(statsAucSql)),
+    Op("stats_welch", statsWelch _, Some(statsWelchSql)),
     Op("q2_corr_subquery", corrSubquery _, Some(corrSubquerySql)),
     Op("agg_quantile_sketch", quantileSketch _, None),
     Op("agg_quantile_sketch_check", quantileSketchCheck _,

@@ -161,6 +161,32 @@ class DeltaStatsSpec extends SparkSpec {
       s"z ${row.getDouble(3)} != reference $z")
   }
 
+  test("welch t equals the collected two-sample computation") {
+    val vals = Tables(spark, sfDir, "events")
+      .where(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val s1 = vals.collect { case ("click", v) => v }
+    val s2 = vals.collect { case ("view", v) => v }
+    def stats(s: Array[Double]) = {
+      val n = s.length
+      val m = s.sum / n
+      (n, m, s.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (n1, m1, v1) = stats(s1)
+    val (n2, m2, v2) = stats(s2)
+    val se2 = v1 / n1 + v2 / n2
+    val t = (m1 - m2) / math.sqrt(se2)
+    val df = se2 * se2 /
+      ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+    val row = Analytics.statsWelch(spark, sfDir).collect().head
+    assert(row.getLong(0) == n1 && row.getLong(1) == n2)
+    assert(math.abs(row.getDouble(2) - (m1 - m2)) < 1e-6)
+    assert(math.abs(row.getDouble(3) - t) < 1e-5, s"t ${row.getDouble(3)} != $t")
+    assert(math.abs(row.getDouble(4) - df) < 1e-3 * df,
+      s"df ${row.getDouble(4)} != $df")
+  }
+
   test("auc equals the collected pair-counting AUC") {
     val vals = Tables(spark, sfDir, "events")
       .where(col("event_type").isin("purchase", "error") && col("value").isNotNull)
