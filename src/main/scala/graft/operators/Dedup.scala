@@ -1197,8 +1197,100 @@ object Dedup {
        |FROM gr GROUP BY doc_id, grp""".stripMargin
   }
 
+  /** INCREMENTAL cross-span detection — the corpus-growth form of
+    * `crossSpans`, mirroring `minhashIncremental`'s discipline: the
+    * history corpus is represented by its (gram-hash, doc_id) INDEX
+    * (in production a persisted artifact via the SnapshotStore pattern,
+    * extended per admitted batch), and a new batch finds its
+    * duplicated-vs-history spans by:
+    *  1. hashing ONLY its own grams and probing the index (hash-level
+    *     candidates — 16-byte rows, no history text touched);
+    *  2. re-gramming ONLY the history docs the index names for the
+    *     candidate hashes (the candidates-only rule that r6's verdict
+    *     forced onto minhashIncremental: per-batch history work is
+    *     O(candidates), never O(|history|));
+    *  3. confirming candidates by full gram STRING equality (a hash
+    *     collision cannot fabricate a span), then island-merging as in
+    *     `crossSpans`.
+    * History/batch split by doc_id parity, the incremental family's
+    * fixture convention. Batch-internal duplication is out of scope by
+    * contract — that is `crossSpans`' job on the batch alone.
+    */
+  def spanIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = SpanGram
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    def gramsOf(words: DataFrame): DataFrame = {
+      val gram = concat_ws(" ",
+        col("w") +: (1 until n).map(i => lead("w", i).over(byPos)): _*)
+      words
+        .select($"doc_id", $"pos", gram.as("gram"),
+          lead("w", n - 1).over(byPos).as("last_w"))
+        .where($"last_w".isNotNull)
+        .select($"doc_id", $"pos", $"gram", xxhash64($"gram").as("gh"))
+    }
+    val words = spanWords(spark, dir)
+    val hWords = words.where($"doc_id" % 2 === 0)
+    val bWords = words.where($"doc_id" % 2 === 1)
+    // the index: what production persists and extends per batch
+    val index = gramsOf(hWords).select("gh", "doc_id").distinct()
+    val bGrams = gramsOf(bWords)
+    val candB = bGrams
+      .join(index.select("gh").distinct(), "gh").localCheckpoint()
+    // candidates-only: only history docs the index names for candidate
+    // hashes are ever re-grammed
+    val candHistDocs = index
+      .join(candB.select("gh").distinct(), "gh")
+      .select("doc_id").distinct()
+    val histCandGrams =
+      gramsOf(hWords.join(candHistDocs, Seq("doc_id"), "left_semi"))
+        .select("gram").distinct()
+    val hits = candB.join(histCandGrams, "gram").select("doc_id", "pos")
+    hits
+      .select($"doc_id", $"pos",
+        when($"pos" - lag("pos", 1).over(byPos) <= n, 0)
+          .otherwise(1).as("brk"))
+      .select($"doc_id", $"pos", sum("brk").over(byPos).as("grp"))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (n - 1)).as("span_end"),
+        (max("pos") + n - min("pos")).as("span_words"),
+        count(lit(1)).as("n_dup_grams"))
+      .drop("grp")
+  }
+
+  val spanIncrementalSql: String = {
+    val leads = (1 until SpanGram)
+      .map(i => s"lead(w,$i) OVER dw").mkString(" || ' ' || ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |         generate_subscripts(string_split(text,' '),1) AS pos
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, pos, w || ' ' || $leads AS gram,
+       |         lead(w,${SpanGram - 1}) OVER dw AS last_w
+       |  FROM words WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |g2 AS (SELECT doc_id, pos, gram FROM grams WHERE last_w IS NOT NULL),
+       |hist AS (SELECT DISTINCT gram FROM g2 WHERE doc_id % 2 = 0),
+       |hits AS (SELECT doc_id, pos FROM g2
+       |         WHERE doc_id % 2 = 1 AND gram IN (SELECT gram FROM hist)),
+       |isl AS (SELECT doc_id, pos,
+       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |                 ORDER BY pos) <= $SpanGram THEN 0 ELSE 1 END AS brk
+       |        FROM hits),
+       |gr AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+       |         ORDER BY pos) AS grp FROM isl)
+       |SELECT doc_id,
+       |       CAST(min(pos) AS BIGINT) AS span_start,
+       |       CAST(max(pos) + ${SpanGram - 1} AS BIGINT) AS span_end,
+       |       CAST(max(pos) + $SpanGram - min(pos) AS BIGINT) AS span_words,
+       |       CAST(count(*) AS BIGINT) AS n_dup_grams
+       |FROM gr GROUP BY doc_id, grp""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("dedup_cross_spans", crossSpans _, Some(crossSpansSql)),
+    Op("dedup_span_incremental", spanIncremental _, Some(spanIncrementalSql)),
     Op("dedup_span_trim", spanTrim _, Some(spanTrimSql)),
     Op("dedup_edit_pairs", editPairs _, Some(editPairsSql)),
     Op("dedup_exact", exact _, Some(exactSql)),

@@ -97,6 +97,34 @@ class DeltaStatsSpec extends SparkSpec {
     }
   }
 
+  test("span incremental: vs-history only, batch-internal dups ignored") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val bshared = (1 to 10).map(i => s"t$i").mkString(" ")
+    val dir = docsDir(Seq(
+      // history (even ids): doc 2 carries the span doc 1 lifted
+      2L -> ((1 to 6).map(i => s"h$i").mkString(" ") + " " + shared),
+      4L -> (1 to 20).map(i => s"k$i").mkString(" "),
+      // batch (odd ids): doc 1 lifts from history; docs 3 and 5 share
+      // a span only WITH EACH OTHER — out of scope by contract
+      1L -> (shared + " " + (1 to 5).map(i => s"a$i").mkString(" ")),
+      3L -> (bshared + " b1 b2"),
+      5L -> (bshared + " c1 c2")))
+    val df = Dedup.spanIncremental(spark, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 10L)), s"got $got")
+    // plan pin for the candidates-only rule: the history re-gram feeds
+    // through a LEFT SEMI join on the candidate doc ids — its absence
+    // would mean every batch re-processes the full history text
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val semis = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }
+    assert(semis.nonEmpty,
+      "candidates-only semi-join missing from the span-incremental plan")
+  }
+
   test("corpus diff: status census reconstructs from the version rules") {
     val docs = Tables(spark, sfDir, "documents").cache()
     try {
