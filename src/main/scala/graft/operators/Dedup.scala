@@ -1041,17 +1041,45 @@ object Dedup {
     * The hash-prefilter/string-confirm staging is described on
     * `crossSpans`.
     */
-  private def spanIslands(words: DataFrame): DataFrame = {
+  /** (doc_id, pos, gram, gh) for every full SpanGram-word gram — the
+    * shared front of the whole span family.
+    */
+  private def gramsFrame(words: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
     val n = SpanGram
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val gram = concat_ws(" ",
       c("w") +: (1 until n).map(i => lead("w", i).over(byPos)): _*)
-    val grams = words
+    words
       .select(c("doc_id"), c("pos"), gram.as("gram"),
         lead("w", n - 1).over(byPos).as("last_w"))
       .where(c("last_w").isNotNull)
       .select(c("doc_id"), c("pos"), c("gram"), xxhash64(c("gram")).as("gh"))
+  }
+
+  /** Serialized bloom over a history corpus's gram STRINGS — the
+    * broadcastable, bounded-size form of the span index for
+    * ingest-time flagging (`CorpusStream.spanFlagStream`): ~1.2
+    * bytes/gram at fpp 0.1%, no false negatives by construction, so a
+    * stream stage can flag span-contaminated docs statelessly and the
+    * exact batch pipeline confirms later.
+    */
+  def spanGramBloom(spark: SparkSession, history: DataFrame,
+      fpp: Double = 0.001): Array[Byte] = {
+    import spark.implicits._
+    val words = history
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "w")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"w")
+    val grams = gramsFrame(words).select("gram")
+    val expected = math.max(grams.count(), 1000L)
+    RuntimeFilter.buildBloom(grams, "gram", expected, fpp)
+  }
+
+  private def spanIslands(words: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val n = SpanGram
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = gramsFrame(words)
     val dupHashes = grams.groupBy("gh")
       .agg(countDistinct("doc_id").as("nd")).where(c("nd") >= 2).select("gh")
     // No broadcast hint: the dup set scales with corpus duplication, so
@@ -1220,15 +1248,7 @@ object Dedup {
     import spark.implicits._
     val n = SpanGram
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    def gramsOf(words: DataFrame): DataFrame = {
-      val gram = concat_ws(" ",
-        col("w") +: (1 until n).map(i => lead("w", i).over(byPos)): _*)
-      words
-        .select($"doc_id", $"pos", gram.as("gram"),
-          lead("w", n - 1).over(byPos).as("last_w"))
-        .where($"last_w".isNotNull)
-        .select($"doc_id", $"pos", $"gram", xxhash64($"gram").as("gh"))
-    }
+    def gramsOf(words: DataFrame): DataFrame = gramsFrame(words)
     val words = spanWords(spark, dir)
     val hWords = words.where($"doc_id" % 2 === 0)
     val bWords = words.where($"doc_id" % 2 === 1)

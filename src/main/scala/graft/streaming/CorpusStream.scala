@@ -50,4 +50,38 @@ object CorpusStream {
           out.iterator
       }
   }
+
+  /** Ingest-time span-contamination flagging — the STREAMING front of
+    * the cross-span family: each arriving document's 8-word grams are
+    * generated as a pure array projection (`slice` over the split
+    * array — no window functions, which streaming frames cannot run)
+    * and tested against a BLOOM of the history corpus's gram index
+    * (`Dedup.spanGramBloom`). Stateless: the bitmap rides the plan as
+    * a constant binary literal, so the stage is a codegen'd per-row
+    * filter with no streaming state and no stream-static join shuffle.
+    *
+    * Contract: NO FALSE NEGATIVES (bloom guarantee) — every document
+    * sharing a full gram with history is flagged; the fpp share of
+    * clean docs flags spuriously and the exact batch pipeline
+    * (`dedup_span_incremental`) adjudicates. This is the triage shape
+    * ingest needs: drop/route on arrival, settle exactly later.
+    */
+  def spanFlagStream(docs: org.apache.spark.sql.DataFrame,
+      historyBloom: Array[Byte]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val n = 8
+    val ws = split(col("text"), " ")
+    // sequence(0, size-n) would run DESCENDING for short docs (Spark
+    // infers step -1) — guard them to an empty gram array instead.
+    val gramArr = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"),
+      size(gramArr).as("n_grams"),
+      size(filter(gramArr,
+        g => graft.operators.RuntimeFilter.bloomPredicate(historyBloom, g)))
+        .as("n_flagged"))
+      .withColumn("flagged", col("n_flagged") > 0)
+  }
 }

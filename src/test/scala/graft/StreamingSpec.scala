@@ -521,4 +521,38 @@ class StreamingSpec extends SparkSpec {
       assert(got(11L) == ((2L, 50L)), s"oversized doc prefix: ${got(11L)}")
     } finally q.stop()
   }
+
+  test("span-flag stream: history overlap flags on arrival, clean docs pass") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.CorpusStream
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val history = Seq(
+      (100L, (1 to 6).map(i => s"h$i").mkString(" ") + " " + shared),
+      (102L, (1 to 20).map(i => s"k$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bloom = Dedup.spanGramBloom(spark, history)
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream
+      .spanFlagStream(mem.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("spanflag_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, shared + " " + (1 to 5).map(i => s"a$i").mkString(" ")),
+        (3L, (1 to 15).map(i => s"z$i").mkString(" ")),
+        (5L, "too short"))
+      q.processAllAvailable()
+      val got = spark.table("spanflag_out").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+          r.getBoolean(3)))).toMap
+      // doc 1 lifts a 10-word history span: 3 of its 8 grams flag
+      assert(got(1L) == ((8, 3, true)), s"got ${got(1L)}")
+      // clean doc: full gram count, nothing flags (fpp 0.1% on 15 grams)
+      assert(got(3L) == ((8, 0, false)), s"got ${got(3L)}")
+      // short doc: no full gram exists — empty array, never flagged
+      assert(got(5L) == ((0, 0, false)), s"got ${got(5L)}")
+    } finally q.stop()
+  }
 }
