@@ -128,6 +128,43 @@ object Multimodal {
         if (w <= 0 || h == 0 || bpp < 8 || bpp % 8 != 0) corrupt
         else (w, h, bpp / 8)
       }
+    } else if (p.length >= 3 && (p(0) & 0xFF) == 0xFF &&
+      (p(1) & 0xFF) == 0xD8) {
+      // JPEG (SOI marker): walk FF-prefixed segments to the first SOFn
+      // frame header (height/width/components at +5/+7/+9 of its body).
+      // DHT/JPG-ext/DAC (C4/C8/CC) are SOF-range but not frames. SOS or
+      // EOI before any SOF — or a misaligned/overrunning segment —
+      // quarantines. Every branch advances ≥ 1 byte: no stall possible.
+      // (A UTF-8 text payload can never begin 0xFF, so the fixture's
+      // pseudo-dims fallback path is untouched — the oracle contract.)
+      def beShort(o: Int) = ((p(o) & 255) << 8) | (p(o + 1) & 255)
+      var o = 2
+      var res = corrupt
+      var done = false
+      while (!done && o + 1 < p.length) {
+        if ((p(o) & 0xFF) != 0xFF) done = true // marker misalignment
+        else {
+          val m = p(o + 1) & 0xFF
+          if (m == 0xFF) o += 1                // fill byte before marker
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) o += 2
+          else if (m == 0xD9 || m == 0xDA) done = true // EOI/SOS, no SOF
+          else if (o + 3 >= p.length) done = true
+          else {
+            val len = beShort(o + 2)
+            if (len < 2 || o + 2 + len > p.length) done = true
+            else if (m >= 0xC0 && m <= 0xCF &&
+              m != 0xC4 && m != 0xC8 && m != 0xCC) {
+              if (len >= 8) {
+                val h = beShort(o + 5); val w = beShort(o + 7)
+                val ch = p(o + 9) & 0xFF
+                if (w > 0 && h > 0 && ch > 0) res = (w, h, ch)
+              }
+              done = true
+            } else o += 2 + len
+          }
+        }
+      }
+      res
     } else
       (16 + (p.length % 640), 16 + (p.length % 480), 3)
   }

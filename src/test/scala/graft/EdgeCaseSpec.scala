@@ -292,6 +292,20 @@ class EdgeCaseSpec extends SparkSpec {
     val gif = "GIF89a".getBytes ++ Array(0.toByte, 4.toByte) ++
       Array(0.toByte, 3.toByte) ++ Array.fill(3)(0.toByte)
     val gifShort = "GIF89a".getBytes ++ Array(0.toByte)
+    // JPEG: SOI, APP0 (16 bytes), DHT (to prove non-frame SOF-range
+    // markers are skipped), SOF0 300×200 ×3 components
+    def seg(m: Int, body: Array[Byte]) =
+      Array(0xFF.toByte, m.toByte) ++
+        Array((((body.length + 2) >> 8) & 255).toByte,
+          ((body.length + 2) & 255).toByte) ++ body
+    val jpeg = Array(0xFF.toByte, 0xD8.toByte) ++
+      seg(0xE0, "JFIF".getBytes ++ Array.fill(10)(0.toByte)) ++
+      seg(0xC4, Array.fill(5)(0.toByte)) ++
+      seg(0xC0, Array(8.toByte, 0.toByte, 200.toByte, 1.toByte, 44.toByte,
+        3.toByte))
+    // SOS before any SOF: structurally a JPEG, but no frame header
+    val jpegNoSof = Array(0xFF.toByte, 0xD8.toByte) ++
+      seg(0xDA, Array.fill(4)(0.toByte))
     val assets = spark.createDataset(Seq(
       Multimodal.Asset(1L, "image", png, "s"),
       Multimodal.Asset(2L, "image", bmp, "s"),
@@ -299,7 +313,9 @@ class EdgeCaseSpec extends SparkSpec {
       Multimodal.Asset(4L, "image", wrongChunk, "s"),
       Multimodal.Asset(5L, "image", "plain text".getBytes, "s"),
       Multimodal.Asset(6L, "image", gif, "s"),
-      Multimodal.Asset(7L, "image", gifShort, "s")))
+      Multimodal.Asset(7L, "image", gifShort, "s"),
+      Multimodal.Asset(8L, "image", jpeg, "s"),
+      Multimodal.Asset(9L, "image", jpegNoSof, "s")))
     val m = Multimodal.extractMeta(assets).collect()
       .map(r => r.asset_id -> ((r.width, r.height, r.channels))).toMap
     assert(m(1L) == ((640, 480, 4)), s"PNG decode: ${m(1L)}")
@@ -309,6 +325,8 @@ class EdgeCaseSpec extends SparkSpec {
     assert(m(5L) == ((26, 26, 3)), s"text fallback pseudo-dims: ${m(5L)}")
     assert(m(6L) == ((1024, 768, 3)), s"GIF decode: ${m(6L)}")
     assert(m(7L) == ((-1, -1, 0)), s"truncated GIF must quarantine: ${m(7L)}")
+    assert(m(8L) == ((300, 200, 3)), s"JPEG SOF0 decode: ${m(8L)}")
+    assert(m(9L) == ((-1, -1, 0)), s"SOF-less JPEG must quarantine: ${m(9L)}")
   }
 
   test("WAV header decode: real fmt/data chunk walk, corrupt RIFF quarantines") {

@@ -270,6 +270,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("JPEG decode: fuzzed SOI payloads never throw, outputs stay sane") {
+    import graft.operators.Multimodal
+    val assets = (1 to 300).map { i =>
+      val junk = new Array[Byte](2 + rnd.nextInt(512))
+      rnd.nextBytes(junk)
+      junk(0) = 0xFF.toByte; junk(1) = 0xD8.toByte
+      Multimodal.Asset(i.toLong, "image", junk, "fuzz")
+    }
+    Multimodal.extractMeta(spark.createDataset(assets)(
+      org.apache.spark.sql.Encoders.product[Multimodal.Asset]))
+      .collect().foreach { m =>
+        assert((m.width == -1 && m.height == -1 && m.channels == 0) ||
+          (m.width > 0 && m.height > 0 && m.channels > 0),
+          s"insane decode: $m")
+      }
+  }
+
   test("WAV decode: fuzzed RIFF payloads never throw, outputs stay consistent") {
     import graft.operators.Multimodal
     val payloads = (1 to 200).map { i =>
