@@ -977,19 +977,24 @@ object Similarity {
     * NBits for bigger corpora — bucket population, not algorithm,
     * is the knob.
     */
+  /** (id, band, bucket) explosion of the 48-bit signature under the
+    * 6×8 geometry — shared by `semanticDedup` and `knnLsh`.
+    */
+  private def semBands(idSigs: DataFrame, idAs: String): DataFrame = {
+    val bandCols = (0 until SemBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * SemBandBits)
+          .bitwiseAND((1L << SemBandBits) - 1).as("bucket"))
+    }
+    idSigs.select(col("vec_id").as(idAs),
+      explode(array(bandCols: _*)).as("k"))
+      .select(col(idAs), col("k.band").as("band"), col("k.bucket").as("bucket"))
+  }
+
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val idSigs = hyperplaneSigsN(emb(spark, dir), SemBits)
       .select(col("vec_id"), col("sig"))
-    def bands(idAs: String) = {
-      val bandCols = (0 until SemBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * SemBandBits)
-            .bitwiseAND((1L << SemBandBits) - 1).as("bucket"))
-      }
-      idSigs.select(col("vec_id").as(idAs),
-        explode(array(bandCols: _*)).as("k"))
-        .select(col(idAs), col("k.band").as("band"), col("k.bucket").as("bucket"))
-    }
+    def bands(idAs: String) = semBands(idSigs, idAs)
     val cand = bands("id_a").join(bands("id_b"), Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -1045,8 +1050,87 @@ object Similarity {
        |FROM s LEFT JOIN drops d ON s.vec_id = d.vec_id""".stripMargin
   }
 
+  private val KnnK = 3
+
+  /** kNN-GRAPH construction over the same literal-hyperplane LSH
+    * candidates as `dedup_semantic` — the input clustering methods,
+    * label propagation, and graph-based dedup start from: for EVERY
+    * vector, its top-`KnnK` candidate neighbors by exact cosine, ties
+    * broken by neighbor id. Strictly oracled end-to-end because BOTH
+    * the candidate set (driver-constant hyperplanes) and the ranking
+    * (raw cosine DESC, id ASC — a total order; both engines compute
+    * bit-identical cosines by the sequential-accumulation parity) are
+    * deterministic. Vectors whose buckets hold no neighbor contribute
+    * no rows — the honest sparse-graph answer, not a fabricated edge.
+    *
+    * Scale shape: candidate generation and dedup ship (id, id) longs;
+    * embeddings re-attach per candidate; the rank is a window
+    * PARTITIONED by vec_id (never global). Same bucket-width dial as
+    * `dedup_semantic`.
+    */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val idSigs = hyperplaneSigsN(emb(spark, dir), SemBits)
+      .select(col("vec_id"), col("sig"))
+    val cand = semBands(idSigs, "id_a")
+      .join(semBands(idSigs, "id_b"), Seq("band", "bucket"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val e = emb(spark, dir)
+    val byVec = org.apache.spark.sql.expressions.Window.partitionBy("id_a")
+      .orderBy(col("cos_raw").desc, col("id_b").asc)
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")),
+        Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        V.cosine(col("emb_a"), col("emb_b")).as("cos_raw"))
+      .withColumn("rank", row_number().over(byVec).cast("long"))
+      .where(col("rank") <= KnnK)
+      .select(col("id_a").as("vec_id"), col("rank"),
+        col("id_b").as("neighbor_id"), round(col("cos_raw"), 6).as("cos"))
+  }
+
+  val knnLshSql: String = {
+    def dot(j: Int) = {
+      val lits = (0 until 64).map(d => hyperplaneVal(j, d))
+        .mkString("[", ", ", "]")
+      s"""list_sum(list_transform(list_zip(embedding, $lits),
+         |           x -> CAST(x[1] AS DOUBLE) * x[2]))""".stripMargin
+    }
+    val sigExpr = (0 until SemBits)
+      .map(j => s"(CASE WHEN ${dot(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("\n       + ")
+    val bandList = (0 until SemBands).mkString("[", ", ", "]")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding,
+       |         CAST($sigExpr AS BIGINT) AS sig
+       |  FROM embeddings),
+       |bd AS (SELECT vec_id, sig, band,
+       |              (sig >> (band * $SemBandBits)) &
+       |                ${(1L << SemBandBits) - 1} AS bucket
+       |       FROM s CROSS JOIN (SELECT unnest($bandList) AS band)),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |         FROM bd x JOIN bd y
+       |           ON x.band = y.band AND x.bucket = y.bucket
+       |          AND x.vec_id <> y.vec_id),
+       |scored AS (SELECT c.id_a, c.id_b,
+       |                  ${duckCos("a.embedding", "b.embedding")} AS cos_raw
+       |           FROM cand c
+       |           JOIN embeddings a ON a.vec_id = c.id_a
+       |           JOIN embeddings b ON b.vec_id = c.id_b),
+       |ranked AS (SELECT id_a, id_b, cos_raw,
+       |                  row_number() OVER (PARTITION BY id_a
+       |                    ORDER BY cos_raw DESC, id_b ASC) AS rank
+       |           FROM scored)
+       |SELECT id_a AS vec_id, CAST(rank AS BIGINT) AS rank,
+       |       id_b AS neighbor_id, round(cos_raw, 6) AS cos
+       |FROM ranked WHERE rank <= $KnnK""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("dedup_semantic", semanticDedup _, Some(semanticDedupSql)),
+    Op("sim_knn_lsh", knnLsh _, Some(knnLshSql)),
     Op("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceSql)),
     Op("emb_random_project", randomProject _, Some(randomProjectSql)),
     Op("sim_cosine_audit", cosineAudit _, Some(cosineAuditSql)),

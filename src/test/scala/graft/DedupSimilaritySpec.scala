@@ -26,6 +26,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L)._1 == "keep", s"distinct direction must keep: $got")
   }
 
+  test("knn graph: planted neighbors rank by cosine, ids break ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("knn").toString
+    val base = Array.tabulate(64)(d => math.sin(d * 1.7).toFloat * 3f + 4f)
+    val near = base.map(_ * 1.01f)           // cos exactly 1 with base
+    val near2 = base.clone(); near2(0) += 0.001f
+    val far = Array.tabulate(64)(d => math.cos(d * 2.3).toFloat * 5f - 1f)
+    Seq((1L, base.toSeq), (2L, near.toSeq), (3L, near2.toSeq),
+      (4L, far.toSeq))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.knnLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // vec 1's candidates are 2 and 3 (same buckets); 2 wins rank 1 at
+    // cos 1.0 exactly, 3 takes rank 2; far vec 4 never becomes an edge
+    assert(got((1L, 1L)) == 2L, s"got $got")
+    assert(got((1L, 2L)) == 3L, s"got $got")
+    assert(!got.contains((1L, 3L)) || got((1L, 3L)) != 4L,
+      s"distinct-direction vector must not edge into 1's bucket: $got")
+    // symmetric view from vec 2
+    assert(got((2L, 1L)) == 1L && got((2L, 2L)) == 3L, s"got $got")
+  }
+
   test("simhash: near-identical docs are Hamming-close, unrelated far") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
