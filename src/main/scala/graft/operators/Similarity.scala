@@ -1071,20 +1071,29 @@ object Similarity {
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val idSigs = hyperplaneSigsN(emb(spark, dir), SemBits)
       .select(col("vec_id"), col("sig"))
+    // score each unordered pair ONCE (cosine is symmetric), mirror the
+    // scored frame for the per-vector ranking — halves both the
+    // candidate dedup and the cosine evaluations vs a directed join
     val cand = semBands(idSigs, "id_a")
       .join(semBands(idSigs, "id_b"), Seq("band", "bucket"))
-      .where(col("id_a") =!= col("id_b"))
+      .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val e = emb(spark, dir)
-    val byVec = org.apache.spark.sql.expressions.Window.partitionBy("id_a")
-      .orderBy(col("cos_raw").desc, col("id_b").asc)
-    cand
+    val scored = cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")),
         Seq("id_a"))
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         V.cosine(col("emb_a"), col("emb_b")).as("cos_raw"))
+      // candidate-sized; the cut stops the union's two branches from
+      // re-running the band joins + cosines (the span-family pattern)
+      .localCheckpoint()
+    val both = scored.unionByName(scored.select(
+      col("id_b").as("id_a"), col("id_a").as("id_b"), col("cos_raw")))
+    val byVec = org.apache.spark.sql.expressions.Window.partitionBy("id_a")
+      .orderBy(col("cos_raw").desc, col("id_b").asc)
+    both
       .withColumn("rank", row_number().over(byVec).cast("long"))
       .where(col("rank") <= KnnK)
       .select(col("id_a").as("vec_id"), col("rank"),
