@@ -489,6 +489,44 @@ object EventStream {
       .withColumn("drifted", col("psi") > 0.2)
   }
 
+  /** The KS companion to `psiOfWindows` over the SAME closed-window
+    * bucket counts: D = max |F_window − F_baseline| across the bucket
+    * grid — the bin-free-in-spirit shape test (`stats_ks`'s discrete
+    * form; the bucket grid is the quantization both distributions
+    * already share), where PSI scores mass re-allocation. PSI is
+    * smoothing-sensitive and unbounded; D ∈ [0,1] with no smoothing
+    * needed — monitoring wants both views. Every frame stays
+    * ≤ |windows|·|types|·|buckets| rows, cumulative sums run under
+    * (window, type)-partitioned ordering — metadata-sized by contract,
+    * never corpus-bound.
+    */
+  def ksOfWindows(wc: DataFrame, baseline: DataFrame,
+      threshold: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => Frame}
+    val wins = wc.select(col("window_start")).distinct()
+    val base = baseline.select(col("event_type"), col("bucket"),
+      col("cnt").as("bc")).crossJoin(wins)
+    val joined = wc
+      .join(base, Seq("window_start", "event_type", "bucket"), "full_outer")
+      .select(col("window_start"), col("event_type"), col("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("c"),
+        coalesce(col("bc"), lit(0L)).as("b"))
+    val byWT = Frame.partitionBy(col("window_start"), col("event_type"))
+    val cums = joined
+      .withColumn("cumc", sum(col("c")).over(byWT.orderBy(col("bucket"))))
+      .withColumn("cumb", sum(col("b")).over(byWT.orderBy(col("bucket"))))
+      .withColumn("n", sum(col("c")).over(byWT))
+      .withColumn("bn", sum(col("b")).over(byWT))
+      .where(col("n") > 0 && col("bn") > 0)
+    cums
+      .select(col("window_start"), col("event_type"),
+        abs(col("cumc").cast("double") / col("n") -
+          col("cumb").cast("double") / col("bn")).as("d"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(round(max(col("d")), 6).as("ks_d"))
+      .withColumn("drifted", col("ks_d") > threshold)
+  }
+
   /** End-to-end wiring: the windowed-bucket stream hands each batch of
     * CLOSED windows to `onAlert` as finalized per-(window, type) PSI
     * rows — the monitoring hook a production pipeline points at its

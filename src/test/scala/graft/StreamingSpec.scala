@@ -418,6 +418,14 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getTimestamp(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
     assert(!psi(w1)._2, s"matching window drifted: ${psi(w1)}")
     assert(psi(w2)._2 && psi(w2)._1 > 1.0, s"shifted window quiet: ${psi(w2)}")
+
+    // the KS companion over the same frames: window 1's ECDF tracks the
+    // baseline exactly (D = 0); window 2 piles all mass on bucket 0, so
+    // D = |1 − 0.25| = 0.75 at the first bucket
+    val ks = EventStream.ksOfWindows(wc, baseline).collect()
+      .map(r => r.getTimestamp(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(ks(w1) == ((0.0, false)), s"matching window KS: ${ks(w1)}")
+    assert(ks(w2) == ((0.75, true)), s"shifted window KS: ${ks(w2)}")
   }
 
   test("drift sink: closed windows emit once with final PSI") {
