@@ -801,7 +801,75 @@ object Events {
        |)
        |WHERE len(context) = $SeqContext""".stripMargin
 
+  /** A/B assignment + sample-ratio-mismatch gate: every user hashes
+    * deterministically into one of two arms (the `split3` md5
+    * convention — first hex char < '8' is a true coin since one hex
+    * digit is uniform over 16 values), and the chi-square
+    * goodness-of-fit against the intended 50/50 flags broken
+    * randomization (SRM — the first sanity gate every experiment
+    * readout runs before any metric is trusted). χ² = Σ(o−e)²/e with
+    * df = 1; flag at 3.841 (α = 0.05). Integer counts, closed-form
+    * double, identical expression both engines.
+    *
+    * Scale shape: one distinct-user reduction (map-side combined),
+    * then arithmetic on a 1-row frame.
+    */
+  def abSrm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arm = when(substring(md5(concat_ws(":", lit("ab"),
+      $"user_id".cast("string"))), 1, 1) < "8", "control")
+      .otherwise("treatment")
+    Tables(spark, dir, "events")
+      .select($"user_id").distinct()
+      .select(arm.as("arm"))
+      .groupBy()
+      .agg(sum(when($"arm" === "control", 1L).otherwise(0L)).as("n_control"),
+        sum(when($"arm" === "treatment", 1L).otherwise(0L))
+          .as("n_treatment"))
+      .select($"n_control", $"n_treatment",
+        round(
+          pow($"n_control".cast("double") -
+            ($"n_control" + $"n_treatment").cast("double") / 2, 2) /
+            (($"n_control" + $"n_treatment").cast("double") / 2) +
+            pow($"n_treatment".cast("double") -
+              ($"n_control" + $"n_treatment").cast("double") / 2, 2) /
+              (($"n_control" + $"n_treatment").cast("double") / 2), 6)
+          .as("chi2"))
+      .withColumn("srm", $"chi2" > 3.841)
+  }
+
+  val abSrmSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |arms AS (
+      |  SELECT CASE WHEN substr(md5(concat_ws(':', 'ab',
+      |                CAST(user_id AS VARCHAR))), 1, 1) < '8'
+      |              THEN 'control' ELSE 'treatment' END AS arm
+      |  FROM u),
+      |c AS (SELECT
+      |        CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+      |             AS BIGINT) AS n_control,
+      |        CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+      |             AS BIGINT) AS n_treatment
+      |      FROM arms)
+      |SELECT n_control, n_treatment,
+      |       round(pow(CAST(n_control AS DOUBLE) -
+      |                 CAST(n_control + n_treatment AS DOUBLE) / 2, 2) /
+      |             (CAST(n_control + n_treatment AS DOUBLE) / 2) +
+      |             pow(CAST(n_treatment AS DOUBLE) -
+      |                 CAST(n_control + n_treatment AS DOUBLE) / 2, 2) /
+      |             (CAST(n_control + n_treatment AS DOUBLE) / 2), 6)
+      |         AS chi2,
+      |       round(pow(CAST(n_control AS DOUBLE) -
+      |                 CAST(n_control + n_treatment AS DOUBLE) / 2, 2) /
+      |             (CAST(n_control + n_treatment AS DOUBLE) / 2) +
+      |             pow(CAST(n_treatment AS DOUBLE) -
+      |                 CAST(n_control + n_treatment AS DOUBLE) / 2, 2) /
+      |             (CAST(n_control + n_treatment AS DOUBLE) / 2), 6)
+      |         > 3.841 AS srm
+      |FROM c""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("events_ab_srm", abSrm _, Some(abSrmSql)),
     Op("events_sequence_examples", sequenceExamples _,
       Some(sequenceExamplesSql)),
     Op("events_hourly", hourly _, Some(hourlySql)),

@@ -189,6 +189,26 @@ class DeltaStatsSpec extends SparkSpec {
       s"z ${row.getDouble(3)} != reference $z")
   }
 
+  test("ab srm: md5 assignment reconstructs, chi-square matches by hand") {
+    import graft.operators.Events
+    val users = Tables(spark, sfDir, "events")
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    def arm(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      if (((md(0) >> 4) & 0xF) < 8) "control" else "treatment"
+    }
+    val nc = users.count(arm(_) == "control").toLong
+    val nt = users.length - nc
+    val e = users.length / 2.0
+    val chi2 = math.pow(nc - e, 2) / e + math.pow(nt - e, 2) / e
+    val row = Events.abSrm(spark, sfDir).collect().head
+    assert(row.getLong(0) == nc && row.getLong(1) == nt,
+      s"assignment mismatch: ${row.getLong(0)}/${row.getLong(1)} vs $nc/$nt")
+    assert(math.abs(row.getDouble(2) - chi2) < 1e-6)
+    assert(row.getBoolean(3) == (chi2 > 3.841))
+  }
+
   test("welch t equals the collected two-sample computation") {
     val vals = Tables(spark, sfDir, "events")
       .where(col("event_type").isin("click", "view") && col("value").isNotNull)
