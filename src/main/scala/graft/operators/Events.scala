@@ -868,7 +868,98 @@ object Events {
       |         > 3.841 AS srm
       |FROM c""".stripMargin
 
+  /** RFM segmentation — recency / frequency / monetary scores per
+    * user, the classic behavioral-cohort cut: each dimension scores
+    * 1–3 by its QUARTILE cuts (1 + (x > q25) + (x > q75); recency
+    * reversed — recent is good). Quartiles are the determinism choice:
+    * 0.25/0.75 are exact dyadic fractions, so the (n−1)p interpolation
+    * is a product of exact doubles and BOTH engines derive bit-equal
+    * thresholds — tercile fractions (1/3) would put a rounding ulp
+    * under every boundary compare.
+    *
+    * Scale shape: one event scan reduces to the |users| frame; the
+    * global max-ts and the six thresholds are scalar aggregates
+    * broadcast back. The exact `percentile` over the reduced user
+    * frame buffers |users| values in one aggregation buffer (the
+    * `agg_percentiles` precedent) — at which point the documented swap
+    * is the KLL sketch with a rank-error contract, not a different
+    * operator shape.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events").where($"value".isNotNull)
+    val now = ev.agg(max(to_date($"ts")).as("today"))
+    val perUser = ev.groupBy("user_id")
+      .agg(max(to_date($"ts")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum($"value".cast("decimal(18,2)")).as("monetary"))
+      .crossJoin(broadcast(now))
+      .select($"user_id",
+        datediff($"today", $"last_day").cast("long").as("recency_days"),
+        $"frequency", $"monetary")
+    val th = perUser.agg(
+      expr("percentile(recency_days, array(0.25D, 0.75D))").as("rt"),
+      expr("percentile(frequency, array(0.25D, 0.75D))").as("ft"),
+      expr("percentile(CAST(monetary AS DOUBLE), array(0.25D, 0.75D))")
+        .as("mt"))
+    perUser.crossJoin(broadcast(th))
+      .select($"user_id", $"recency_days", $"frequency", $"monetary",
+        (lit(3) -
+          ($"recency_days".cast("double") > element_at($"rt", 1)).cast("int") -
+          ($"recency_days".cast("double") > element_at($"rt", 2)).cast("int"))
+          .as("r_score"),
+        (lit(1) +
+          ($"frequency".cast("double") > element_at($"ft", 1)).cast("int") +
+          ($"frequency".cast("double") > element_at($"ft", 2)).cast("int"))
+          .as("f_score"),
+        (lit(1) +
+          ($"monetary".cast("double") > element_at($"mt", 1)).cast("int") +
+          ($"monetary".cast("double") > element_at($"mt", 2)).cast("int"))
+          .as("m_score"))
+      .withColumn("segment",
+        concat($"r_score", $"f_score", $"m_score"))
+  }
+
+  val rfmSql: String =
+    """WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+      |now_d AS (SELECT max(CAST(ts AS DATE)) AS today FROM ev),
+      |pu AS (
+      |  SELECT user_id,
+      |         CAST(date_diff('day', max(CAST(ts AS DATE)),
+      |              (SELECT today FROM now_d)) AS BIGINT) AS recency_days,
+      |         CAST(count(*) AS BIGINT) AS frequency,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS monetary
+      |  FROM ev GROUP BY user_id),
+      |th AS (
+      |  SELECT quantile_cont(recency_days, 0.25) AS r1,
+      |         quantile_cont(recency_days, 0.75) AS r3,
+      |         quantile_cont(frequency, 0.25) AS f1,
+      |         quantile_cont(frequency, 0.75) AS f3,
+      |         quantile_cont(CAST(monetary AS DOUBLE), 0.25) AS m1,
+      |         quantile_cont(CAST(monetary AS DOUBLE), 0.75) AS m3
+      |  FROM pu)
+      |SELECT user_id, recency_days, frequency, monetary,
+      |       3 - CAST(CAST(recency_days AS DOUBLE) > r1 AS INTEGER)
+      |         - CAST(CAST(recency_days AS DOUBLE) > r3 AS INTEGER)
+      |         AS r_score,
+      |       1 + CAST(CAST(frequency AS DOUBLE) > f1 AS INTEGER)
+      |         + CAST(CAST(frequency AS DOUBLE) > f3 AS INTEGER)
+      |         AS f_score,
+      |       1 + CAST(CAST(monetary AS DOUBLE) > m1 AS INTEGER)
+      |         + CAST(CAST(monetary AS DOUBLE) > m3 AS INTEGER)
+      |         AS m_score,
+      |       concat(
+      |         3 - CAST(CAST(recency_days AS DOUBLE) > r1 AS INTEGER)
+      |           - CAST(CAST(recency_days AS DOUBLE) > r3 AS INTEGER),
+      |         1 + CAST(CAST(frequency AS DOUBLE) > f1 AS INTEGER)
+      |           + CAST(CAST(frequency AS DOUBLE) > f3 AS INTEGER),
+      |         1 + CAST(CAST(monetary AS DOUBLE) > m1 AS INTEGER)
+      |           + CAST(CAST(monetary AS DOUBLE) > m3 AS INTEGER))
+      |         AS segment
+      |FROM pu CROSS JOIN th""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("events_rfm", rfm _, Some(rfmSql)),
     Op("events_ab_srm", abSrm _, Some(abSrmSql)),
     Op("events_sequence_examples", sequenceExamples _,
       Some(sequenceExamplesSql)),

@@ -189,6 +189,37 @@ class DeltaStatsSpec extends SparkSpec {
       s"z ${row.getDouble(3)} != reference $z")
   }
 
+  test("rfm: scores reconstruct from collected quartiles, segments concat") {
+    import graft.operators.Events
+    val rows = Events.rfm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def q(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val r = (s.length - 1) * p
+      val lo = r.toInt
+      if (lo == s.length - 1) s(lo) else s(lo) + (r - lo) * (s(lo + 1) - s(lo))
+    }
+    val rec = rows.map(_.getLong(1).toDouble)
+    val fre = rows.map(_.getLong(2).toDouble)
+    val mon = rows.map(_.getDecimal(3).doubleValue)
+    val (r1, r3) = (q(rec, 0.25), q(rec, 0.75))
+    val (f1, f3) = (q(fre, 0.25), q(fre, 0.75))
+    val (m1, m3) = (q(mon, 0.25), q(mon, 0.75))
+    rows.foreach { r =>
+      val rs = 3 - (if (r.getLong(1) > r1) 1 else 0) -
+        (if (r.getLong(1) > r3) 1 else 0)
+      val fs = 1 + (if (r.getLong(2) > f1) 1 else 0) +
+        (if (r.getLong(2) > f3) 1 else 0)
+      val ms = 1 + (if (r.getDecimal(3).doubleValue > m1) 1 else 0) +
+        (if (r.getDecimal(3).doubleValue > m3) 1 else 0)
+      assert(r.getInt(4) == rs && r.getInt(5) == fs && r.getInt(6) == ms,
+        s"user ${r.getLong(0)} scores ${r.getInt(4)}${r.getInt(5)}${r.getInt(6)} != $rs$fs$ms")
+      assert(r.getString(7) == s"$rs$fs$ms")
+    }
+    // all three score levels must actually occur on the fixture
+    assert(rows.map(_.getInt(5)).distinct.sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("ab srm: md5 assignment reconstructs, chi-square matches by hand") {
     import graft.operators.Events
     val users = Tables(spark, sfDir, "events")
