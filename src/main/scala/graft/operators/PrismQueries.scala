@@ -83,4 +83,37 @@ object PrismQueries {
     */
   def pointToPointLinks(spark: SparkSession, dir: String): DataFrame =
     pointToPointLinks(name => spark.read.parquet(s"$dir/$name.parquet"))
+
+  private val EarthRadiusKm = 6371.0088 // IUGG mean radius
+  private val ToRad = math.Pi / 180
+
+  /** Great-circle length + initial bearing of each link — the derived
+    * columns the reference's MAP layer exists for (it renders these
+    * exact tx→rx pairs, `select_point_to_point_links.sql:29-30`
+    * easting/northing renames): link length is also the first QA
+    * signal on licence data — a 2000 km "point-to-point" microwave
+    * link is a coordinate error, which `max_plausible_km` flags
+    * without dropping the row. Haversine + forward azimuth on the
+    * IUGG mean sphere; pure per-row projection, no shuffle, stays
+    * inside whole-stage codegen (all built-in trig expressions).
+    */
+  def linkDistances(links: DataFrame,
+      maxPlausibleKm: Double = 500.0): DataFrame = {
+    def rad(c: org.apache.spark.sql.Column) = c * ToRad
+    val dLat = rad(col("rx_lat") - col("tx_lat"))
+    val dLng = rad(col("rx_lng") - col("tx_lng"))
+    val a = pow(sin(dLat / 2), 2) +
+      cos(rad(col("tx_lat"))) * cos(rad(col("rx_lat"))) *
+        pow(sin(dLng / 2), 2)
+    val dist = lit(2 * EarthRadiusKm) * asin(sqrt(a))
+    val bearing = (degrees(atan2(
+      sin(dLng) * cos(rad(col("rx_lat"))),
+      cos(rad(col("tx_lat"))) * sin(rad(col("rx_lat"))) -
+        sin(rad(col("tx_lat"))) * cos(rad(col("rx_lat"))) * cos(dLng)))
+      + 360) % 360
+    links
+      .withColumn("link_km", round(dist, 3))
+      .withColumn("bearing_deg", round(bearing, 2))
+      .withColumn("implausible", col("link_km") > maxPlausibleKm)
+  }
 }

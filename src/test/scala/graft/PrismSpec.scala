@@ -69,4 +69,38 @@ class PrismSpec extends SparkSpec {
     val out = PrismQueries.pointToPointLinks(tables)
     assert(!out.collect().map(_.getLong(0)).contains(300L))
   }
+
+  test("link distances: haversine matches a scalar mirror, QA flag fires") {
+    import spark.implicits._
+    // Wellington -> Auckland, a same-point link, and a coordinate-error
+    // link to the other side of the world
+    val links = Seq(
+      (1L, 174.7756, -41.2866, 174.7633, -36.8485),
+      (2L, 174.7756, -41.2866, 174.7756, -41.2866),
+      (3L, 174.7756, -41.2866, -5.2244, 41.2866))
+      .toDF("licenceid", "tx_lng", "tx_lat", "rx_lng", "rx_lat")
+    def scalarHaversine(lng1: Double, lat1: Double,
+        lng2: Double, lat2: Double): Double = {
+      val r = math.Pi / 180
+      val a = math.pow(math.sin((lat2 - lat1) * r / 2), 2) +
+        math.cos(lat1 * r) * math.cos(lat2 * r) *
+          math.pow(math.sin((lng2 - lng1) * r / 2), 2)
+      2 * 6371.0088 * math.asin(math.sqrt(a))
+    }
+    val got = PrismQueries.linkDistances(links).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(5), r.getDouble(6), r.getBoolean(7)))).toMap
+    val wellAuck = scalarHaversine(174.7756, -41.2866, 174.7633, -36.8485)
+    assert(math.abs(got(1L)._1 - wellAuck) < 0.01,
+      s"Wellington-Auckland ${got(1L)._1} != $wellAuck")
+    assert(wellAuck > 480 && wellAuck < 500) // sanity: ~493 km
+    // almost due north — Auckland sits a hair WEST, so the azimuth
+    // wraps just under 360 rather than just over 0
+    assert(got(1L)._2 > 355 || got(1L)._2 < 5,
+      s"bearing ${got(1L)._2} not northish")
+    assert(!got(1L)._3)
+    assert(got(2L) == ((0.0, 0.0, false)), s"same point: ${got(2L)}")
+    // antipodal-ish coordinate error: ~19,500 km, flagged
+    assert(got(3L)._1 > 15000 && got(3L)._3, s"QA flag: ${got(3L)}")
+  }
 }
