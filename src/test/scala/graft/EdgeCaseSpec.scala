@@ -74,7 +74,8 @@ class EdgeCaseSpec extends SparkSpec {
 
   test("round-7 continuation operators are empty- and null-safe") {
     import spark.implicits._
-    import graft.operators.{Analytics, Curation, Graph, History, Similarity}
+    import graft.operators.{Analytics, Curation, Events, Graph, History,
+      Similarity}
     // empty documents: span family, diff, fertility, solver, curriculum
     val dir = emptyDocsDir()
     assert(Dedup.crossSpans(spark, dir).count() == 0)
@@ -106,7 +107,7 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Graph.bfsShip(spark, gdir).count() == 0)
     assert(Graph.jaccardNeighbors(spark, gdir).count() == 0)
     assert(Analytics.aggPareto(spark, gdir).count() == 0)
-    // empty embeddings: semantic dedup yields no rows
+    // empty embeddings: semantic dedup and the kNN graph yield no rows
     val vdir = java.nio.file.Files.createTempDirectory("r7v").toString
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -115,6 +116,12 @@ class EdgeCaseSpec extends SparkSpec {
         StructField("embedding", ArrayType(FloatType)))))
       .write.parquet(s"$vdir/embeddings.parquet")
     assert(Similarity.semanticDedup(spark, vdir).count() == 0)
+    assert(Similarity.knnLsh(spark, vdir).count() == 0)
+    // empty events again: RFM yields no rows (null thresholds never
+    // compare); the SRM gate emits its single aggregate row without
+    // throwing (null chi2 — no users to assign is not a mismatch)
+    assert(Events.rfm(spark, edir).count() == 0)
+    assert(Events.abSrm(spark, edir).count() == 1)
   }
 
   test("round-3 text/dedup operators tolerate null text without throwing") {
