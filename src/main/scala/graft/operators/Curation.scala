@@ -787,9 +787,13 @@ object Curation {
     val totals = bySource.agg(
       sum("avail_tokens").as("t"), count(lit(1)).as("k"))
     bySource.crossJoin(broadcast(totals))
+      // TRUE integer division (`div`), matching the twin's `t // k` —
+      // double-divide-then-truncate crosses an integer boundary when
+      // t/k lands within a ulp of one (r7 ADVICE; realistic at 100 TB
+      // token totals over ~100 sources).
       .select($"source", $"avail_tokens",
-        ($"t" / $"k").cast("long").as("target_tokens"),
-        least($"avail_tokens", ($"t" / $"k").cast("long"))
+        expr("t div k").as("target_tokens"),
+        least($"avail_tokens", expr("t div k"))
           .as("planned_tokens"))
       .select($"source", $"avail_tokens", $"target_tokens",
         $"planned_tokens",

@@ -1118,11 +1118,18 @@ object Dedup {
 
   /** The spans APPLIED — the second half of ExactSubstr dedup: rebuild
     * each document's text with its duplicated spans REMOVED, except in
-    * the span's KEEPER document, so exactly one copy of every
-    * duplicated passage survives the corpus. Keeper = the minimum
-    * doc_id over the global minimum owners of the span's grams — a
-    * pure function of the span's content, so both engines (and any two
-    * cluster runs) pick the same survivor without coordination.
+    * each span's KEEPER document. Keeper is decided PER OWNER-RUN
+    * inside an island (grams sharing the same global minimum owner),
+    * not per merged island: an island that concatenates passages with
+    * different owners would otherwise trim a passage in its own owner
+    * doc too and the passage would survive nowhere (r7 ADVICE).
+    * Owner = the gram's global minimum doc_id — a pure function of the
+    * span's content, so both engines (and any two cluster runs) pick
+    * the same survivor without coordination. Every owner's grams stay
+    * intact in the owner document; where foreign-owned extents overlap
+    * a kept passage's boundary (adjacent spans share up to n−1
+    * positions), the boundary words follow the foreign extent — the
+    * inherent position-granularity limit of extent-based trimming.
     *
     * Scale shape: everything up to the island frame is `crossSpans`'s
     * hash-staged pipeline; the trim adds one `sequence` explode over
@@ -1135,10 +1142,15 @@ object Dedup {
     import spark.implicits._
     val n = SpanGram
     val words = spanWords(spark, dir)
-    val spans = spanIslands(words).groupBy("doc_id", "grp")
-      .agg(min("pos").as("s"), (max("pos") + (n - 1)).as("e"),
-        min("min_doc").as("owner"))
-      .where($"owner" =!= $"doc_id")
+    // Group by (doc_id, grp, min_doc) — NOT just the island: an island
+    // that merges grams with DIFFERENT owners must trim per-owner, or a
+    // passage owned by THIS doc inside a merged island gets trimmed here
+    // (island-min owner ≠ doc_id) AND in every other doc, surviving
+    // nowhere (r7 ADVICE). Per-owner sub-extents keep each owner's
+    // grams intact in their owner document.
+    val spans = spanIslands(words).groupBy("doc_id", "grp", "min_doc")
+      .agg(min("pos").as("s"), (max("pos") + (n - 1)).as("e"))
+      .where($"min_doc" =!= $"doc_id")
     val drop = spans.select($"doc_id",
       explode(sequence($"s", $"e")).as("pos"))
     val kept = words.join(drop, Seq("doc_id", "pos"), "left_anti")
@@ -1177,10 +1189,9 @@ object Dedup {
        |gr AS (SELECT doc_id, pos, min_doc, sum(brk) OVER (
        |         PARTITION BY doc_id ORDER BY pos) AS grp FROM isl),
        |spans AS (SELECT doc_id, min(pos) AS s,
-       |                 max(pos) + ${SpanGram - 1} AS e,
-       |                 min(min_doc) AS owner
-       |          FROM gr GROUP BY doc_id, grp
-       |          HAVING min(min_doc) <> doc_id),
+       |                 max(pos) + ${SpanGram - 1} AS e
+       |          FROM gr GROUP BY doc_id, grp, min_doc
+       |          HAVING min_doc <> doc_id),
        |drop_pos AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos
        |             FROM spans),
        |kept AS (SELECT w.doc_id,
@@ -1196,7 +1207,10 @@ object Dedup {
   }
 
   val crossSpansSql: String = {
-    val leads = (1 until 8)
+    // SpanGram interpolated everywhere (like spanTrimSql) — a hardcoded
+    // gram size here would silently break Scala↔SQL parity if SpanGram
+    // ever changes (r7 ADVICE).
+    val leads = (1 until SpanGram)
       .map(i => s"lead(w,$i) OVER dw").mkString(" || ' ' || ")
     s"""WITH words AS (
        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
@@ -1204,7 +1218,7 @@ object Dedup {
        |  FROM documents),
        |grams AS (
        |  SELECT doc_id, pos, w || ' ' || $leads AS gram,
-       |         lead(w,7) OVER dw AS last_w
+       |         lead(w,${SpanGram - 1}) OVER dw AS last_w
        |  FROM words WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
        |g2 AS (SELECT doc_id, pos, gram FROM grams WHERE last_w IS NOT NULL),
        |dup AS (SELECT gram FROM g2 GROUP BY gram
@@ -1213,14 +1227,14 @@ object Dedup {
        |         WHERE gram IN (SELECT gram FROM dup)),
        |isl AS (SELECT doc_id, pos,
        |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
-       |                 ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk
+       |                 ORDER BY pos) <= $SpanGram THEN 0 ELSE 1 END AS brk
        |        FROM hits),
        |gr AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
        |         ORDER BY pos) AS grp FROM isl)
        |SELECT doc_id,
        |       CAST(min(pos) AS BIGINT) AS span_start,
-       |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
-       |       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_words,
+       |       CAST(max(pos) + ${SpanGram - 1} AS BIGINT) AS span_end,
+       |       CAST(max(pos) + $SpanGram - min(pos) AS BIGINT) AS span_words,
        |       CAST(count(*) AS BIGINT) AS n_dup_grams
        |FROM gr GROUP BY doc_id, grp""".stripMargin
   }

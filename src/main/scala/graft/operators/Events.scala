@@ -871,19 +871,27 @@ object Events {
   /** RFM segmentation — recency / frequency / monetary scores per
     * user, the classic behavioral-cohort cut: each dimension scores
     * 1–3 by its QUARTILE cuts (1 + (x > q25) + (x > q75); recency
-    * reversed — recent is good). Quartiles are the determinism choice:
-    * 0.25/0.75 are exact dyadic fractions, so the (n−1)p interpolation
-    * is a product of exact doubles and BOTH engines derive bit-equal
-    * thresholds — tercile fractions (1/3) would put a rounding ulp
-    * under every boundary compare.
+    * reversed — recent is good). Quartile thresholds are EXACT
+    * inclusive-rank order statistics (smallest value whose cumulative
+    * count reaches ⌈q·n⌉ — `quantile_disc` semantics, the
+    * `curate_loss_band` pattern): every threshold is a value that
+    * EXISTS in the column, so boundary compares are long-vs-long /
+    * decimal-vs-decimal with no interpolation arithmetic anywhere —
+    * the r7 failure mode (DuckDB `quantile_cont` vs Spark's
+    * `a + f·(b−a)` evaluating one ulp apart on double data) cannot
+    * occur by construction. `monetary` is pinned to DECIMAL(38,2) on
+    * BOTH engines (the `agg_pareto` house convention): Spark's sum
+    * widens decimal(18,2) to (28,2) while DuckDB widens to (38,2), and
+    * the driver's hash is width-sensitive.
     *
     * Scale shape: one event scan reduces to the |users| frame; the
-    * global max-ts and the six thresholds are scalar aggregates
-    * broadcast back. The exact `percentile` over the reduced user
-    * frame buffers |users| values in one aggregation buffer (the
-    * `agg_percentiles` precedent) — at which point the documented swap
-    * is the KLL sketch with a rank-error contract, not a different
-    * operator shape.
+    * global max-ts and the six thresholds ride broadcast-back scalar
+    * frames. Each dimension's order statistic runs over its DISTINCT-
+    * value histogram; recency (days) and frequency (events/user) have
+    * bounded value ranges, while the monetary histogram is |users|-
+    * sized in the worst case — same |users| buffer class as the old
+    * exact `percentile`, with the KLL sketch (`events_rfm_sketch*`)
+    * as the documented serving swap at 100 TB.
     */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -892,29 +900,42 @@ object Events {
     val perUser = ev.groupBy("user_id")
       .agg(max(to_date($"ts")).as("last_day"),
         count(lit(1)).as("frequency"),
-        sum($"value".cast("decimal(18,2)")).as("monetary"))
+        sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)")
+          .as("monetary"))
       .crossJoin(broadcast(now))
       .select($"user_id",
         datediff($"today", $"last_day").cast("long").as("recency_days"),
         $"frequency", $"monetary")
-    val th = perUser.agg(
-      expr("percentile(recency_days, array(0.25D, 0.75D))").as("rt"),
-      expr("percentile(frequency, array(0.25D, 0.75D))").as("ft"),
-      expr("percentile(CAST(monetary AS DOUBLE), array(0.25D, 0.75D))")
-        .as("mt"))
-    perUser.crossJoin(broadcast(th))
+    // Inclusive-rank q25/q75 of one dimension via its distinct-value
+    // histogram; ⌈n·q⌉ is exact in double (q dyadic, n < 2^52).
+    def cuts(dim: String): DataFrame = {
+      val hist = perUser.groupBy(col(dim)).agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col(dim).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val total = hist.agg(sum(col("cnt")).as("n"))
+      cum.crossJoin(broadcast(total)).agg(
+        min(when(col("cum") >= ceil(col("n") * 0.25), col(dim)))
+          .as(s"${dim}_q1"),
+        min(when(col("cum") >= ceil(col("n") * 0.75), col(dim)))
+          .as(s"${dim}_q3"))
+    }
+    perUser
+      .crossJoin(broadcast(cuts("recency_days")))
+      .crossJoin(broadcast(cuts("frequency")))
+      .crossJoin(broadcast(cuts("monetary")))
       .select($"user_id", $"recency_days", $"frequency", $"monetary",
         (lit(3) -
-          ($"recency_days".cast("double") > element_at($"rt", 1)).cast("int") -
-          ($"recency_days".cast("double") > element_at($"rt", 2)).cast("int"))
+          ($"recency_days" > $"recency_days_q1").cast("int") -
+          ($"recency_days" > $"recency_days_q3").cast("int"))
           .as("r_score"),
         (lit(1) +
-          ($"frequency".cast("double") > element_at($"ft", 1)).cast("int") +
-          ($"frequency".cast("double") > element_at($"ft", 2)).cast("int"))
+          ($"frequency" > $"frequency_q1").cast("int") +
+          ($"frequency" > $"frequency_q3").cast("int"))
           .as("f_score"),
         (lit(1) +
-          ($"monetary".cast("double") > element_at($"mt", 1)).cast("int") +
-          ($"monetary".cast("double") > element_at($"mt", 2)).cast("int"))
+          ($"monetary" > $"monetary_q1").cast("int") +
+          ($"monetary" > $"monetary_q3").cast("int"))
           .as("m_score"))
       .withColumn("segment",
         concat($"r_score", $"f_score", $"m_score"))
@@ -930,33 +951,47 @@ object Events {
       |         CAST(count(*) AS BIGINT) AS frequency,
       |         sum(CAST(value AS DECIMAL(18,2))) AS monetary
       |  FROM ev GROUP BY user_id),
-      |th AS (
-      |  SELECT quantile_cont(recency_days, 0.25) AS r1,
-      |         quantile_cont(recency_days, 0.75) AS r3,
-      |         quantile_cont(frequency, 0.25) AS f1,
-      |         quantile_cont(frequency, 0.75) AS f3,
-      |         quantile_cont(CAST(monetary AS DOUBLE), 0.25) AS m1,
-      |         quantile_cont(CAST(monetary AS DOUBLE), 0.75) AS m3
-      |  FROM pu)
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pu),
+      |rh AS (SELECT recency_days AS v, count(*) AS cnt FROM pu GROUP BY 1),
+      |rc AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum FROM rh),
+      |rt AS (SELECT min(CASE WHEN cum >= ceil(n * 0.25) THEN v END) AS q1,
+      |              min(CASE WHEN cum >= ceil(n * 0.75) THEN v END) AS q3
+      |       FROM rc CROSS JOIN nn),
+      |fh AS (SELECT frequency AS v, count(*) AS cnt FROM pu GROUP BY 1),
+      |fc AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum FROM fh),
+      |ft AS (SELECT min(CASE WHEN cum >= ceil(n * 0.25) THEN v END) AS q1,
+      |              min(CASE WHEN cum >= ceil(n * 0.75) THEN v END) AS q3
+      |       FROM fc CROSS JOIN nn),
+      |mh AS (SELECT monetary AS v, count(*) AS cnt FROM pu GROUP BY 1),
+      |mc AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum FROM mh),
+      |mt AS (SELECT min(CASE WHEN cum >= ceil(n * 0.25) THEN v END) AS q1,
+      |              min(CASE WHEN cum >= ceil(n * 0.75) THEN v END) AS q3
+      |       FROM mc CROSS JOIN nn)
       |SELECT user_id, recency_days, frequency, monetary,
-      |       3 - CAST(CAST(recency_days AS DOUBLE) > r1 AS INTEGER)
-      |         - CAST(CAST(recency_days AS DOUBLE) > r3 AS INTEGER)
+      |       3 - CAST(recency_days > rt.q1 AS INTEGER)
+      |         - CAST(recency_days > rt.q3 AS INTEGER)
       |         AS r_score,
-      |       1 + CAST(CAST(frequency AS DOUBLE) > f1 AS INTEGER)
-      |         + CAST(CAST(frequency AS DOUBLE) > f3 AS INTEGER)
+      |       1 + CAST(frequency > ft.q1 AS INTEGER)
+      |         + CAST(frequency > ft.q3 AS INTEGER)
       |         AS f_score,
-      |       1 + CAST(CAST(monetary AS DOUBLE) > m1 AS INTEGER)
-      |         + CAST(CAST(monetary AS DOUBLE) > m3 AS INTEGER)
+      |       1 + CAST(monetary > mt.q1 AS INTEGER)
+      |         + CAST(monetary > mt.q3 AS INTEGER)
       |         AS m_score,
       |       concat(
-      |         3 - CAST(CAST(recency_days AS DOUBLE) > r1 AS INTEGER)
-      |           - CAST(CAST(recency_days AS DOUBLE) > r3 AS INTEGER),
-      |         1 + CAST(CAST(frequency AS DOUBLE) > f1 AS INTEGER)
-      |           + CAST(CAST(frequency AS DOUBLE) > f3 AS INTEGER),
-      |         1 + CAST(CAST(monetary AS DOUBLE) > m1 AS INTEGER)
-      |           + CAST(CAST(monetary AS DOUBLE) > m3 AS INTEGER))
+      |         3 - CAST(recency_days > rt.q1 AS INTEGER)
+      |           - CAST(recency_days > rt.q3 AS INTEGER),
+      |         1 + CAST(frequency > ft.q1 AS INTEGER)
+      |           + CAST(frequency > ft.q3 AS INTEGER),
+      |         1 + CAST(monetary > mt.q1 AS INTEGER)
+      |           + CAST(monetary > mt.q3 AS INTEGER))
       |         AS segment
-      |FROM pu CROSS JOIN th""".stripMargin
+      |FROM pu CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt""".stripMargin
 
   val ops: Seq[Op] = Seq(
     Op("events_rfm", rfm _, Some(rfmSql)),

@@ -139,28 +139,34 @@ object History {
   def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
+    // NULL-SAFE fingerprints + presence decided by each side's OWN key
+    // (not fp nullness): md5(NULL) is NULL, so a NULL-text doc present
+    // in both versions would read as 'added' and always pass the change
+    // filter if classification rode the fingerprint (r7 ADVICE). The
+    // keys stay un-coalesced through the join so absence is absence.
     val vOld = docs.where($"doc_id" % 10 =!= 0)
-      .select($"doc_id", md5($"text").as("fp"))
+      .select($"doc_id".as("o_id"),
+        md5(coalesce($"text", lit(""))).as("o_fp"))
     val vNew = docs.where($"doc_id" % 10 =!= 1)
-      .select($"doc_id",
-        md5(when($"doc_id" % 7 === 0, upper($"text"))
-          .otherwise($"text")).as("fp"))
-    vOld.as("o").join(vNew.as("n"), Seq("doc_id"), "full_outer")
-      .where($"o.fp".isNull || $"n.fp".isNull || $"o.fp" =!= $"n.fp")
-      .select($"doc_id",
-        when($"o.fp".isNull, "added")
-          .when($"n.fp".isNull, "removed")
+      .select($"doc_id".as("n_id"),
+        md5(coalesce(when($"doc_id" % 7 === 0, upper($"text"))
+          .otherwise($"text"), lit(""))).as("n_fp"))
+    vOld.join(vNew, $"o_id" === $"n_id", "full_outer")
+      .where($"o_id".isNull || $"n_id".isNull || $"o_fp" =!= $"n_fp")
+      .select(coalesce($"o_id", $"n_id").as("doc_id"),
+        when($"o_id".isNull, "added")
+          .when($"n_id".isNull, "removed")
           .otherwise("changed").as("status"))
   }
 
   val corpusDiffSql: String =
     """WITH v_old AS (
-      |  SELECT doc_id, md5(text) AS fp FROM documents
+      |  SELECT doc_id, md5(COALESCE(text, '')) AS fp FROM documents
       |  WHERE doc_id % 10 <> 0),
       |v_new AS (
       |  SELECT doc_id,
-      |         md5(CASE WHEN doc_id % 7 = 0 THEN upper(text)
-      |                  ELSE text END) AS fp
+      |         md5(COALESCE(CASE WHEN doc_id % 7 = 0 THEN upper(text)
+      |                  ELSE text END, '')) AS fp
       |  FROM documents WHERE doc_id % 10 <> 1)
       |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
       |       CASE WHEN o.doc_id IS NULL THEN 'added'

@@ -523,12 +523,36 @@ object MdbCatalog {
   def tableDataFrame(spark: org.apache.spark.sql.SparkSession,
       bytes: Array[Byte], pageSize: Int, tdef: MdbTableDef,
       name: String): org.apache.spark.sql.DataFrame = {
+    val (df, quarantined) =
+      tableDataFrameWithQuarantine(spark, bytes, pageSize, tdef, name)
+    // The DataFrame-only convenience MUST NOT eat the quarantine
+    // channel (r7 ADVICE): every seam note / skipped row is at least
+    // WARN-logged with the table name; callers that need the notes
+    // programmatically use the pair-returning variant.
+    quarantined.foreach { case (key, reason) =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"mdb table '$name' quarantine [$key]: $reason")
+    }
+    df
+  }
+
+  /** `tableDataFrame` with the quarantine channel attached: the decode's
+    * (key, reason) notes — MEMO/OLE seam nulls, overflow-row skips,
+    * corrupt-row drops — returned alongside the frame so a migration
+    * caller can record them per table instead of losing them.
+    */
+  def tableDataFrameWithQuarantine(
+      spark: org.apache.spark.sql.SparkSession,
+      bytes: Array[Byte], pageSize: Int, tdef: MdbTableDef,
+      name: String)
+      : (org.apache.spark.sql.DataFrame, Seq[(Int, String)]) = {
     val cols = tdef.columns.map(c => c.name -> c.accessType)
     val schema = CastMatrix.schemaFor(cols)
-    val (rows, _) = readRows(bytes, pageSize, tdef)
+    val (rows, quarantined) = readRows(bytes, pageSize, tdef)
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-      rows.map(org.apache.spark.sql.Row.fromSeq).asJava, schema)
+    (spark.createDataFrame(
+      rows.map(org.apache.spark.sql.Row.fromSeq).asJava, schema),
+      quarantined)
   }
 
   /** Full catalog scan: header gate, TDEF walk (both Jet versions),

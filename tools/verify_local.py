@@ -60,7 +60,12 @@ for name in names:
         o_rows = [tuple(row[c] for c in o_cols) for row in o_tbl.to_pylist()]
     except Exception as e:
         print(f"[FAIL] {name}: oracle error: {e}"); fail += 1; continue
-    # arrow-schema audit: the driver gate checks schema, not just values
+    # arrow-schema audit: the driver's hash is type-width-sensitive
+    # (r7: events_rfm printed [TYPE] here and said OK while the driver
+    # failed on decimal(28,2) vs decimal(38,2)) — so ANY arrow-type
+    # mismatch is a FAIL, not informational. The local gate must
+    # predict the driver.
+    type_fail = False
     try:
         ar = o_tbl.schema
         sp = pq.read_schema(files[0])
@@ -69,7 +74,9 @@ for name in names:
         tdiff = [(c, sp_map[c], ar_map[c]) for c in sp_map
                  if c in ar_map and sp_map[c] != ar_map[c]]
         if tdiff:
-            print(f"[TYPE] {name}: {tdiff}")
+            print(f"[FAIL] {name}: arrow type mismatch {tdiff}")
+            fail += 1
+            type_fail = True
     except Exception:
         pass
     sc, sr = canon(s_cols, s_rows)
@@ -86,7 +93,7 @@ for name in names:
             n = min(len(sr), len(orows))
             print(f"   extra rows beyond {n}: spark={sr[n:n+2]} oracle={orows[n:n+2]}")
         fail += 1
-    else:
+    elif not type_fail:
         print(f"[ OK ] {name}: {len(sr)} rows, {len(sc)} cols")
 print("ALL OK" if fail == 0 else f"{fail} FAILURES")
 sys.exit(1 if fail else 0)
