@@ -27,27 +27,28 @@ import CastMatrix.AccessType
   * whole scan — a half-damaged database should still enumerate its
   * intact tables.
   *
-  * Deliberate seams (documented, not silent):
-  *  - Jet3 TDEF pages enumerate columns, and Jet3 ROWS decode through
-  *    the same path as Jet4 (1-byte counts/offsets, single-byte text,
-  *    rows at 0x08/0x0A) for rows up to 255 bytes; longer Jet3 rows
-  *    need the var-offset jump table and quarantine instead. Name
-  *    recovery rides the same decoder, so BOTH Jet versions enumerate
-  *    tables by their real MSysObjects names.
-  *  - Jet4 USER-TABLE rows decode via `readRows`/`tableDataFrame` for
-  *    every scalar + inline type (BOOLEAN/BYTE/INT/LONG/MONEY/FLOAT/
-  *    DOUBLE/SHORT_DATE_TIME/GUID/TEXT/BINARY) — the full common-case
-  *    migration path pure-JVM. MEMO/OLE (LVAL overflow-page chains),
-  *    NUMERIC (precision/scale bytes beyond the descriptor slice this
-  *    reader captures), and overflow rows stay with the declared
-  *    converter seam: their values come back NULL with a per-table
-  *    quarantine note, never silently wrong.
+  * Decode coverage (r8): USER-TABLE rows decode for EVERY §1.2 type on
+  * both Jet versions — scalars + inline TEXT/BINARY/GUID, NUMERIC (17-
+  * byte sign+mantissa with descriptor precision/scale, emitted lossy-
+  * to-double like the reference's case 10), and MEMO/OLE long values
+  * (inline, single LVAL record, and multi-record LVAL chains; the
+  * reference migrates MEMO→TEXT as passthrough, `createTable` case
+  * 13). Jet3 rows over 255 bytes reconstruct their var offsets through
+  * the jump table. Name recovery rides the same decoder, so BOTH Jet
+  * versions enumerate tables by their real MSysObjects names.
+  *
+  * Remaining deliberate seams (documented, not silent):
+  *  - Overflow rows (0x4000 — the row body lives on another data page)
+  *    are skipped with a per-row quarantine note.
+  *  - Corrupt LVAL structures (bad pointer, short chain, cycle) null
+  *    the VALUE with a note; the row's other columns survive.
   */
 object MdbCatalog {
 
   final case class MdbColumn(name: String, typeCode: Int,
       accessType: AccessType, colNum: Int, fixed: Boolean,
-      offsetF: Int = 0, offsetV: Int = 0, colLen: Int = 0)
+      offsetF: Int = 0, offsetV: Int = 0, colLen: Int = 0,
+      precision: Int = 0, scale: Int = 0)
 
   final case class MdbTableDef(page: Int, system: Boolean,
       columns: Seq[MdbColumn]) {
@@ -127,13 +128,17 @@ object MdbCatalog {
       offTableType: Int, offNumCols: Int, offNumRealIdx: Int,
       idxEntryLen: Int, colDescStart: Int, colDescLen: Int,
       descColNum: Int, descOffV: Int, descFlags: Int, descOffF: Int,
-      descColLen: Int, utf16Names: Boolean)
+      descColLen: Int, utf16Names: Boolean,
+      descPrec: Int = -1, descScale: Int = -1)
 
   private val Jet4Layout = TdefLayout(
     offTableType = 0x28, offNumCols = 0x2D, offNumRealIdx = 0x33,
     idxEntryLen = 12, colDescStart = 0x3F, colDescLen = 25,
     descColNum = 5, descOffV = 7, descFlags = 15, descOffF = 21,
-    descColLen = 23, utf16Names = true)
+    descColLen = 23, utf16Names = true,
+    // NUMERIC precision/scale bytes (mdbtools HACKING: descriptor
+    // bytes 11/12). Jet3 has no NUMERIC type — its layout leaves -1.
+    descPrec = 11, descScale = 12)
 
   private val Jet3Layout = TdefLayout(
     offTableType = 0x14, offNumCols = 0x19, offNumRealIdx = 0x1F,
@@ -170,12 +175,20 @@ object MdbCatalog {
         return Left(s"tdef overruns page: $numCols cols, $numRealIdx idx")
       val descs = (0 until numCols).map { i =>
         val off = descBase + i * lay.colDescLen
-        (u8(off),                                   // type code
+        val code = u8(off)
+        // precision/scale bytes are meaningful for NUMERIC only; on
+        // other types those descriptor bytes carry unrelated data.
+        val (prec, scl) =
+          if (code == 0x10 && lay.descPrec >= 0)
+            (u8(off + lay.descPrec), u8(off + lay.descScale))
+          else (0, 0)
+        (code,                                      // type code
           buf.getShort(off + lay.descColNum) & 0xFFFF,
           buf.getShort(off + lay.descOffV) & 0xFFFF,
           (u8(off + lay.descFlags) & FlagFixed) != 0,
           buf.getShort(off + lay.descOffF) & 0xFFFF,
-          buf.getShort(off + lay.descColLen) & 0xFFFF)
+          buf.getShort(off + lay.descColLen) & 0xFFFF,
+          prec, scl)
       }
       descs.find(d => !TypeCodes.contains(d._1)) match {
         case Some(d) =>
@@ -212,10 +225,12 @@ object MdbCatalog {
             case Some(e) => Left(e)
             case None =>
               val cols = descs.zip(names.result())
-                .map { case ((code, colNum, offV, fixed, offF, colLen), name) =>
+                .map { case ((code, colNum, offV, fixed, offF, colLen,
+                    prec, scl), name) =>
                   MdbColumn(name, code,
                     CastMatrix.fromName(TypeCodes(code)), colNum, fixed,
-                    offsetF = offF, offsetV = offV, colLen = colLen)
+                    offsetF = offF, offsetV = offV, colLen = colLen,
+                    precision = prec, scale = scl)
                 }.sortBy(_.colNum)
               Right(MdbTableDef(pageNo, tableType == TableTypeSystem, cols))
           }
@@ -346,6 +361,117 @@ object MdbCatalog {
       s"${hx(8)}${hx(9)}-${hx(10)}${hx(11)}${hx(12)}${hx(13)}${hx(14)}${hx(15)}"
   }
 
+  // --------------------------------------------- long values (LVAL)
+
+  /** One record off an LVAL page: LVAL pages share the data-page
+    * geometry (type 0x01, row-offset table) but carry the ASCII
+    * signature 'LVAL' where data pages point at their owner TDEF.
+    * Record extent = [offset_row, offset_{row-1}) with the usual
+    * 0x1FFF mask; row 0 ends at page end (mdbtools HACKING).
+    */
+  private def lvalRecord(bytes: Array[Byte], pageSize: Int,
+      pg: Int, row: Int): Either[String, Array[Byte]] = {
+    val jet3 = pageSize == 2048
+    val (offNumRows, offRowTable) = if (jet3) (0x08, 0x0A) else (0x0C, 0x0E)
+    if (pg <= 0 || (pg.toLong + 1) * pageSize > bytes.length)
+      return Left(s"LVAL page $pg beyond file")
+    val buf = ByteBuffer.wrap(bytes, pg * pageSize, pageSize).slice()
+      .order(ByteOrder.LITTLE_ENDIAN)
+    if ((buf.get(0) & 0xFF) != PageTypeData)
+      return Left(s"LVAL page $pg is not a data page")
+    if (buf.get(4) != 'L' || buf.get(5) != 'V' ||
+        buf.get(6) != 'A' || buf.get(7) != 'L')
+      return Left(s"page $pg lacks the LVAL signature")
+    val numRows = buf.getShort(offNumRows) & 0xFFFF
+    if (row < 0 || row >= numRows)
+      return Left(s"LVAL row $row out of range (page $pg has $numRows)")
+    val start = (buf.getShort(offRowTable + 2 * row) & 0xFFFF) & 0x1FFF
+    val end =
+      if (row == 0) pageSize
+      else (buf.getShort(offRowTable + 2 * (row - 1)) & 0xFFFF) & 0x1FFF
+    if (start >= end || end > pageSize)
+      return Left(s"LVAL record [$start,$end) invalid on page $pg")
+    val out = new Array[Byte](end - start)
+    var i = 0
+    while (i < out.length) { out(i) = buf.get(start + i); i += 1 }
+    Right(out)
+  }
+
+  /** Decode a MEMO/OLE long-value definition (the 12-byte struct a row
+    * stores in the column's variable extent) into the value's raw
+    * bytes. Three storage forms (mdbtools HACKING `MemoField`; high
+    * bits of the length word): 0x80 = INLINE, the data follows the
+    * struct inside the row; 0x40 = one LVAL record holds the whole
+    * value; 0x00 = a CHAIN of LVAL records, each prefixed by the
+    * 4-byte pointer of the next (row in the low byte, page in the high
+    * three), terminated by a zero pointer. Chain walks are
+    * cycle-guarded and length-bounded — a corrupt pointer quarantines,
+    * never loops.
+    */
+  private def decodeLongValue(bytes: Array[Byte], pageSize: Int,
+      defBytes: Array[Byte]): Either[String, Array[Byte]] = {
+    if (defBytes.length < 12)
+      return Left(s"long-value definition too short (${defBytes.length} B)")
+    val db = ByteBuffer.wrap(defBytes).order(ByteOrder.LITTLE_ENDIAN)
+    val raw = db.getInt(0)
+    val len = raw & 0x3FFFFFFF
+    val inline = (raw & 0x80000000) != 0
+    val single = (raw & 0x40000000) != 0
+    if (inline) {
+      if (12 + len > defBytes.length)
+        Left(s"inline long value truncated: $len B declared, " +
+          s"${defBytes.length - 12} present")
+      else Right(java.util.Arrays.copyOfRange(defBytes, 12, 12 + len))
+    } else {
+      var dp = db.getInt(4)
+      val out = new java.io.ByteArrayOutputStream(len)
+      val visited = scala.collection.mutable.Set.empty[Int]
+      var err: Option[String] = None
+      var done = false
+      while (!done && err.isEmpty) {
+        if (dp == 0) {
+          if (out.size < len)
+            err = Some(s"LVAL chain ended at ${out.size} of $len B")
+          else done = true
+        } else if (!visited.add(dp)) {
+          err = Some(f"LVAL chain cycle at pointer 0x$dp%08x")
+        } else {
+          val row = dp & 0xFF
+          val pg = dp >>> 8
+          lvalRecord(bytes, pageSize, pg, row) match {
+            case Left(e) => err = Some(e)
+            case Right(rec) if single =>
+              if (rec.length < len)
+                err = Some(s"single-page LVAL record ${rec.length} B " +
+                  s"< declared $len B")
+              else { out.write(rec, 0, len); done = true }
+            case Right(rec) =>
+              if (rec.length < 4) err = Some("chained LVAL record under 4 B")
+              else {
+                val next = ByteBuffer.wrap(rec)
+                  .order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+                val take = math.min(rec.length - 4, len - out.size)
+                out.write(rec, 4, take)
+                if (out.size >= len) done = true else dp = next
+              }
+          }
+        }
+      }
+      err.toLeft(out.toByteArray)
+    }
+  }
+
+  /** Memo text from its raw bytes, per Jet version (same rules as
+    * inline text: Jet3 single-byte; Jet4 UTF-16LE or the 0xFF 0xFE
+    * single-byte compressed marker).
+    */
+  private def memoText(data: Array[Byte], jet3: Boolean): String =
+    if (jet3) new String(data, StandardCharsets.ISO_8859_1)
+    else if (data.length >= 2 && (data(0) & 0xFF) == 0xFF &&
+        (data(1) & 0xFF) == 0xFE)
+      new String(data, 2, data.length - 2, StandardCharsets.ISO_8859_1)
+    else new String(data, StandardCharsets.UTF_16LE)
+
   /** Decode every live data row of one user table: rows come back in
     * page/slot order with values in `tdef.columns` order (colNum
     * ascending, matching `CastMatrix.schemaFor`), null for SQL NULL.
@@ -358,15 +484,20 @@ object MdbCatalog {
     * single-byte text, rows at 0x08/0x0A; 4096 ⇒ Jet4 — 2-byte fields,
     * UTF-16LE/compressed text, rows at 0x0C/0x0E.
     *
+    * MEMO/OLE columns resolve their LVAL storage (inline / single
+    * record / chained records) to full values — MEMO as text under the
+    * version's text rules, OLE as raw bytes. NUMERIC decodes the
+    * 17-byte sign+mantissa layout exactly, then narrows to double (the
+    * §1.2 lossy rule). Jet3 rows over 255 bytes decode through the
+    * var-offset jump table.
+    *
     * Seams surface as (key, reason) quarantines, never as silently
     * wrong values: structurally corrupt rows get the negative
-    * `-(page*1000+row)` key and are dropped; MEMO/OLE/NUMERIC columns
-    * decode to null with one note per (page, column); overflow rows
+    * `-(page*1000+row)` key and are dropped; corrupt LVAL structures
+    * null the value with one note per (page, reason); overflow rows
     * (0x4000 — their body lives on another page) are skipped with a
-    * note, as are Jet3 rows past 255 bytes (their var offsets need the
-    * jump table this reader does not implement). Columns beyond the
-    * row's own column count (added to the table after the row was
-    * written) are null, per the format.
+    * note. Columns beyond the row's own column count (added to the
+    * table after the row was written) are null, per the format.
     */
   def readRows(bytes: Array[Byte], pageSize: Int, tdef: MdbTableDef)
       : (Seq[Seq[Any]], Seq[(Int, String)]) = {
@@ -399,6 +530,7 @@ object MdbCatalog {
                 "overflow row (body on another page): converter seam")
             else if (!deleted) {
               decodeDataRow(buf, start, end, pageSize, tdef, p, jet3,
+                  bytes,
                   note => { if (seamNoted.add((p, note)))
                     quarantined += (p -> note) }) match {
                 case Right(vals) => rows += vals
@@ -420,13 +552,11 @@ object MdbCatalog {
     */
   private def decodeDataRow(buf: ByteBuffer, start: Int, end: Int,
       pageSize: Int, tdef: MdbTableDef, page: Int, jet3: Boolean,
+      fileBytes: Array[Byte],
       seamNote: String => Unit): Either[String, Seq[Any]] = {
     val cntSz = if (jet3) 1 else 2   // row col count + var trailer width
     if (start + cntSz > end || end > pageSize)
       return Left(s"row bounds [$start,$end) invalid")
-    if (jet3 && end - start > 255)
-      return Left("jet3 row over 255 bytes needs the var-offset jump " +
-        "table: converter seam")
     val rowCols =
       if (jet3) buf.get(start) & 0xFF else buf.getShort(start) & 0xFFFF
     if (rowCols == 0 || rowCols > 255)
@@ -448,13 +578,52 @@ object MdbCatalog {
         if (n > rowCols) return Left(s"implausible var-col count $n")
         (n, off)
       }
-    val offTableBase = varCntOff - cntSz * (numVar + 1)
-    if (hasVar && offTableBase < start + cntSz)
-      return Left("var offset table underruns row")
+    // Variable-column offset table, precomputed row-relative. Jet4:
+    // 2-byte entries walking backward from the var count. Jet3: 1-byte
+    // entries PLUS the jump table for rows over 255 B — each jump entry
+    // names the var INDEX at which the stored offsets wrapped past a
+    // 256 boundary, so entry i reconstructs as stored + 256·jumps_used
+    // (mdbtools HACKING crack-row geometry; the short-row case is just
+    // num_jumps = 0).
+    val varOffsets: Array[Int] =
+      if (!hasVar) Array.emptyIntArray
+      else if (!jet3) {
+        val a = new Array[Int](numVar + 1)
+        val base = varCntOff - 2 * (numVar + 1)
+        if (base < start + cntSz)
+          return Left("var offset table underruns row")
+        var i = 0
+        while (i <= numVar) { a(i) = uN(varCntOff - 2 * (i + 1)); i += 1 }
+        a
+      } else {
+        val rowLen = end - start
+        var numJumps = (rowLen - 1) / 256
+        var colPtr = varCntOff - numJumps - 1
+        // the last jump can be a dummy when the row length only just
+        // crosses the boundary: drop it if the offset table can't
+        // actually span that many wraps
+        if (numJumps > 0 && (colPtr - start - numVar) / 256 < numJumps) {
+          numJumps -= 1
+          colPtr = varCntOff - numJumps - 1
+        }
+        if (colPtr - numVar < start + cntSz)
+          return Left("var offset table underruns row")
+        val a = new Array[Int](numVar + 1)
+        var jumpsUsed = 0
+        var i = 0
+        while (i <= numVar) {
+          while (jumpsUsed < numJumps &&
+              i == (buf.get(varCntOff - jumpsUsed - 1) & 0xFF))
+            jumpsUsed += 1
+          a(i) = (buf.get(colPtr - i) & 0xFF) + 256 * jumpsUsed
+          i += 1
+        }
+        a
+      }
     def varExtent(idx: Int): Either[String, (Int, Int)] = {
       if (idx >= numVar) return Left(s"var index $idx out of range")
-      val s = uN(varCntOff - cntSz * (idx + 1))
-      val e = uN(varCntOff - cntSz * (idx + 2))
+      val s = varOffsets(idx)
+      val e = varOffsets(idx + 1)
       if (s > e || start + e > end) Left(s"var extent [$s,$e) invalid")
       else Right((start + s, start + e))
     }
@@ -474,12 +643,27 @@ object MdbCatalog {
         else if (!maskBit(c.colNum)) vals(i) = null
         else c.accessType match {
           case AMemo | AOle =>
-            seamNote(s"column ${c.name}: ${c.accessType.name} " +
-              "(LVAL overflow chain) not decoded — converter seam")
-            vals(i) = null
-          case ANumeric =>
-            seamNote(s"column ${c.name}: NUMERIC precision/scale bytes " +
-              "beyond the descriptor slice — converter seam")
+            // a memo stored in the fixed area would be malformed — the
+            // 12-byte definition always rides the variable extent
+            varExtent(c.offsetV) match {
+              case Left(reason) => err = Some(s"col ${c.name}: $reason")
+              case Right((s, e)) =>
+                decodeLongValue(fileBytes, pageSize, sliceBytes(s, e)) match {
+                  case Right(data) =>
+                    vals(i) =
+                      if (c.accessType == AMemo) memoText(data, jet3)
+                      else data
+                  case Left(reason) =>
+                    // corrupt LVAL structures quarantine the VALUE, not
+                    // the row: nine good columns survive a bad memo
+                    seamNote(s"column ${c.name} (${c.accessType.name}): " +
+                      s"$reason — value nulled")
+                    vals(i) = null
+                }
+            }
+          case ANumeric if !c.fixed =>
+            seamNote(s"column ${c.name}: NUMERIC in variable area " +
+              "is malformed — value nulled")
             vals(i) = null
           case t if c.fixed =>
             val off = start + cntSz + c.offsetF
@@ -496,6 +680,25 @@ object MdbCatalog {
               case AShortDateTime => jetDate(buf.getDouble(off))
               case AGuid => guidString(sliceBytes(off, off + 16))
               case AText => decodeText(buf, off, off + w, jet3)
+              case ANumeric =>
+                // 17 bytes: sign byte (non-zero = negative), then a
+                // 16-byte unsigned mantissa stored as four LE 32-bit
+                // words most-significant-first — swap each word to get
+                // the big-endian integer, apply the descriptor scale.
+                // Emitted as DOUBLE: the §1.2 matrix maps NUMERIC
+                // lossy-to-double like the reference (createTable case
+                // 10), but the decode itself is exact decimal.
+                val negative = (buf.get(off) & 0xFF) != 0
+                val m = sliceBytes(off + 1, off + 17)
+                var g = 0
+                while (g < 16) {
+                  val t0 = m(g); m(g) = m(g + 3); m(g + 3) = t0
+                  val t1 = m(g + 1); m(g + 1) = m(g + 2); m(g + 2) = t1
+                  g += 4
+                }
+                val bd = new java.math.BigDecimal(
+                  new java.math.BigInteger(1, m), c.scale)
+                Double.box((if (negative) bd.negate else bd).doubleValue)
               case _ => sliceBytes(off, off + w) // fixed BINARY
             }
           case t =>

@@ -371,10 +371,14 @@ class MigratorSpec extends SparkSpec {
     */
   private def widgetRow(id: Int, flag: Boolean, b: Int, cnt: Option[Int],
       priceRaw: Long, ratio: Double, days: Double, guid: Array[Byte],
-      name: Option[String], rowCols: Int = 10): Array[Byte] = {
+      name: Option[String], rowCols: Int = 10,
+      // default note payload is NOT a valid 12-byte long-value
+      // definition — the scalar test uses it to pin the corrupt-LVAL
+      // value-null path; pass a real definition to decode a memo
+      note: Array[Byte] = Array[Byte](1, 2, 3, 4)): Array[Byte] = {
     val nameBytes = name.map(_.getBytes("UTF-16LE")).getOrElse(Array.empty[Byte])
     val noteBytes: Array[Byte] =
-      if (rowCols > 9) Array[Byte](1, 2, 3, 4) else Array.empty
+      if (rowCols > 9) note else Array.empty
     val numVar = if (rowCols > 9) 2 else 1
     val varStart = 2 + 47
     val len = varStart + nameBytes.length + noteBytes.length +
@@ -408,6 +412,148 @@ class MigratorSpec extends SparkSpec {
     if (rowCols > 9) set(9)
     buf.putShort(maskOff, mask.toShort)
     r
+  }
+
+  // --------------------------- long-value (LVAL) + NUMERIC fixtures
+
+  /** Inline long-value definition: length word with the 0x80 "data in
+    * this definition" flag, zero data pointer, data after the 12-byte
+    * header.
+    */
+  private def inlineMemoDef(data: Array[Byte]): Array[Byte] = {
+    val d = new Array[Byte](12 + data.length)
+    java.nio.ByteBuffer.wrap(d).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(0, data.length | 0x80000000)
+    data.copyToArray(d, 12)
+    d
+  }
+
+  /** Pointer long-value definition: `single` sets the 0x40 one-record
+    * flag, otherwise the zero-flag chain form; dp = page in the high
+    * three bytes, row in the low byte.
+    */
+  private def pointerMemoDef(len: Int, single: Boolean,
+      pg: Int, row: Int): Array[Byte] = {
+    val d = new Array[Byte](12)
+    val b = java.nio.ByteBuffer.wrap(d)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0, len | (if (single) 0x40000000 else 0))
+    b.putInt(4, (pg << 8) | row)
+    d
+  }
+
+  /** An LVAL page: data-page geometry with the ASCII 'LVAL' signature
+    * where data pages carry their owner TDEF pointer.
+    */
+  private def lvalPage(rows: Seq[Array[Byte]]): Array[Byte] = {
+    val p = jet4DataPage(0, rows.map(_ -> 0))
+    p(4) = 'L'; p(5) = 'V'; p(6) = 'A'; p(7) = 'L'
+    p
+  }
+
+  /** 17-byte NUMERIC storage: sign byte (0x80 = negative), then the
+    * 16-byte big-endian unsigned mantissa re-grouped as four LE 32-bit
+    * words most-significant-first (the group swap is involutive, so
+    * building from the BE form and swapping yields the stored form).
+    */
+  private def numeric17(unscaled: Long, negative: Boolean): Array[Byte] = {
+    val out = new Array[Byte](17)
+    out(0) = if (negative) 0x80.toByte else 0x00
+    val be = new Array[Byte](16)
+    java.nio.ByteBuffer.wrap(be).putLong(8, unscaled) // big-endian
+    var g = 0
+    while (g < 16) {
+      val t0 = be(g); be(g) = be(g + 3); be(g + 3) = t0
+      val t1 = be(g + 1); be(g + 1) = be(g + 2); be(g + 2) = t1
+      g += 4
+    }
+    be.copyToArray(out, 1)
+    out
+  }
+
+  test("MDB rows: MEMO/OLE long values (inline, single LVAL, chain, " +
+      "corrupt) and NUMERIC decode") {
+    import graft.sources.MdbCatalog
+    // id LONG fixed @0 (4 B), amt NUMERIC fixed @4 (17 B, prec 18
+    // scale 2), m MEMO var 0, o OLE var 1. Fixed area = 21 B.
+    val cols = Seq(
+      ("id", 0x04, 0, true, 0, 0, 0), ("amt", 0x10, 1, true, 4, 0, 0),
+      ("m", 0x0C, 2, false, 0, 0, 0), ("o", 0x0B, 3, false, 0, 1, 0))
+    val tdefP = tdef4Rich(0x4F, cols)
+    // NUMERIC precision/scale live at descriptor bytes 11/12 (Jet4)
+    tdefP(0x3F + 25 + 11) = 18.toByte
+    tdefP(0x3F + 25 + 12) = 2.toByte
+    def lvRow(id: Int, amt: Array[Byte], mDef: Array[Byte],
+        oDef: Array[Byte]): Array[Byte] = {
+      val varStart = 2 + 21
+      val len = varStart + mDef.length + oDef.length + 2 * 3 + 2 + 1
+      val r = new Array[Byte](len)
+      val buf = java.nio.ByteBuffer.wrap(r)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putShort(0, 4.toShort)
+      buf.putInt(2, id)
+      amt.copyToArray(r, 2 + 4)
+      mDef.copyToArray(r, varStart)
+      oDef.copyToArray(r, varStart + mDef.length)
+      val maskOff = len - 1
+      val varCntOff = maskOff - 2
+      buf.putShort(varCntOff, 2.toShort)
+      buf.putShort(varCntOff - 2, varStart.toShort)
+      buf.putShort(varCntOff - 4, (varStart + mDef.length).toShort)
+      buf.putShort(varCntOff - 6,
+        (varStart + mDef.length + oDef.length).toShort)
+      r(maskOff) = 0x0F // all four columns present
+      r
+    }
+    val singleData = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+      "compressed lval".getBytes("ISO-8859-1")
+    val oleChunk1 = (1 to 10).map(_.toByte).toArray
+    val oleChunk2 = (11 to 20).map(_.toByte).toArray
+    // LVAL page 3: row 0 = the single-record memo, row 1 = chain head
+    // (next pointer → page 4 row 0 + first chunk); LVAL page 4: row 0 =
+    // chain tail (zero next pointer + second chunk).
+    val chainHead = {
+      val rec = new Array[Byte](4 + oleChunk1.length)
+      java.nio.ByteBuffer.wrap(rec).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(0, (4 << 8) | 0)
+      oleChunk1.copyToArray(rec, 4)
+      rec
+    }
+    val chainTail = {
+      val rec = new Array[Byte](4 + oleChunk2.length)
+      oleChunk2.copyToArray(rec, 4)
+      rec
+    }
+    val rows = Seq(
+      lvRow(1, numeric17(12345L, negative = false),
+        inlineMemoDef("inline memo!".getBytes("UTF-16LE")),
+        inlineMemoDef(Array[Byte](9, 8, 7))) -> 0,
+      lvRow(2, numeric17(500L, negative = true),
+        pointerMemoDef(singleData.length, single = true, pg = 3, row = 0),
+        pointerMemoDef(20, single = false, pg = 3, row = 1)) -> 0,
+      lvRow(3, numeric17(0L, negative = false),
+        pointerMemoDef(10, single = true, pg = 99, row = 0),
+        inlineMemoDef(Array[Byte](5))) -> 0)
+    val bytes = jetHeader(0x01) ++ tdefP ++ jet4DataPage(1, rows) ++
+      lvalPage(Seq(singleData, chainHead)) ++ lvalPage(Seq(chainTail))
+    val cat = MdbCatalog.read(bytes).fold(e => fail(e), identity)
+    val tdef = cat.tables.find(_.page == 1).getOrElse(fail("tdef missing"))
+    assert(tdef.columns.find(_.name == "amt").exists(c =>
+      c.precision == 18 && c.scale == 2), "NUMERIC prec/scale not captured")
+    val (got, quar) = MdbCatalog.readRows(bytes, 4096, tdef)
+    assert(got.size == 3, s"got ${got.size} rows, quar=$quar")
+    assert(got(0)(0) == 1L && got(0)(1) == 123.45 &&
+      got(0)(2) == "inline memo!", s"row0 ${got(0)}")
+    assert(got(0)(3).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](9, 8, 7))
+    assert(got(1)(0) == 2L && got(1)(1) == -5.0 &&
+      got(1)(2) == "compressed lval", s"row1 ${got(1)}")
+    assert(got(1)(3).asInstanceOf[Array[Byte]].toSeq ==
+      (1 to 20).map(_.toByte).toSeq, s"chained OLE ${got(1)(3)}")
+    // the bogus pointer nulls the VALUE and notes it; the row survives
+    assert(got(2)(0) == 3L && got(2)(1) == 0.0 && got(2)(2) == null &&
+      got(2)(3).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](5))
+    assert(quar.exists { case (_, msg) =>
+      msg.contains("m (MEMO)") && msg.contains("page 99") }, s"quar=$quar")
   }
 
   test("MDB rows: every scalar type decodes; nulls, seams, flags quarantine") {
@@ -476,7 +622,8 @@ class MigratorSpec extends SparkSpec {
         msysRow(3, 1, "widgets".getBytes("UTF-16LE")) -> 0)) ++
       jet4DataPage(3, Seq(
         widgetRow(7, flag = true, 200, Some(-5), 1234567L, 2.5,
-          36526.5, guid, Some("Gizmo")) -> 0))
+          36526.5, guid, Some("Gizmo"),
+          note = inlineMemoDef("memo rides along".getBytes("UTF-16LE"))) -> 0))
     val cat = MdbCatalog.read(bytes).fold(e => fail(e), identity)
     val defs = MdbCatalog.toTableDefs(cat)
     assert(defs.map(_.name) == Seq("widgets"))
@@ -489,15 +636,17 @@ class MigratorSpec extends SparkSpec {
       rec.connection)
     assert(results.map(r => r.table -> r.rows) == Seq("widgets" -> 1L))
     // §1.2 parity at the wire: BOOLEAN as 0/1 int, MONEY as its 4-dp
-    // string, everything else typed passthrough
+    // string, MEMO as TEXT passthrough (createTable case 13),
+    // everything else typed passthrough
     assert(rec.inserted.size == 1)
     val row = rec.inserted.head
     assert(row(0) == 7L && row(1) == 1 && row(2) == 200 && row(3) == -5)
     assert(row(4) == "123.4567", s"money wire value ${row(4)}")
-    assert(row(8) == "Gizmo" && row(9) == null)
+    assert(row(8) == "Gizmo")
+    assert(row(9) == "memo rides along", s"memo wire value ${row(9)}")
   }
 
-  test("MDB rows: Jet3 rows decode; jump-table rows quarantine honestly") {
+  test("MDB rows: Jet3 rows decode, including >255 B via the jump table") {
     import graft.sources.MdbCatalog
     // clientid LONG fixed @0 (4B), since DOUBLE-dated fixed @4 (8B),
     // clientname TEXT var index 0. Fixed area = 12 bytes.
@@ -528,7 +677,30 @@ class MigratorSpec extends SparkSpec {
       r(len - 4) = (varStart + nb.length).toByte
       r
     }
-    val longRow = jet3Row(9, Some("x"), 0.0, pad = 240) // > 255 bytes
+    // A REAL >255-byte Jet3 row: 300-char name, so the row end crosses
+    // one 256 boundary. Trailer from the end: mask(1) + numVar(1) +
+    // jump table(1 entry = the var INDEX at which offsets wrapped) +
+    // two 1-byte var offsets stored mod 256.
+    val longName = "A" * 300
+    val longRow = {
+      val nb = longName.getBytes("ISO-8859-1")
+      val varStart = 1 + 12
+      val len = varStart + nb.length + 2 + 1 + 1 + 1 // offs, jump, cnt, mask
+      val r = new Array[Byte](len)
+      val buf = java.nio.ByteBuffer.wrap(r)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      r(0) = 3
+      buf.putInt(1, 9)
+      buf.putDouble(1 + 4, 36526.0)
+      nb.copyToArray(r, varStart)
+      r(len - 1) = 0x07          // mask: all three present
+      r(len - 2) = 1             // numVar
+      r(len - 3) = 1             // jump entry: wrap occurs at var idx 1
+      r(len - 4) = varStart.toByte                    // var[0] = 13
+      r(len - 5) = ((varStart + nb.length) % 256).toByte // var[1] mod 256
+      r
+    }
+    assert(longRow.length > 255 && longRow.length < 512)
     def jet3DataPage(owner: Int, rows: Seq[Array[Byte]]): Array[Byte] = {
       val p = new Array[Byte](2048)
       val buf = java.nio.ByteBuffer.wrap(p)
@@ -556,9 +728,11 @@ class MigratorSpec extends SparkSpec {
     val ts = (d: String) => java.sql.Timestamp.from(java.time.Instant.parse(d))
     assert(rows == Seq(
       Seq(41L, "Aroha Wireless", ts("2000-01-01T00:00:00Z")),
-      Seq(42L, null, ts("1970-01-01T12:00:00Z"))), s"got $rows")
-    assert(quar.exists { case (k, msg) => k == -(2 * 1000 + 2) &&
-      msg.contains("jump table") }, s"quar=$quar")
+      Seq(42L, null, ts("1970-01-01T12:00:00Z")),
+      Seq(9L, longName, ts("2000-01-01T00:00:00Z"))),
+      s"got ${rows.map(_.map { case s: String if s.length > 20 =>
+        s"<${s.length} chars>"; case v => v })}, quar=$quar")
+    assert(quar.isEmpty, s"quar=$quar")
   }
 
   test("MDB catalog: Jet3 MSysObjects rows also recover real names") {
