@@ -49,6 +49,16 @@ object Bench {
     // smaller than its own spread is noise, readable from this round's
     // artifact alone without cross-referencing previous rounds.
     val BenchRuns = 3
+    // Machine-load provenance (VERDICT r7 #9): the closing-run spread
+    // (67–95 s for identical plans) is dominated by co-tenant load, not
+    // plan cost. Record the 1-minute load average before and after the
+    // measured suite INSIDE the artifact so a hot number is attributable
+    // without cross-referencing prose notes. -1.0 = unavailable.
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadAvg()
     // SPARK_GRAFT_ONLY=<comma-separated name prefixes> narrows the suite
     // for targeted local probes (e.g. the graph-family sf1 scale runs);
     // the driver leaves it unset and always measures everything.
@@ -88,8 +98,11 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => q(k) + ":" + q(e) }
     val errJson = if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val loadAfter = loadAvg()
+    val loadJson =
+      s""","load_avg_before":${r3(loadBefore)},"load_avg_after":${r3(loadAfter)}"""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spreads$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spreads$errJson$loadJson,"sf":"$sfDir"}"""
     println(line)
     // Provenance guard (VERDICT r6 #7): the driver's stdout capture keeps
     // a bounded FRONT-TRUNCATED tail of this output, and in r6 the tail

@@ -893,11 +893,15 @@ object Events {
     * exact `percentile`, with the KLL sketch (`events_rfm_sketch*`)
     * as the documented serving swap at 100 TB.
     */
-  def rfm(spark: SparkSession, dir: String): DataFrame = {
+  /** The reduced per-user RFM frame both the exact op and the KLL
+    * serving twin score from: one event scan, the global max-ts
+    * broadcast back.
+    */
+  private def rfmPerUser(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables(spark, dir, "events").where($"value".isNotNull)
     val now = ev.agg(max(to_date($"ts")).as("today"))
-    val perUser = ev.groupBy("user_id")
+    ev.groupBy("user_id")
       .agg(max(to_date($"ts")).as("last_day"),
         count(lit(1)).as("frequency"),
         sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)")
@@ -906,6 +910,11 @@ object Events {
       .select($"user_id",
         datediff($"today", $"last_day").cast("long").as("recency_days"),
         $"frequency", $"monetary")
+  }
+
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = rfmPerUser(spark, dir)
     // Inclusive-rank q25/q75 of one dimension via its distinct-value
     // histogram; ⌈n·q⌉ is exact in double (q dyadic, n < 2^52).
     def cuts(dim: String): DataFrame = {
@@ -993,8 +1002,118 @@ object Events {
       |         AS segment
       |FROM pu CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt""".stripMargin
 
+  /** The SERVING form of `events_rfm` at 100 TB: identical scoring
+    * shape, but the six quartile thresholds come from mergeable KLL
+    * sketches (`org.apache.spark.sql.graft.KllColumn`) instead of the
+    * exact distinct-value histograms — the aggregation buffer is a
+    * fixed ~5 KB per dimension rather than |users|-sized, and stored
+    * per-partition sketch partials roll up to the same thresholds
+    * without re-scanning (the `agg_quantile_sketch` machinery, wired
+    * here as the r7 verdict's documented swap). Sketch estimates are
+    * engine-specific → rows-only; `events_rfm_sketch_check` is the
+    * oracled accuracy contract.
+    */
+  def rfmSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.KllColumn
+    val perUser = rfmPerUser(spark, dir)
+    val sk = perUser.agg(
+      KllColumn.sketchAgg($"recency_days".cast("double")).as("rsk"),
+      KllColumn.sketchAgg($"frequency".cast("double")).as("fsk"),
+      KllColumn.sketchAgg($"monetary".cast("double")).as("msk"))
+    val th = sk.select(
+      KllColumn.quantile($"rsk", 0.25).as("r1"),
+      KllColumn.quantile($"rsk", 0.75).as("r3"),
+      KllColumn.quantile($"fsk", 0.25).as("f1"),
+      KllColumn.quantile($"fsk", 0.75).as("f3"),
+      KllColumn.quantile($"msk", 0.25).as("m1"),
+      KllColumn.quantile($"msk", 0.75).as("m3"))
+    perUser.crossJoin(broadcast(th))
+      .select($"user_id", $"recency_days", $"frequency", $"monetary",
+        (lit(3) -
+          ($"recency_days".cast("double") > $"r1").cast("int") -
+          ($"recency_days".cast("double") > $"r3").cast("int"))
+          .as("r_score"),
+        (lit(1) +
+          ($"frequency".cast("double") > $"f1").cast("int") +
+          ($"frequency".cast("double") > $"f3").cast("int"))
+          .as("f_score"),
+        (lit(1) +
+          ($"monetary".cast("double") > $"m1").cast("int") +
+          ($"monetary".cast("double") > $"m3").cast("int"))
+          .as("m_score"))
+      .withColumn("segment",
+        concat($"r_score", $"f_score", $"m_score"))
+  }
+
+  /** Oracled rank-error contract for `rfmSketch` (the
+    * `agg_quantile_sketch_check` pattern): each KLL threshold's TRUE
+    * inclusive rank over the per-user frame must sit within 2× the
+    * sketch's published normalized rank-error bound of its target
+    * quantile. One extra pass over the |users| frame computes the
+    * exact ranks as conditional aggregates against the broadcast
+    * 1-row threshold frame; the DuckDB twin pins every flag true over
+    * the same (dimension, p) grid.
+    */
+  def rfmSketchCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.KllColumn
+    val tol = 2.0 * KllColumn.normalizedRankError()
+    val perUser = rfmPerUser(spark, dir)
+    val sk = perUser.agg(
+      KllColumn.sketchAgg($"recency_days".cast("double")).as("rsk"),
+      KllColumn.sketchAgg($"frequency".cast("double")).as("fsk"),
+      KllColumn.sketchAgg($"monetary".cast("double")).as("msk"))
+    val th = sk.select(
+      KllColumn.quantile($"rsk", 0.25).as("r1"),
+      KllColumn.quantile($"rsk", 0.75).as("r3"),
+      KllColumn.quantile($"fsk", 0.25).as("f1"),
+      KllColumn.quantile($"fsk", 0.75).as("f3"),
+      KllColumn.quantile($"msk", 0.25).as("m1"),
+      KllColumn.quantile($"msk", 0.75).as("m3"))
+    // Tie-robust contract: the returned value v occupies the whole rank
+    // interval [rank_lt(v), rank_le(v)] in a tied distribution (recency
+    // and frequency are small integers with heavy ties), so the target
+    // quantile must fall within that interval WIDENED by the KLL bound
+    // — the inclusive rank alone would flag a correct answer whenever
+    // one tied value spans the quartile.
+    def lt(c: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+      sum(when(c < t, 1L).otherwise(0L))
+    def le(c: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+      sum(when(c <= t, 1L).otherwise(0L))
+    val rd = $"recency_days".cast("double")
+    val fq = $"frequency".cast("double")
+    val mo = $"monetary".cast("double")
+    val ranks = perUser.crossJoin(broadcast(th)).agg(
+      count(lit(1)).cast("double").as("n"),
+      lt(rd, $"r1").as("lt_r1"), le(rd, $"r1").as("le_r1"),
+      lt(rd, $"r3").as("lt_r3"), le(rd, $"r3").as("le_r3"),
+      lt(fq, $"f1").as("lt_f1"), le(fq, $"f1").as("le_f1"),
+      lt(fq, $"f3").as("lt_f3"), le(fq, $"f3").as("le_f3"),
+      lt(mo, $"m1").as("lt_m1"), le(mo, $"m1").as("le_m1"),
+      lt(mo, $"m3").as("lt_m3"), le(mo, $"m3").as("le_m3"))
+    ranks.select(expr(
+      "stack(6, 'recency', 0.25D, lt_r1, le_r1, " +
+        "'recency', 0.75D, lt_r3, le_r3, " +
+        "'frequency', 0.25D, lt_f1, le_f1, " +
+        "'frequency', 0.75D, lt_f3, le_f3, " +
+        "'monetary', 0.25D, lt_m1, le_m1, " +
+        "'monetary', 0.75D, lt_m3, le_m3) " +
+        "AS (dim, p, lo, hi)"), col("n"))
+      .select(col("dim"), col("p"),
+        (col("lo") / col("n") - tol <= col("p") &&
+          col("p") <= col("hi") / col("n") + tol).as("rank_ok"))
+  }
+
+  val rfmSketchCheckSql: String =
+    """SELECT dim, p, true AS rank_ok
+      |FROM (SELECT unnest(['recency', 'frequency', 'monetary']) AS dim)
+      |CROSS JOIN (SELECT CAST(unnest([0.25, 0.75]) AS DOUBLE) AS p)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("events_rfm", rfm _, Some(rfmSql)),
+    Op("events_rfm_sketch", rfmSketch _, None),
+    Op("events_rfm_sketch_check", rfmSketchCheck _, Some(rfmSketchCheckSql)),
     Op("events_ab_srm", abSrm _, Some(abSrmSql)),
     Op("events_sequence_examples", sequenceExamples _,
       Some(sequenceExamplesSql)),

@@ -243,6 +243,22 @@ class DeltaStatsSpec extends SparkSpec {
     assert(rows.map(_.getInt(5)).distinct.sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("rfm sketch twin: same shape as exact, scores in range, " +
+      "rank contract green on the fixture") {
+    import graft.operators.Events
+    val exact = Events.rfm(spark, sfDir)
+    val sk = Events.rfmSketch(spark, sfDir)
+    assert(sk.schema == exact.schema,
+      s"serving twin must be shape-compatible: ${sk.schema} vs ${exact.schema}")
+    val rows = sk.collect()
+    assert(rows.length == exact.count())
+    assert(rows.forall(r => (4 to 6).forall(i =>
+      r.getInt(i) >= 1 && r.getInt(i) <= 3)))
+    val check = Events.rfmSketchCheck(spark, sfDir).collect()
+    assert(check.length == 6 && check.forall(_.getBoolean(2)),
+      s"rank contract: ${check.mkString(", ")}")
+  }
+
   test("ab srm: md5 assignment reconstructs, chi-square matches by hand") {
     import graft.operators.Events
     val users = Tables(spark, sfDir, "events")

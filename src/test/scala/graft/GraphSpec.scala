@@ -127,6 +127,34 @@ class GraphSpec extends SparkSpec {
       "graph operators must release their loop caches")
   }
 
+  test("jaccard: a planted super-hub is capped out of pair generation " +
+      "and counted in the audit column") {
+    import spark.implicits._
+    // hub supplier 100 touches customers 1..10 (45 pairs if uncapped);
+    // suppliers 1 and 2 give customers {1,2} and {2,3} one small
+    // overlap each. Cap 4 excludes only the hub.
+    val hub = (1L to 10L).map(c => (100L, c))
+    val small = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L))
+    val e = (hub ++ small).toDF("s", "c")
+    val rows = Graph.jaccardScores(e, maxHubDeg = 4, topN = 100).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bounded pair volume: only the small suppliers generate pairs
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"got $pairs")
+    // every row carries the capped-hub count
+    assert(rows.forall(_.getLong(4) == 1L),
+      s"capped_hubs: ${rows.map(_.getLong(4)).toSeq}")
+    // degrees are capped-graph degrees: c2 has deg 2 (via s1 and s2),
+    // so J(1,2) = 1 / (1 + 2 - 1) = 0.5
+    val j = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(j((1L, 2L)) == 0.5 && j((2L, 3L)) == 0.5, s"got $j")
+    // uncapped control: the hub floods pair generation — all C(10,2)
+    // customer pairs appear (the two small-supplier pairs fold into
+    // them), and nothing is counted capped
+    val un = Graph.jaccardScores(e, maxHubDeg = 1000, topN = 1000).collect()
+    assert(un.length == 45 && un.forall(_.getLong(4) == 0L),
+      s"uncapped ${un.length}")
+  }
+
   test("degree histogram: mass balances to node and edge counts") {
     val e = Graph.degrees(spark, sfDir).collect()
     val bySide = e.groupBy(_.getString(0))
