@@ -818,7 +818,99 @@ object Curation {
       |         AS deficit_tokens
       |FROM s CROSS JOIN t""".stripMargin
 
+  // -------------------------------- importance resampling (DSIR-style)
+
+  /** Target domain for importance weighting: the `lang = 'en'` slice
+    * stands in for "the distribution we want more of" (in production: a
+    * high-quality reference corpus).
+    */
+  private val DsirTargetLang = "en"
+  private val DsirTopK = 100
+
+  /** Data Selection with Importance Resampling (Xie et al. 2023),
+    * unigram form: score every RAW document by how much its token
+    * distribution looks like the TARGET domain versus the raw pool —
+    * per-token log-likelihood ratio `ln(p_target(w) / p_raw(w))` with
+    * add-one smoothing, summed over the document — then take the
+    * top-K under the total order (weight DESC, doc_id). The standard
+    * recipe for tilting a web-scale crawl toward a reference corpus
+    * without training a classifier.
+    *
+    * Determinism across engines: both unigram LMs are exact integer
+    * counts; each word's log-ratio is computed once on the vocab frame
+    * from identical integer-derived doubles, rounded to 6 dp and FIXED
+    * AS DECIMAL(18,6) there — so the per-document reduction is an
+    * exact decimal dot product (`lr × count` summed), immune to
+    * float accumulation order (the `agg_pareto` discipline applied to
+    * a log-domain score).
+    *
+    * Scale shape: one corpus scan reduces to vocab-sized count frames
+    * (map-side combined); the scalar totals broadcast over the vocab
+    * join; the per-doc reduction shuffles (doc_id, w, cnt) triples
+    * joined against the vocab scores; top-K is a TakeOrdered. At a
+    * 100 TB vocab the word key swaps for the hashed-bucket features of
+    * `text_hash_embed` (DSIR's own production trick) — the plan shape
+    * is unchanged.
+    */
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+    // vocab-sized count frames; the corpus never survives the first agg
+    val raw = toks.groupBy("w").agg(count(lit(1)).as("cr"))
+      .localCheckpoint() // feeds totals AND the score join: one pass
+    val tgt = toks.where($"lang" === DsirTargetLang)
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+    val totals = raw.join(tgt, Seq("w"), "left").agg(
+      sum("cr").as("nr"), sum(coalesce($"ct", lit(0L))).as("nt"),
+      count(lit(1)).as("v"))
+    val scores = raw.join(tgt, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"w",
+        round(log(
+          ((coalesce($"ct", lit(0L)) + 1).cast("double") /
+            ($"nt" + $"v").cast("double")) /
+            (($"cr" + 1).cast("double") / ($"nr" + $"v").cast("double"))),
+          6).cast("decimal(18,6)").as("lr"))
+    toks.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .join(scores, "w")
+      .groupBy("doc_id")
+      .agg(sum($"cnt").as("n_tokens"),
+        sum($"lr" * $"cnt").cast("decimal(38,6)").as("weight"))
+      .orderBy($"weight".desc, $"doc_id".asc)
+      .limit(DsirTopK)
+  }
+
+  val dsirSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |raw AS (SELECT w, CAST(count(*) AS BIGINT) AS cr FROM toks GROUP BY w),
+       |tgt AS (SELECT w, CAST(count(*) AS BIGINT) AS ct FROM toks
+       |        WHERE lang = '$DsirTargetLang' GROUP BY w),
+       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+       |               CAST(sum(COALESCE(ct, 0)) AS BIGINT) AS nt,
+       |               CAST(count(*) AS BIGINT) AS v
+       |        FROM raw LEFT JOIN tgt USING (w)),
+       |scores AS (
+       |  SELECT w, CAST(round(ln(
+       |           (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) /
+       |            CAST(nt + v AS DOUBLE)) /
+       |           (CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE))), 6)
+       |         AS DECIMAL(18,6)) AS lr
+       |  FROM raw LEFT JOIN tgt USING (w) CROSS JOIN tot),
+       |dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM toks GROUP BY doc_id, w)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |       CAST(sum(lr * cnt) AS DECIMAL(38,6)) AS weight
+       |FROM dw JOIN scores USING (w)
+       |GROUP BY doc_id
+       |ORDER BY weight DESC, doc_id ASC
+       |LIMIT $DsirTopK""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("curate_dsir", dsir _, Some(dsirSql)),
     Op("curate_mixture_solver", mixtureSolver _, Some(mixtureSolverSql)),
     Op("curate_pack", pack _, Some(packSql)),
     Op("curate_curriculum", curriculum _, Some(curriculumSql)),

@@ -1322,7 +1322,106 @@ object Dedup {
        |FROM gr GROUP BY doc_id, grp""".stripMargin
   }
 
+  // ------------------------------------ segment boilerplate removal
+
+  /** Segment ("line") width for corpus boilerplate removal. */
+  private val BoilerSegWords = 8
+  /** A segment appearing in at least this many DISTINCT docs is
+    * boilerplate.
+    */
+  private val BoilerMinDocs = 2
+
+  /** Corpus boilerplate removal — the line-dedup step of web-corpus
+    * pipelines (CCNet / RefinedWeb): a text unit that recurs across
+    * documents is navigation chrome, legal footers, or template filler,
+    * and the policy is REMOVE EVERY COPY — unlike `spanTrim`, which
+    * keeps one owner copy of genuinely duplicated prose. The unit here
+    * is the aligned `BoilerSegWords`-word segment (the fixture's text
+    * has no newlines; on real documents the same operator runs on
+    * `split(text, '\n')` lines — only the segmentation expression
+    * changes). Output is a per-document report: every doc_id with its
+    * surviving word count, removed-segment count, and rebuilt text.
+    *
+    * Scale shape (the `crossSpans` staging): segment frequency is
+    * counted on 16-byte xxhash64 keys — the corpus-wide shuffle moves
+    * hashes, never segment strings; candidate segments (bounded by
+    * boilerplate volume) re-group by full string to make the decision
+    * collision-proof; the rebuild is one doc_id-keyed shuffle with
+    * per-doc sorts only. Versus the span family's sliding grams, the
+    * tumbling segments shuffle 1/`BoilerSegWords` the rows.
+    */
+  def lineBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = spanWords(spark, dir)
+    val segs = words
+      .withColumn("seg", expr(s"(pos - 1) div $BoilerSegWords"))
+      .groupBy("doc_id", "seg")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"pos", $"w"))),
+          x => x("w")), " ").as("seg_text"))
+      .withColumn("gh", xxhash64($"seg_text"))
+    // hash-level frequency prefilter (16-byte shuffle), then exact
+    // string confirm over candidates only — a hash collision cannot
+    // fabricate boilerplate
+    val hotHashes = segs.groupBy("gh")
+      .agg(countDistinct("doc_id").as("nd")).where($"nd" >= BoilerMinDocs)
+      .select("gh")
+    val cand = segs.join(hotHashes, "gh")
+    val confirmed = cand.groupBy("seg_text")
+      .agg(countDistinct("doc_id").as("nd2")).where($"nd2" >= BoilerMinDocs)
+      .select("seg_text")
+    val drop = cand.join(confirmed, "seg_text").select("doc_id", "seg")
+    val removed = drop.groupBy("doc_id")
+      .agg(count(lit(1)).as("removed_segs"))
+    val kept = words
+      .withColumn("seg", expr(s"(pos - 1) div $BoilerSegWords"))
+      .join(drop, Seq("doc_id", "seg"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_words"),
+        array_join(
+          transform(array_sort(collect_list(struct($"pos", $"w"))),
+            x => x("w")), " ").as("trimmed_text"))
+    Tables(spark, dir, "documents").select($"doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"kept_words", lit(0L)).as("kept_words"),
+        coalesce($"removed_segs", lit(0L)).as("removed_segs"),
+        coalesce($"trimmed_text", lit("")).as("trimmed_text"))
+  }
+
+  val lineBoilerplateSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |         generate_subscripts(string_split(text,' '),1) AS pos
+       |  FROM documents),
+       |segs AS (
+       |  SELECT doc_id, (pos - 1) // $BoilerSegWords AS seg,
+       |         string_agg(w, ' ' ORDER BY pos) AS seg_text
+       |  FROM words GROUP BY doc_id, (pos - 1) // $BoilerSegWords),
+       |hot AS (SELECT seg_text FROM segs GROUP BY seg_text
+       |        HAVING count(DISTINCT doc_id) >= $BoilerMinDocs),
+       |drop_segs AS (SELECT doc_id, seg FROM segs
+       |              WHERE seg_text IN (SELECT seg_text FROM hot)),
+       |removed AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS removed_segs
+       |            FROM drop_segs GROUP BY doc_id),
+       |kept AS (SELECT w.doc_id,
+       |                CAST(count(*) AS BIGINT) AS kept_words,
+       |                string_agg(w.w, ' ' ORDER BY w.pos) AS trimmed_text
+       |         FROM words w ANTI JOIN drop_segs d
+       |           ON w.doc_id = d.doc_id
+       |          AND (w.pos - 1) // $BoilerSegWords = d.seg
+       |         GROUP BY w.doc_id)
+       |SELECT d.doc_id,
+       |       COALESCE(k.kept_words, 0) AS kept_words,
+       |       COALESCE(r.removed_segs, 0) AS removed_segs,
+       |       COALESCE(k.trimmed_text, '') AS trimmed_text
+       |FROM documents d
+       |LEFT JOIN kept k ON d.doc_id = k.doc_id
+       |LEFT JOIN removed r ON d.doc_id = r.doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("dedup_line_boilerplate", lineBoilerplate _, Some(lineBoilerplateSql)),
     Op("dedup_cross_spans", crossSpans _, Some(crossSpansSql)),
     Op("dedup_span_incremental", spanIncremental _, Some(spanIncrementalSql)),
     Op("dedup_span_trim", spanTrim _, Some(spanTrimSql)),

@@ -895,7 +895,12 @@ object Events {
     */
   /** The reduced per-user RFM frame both the exact op and the KLL
     * serving twin score from: one event scan, the global max-ts
-    * broadcast back.
+    * broadcast back. Eager checkpoint — the frame feeds FOUR consumers
+    * in the exact op (three per-dimension threshold reductions + the
+    * scoring join) and two in the sketch twin; without the cut each
+    * consumer re-runs the corpus scan (measured 0.25→0.75 s at sf0.1
+    * when the r8 threshold rewrite added consumers). |users|-sized —
+    * free to materialize at any corpus size.
     */
   private def rfmPerUser(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -910,41 +915,46 @@ object Events {
       .select($"user_id",
         datediff($"today", $"last_day").cast("long").as("recency_days"),
         $"frequency", $"monetary")
+      .localCheckpoint()
   }
 
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val perUser = rfmPerUser(spark, dir)
-    // Inclusive-rank q25/q75 of one dimension via its distinct-value
-    // histogram; ⌈n·q⌉ is exact in double (q dyadic, n < 2^52).
-    def cuts(dim: String): DataFrame = {
-      val hist = perUser.groupBy(col(dim)).agg(count(lit(1)).as("cnt"))
-      val cum = hist.withColumn("cum",
-        sum(col("cnt")).over(Window.orderBy(col(dim).asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val total = hist.agg(sum(col("cnt")).as("n"))
-      cum.crossJoin(broadcast(total)).agg(
-        min(when(col("cum") >= ceil(col("n") * 0.25), col(dim)))
-          .as(s"${dim}_q1"),
-        min(when(col("cum") >= ceil(col("n") * 0.75), col(dim)))
-          .as(s"${dim}_q3"))
-    }
-    perUser
-      .crossJoin(broadcast(cuts("recency_days")))
-      .crossJoin(broadcast(cuts("frequency")))
-      .crossJoin(broadcast(cuts("monetary")))
+    // Inclusive-rank q25/q75 for ALL THREE dimensions in one pass:
+    // stack to (dim, val) — DECIMAL(38,2) holds longs exactly, so the
+    // compares stay exact — one histogram shuffle, one window keyed by
+    // dim (each partition holds one dimension's distinct values), one
+    // 3-row threshold reduce pivoted wide. ⌈n·q⌉ is exact in double
+    // (q dyadic, n < 2^52). Long-vs-decimal score compares widen the
+    // long side losslessly.
+    val unp = perUser.select(expr(
+      "stack(3, 'r', CAST(recency_days AS DECIMAL(38,2)), " +
+        "'f', CAST(frequency AS DECIMAL(38,2)), " +
+        "'m', monetary) AS (dim, val)"))
+    val hist = unp.groupBy("dim", "val").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum($"cnt").over(Window.partitionBy("dim").orderBy($"val".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = hist.groupBy("dim").agg(sum($"cnt").as("n"))
+    val th = cum.join(tot, "dim").groupBy("dim").agg(
+      min(when($"cum" >= ceil($"n" * 0.25), $"val")).as("q1"),
+      min(when($"cum" >= ceil($"n" * 0.75), $"val")).as("q3"))
+    val wide = th.groupBy().pivot("dim", Seq("r", "f", "m"))
+      .agg(first($"q1").as("q1"), first($"q3").as("q3"))
+    perUser.crossJoin(broadcast(wide))
       .select($"user_id", $"recency_days", $"frequency", $"monetary",
         (lit(3) -
-          ($"recency_days" > $"recency_days_q1").cast("int") -
-          ($"recency_days" > $"recency_days_q3").cast("int"))
+          ($"recency_days" > $"r_q1").cast("int") -
+          ($"recency_days" > $"r_q3").cast("int"))
           .as("r_score"),
         (lit(1) +
-          ($"frequency" > $"frequency_q1").cast("int") +
-          ($"frequency" > $"frequency_q3").cast("int"))
+          ($"frequency" > $"f_q1").cast("int") +
+          ($"frequency" > $"f_q3").cast("int"))
           .as("f_score"),
         (lit(1) +
-          ($"monetary" > $"monetary_q1").cast("int") +
-          ($"monetary" > $"monetary_q3").cast("int"))
+          ($"monetary" > $"m_q1").cast("int") +
+          ($"monetary" > $"m_q3").cast("int"))
           .as("m_score"))
       .withColumn("segment",
         concat($"r_score", $"f_score", $"m_score"))
@@ -1110,7 +1120,126 @@ object Events {
       |FROM (SELECT unnest(['recency', 'frequency', 'monetary']) AS dim)
       |CROSS JOIN (SELECT CAST(unnest([0.25, 0.75]) AS DOUBLE) AS p)""".stripMargin
 
+  /** CUPED variance reduction for the A/B readout (Deng et al. 2013):
+    * split the window at its midpoint into a PRE period (covariate X =
+    * per-user pre value sum — by construction unaffected by treatment)
+    * and a POST period (metric Y); regress out X with the pooled
+    * θ = cov(X,Y)/var(X) and report each arm's raw and adjusted means.
+    * The standard launch-review step wherever an experiment's metric
+    * has high between-user variance; arms ride the same md5 assignment
+    * as `events_ab_srm`.
+    *
+    * Determinism across engines: every moment (Sx, Sy, Sxy, Sxx) is an
+    * EXACT DECIMAL sum — X·Y products are decimal(18,2)² → scale-4
+    * decimals, so no float accumulation order exists anywhere; θ and
+    * the means are then a fixed double expression over those identical
+    * scalars, rounded at the boundary. The midpoint cutoff is integer
+    * date arithmetic from the window bounds. var(X) = 0 degrades to
+    * θ = 0 (raw means) instead of a NaN.
+    *
+    * Scale shape: one event scan reduces to the |users| frame with the
+    * broadcast cutoff; moments are one more map-side-combined reduce;
+    * the 2-row arm frame joins the broadcast pooled scalars.
+    */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events").where($"value".isNotNull)
+    val bounds = ev.agg(min(to_date($"ts")).as("d0"), max(to_date($"ts")).as("d1"))
+      .select(date_add($"d0",
+        expr("datediff(d1, d0) div 2").cast("int")).as("cutoff"))
+    val arm = when(substring(md5(concat_ws(":", lit("ab"),
+      $"user_id".cast("string"))), 1, 1) < "8", "control")
+      .otherwise("treatment")
+    val pu = ev.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(
+        sum(when(to_date($"ts") < $"cutoff", $"value").otherwise(0.0)
+          .cast("decimal(18,2)")).cast("decimal(18,2)").as("x"),
+        sum(when(to_date($"ts") >= $"cutoff", $"value").otherwise(0.0)
+          .cast("decimal(18,2)")).cast("decimal(18,2)").as("y"))
+      .withColumn("arm", arm)
+    val pooled = pu.agg(
+      count(lit(1)).as("n"),
+      sum($"x").cast("decimal(38,2)").as("sx"),
+      sum($"y").cast("decimal(38,2)").as("sy"),
+      sum($"x" * $"y").cast("decimal(38,4)").as("sxy"),
+      sum($"x" * $"x").cast("decimal(38,4)").as("sxx"))
+    val byArm = pu.groupBy("arm").agg(
+      count(lit(1)).as("n_users"),
+      sum($"x").cast("decimal(38,2)").as("sxa"),
+      sum($"y").cast("decimal(38,2)").as("sya"))
+    byArm.crossJoin(broadcast(pooled))
+      .select($"arm", $"n_users",
+        ($"sxy".cast("double") / $"n" -
+          ($"sx".cast("double") / $"n") * ($"sy".cast("double") / $"n"))
+          .as("cov"),
+        ($"sxx".cast("double") / $"n" -
+          ($"sx".cast("double") / $"n") * ($"sx".cast("double") / $"n"))
+          .as("varx"),
+        ($"sx".cast("double") / $"n").as("mx"),
+        ($"sya".cast("double") / $"n_users").as("my"),
+        ($"sxa".cast("double") / $"n_users").as("mxa"))
+      .withColumn("theta",
+        when($"varx" <= 0.0, 0.0).otherwise($"cov" / $"varx"))
+      .select($"arm", $"n_users",
+        round($"my", 6).as("mean_y"),
+        round($"my" - $"theta" * ($"mxa" - $"mx"), 6).as("mean_y_cuped"),
+        round($"theta", 6).as("theta"))
+  }
+
+  val cupedSql: String =
+    """WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      |      FROM ev),
+      |c AS (SELECT d0 + CAST(date_diff('day', d0, d1) // 2 AS INTEGER)
+      |        AS cutoff FROM b),
+      |pu AS (
+      |  SELECT user_id,
+      |         CAST(sum(CAST(CASE WHEN CAST(ts AS DATE) <
+      |                (SELECT cutoff FROM c)
+      |              THEN value ELSE 0.0 END AS DECIMAL(18,2)))
+      |           AS DECIMAL(18,2)) AS x,
+      |         CAST(sum(CAST(CASE WHEN CAST(ts AS DATE) >=
+      |                (SELECT cutoff FROM c)
+      |              THEN value ELSE 0.0 END AS DECIMAL(18,2)))
+      |           AS DECIMAL(18,2)) AS y,
+      |         CASE WHEN substr(md5(concat_ws(':', 'ab',
+      |                CAST(user_id AS VARCHAR))), 1, 1) < '8'
+      |              THEN 'control' ELSE 'treatment' END AS arm
+      |  FROM ev GROUP BY user_id),
+      |pooled AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS DECIMAL(38,2)) AS sx,
+      |         CAST(sum(y) AS DECIMAL(38,2)) AS sy,
+      |         CAST(sum(x * y) AS DECIMAL(38,4)) AS sxy,
+      |         CAST(sum(x * x) AS DECIMAL(38,4)) AS sxx
+      |  FROM pu),
+      |by_arm AS (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+      |         CAST(sum(x) AS DECIMAL(38,2)) AS sxa,
+      |         CAST(sum(y) AS DECIMAL(38,2)) AS sya
+      |  FROM pu GROUP BY arm),
+      |m AS (
+      |  SELECT arm, n_users,
+      |         CAST(sxy AS DOUBLE) / n -
+      |           (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cov,
+      |         CAST(sxx AS DOUBLE) / n -
+      |           (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS varx,
+      |         CAST(sx AS DOUBLE) / n AS mx,
+      |         CAST(sya AS DOUBLE) / n_users AS my,
+      |         CAST(sxa AS DOUBLE) / n_users AS mxa
+      |  FROM by_arm CROSS JOIN pooled)
+      |SELECT arm, n_users,
+      |       round(my, 6) AS mean_y,
+      |       round(my - (CASE WHEN varx <= 0.0 THEN 0.0
+      |                        ELSE cov / varx END) * (mxa - mx), 6)
+      |         AS mean_y_cuped,
+      |       round(CASE WHEN varx <= 0.0 THEN 0.0
+      |                  ELSE cov / varx END, 6) AS theta
+      |FROM m""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("events_cuped", cuped _, Some(cupedSql)),
     Op("events_rfm", rfm _, Some(rfmSql)),
     Op("events_rfm_sketch", rfmSketch _, None),
     Op("events_rfm_sketch_check", rfmSketchCheck _, Some(rfmSketchCheckSql)),

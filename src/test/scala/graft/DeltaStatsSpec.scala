@@ -12,10 +12,13 @@ import graft.operators.{Analytics, Curation, Dedup, History, TextAnalysis}
   */
 class DeltaStatsSpec extends SparkSpec {
 
-  private def docsDir(rows: Seq[(Long, String)]): String = {
+  private def docsDir(rows: Seq[(Long, String)]): String =
+    docsLangDir(rows.map { case (id, t) => (id, t, "en") })
+
+  private def docsLangDir(rows: Seq[(Long, String, String)]): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("xspan").toString
-    rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+    rows.map { case (id, t, lang) => (id, t, lang, "src", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     dir
@@ -102,6 +105,46 @@ class DeltaStatsSpec extends SparkSpec {
     assert(got(2L) == ((12L, y)), s"Y must survive in doc2: ${got(2L)}")
     assert(got(3L) == ((10L, (1 to 10).map(i => s"b$i").mkString(" "))),
       s"got ${got(3L)}")
+  }
+
+  test("line boilerplate: an aligned shared segment is removed from " +
+      "EVERY copy; unaligned sharing survives") {
+    // block B sits on a segment boundary in doc1 (seg 0) AND doc2
+    // (seg 1, after an 8-word prefix) -> removed from both, no keeper.
+    // doc3 contains B off-alignment (after 4 words): its segments hash
+    // differently, so it keeps everything — the operator is line-dedup,
+    // not substring-dedup (that is spanTrim's job).
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val p8 = (1 to 8).map(i => s"p$i").mkString(" ")
+    val p4 = (1 to 4).map(i => s"q$i").mkString(" ")
+    val d1 = b + " " + (1 to 8).map(i => s"a$i").mkString(" ")
+    val d2 = p8 + " " + b
+    val d3 = p4 + " " + b + " " + (1 to 4).map(i => s"r$i").mkString(" ")
+    val dir = docsDir(Seq(1L -> d1, 2L -> d2, 3L -> d3))
+    val got = Dedup.lineBoilerplate(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((8L, 1L, (1 to 8).map(i => s"a$i").mkString(" "))),
+      s"doc1: ${got(1L)}")
+    assert(got(2L) == ((8L, 1L, p8)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((16L, 0L, d3)), s"doc3: ${got(3L)}")
+  }
+
+  test("dsir: importance weights reconstruct by hand, target-like docs rank first") {
+    // target (en) corpus: 4× 'good'. raw pool adds 'bad'. By-hand LM:
+    // raw: good 6, bad 6; V=2, Nr=12, Nt=4.
+    // lr(good) = ln((5/6)/(7/14)) = ln(5/3)  = 0.510826 (6 dp)
+    // lr(bad)  = ln((1/6)/(7/14)) = ln(1/3)  = -1.098612
+    val dir = docsLangDir(Seq(
+      (1L, "good good good good", "en"),
+      (2L, "bad bad bad bad", "xx"),
+      (3L, "good good bad bad", "xx")))
+    val got = Curation.dsir(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString))
+    assert(got.toSeq == Seq(
+      (1L, 4L, "2.043304"),
+      (3L, 4L, "-1.175572"),
+      (2L, 4L, "-4.394448")), s"got ${got.toSeq}")
   }
 
   test("mixture solver: integer waterfilling reconstructs from availability") {
@@ -257,6 +300,49 @@ class DeltaStatsSpec extends SparkSpec {
     val check = Events.rfmSketchCheck(spark, sfDir).collect()
     assert(check.length == 6 && check.forall(_.getBoolean(2)),
       s"rank contract: ${check.mkString(", ")}")
+  }
+
+  test("cuped: theta and adjusted means reconstruct from raw events") {
+    import graft.operators.Events
+    val ev = Tables(spark, sfDir, "events")
+      .where(col("value").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val d0 = ev.map(_._2).min
+    val d1 = ev.map(_._2).max
+    val cutoff = d0.plusDays(
+      java.time.temporal.ChronoUnit.DAYS.between(d0, d1) / 2)
+    def dec2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val pu = ev.groupBy(_._1).map { case (u, es) =>
+      val x = es.filter(_._2.isBefore(cutoff)).map(e => dec2(e._3)).sum
+      val y = es.filter(e => !e._2.isBefore(cutoff)).map(e => dec2(e._3)).sum
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      val arm = if (((md(0) >> 4) & 0xF) < 8) "control" else "treatment"
+      (arm, x.toDouble, y.toDouble)
+    }.toSeq
+    val n = pu.size.toDouble
+    val (sx, sy) = (pu.map(_._2).sum, pu.map(_._3).sum)
+    val sxy = pu.map(p => p._2 * p._3).sum
+    val sxx = pu.map(p => p._2 * p._2).sum
+    val varx = sxx / n - (sx / n) * (sx / n)
+    val theta = if (varx <= 0) 0.0 else (sxy / n - (sx / n) * (sy / n)) / varx
+    val got = Events.cuped(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    pu.groupBy(_._1).foreach { case (a, us) =>
+      val (na, gotRow) = (us.size, got(a))
+      val my = us.map(_._3).sum / na
+      val adj = my - theta * (us.map(_._2).sum / na - sx / n)
+      assert(gotRow._1 == na.toLong, s"$a n")
+      assert(math.abs(gotRow._2 - my) < 1e-4, s"$a mean_y ${gotRow._2} vs $my")
+      assert(math.abs(gotRow._3 - adj) < 1e-4, s"$a cuped ${gotRow._3} vs $adj")
+      assert(math.abs(gotRow._4 - theta) < 1e-4, s"$a theta")
+    }
+    // the adjustment must preserve the pooled mean (CUPED is unbiased
+    // up to arm-mean recentering): adjusted deltas shrink toward the
+    // raw delta by theta * (arm covariate imbalance)
+    assert(got.size == 2)
   }
 
   test("ab srm: md5 assignment reconstructs, chi-square matches by hand") {

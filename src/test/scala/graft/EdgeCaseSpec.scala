@@ -124,6 +124,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Events.abSrm(spark, edir).count() == 1)
   }
 
+  test("round-8 operators are empty-input safe") {
+    import graft.operators.{Curation, Events}
+    val dir = emptyDocsDir()
+    assert(Dedup.lineBoilerplate(spark, dir).count() == 0)
+    assert(Curation.dsir(spark, dir).count() == 0)
+    import spark.implicits._
+    val edir = java.nio.file.Files.createTempDirectory("r8ev").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$edir/events.parquet")
+    // no users: CUPED emits no arm rows; the sketch twin no user rows
+    assert(Events.cuped(spark, edir).count() == 0)
+    assert(Events.rfmSketch(spark, edir).count() == 0)
+    // the check op still emits its fixed 6-row grid (vacuous ranks on
+    // an empty frame must not divide-by-zero into an error)
+    assert(Events.rfmSketchCheck(spark, edir).count() == 6)
+  }
+
   test("round-3 text/dedup operators tolerate null text without throwing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("nulls").toString
