@@ -857,11 +857,15 @@ object Curation {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
-    // vocab-sized count frames; the corpus never survives the first agg
+    // vocab-sized count frames; the corpus never survives the first agg.
+    // Both checkpoint: each feeds the totals reduce AND the score join,
+    // and without the cut each consumer re-runs its corpus scan —
+    // three document scans total (raw LM, target LM, per-doc counts).
     val raw = toks.groupBy("w").agg(count(lit(1)).as("cr"))
-      .localCheckpoint() // feeds totals AND the score join: one pass
+      .localCheckpoint()
     val tgt = toks.where($"lang" === DsirTargetLang)
       .groupBy("w").agg(count(lit(1)).as("ct"))
+      .localCheckpoint()
     val totals = raw.join(tgt, Seq("w"), "left").agg(
       sum("cr").as("nr"), sum(coalesce($"ct", lit(0L))).as("nt"),
       count(lit(1)).as("v"))

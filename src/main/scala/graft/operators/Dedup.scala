@@ -1366,7 +1366,11 @@ object Dedup {
     val hotHashes = segs.groupBy("gh")
       .agg(countDistinct("doc_id").as("nd")).where($"nd" >= BoilerMinDocs)
       .select("gh")
-    val cand = segs.join(hotHashes, "gh")
+    // Eager checkpoint (the spanIslands rationale): cand feeds the
+    // string confirm AND the drop join; without the cut the corpus-
+    // sized scan+explode+segment-agg subtree re-executes per consumer.
+    // cand is bounded by boilerplate volume — cheap to materialize.
+    val cand = segs.join(hotHashes, "gh").localCheckpoint()
     val confirmed = cand.groupBy("seg_text")
       .agg(countDistinct("doc_id").as("nd2")).where($"nd2" >= BoilerMinDocs)
       .select("seg_text")
