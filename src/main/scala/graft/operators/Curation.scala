@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -852,11 +852,21 @@ object Curation {
     * `text_hash_embed` (DSIR's own production trick) — the plan shape
     * is unchanged.
     */
-  def dsir(spark: SparkSession, dir: String): DataFrame = {
+  def dsir(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(spark, dir, identity)
+
+  /** The DSIR pipeline with a pluggable feature map over the token
+    * column — `identity` gives the word-feature exact form (`dsir`),
+    * a hash-bucket map gives the vocab-scale serving form
+    * (`dsirHashed`). One pipeline, two feature spaces.
+    */
+  private def dsirWeights(spark: SparkSession, dir: String,
+      feature: Column => Column): DataFrame = {
     import spark.implicits._
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("w"))
+        explode(split(col("text"), " ")).as("w0"))
+      .select(col("doc_id"), col("lang"), feature(col("w0")).as("w"))
     // vocab-sized count frames; the corpus never survives the first agg.
     // Both checkpoint: each feeds the totals reduce AND the score join,
     // and without the cut each consumer re-runs its corpus scan —
@@ -913,8 +923,44 @@ object Curation {
        |ORDER BY weight DESC, doc_id ASC
        |LIMIT $DsirTopK""".stripMargin
 
+  /** Hash buckets for the vocab-scale DSIR form. */
+  private val DsirHashBuckets = 65536
+
+  /** The SERVING form of `curate_dsir` at 100 TB vocab: identical
+    * pipeline with tokens mapped to `xxhash64 mod 65536` buckets (the
+    * hashed n-gram features DSIR itself prescribes), so the LM frames
+    * are bounded by the bucket count regardless of vocabulary size.
+    * Hash values are engine-specific → rows-only;
+    * `curate_dsir_hashed_check` pins the selection-agreement contract
+    * against the exact word-feature form.
+    */
+  def dsirHashed(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(spark, dir,
+      w => pmod(xxhash64(w), lit(DsirHashBuckets.toLong)))
+
+  /** Oracled contract for the hashed form: at least 80% of the exact
+    * top-K document selection must survive the move to hashed features
+    * (bucket collisions perturb weights, but the selection an engineer
+    * acts on has to be stable). The DuckDB twin pins the flag true.
+    */
+  def dsirHashedCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = dsir(spark, dir).select("doc_id")
+    val hashed = dsirHashed(spark, dir).select("doc_id")
+    exact.join(hashed, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(DsirTopK.toLong).as("k"),
+        ($"n_overlap" >= (DsirTopK * 0.8).toLong).as("ok"))
+  }
+
+  val dsirHashedCheckSql: String =
+    s"SELECT CAST($DsirTopK AS BIGINT) AS k, true AS ok"
+
   val ops: Seq[Op] = Seq(
     Op("curate_dsir", dsir _, Some(dsirSql)),
+    Op("curate_dsir_hashed", dsirHashed _, None),
+    Op("curate_dsir_hashed_check", dsirHashedCheck _,
+      Some(dsirHashedCheckSql)),
     Op("curate_mixture_solver", mixtureSolver _, Some(mixtureSolverSql)),
     Op("curate_pack", pack _, Some(packSql)),
     Op("curate_curriculum", curriculum _, Some(curriculumSql)),

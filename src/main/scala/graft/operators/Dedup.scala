@@ -1394,6 +1394,33 @@ object Dedup {
         coalesce($"trimmed_text", lit("")).as("trimmed_text"))
   }
 
+  /** Serialized bloom over a history corpus's CONFIRMED boilerplate
+    * segments — the `spanGramBloom` treatment for the line-dedup
+    * family: the filter holds only segments already seen in ≥
+    * `BoilerMinDocs` docs (bounded by boilerplate volume, far smaller
+    * than an all-grams filter), no false negatives by construction, so
+    * an ingest stage can flag template-bearing docs statelessly and
+    * the exact batch pipeline confirms later.
+    */
+  def boilerplateBloom(spark: SparkSession, history: DataFrame,
+      fpp: Double = 0.001): Array[Byte] = {
+    import spark.implicits._
+    val words = history
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "w")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"w")
+    val segs = words
+      .withColumn("seg", expr(s"(pos - 1) div $BoilerSegWords"))
+      .groupBy("doc_id", "seg")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"pos", $"w"))),
+          x => x("w")), " ").as("seg_text"))
+    val hot = segs.groupBy("seg_text")
+      .agg(countDistinct("doc_id").as("nd")).where($"nd" >= BoilerMinDocs)
+      .select("seg_text")
+    val expected = math.max(hot.count(), 1000L)
+    RuntimeFilter.buildBloom(hot, "seg_text", expected, fpp)
+  }
+
   val lineBoilerplateSql: String =
     s"""WITH words AS (
        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,

@@ -66,6 +66,31 @@ object CorpusStream {
     * (`dedup_span_incremental`) adjudicates. This is the triage shape
     * ingest needs: drop/route on arrival, settle exactly later.
     */
+  /** Ingest-time boilerplate flag — the `spanFlagStream` treatment for
+    * the line-dedup family: tumbling `BoilerSegWords`-word segments of
+    * each arriving doc probe a broadcast bloom of the history corpus's
+    * CONFIRMED boilerplate segments (`Dedup.boilerplateBloom`).
+    * Stateless; no false negatives, so an unflagged doc is guaranteed
+    * boilerplate-free w.r.t. the filter's snapshot, and flags are
+    * confirmed later by the exact batch op (`dedup_line_boilerplate`).
+    */
+  def boilerFlagStream(docs: org.apache.spark.sql.DataFrame,
+      boilerBloom: Array[Byte]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val n = 8 // Dedup.BoilerSegWords
+    val ws = split(col("text"), " ")
+    val segArr = when(size(ws) >= 1,
+      transform(sequence(lit(0), expr(s"(size(split(text, ' ')) - 1) div $n")),
+        i => array_join(slice(ws, i * n + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"),
+      size(segArr).as("n_segs"),
+      size(filter(segArr,
+        s => graft.operators.RuntimeFilter.bloomPredicate(boilerBloom, s)))
+        .as("n_flagged"))
+      .withColumn("flagged", col("n_flagged") > 0)
+  }
+
   def spanFlagStream(docs: org.apache.spark.sql.DataFrame,
       historyBloom: Array[Byte]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._

@@ -129,6 +129,7 @@ class EdgeCaseSpec extends SparkSpec {
     val dir = emptyDocsDir()
     assert(Dedup.lineBoilerplate(spark, dir).count() == 0)
     assert(Curation.dsir(spark, dir).count() == 0)
+    assert(Curation.dsirHashed(spark, dir).count() == 0)
     import spark.implicits._
     val edir = java.nio.file.Files.createTempDirectory("r8ev").toString
     Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]

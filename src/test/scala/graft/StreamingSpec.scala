@@ -530,6 +530,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("boiler-flag stream: known boilerplate segments flag on arrival") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.CorpusStream
+    // segment B is confirmed boilerplate: aligned in TWO history docs
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val history = Seq(
+      (100L, b + " " + (1 to 8).map(i => s"h$i").mkString(" ")),
+      (101L, (1 to 8).map(i => s"g$i").mkString(" ") + " " + b),
+      (102L, (1 to 16).map(i => s"k$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bloom = Dedup.boilerplateBloom(spark, history)
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream
+      .boilerFlagStream(mem.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("boilerflag_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, b + " " + (1 to 5).map(i => s"a$i").mkString(" ")),
+        (2L, (1 to 4).map(i => s"q$i").mkString(" ") + " " + b), // unaligned
+        (3L, (1 to 12).map(i => s"z$i").mkString(" ")))
+      q.processAllAvailable()
+      val got = spark.table("boilerflag_out").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+          r.getBoolean(3)))).toMap
+      // doc 1 leads with B on a segment boundary: flagged
+      assert(got(1L) == ((2, 1, true)), s"got ${got(1L)}")
+      // doc 2 carries B OFF-alignment: its tumbling segments differ —
+      // line-dedup semantics, not substring semantics
+      assert(got(2L) == ((2, 0, false)), s"got ${got(2L)}")
+      // clean doc: two segments, nothing flags
+      assert(got(3L) == ((2, 0, false)), s"got ${got(3L)}")
+    } finally q.stop()
+  }
+
   test("span-flag stream: history overlap flags on arrival, clean docs pass") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
