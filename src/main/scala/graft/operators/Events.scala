@@ -1238,7 +1238,101 @@ object Events {
       |                  ELSE cov / varx END, 6) AS theta
       |FROM m""".stripMargin
 
+  /** "Converted" = at least this many purchase events (the fixture's
+    * per-user purchase rate is high, so presence alone saturates at
+    * p = 1; a count threshold keeps the proportion interior — and
+    * events-per-user is scale-invariant across SFs, so the same
+    * constant is meaningful at every fixture size).
+    */
+  private val AbConvMinPurchases = 14L
+
+  /** Two-proportion z-test on the conversion rate between the md5 arms
+    * — the binary-outcome counterpart of `events_cuped`/`stats_welch`:
+    * "did treatment change the share of users who converted?", the
+    * question most launch reviews actually ask.
+    * z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂, flagged at
+    * |z| > 1.96 (α = 0.05 two-sided); a degenerate pooled rate (p̂ = 0
+    * or 1, zero denominator) reports z = 0, not-significant, instead
+    * of an ANSI divide error.
+    *
+    * Everything up to the final expression is INTEGER counts — one
+    * |users| reduce then a 1-row double formula — so both engines
+    * compute the identical z from identical (n, x) quadruples.
+    */
+  def abProportions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arm = when(substring(md5(concat_ws(":", lit("ab"),
+      $"user_id".cast("string"))), 1, 1) < "8", "control")
+      .otherwise("treatment")
+    val pu = Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("purchases"))
+      .select(arm.as("arm"),
+        ($"purchases" >= AbConvMinPurchases).cast("long").as("conv"))
+    val agg = pu.groupBy()
+      .agg(
+        sum(when($"arm" === "control", 1L).otherwise(0L)).as("n_control"),
+        sum(when($"arm" === "control", $"conv").otherwise(0L))
+          .as("x_control"),
+        sum(when($"arm" === "treatment", 1L).otherwise(0L))
+          .as("n_treatment"),
+        sum(when($"arm" === "treatment", $"conv").otherwise(0L))
+          .as("x_treatment"))
+    val p = ($"x_control" + $"x_treatment").cast("double") /
+      ($"n_control" + $"n_treatment")
+    val denom = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / $"n_control" + lit(1.0) / $"n_treatment"))
+    agg.select($"n_control", $"x_control", $"n_treatment", $"x_treatment",
+      round(when(denom === 0.0, 0.0).otherwise(
+        ($"x_control".cast("double") / $"n_control" -
+          $"x_treatment".cast("double") / $"n_treatment") / denom),
+        6).as("z"))
+      .withColumn("significant", abs($"z") > 1.96)
+  }
+
+  val abProportionsSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |         CAST(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+       |                       ELSE 0 END) >= $AbConvMinPurchases AS INTEGER)
+       |           AS BIGINT) AS conv,
+       |         CASE WHEN substr(md5(concat_ws(':', 'ab',
+       |                CAST(user_id AS VARCHAR))), 1, 1) < '8'
+       |              THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM events GROUP BY user_id),
+       |agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_control,
+       |    CAST(sum(CASE WHEN arm = 'control' THEN conv ELSE 0 END) AS BIGINT)
+       |      AS x_control,
+       |    CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_treatment,
+       |    CAST(sum(CASE WHEN arm = 'treatment' THEN conv ELSE 0 END)
+       |      AS BIGINT) AS x_treatment
+       |  FROM pu),
+       |m AS (
+       |  SELECT n_control, x_control, n_treatment, x_treatment,
+       |         sqrt((CAST(x_control + x_treatment AS DOUBLE) /
+       |               (n_control + n_treatment)) *
+       |              (1.0 - CAST(x_control + x_treatment AS DOUBLE) /
+       |                     (n_control + n_treatment)) *
+       |              (1.0 / n_control + 1.0 / n_treatment)) AS denom
+       |  FROM agg)
+       |SELECT n_control, x_control, n_treatment, x_treatment,
+       |       round(CASE WHEN denom = 0.0 THEN 0.0
+       |                  ELSE (CAST(x_control AS DOUBLE) / n_control -
+       |                        CAST(x_treatment AS DOUBLE) / n_treatment)
+       |                       / denom END, 6) AS z,
+       |       abs(round(CASE WHEN denom = 0.0 THEN 0.0
+       |                  ELSE (CAST(x_control AS DOUBLE) / n_control -
+       |                        CAST(x_treatment AS DOUBLE) / n_treatment)
+       |                       / denom END, 6)) > 1.96 AS significant
+       |FROM m""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("events_ab_proportions", abProportions _, Some(abProportionsSql)),
     Op("events_cuped", cuped _, Some(cupedSql)),
     Op("events_rfm", rfm _, Some(rfmSql)),
     Op("events_rfm_sketch", rfmSketch _, None),

@@ -345,6 +345,40 @@ class DeltaStatsSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("ab proportions: z reconstructs from per-user purchase counts") {
+    import graft.operators.Events
+    val byUser = Tables(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allUsers = Tables(spark, sfDir, "events")
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    def arm(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      if (((md(0) >> 4) & 0xF) < 8) "control" else "treatment"
+    }
+    val conv = allUsers.map(u => arm(u) -> (byUser.getOrElse(u, 0L) >= 14L))
+    val (nc, xc) = (conv.count(_._1 == "control"),
+      conv.count(c => c._1 == "control" && c._2))
+    val (nt, xt) = (conv.count(_._1 == "treatment"),
+      conv.count(c => c._1 == "treatment" && c._2))
+    val p = (xc + xt).toDouble / (nc + nt)
+    val denom = math.sqrt(p * (1 - p) * (1.0 / nc + 1.0 / nt))
+    val z = if (denom == 0) 0.0
+      else (xc.toDouble / nc - xt.toDouble / nt) / denom
+    val row = Events.abProportions(spark, sfDir).collect().head
+    assert(row.getLong(0) == nc && row.getLong(1) == xc &&
+      row.getLong(2) == nt && row.getLong(3) == xt,
+      s"counts ${row.toSeq} vs ($nc,$xc,$nt,$xt)")
+    assert(math.abs(row.getDouble(4) - z) < 1e-5,
+      s"z ${row.getDouble(4)} vs $z")
+    assert(row.getBoolean(5) == (math.abs(z) > 1.96))
+    // the proportion must be interior on the fixture — a saturated
+    // p (0 or 1) would make this test vacuous
+    assert(xc + xt > 0 && xc + xt < nc + nt)
+  }
+
   test("ab srm: md5 assignment reconstructs, chi-square matches by hand") {
     import graft.operators.Events
     val users = Tables(spark, sfDir, "events")
