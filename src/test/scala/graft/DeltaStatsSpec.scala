@@ -147,6 +147,34 @@ class DeltaStatsSpec extends SparkSpec {
       (2L, 4L, "-4.394448")), s"got ${got.toSeq}")
   }
 
+  test("trim family is idempotent: a second pass over its own output " +
+      "rewrites nothing") {
+    // after one spanTrim pass every duplicated passage survives exactly
+    // once; after one boilerplate pass no segment recurs across docs —
+    // so a second pass must be the identity on the rebuilt text.
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      1L -> ((1 to 10).map(i => s"a$i").mkString(" ") + " " + shared),
+      2L -> ((1 to 4).map(i => s"c$i").mkString(" ") + " " + shared),
+      3L -> (b + " " + (1 to 8).map(i => s"d$i").mkString(" ")),
+      4L -> ((1 to 8).map(i => s"e$i").mkString(" ") + " " + b),
+      5L -> (1 to 20).map(i => s"f$i").mkString(" "))
+    def rerun(f: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Unit = {
+      val dir1 = docsDir(docs)
+      val out1 = f(spark, dir1).select("doc_id", "trimmed_text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val dir2 = docsDir(out1.toSeq.map { case (id, t) => (id, t) })
+      val out2 = f(spark, dir2).select("doc_id", "trimmed_text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out2 == out1, s"second pass rewrote: ${
+        out2.collect { case (k, v) if out1(k) != v => (k, out1(k), v) }}")
+    }
+    rerun(Dedup.spanTrim)
+    rerun(Dedup.lineBoilerplate)
+  }
+
   test("mixture solver: integer waterfilling reconstructs from availability") {
     val rep = Curation.mixtureSolver(spark, sfDir).collect()
       .map(r => r.getString(0) ->
