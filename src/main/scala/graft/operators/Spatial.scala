@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Op, Tables}
+
+/** Spatial proximity self-join — the 2-D neighbor query behind the
+  * reference's map domain ("which licensed sites sit within D km of
+  * each other?"): coordinate-error triage, co-located-site detection,
+  * and interference-candidate screening all start here. Spark has no
+  * native spatial join, so this is the standard GRID-BLOCKED plan: hash
+  * every site to a fixed lat/lon cell, join each site's 3×3 cell
+  * neighborhood against cell occupants, then confirm candidates with
+  * the exact haversine — the `dedup_minhash_lsh` shape (block
+  * subquadratically, verify exactly) applied to geometry.
+  *
+  * The DuckDB oracle is the QUADRATIC all-pairs filter, so a green row
+  * proves the blocking is LOSSLESS at the configured geometry: the cell
+  * size (0.35°) strictly exceeds the largest lat/lon extent a 25 km
+  * great-circle gap can span inside the fixture's bounding box
+  * (0.225° lat; 0.330° lon at 47° S), so any qualifying pair lands in
+  * the same or an adjacent cell — same argument as LSH band bounds,
+  * but exact rather than probabilistic.
+  *
+  * Scale shape: the only corpus-wide operation is the 9× cell-exploded
+  * equi-join on (cell_y, cell_x) — shuffle volume 9·|sites| rows keyed
+  * by bounded-density cells; the verify is a codegen'd per-row trig
+  * projection. Σ occupancy² per cell is the structural floor (the
+  * Jaccard Σ deg² analog); a pathological point pile-up in one cell is
+  * where the `graph_jaccard` degree-cap treatment would bolt on.
+  */
+object Spatial {
+
+  private val EarthRadiusKm = 6371.0088 // IUGG mean radius
+  private val ToRad = math.Pi / 180
+  private val MaxKm = 25.0
+  private val CellDeg = 0.35
+
+  /** Core: all unordered site pairs within `maxKm`, via grid blocking.
+    * `sites` needs (site_id, lat, lon); `cellDeg` must exceed the
+    * worst-case angular extent of `maxKm` over the data's latitude
+    * range or candidates are silently lost (the oracle catches that).
+    */
+  def proximityJoin(sites: DataFrame, maxKm: Double = MaxKm,
+      cellDeg: Double = CellDeg): DataFrame = {
+    val withCell = sites.select(col("site_id"), col("lat"), col("lon"),
+      expr(s"CAST(floor(lat / $cellDeg) AS BIGINT)").as("cy"),
+      expr(s"CAST(floor(lon / $cellDeg) AS BIGINT)").as("cx"))
+    // one side explodes its 3×3 neighborhood; the other keeps its own
+    // cell — each qualifying pair meets in exactly one (jy, jx), so no
+    // post-join dedup is needed
+    val aExp = withCell
+      .select(col("site_id").as("site_a"), col("lat").as("lat_a"),
+        col("lon").as("lon_a"), col("cy"), col("cx"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("dy"))
+      .select(col("site_a"), col("lat_a"), col("lon_a"),
+        (col("cy") + col("dy")).as("jy"), col("cx"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("dx"))
+      .select(col("site_a"), col("lat_a"), col("lon_a"), col("jy"),
+        (col("cx") + col("dx")).as("jx"))
+    val b = withCell.select(col("site_id").as("site_b"),
+      col("lat").as("lat_b"), col("lon").as("lon_b"),
+      col("cy").as("jy"), col("cx").as("jx"))
+    def rad(c: org.apache.spark.sql.Column) = c * ToRad
+    val dLat = rad(col("lat_b") - col("lat_a"))
+    val dLon = rad(col("lon_b") - col("lon_a"))
+    val h = pow(sin(dLat / 2), 2) +
+      cos(rad(col("lat_a"))) * cos(rad(col("lat_b"))) * pow(sin(dLon / 2), 2)
+    val dist = round(lit(2 * EarthRadiusKm) * asin(sqrt(h)), 3)
+    aExp.join(b, Seq("jy", "jx"))
+      .where(col("site_a") < col("site_b"))
+      .select(col("site_a"), col("site_b"), dist.as("dist_km"))
+      .where(col("dist_km") <= maxKm)
+  }
+
+  /** Deterministic site coordinates for the supplier table: two md5
+    * hex-uniform draws mapped into an NZ-ish bounding box (13°×13°
+    * from 47° S, 166° E) — the `events_ab_srm` md5-coin convention, so
+    * both engines derive bit-identical doubles from integer hex.
+    */
+  private def siteCoord(axis: String) =
+    lit(if (axis == "lat") -47.0 else 166.0) + lit(13.0) *
+      (conv(substring(md5(concat_ws(":", lit(axis),
+        col("s_suppkey").cast("string"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0))
+
+  def neighbors(spark: SparkSession, dir: String): DataFrame = {
+    val sites = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey").as("site_id"),
+        siteCoord("lat").as("lat"), siteCoord("lon").as("lon"))
+    proximityJoin(sites)
+  }
+
+  private def coordSql(axis: String): String =
+    s"(${if (axis == "lat") "-47.0" else "166.0"} + 13.0 * " +
+      s"(CAST(CAST(concat('0x', substr(md5(concat_ws(':', '$axis', " +
+      s"CAST(s_suppkey AS VARCHAR))), 1, 8)) AS UBIGINT) AS DOUBLE) " +
+      "/ 4294967296.0))"
+
+  val neighborsSql: String =
+    s"""WITH sites AS (
+       |  SELECT s_suppkey AS site_id,
+       |         ${coordSql("lat")} AS lat,
+       |         ${coordSql("lon")} AS lon
+       |  FROM supplier),
+       |pairs AS (
+       |  -- $ToRad is the interpolated Scala double π/180, NOT
+       |  -- pi()/180 inline: the evaluation order c*(π/180) must match
+       |  -- the Spark side bit-for-bit or boundary rows flap
+       |  SELECT a.site_id AS site_a, b.site_id AS site_b,
+       |         round(${2 * EarthRadiusKm} * asin(sqrt(
+       |           pow(sin((b.lat - a.lat) * $ToRad / 2), 2) +
+       |           cos(a.lat * $ToRad) * cos(b.lat * $ToRad) *
+       |           pow(sin((b.lon - a.lon) * $ToRad / 2), 2))), 3)
+       |           AS dist_km
+       |  FROM sites a JOIN sites b ON a.site_id < b.site_id)
+       |SELECT site_a, site_b, dist_km
+       |FROM pairs WHERE dist_km <= $MaxKm""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("spatial_neighbors", neighbors _, Some(neighborsSql)))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Spatial
+
+/** Pins for the grid-blocked spatial proximity join: blocking
+  * completeness against brute force (the property the oracle also
+  * proves at fixture scale), cell-boundary behavior, and exact
+  * distances on known geometry.
+  */
+class SpatialSpec extends SparkSpec {
+
+  private def sites(pts: Seq[(Long, Double, Double)]) = {
+    import spark.implicits._
+    pts.toDF("site_id", "lat", "lon")
+  }
+
+  private def haversineKm(lat1: Double, lon1: Double,
+      lat2: Double, lon2: Double): Double = {
+    val r = math.Pi / 180
+    val h = math.pow(math.sin((lat2 - lat1) * r / 2), 2) +
+      math.cos(lat1 * r) * math.cos(lat2 * r) *
+        math.pow(math.sin((lon2 - lon1) * r / 2), 2)
+    2 * 6371.0088 * math.asin(math.sqrt(h))
+  }
+
+  test("pairs straddling a cell boundary are found; far pairs are not") {
+    // 0.35° cells: sites 1/2 sit 0.01° apart ACROSS the lat boundary at
+    // -42.00 (different cells, adjacent); 3 is ~22 km east of 1 across a
+    // lon cell boundary; 4 is ~100 km away — out.
+    val s = sites(Seq(
+      (1L, -41.995, 170.00), (2L, -42.005, 170.00),
+      (3L, -41.995, 170.27), (4L, -41.10, 170.00)))
+    val got = Spatial.proximityJoin(s).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $got")
+    val d12 = haversineKm(-41.995, 170.00, -42.005, 170.00)
+    assert(math.abs(got((1L, 2L)) - d12) < 1e-3, s"d12 ${got((1L, 2L))}")
+  }
+
+  test("blocking is complete: grid join equals brute force on a planted grid") {
+    // a lattice of points spaced ~15 km: every adjacent pair qualifies,
+    // diagonal ~21 km qualifies, two-step ~30 km does not
+    val pts = for {
+      i <- 0 until 6; j <- 0 until 6
+    } yield ((i * 6 + j).toLong, -45.0 + i * 0.135, 168.0 + j * 0.19)
+    val s = sites(pts)
+    val got = Spatial.proximityJoin(s).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d = haversineKm(a._2, a._3, b._2, b._3)
+      if math.rint(d * 1000) / 1000 <= 25.0
+    } yield (a._1, b._1)).toSet
+    assert(got == brute,
+      s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.nonEmpty)
+  }
+
+  test("registered op emits consistent coordinates and symmetric distances") {
+    val rows = Spatial.neighbors(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 25.0)
+    }
+  }
+}
