@@ -118,6 +118,48 @@ object Spatial {
        |SELECT site_a, site_b, dist_km
        |FROM pairs WHERE dist_km <= $MaxKm""".stripMargin
 
+  /** Proximity clusters — co-located site groups: the 25 km pair graph
+    * contracted to connected components (single-linkage clustering, the
+    * geometry form of `dedup_clusters`), reported as (cluster label =
+    * component-minimum site, size). Reuses `Graph.connectedComponents`
+    * — the alternation-bounded large-star/small-star core — so the
+    * clustering inherits its O(log² n) round bound and checkpoint
+    * hygiene; only sites with at least one neighbor appear (a singleton
+    * site is not a cluster).
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = neighbors(spark, dir)
+      .select(col("site_a").as("u"), col("site_b").as("v"))
+    Graph.connectedComponents(pairs)
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_sites"))
+  }
+
+  val clustersSql: String =
+    s"""WITH RECURSIVE sites AS (
+       |  SELECT s_suppkey AS site_id,
+       |         ${coordSql("lat")} AS lat,
+       |         ${coordSql("lon")} AS lon
+       |  FROM supplier),
+       |e0 AS (
+       |  SELECT a.site_id AS u, b.site_id AS v
+       |  FROM sites a JOIN sites b ON a.site_id < b.site_id
+       |  WHERE round(${2 * EarthRadiusKm} * asin(sqrt(
+       |          pow(sin((b.lat - a.lat) * $ToRad / 2), 2) +
+       |          cos(a.lat * $ToRad) * cos(b.lat * $ToRad) *
+       |          pow(sin((b.lon - a.lon) * $ToRad / 2), 2))), 3)
+       |        <= $MaxKm),
+       |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |walk(u, x) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.x
+       |),
+       |lab AS (SELECT u, min(x) AS cluster FROM walk GROUP BY u)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_sites
+       |FROM lab GROUP BY cluster""".stripMargin
+
   val ops: Seq[Op] = Seq(
-    Op("spatial_neighbors", neighbors _, Some(neighborsSql)))
+    Op("spatial_neighbors", neighbors _, Some(neighborsSql)),
+    Op("spatial_clusters", clusters _, Some(clustersSql)))
 }

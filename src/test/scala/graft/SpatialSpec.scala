@@ -58,6 +58,30 @@ class SpatialSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("clusters: every cluster is labeled by its minimum site and " +
+      "covers exactly the paired sites") {
+    val pairs = Spatial.neighbors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Spatial.clusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // scalar union-find mirror
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = members.groupBy(find).map { case (root, ms) =>
+      root -> ms.length.toLong
+    }
+    assert(clusters == expect, s"got $clusters expect $expect")
+    assert(clusters.values.forall(_ >= 2))
+  }
+
   test("registered op emits consistent coordinates and symmetric distances") {
     val rows = Spatial.neighbors(spark, sfDir).collect()
     rows.foreach { r =>
