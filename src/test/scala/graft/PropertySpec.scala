@@ -186,6 +186,100 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MdbCatalog rows: fuzzed data/LVAL bytes never throw — rows and " +
+      "quarantines stay well-formed") {
+    import graft.sources.MdbCatalog
+    val PageSize = 4096
+    def header: Array[Byte] = {
+      val p = new Array[Byte](PageSize)
+      Array[Byte](0x00, 0x01, 0x00, 0x00).copyToArray(p, 0)
+      "Standard Jet DB".getBytes("US-ASCII").copyToArray(p, 4)
+      p(0x14) = 0x01; p
+    }
+    // id LONG fixed @0, m MEMO var index 0
+    val tdefP = {
+      val p = new Array[Byte](PageSize)
+      val buf = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p(0) = 0x02; p(1) = 0x01; p(0x28) = 0x4F
+      buf.putShort(0x2D, 2.toShort); buf.putInt(0x33, 0)
+      p(0x3F) = 0x04                                   // LONG
+      buf.putShort(0x3F + 5, 0.toShort)                // colNum 0
+      p(0x3F + 15) = 0x01                              // fixed
+      buf.putShort(0x3F + 21, 0.toShort)               // offF 0
+      p(0x3F + 25) = 0x0C                              // MEMO
+      buf.putShort(0x3F + 25 + 5, 1.toShort)           // colNum 1
+      buf.putShort(0x3F + 25 + 7, 0.toShort)           // var idx 0
+      var off = 0x3F + 50
+      Seq("id", "m").foreach { n =>
+        val b = n.getBytes("UTF-16LE")
+        buf.putShort(off, b.length.toShort); off += 2
+        b.copyToArray(p, off); off += b.length
+      }
+      p
+    }
+    val memoData = "fuzz memo payload".getBytes("UTF-16LE")
+    val row = { // [cnt][id][12B memo def → lval pg3 row0][offsets][cnt][mask]
+      val varStart = 2 + 4
+      val len = varStart + 12 + 2 * 2 + 2 + 1
+      val r = new Array[Byte](len)
+      val buf = java.nio.ByteBuffer.wrap(r)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putShort(0, 2.toShort); buf.putInt(2, 7)
+      buf.putInt(varStart, memoData.length | 0x40000000)
+      buf.putInt(varStart + 4, (3 << 8) | 0)
+      val varCntOff = len - 1 - 2
+      buf.putShort(varCntOff, 1.toShort)
+      buf.putShort(varCntOff - 2, varStart.toShort)
+      buf.putShort(varCntOff - 4, (varStart + 12).toShort)
+      r(len - 1) = 0x03
+      r
+    }
+    def page(tpe: Int, ownerOrSig: Either[Int, String],
+        rows: Seq[Array[Byte]]): Array[Byte] = {
+      val p = new Array[Byte](PageSize)
+      val buf = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p(0) = tpe.toByte; p(1) = 0x01
+      ownerOrSig match {
+        case Left(owner) => buf.putInt(0x04, owner)
+        case Right(sig) => sig.getBytes("US-ASCII").copyToArray(p, 4)
+      }
+      buf.putShort(0x0C, rows.size.toShort)
+      var end = PageSize
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val start = end - r.length
+        r.copyToArray(p, start)
+        buf.putShort(0x0E + 2 * i, start.toShort)
+        end = start
+      }
+      p
+    }
+    val base = header ++ tdefP ++
+      page(0x01, Left(1), Seq(row)) ++
+      page(0x01, Right("LVAL"), Seq(memoData))
+    val cat = MdbCatalog.read(base).fold(e => fail(e), identity)
+    val tdef = cat.tables.head
+    // sanity: the unfuzzed fixture decodes the memo through the LVAL hop
+    val (okRows, okQuar) = MdbCatalog.readRows(base, PageSize, tdef)
+    assert(okRows == Seq(Seq(7L, "fuzz memo payload")), s"$okRows $okQuar")
+    // fuzz the data + LVAL pages (never the tdef): the decoder must
+    // return, and anything it returns must be shape-correct — a row has
+    // one slot per column; quarantines are (key, nonempty reason)
+    (1 to 300).foreach { i =>
+      val b = base.clone()
+      val nMut = 1 + rnd.nextInt(4)
+      (0 until nMut).foreach { _ =>
+        val off = 2 * PageSize + rnd.nextInt(2 * PageSize)
+        b(off) = rnd.nextInt(256).toByte
+      }
+      val (rows, quar) = MdbCatalog.readRows(b, PageSize, tdef)
+      rows.foreach(r => assert(r.size == tdef.columns.size, s"fuzz $i"))
+      quar.foreach { case (_, reason) =>
+        assert(reason.nonEmpty, s"fuzz $i empty reason") }
+    }
+  }
+
   test("WARC: fuzzed streams never throw; records + quarantines partition") {
     import graft.sources.WarcIngest
     // pure fuzz: arbitrary bytes parse to (possibly empty) records +
