@@ -567,6 +567,108 @@ object Dedup {
     "list_distinct([substr(trim(text), i, 12) for i in range(1, length(trim(text)) - 10)])",
     "length(trim(text)) >= 12", 0.8)
 
+  // ---------------------------------------------------------- containment
+
+  /** Blocking knobs for containment — both part of the operator
+    * CONTRACT (the oracle applies them identically), not hidden
+    * heuristics: candidate pairs must share at least `ContainMinRare`
+    * shingles whose corpus document-frequency is in
+    * [2, `ContainRareMaxDf`]. The df cap bounds the inverted-index
+    * self-join at cap·|shingle rows|; the overlap floor collapses the
+    * coincidental-overlap tail this fixture's tiny vocabulary produces
+    * (measured at sf0.1: floor 1 → 450 k candidates and a 15 s exact
+    * verify; floor 16 → 232 candidates, while every true contained
+    * pair shares HUNDREDS of rare shingles). A pair is findable iff it
+    * clears the floor in the rare band — true for any genuinely
+    * contained document, deliberately false for pairs whose overlap is
+    * all template boilerplate (the line/span family's job).
+    */
+  private val ContainRareMaxDf = 10
+  private val ContainMinRare = 16
+  private val ContainThreshold = 0.8
+
+  /** Asymmetric near-dup detection — CONTAINMENT |A∩B| / min(|A|,|B|)
+    * over char-12-gram sets: catches a document swallowed whole by a
+    * larger one (quote-wrapped reposts, doc-in-doc aggregation), where
+    * symmetric Jaccard is low (a doc 10× larger than what it contains
+    * scores J ≈ 0.1 and minhash banding rightly never pairs them).
+    * Blocking therefore CANNOT ride the minhash index: candidates come
+    * from the rare-shingle inverted index under the contract knobs
+    * above, then exact set intersection confirms — the `crossSpans`
+    * staging shape at shingle granularity.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = charShingles(Tables(spark, dir, "documents")).persist()
+    try {
+      val e = sh.select($"doc_id", explode($"shingles").as("s"))
+      val rare = e.groupBy("s").agg(count(lit(1)).as("df"))
+        .where($"df" >= 2 && $"df" <= ContainRareMaxDf).select("s")
+      val er = e.join(rare, "s")
+      val cand = er.as("a").join(er.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("rare_overlap"))
+        .where($"rare_overlap" >= ContainMinRare)
+        .select("doc_a", "doc_b")
+      val a = sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"))
+      val b = sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"))
+      cand.join(a, "doc_a").join(b, "doc_b")
+        // a containment ≥ t pair shares ≥ t·|smaller| shingles — the
+        // cheap size test cannot prune here (smaller side can be ANY
+        // size), so the exact intersect runs on every candidate
+        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+        .withColumn("containment", round($"inter".cast("double") /
+          least(size($"sh_a"), size($"sh_b")), 6))
+        .withColumn("jaccard", round($"inter".cast("double") /
+          (size($"sh_a") + size($"sh_b") - $"inter"), 6))
+        .where($"inter".cast("double") /
+          least(size($"sh_a"), size($"sh_b")) >= ContainThreshold)
+        .select($"doc_a", $"doc_b", $"containment", $"jaccard")
+        .localCheckpoint()
+    } finally sh.unpersist()
+  }
+
+  val containmentSql: String = {
+    val shingleExpr =
+      "list_distinct([substr(trim(text), i, 12) " +
+        "for i in range(1, length(trim(text)) - 10)])"
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT doc_id, $shingleExpr AS shingles
+       |  FROM documents WHERE length(trim(text)) >= 12
+       |), e AS MATERIALIZED (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), rare AS (
+       |  SELECT s FROM e GROUP BY s
+       |  HAVING count(*) BETWEEN 2 AND $ContainRareMaxDf
+       |), cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  WHERE a.s IN (SELECT s FROM rare)
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $ContainMinRare
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN e ea ON ea.doc_id = c.doc_a
+       |  JOIN e eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.doc_a, i.doc_b,
+       |       round(CAST(i.inter AS DOUBLE) /
+       |             least(len(sa.shingles), len(sb.shingles)), 6)
+       |         AS containment,
+       |       round(CAST(i.inter AS DOUBLE) /
+       |             (len(sa.shingles) + len(sb.shingles) - i.inter), 6)
+       |         AS jaccard
+       |FROM inter i
+       |JOIN sh sa ON sa.doc_id = i.doc_a
+       |JOIN sh sb ON sb.doc_id = i.doc_b
+       |WHERE CAST(i.inter AS DOUBLE) /
+       |      least(len(sa.shingles), len(sb.shingles)) >= $ContainThreshold"""
+      .stripMargin
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per document: per-word xxhash64, sign-vote each bit,
@@ -1467,6 +1569,7 @@ object Dedup {
     Op("dedup_minhash_incremental", minhashIncremental _,
       Some(minhashIncrementalSql)),
     Op("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
+    Op("dedup_containment", containment _, Some(containmentSql)),
     Op("dedup_simhash", simhash _, None),
     Op("dedup_simhash_check", simhashCheck _, Some(simhashCheckSql)),
     Op("dedup_simhash_pairs", simhashPairs _, None),

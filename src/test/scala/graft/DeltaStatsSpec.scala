@@ -147,6 +147,28 @@ class DeltaStatsSpec extends SparkSpec {
       (2L, 4L, "-4.394448")), s"got ${got.toSeq}")
   }
 
+  test("containment: a doc swallowed by a larger one is found at " +
+      "containment 1 despite low jaccard") {
+    // doc 1 is verbatim inside doc 2 (with ~4x padding): every one of
+    // doc 1's char-12-grams is shared (containment = 1), while the
+    // symmetric jaccard sits far below the 0.8 near-dup threshold —
+    // exactly the pair minhash banding rightly never surfaces. doc 3
+    // is unrelated.
+    val inner = (1 to 20).map(i => s"core$i").mkString(" ")
+    val d2 = (1 to 30).map(i => s"pad$i").mkString(" ") + " " + inner +
+      " " + (1 to 30).map(i => s"tail$i").mkString(" ")
+    val dir = docsDir(Seq(
+      1L -> inner, 2L -> d2,
+      3L -> (1 to 40).map(i => s"zz$i").mkString(" ")))
+    val got = Dedup.containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"got $got")
+    val (c, j) = got((1L, 2L))
+    assert(c == 1.0, s"containment $c")
+    assert(j < 0.8, s"jaccard $j should be below the near-dup threshold")
+  }
+
   test("trim family is idempotent: a second pass over its own output " +
       "rewrites nothing") {
     // after one spanTrim pass every duplicated passage survives exactly
