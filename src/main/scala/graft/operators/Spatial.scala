@@ -159,7 +159,59 @@ object Spatial {
        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_sites
        |FROM lab GROUP BY cluster""".stripMargin
 
+  /** Nearest neighbor within the search radius, per site: the map
+    * popup's "closest other site" figure and the spacing histogram's
+    * raw material. Rides the grid-blocked pair frame — symmetrize,
+    * rank per site under the total order (dist, other id) so ties
+    * cannot flap — rather than a fresh scan; sites with no neighbor
+    * inside the radius are absent by contract (a k-NN without a radius
+    * bound would need unbounded ring search, the wrong plan shape at
+    * any scale).
+    */
+  def nearest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = neighbors(spark, dir)
+    val sym = pairs.select(col("site_a").as("site_id"),
+        col("site_b").as("nearest_id"), col("dist_km"))
+      .union(pairs.select(col("site_b").as("site_id"),
+        col("site_a").as("nearest_id"), col("dist_km")))
+    val w = Window.partitionBy("site_id")
+      .orderBy(col("dist_km").asc, col("nearest_id").asc)
+    sym.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("site_id"), col("nearest_id"), col("dist_km"))
+  }
+
+  val nearestSql: String =
+    s"""WITH sites AS (
+       |  SELECT s_suppkey AS site_id,
+       |         ${coordSql("lat")} AS lat,
+       |         ${coordSql("lon")} AS lon
+       |  FROM supplier),
+       |pairs AS (
+       |  SELECT a.site_id AS site_a, b.site_id AS site_b,
+       |         round(${2 * EarthRadiusKm} * asin(sqrt(
+       |           pow(sin((b.lat - a.lat) * $ToRad / 2), 2) +
+       |           cos(a.lat * $ToRad) * cos(b.lat * $ToRad) *
+       |           pow(sin((b.lon - a.lon) * $ToRad / 2), 2))), 3)
+       |           AS dist_km
+       |  FROM sites a JOIN sites b ON a.site_id < b.site_id),
+       |near AS (SELECT site_a, site_b, dist_km FROM pairs
+       |         WHERE dist_km <= $MaxKm),
+       |sym AS (
+       |  SELECT site_a AS site_id, site_b AS nearest_id, dist_km FROM near
+       |  UNION ALL
+       |  SELECT site_b AS site_id, site_a AS nearest_id, dist_km FROM near),
+       |ranked AS (
+       |  SELECT site_id, nearest_id, dist_km,
+       |         row_number() OVER (PARTITION BY site_id
+       |           ORDER BY dist_km ASC, nearest_id ASC) AS rn
+       |  FROM sym)
+       |SELECT site_id, nearest_id, dist_km FROM ranked WHERE rn = 1"""
+      .stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("spatial_neighbors", neighbors _, Some(neighborsSql)),
-    Op("spatial_clusters", clusters _, Some(clustersSql)))
+    Op("spatial_clusters", clusters _, Some(clustersSql)),
+    Op("spatial_nearest", nearest _, Some(nearestSql)))
 }

@@ -82,6 +82,17 @@ class SpatialSpec extends SparkSpec {
     assert(clusters.values.forall(_ >= 2))
   }
 
+  test("nearest: every paired site appears once with its true minimum") {
+    val pairs = Spatial.neighbors(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val best = pairs.flatMap { case ((a, b), d) => Seq(a -> (d, b), b -> (d, a)) }
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> xs.map(_._2).minBy(x => (x._1, x._2)) }
+    val got = Spatial.nearest(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(1)))).toMap
+    assert(got == best, s"got $got expect $best")
+  }
+
   test("registered op emits consistent coordinates and symmetric distances") {
     val rows = Spatial.neighbors(spark, sfDir).collect()
     rows.foreach { r =>
