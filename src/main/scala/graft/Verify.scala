@@ -24,12 +24,36 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Boundary lint (r8 verdict #2): an ORACLED query must not emit a
+    // DecimalType column — the driver's hash canonicalizes decimal128
+    // differently from any local mirror (r8's only two hash failures
+    // were exactly the only two decimal-emitting oracled ops, with
+    // bit-identical values and arrow types locally). Decimal is the
+    // right INTERNAL exactness discipline; cast to DOUBLE at the final
+    // select. The lint fails the individual query (no dump written →
+    // a red row), never the whole run.
+    import org.apache.spark.sql.types._
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: StructType  => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType   => hasDecimal(a.elementType)
+      case m: MapType     => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _              => false
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val dec = df.schema.fields
+          .filter(f => hasDecimal(f.dataType)).map(_.name)
+        if (SparkEntry.oracleSql.contains(name) && dec.nonEmpty)
+          System.err.println(s"[verify] $name LINT-FAIL: DecimalType at " +
+            s"oracle boundary (${dec.mkString(",")}) — cast to DOUBLE on " +
+            "both engines; the driver hash treats decimal specially")
+        else df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -887,13 +887,20 @@ object Curation {
             ($"nt" + $"v").cast("double")) /
             (($"cr" + 1).cast("double") / ($"nr" + $"v").cast("double"))),
           6).cast("decimal(18,6)").as("lr"))
+    // Boundary rule (r8 verdict): the top-K ranking runs on the exact
+    // DECIMAL(38,6) dot product, but the EMITTED weight is cast to
+    // DOUBLE on both engines — decimal128 must not cross the oracle
+    // boundary (the driver's hash canonicalizes it differently from
+    // any local mirror). Same exact decimal → bit-identical doubles.
     toks.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .join(scores, "w")
       .groupBy("doc_id")
       .agg(sum($"cnt").as("n_tokens"),
-        sum($"lr" * $"cnt").cast("decimal(38,6)").as("weight"))
-      .orderBy($"weight".desc, $"doc_id".asc)
+        sum($"lr" * $"cnt").cast("decimal(38,6)").as("wd"))
+      .orderBy($"wd".desc, $"doc_id".asc)
       .limit(DsirTopK)
+      .select($"doc_id", $"n_tokens",
+        $"wd".cast("double").as("weight"))
   }
 
   val dsirSql: String =
@@ -915,13 +922,17 @@ object Curation {
        |         AS DECIMAL(18,6)) AS lr
        |  FROM raw LEFT JOIN tgt USING (w) CROSS JOIN tot),
        |dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
-       |       FROM toks GROUP BY doc_id, w)
-       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-       |       CAST(sum(lr * cnt) AS DECIMAL(38,6)) AS weight
-       |FROM dw JOIN scores USING (w)
-       |GROUP BY doc_id
-       |ORDER BY weight DESC, doc_id ASC
-       |LIMIT $DsirTopK""".stripMargin
+       |       FROM toks GROUP BY doc_id, w),
+       |ranked AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |         CAST(sum(lr * cnt) AS DECIMAL(38,6)) AS wd
+       |  FROM dw JOIN scores USING (w)
+       |  GROUP BY doc_id
+       |  ORDER BY wd DESC, doc_id ASC
+       |  LIMIT $DsirTopK)
+       |SELECT doc_id, n_tokens, CAST(wd AS DOUBLE) AS weight
+       |FROM ranked
+       |ORDER BY wd DESC, doc_id ASC""".stripMargin
 
   /** Hash buckets for the vocab-scale DSIR form. */
   private val DsirHashBuckets = 65536

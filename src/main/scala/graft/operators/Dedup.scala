@@ -953,7 +953,10 @@ object Dedup {
   // ---------------------------------------------- repeated-span scoring
   /** Words per span — the scale at which a shared phrase stops being
     * coincidence and starts being boilerplate/memorization. */
-  private val SpanGram = 8
+  // Package-visible for the same reason as BoilerSegWords: the stream
+  // flag (`CorpusStream.spanFlagStream`) must gram at the width the
+  // bloom was built with.
+  private[graft] val SpanGram = 8
 
   /** Per-document repeated-span statistics — the corpus-vs-corpus form
     * of exact-substring dedup scoring: for every document, how many of
@@ -1220,11 +1223,13 @@ object Dedup {
 
   /** The spans APPLIED — the second half of ExactSubstr dedup: rebuild
     * each document's text with its duplicated spans REMOVED, except in
-    * each span's KEEPER document. Keeper is decided PER OWNER-RUN
-    * inside an island (grams sharing the same global minimum owner),
-    * not per merged island: an island that concatenates passages with
-    * different owners would otherwise trim a passage in its own owner
-    * doc too and the passage would survive nowhere (r7 ADVICE).
+    * each span's KEEPER document. Keeper is decided PER CONTIGUOUS
+    * OWNER-RUN inside an island (a maximal run of adjacent hit
+    * positions sharing the same global minimum owner), not per merged
+    * island and not per owner-within-island: either coarser grouping
+    * lets a foreign extent's interior cover a passage owned by THIS
+    * doc (the A-B-A island), trimming it in its own owner doc too so
+    * it survives nowhere (r7 + r8 ADVICE).
     * Owner = the gram's global minimum doc_id — a pure function of the
     * span's content, so both engines (and any two cluster runs) pick
     * the same survivor without coordination. Every owner's grams stay
@@ -1244,13 +1249,25 @@ object Dedup {
     import spark.implicits._
     val n = SpanGram
     val words = spanWords(spark, dir)
-    // Group by (doc_id, grp, min_doc) — NOT just the island: an island
-    // that merges grams with DIFFERENT owners must trim per-owner, or a
-    // passage owned by THIS doc inside a merged island gets trimmed here
-    // (island-min owner ≠ doc_id) AND in every other doc, surviving
-    // nowhere (r7 ADVICE). Per-owner sub-extents keep each owner's
-    // grams intact in their owner document.
-    val spans = spanIslands(words).groupBy("doc_id", "grp", "min_doc")
+    // Segment each island into CONTIGUOUS owner runs — not merely
+    // per-owner: grouping by (grp, min_doc) alone merges the two A-runs
+    // of an A-B-A island into ONE min..max extent whose interior covers
+    // B's positions, so B's own passage would be trimmed in doc B
+    // (inside a foreign A extent) AND in every other doc — surviving
+    // nowhere, the exact r7 failure mode (r8 ADVICE). A run counter
+    // that increments whenever the owner OR the island changes along
+    // pos keeps every extent within a single owner's contiguous grams;
+    // each owner's passage stays intact in its owner document.
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = spanIslands(words)
+      .select($"doc_id", $"pos", $"min_doc",
+        when(lag("min_doc", 1).over(byPos).isNull ||
+          lag("min_doc", 1).over(byPos) =!= $"min_doc" ||
+          lag("grp", 1).over(byPos) =!= $"grp", 1).otherwise(0)
+          .as("chg"))
+      .select($"doc_id", $"pos", $"min_doc",
+        sum("chg").over(byPos).as("run"))
+    val spans = runs.groupBy("doc_id", "run", "min_doc")
       .agg(min("pos").as("s"), (max("pos") + (n - 1)).as("e"))
       .where($"min_doc" =!= $"doc_id")
     val drop = spans.select($"doc_id",
@@ -1290,9 +1307,16 @@ object Dedup {
        |        FROM hits),
        |gr AS (SELECT doc_id, pos, min_doc, sum(brk) OVER (
        |         PARTITION BY doc_id ORDER BY pos) AS grp FROM isl),
+       |seg AS (SELECT doc_id, pos, min_doc,
+       |          CASE WHEN lag(min_doc) OVER w IS NULL
+       |                 OR lag(min_doc) OVER w <> min_doc
+       |                 OR lag(grp) OVER w <> grp THEN 1 ELSE 0 END AS chg
+       |        FROM gr WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |rn AS (SELECT doc_id, pos, min_doc, sum(chg) OVER (
+       |         PARTITION BY doc_id ORDER BY pos) AS run FROM seg),
        |spans AS (SELECT doc_id, min(pos) AS s,
        |                 max(pos) + ${SpanGram - 1} AS e
-       |          FROM gr GROUP BY doc_id, grp, min_doc
+       |          FROM rn GROUP BY doc_id, run, min_doc
        |          HAVING min_doc <> doc_id),
        |drop_pos AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos
        |             FROM spans),
@@ -1426,8 +1450,13 @@ object Dedup {
 
   // ------------------------------------ segment boilerplate removal
 
-  /** Segment ("line") width for corpus boilerplate removal. */
-  private val BoilerSegWords = 8
+  /** Segment ("line") width for corpus boilerplate removal.
+    * Package-visible: `CorpusStream.boilerFlagStream` segments arriving
+    * docs with the SAME width — a private copy there would silently
+    * diverge from the bloom's contents if this knob changes, voiding
+    * the no-false-negative guarantee (r8 ADVICE).
+    */
+  private[graft] val BoilerSegWords = 8
   /** A segment appearing in at least this many DISTINCT docs is
     * boilerplate.
     */

@@ -27,8 +27,12 @@ import graft.{Op, Tables}
   * equi-join on (cell_y, cell_x) — shuffle volume 9·|sites| rows keyed
   * by bounded-density cells; the verify is a codegen'd per-row trig
   * projection. Σ occupancy² per cell is the structural floor (the
-  * Jaccard Σ deg² analog); a pathological point pile-up in one cell is
-  * where the `graph_jaccard` degree-cap treatment would bolt on.
+  * Jaccard Σ deg² analog), bounded IN CODE by the `MaxCellOcc` guard
+  * below (r8 verdict #6): sites in an over-occupied cell are excluded
+  * from candidate generation — at most cap² pair work per cell — and
+  * the count of capped cells rides every output row as the
+  * `capped_cells` audit column, so a capped run is visibly capped,
+  * never silently thinner. The oracle applies the SAME cap.
   */
 object Spatial {
 
@@ -37,16 +41,30 @@ object Spatial {
   private val MaxKm = 25.0
   private val CellDeg = 0.35
 
+  /** Per-cell occupancy guard (the `graph_jaccard` super-hub cap
+    * applied to geometry): a cell holding more sites than this is a
+    * point pile-up — duplicate coordinates, a geocoding sink, a test
+    * artifact — whose occ² candidate volume would dominate the join.
+    * Its sites are excluded from pair generation and the exclusion is
+    * audited, not silent.
+    */
+  private val MaxCellOcc = 4096L
+
   /** Core: all unordered site pairs within `maxKm`, via grid blocking.
     * `sites` needs (site_id, lat, lon); `cellDeg` must exceed the
     * worst-case angular extent of `maxKm` over the data's latitude
     * range or candidates are silently lost (the oracle catches that).
     */
   def proximityJoin(sites: DataFrame, maxKm: Double = MaxKm,
-      cellDeg: Double = CellDeg): DataFrame = {
-    val withCell = sites.select(col("site_id"), col("lat"), col("lon"),
+      cellDeg: Double = CellDeg, maxCellOcc: Long = MaxCellOcc): DataFrame = {
+    val withCell0 = sites.select(col("site_id"), col("lat"), col("lon"),
       expr(s"CAST(floor(lat / $cellDeg) AS BIGINT)").as("cy"),
       expr(s"CAST(floor(lon / $cellDeg) AS BIGINT)").as("cx"))
+    val occ = withCell0.groupBy("cy", "cx").agg(count(lit(1)).as("occ"))
+    val keptCells = occ.where(col("occ") <= maxCellOcc).select("cy", "cx")
+    val cappedCells = occ.where(col("occ") > maxCellOcc)
+      .agg(count(lit(1)).as("capped_cells"))
+    val withCell = withCell0.join(keptCells, Seq("cy", "cx"), "left_semi")
     // one side explodes its 3×3 neighborhood; the other keeps its own
     // cell — each qualifying pair meets in exactly one (jy, jx), so no
     // post-join dedup is needed
@@ -72,6 +90,7 @@ object Spatial {
       .where(col("site_a") < col("site_b"))
       .select(col("site_a"), col("site_b"), dist.as("dist_km"))
       .where(col("dist_km") <= maxKm)
+      .crossJoin(broadcast(cappedCells))
   }
 
   /** Deterministic site coordinates for the supplier table: two md5
@@ -98,12 +117,31 @@ object Spatial {
       s"CAST(s_suppkey AS VARCHAR))), 1, 8)) AS UBIGINT) AS DOUBLE) " +
       "/ 4294967296.0))"
 
-  val neighborsSql: String =
-    s"""WITH sites AS (
+  /** Shared oracle CTEs: site coords, grid cells, per-cell occupancy,
+    * the capped-cell census, and the occupancy-filtered `kept` site
+    * set — the SAME cap the Spark plan applies, so the quadratic
+    * oracle proves both the blocking AND the cap semantics.
+    */
+  private val sitesCappedSql: String =
+    s"""sites AS (
        |  SELECT s_suppkey AS site_id,
        |         ${coordSql("lat")} AS lat,
        |         ${coordSql("lon")} AS lon
        |  FROM supplier),
+       |cells AS (
+       |  SELECT site_id, lat, lon,
+       |         CAST(floor(lat / $CellDeg) AS BIGINT) AS cy,
+       |         CAST(floor(lon / $CellDeg) AS BIGINT) AS cx
+       |  FROM sites),
+       |occ AS (SELECT cy, cx, count(*) AS occ FROM cells GROUP BY cy, cx),
+       |ch AS (SELECT CAST(count(*) AS BIGINT) AS capped_cells
+       |       FROM occ WHERE occ > $MaxCellOcc),
+       |kept AS (
+       |  SELECT c.site_id, c.lat, c.lon FROM cells c
+       |  JOIN occ USING (cy, cx) WHERE occ.occ <= $MaxCellOcc)""".stripMargin
+
+  val neighborsSql: String =
+    s"""WITH $sitesCappedSql,
        |pairs AS (
        |  -- $ToRad is the interpolated Scala double π/180, NOT
        |  -- pi()/180 inline: the evaluation order c*(π/180) must match
@@ -114,9 +152,9 @@ object Spatial {
        |           cos(a.lat * $ToRad) * cos(b.lat * $ToRad) *
        |           pow(sin((b.lon - a.lon) * $ToRad / 2), 2))), 3)
        |           AS dist_km
-       |  FROM sites a JOIN sites b ON a.site_id < b.site_id)
-       |SELECT site_a, site_b, dist_km
-       |FROM pairs WHERE dist_km <= $MaxKm""".stripMargin
+       |  FROM kept a JOIN kept b ON a.site_id < b.site_id)
+       |SELECT site_a, site_b, dist_km, capped_cells
+       |FROM pairs CROSS JOIN ch WHERE dist_km <= $MaxKm""".stripMargin
 
   /** Proximity clusters — co-located site groups: the 25 km pair graph
     * contracted to connected components (single-linkage clustering, the
@@ -136,14 +174,10 @@ object Spatial {
   }
 
   val clustersSql: String =
-    s"""WITH RECURSIVE sites AS (
-       |  SELECT s_suppkey AS site_id,
-       |         ${coordSql("lat")} AS lat,
-       |         ${coordSql("lon")} AS lon
-       |  FROM supplier),
+    s"""WITH RECURSIVE $sitesCappedSql,
        |e0 AS (
        |  SELECT a.site_id AS u, b.site_id AS v
-       |  FROM sites a JOIN sites b ON a.site_id < b.site_id
+       |  FROM kept a JOIN kept b ON a.site_id < b.site_id
        |  WHERE round(${2 * EarthRadiusKm} * asin(sqrt(
        |          pow(sin((b.lat - a.lat) * $ToRad / 2), 2) +
        |          cos(a.lat * $ToRad) * cos(b.lat * $ToRad) *
@@ -183,11 +217,7 @@ object Spatial {
   }
 
   val nearestSql: String =
-    s"""WITH sites AS (
-       |  SELECT s_suppkey AS site_id,
-       |         ${coordSql("lat")} AS lat,
-       |         ${coordSql("lon")} AS lon
-       |  FROM supplier),
+    s"""WITH $sitesCappedSql,
        |pairs AS (
        |  SELECT a.site_id AS site_a, b.site_id AS site_b,
        |         round(${2 * EarthRadiusKm} * asin(sqrt(
@@ -195,7 +225,7 @@ object Spatial {
        |           cos(a.lat * $ToRad) * cos(b.lat * $ToRad) *
        |           pow(sin((b.lon - a.lon) * $ToRad / 2), 2))), 3)
        |           AS dist_km
-       |  FROM sites a JOIN sites b ON a.site_id < b.site_id),
+       |  FROM kept a JOIN kept b ON a.site_id < b.site_id),
        |near AS (SELECT site_a, site_b, dist_km FROM pairs
        |         WHERE dist_km <= $MaxKm),
        |sym AS (

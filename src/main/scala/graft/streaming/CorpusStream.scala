@@ -77,7 +77,7 @@ object CorpusStream {
   def boilerFlagStream(docs: org.apache.spark.sql.DataFrame,
       boilerBloom: Array[Byte]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val n = 8 // Dedup.BoilerSegWords
+    val n = graft.operators.Dedup.BoilerSegWords
     val ws = split(col("text"), " ")
     val segArr = when(size(ws) >= 1,
       transform(sequence(lit(0), expr(s"(size(split(text, ' ')) - 1) div $n")),
@@ -94,7 +94,7 @@ object CorpusStream {
   def spanFlagStream(docs: org.apache.spark.sql.DataFrame,
       historyBloom: Array[Byte]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val n = 8
+    val n = graft.operators.Dedup.SpanGram
     val ws = split(col("text"), " ")
     // sequence(0, size-n) would run DESCENDING for short docs (Spark
     // infers step -1) — guard them to an empty gram array instead.

@@ -107,6 +107,33 @@ class DeltaStatsSpec extends SparkSpec {
       s"got ${got(3L)}")
   }
 
+  test("span trim: A-B-A owner island — non-contiguous same-owner runs " +
+      "must NOT merge into one covering extent (r8 ADVICE)") {
+    // doc2 = X ++ Y ++ Z: X and Z shared with doc1 (owner 1), Y shared
+    // with doc3 (owner 2 = doc2). All three dup-gram runs merge into
+    // ONE island in doc2 (each gap is exactly the gram size), with the
+    // owner sequence 1,2,1 along pos. Grouping per (island, owner)
+    // would fuse the two owner-1 runs into a single min..max extent
+    // whose INTERIOR covers Y's positions — Y trimmed in doc2 (its own
+    // owner doc) and in doc3, surviving nowhere. Contiguous-run
+    // segmentation keeps Y exactly once, in doc2.
+    val x = (1 to 12).map(i => s"x$i").mkString(" ")
+    val y = (1 to 12).map(i => s"y$i").mkString(" ")
+    val z = (1 to 12).map(i => s"z$i").mkString(" ")
+    val d1 = (1 to 10).map(i => s"a$i").mkString(" ") + " " + x + " " +
+      (1 to 10).map(i => s"m$i").mkString(" ") + " " + z
+    val d2 = x + " " + y + " " + z
+    val d3 = (1 to 10).map(i => s"b$i").mkString(" ") + " " + y
+    val dir = docsDir(Seq(1L -> d1, 2L -> d2, 3L -> d3))
+    val got = Dedup.spanTrim(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) == ((44L, d1)), s"doc1 (owner of X,Z) mutated: ${got(1L)}")
+    assert(got(2L) == ((12L, y)),
+      s"Y must survive in doc2 (the A-B-A interior): ${got(2L)}")
+    assert(got(3L) == ((10L, (1 to 10).map(i => s"b$i").mkString(" "))),
+      s"got ${got(3L)}")
+  }
+
   test("line boilerplate: an aligned shared segment is removed from " +
       "EVERY copy; unaligned sharing survives") {
     // block B sits on a segment boundary in doc1 (seg 0) AND doc2
@@ -140,11 +167,11 @@ class DeltaStatsSpec extends SparkSpec {
       (2L, "bad bad bad bad", "xx"),
       (3L, "good good bad bad", "xx")))
     val got = Curation.dsir(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq(
-      (1L, 4L, "2.043304"),
-      (3L, 4L, "-1.175572"),
-      (2L, 4L, "-4.394448")), s"got ${got.toSeq}")
+      (1L, 4L, 2.043304),
+      (3L, 4L, -1.175572),
+      (2L, 4L, -4.394448)), s"got ${got.toSeq}")
   }
 
   test("containment: a doc swallowed by a larger one is found at " +
@@ -317,7 +344,7 @@ class DeltaStatsSpec extends SparkSpec {
     }
     val rec = rows.map(_.getLong(1).toDouble)
     val fre = rows.map(_.getLong(2).toDouble)
-    val mon = rows.map(_.getDecimal(3).doubleValue)
+    val mon = rows.map(_.getDouble(3))
     val (r1, r3) = (q(rec, 0.25), q(rec, 0.75))
     val (f1, f3) = (q(fre, 0.25), q(fre, 0.75))
     val (m1, m3) = (q(mon, 0.25), q(mon, 0.75))
@@ -326,8 +353,8 @@ class DeltaStatsSpec extends SparkSpec {
         (if (r.getLong(1) > r3) 1 else 0)
       val fs = 1 + (if (r.getLong(2) > f1) 1 else 0) +
         (if (r.getLong(2) > f3) 1 else 0)
-      val ms = 1 + (if (r.getDecimal(3).doubleValue > m1) 1 else 0) +
-        (if (r.getDecimal(3).doubleValue > m3) 1 else 0)
+      val ms = 1 + (if (r.getDouble(3) > m1) 1 else 0) +
+        (if (r.getDouble(3) > m3) 1 else 0)
       assert(r.getInt(4) == rs && r.getInt(5) == fs && r.getInt(6) == ms,
         s"user ${r.getLong(0)} scores ${r.getInt(4)}${r.getInt(5)}${r.getInt(6)} != $rs$fs$ms")
       assert(r.getString(7) == s"$rs$fs$ms")

@@ -93,6 +93,29 @@ class SpatialSpec extends SparkSpec {
     assert(got == best, s"got $got expect $best")
   }
 
+  test("occupancy cap: a planted pile-up cell is excluded from pair " +
+      "generation and audited, sparse cells are untouched (r8 verdict #6)") {
+    // 20 sites stacked in one cell (pile-up) + 2 nearby sites in a
+    // DIFFERENT cell ~1.5 km apart. cap=10: the pile-up cell (occ 20)
+    // is dropped — none of its 190 internal pairs nor its cross pairs
+    // appear — while the sparse pair survives, and every output row
+    // carries capped_cells = 1.
+    val pile = (1 to 20).map(i =>
+      (i.toLong, -42.01 + i * 1e-4, 170.01))
+    val sparse = Seq((100L, -42.01, 170.40), (101L, -42.0235, 170.40))
+    val s = sites(pile ++ sparse)
+    val got = Spatial.proximityJoin(s, maxCellOcc = 10L).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((100L, 101L)), s"got ${got.toSeq}")
+    assert(got.forall(_.getLong(3) == 1L),
+      s"capped_cells audit must be 1: ${got.toSeq}")
+    // control: without the cap firing, the pile-up pairs are all there
+    // and the audit column reads zero capped cells
+    val uncapped = Spatial.proximityJoin(s).collect()
+    assert(uncapped.length > 190)
+    assert(uncapped.forall(_.getLong(3) == 0L))
+  }
+
   test("registered op emits consistent coordinates and symmetric distances") {
     val rows = Spatial.neighbors(spark, sfDir).collect()
     rows.foreach { r =>

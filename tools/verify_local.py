@@ -70,6 +70,16 @@ for name in names:
         ar = o_tbl.schema
         sp = pq.read_schema(files[0])
         sp_map = {c: str(t) for c, t in zip(sp.names, sp.types)}
+        # Boundary lint (mirrors Verify.scala / verify_strict.py):
+        # decimal output on an oracled query is a FAIL even when types
+        # match — r8's two driver hash failures were exactly the two
+        # decimal-emitting oracled ops, bit-identical locally.
+        dec_cols = [c for c, t in sp_map.items() if t.startswith("decimal")]
+        if dec_cols:
+            print(f"[FAIL] {name}: DecimalType at oracle boundary "
+                  f"{dec_cols} (cast to DOUBLE on both engines)")
+            fail += 1
+            type_fail = True
         ar_map = {c: str(t) for c, t in zip(ar.names, ar.types)}
         tdiff = [(c, sp_map[c], ar_map[c]) for c in sp_map
                  if c in ar_map and sp_map[c] != ar_map[c]]

@@ -63,6 +63,15 @@ for name in names:
         print(f"[FAIL] {name}: oracle error: {e}"); fail += 1; continue
     sp = pq.read_schema(files[0])
     sp_map = {c: str(t) for c, t in zip(sp.names, sp.types)}
+    # Boundary lint (mirrors Verify.scala): decimal output on an oracled
+    # query is an automatic FAIL — the r8 driver hash diverged on exactly
+    # the decimal-emitting ops even when values and arrow types matched.
+    dec_cols = [c for c, t in sp_map.items() if t.startswith("decimal")]
+    if dec_cols:
+        print(f"[FAIL] {name}: DecimalType at oracle boundary {dec_cols} "
+              "(driver hash canonicalizes decimal differently; cast to DOUBLE)")
+        fail += 1
+        continue
     ar_map = {c: str(t) for c, t in zip(o_tbl.schema.names, o_tbl.schema.types)}
     tdiff = [(c, sp_map.get(c), ar_map.get(c))
              for c in sorted(set(sp_map) | set(ar_map))
