@@ -114,8 +114,25 @@ object MdbCatalog {
 
   private val PageTypeData = 0x01
   private val PageTypeTdef = 0x02
-  private val TableTypeUser = 0x4F
+  // 0x4E ('N') = user-typed TDEF, 0x53 ('S') = system-typed (mdbtools
+  // HACKING; jackcess-1.2.1 Table TYPE_USER/TYPE_SYSTEM). The r6–r8
+  // readers carried 0x4F here — wrong, and invisible to the synthetic
+  // fixtures built from the same constant: the REAL Microsoft template
+  // bytes inside the reference's vendored Jackcess (empty.mdb /
+  // empty2003.mdb, GoldenMdbSpec) type every Access-created table
+  // 0x4E, so every genuine user table would have quarantined as
+  // "unknown table type". Caught by the r9 golden-file probe.
+  // NOTE: 0x4E alone does NOT mean user-visible — Access types its own
+  // MSysNavPane*/MSysAccessStorage tables 0x4E too; the user/system
+  // split rides the MSysObjects Flags column (see `read`).
+  private val TableTypeUser = 0x4E
   private val TableTypeSystem = 0x53
+  /** MSysObjects.Flags bits marking a system object — jackcess-1.2.1
+    * Database SYSTEM_OBJECT_FLAG (0x80000000) | ALT_SYSTEM_OBJECT_FLAG
+    * (0x02); the reference's own user-table enumeration filters on
+    * these.
+    */
+  private val SystemObjectFlags = 0x80000002L
   private val FlagFixed = 0x01         // descriptor flag byte, bit 0
 
   /** TDEF page geometry per Jet version (mdbtools HACKING). The Jet4
@@ -277,10 +294,11 @@ object MdbCatalog {
     * carry readRows' row-keyed quarantines through unchanged.
     */
   private def readCatalogNames(bytes: Array[Byte], pageSize: Int,
-      msys: MdbTableDef): (Map[Int, String], Seq[(Int, String)]) = {
+      msys: MdbTableDef)
+      : (Map[Int, String], Set[Int], Seq[(Int, String)]) = {
     val idxOf = msys.columns.map(_.name).zipWithIndex.toMap
     if (!Seq("Id", "Type", "Name").forall(idxOf.contains))
-      return (Map.empty,
+      return (Map.empty, Set.empty,
         Seq(CatalogPg -> "catalog tdef lacks Id/Type/Name columns"))
     val (rows, quarantined) = readRows(bytes, pageSize, msys)
     def asLong(v: Any): Option[Long] = v match {
@@ -288,16 +306,25 @@ object MdbCatalog {
       case i: java.lang.Integer => Some(i.longValue)
       case _ => None
     }
-    val names = rows.flatMap { r =>
+    val entries = rows.flatMap { r =>
       (asLong(r(idxOf("Id"))), asLong(r(idxOf("Type"))),
         r(idxOf("Name"))) match {
         case (Some(id), Some(typ), name: String)
             if (typ & 0x7F) == ObjTypeTable && name.nonEmpty =>
-          Some((id & 0xFFFFFF).toInt -> name)
+          // System-ness rides the Flags column (jackcess-1.2.1
+          // isSystemObject): a user-TYPED tdef (0x4E) can still be an
+          // Access-internal table (MSysNavPane*). Flags absent/null →
+          // not flagged.
+          val flagged = idxOf.get("Flags")
+            .flatMap(i => asLong(r(i)))
+            .exists(f => (f & SystemObjectFlags) != 0L)
+          Some(((id & 0xFFFFFF).toInt, name, flagged))
         case _ => None // non-table object or null name: skip
       }
-    }.toMap
-    (names, quarantined)
+    }
+    (entries.map(e => e._1 -> e._2).toMap,
+      entries.collect { case (id, _, true) => id }.toSet,
+      quarantined)
   }
 
   /** Stored text by Jet version: Jet3 is single-byte (ISO-8859-1 as the
@@ -350,6 +377,29 @@ object MdbCatalog {
   private def jetDate(days: Double): java.sql.Timestamp = {
     val epoch = -2209161600000L // 1899-12-30T00:00:00Z
     new java.sql.Timestamp(epoch + math.round(days * 86400000.0))
+  }
+
+  /** Jet NUMERIC, 17 bytes: sign byte (non-zero = negative), then a
+    * 16-byte unsigned mantissa stored as four LE 32-bit words
+    * most-significant-first — swap each word to get the big-endian
+    * integer, apply the descriptor scale. Emitted as DOUBLE: the §1.2
+    * matrix maps NUMERIC lossy-to-double like the reference
+    * (createTable case 10), but the decode itself is exact decimal.
+    * Shared by the fixed-area and variable-area paths — real writers
+    * (jackcess-1.2.1, like Access itself) put NUMERIC in the variable
+    * area.
+    */
+  private def numeric17(b17: Array[Byte], scale: Int): java.lang.Double = {
+    val negative = (b17(0) & 0xFF) != 0
+    val m = java.util.Arrays.copyOfRange(b17, 1, 17)
+    var g = 0
+    while (g < 16) {
+      val t0 = m(g); m(g) = m(g + 3); m(g + 3) = t0
+      val t1 = m(g + 1); m(g + 1) = m(g + 2); m(g + 2) = t1
+      g += 4
+    }
+    val bd = new java.math.BigDecimal(new java.math.BigInteger(1, m), scale)
+    Double.box((if (negative) bd.negate else bd).doubleValue)
   }
 
   /** Microsoft GUID canonical text: Data1/2/3 little-endian, the final
@@ -662,9 +712,22 @@ object MdbCatalog {
                 }
             }
           case ANumeric if !c.fixed =>
-            seamNote(s"column ${c.name}: NUMERIC in variable area " +
-              "is malformed — value nulled")
-            vals(i) = null
+            // Real writers put NUMERIC in the VARIABLE area (always 17
+            // bytes): jackcess-1.2.1 DataType.NUMERIC is
+            // variable-length, and its round-trip bytes (GoldenMdbSpec)
+            // arrive here — r8 nulled these with a "malformed" seam
+            // note, which the golden evidence disproved. Same 17-byte
+            // decode as the fixed-area case; a wrong-sized extent is
+            // the actual malformed case and seam-nulls.
+            varExtent(c.offsetV) match {
+              case Left(reason) => err = Some(s"col ${c.name}: $reason")
+              case Right((s, e)) if e - s == 17 =>
+                vals(i) = numeric17(sliceBytes(s, e), c.scale)
+              case Right((s, e)) =>
+                seamNote(s"column ${c.name}: NUMERIC var extent is " +
+                  s"${e - s} bytes (want 17) — value nulled")
+                vals(i) = null
+            }
           case t if c.fixed =>
             val off = start + cntSz + c.offsetF
             val w = fixedWidth(c)
@@ -680,25 +743,7 @@ object MdbCatalog {
               case AShortDateTime => jetDate(buf.getDouble(off))
               case AGuid => guidString(sliceBytes(off, off + 16))
               case AText => decodeText(buf, off, off + w, jet3)
-              case ANumeric =>
-                // 17 bytes: sign byte (non-zero = negative), then a
-                // 16-byte unsigned mantissa stored as four LE 32-bit
-                // words most-significant-first — swap each word to get
-                // the big-endian integer, apply the descriptor scale.
-                // Emitted as DOUBLE: the §1.2 matrix maps NUMERIC
-                // lossy-to-double like the reference (createTable case
-                // 10), but the decode itself is exact decimal.
-                val negative = (buf.get(off) & 0xFF) != 0
-                val m = sliceBytes(off + 1, off + 17)
-                var g = 0
-                while (g < 16) {
-                  val t0 = m(g); m(g) = m(g + 3); m(g + 3) = t0
-                  val t1 = m(g + 1); m(g + 1) = m(g + 2); m(g + 2) = t1
-                  g += 4
-                }
-                val bd = new java.math.BigDecimal(
-                  new java.math.BigInteger(1, m), c.scale)
-                Double.box((if (negative) bd.negate else bd).doubleValue)
+              case ANumeric => numeric17(sliceBytes(off, off + 17), c.scale)
               case _ => sliceBytes(off, off + w) // fixed BINARY
             }
           case t =>
@@ -785,12 +830,19 @@ object MdbCatalog {
       // Both Jet versions now resolve names: the general row decoder
       // handles Jet3's 1-byte row format (≤ 255-byte rows; longer
       // catalog rows quarantine with the jump-table reason).
-      val (names, rowQuarantines) =
+      val (names, flaggedSystem, rowQuarantines) =
         tbls.find(_.page == CatalogPg) match {
           case Some(msys) => readCatalogNames(bytes, pageSize, msys)
-          case None => (Map.empty[Int, String], Nil)
+          case None => (Map.empty[Int, String], Set.empty[Int], Nil)
         }
-      Right(Catalog(version, pageSize, tbls,
+      // System-ness = system-typed TDEF (0x53) OR system-flagged in
+      // MSysObjects (the jackcess-1.2.1 rule): Access's own NavPane /
+      // AccessStorage tables are user-TYPED but system-FLAGGED, and
+      // must not reach the migration loop as user data.
+      val marked = tbls.map(t =>
+        if (!t.system && flaggedSystem.contains(t.page)) t.copy(system = true)
+        else t)
+      Right(Catalog(version, pageSize, marked,
         quarantined.result() ++ rowQuarantines, names))
     }
 

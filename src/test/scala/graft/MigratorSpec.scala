@@ -143,7 +143,7 @@ class MigratorSpec extends SparkSpec {
   test("MDB catalog: header gate, tdef walk, quarantine, CastMatrix bridge") {
     import graft.sources.MdbCatalog
     val sys = tdefPage(0x53, Seq(("Name", 0x0A, 0, false)))
-    val user = tdefPage(0x4F, Seq(
+    val user = tdefPage(0x4E, Seq(
       ("licenceid", 0x04, 0, true),    // LONG
       ("licencetype", 0x0A, 1, false), // TEXT
       ("active", 0x01, 2, true),       // BOOLEAN
@@ -151,8 +151,8 @@ class MigratorSpec extends SparkSpec {
       ("issued", 0x08, 4, true)),      // SHORT_DATE_TIME
       numRealIdx = 2)
     val dataPage = { val d = new Array[Byte](PageSize); d(0) = 0x01; d }
-    val badCode = tdefPage(0x4F, Seq(("mystery", 0x7E, 0, true)))
-    val truncated = tdefPage(0x4F, Seq(("n", 0x0A, 0, false)),
+    val badCode = tdefPage(0x4E, Seq(("mystery", 0x7E, 0, true)))
+    val truncated = tdefPage(0x4E, Seq(("n", 0x0A, 0, false)),
       truncateNames = true)
     val bytes = jetHeader(0x01) ++ dataPage ++ sys ++ user ++ badCode ++ truncated
 
@@ -216,12 +216,12 @@ class MigratorSpec extends SparkSpec {
 
   test("MDB catalog: Jet3 tdef pages enumerate columns (r6 verdict #6)") {
     import graft.sources.MdbCatalog
-    val user = tdef3Page(0x4F, Seq(
+    val user = tdef3Page(0x4E, Seq(
       ("clientid", 0x04, 0, true),   // LONG
       ("clientname", 0x0A, 1, false), // TEXT
       ("since", 0x08, 2, true)),      // SHORT_DATE_TIME
       numRealIdx = 1)
-    val bad = tdef3Page(0x4F, Seq(("m", 0x7E, 0, true)))
+    val bad = tdef3Page(0x4E, Seq(("m", 0x7E, 0, true)))
     val bytes = jetHeader(0x00).take(2048) ++ user ++ bad
     val cat = MdbCatalog.read(bytes).fold(e => fail(e), identity)
     assert(cat.version == 0x00 && cat.pageSize == 2048)
@@ -304,8 +304,8 @@ class MigratorSpec extends SparkSpec {
 
   test("MDB catalog: MSysObjects rows recover real table names (r6 verdict #2)") {
     import graft.sources.MdbCatalog
-    val licence = tdefPage(0x4F, Seq(("licenceid", 0x04, 0, true)))
-    val spectrum = tdefPage(0x4F, Seq(("freq", 0x07, 0, true)))
+    val licence = tdefPage(0x4E, Seq(("licenceid", 0x04, 0, true)))
+    val spectrum = tdefPage(0x4E, Seq(("freq", 0x07, 0, true)))
     val corrupt = msysRow(9, 1, "x".getBytes("UTF-16LE"))
     // wreck the var offset table: end before start
     java.nio.ByteBuffer.wrap(corrupt)
@@ -479,7 +479,7 @@ class MigratorSpec extends SparkSpec {
     val cols = Seq(
       ("id", 0x04, 0, true, 0, 0, 0), ("amt", 0x10, 1, true, 4, 0, 0),
       ("m", 0x0C, 2, false, 0, 0, 0), ("o", 0x0B, 3, false, 0, 1, 0))
-    val tdefP = tdef4Rich(0x4F, cols)
+    val tdefP = tdef4Rich(0x4E, cols)
     // NUMERIC precision/scale live at descriptor bytes 11/12 (Jet4)
     tdefP(0x3F + 25 + 11) = 18.toByte
     tdefP(0x3F + 25 + 12) = 2.toByte
@@ -574,7 +574,7 @@ class MigratorSpec extends SparkSpec {
     java.nio.ByteBuffer.wrap(corrupt)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putShort(corrupt.length - 8, 3000.toShort)
-    val bytes = jetHeader(0x01) ++ tdef4Rich(0x4F, widgetCols) ++
+    val bytes = jetHeader(0x01) ++ tdef4Rich(0x4E, widgetCols) ++
       jet4DataPage(1, Seq(r1 -> 0, r2 -> 0, old -> 0,
         widgetRow(99, flag = true, 0, None, 0L, 0.0, 0.0, guid, None) -> 0x8000,
         widgetRow(98, flag = true, 0, None, 0L, 0.0, 0.0, guid, None) -> 0x4000,
@@ -616,7 +616,7 @@ class MigratorSpec extends SparkSpec {
     // page1 filler, page2 MSysObjects tdef, page3 widgets tdef,
     // page4 catalog rows (naming page 3), page5 widgets rows
     val bytes = jetHeader(0x01) ++ new Array[Byte](PageSize) ++
-      msysTdefPage ++ tdef4Rich(0x4F, widgetCols) ++
+      msysTdefPage ++ tdef4Rich(0x4E, widgetCols) ++
       jet4DataPage(2, Seq(
         msysRow(2, 1, "MSysObjects".getBytes("UTF-16LE")) -> 0,
         msysRow(3, 1, "widgets".getBytes("UTF-16LE")) -> 0)) ++
@@ -650,7 +650,7 @@ class MigratorSpec extends SparkSpec {
     import graft.sources.MdbCatalog
     // clientid LONG fixed @0 (4B), since DOUBLE-dated fixed @4 (8B),
     // clientname TEXT var index 0. Fixed area = 12 bytes.
-    val tdefP = tdef3Page(0x4F, Seq(
+    val tdefP = tdef3Page(0x4E, Seq(
       ("clientid", 0x04, 0, true), ("clientname", 0x0A, 1, false),
       ("since", 0x08, 2, true)))
     val b3 = java.nio.ByteBuffer.wrap(tdefP)
@@ -746,7 +746,7 @@ class MigratorSpec extends SparkSpec {
     b3.putShort(0x2B + 14, 0.toShort)       // Id fixed offset 0
     b3.putShort(0x2B + 18 + 14, 4.toShort)  // Type fixed offset 4
     b3.putShort(0x2B + 36 + 3, 0.toShort)   // Name var index 0
-    val user = tdef3Page(0x4F, Seq(("clientid", 0x04, 0, true)))
+    val user = tdef3Page(0x4E, Seq(("clientid", 0x04, 0, true)))
     def catRow(id: Int, typ: Int, name: String): Array[Byte] = {
       val nb = name.getBytes("US-ASCII")
       val varStart = 1 + 6

@@ -165,7 +165,7 @@ class PropertySpec extends SparkSpec {
           ValidCodes(rnd.nextInt(ValidCodes.size)), c)
       }
       val sys = rnd.nextBoolean()
-      val bytes = header ++ tdef(if (sys) 0x53 else 0x4F, cols,
+      val bytes = header ++ tdef(if (sys) 0x53 else 0x4E, cols,
         rnd.nextInt(5))
       val cat = MdbCatalog.read(bytes).fold(e => fail(s"case $i: $e"), identity)
       assert(cat.tables.size == 1 && cat.quarantined.isEmpty, s"case $i")
@@ -201,7 +201,7 @@ class PropertySpec extends SparkSpec {
       val p = new Array[Byte](PageSize)
       val buf = java.nio.ByteBuffer.wrap(p)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      p(0) = 0x02; p(1) = 0x01; p(0x28) = 0x4F
+      p(0) = 0x02; p(1) = 0x01; p(0x28) = 0x4E
       buf.putShort(0x2D, 2.toShort); buf.putInt(0x33, 0)
       p(0x3F) = 0x04                                   // LONG
       buf.putShort(0x3F + 5, 0.toShort)                // colNum 0
@@ -329,7 +329,7 @@ class PropertySpec extends SparkSpec {
       val buf = java.nio.ByteBuffer.wrap(p)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       p(0) = 0x02; p(1) = 0x01
-      p(0x28) = 0x4F
+      p(0x28) = 0x4E
       buf.putShort(0x2D, cols.size.toShort)
       buf.putInt(0x33, 0)
       cols.zipWithIndex.foreach { case ((_, code, colNum), i) =>
