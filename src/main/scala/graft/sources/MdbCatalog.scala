@@ -541,12 +541,16 @@ object MdbCatalog {
     * §1.2 lossy rule). Jet3 rows over 255 bytes decode through the
     * var-offset jump table.
     *
+    * Overflow rows (0x4000 — the slot holds a pointer, the body lives
+    * on another page marked 0x8000 so plain scans skip it) are
+    * resolved through `resolveOverflow` and decode like any other row.
+    *
     * Seams surface as (key, reason) quarantines, never as silently
     * wrong values: structurally corrupt rows get the negative
     * `-(page*1000+row)` key and are dropped; corrupt LVAL structures
-    * null the value with one note per (page, reason); overflow rows
-    * (0x4000 — their body lives on another page) are skipped with a
-    * note. Columns beyond the row's own column count (added to the
+    * null the value with one note per (page, reason); a BROKEN
+    * overflow pointer (bad page, cycle, foreign owner) quarantines the
+    * row. Columns beyond the row's own column count (added to the
     * table after the row was written) are null, per the format.
     */
   def readRows(bytes: Array[Byte], pageSize: Int, tdef: MdbTableDef)
@@ -575,9 +579,31 @@ object MdbCatalog {
             val overflow = (raw & 0x4000) != 0
             val end = prevStart
             if (start < pageSize) prevStart = start
-            if (overflow && !deleted)
-              quarantined += (-(p * 1000 + r) ->
-                "overflow row (body on another page): converter seam")
+            if (overflow && !deleted) {
+              // 0x4000: the slot holds a 4-byte pointer (row number,
+              // then 3-byte LE page) to the relocated body. The body's
+              // own slot on the target page carries the 0x8000 bit so
+              // a sequential scan skips it — it is ONLY reachable via
+              // this pointer (probed against jackcess-1.2.1-written
+              // bytes, OverflowSpec). Resolve (chain-guarded), decode
+              // through the shared row decoder; only a BROKEN pointer
+              // quarantines.
+              resolveOverflow(bytes, pageSize, tdef.page, buf, start, end,
+                  offNumRows, offRowTable) match {
+                case Right((obuf, os, oe)) =>
+                  decodeDataRow(obuf, os, oe, pageSize, tdef, p, jet3,
+                      bytes,
+                      note => { if (seamNoted.add((p, note)))
+                        quarantined += (p -> note) }) match {
+                    case Right(vals) => rows += vals
+                    case Left(reason) =>
+                      quarantined += (-(p * 1000 + r) -> reason)
+                  }
+                case Left(reason) =>
+                  quarantined += (-(p * 1000 + r) ->
+                    s"overflow row: $reason")
+              }
+            }
             else if (!deleted) {
               decodeDataRow(buf, start, end, pageSize, tdef, p, jet3,
                   bytes,
@@ -593,6 +619,52 @@ object MdbCatalog {
       }
     }
     (rows.result(), quarantined.result())
+  }
+
+  /** Follow an overflow pointer to the row body: the 4 bytes at the
+    * pointer slot are (row number, 3-byte LE page). The target slot's
+    * 0x8000 bit is EXPECTED (it hides the body from sequential scans),
+    * and a target slot with 0x4000 chains — bounded at 8 hops with a
+    * visited set, the LVAL cycle-guard discipline. Returns the target
+    * page's buffer and the body's [start, end) extent.
+    */
+  private def resolveOverflow(bytes: Array[Byte], pageSize: Int,
+      tdefPage: Int, srcBuf: ByteBuffer, ptrStart: Int, ptrEnd: Int,
+      offNumRows: Int, offRowTable: Int)
+      : Either[String, (ByteBuffer, Int, Int)] = {
+    val nPages = bytes.length / pageSize
+    var buf = srcBuf
+    var s = ptrStart
+    var e = ptrEnd
+    val visited = scala.collection.mutable.Set.empty[(Int, Int)]
+    var hops = 0
+    while (hops < 8) {
+      if (e - s < 4) return Left(s"pointer extent [$s,$e) shorter than 4")
+      val rowNum = buf.get(s) & 0xFF
+      val page = (buf.get(s + 1) & 0xFF) | ((buf.get(s + 2) & 0xFF) << 8) |
+        ((buf.get(s + 3) & 0xFF) << 16)
+      if (page <= 0 || page >= nPages)
+        return Left(s"target page $page out of range")
+      if (!visited.add((page, rowNum)))
+        return Left(s"pointer cycle at page $page row $rowNum")
+      val obuf = ByteBuffer.wrap(bytes, page * pageSize, pageSize).slice()
+        .order(ByteOrder.LITTLE_ENDIAN)
+      if ((obuf.get(0) & 0xFF) != PageTypeData)
+        return Left(s"target page $page is not a data page")
+      if (obuf.getInt(0x04) != tdefPage)
+        return Left(s"target page $page owned by another table")
+      val n = obuf.getShort(offNumRows) & 0xFFFF
+      if (rowNum >= n)
+        return Left(s"target row $rowNum beyond page $page's $n rows")
+      val raw = obuf.getShort(offRowTable + 2 * rowNum) & 0xFFFF
+      val start2 = raw & 0x1FFF
+      val end2 =
+        if (rowNum == 0) pageSize
+        else (obuf.getShort(offRowTable + 2 * (rowNum - 1)) & 0xFFFF) & 0x1FFF
+      if ((raw & 0x4000) != 0) { buf = obuf; s = start2; e = end2; hops += 1 }
+      else return Right((obuf, start2, end2))
+    }
+    Left("pointer chain exceeds 8 hops")
   }
 
   /** One Jet4 data row → values in colNum order. `seamNote` fires once

@@ -109,22 +109,24 @@ class GoldenMdbSpec extends SparkSpec {
 
   // ------------------------------------------------- independent writer
 
-  /** Drive the vendored Jackcess 1.2.1 reflectively (its API is public
-    * knowledge; the jar is the reference's own) to CREATE a database.
-    * Returns the file. A separate classloader keeps the 2010 jar off
-    * the test classpath.
+  /** Reflection harness over the vendored Jackcess 1.2.1 (its API is
+    * public knowledge; the jar is the reference's own). A separate
+    * classloader keeps the 2010 jar off the test classpath; Jackcess
+    * resolves its bundled resources (the empty.mdb template, the
+    * index_codes tables) through the CONTEXT classloader, so `body`
+    * runs with it pointed at the vendored jar.
     */
-  private def writeWithJackcess(): File = {
+  private class Jackcess {
     val cl = new java.net.URLClassLoader(Array(jackcessJar.toURI.toURL,
       commonsLangJar.toURI.toURL, commonsLoggingJar.toURI.toURL))
     val dbCls = cl.loadClass("com.healthmarketscience.jackcess.Database")
     val colCls = cl.loadClass("com.healthmarketscience.jackcess.Column")
     val dtCls = cl.loadClass("com.healthmarketscience.jackcess.DataType")
     def dataType(name: String): AnyRef =
-      dtCls.getMethod("valueOf", classOf[String])
-        .invoke(null, name)
+      dtCls.getMethod("valueOf", classOf[String]).invoke(null, name)
     def column(name: String, t: String,
-        precScale: Option[(Byte, Byte)] = None): AnyRef = {
+        precScale: Option[(Byte, Byte)] = None,
+        textLen: Option[Short] = None): AnyRef = {
       val c = colCls.getDeclaredConstructor().newInstance()
         .asInstanceOf[AnyRef]
       colCls.getMethod("setName", classOf[String]).invoke(c, name)
@@ -135,18 +137,42 @@ class GoldenMdbSpec extends SparkSpec {
         colCls.getMethod("setScale", java.lang.Byte.TYPE)
           .invoke(c, java.lang.Byte.valueOf(s))
       }
+      textLen.foreach(l =>
+        colCls.getMethod("setLength", java.lang.Short.TYPE)
+          .invoke(c, java.lang.Short.valueOf(l)))
       c
     }
+    def create(f: File): AnyRef =
+      dbCls.getMethod("create", classOf[File]).invoke(null, f)
+    def createTable(db: AnyRef, name: String, cols: java.util.List[_]): Unit =
+      dbCls.getMethod("createTable", classOf[String],
+        classOf[java.util.List[_]]).invoke(db, name, cols)
+    def getTable(db: AnyRef, name: String): AnyRef =
+      dbCls.getMethod("getTable", classOf[String]).invoke(db, name)
+    def addRow(table: AnyRef, vals: AnyRef*): Unit = {
+      val m = table.getClass.getMethod("addRow", classOf[Array[AnyRef]])
+      m.setAccessible(true)
+      m.invoke(table, Seq[AnyRef](vals.toArray): _*)
+    }
+    def close(db: AnyRef): Unit = dbCls.getMethod("close").invoke(db)
+    def withContext[A](body: => A): A = {
+      val prev = Thread.currentThread().getContextClassLoader
+      Thread.currentThread().setContextClassLoader(cl)
+      try body finally Thread.currentThread().setContextClassLoader(prev)
+    }
+  }
+
+  private def writeWithJackcess(): File = {
+    val jk = new Jackcess
+    import jk._
+    def column(name: String, t: String,
+        precScale: Option[(Byte, Byte)] = None): AnyRef =
+      jk.column(name, t, precScale)
     val f = File.createTempFile("jackcess-rt", ".mdb")
     f.delete() // Database.create wants to create it
     f.deleteOnExit()
-    // Jackcess resolves its bundled resources (the empty.mdb template,
-    // the index_codes tables) through the CONTEXT classloader — keep it
-    // pointed at the vendored jar for the whole write
-    val prevCl = Thread.currentThread().getContextClassLoader
-    Thread.currentThread().setContextClassLoader(cl)
-    try {
-    val db = dbCls.getMethod("create", classOf[File]).invoke(null, f)
+    withContext {
+    val db = create(f)
     val cols = java.util.Arrays.asList(
       column("c_bool", "BOOLEAN"), column("c_byte", "BYTE"),
       column("c_int", "INT"), column("c_long", "LONG"),
@@ -156,14 +182,9 @@ class GoldenMdbSpec extends SparkSpec {
       column("c_numeric", "NUMERIC", Some((10.toByte, 2.toByte))),
       column("c_guid", "GUID"), column("c_bin", "BINARY"),
       column("c_ole", "OLE"))
-    dbCls.getMethod("createTable", classOf[String], classOf[java.util.List[_]])
-      .invoke(db, "t_all", cols)
-    val table = dbCls.getMethod("getTable", classOf[String])
-      .invoke(db, "t_all")
-    val addRow = table.getClass.getMethod("addRow", classOf[Array[AnyRef]])
-    addRow.setAccessible(true)
-    def row(vals: AnyRef*): Unit =
-      addRow.invoke(table, Seq[AnyRef](vals.toArray): _*)
+    createTable(db, "t_all", cols)
+    val table = getTable(db, "t_all")
+    def row(vals: AnyRef*): Unit = addRow(table, vals: _*)
     row(java.lang.Boolean.TRUE, java.lang.Byte.valueOf(7.toByte),
       java.lang.Short.valueOf(1234.toShort),
       java.lang.Integer.valueOf(123456),
@@ -177,9 +198,63 @@ class GoldenMdbSpec extends SparkSpec {
       Array[Byte](1, 2, 3), Array[Byte](9, 8, 7, 6))
     // second row: all NULLs — the null-mask path on real written bytes
     row(Seq.fill[AnyRef](14)(null): _*)
-    dbCls.getMethod("close").invoke(db)
+    close(db)
     f
-    } finally Thread.currentThread().setContextClassLoader(prevCl)
+    }
+  }
+
+  /** Make Jackcess produce a genuine OVERFLOW row: pack a data page
+    * tight, then grow its first row past the page's free space — the
+    * writer relocates the body to a fresh page, leaves a 4-byte
+    * pointer flagged 0x4000 in the old slot, and marks the body's own
+    * slot 0x8000 so sequential scans skip it.
+    */
+  private def writeOverflowDb(): File = {
+    val jk = new Jackcess
+    import jk._
+    val f = File.createTempFile("jackcess-ovfl", ".mdb")
+    f.delete(); f.deleteOnExit()
+    withContext {
+      val db = create(f)
+      createTable(db, "t", java.util.Arrays.asList(
+        column("id", "LONG"),
+        column("b1", "TEXT", textLen = Some(500.toShort)),
+        column("b2", "TEXT", textLen = Some(500.toShort))))
+      val table = getTable(db, "t")
+      addRow(table, Int.box(0), "a", "a")
+      (1 to 3).foreach { i =>
+        addRow(table, Int.box(i),
+          ("x" * 248) + f"$i%02d", ("y" * 248) + f"$i%02d")
+      }
+      val curCls = cl.loadClass("com.healthmarketscience.jackcess.Cursor")
+      val cur = curCls.getMethod("createCursor",
+        cl.loadClass("com.healthmarketscience.jackcess.Table"))
+        .invoke(null, table)
+      curCls.getMethod("moveToNextRow").invoke(cur)
+      curCls.getMethod("updateCurrentRow", classOf[Array[AnyRef]])
+        .invoke(cur, Seq[AnyRef](Array[AnyRef](Int.box(0),
+          ("Y" * 248) + "#0", ("Z" * 248) + "#0")): _*)
+      close(db)
+      f
+    }
+  }
+
+  test("golden overflow: a row relocated by the vendored Jackcess " +
+      "resolves through its 0x4000 pointer — no data loss, no quarantine") {
+    assume(refJar.exists(), "reference jar not present")
+    val bytes = java.nio.file.Files.readAllBytes(writeOverflowDb().toPath)
+    val cat = MdbCatalog.read(bytes).fold(e => fail(e), identity)
+    val tdef = cat.tables.find(t => cat.names.get(t.page).contains("t")).get
+    val (rows, quarantined) = MdbCatalog.readRows(bytes, cat.pageSize, tdef)
+    assert(quarantined.isEmpty, s"quarantined: $quarantined")
+    assert(rows.size == 4, s"got ${rows.size} rows")
+    // the relocated row carries the UPDATED body (the pointer was
+    // followed, not the stale slot skipped)
+    val r0 = rows.find(_.head == 0L).get
+    assert(r0(1).toString == ("Y" * 248) + "#0")
+    assert(r0(2).toString == ("Z" * 248) + "#0")
+    assert(rows.filter(_.head != 0L).forall(
+      _(1).toString.startsWith("xxxx")))
   }
 
   test("golden round-trip: a database CREATED by the vendored Jackcess " +
