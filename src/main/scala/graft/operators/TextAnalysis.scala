@@ -815,8 +815,106 @@ object TextAnalysis {
       |       round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 6) AS chars_per_bpe
       |FROM t GROUP BY lang, source""".stripMargin
 
+  // ------------------------------------------------------ Zipf slope
+
+  /** Per-source Zipf fit — the corpus-health diagnostic for a training
+    * mix: natural language runs log(freq) ≈ a + s·log(rank) with
+    * s ≈ −1; a source whose slope drifts far from −1 is boilerplate-
+    * heavy (flat head), templated (stair-stepped), or ID-noise (heavy
+    * tail) and earns a curation look. Reported per source as the
+    * least-squares slope and intercept over the full (ln rank, ln
+    * count) cloud.
+    *
+    * Determinism across engines: ranks and counts are integers, both
+    * engines compute ln from the same integer-derived doubles, each ln
+    * is rounded to 6 dp and FIXED AS DECIMAL(18,6), so all four
+    * moments (Σx, Σy, Σxy, Σx²) are exact decimal sums — no float
+    * accumulation order anywhere (the `curate_dsir`/`agg_pareto`
+    * discipline); slope and intercept are then one fixed double
+    * expression over identical scalars, rounded at the boundary.
+    *
+    * Scale shape: the corpus reduces to per-source term counts
+    * (map-side combined); the rank is one vocab-sized window per
+    * source (the `text_tfidf_top` class — the order statistic IS the
+    * semantics); moments are one more map-side-combined reduce to a
+    * |sources|-row frame.
+    */
+  def zipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("term").asc)
+    val tc = Tables(spark, dir, "documents")
+      .select(col("source"),
+        explode(split(trim(col("text")), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    val xy = tc
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("source"), col("cnt"),
+        round(log(col("rank").cast("double")), 6)
+          .cast("decimal(18,6)").as("x"),
+        round(log(col("cnt").cast("double")), 6)
+          .cast("decimal(18,6)").as("y"))
+    val m = xy.groupBy("source").agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("cnt")).as("total_tokens"),
+      sum(col("x")).cast("decimal(38,6)").as("sx"),
+      sum(col("y")).cast("decimal(38,6)").as("sy"),
+      sum(col("x") * col("y")).cast("decimal(38,12)").as("sxy"),
+      sum(col("x") * col("x")).cast("decimal(38,12)").as("sxx"))
+      .where(col("n_terms") >= 3)
+    val n = col("n_terms").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxy, sxx) = (col("sxy").cast("double"), col("sxx").cast("double"))
+    m.select(col("source"), col("n_terms"), col("total_tokens"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).as("slope_raw"),
+        n.as("nd"), sx.as("sxd"), sy.as("syd"))
+      .select(col("source"), col("n_terms"), col("total_tokens"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((col("syd") - col("slope_raw") * col("sxd")) / col("nd"), 6)
+          .as("intercept"))
+  }
+
+  val zipfSql: String =
+    """WITH tc AS (
+      |  SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS term
+      |        FROM documents)
+      |  WHERE length(term) > 0
+      |  GROUP BY source, term
+      |), xy AS (
+      |  SELECT source, cnt,
+      |         CAST(round(ln(CAST(row_number() OVER (PARTITION BY source
+      |                ORDER BY cnt DESC, term ASC) AS DOUBLE)), 6)
+      |           AS DECIMAL(18,6)) AS x,
+      |         CAST(round(ln(CAST(cnt AS DOUBLE)), 6)
+      |           AS DECIMAL(18,6)) AS y
+      |  FROM tc
+      |), m AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+      |         CAST(sum(cnt) AS BIGINT) AS total_tokens,
+      |         CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+      |         CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+      |         CAST(sum(x * y) AS DECIMAL(38,12)) AS sxy,
+      |         CAST(sum(x * x) AS DECIMAL(38,12)) AS sxx
+      |  FROM xy GROUP BY source HAVING count(*) >= 3
+      |), s AS (
+      |  SELECT source, n_terms, total_tokens,
+      |         (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |         (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_raw,
+      |         CAST(n_terms AS DOUBLE) AS nd,
+      |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM m)
+      |SELECT source, n_terms, total_tokens,
+      |       round(slope_raw, 6) AS slope,
+      |       round((syd - slope_raw * sxd) / nd, 6) AS intercept
+      |FROM s""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_fertility", fertility _, Some(fertilitySql)),
+    Op("text_zipf", zipf _, Some(zipfSql)),
     Op("text_tokens", tokens _, Some(tokensSql)),
     Op("text_repetition", repetition _, Some(repetitionSql)),
     Op("text_perplexity", perplexity _, Some(perplexitySql)),

@@ -157,6 +157,37 @@ class DeltaStatsSpec extends SparkSpec {
     assert(got(3L) == ((16L, 0L, d3)), s"doc3: ${got(3L)}")
   }
 
+  test("zipf: slope and intercept reconstruct from planted term counts") {
+    // source s1: counts a=4, b=2, c=1 → ranks 1,2,3. s2: uniform counts
+    // (flat cloud, slope 0 over distinct ranks? no — y constant → slope
+    // exactly 0). Mirror the engine's formula on plain doubles.
+    val dir = docsLangDir(Seq(
+      (1L, "a a a a b b c", "en"),
+      (2L, "u v w x", "en")))
+    // doc source is constant "src" in the fixture helper → distinguish
+    // by... both docs share source; plant counts via one source instead
+    val got = TextAnalysis.zipf(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // merged corpus: a=4, b=2, c=1, u=v=w=x=1 → ranks: a1, b2, then the
+    // five singletons in term order c3 u4 v5 w6 x7
+    val cnts = Seq(4L, 2L, 1L, 1L, 1L, 1L, 1L)
+    val xs = cnts.indices.map(i => math.rint(math.log(i + 1.0) * 1e6) / 1e6)
+    val ys = cnts.map(c => math.rint(math.log(c.toDouble) * 1e6) / 1e6)
+    val n = cnts.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    val (nt, tt, s, ic) = got("src")
+    assert(nt == 7L && tt == 11L, s"got $got")
+    assert(math.abs(s - slope) < 1e-4, s"slope $s vs $slope")
+    assert(math.abs(ic - intercept) < 1e-4, s"intercept $ic vs $intercept")
+    assert(s < 0, "a Zipf-ish cloud must slope downward")
+  }
+
   test("dsir: importance weights reconstruct by hand, target-like docs rank first") {
     // target (en) corpus: 4× 'good'. raw pool adds 'bad'. By-hand LM:
     // raw: good 6, bad 6; V=2, Nr=12, Nt=4.
