@@ -1350,7 +1350,85 @@ object Events {
        |                       / denom END, 6)) > 1.96 AS significant
        |FROM m""".stripMargin
 
+  // --------------------------------------------- Kaplan–Meier survival
+
+  /** Time-to-churn survival curve (Kaplan–Meier product-limit with
+    * right-censoring): a user "churns" on their LAST event day; users
+    * whose last day is the window's final day are CENSORED (still
+    * alive at cutoff), not deaths — the estimator the retention grid
+    * (`events_retention`) approximates from above. Reported per event
+    * day t as (n at risk, churn events, Ŝ(t) = Π (1 − dᵢ/nᵢ)).
+    *
+    * Determinism across engines: dᵢ and nᵢ are exact integers; each
+    * factor enters as ln((nᵢ−dᵢ)/nᵢ) computed from the same
+    * integer-derived double, rounded to 9 dp and FIXED AS
+    * DECIMAL(18,9), so the cumulative product is an exact decimal sum
+    * in log space (the `curate_dsir` discipline through a window);
+    * Ŝ = round(exp(cum), 6) — exp of identical doubles.
+    *
+    * Scale shape: one event scan reduces to the |users| last-day
+    * frame, then to the |days| histogram; the cumulative window runs
+    * over the DAY histogram — bounded by the calendar, never
+    * corpus-sized (the `curate_quality_gate` boundedness class).
+    */
+  def survival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val lastDay = ev.groupBy("user_id")
+      .agg(max(to_date($"ts")).as("last_day"))
+    val horizon = ev.agg(max(to_date($"ts")).as("max_day"))
+    val byDay = lastDay.crossJoin(broadcast(horizon))
+      .groupBy($"last_day".as("day"))
+      .agg(count(lit(1)).as("n_last"),
+        sum(when($"last_day" < $"max_day", 1L).otherwise(0L))
+          .as("n_events"))
+    val total = lastDay.agg(count(lit(1)).as("n_users"))
+    val w = Window.orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevW = Window.orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byDay.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        $"n_users" - coalesce(sum($"n_last").over(prevW), lit(0L)))
+      .withColumn("lf",
+        round(log(($"n_risk" - $"n_events").cast("double") /
+          $"n_risk".cast("double")), 9).cast("decimal(18,9)"))
+      .withColumn("cum", sum($"lf").over(w).cast("decimal(38,9)"))
+      .select($"day", $"n_risk", $"n_events",
+        round(exp($"cum".cast("double")), 6).as("survival"))
+  }
+
+  val survivalSql: String =
+    """WITH ld AS (
+      |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day
+      |  FROM events GROUP BY user_id),
+      |hz AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+      |bd AS (
+      |  SELECT last_day AS day, CAST(count(*) AS BIGINT) AS n_last,
+      |         CAST(sum(CASE WHEN last_day < (SELECT max_day FROM hz)
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+      |  FROM ld GROUP BY last_day),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM ld),
+      |risk AS (
+      |  SELECT day, n_last, n_events,
+      |         n_users - CAST(COALESCE(sum(n_last) OVER (ORDER BY day ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS n_risk
+      |  FROM bd CROSS JOIN tot),
+      |lf AS (
+      |  SELECT day, n_risk, n_events,
+      |         CAST(round(ln(CAST(n_risk - n_events AS DOUBLE) /
+      |                       CAST(n_risk AS DOUBLE)), 9)
+      |           AS DECIMAL(18,9)) AS lf
+      |  FROM risk)
+      |SELECT day, n_risk, n_events,
+      |       round(exp(CAST(CAST(sum(lf) OVER (ORDER BY day ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS DECIMAL(38,9)) AS DOUBLE)), 6) AS survival
+      |FROM lf""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("events_survival", survival _, Some(survivalSql)),
     Op("events_ab_proportions", abProportions _, Some(abProportionsSql)),
     Op("events_cuped", cuped _, Some(cupedSql)),
     Op("events_rfm", rfm _, Some(rfmSql)),

@@ -410,6 +410,35 @@ class DeltaStatsSpec extends SparkSpec {
       s"rank contract: ${check.mkString(", ")}")
   }
 
+  test("survival: Kaplan-Meier reconstructs by hand, last-day users " +
+      "are censored not dead") {
+    import spark.implicits._
+    import graft.operators.Events
+    // 6 users, last days: u1,u2 -> d1; u3 -> d2; u4,u5,u6 -> d3 (= max
+    // day, CENSORED). KM: d1: n=6 d=2 -> S=4/6; d2: n=4 d=1 -> S=1/2;
+    // d3: n=3 d=0 -> S unchanged.
+    val dir = java.nio.file.Files.createTempDirectory("surv").toString
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$day%d 12:00:00")
+    val rows = Seq(
+      (1L, ts(1), 1L), (2L, ts(1), 2L), (3L, ts(1), 3L), (4L, ts(1), 4L),
+      (5L, ts(2), 3L), (6L, ts(2), 5L),
+      (7L, ts(3), 4L), (8L, ts(3), 5L), (9L, ts(3), 6L))
+      .map { case (e, t, u) => (e, t, u, "click", 1.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Events.survival(spark, dir).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet ==
+      Set("2024-01-01", "2024-01-02", "2024-01-03"), s"got $got")
+    assert(got("2024-01-01") == ((6L, 2L, 0.666667)), s"d1 ${got("2024-01-01")}")
+    assert(got("2024-01-02") == ((4L, 1L, 0.5)), s"d2 ${got("2024-01-02")}")
+    val (n3, d3, s3) = got("2024-01-03")
+    assert(n3 == 3L && d3 == 0L && s3 == 0.5,
+      s"censored day must not move the curve: ${got("2024-01-03")}")
+  }
+
   test("cuped: theta and adjusted means reconstruct from raw events") {
     import graft.operators.Events
     val ev = Tables(spark, sfDir, "events")
