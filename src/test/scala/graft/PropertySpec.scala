@@ -280,6 +280,95 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MDB overflow: the pointer resolves; fuzzed/cyclic pointers " +
+      "quarantine, never throw") {
+    import graft.sources.MdbCatalog
+    val PageSize = 4096
+    def header: Array[Byte] = {
+      val p = new Array[Byte](PageSize)
+      Array[Byte](0x00, 0x01, 0x00, 0x00).copyToArray(p, 0)
+      "Standard Jet DB".getBytes("US-ASCII").copyToArray(p, 4)
+      p(0x14) = 0x01; p
+    }
+    // id LONG fixed @0 — single-column tdef on page 1
+    val tdefP = {
+      val p = new Array[Byte](PageSize)
+      val buf = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p(0) = 0x02; p(1) = 0x01; p(0x28) = 0x4E
+      buf.putShort(0x2D, 1.toShort); buf.putInt(0x33, 0)
+      p(0x3F) = 0x04                         // LONG
+      buf.putShort(0x3F + 5, 0.toShort)      // colNum 0
+      p(0x3F + 15) = 0x01                    // fixed
+      buf.putShort(0x3F + 21, 0.toShort)     // offF 0
+      var off = 0x3F + 25
+      val nb = "id".getBytes("UTF-16LE")
+      buf.putShort(off, nb.length.toShort); off += 2
+      nb.copyToArray(p, off)
+      p
+    }
+    def idRow(v: Int): Array[Byte] = {
+      // [cnt u16=1][int32][var cnt u16 = 0][one var offset][mask]
+      val r = new Array[Byte](2 + 4 + 2 + 2 + 1)
+      val buf = java.nio.ByteBuffer.wrap(r)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putShort(0, 1.toShort); buf.putInt(2, v)
+      buf.putShort(r.length - 1 - 2, 0.toShort)
+      r(r.length - 1) = 0x01
+      r
+    }
+    def dataPage(owner: Int,
+        rows: Seq[(Array[Byte], Int)]): Array[Byte] = {
+      val p = new Array[Byte](PageSize)
+      val buf = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p(0) = 0x01; p(1) = 0x01
+      buf.putInt(0x04, owner)
+      buf.putShort(0x0C, rows.size.toShort)
+      var end = PageSize
+      rows.zipWithIndex.foreach { case ((r, flags), i) =>
+        val start = end - r.length
+        r.copyToArray(p, start)
+        buf.putShort(0x0E + 2 * i, (start | flags).toShort)
+        end = start
+      }
+      p
+    }
+    def ptr(rowNum: Int, page: Int): Array[Byte] =
+      Array[Byte](rowNum.toByte, (page & 0xFF).toByte,
+        ((page >> 8) & 0xFF).toByte, ((page >> 16) & 0xFF).toByte)
+    // page 2: a plain row + an overflow pointer to page 3 row 0;
+    // page 3: the body, hidden from the scan by its 0x8000 bit
+    val base = header ++ tdefP ++
+      dataPage(1, Seq(idRow(11) -> 0, ptr(0, 3) -> 0x4000)) ++
+      dataPage(1, Seq(idRow(99) -> 0x8000))
+    val cat = MdbCatalog.read(base).fold(e => fail(e), identity)
+    val tdef = cat.tables.head
+    val (rows, quar) = MdbCatalog.readRows(base, PageSize, tdef)
+    assert(rows.map(_.head).toSet == Set(11L, 99L), s"$rows $quar")
+    assert(quar.isEmpty, s"quar: $quar")
+    // a pointer CYCLE (page 3's slot is itself an overflow pointer
+    // back to page 2 row 1) quarantines with a reason, never spins
+    val cyc = header ++ tdefP ++
+      dataPage(1, Seq(idRow(11) -> 0, ptr(0, 3) -> 0x4000)) ++
+      dataPage(1, Seq(ptr(1, 2) -> (0x8000 | 0x4000)))
+    val (rows2, quar2) = MdbCatalog.readRows(cyc, PageSize, tdef)
+    assert(rows2.map(_.head) == Seq(11L))
+    assert(quar2.exists(_._2.contains("overflow")), s"quar2: $quar2")
+    // fuzz the 4 pointer bytes: every outcome is rows + well-formed
+    // quarantines — out-of-range pages, foreign owners, junk row
+    // numbers all land in the broken-pointer branch
+    (1 to 200).foreach { i =>
+      val b = base.clone()
+      val pOff = 2 * PageSize + (PageSize - idRow(0).length - 4)
+      (0 until 4).foreach(j => b(pOff + j) = rnd.nextInt(256).toByte)
+      val (r, q) = MdbCatalog.readRows(b, PageSize, tdef)
+      assert(r.forall(_.size == 1), s"fuzz $i")
+      q.foreach { case (_, reason) =>
+        assert(reason.nonEmpty, s"fuzz $i empty reason") }
+    }
+  }
+
   test("WARC: fuzzed streams never throw; records + quarantines partition") {
     import graft.sources.WarcIngest
     // pure fuzz: arbitrary bytes parse to (possibly empty) records +
