@@ -1374,9 +1374,14 @@ object Events {
   def survival(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables(spark, dir, "events")
+    // |users|-sized; checkpointed because it feeds THREE consumers
+    // (horizon reduce, day histogram, user total) — without the cut
+    // each re-runs the corpus scan (the rfmPerUser lesson).
     val lastDay = ev.groupBy("user_id")
       .agg(max(to_date($"ts")).as("last_day"))
-    val horizon = ev.agg(max(to_date($"ts")).as("max_day"))
+      .localCheckpoint()
+    // max over per-user maxima == the corpus max day: one scan total
+    val horizon = lastDay.agg(max($"last_day").as("max_day"))
     val byDay = lastDay.crossJoin(broadcast(horizon))
       .groupBy($"last_day".as("day"))
       .agg(count(lit(1)).as("n_last"),
