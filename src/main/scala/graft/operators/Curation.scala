@@ -967,7 +967,83 @@ object Curation {
   val dsirHashedCheckSql: String =
     s"SELECT CAST($DsirTopK AS BIGINT) AS k, true AS ok"
 
+  // ------------------------------- data-constrained epoch planning
+
+  /** Token-budget multiple of the available corpus the plan must fill
+    * (a 2× over-train is the common data-constrained regime), and the
+    * repeat ceiling per source — the Muennighoff et al. 2023 finding
+    * that value decays to ~zero past ~4 epochs of the same data.
+    */
+  private val EpochBudgetMult = 2L
+  private val EpochMaxRepeats = 4L
+
+  /** Data-constrained scaling plan (repetition-aware mixture): given a
+    * token budget of `EpochBudgetMult`× the available corpus, give
+    * each source an equal target share (the `curate_mixture_solver`
+    * waterfill) but let a source REPEAT up to `EpochMaxRepeats` epochs
+    * to fill its share — the planning step for training past the
+    * single-epoch data wall. Reports per source the planned tokens,
+    * the (fractional) epoch count, whether the epoch cap bound it, and
+    * the unfilled deficit the solver would re-distribute.
+    *
+    * All token arithmetic is exact integers (`div`, `least`) — the
+    * mixtureSolver discipline; only the reported epoch ratio is a
+    * rounded double.
+    *
+    * Scale shape: corpus reduces to the |sources| frame; the totals
+    * ride one broadcast scalar frame.
+    */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables(spark, dir, "documents")
+      .select($"source", size(split(trim($"text"), " ")).as("toks"))
+      .groupBy("source")
+      .agg(sum($"toks".cast("long")).as("avail_tokens"))
+    val t = s.agg(sum("avail_tokens").as("ta"), count(lit(1)).as("k"))
+    s.crossJoin(broadcast(t))
+      .select($"source", $"avail_tokens",
+        expr(s"(ta * $EpochBudgetMult) div k").as("target_tokens"),
+        least(expr(s"(ta * $EpochBudgetMult) div k"),
+          $"avail_tokens" * EpochMaxRepeats).as("planned_tokens"))
+      .select($"source", $"avail_tokens", $"target_tokens",
+        $"planned_tokens",
+        round($"planned_tokens".cast("double") /
+          $"avail_tokens".cast("double"), 4).as("epochs"),
+        ($"planned_tokens" === $"avail_tokens" * EpochMaxRepeats &&
+          $"target_tokens" > $"avail_tokens" * EpochMaxRepeats)
+          .as("capped"),
+        ($"target_tokens" - $"planned_tokens").as("deficit_tokens"))
+  }
+
+  val epochPlanSql: String =
+    s"""WITH s AS (
+       |  SELECT source,
+       |         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+       |           AS avail_tokens
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS ta,
+       |             CAST(count(*) AS BIGINT) AS k FROM s)
+       |SELECT source, avail_tokens,
+       |       CAST((ta * $EpochBudgetMult) // k AS BIGINT) AS target_tokens,
+       |       CAST(least((ta * $EpochBudgetMult) // k,
+       |                  avail_tokens * $EpochMaxRepeats) AS BIGINT)
+       |         AS planned_tokens,
+       |       round(CAST(least((ta * $EpochBudgetMult) // k,
+       |                        avail_tokens * $EpochMaxRepeats) AS DOUBLE)
+       |             / CAST(avail_tokens AS DOUBLE), 4) AS epochs,
+       |       (least((ta * $EpochBudgetMult) // k,
+       |              avail_tokens * $EpochMaxRepeats)
+       |          = avail_tokens * $EpochMaxRepeats
+       |        AND (ta * $EpochBudgetMult) // k
+       |          > avail_tokens * $EpochMaxRepeats) AS capped,
+       |       CAST((ta * $EpochBudgetMult) // k -
+       |            least((ta * $EpochBudgetMult) // k,
+       |                  avail_tokens * $EpochMaxRepeats) AS BIGINT)
+       |         AS deficit_tokens
+       |FROM s CROSS JOIN t""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("curate_epoch_plan", epochPlan _, Some(epochPlanSql)),
     Op("curate_dsir", dsir _, Some(dsirSql)),
     Op("curate_dsir_hashed", dsirHashed _, None),
     Op("curate_dsir_hashed_check", dsirHashedCheck _,

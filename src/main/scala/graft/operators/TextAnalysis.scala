@@ -912,9 +912,51 @@ object TextAnalysis {
       |       round((syd - slope_raw * sxd) / nd, 6) AS intercept
       |FROM s""".stripMargin
 
+  // ----------------------------------------------- BPE pair induction
+
+  private val BpeTopPairs = 20
+
+  /** The first round of BPE vocabulary induction (Sennrich et al.
+    * 2016): count every ADJACENT CHARACTER PAIR across all word
+    * occurrences (instance-weighted, as the merge rule requires — not
+    * distinct words) and report the top merge candidates under the
+    * total order (count DESC, pair ASC). Subsequent merge rounds
+    * re-run this over re-segmented symbols; round one is the
+    * corpus-heavy step — later rounds operate on the shrinking pair
+    * table — so it is the one that must be a distributed scan.
+    *
+    * Scale shape: explode is corpus×word-length sized but reduces
+    * map-side to the pair vocabulary (bounded by |alphabet|² —
+    * thousands, not corpus-sized); top-K is a TakeOrdered.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(BpeTopPairs)
+  }
+
+  val bpePairsSql: String =
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+       |), p AS (
+       |  SELECT unnest([substr(w, i, 2) for i in range(1, length(w))])
+       |           AS pair
+       |  FROM w WHERE length(w) >= 2)
+       |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+       |FROM p GROUP BY pair
+       |ORDER BY cnt DESC, pair ASC
+       |LIMIT $BpeTopPairs""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_fertility", fertility _, Some(fertilitySql)),
     Op("text_zipf", zipf _, Some(zipfSql)),
+    Op("text_bpe_pairs", bpePairs _, Some(bpePairsSql)),
     Op("text_tokens", tokens _, Some(tokensSql)),
     Op("text_repetition", repetition _, Some(repetitionSql)),
     Op("text_perplexity", perplexity _, Some(perplexitySql)),

@@ -188,6 +188,41 @@ class DeltaStatsSpec extends SparkSpec {
     assert(s < 0, "a Zipf-ish cloud must slope downward")
   }
 
+  test("bpe pairs: adjacent char-pair counts are instance-weighted and " +
+      "cut under the total order") {
+    import graft.operators.TextAnalysis
+    // "abab ab" + "ab": pairs ab,ba,ab | ab | ab -> ab:4, ba:1;
+    // single-char word "x" contributes nothing
+    val dir = docsDir(Seq(1L -> "abab ab x", 2L -> "ab"))
+    val got = TextAnalysis.bpePairs(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq == Seq("ab" -> 4L, "ba" -> 1L), s"got ${got.toSeq}")
+  }
+
+  test("epoch plan: equal shares fill via repetition, the 4-epoch cap " +
+      "binds small sources and reports the deficit") {
+    import graft.operators.Curation
+    // two sources; doc helper pins source="src" — use lang? No: the
+    // planner groups by source, so plant via a custom frame
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("epoch").toString
+    Seq((1L, (1 to 90).map(_ => "w").mkString(" "), "en", "big", 90L),
+      (2L, (1 to 10).map(_ => "w").mkString(" "), "en", "small", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // ta=100, k=2, budget=200, target=100 each. big: planned
+    // min(100, 360)=100 -> 1.1111 epochs, uncapped. small: planned
+    // min(100, 40)=40 -> 4 epochs, capped, deficit 60.
+    val got = Curation.epochPlan(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5), r.getLong(6))))
+      .toMap
+    assert(got("big") == ((90L, 100L, 100L, 1.1111, false, 0L)),
+      s"big: ${got("big")}")
+    assert(got("small") == ((10L, 100L, 40L, 4.0, true, 60L)),
+      s"small: ${got("small")}")
+  }
+
   test("dsir: importance weights reconstruct by hand, target-like docs rank first") {
     // target (en) corpus: 4× 'good'. raw pool adds 'bad'. By-hand LM:
     // raw: good 6, bad 6; V=2, Nr=12, Nt=4.
