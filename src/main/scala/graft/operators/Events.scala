@@ -1432,7 +1432,92 @@ object Events {
       |         AS DECIMAL(38,9)) AS DOUBLE)), 6) AS survival
       |FROM lf""".stripMargin
 
+  // ---------------------------------- Markov chain steady behavior
+
+  private val MarkovScale = 1000000L
+  private val MarkovIters = 8
+
+  /** Long-run behavioral mix — the 8-step power-iteration distribution
+    * of the event-type Markov chain from a uniform start: where a
+    * user's session settles if transitions keep following the observed
+    * matrix (`events_transitions` is the matrix; this is its fixpoint
+    * read). Fixed iteration count IS the contract — the result is a
+    * deterministic function of the counts, convergence not assumed.
+    *
+    * Integer-exact across engines (the `graph_pagerank` recipe): mass
+    * in BIGINT micro-units of `MarkovScale`; each step moves
+    * `(v·cnt) div tot` per edge — floor division on positives, so sum
+    * order and partitioning cannot bite. v ≤ Scale = 1e6 and
+    * cnt ≤ 1e12 keep the product under BIGINT even at 100 TB. A state
+    * with no outgoing transitions drops its mass (the pagerank "weak"
+    * form, identical in both engines).
+    *
+    * Scale shape: one corpus scan reduces to the |types|² matrix
+    * (map-side combined); all eight iterations run on that tiny frame.
+    */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val trans = Tables(spark, dir, "events")
+      .select($"user_id", $"event_type".as("a"),
+        lead($"event_type", 1).over(byUser).as("b"))
+      .where($"b".isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // |types|²-sized; feeds every iteration
+    val tot = trans.groupBy("a").agg(sum("cnt").as("tot"))
+    val tm = trans.join(tot, "a").localCheckpoint()
+    val states = trans.select($"a".as("state"))
+      .union(trans.select($"b".as("state"))).distinct()
+      .localCheckpoint()
+    val k = states.agg(count(lit(1)).as("k"))
+    var v = states.crossJoin(broadcast(k))
+      .select($"state", expr(s"${MarkovScale}L div k").as("v"))
+    for (_ <- 1 to MarkovIters) {
+      val contrib = tm.join(v, $"a" === $"state")
+        .select($"b", expr("(v * cnt) div tot").as("c"))
+        .groupBy($"b").agg(sum($"c").as("s"))
+      v = states.join(contrib, $"state" === $"b", "left_outer")
+        .select($"state", coalesce($"s", lit(0L)).as("v"))
+        .localCheckpoint(eager = false)
+    }
+    v.select($"state", $"v".as("mass_micro"),
+      round($"v".cast("double") / MarkovScale, 6).as("p"))
+      .localCheckpoint()
+  }
+
+  val markovStationarySql: String = {
+    val steps = (1 to MarkovIters).map { i =>
+      s"""v$i AS (
+         |  SELECT st.state, CAST(COALESCE(c.s, 0) AS BIGINT) AS v
+         |  FROM st LEFT JOIN (
+         |    SELECT tm.b, sum((v.v * tm.cnt) // tm.tot) AS s
+         |    FROM tm JOIN v${i - 1} v ON tm.a = v.state
+         |    GROUP BY tm.b) c
+         |  ON st.state = c.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT event_type AS a,
+       |               lead(event_type) OVER (PARTITION BY user_id
+       |                 ORDER BY ts ASC, event_id ASC) AS b
+       |        FROM events)
+       |  WHERE b IS NOT NULL GROUP BY a, b),
+       |tt AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS tot FROM tr GROUP BY a),
+       |tm AS (SELECT tr.a, tr.b, tr.cnt, tt.tot FROM tr JOIN tt USING (a)),
+       |st AS (SELECT a AS state FROM tr UNION SELECT b FROM tr),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+       |v0 AS (SELECT state, CAST($MarkovScale // k AS BIGINT) AS v
+       |       FROM st CROSS JOIN kk),
+       |$steps
+       |SELECT state, v AS mass_micro,
+       |       round(CAST(v AS DOUBLE) / $MarkovScale, 6) AS p
+       |FROM v$MarkovIters""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("events_markov_stationary", markovStationary _,
+      Some(markovStationarySql)),
     Op("events_survival", survival _, Some(survivalSql)),
     Op("events_ab_proportions", abProportions _, Some(abProportionsSql)),
     Op("events_cuped", cuped _, Some(cupedSql)),

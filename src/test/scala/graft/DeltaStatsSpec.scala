@@ -474,6 +474,36 @@ class DeltaStatsSpec extends SparkSpec {
       s"censored day must not move the curve: ${got("2024-01-03")}")
   }
 
+  test("markov stationary: the 8-step integer iteration reconstructs " +
+      "by hand, mass conserved on a closed chain") {
+    import spark.implicits._
+    import graft.operators.Events
+    // one user, sequence A B A B B → transitions A→B:2, B→A:1, B→B:1
+    val dir = java.nio.file.Files.createTempDirectory("markov").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    Seq("A", "B", "A", "B", "B").zipWithIndex
+      .map { case (ty, i) =>
+        (i.toLong, new java.sql.Timestamp(t0 + i * 1000L), 1L, ty, 1.0, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // integer mirror: v'(A) = v(B) div 2; v'(B) = v(A)*2 div 2 + v(B) div 2
+    var (va, vb) = (500000L, 500000L)
+    (1 to 8).foreach { _ =>
+      val (na, nb) = (vb / 2, va * 2 / 2 + vb / 2)
+      va = na; vb = nb
+    }
+    val got = Events.markovStationary(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("A") == ((va, math.rint(va / 1e6 * 1e6) / 1e6)),
+      s"A: ${got("A")} expect $va")
+    assert(got("B")._1 == vb, s"B: ${got("B")} expect $vb")
+    // floor division sheds at most 1 micro-unit per odd halving —
+    // identical in the mirror, so the totals agree exactly
+    assert(got("A")._1 + got("B")._1 == va + vb)
+    assert(got("A")._1 + got("B")._1 >= 1000000L - 8)
+  }
+
   test("cuped: theta and adjusted means reconstruct from raw events") {
     import graft.operators.Events
     val ev = Tables(spark, sfDir, "events")
