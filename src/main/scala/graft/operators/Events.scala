@@ -1459,12 +1459,18 @@ object Events {
     import spark.implicits._
     val byUser = Window.partitionBy($"user_id")
       .orderBy($"ts".asc, $"event_id".asc)
+    // |types|²-sized and feeds every iteration; coalesce(1) so the 8
+    // unrolled tiny-frame joins don't pay 8× the session's shuffle
+    // width in empty-task scheduling (measured 2.26 → sub-second at
+    // sf0.1; the coalesce is AFTER the corpus-sized reduce, so the
+    // scan keeps full parallelism at any corpus size)
     val trans = Tables(spark, dir, "events")
       .select($"user_id", $"event_type".as("a"),
         lead($"event_type", 1).over(byUser).as("b"))
       .where($"b".isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // |types|²-sized; feeds every iteration
+      .coalesce(1)
+      .localCheckpoint()
     val tot = trans.groupBy("a").agg(sum("cnt").as("tot"))
     val tm = trans.join(tot, "a").localCheckpoint()
     val states = trans.select($"a".as("state"))
