@@ -549,7 +549,122 @@ object Multimodal {
         floor(col("width") * col("scale")).cast("int").as("out_width"),
         floor(col("height") * col("scale")).cast("int").as("out_height"))
 
+  // ------------------------------------------------ real pixel decode
+
+  final case class PixelStats(asset_id: Long, decoded: Boolean,
+      width: Int, height: Int, mean_luma: Double, ahash: String)
+
+  /** Decompression-bomb guard: a decoded frame larger than this many
+    * pixels is refused (quarantine-to-pseudo), the cap a real ingest
+    * applies before allocating pixel buffers.
+    */
+  private val MaxPixels = 64000000L
+
+  private def imageMagic(p: Array[Byte]): Boolean =
+    (p.length >= 8 && p.take(8).sameElements(PngMagic)) ||
+      (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8') ||
+      (p.length >= 2 && p(0) == 'B' && p(1) == 'M') ||
+      (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8)
+
+  private def luma(rgb: Int): Long = {
+    val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+    (299L * r + 587L * g + 114L * b) / 1000L
+  }
+
+  /** REAL pixel decode — the JDK's own ImageIO readers (PNG, GIF, BMP,
+    * JPEG ship with every JVM; no external dependency), closing the
+    * pixel half of the media seam the header walk above stops at:
+    * (width, height, mean integer luma over every pixel, and a 64-bit
+    * AVERAGE HASH). The aHash is the classic perceptual fingerprint —
+    * an 8×8 nearest-neighbor luma grid thresholded at its own mean,
+    * row-major MSB-first — computed with INTEGER sampling arithmetic
+    * (`((2i+1)·h) div 16`) so it is deterministic across JVMs for
+    * lossless formats: the same pixels encoded as PNG and as BMP hash
+    * identically, and a uniform brightness shift preserves the hash —
+    * the properties image near-dup dedup stands on (GoldenImageSpec).
+    * Only a payload whose magic matches attempts ImageIO; a failed or
+    * bomb-sized decode falls to the deterministic md5 pseudo-stats the
+    * oracle recomputes (the `decodeHeader` fixture convention). Codec
+    * seam remaining: video frames and non-PCM audio.
+    */
+  private[graft] def decodePixels(
+      p: Array[Byte]): Option[(Int, Int, Double, String)] =
+    if (!imageMagic(p)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
+        else {
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += luma(img.getRGB(x, y)); x += 1 }
+            y += 1
+          }
+          val mean = math.rint(sum.toDouble / (w.toLong * h) * 10000) / 10000
+          val ls = new Array[Long](64)
+          var i = 0
+          while (i < 8) {
+            var j = 0
+            while (j < 8) {
+              val sy = ((2 * i + 1) * h) / 16
+              val sx = ((2 * j + 1) * w) / 16
+              ls(i * 8 + j) = luma(img.getRGB(sx, sy))
+              j += 1
+            }
+            i += 1
+          }
+          val m = ls.sum / 64
+          var bits = 0L
+          ls.foreach(l => bits = (bits << 1) | (if (l > m) 1L else 0L))
+          Some((w, h, mean, f"$bits%016x"))
+        }
+      }
+    } catch { case _: Throwable => None }
+
+  /** Pixel pass over the image assets: real ImageIO decode where the
+    * magic matches, md5 pseudo-stats otherwise (recomputable → the op
+    * stays strictly oracled on the text fixture while the real branch
+    * is golden-tested on ImageIO-written bytes).
+    */
+  def extractPixels(assets: Dataset[Asset]): Dataset[PixelStats] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        decodePixels(a.payload) match {
+          case Some((w, h, ml, ah)) =>
+            PixelStats(a.asset_id, decoded = true, w, h, ml, ah)
+          case None =>
+            md.reset()
+            val hex = md.digest(a.payload).map("%02x".format(_)).mkString
+            PixelStats(a.asset_id, decoded = false,
+              16 + (a.payload.length % 640), 16 + (a.payload.length % 480),
+              (java.lang.Long.parseLong(hex.take(4), 16) % 2560L) / 10.0,
+              hex.take(16))
+        }
+      }
+    }
+  }
+
+  def pixels(spark: SparkSession, dir: String): DataFrame =
+    extractPixels(assets(spark, dir)).toDF()
+
+  val pixelsSql: String =
+    """SELECT doc_id AS asset_id, false AS decoded,
+      |       CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
+      |       CAST(16 + octet_length(encode(text)) % 480 AS INT) AS height,
+      |       (CAST(concat('0x', substr(md5(text), 1, 4)) AS UBIGINT)
+      |          % 2560) / 10.0 AS mean_luma,
+      |       substr(md5(text), 1, 16) AS ahash
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("multimodal_pixels", pixels _, Some(pixelsSql)),
     Op("multimodal_meta", meta _, Some(metaSql)),
     Op("multimodal_frames", frames _, Some(framesSql)),
     Op("multimodal_audio_meta", audioMeta _, Some(audioMetaSql)),

@@ -1,0 +1,113 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.operators.Multimodal
+
+/** Golden tests for the REAL pixel decode (`Multimodal.decodePixels` /
+  * `extractPixels`): bytes written by the JDK's own ImageIO encoders —
+  * not this repo's constants — decode back with exact dimensions,
+  * exact mean luma for lossless formats, and the aHash invariants
+  * image near-dup dedup relies on (format-independence for lossless
+  * encodings, uniform-brightness invariance, structural sensitivity).
+  */
+class GoldenImageSpec extends SparkSpec {
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  /** Horizontal gradient with a bright square — structured content so
+    * the aHash has both 0 and 1 bits.
+    */
+  private def gradient(shift: Int = 0): BufferedImage = {
+    val img = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val base = math.min(200, 40 + x * 5) + shift
+      val v = if (x >= 20 && y >= 14) math.min(255, base + 50) else base
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("lossless round-trip: the same pixels as PNG and BMP decode to " +
+      "identical stats and identical aHash") {
+    val img = gradient()
+    val png = Multimodal.decodePixels(encode(img, "png"))
+    val bmp = Multimodal.decodePixels(encode(img, "bmp"))
+    assert(png.isDefined && bmp.isDefined)
+    assert(png == bmp, s"png=$png bmp=$bmp")
+    val (w, h, mean, hash) = png.get
+    assert(w == 32 && h == 24)
+    assert(mean > 40 && mean < 220, s"mean $mean")
+    assert(hash.matches("[0-9a-f]{16}"))
+    // structured content: neither all-zeros nor all-ones
+    val bits = java.lang.Long.parseUnsignedLong(hash, 16)
+    assert(bits != 0L && bits != -1L)
+  }
+
+  test("aHash is invariant under a uniform brightness shift") {
+    val a = Multimodal.decodePixels(encode(gradient(), "png")).get
+    val b = Multimodal.decodePixels(encode(gradient(30), "png")).get
+    assert(a._4 == b._4, s"hash moved: ${a._4} vs ${b._4}")
+    assert(b._3 > a._3, "mean luma must rise with brightness")
+  }
+
+  test("aHash separates structurally different images") {
+    val left = gradient()
+    val right = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32) // mirrored gradient
+      right.setRGB(x, y, left.getRGB(31 - x, y))
+    val ha = java.lang.Long.parseUnsignedLong(
+      Multimodal.decodePixels(encode(left, "png")).get._4, 16)
+    val hb = java.lang.Long.parseUnsignedLong(
+      Multimodal.decodePixels(encode(right, "png")).get._4, 16)
+    assert(java.lang.Long.bitCount(ha ^ hb) >= 16,
+      f"mirror too close: ${java.lang.Long.bitCount(ha ^ hb)} bits")
+  }
+
+  test("JPEG decodes with exact dimensions and a close mean; corrupt " +
+      "magic-matched bytes fall back, non-images never attempt") {
+    val img = gradient()
+    val jpg = Multimodal.decodePixels(encode(img, "jpg"))
+    assert(jpg.isDefined, "JDK jpeg reader missing")
+    val (w, h, mean, _) = jpg.get
+    assert(w == 32 && h == 24)
+    val ref = Multimodal.decodePixels(encode(img, "png")).get._3
+    assert(math.abs(mean - ref) < 5.0, s"jpeg mean $mean vs $ref")
+    // PNG magic + garbage: attempted, fails, falls back to None
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a) ++ Array.fill[Byte](64)(0x5a)
+    assert(Multimodal.decodePixels(corrupt).isEmpty)
+    assert(Multimodal.decodePixels("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("extractPixels: real images decode through the Spark path, text " +
+      "payloads get the oracled pseudo-stats") {
+    import spark.implicits._
+    val pngBytes = encode(gradient(), "png")
+    val assets = Seq(
+      Multimodal.Asset(3L, "image", pngBytes, "s"),
+      Multimodal.Asset(6L, "image", "just words".getBytes("UTF-8"), "s"),
+      Multimodal.Asset(1L, "audio", pngBytes, "s")) // wrong kind: excluded
+      .toDS()
+    val got = Multimodal.extractPixels(assets).collect()
+      .map(p => p.asset_id -> p).toMap
+    assert(got.keySet == Set(3L, 6L))
+    assert(got(3L).decoded && got(3L).width == 32 && got(3L).height == 24)
+    val expected = Multimodal.decodePixels(pngBytes).get
+    assert(got(3L).ahash == expected._4 && got(3L).mean_luma == expected._3)
+    assert(!got(6L).decoded)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("just words".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(6L).ahash == hex.take(16))
+    assert(got(6L).mean_luma ==
+      (java.lang.Long.parseLong(hex.take(4), 16) % 2560L) / 10.0)
+  }
+}
