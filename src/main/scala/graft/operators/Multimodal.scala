@@ -361,6 +361,110 @@ object Multimodal {
     }
   }
 
+  final case class SampleStats(asset_id: Long, decoded: Boolean,
+      n_samples: Long, peak: Int, rms: Double, zero_crossings: Long)
+
+  /** REAL PCM sample decode for RIFF/WAVE payloads — the sample half
+    * of the audio seam, pure byte math (16-bit LE PCM is just signed
+    * shorts): per payload the frame count, peak magnitude, RMS (sum of
+    * squares as exact Long — 32767² per sample keeps ~10⁹ samples
+    * under BIGINT — one sqrt at the boundary), and channel-0 zero
+    * crossings (the cheap pitch/noisiness proxy). Only format-1
+    * 16-bit PCM decodes; other encodings and non-RIFF payloads fall
+    * to md5 pseudo-stats the oracle recomputes (the `decodePixels`
+    * convention). Remaining codec seam: MP3/FLAC sample decode.
+    */
+  private[graft] def decodeWavSamples(
+      p: Array[Byte]): Option[(Long, Int, Double, Long)] = {
+    def leInt(o: Int) = (p(o) & 255) | ((p(o + 1) & 255) << 8) |
+      ((p(o + 2) & 255) << 16) | ((p(o + 3) & 255) << 24)
+    def leShort(o: Int) = (p(o) & 255) | ((p(o + 1) & 255) << 8)
+    def tag(o: Int, s: String) = p.length >= o + 4 &&
+      p(o) == s(0) && p(o + 1) == s(1) && p(o + 2) == s(2) && p(o + 3) == s(3)
+    if (!(tag(0, "RIFF") && tag(8, "WAVE"))) return None
+    var off = 12
+    var fmtCode = 0; var ch = 0; var bits = 0; var blockAlign = 0
+    var dataOff = -1; var dataLen = 0L
+    while (off + 8 <= p.length && (fmtCode == 0 || dataOff < 0)) {
+      val size = leInt(off + 4).toLong & 0xFFFFFFFFL
+      if (tag(off, "fmt ") && size >= 16 && off + 24 <= p.length) {
+        fmtCode = leShort(off + 8)
+        ch = leShort(off + 10)
+        blockAlign = leShort(off + 20)
+        bits = leShort(off + 22)
+      } else if (tag(off, "data")) { dataOff = off + 8; dataLen = size }
+      val step = 8L + size + (size & 1)
+      if (off + step > Int.MaxValue) return None else off += step.toInt
+    }
+    if (fmtCode != 1 || bits != 16 || ch <= 0 || blockAlign != 2 * ch ||
+      dataOff < 0) return None
+    val end = math.min(p.length.toLong, dataOff + dataLen).toInt
+    val nFrames = (end - dataOff).toLong / blockAlign
+    if (nFrames <= 0) return None
+    var peak = 0
+    var sumSq = 0L
+    var zc = 0L
+    var prevSign = 0
+    var f = 0L
+    while (f < nFrames) {
+      val base = dataOff + (f * blockAlign).toInt
+      var c = 0
+      while (c < ch) {
+        val s = leShort(base + 2 * c).toShort.toInt
+        val m = math.abs(s)
+        if (m > peak) peak = m
+        sumSq += s.toLong * s
+        c += 1
+      }
+      val s0 = leShort(base).toShort.toInt
+      val sign = Integer.signum(s0)
+      if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+      if (sign != 0) prevSign = sign
+      f += 1
+    }
+    val n = nFrames * ch
+    val rms = math.rint(math.sqrt(sumSq.toDouble / n) * 10000) / 10000
+    Some((n, peak, rms, zc))
+  }
+
+  /** Sample pass over the audio assets: real PCM decode where the WAV
+    * container validates, md5 pseudo-stats otherwise — strictly
+    * oracled on the text fixture, golden-tested on synthesized PCM.
+    */
+  def extractSamples(assets: Dataset[Asset]): Dataset[SampleStats] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "audio").mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        decodeWavSamples(a.payload) match {
+          case Some((n, peak, rms, zc)) =>
+            SampleStats(a.asset_id, decoded = true, n, peak, rms, zc)
+          case None =>
+            md.reset()
+            val hex = md.digest(a.payload).map("%02x".format(_)).mkString
+            SampleStats(a.asset_id, decoded = false, a.payload.length.toLong,
+              java.lang.Long.parseLong(hex.take(4), 16).toInt % 32768,
+              (java.lang.Long.parseLong(hex.slice(4, 8), 16) % 327680L) / 10.0,
+              a.payload.length.toLong / 2)
+        }
+      }
+    }
+  }
+
+  def samples(spark: SparkSession, dir: String): DataFrame =
+    extractSamples(assets(spark, dir)).toDF()
+
+  val samplesSql: String =
+    """SELECT doc_id AS asset_id, false AS decoded,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+      |       CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS UBIGINT)
+      |              % 32768 AS INT) AS peak,
+      |       (CAST(concat('0x', substr(md5(text), 5, 4)) AS UBIGINT)
+      |          % 327680) / 10.0 AS rms,
+      |       CAST(octet_length(encode(text)) // 2 AS BIGINT)
+      |         AS zero_crossings
+      |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+
   def audioMeta(spark: SparkSession, dir: String): DataFrame =
     extractAudioMeta(assets(spark, dir)).toDF()
 
@@ -665,6 +769,7 @@ object Multimodal {
 
   val ops: Seq[Op] = Seq(
     Op("multimodal_pixels", pixels _, Some(pixelsSql)),
+    Op("multimodal_samples", samples _, Some(samplesSql)),
     Op("multimodal_meta", meta _, Some(metaSql)),
     Op("multimodal_frames", frames _, Some(framesSql)),
     Op("multimodal_audio_meta", audioMeta _, Some(audioMetaSql)),

@@ -87,6 +87,46 @@ class GoldenImageSpec extends SparkSpec {
     assert(Multimodal.decodePixels("plain text".getBytes("UTF-8")).isEmpty)
   }
 
+  // ------------------------------------------------- PCM sample decode
+
+  /** Hand-built RIFF/WAVE: 16-bit PCM mono sine, amplitude `amp`,
+    * `freq` Hz at 8 kHz for `n` samples.
+    */
+  private def sineWav(amp: Int, freq: Double, n: Int): Array[Byte] = {
+    val dataLen = n * 2
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int) = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 255))
+    def le16(v: Int) = (0 until 2).foreach(i => out.write((v >> (8 * i)) & 255))
+    out.write("RIFF".getBytes); le32(36 + dataLen)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le32(16)
+    le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    out.write("data".getBytes); le32(dataLen)
+    (0 until n).foreach { i =>
+      le16(math.rint(amp * math.sin(2 * math.Pi * freq * i / 8000)).toInt
+        & 0xFFFF)
+    }
+    out.toByteArray
+  }
+
+  test("wav samples: a synthesized sine decodes to its textbook peak, " +
+      "RMS and zero-crossing count") {
+    // 0.1 s of 440 Hz at amplitude 10000
+    val Some((n, peak, rms, zc)) =
+      Multimodal.decodeWavSamples(sineWav(10000, 440.0, 800))
+    assert(n == 800L)
+    assert(peak >= 9990 && peak <= 10000, s"peak $peak")
+    // sine RMS = amp/sqrt(2) ≈ 7071
+    assert(math.abs(rms - 7071.0) < 25, s"rms $rms")
+    // 440 Hz crosses zero 2·440·0.1 = 88 times (±1 at the edges)
+    assert(math.abs(zc - 88L) <= 1, s"zc $zc")
+    // non-PCM / non-WAV payloads never decode
+    assert(Multimodal.decodeWavSamples("words".getBytes).isEmpty)
+    val f32 = sineWav(10000, 440.0, 800)
+    f32(20) = 3 // fmt code 3 = IEEE float: unsupported encoding
+    assert(Multimodal.decodeWavSamples(f32).isEmpty)
+  }
+
   test("extractPixels: real images decode through the Spark path, text " +
       "payloads get the oracled pseudo-stats") {
     import spark.implicits._
