@@ -369,6 +369,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pixel/PCM decode: fuzzed magic-prefixed payloads never throw, " +
+      "outputs stay sane") {
+    import graft.operators.Multimodal
+    val magics = Seq(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      "GIF89a".getBytes("US-ASCII"),
+      "BM".getBytes("US-ASCII"),
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte))
+    (1 to 150).foreach { i =>
+      val m = magics(rnd.nextInt(magics.size))
+      val junk = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(junk)
+      Multimodal.decodePixels(m ++ junk).foreach { case (w, h, ml, ah) =>
+        assert(w > 0 && h > 0 && ml >= 0 && ml <= 255 &&
+          ah.matches("[0-9a-f]{16}"), s"fuzz $i: ($w,$h,$ml,$ah)")
+      }
+    }
+    (1 to 150).foreach { i =>
+      val junk = new Array[Byte](12 + rnd.nextInt(512))
+      rnd.nextBytes(junk)
+      "RIFF".getBytes.copyToArray(junk, 0)
+      "WAVE".getBytes.copyToArray(junk, 8)
+      Multimodal.decodeWavSamples(junk).foreach { case (n, pk, rms, zc) =>
+        assert(n > 0 && pk >= 0 && pk <= 32768 && rms >= 0 && zc >= 0,
+          s"fuzz $i: ($n,$pk,$rms,$zc)")
+      }
+    }
+  }
+
   test("WARC: fuzzed streams never throw; records + quarantines partition") {
     import graft.sources.WarcIngest
     // pure fuzz: arbitrary bytes parse to (possibly empty) records +
