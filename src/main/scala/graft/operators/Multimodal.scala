@@ -758,6 +758,110 @@ object Multimodal {
   def pixels(spark: SparkSession, dir: String): DataFrame =
     extractPixels(assets(spark, dir)).toDF()
 
+  final case class AnimStats(asset_id: Long, decoded: Boolean,
+      n_frames: Int, duration_cs: Long, loop_count: Int)
+
+  /** GIF animation walk — frame census without LZW decode: count image
+    * descriptors (0x2C), sum Graphic Control Extension delays
+    * (centiseconds), and read the NETSCAPE loop count (0 = forever,
+    * -1 = not animated/absent). The block grammar is fully published
+    * (GIF89a spec): extensions are label + length-prefixed sub-blocks,
+    * image descriptors carry an optional local color table and LZW
+    * sub-blocks — the walk validates every length against the payload
+    * and refuses (None) on truncation or an unknown block type, the
+    * corrupt-container convention of `decodeHeader`.
+    */
+  private[graft] def decodeGifAnim(
+      p: Array[Byte]): Option[(Int, Long, Int)] = {
+    if (!(p.length >= 13 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a'))
+      return None
+    var off = 13 // header(6) + logical screen descriptor(7)
+    val packed = p(10) & 0xFF
+    if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 7) + 1))
+    var frames = 0
+    var delay = 0L
+    var loop = -1
+    var done = false
+    while (!done) {
+      if (off >= p.length) return None // truncated: no trailer
+      (p(off) & 0xFF) match {
+        case 0x3B => done = true
+        case 0x21 =>
+          if (off + 2 > p.length) return None
+          val label = p(off + 1) & 0xFF
+          var o = off + 2
+          var first = true
+          var netscape = false
+          while ({ if (o >= p.length) return None; (p(o) & 0xFF) != 0 }) {
+            val len = p(o) & 0xFF
+            if (o + 1 + len > p.length) return None
+            if (label == 0xF9 && first && len >= 3)
+              delay += ((p(o + 2) & 0xFF) | ((p(o + 3) & 0xFF) << 8)).toLong
+            if (label == 0xFF && first && len >= 8)
+              netscape = new String(p, o + 1, 8, "US-ASCII") == "NETSCAPE"
+            if (label == 0xFF && !first && netscape && len >= 3 &&
+              (p(o + 1) & 0xFF) == 1)
+              loop = (p(o + 2) & 0xFF) | ((p(o + 3) & 0xFF) << 8)
+            first = false
+            o += 1 + len
+          }
+          off = o + 1
+        case 0x2C =>
+          if (off + 10 > p.length) return None
+          val ip = p(off + 9) & 0xFF
+          var o = off + 10
+          if ((ip & 0x80) != 0) o += 3 * (1 << ((ip & 7) + 1))
+          o += 1 // LZW minimum code size
+          while ({ if (o >= p.length) return None; (p(o) & 0xFF) != 0 }) {
+            val len = p(o) & 0xFF
+            if (o + 1 + len > p.length) return None
+            o += 1 + len
+          }
+          frames += 1
+          off = o + 1
+        case _ => return None // unknown block type: corrupt
+      }
+    }
+    if (frames == 0) None else Some((frames, delay, loop))
+  }
+
+  /** Animation pass over the image assets: real GIF block walk where
+    * the magic matches, md5 pseudo-stats otherwise — strictly oracled
+    * on the text fixture, golden-tested on bytes the JDK's own
+    * animated-GIF encoder produced.
+    */
+  def extractAnim(assets: Dataset[Asset]): Dataset[AnimStats] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        decodeGifAnim(a.payload) match {
+          case Some((n, d, l)) =>
+            AnimStats(a.asset_id, decoded = true, n, d, l)
+          case None =>
+            md.reset()
+            val hex = md.digest(a.payload).map("%02x".format(_)).mkString
+            AnimStats(a.asset_id, decoded = false,
+              1 + (java.lang.Long.parseLong(hex.take(4), 16) % 4L).toInt,
+              java.lang.Long.parseLong(hex.slice(4, 8), 16) % 1000L, -1)
+        }
+      }
+    }
+  }
+
+  def anim(spark: SparkSession, dir: String): DataFrame =
+    extractAnim(assets(spark, dir)).toDF()
+
+  val animSql: String =
+    """SELECT doc_id AS asset_id, false AS decoded,
+      |       CAST(1 + CAST(concat('0x', substr(md5(text), 1, 4)) AS UBIGINT)
+      |              % 4 AS INT) AS n_frames,
+      |       CAST(CAST(concat('0x', substr(md5(text), 5, 4)) AS UBIGINT)
+      |              % 1000 AS BIGINT) AS duration_cs,
+      |       CAST(-1 AS INT) AS loop_count
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
   val pixelsSql: String =
     """SELECT doc_id AS asset_id, false AS decoded,
       |       CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
@@ -770,6 +874,7 @@ object Multimodal {
   val ops: Seq[Op] = Seq(
     Op("multimodal_pixels", pixels _, Some(pixelsSql)),
     Op("multimodal_samples", samples _, Some(samplesSql)),
+    Op("multimodal_animation", anim _, Some(animSql)),
     Op("multimodal_meta", meta _, Some(metaSql)),
     Op("multimodal_frames", frames _, Some(framesSql)),
     Op("multimodal_audio_meta", audioMeta _, Some(audioMetaSql)),

@@ -87,6 +87,71 @@ class GoldenImageSpec extends SparkSpec {
     assert(Multimodal.decodePixels("plain text".getBytes("UTF-8")).isEmpty)
   }
 
+  // ---------------------------------------------------- GIF animation
+
+  /** Animated GIF through the JDK's own sequence writer — independent
+    * encoder bytes, not this repo's constants: per-frame
+    * GraphicControlExtension delay + a NETSCAPE2.0 loop block.
+    */
+  private def animatedGif(nFrames: Int, delayCs: Int,
+      loop: Int): Array[Byte] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    import javax.imageio.{IIOImage, ImageTypeSpecifier}
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { f =>
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, if ((x + f) % 2 == 0) 0xFFFFFF else 0)
+      val meta = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      if (f == 0) {
+        val apps = new IIOMetadataNode("ApplicationExtensions")
+        val app = new IIOMetadataNode("ApplicationExtension")
+        app.setAttribute("applicationID", "NETSCAPE")
+        app.setAttribute("authenticationCode", "2.0")
+        app.setUserObject(Array[Byte](1, (loop & 0xFF).toByte,
+          ((loop >> 8) & 0xFF).toByte))
+        apps.appendChild(app)
+        root.appendChild(apps)
+      }
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("gif animation: the JDK-encoded sequence walks back to its " +
+      "frame count, total delay and loop count") {
+    val bytes = animatedGif(nFrames = 3, delayCs = 25, loop = 0)
+    val Some((n, d, l)) = Multimodal.decodeGifAnim(bytes)
+    assert(n == 3, s"frames $n")
+    assert(d == 75L, s"delay $d")
+    assert(l == 0, s"loop $l (0 = forever)")
+    // a single-frame still (the pixel-decode gradient) is 1 frame,
+    // no NETSCAPE block
+    val still = encode(gradient(), "gif")
+    val Some((n1, _, l1)) = Multimodal.decodeGifAnim(still)
+    assert(n1 == 1 && l1 == -1, s"still: $n1 $l1")
+    // truncation refuses instead of miscounting
+    assert(Multimodal.decodeGifAnim(bytes.take(bytes.length - 2)).isEmpty)
+    assert(Multimodal.decodeGifAnim("GIF8".getBytes).isEmpty)
+  }
+
   // ------------------------------------------------- PCM sample decode
 
   /** Hand-built RIFF/WAVE: 16-bit PCM mono sine, amplitude `amp`,
