@@ -495,15 +495,37 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { a =>
         val n = a.payload.length
-        val k = math.min(4, 1 + n % 4)
-        (0 until k).map { i =>
-          val off = i.toLong * n / k
-          md.reset()
-          // "decode" = hash the 16-byte window at the frame offset
-          val end = math.min(n, off.toInt + 16)
-          md.update(a.payload, off.toInt, end - off.toInt)
-          Frame(a.asset_id, i, off,
-            md.digest().map("%02x".format(_)).mkString)
+        decodeMp4Samples(a.payload) match {
+          case Some(samples) if samples.nonEmpty =>
+            // REAL seek-table sampling (r9): up to 4 evenly spaced
+            // SAMPLES from the stbl walk — frame_offset is the
+            // sample's true absolute byte position and the md5 covers
+            // its leading bytes (clamped: a partial download's moov
+            // may point past the truncated mdat). Codec decode of the
+            // sample payload remains the seam.
+            val k = math.min(4, samples.size)
+            (0 until k).map { i =>
+              val (off, sz) = samples(i * samples.size / k)
+              val start = math.min(math.max(off, 0L), n.toLong).toInt
+              val end = math.min(n.toLong,
+                math.min(off + math.min(sz, 16), Int.MaxValue.toLong)).toInt
+              md.reset()
+              if (end > start) md.update(a.payload, start, end - start)
+              Frame(a.asset_id, i, off,
+                md.digest().map("%02x".format(_)).mkString)
+            }
+          case _ =>
+            val k = math.min(4, 1 + n % 4)
+            (0 until k).map { i =>
+              val off = i.toLong * n / k
+              md.reset()
+              // pseudo path (the text fixture, oracled): hash the
+              // 16-byte window at the evenly spaced offset
+              val end = math.min(n, off.toInt + 16)
+              md.update(a.payload, off.toInt, end - off.toInt)
+              Frame(a.asset_id, i, off,
+                md.digest().map("%02x".format(_)).mkString)
+            }
         }
       }
     }
@@ -555,37 +577,50 @@ object Multimodal {
     }
   }
 
+  private def bmffBeInt(p: Array[Byte], o: Int) =
+    ((p(o) & 255) << 24) | ((p(o + 1) & 255) << 16) |
+      ((p(o + 2) & 255) << 8) | (p(o + 3) & 255)
+  private def bmffBeLong(p: Array[Byte], o: Int) =
+    (bmffBeInt(p, o).toLong << 32) | (bmffBeInt(p, o + 4) & 0xFFFFFFFFL)
+  private def bmffTag(p: Array[Byte], o: Int, s: String) =
+    p.length >= o + 4 &&
+      p(o) == s(0) && p(o + 1) == s(1) && p(o + 2) == s(2) && p(o + 3) == s(3)
+
+  /** Walk boxes in [from, to); returns (payloadStart, payloadEnd) of
+    * the first box with the wanted type, handling size==0 (to end) and
+    * size==1 (64-bit largesize). Shared by the metadata walk and the
+    * sample-table walk.
+    */
+  private def bmffFindBox(p: Array[Byte], from: Int, to: Int,
+      want: String): Option[(Int, Int)] = {
+    var off = from
+    while (off + 8 <= to) {
+      val size32 = bmffBeInt(p, off).toLong & 0xFFFFFFFFL
+      val (bodyStart, boxEnd) =
+        if (size32 == 0) (off + 8L, to.toLong)
+        else if (size32 == 1) {
+          if (off + 16 > to) return None
+          (off + 16L, off + bmffBeLong(p, off + 8))
+        } else (off + 8L, off + size32)
+      if (boxEnd > to || bodyStart > boxEnd) return None
+      if (bmffTag(p, off + 4, want)) return Some((bodyStart.toInt, boxEnd.toInt))
+      off = boxEnd.toInt
+    }
+    None
+  }
+
   /** ISO-BMFF walk. `None` = no `ftyp` leading box (not a BMFF file —
     * caller falls back); `Some(corrupt)` = claimed `ftyp` but the moov
     * walk failed. (width, height, duration_ms, n_tracks).
     */
   private[operators] def decodeMp4(p: Array[Byte]): Option[(Int, Int, Long, Int)] = {
-    def beInt(o: Int) = ((p(o) & 255) << 24) | ((p(o + 1) & 255) << 16) |
-      ((p(o + 2) & 255) << 8) | (p(o + 3) & 255)
-    def beLong(o: Int) = (beInt(o).toLong << 32) | (beInt(o + 4) & 0xFFFFFFFFL)
-    def tag(o: Int, s: String) = p.length >= o + 4 &&
-      p(o) == s(0) && p(o + 1) == s(1) && p(o + 2) == s(2) && p(o + 3) == s(3)
+    def beInt(o: Int) = bmffBeInt(p, o)
+    def beLong(o: Int) = bmffBeLong(p, o)
+    def tag(o: Int, s: String) = bmffTag(p, o, s)
     if (p.length < 12 || !tag(4, "ftyp")) return None
     val corrupt = Some((-1, -1, -1L, 0))
-    // walk boxes in [from, to); returns (payloadStart, payloadEnd) of the
-    // first box with the wanted type, handling size==0 (to end) and
-    // size==1 (64-bit largesize)
-    def findBox(from: Int, to: Int, want: String): Option[(Int, Int)] = {
-      var off = from
-      while (off + 8 <= to) {
-        val size32 = beInt(off).toLong & 0xFFFFFFFFL
-        val (bodyStart, boxEnd) =
-          if (size32 == 0) (off + 8L, to.toLong)
-          else if (size32 == 1) {
-            if (off + 16 > to) return None
-            (off + 16L, off + beLong(off + 8))
-          } else (off + 8L, off + size32)
-        if (boxEnd > to || bodyStart > boxEnd) return None
-        if (tag(off + 4, want)) return Some((bodyStart.toInt, boxEnd.toInt))
-        off = boxEnd.toInt
-      }
-      None
-    }
+    def findBox(from: Int, to: Int, want: String): Option[(Int, Int)] =
+      bmffFindBox(p, from, to, want)
     findBox(0, p.length, "moov") match {
       case None => corrupt
       case Some((moovS, moovE)) =>
@@ -625,6 +660,88 @@ object Multimodal {
         if (dur < 0 && tracks == 0) corrupt
         else Some((w, h, dur, tracks))
     }
+  }
+
+  /** Sample-size cap: a table claiming more samples than this refuses
+    * (decompression-bomb discipline — the seek table alone would be
+    * gigabytes).
+    */
+  private val MaxBmffSamples = 100000
+
+  /** REAL ISO-BMFF sample-table walk (the seek table a frame extractor
+    * needs): first trak carrying a full `stbl` → per-sample absolute
+    * (offset, size) from `stsz` (fixed or per-sample sizes) ×
+    * `stco`/`co64` (chunk offsets) × `stsc` (samples-per-chunk runs) —
+    * the published MP4 layout, no codec involved. Any count/length
+    * inconsistency refuses (None); offsets are NOT validated against
+    * payload length here — a partial download legitimately has a moov
+    * whose mdat tail is missing, and the caller clamps reads.
+    */
+  private[graft] def decodeMp4Samples(
+      p: Array[Byte]): Option[Vector[(Long, Int)]] = {
+    if (p.length < 12 || !bmffTag(p, 4, "ftyp")) return None
+    val moov = bmffFindBox(p, 0, p.length, "moov").getOrElse(return None)
+    var off = moov._1
+    while (off < moov._2) {
+      val trak = bmffFindBox(p, off, moov._2, "trak").getOrElse(return None)
+      val stbl = for {
+        mdia <- bmffFindBox(p, trak._1, trak._2, "mdia")
+        minf <- bmffFindBox(p, mdia._1, mdia._2, "minf")
+        st <- bmffFindBox(p, minf._1, minf._2, "stbl")
+      } yield st
+      stbl.foreach { case (s, e) =>
+        val out = for {
+          (szS, szE) <- bmffFindBox(p, s, e, "stsz")
+          (scS, scE) <- bmffFindBox(p, s, e, "stsc")
+          co <- bmffFindBox(p, s, e, "stco")
+            .map((_, 4)).orElse(bmffFindBox(p, s, e, "co64").map((_, 8)))
+        } yield {
+          val ((coS, coE), coW) = co
+          if (szE - szS < 12 || scE - scS < 8 || coE - coS < 8) return None
+          val fixedSize = bmffBeInt(p, szS + 4)
+          val nSamples = bmffBeInt(p, szS + 8)
+          if (nSamples <= 0 || nSamples > MaxBmffSamples) return None
+          if (fixedSize == 0 && szE - szS < 12 + 4L * nSamples) return None
+          def sampleSize(i: Int): Int =
+            if (fixedSize != 0) fixedSize else bmffBeInt(p, szS + 12 + 4 * i)
+          val nChunks = bmffBeInt(p, coS + 4)
+          if (nChunks <= 0 || coE - coS < 8 + coW.toLong * nChunks)
+            return None
+          def chunkOffset(c: Int): Long =
+            if (coW == 4) bmffBeInt(p, coS + 8 + 4 * c).toLong & 0xFFFFFFFFL
+            else bmffBeLong(p, coS + 8 + 8 * c)
+          val nRuns = bmffBeInt(p, scS + 4)
+          if (nRuns <= 0 || scE - scS < 8 + 12L * nRuns) return None
+          def run(i: Int): (Int, Int) =
+            (bmffBeInt(p, scS + 8 + 12 * i), bmffBeInt(p, scS + 12 + 12 * i))
+          val samples = Vector.newBuilder[(Long, Int)]
+          var si = 0
+          var c = 1
+          var ri = 0
+          while (c <= nChunks && si < nSamples) {
+            while (ri + 1 < nRuns && run(ri + 1)._1 <= c) ri += 1
+            val spc = run(ri)._2
+            if (spc <= 0) return None
+            var o = chunkOffset(c - 1)
+            var j = 0
+            while (j < spc && si < nSamples) {
+              val sz = sampleSize(si)
+              if (sz < 0) return None
+              samples += ((o, sz))
+              o += sz
+              si += 1
+              j += 1
+            }
+            c += 1
+          }
+          if (si < nSamples) return None // chunk table ran out early
+          samples.result()
+        }
+        out.foreach(v => return Some(v))
+      }
+      off = trak._2
+    }
+    None
   }
 
   def videoMeta(spark: SparkSession, dir: String): DataFrame =

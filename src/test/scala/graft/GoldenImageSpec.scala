@@ -192,6 +192,69 @@ class GoldenImageSpec extends SparkSpec {
     assert(Multimodal.decodeWavSamples(f32).isEmpty)
   }
 
+  // ------------------------------------------- ISO-BMFF sample tables
+
+  private def bmffBox(tag: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val size = 8 + payload.length
+    (3 to 0 by -1).foreach(i => out.write((size >> (8 * i)) & 255))
+    out.write(tag.getBytes("US-ASCII"))
+    out.write(payload)
+    out.toByteArray
+  }
+  private def be32(vs: Int*): Array[Byte] =
+    vs.flatMap(v => (3 to 0 by -1).map(i => ((v >> (8 * i)) & 255).toByte))
+      .toArray
+
+  /** Minimal BMFF: ftyp + mdat(3 samples: 5,7,4 bytes across 2 chunks)
+    * + moov/trak/mdia/minf/stbl{stsz,stsc,stco}. Chunk 1 @24 holds
+    * samples 0,1; chunk 2 @36 holds sample 2.
+    */
+  private def miniMp4: Array[Byte] = {
+    val ftyp = bmffBox("ftyp", "isom".getBytes ++ be32(0x200))
+    val mdat = bmffBox("mdat",
+      "AAAAA".getBytes ++ "BBBBBBB".getBytes ++ "CCCC".getBytes)
+    val stsz = bmffBox("stsz", be32(0, 0, 3, 5, 7, 4))
+    val stsc = bmffBox("stsc", be32(0, 2, 1, 2, 1, 2, 1, 1))
+    val stco = bmffBox("stco", be32(0, 2, 24, 36))
+    val stbl = bmffBox("stbl", stsz ++ stsc ++ stco)
+    val minf = bmffBox("minf", stbl)
+    val mdia = bmffBox("mdia", minf)
+    val trak = bmffBox("trak", mdia)
+    val moov = bmffBox("moov", trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  test("bmff sample table: stsz × stsc × stco walk recovers every " +
+      "sample's true offset and size") {
+    val p = miniMp4
+    assert(new String(p.slice(24, 29)) == "AAAAA", "layout self-check")
+    assert(new String(p.slice(36, 40)) == "CCCC", "layout self-check")
+    val got = Multimodal.decodeMp4Samples(p)
+    assert(got.contains(Vector((24L, 5), (29L, 7), (36L, 4))), s"got $got")
+    // inconsistent table (count 5, three sizes) refuses
+    val bad = miniMp4
+    val i = bad.indexOfSlice("stsz".getBytes) + 4
+    bad(i + 11) = 5
+    assert(Multimodal.decodeMp4Samples(bad).isEmpty)
+    assert(Multimodal.decodeMp4Samples("words".getBytes).isEmpty)
+  }
+
+  test("frame sampling rides the real seek table for BMFF payloads") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = {
+      md.reset(); md.digest(s.getBytes).map("%02x".format(_)).mkString
+    }
+    val assets = Seq(Multimodal.Asset(2L, "video", miniMp4, "s")).toDS()
+    val frames = Multimodal.sampleFrames(assets).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.frame_offset)).toSeq ==
+      Seq((0, 24L), (1, 29L), (2, 36L)), s"got ${frames.toSeq}")
+    assert(frames.map(_.frame_md5).toSeq ==
+      Seq(h("AAAAA"), h("BBBBBBB"), h("CCCC")))
+  }
+
   test("extractPixels: real images decode through the Spark path, text " +
       "payloads get the oracled pseudo-stats") {
     import spark.implicits._
