@@ -1204,7 +1204,77 @@ object Analytics {
       |                     CAST(cum2 AS DOUBLE) / n2)), 6) AS ks_d
       |FROM c""".stripMargin
 
+  // ------------------------------------------------ Benford first-digit
+
+  /** Benford first-digit audit over order totals — the data-quality /
+    * fraud screen: naturally-grown monetary values follow
+    * P(d) = log10(1 + 1/d), and a synthetic or tampered feed shows up
+    * as excess χ². Reported per digit (observed, expected share,
+    * χ² contribution) with the total χ² alongside.
+    *
+    * Determinism: the first digit comes from the STRING of the exact
+    * integer `floor(price·100)` (cents) — a bigint renders identically
+    * on both engines, where float log10-of-value digit extraction
+    * flaps on power-of-ten boundaries; counts are exact integers and
+    * every probability is the same closed-form double on both sides.
+    * The 9-row digit spine left-joins the counts so absent digits
+    * report 0, and the χ² window runs over NINE rows — bounded by the
+    * decimal system, not the data.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = spark.range(1, 10).select($"id".cast("int").as("digit"))
+    val obs = Tables(spark, dir, "orders")
+      .where($"o_totalprice" > 0)
+      .select(substring(
+        floor($"o_totalprice" * 100).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum("n_obs").as("n"))
+    val p = log10(lit(1.0) + lit(1.0) / $"digit".cast("double"))
+    val joined = digits.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"digit", coalesce($"n_obs", lit(0L)).as("n_obs"), $"n",
+        p.as("p_benford"))
+      .withColumn("contrib",
+        pow($"n_obs".cast("double") - $"n".cast("double") * $"p_benford", 2)
+          / ($"n".cast("double") * $"p_benford"))
+    joined
+      .withColumn("chi2", sum($"contrib").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select($"digit", $"n_obs",
+        round($"p_benford", 6).as("p_benford"),
+        round($"n_obs".cast("double") / $"n".cast("double"), 6).as("p_obs"),
+        round($"contrib", 4).as("contrib"),
+        round($"chi2", 4).as("chi2"))
+  }
+
+  val benfordSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+      |           AS VARCHAR), 1, 1) AS INT) AS digit,
+      |         CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+      |d AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS digit),
+      |j AS (
+      |  SELECT d.digit, CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
+      |         n, log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE)) AS p_benford
+      |  FROM d LEFT JOIN obs USING (digit) CROSS JOIN tot),
+      |c AS (
+      |  SELECT digit, n_obs, n, p_benford,
+      |         pow(CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p_benford, 2)
+      |           / (CAST(n AS DOUBLE) * p_benford) AS contrib
+      |  FROM j)
+      |SELECT digit, n_obs,
+      |       round(p_benford, 6) AS p_benford,
+      |       round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_obs,
+      |       round(contrib, 4) AS contrib,
+      |       round(sum(contrib) OVER (), 4) AS chi2
+      |FROM c""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stats_benford", benford _, Some(benfordSql)),
     Op("stats_ks", statsKs _, Some(statsKsSql)),
     Op("stats_mannwhitney", statsMannWhitney _, Some(statsMannWhitneySql)),
     Op("stats_auc", statsAuc _, Some(statsAucSql)),

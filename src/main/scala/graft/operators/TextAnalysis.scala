@@ -953,8 +953,70 @@ object TextAnalysis {
        |ORDER BY cnt DESC, pair ASC
        |LIMIT $BpeTopPairs""".stripMargin
 
+  // ----------------------------------------------------- readability
+
+  /** Flesch–Kincaid grade level per document — the classic readability
+    * cut used to route corpora by audience (and to spot machine-
+    * generated filler: very low variance across a source is a tell).
+    * Words = whitespace tokens; sentences = runs ended by `.`/`!`/`?`
+    * (min 1); syllables = vowel GROUPS (`[aeiouyAEIOUY]+`) per word —
+    * the standard dictionary-free approximation. All three are exact
+    * integers on both engines (the regex classes involved behave
+    * identically in Java and RE2 — simple character classes only), so
+    * the grade is one fixed double expression, rounded at the
+    * boundary.
+    *
+    * Scale shape: pure per-row projection — no shuffle at all; the
+    * whole operator fuses into the scan's codegen stage.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val t = trim(col("text"))
+    val words = size(split(t, " "))
+    val sentences = greatest(lit(1),
+      length(regexp_replace(t, "[^.!?]", ""))).cast("int")
+    // syllable groups = vowel-run count: replacing each run with ONE
+    // char vs ZERO chars differs by exactly the run count — no
+    // sentinel character to collide with real text
+    val syllables = (length(regexp_replace(t, "[aeiouyAEIOUY]+", "x")) -
+      length(regexp_replace(t, "[aeiouyAEIOUY]+", ""))).cast("int")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .where(col("n_words") > 0)
+      .withColumn("fk_grade",
+        round(lit(0.39) * (col("n_words").cast("double") /
+          col("n_sentences").cast("double")) +
+          lit(11.8) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")) - lit(15.59), 4))
+  }
+
+  val readabilitySql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(trim(text), ' ')) AS INT) AS n_words,
+      |       CAST(greatest(1, length(regexp_replace(trim(text),
+      |              '[^.!?]', '', 'g'))) AS INT) AS n_sentences,
+      |       CAST(length(regexp_replace(trim(text),
+      |              '[aeiouyAEIOUY]+', 'x', 'g')) -
+      |            length(regexp_replace(trim(text),
+      |              '[aeiouyAEIOUY]+', '', 'g')) AS INT)
+      |         AS n_syllables,
+      |       round(0.39 * (CAST(len(string_split(trim(text), ' '))
+      |                       AS DOUBLE) /
+      |                     CAST(greatest(1, length(regexp_replace(
+      |                       trim(text), '[^.!?]', '', 'g'))) AS DOUBLE)) +
+      |             11.8 * (CAST(length(regexp_replace(trim(text),
+      |                       '[aeiouyAEIOUY]+', 'x', 'g')) -
+      |                     length(regexp_replace(trim(text),
+      |                       '[aeiouyAEIOUY]+', '', 'g'))
+      |                       AS DOUBLE) /
+      |                     CAST(len(string_split(trim(text), ' '))
+      |                       AS DOUBLE)) - 15.59, 4) AS fk_grade
+      |FROM documents
+      |WHERE len(string_split(trim(text), ' ')) > 0""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_fertility", fertility _, Some(fertilitySql)),
+    Op("text_readability", readability _, Some(readabilitySql)),
     Op("text_zipf", zipf _, Some(zipfSql)),
     Op("text_bpe_pairs", bpePairs _, Some(bpePairsSql)),
     Op("text_tokens", tokens _, Some(tokensSql)),

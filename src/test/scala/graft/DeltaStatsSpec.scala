@@ -188,6 +188,56 @@ class DeltaStatsSpec extends SparkSpec {
     assert(s < 0, "a Zipf-ish cloud must slope downward")
   }
 
+  test("readability: words/sentences/syllables reconstruct by hand, " +
+      "literal V is not a syllable") {
+    import graft.operators.TextAnalysis
+    // "Very big cats eat. Dogs run!" — words 6, sentences 2, vowel
+    // runs: V-e-y? 'Very'→e,y(2)... counted per the engine's rule:
+    // maximal [aeiouyAEIOUY]+ runs over the WHOLE text.
+    val text = "Very big cats eat. Dogs V run!"
+    val dir = docsDir(Seq(1L -> text))
+    val r = TextAnalysis.readability(spark, dir).collect().head
+    val runs = "[aeiouyAEIOUY]+".r.findAllIn(text).length
+    val words = text.split(" ").length
+    val sentences = text.count(c => c == '.' || c == '!' || c == '?')
+    assert(r.getInt(1) == words && r.getInt(2) == sentences,
+      s"got $r want words=$words sent=$sentences")
+    assert(r.getInt(3) == runs,
+      s"syllables ${r.getInt(3)} != vowel-run count $runs " +
+        "(a literal 'V' must not count)")
+    val fk = 0.39 * words.toDouble / sentences +
+      11.8 * runs.toDouble / words - 15.59
+    assert(math.abs(r.getDouble(4) - fk) < 1e-3, s"fk ${r.getDouble(4)} vs $fk")
+  }
+
+  test("benford: digit census and chi-square reconstruct from the " +
+      "order totals") {
+    import graft.operators.Analytics
+    val rows = Analytics.benford(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(5)))).toMap
+    assert(rows.keySet == (1 to 9).toSet)
+    // independent digit census via string heads of exact cents
+    val prices = spark.read
+      .parquet(s"$sfDir/orders.parquet")
+      .select("o_totalprice").collect().map(_.getDouble(0)).filter(_ > 0)
+    val counts = prices.groupBy(p =>
+      math.floor(p * 100).toLong.toString.head.asDigit)
+      .view.mapValues(_.length.toLong).toMap
+    (1 to 9).foreach { d =>
+      assert(rows(d)._1 == counts.getOrElse(d, 0L),
+        s"digit $d: ${rows(d)._1} vs ${counts.getOrElse(d, 0L)}")
+    }
+    val n = counts.values.sum.toDouble
+    val chi2 = (1 to 9).map { d =>
+      val p = math.log10(1.0 + 1.0 / d)
+      math.pow(counts.getOrElse(d, 0L) - n * p, 2) / (n * p)
+    }.sum
+    assert(math.abs(rows(1)._2 - chi2) < 0.01,
+      s"chi2 ${rows(1)._2} vs $chi2")
+    // all rows carry the same total
+    assert(rows.values.map(_._2).toSet.size == 1)
+  }
+
   test("bpe pairs: adjacent char-pair counts are instance-weighted and " +
       "cut under the total order") {
     import graft.operators.TextAnalysis
