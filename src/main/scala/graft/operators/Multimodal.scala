@@ -970,6 +970,111 @@ object Multimodal {
   def anim(spark: SparkSession, dir: String): DataFrame =
     extractAnim(assets(spark, dir)).toDF()
 
+  private val ThumbSide = 16
+
+  final case class Thumb(asset_id: Long, decoded: Boolean, thumb_w: Int,
+      thumb_h: Int, thumb_png: Array[Byte], thumb_md5: String)
+
+  /** Deterministic box-filter resize to `side`×`side`: each output
+    * pixel averages the exact source rectangle
+    * [j·w div s, (j+1)·w div s) × [i·h div s, (i+1)·h div s) with
+    * integer sums — no Graphics2D interpolation, whose rounding is
+    * implementation-defined — so the same pixels resize to the same
+    * bytes on every JVM. Returns the resized image and the md5 of its
+    * raw row-major RGB byte stream (encoder-independent, unlike a
+    * PNG-byte hash).
+    */
+  private[graft] def boxResize(img: java.awt.image.BufferedImage,
+      side: Int): (java.awt.image.BufferedImage, String) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val raw = new Array[Byte](side * side * 3)
+    var i = 0
+    while (i < side) {
+      val y0 = i * h / side
+      val y1 = math.max(y0 + 1, (i + 1) * h / side)
+      var j = 0
+      while (j < side) {
+        val x0 = j * w / side
+        val x1 = math.max(x0 + 1, (j + 1) * w / side)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
+            sb += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        val (r, g, b) = ((sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+        out.setRGB(j, i, (r << 16) | (g << 8) | b)
+        val base = (i * side + j) * 3
+        raw(base) = r.toByte; raw(base + 1) = g.toByte; raw(base + 2) = b.toByte
+        j += 1
+      }
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (out, md.digest(raw).map("%02x".format(_)).mkString)
+  }
+
+  /** Thumbnail pass — the brief's image RESIZE step made real: decode
+    * (ImageIO, magic-gated as in `decodePixels`), box-filter to
+    * `ThumbSide`², re-encode as PNG bytes for downstream consumers,
+    * and fingerprint the raw resized pixels. Undecodable payloads get
+    * empty bytes + the md5 pseudo fingerprint the oracle recomputes.
+    */
+  def thumbnails(assets: Dataset[Asset]): Dataset[Thumb] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        val dec =
+          if (!imageMagic(a.payload)) None
+          else try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(a.payload)))
+              .filter(i => i.getWidth > 0 && i.getHeight > 0 &&
+                i.getWidth.toLong * i.getHeight <= MaxPixels)
+          } catch { case _: Throwable => None }
+        dec match {
+          case Some(img) =>
+            val (thumb, rawMd5) = boxResize(img, ThumbSide)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(thumb, "png", bos)
+            Thumb(a.asset_id, decoded = true, ThumbSide, ThumbSide,
+              bos.toByteArray, rawMd5)
+          case None =>
+            md.reset()
+            val hex = md.digest(a.payload).map("%02x".format(_)).mkString
+            Thumb(a.asset_id, decoded = false, ThumbSide, ThumbSide,
+              Array.empty[Byte], hex)
+        }
+      }
+    }
+  }
+
+  /** Registry projection: the binary thumbnail stays a library-surface
+    * column (spec-tested); the driver-compared frame carries the
+    * deterministic fingerprint.
+    */
+  def thumbs(spark: SparkSession, dir: String): DataFrame =
+    thumbnails(assets(spark, dir)).toDF()
+      .select(col("asset_id"), col("decoded"), col("thumb_w"),
+        col("thumb_h"), col("thumb_md5"))
+
+  val thumbsSql: String =
+    s"""SELECT doc_id AS asset_id, false AS decoded,
+       |       CAST($ThumbSide AS INT) AS thumb_w,
+       |       CAST($ThumbSide AS INT) AS thumb_h,
+       |       md5(text) AS thumb_md5
+       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
   val animSql: String =
     """SELECT doc_id AS asset_id, false AS decoded,
       |       CAST(1 + CAST(concat('0x', substr(md5(text), 1, 4)) AS UBIGINT)
@@ -992,6 +1097,7 @@ object Multimodal {
     Op("multimodal_pixels", pixels _, Some(pixelsSql)),
     Op("multimodal_samples", samples _, Some(samplesSql)),
     Op("multimodal_animation", anim _, Some(animSql)),
+    Op("multimodal_thumbnail", thumbs _, Some(thumbsSql)),
     Op("multimodal_meta", meta _, Some(metaSql)),
     Op("multimodal_frames", frames _, Some(framesSql)),
     Op("multimodal_audio_meta", audioMeta _, Some(audioMetaSql)),

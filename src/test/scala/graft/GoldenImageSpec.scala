@@ -192,6 +192,48 @@ class GoldenImageSpec extends SparkSpec {
     assert(Multimodal.decodeWavSamples(f32).isEmpty)
   }
 
+  // --------------------------------------------------------- resize
+
+  test("box resize: solid color is exact, gradient means survive, the " +
+      "thumbnail round-trips through PNG at the target size") {
+    // solid color: every box average IS the color — bytes exact
+    val solid = new BufferedImage(50, 30, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 30; x <- 0 until 50) solid.setRGB(x, y, 0x3C7F14)
+    val (thumbS, md5S) = Multimodal.boxResize(solid, 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert((thumbS.getRGB(x, y) & 0xFFFFFF) == 0x3C7F14)
+    val raw = Array.fill[Byte](16 * 16 * 3)(0)
+    for (i <- 0 until 256) {
+      raw(i * 3) = 0x3C; raw(i * 3 + 1) = 0x7F; raw(i * 3 + 2) = 0x14
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(md5S == md.digest(raw).map("%02x".format(_)).mkString)
+    // gradient: left half darker than right half after resize too
+    val (thumbG, _) = Multimodal.boxResize(gradient(), 16)
+    def lum(rgb: Int) = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+      (rgb & 0xFF)
+    val leftMean = (0 until 16).map(y => lum(thumbG.getRGB(2, y))).sum
+    val rightMean = (0 until 16).map(y => lum(thumbG.getRGB(13, y))).sum
+    assert(leftMean < rightMean, s"$leftMean !< $rightMean")
+    // full pipeline: decode → resize → PNG re-encode → re-decode
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.Asset(3L, "image", encode(gradient(), "png"), "s"),
+      Multimodal.Asset(6L, "image", "words".getBytes, "s")).toDS()
+    val got = Multimodal.thumbnails(assets).collect()
+      .map(t => t.asset_id -> t).toMap
+    assert(got(3L).decoded && got(3L).thumb_png.nonEmpty)
+    val rt = ImageIO.read(
+      new java.io.ByteArrayInputStream(got(3L).thumb_png))
+    assert(rt.getWidth == 16 && rt.getHeight == 16)
+    // the PNG round-trip preserves the exact resized pixels
+    val (direct, directMd5) = Multimodal.boxResize(gradient(), 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(rt.getRGB(x, y) == direct.getRGB(x, y))
+    assert(got(3L).thumb_md5 == directMd5)
+    assert(!got(6L).decoded && got(6L).thumb_png.isEmpty)
+  }
+
   // ------------------------------------------- ISO-BMFF sample tables
 
   private def bmffBox(tag: String, payload: Array[Byte]): Array[Byte] = {
