@@ -970,18 +970,16 @@ object TextAnalysis {
     * whole operator fuses into the scan's codegen stage.
     */
   def readability(spark: SparkSession, dir: String): DataFrame = {
-    val t = trim(col("text"))
-    val words = size(split(t, " "))
-    val sentences = greatest(lit(1),
-      length(regexp_replace(t, "[^.!?]", ""))).cast("int")
-    // syllable groups = vowel-run count: replacing each run with ONE
-    // char vs ZERO chars differs by exactly the run count — no
-    // sentinel character to collide with real text
-    val syllables = (length(regexp_replace(t, "[aeiouyAEIOUY]+", "x")) -
-      length(regexp_replace(t, "[aeiouyAEIOUY]+", ""))).cast("int")
+    // ONE primitive byte pass for all three counters (the native
+    // `TextStats` expression) instead of three regexp_replace walks —
+    // same integers by construction, so the DuckDB twin keeps the
+    // declarative regex formulation untouched. Measured 1.92 → 0.26 s
+    // at sf1 (BENCH_NOTES).
+    val stats = org.apache.spark.sql.graft.TextStats(trim(col("text")))
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), words.as("n_words"),
-        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .select(col("doc_id"), stats.as("st"))
+      .select(col("doc_id"), col("st")(0).as("n_words"),
+        col("st")(1).as("n_sentences"), col("st")(2).as("n_syllables"))
       .where(col("n_words") > 0)
       .withColumn("fk_grade",
         round(lit(0.39) * (col("n_words").cast("double") /
