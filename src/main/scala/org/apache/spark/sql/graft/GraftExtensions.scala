@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.kllSketchAggDescriptor)
     e.injectFunction(GraftExtensions.kllMergeAggDescriptor)
     e.injectFunction(GraftExtensions.kllQuantileDescriptor)
+    e.injectFunction(GraftExtensions.textStatsDescriptor)
     e.injectOptimizerRule(_ => RangeJoinBanding)
   }
 }
@@ -123,6 +124,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
       kllQuantileBuilder)
 
+  private val textStatsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "text_stats takes exactly 1 argument")
+    TextStats(exprs(0))
+  }
+
+  private[graft] val textStatsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      textStatsBuilder)
+
   /** Register on a live session's function registry. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -131,5 +143,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("kll_sketch_agg", kllSketchAggBuilder, "built-in")
     reg.createOrReplaceTempFunction("kll_merge_agg", kllMergeAggBuilder, "built-in")
     reg.createOrReplaceTempFunction("kll_quantile", kllQuantileBuilder, "built-in")
+    reg.createOrReplaceTempFunction("text_stats", textStatsBuilder, "built-in")
   }
 }

@@ -84,4 +84,14 @@ class ExtensionsSpec extends SparkSpec {
       assert(vec.count(_ != 0L) == 1)
     }
   }
+
+  test("text_stats callable from SQL; counters match the regex twin") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT text_stats('Very big cats eat. Dogs V run!') AS s").collect()
+    assert(r.head.getSeq[Int](0) == Seq(7, 2, 7), s"got ${r.head}")
+    // empty string: one (empty) word, floor of one sentence, no runs
+    val e = spark.sql("SELECT text_stats('') AS s").collect()
+    assert(e.head.getSeq[Int](0) == Seq(1, 1, 0))
+  }
 }
