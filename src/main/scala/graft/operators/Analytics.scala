@@ -1273,7 +1273,78 @@ object Analytics {
       |       round(sum(contrib) OVER (), 4) AS chi2
       |FROM c""".stripMargin
 
+  // ------------------------------------------------- Gini concentration
+
+  /** Gini coefficient of order-value concentration per priority class —
+    * the inequality audit (how top-heavy is revenue?) that pairs with
+    * `agg_pareto`'s cumulative-share view. Uses the grouped-histogram
+    * form of the rank formula: items sharing value v occupy the rank
+    * block (C_prev, C_prev + c], so Σ rank·x collapses to
+    * v·(c·C_prev + c(c+1)/2) per DISTINCT value —
+    * G = 2·S/(n·T) − (n+1)/n.
+    *
+    * Exactness: values enter as integer CENTS (`floor(price·100)`, the
+    * `stats_benford` convention), every moment is a DECIMAL(38,0) sum
+    * of integer products (rank sums reach n²·v ≈ 10³⁸ headroom), and G
+    * is one fixed double expression over identical scalars. The rank
+    * window runs over the per-priority DISTINCT-VALUE histogram — the
+    * `events_rfm` order-statistic class, never row-sized.
+    */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables(spark, dir, "orders")
+      .where($"o_totalprice" > 0)
+      .select($"o_orderpriority".as("grp"),
+        floor($"o_totalprice" * 100).cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("grp").orderBy($"v".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cprev", coalesce(sum($"c").over(w), lit(0L)))
+      .groupBy("grp").agg(
+        sum($"c").as("n"),
+        sum($"v".cast("decimal(38,0)") * $"c").cast("decimal(38,0)")
+          .as("t"),
+        sum($"v".cast("decimal(38,0)") *
+          ($"c" * $"cprev" + expr("(c * (c + 1)) div 2")))
+          .cast("decimal(38,0)").as("s"))
+      .select($"grp", $"n",
+        round(lit(2.0) * $"s".cast("double") /
+          ($"n".cast("double") * $"t".cast("double")) -
+          ($"n" + 1).cast("double") / $"n".cast("double"), 6)
+          .as("gini"))
+      .orderBy("grp")
+  }
+
+  val giniSql: String =
+    """WITH h AS (
+      |  SELECT o_orderpriority AS grp,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM orders WHERE o_totalprice > 0
+      |  GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT grp, v, c,
+      |         CAST(COALESCE(sum(c) OVER (PARTITION BY grp ORDER BY v ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS cprev
+      |  FROM h),
+      |m AS (
+      |  SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+      |         CAST(sum(CAST(v AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))
+      |           AS t,
+      |         CAST(sum(CAST(v AS DECIMAL(38,0)) *
+      |                  (c * cprev + (c * (c + 1)) // 2))
+      |           AS DECIMAL(38,0)) AS s
+      |  FROM cw GROUP BY grp)
+      |SELECT grp, n,
+      |       round(2.0 * CAST(s AS DOUBLE) /
+      |             (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) -
+      |             CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+      |FROM m ORDER BY grp""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stats_gini", gini _, Some(giniSql)),
     Op("stats_benford", benford _, Some(benfordSql)),
     Op("stats_ks", statsKs _, Some(statsKsSql)),
     Op("stats_mannwhitney", statsMannWhitney _, Some(statsMannWhitneySql)),

@@ -210,6 +210,33 @@ class DeltaStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - fk) < 1e-3, s"fk ${r.getDouble(4)} vs $fk")
   }
 
+  test("gini: the histogram rank formula equals the quadratic " +
+      "mean-absolute-difference definition") {
+    import graft.operators.Analytics
+    val got = Analytics.gini(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val cents = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .filter(_.getDouble(1) > 0)
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => math.floor(r.getDouble(1) * 100).toLong))
+      .toMap
+    cents.foreach { case (grp, xs) =>
+      val n = xs.length
+      // independent definition: G = Σ|xi−xj| / (2 n² μ)
+      val mu = xs.map(BigInt(_)).sum
+      val sorted = xs.sorted
+      // Σ|xi−xj| = 2·Σ_i (2i−n+1)·x_(i) over the sorted sample (0-based)
+      val sad = 2 * sorted.zipWithIndex
+        .map { case (x, i) => BigInt(2 * i - n + 1) * x }.sum
+      val g = sad.toDouble / (2.0 * n * mu.toDouble)
+      assert(math.abs(got(grp)._2 - g) < 1e-4,
+        s"$grp: ${got(grp)._2} vs $g")
+      assert(got(grp)._1 == n.toLong)
+      assert(got(grp)._2 > 0 && got(grp)._2 < 1)
+    }
+  }
+
   test("benford: digit census and chi-square reconstruct from the " +
       "order totals") {
     import graft.operators.Analytics
