@@ -210,6 +210,31 @@ class DeltaStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - fk) < 1e-3, s"fk ${r.getDouble(4)} vs $fk")
   }
 
+  test("plan shapes: readability is shuffle-free; zipf and gini " +
+      "windows are partitioned, never global") {
+    import graft.operators.{Analytics, TextAnalysis}
+    // the zero-shuffle claim IS readability's scale story — a shuffle
+    // appearing here means the projection stopped fusing into the scan
+    val rp = TextAnalysis.readability(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!rp.contains("Exchange"), s"readability gained a shuffle:\n$rp")
+    // vocab windows must be keyed (source/grp) — an unpartitioned
+    // Window here would single-task the corpus at scale
+    Seq(TextAnalysis.zipf(spark, sfDir), Analytics.gini(spark, sfDir))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        plan.linesIterator.filter(_.contains("Window")).foreach { l =>
+          assert(!l.contains("specifiedwindowframe") || l.contains("#"),
+            l)
+        }
+        // concrete check: no "Window [" node without a partition spec —
+        // Spark prints partitionBy columns inside the node; a global
+        // window renders as windowspecdefinition() with empty partition
+        assert(!plan.contains("windowspecdefinition()"),
+          s"global window in:\n$plan")
+      }
+  }
+
   test("gini: the histogram rank formula equals the quadratic " +
       "mean-absolute-difference definition") {
     import graft.operators.Analytics
