@@ -1343,7 +1343,79 @@ object Analytics {
       |             CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
       |FROM m ORDER BY grp""".stripMargin
 
+  // -------------------------------------------------- Q–Q comparison
+
+  private val QqGroupA = "1-URGENT"
+  private val QqGroupB = "5-LOW"
+
+  /** Decile Q–Q table between two priority classes' order values — the
+    * distribution-compare that says WHERE two groups differ, not just
+    * whether (`stats_ks` gives the verdict, this gives the shape:
+    * tails vs body). Each decile is the inclusive-rank order statistic
+    * (smallest value whose cumulative count reaches ⌈p·n⌉, the
+    * `events_rfm` machinery) over the per-group distinct-value
+    * histogram of integer CENTS, so every quantile is a value that
+    * exists in the data and both engines pick it identically.
+    * (⌈p·n⌉ is evaluated as the same IEEE expression on both sides —
+    * for non-dyadic p that is the parity contract, exactness of the
+    * ceiling is not claimed.)
+    */
+  def qq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables(spark, dir, "orders")
+      .where($"o_totalprice" > 0 &&
+        $"o_orderpriority".isin(QqGroupA, QqGroupB))
+      .select($"o_orderpriority".as("grp"),
+        floor($"o_totalprice" * 100).cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("grp").orderBy($"v".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum($"c").over(w))
+    val tot = hist.groupBy("grp").agg(sum($"c").as("n"))
+    val ps = (1 to 9).map(_ / 10.0)
+    val pf = ps.toDF("p")
+    val th = cum.join(tot, "grp").crossJoin(broadcast(pf))
+      .groupBy("p", "grp")
+      .agg(min(when($"cum" >= ceil($"n" * $"p"), $"v")).as("q"))
+    th.groupBy("p").pivot("grp", Seq(QqGroupA, QqGroupB))
+      .agg(first($"q"))
+      .select($"p", col(QqGroupA).as("v_a"), col(QqGroupB).as("v_b"),
+        round(col(QqGroupA).cast("double") /
+          col(QqGroupB).cast("double"), 6).as("ratio"))
+      .orderBy("p")
+  }
+
+  val qqSql: String =
+    s"""WITH h AS (
+       |  SELECT o_orderpriority AS grp,
+       |         CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM orders
+       |  WHERE o_totalprice > 0
+       |    AND o_orderpriority IN ('$QqGroupA', '$QqGroupB')
+       |  GROUP BY 1, 2),
+       |cw AS (
+       |  SELECT grp, v, c,
+       |         CAST(sum(c) OVER (PARTITION BY grp ORDER BY v ASC
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS cum
+       |  FROM h),
+       |tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY grp),
+       |pp AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+       |                           0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS p),
+       |th AS (
+       |  SELECT p, grp,
+       |         min(CASE WHEN cum >= ceil(n * p) THEN v END) AS q
+       |  FROM cw JOIN tot USING (grp) CROSS JOIN pp
+       |  GROUP BY p, grp)
+       |SELECT a.p, a.q AS v_a, b.q AS v_b,
+       |       round(CAST(a.q AS DOUBLE) / CAST(b.q AS DOUBLE), 6) AS ratio
+       |FROM th a JOIN th b ON a.p = b.p
+       |WHERE a.grp = '$QqGroupA' AND b.grp = '$QqGroupB'
+       |ORDER BY a.p""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stats_qq", qq _, Some(qqSql)),
     Op("stats_gini", gini _, Some(giniSql)),
     Op("stats_benford", benford _, Some(benfordSql)),
     Op("stats_ks", statsKs _, Some(statsKsSql)),

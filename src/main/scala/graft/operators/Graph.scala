@@ -813,7 +813,69 @@ object Graph {
        |ORDER BY jaccard DESC, ca ASC, cb ASC
        |LIMIT $JaccardTopN""".stripMargin
 
+  // ------------------------------------------- degree assortativity
+
+  /** Degree assortativity of the trading graph — do high-degree
+    * suppliers trade with high-degree customers (hub-hub, r > 0) or
+    * with the long tail (hub-leaf, r < 0)? The Pearson correlation of
+    * endpoint degrees over the edge list, the standard one-number
+    * mixing diagnostic (Newman 2002) read before trusting any
+    * degree-driven sampling or cap.
+    *
+    * Exactness: degrees are integers; all five moments (Σx, Σy, Σxy,
+    * Σx², Σy²) accumulate as DECIMAL(38,0) sums of integer products
+    * (deg ≤ 10⁶ keeps deg² products within headroom at any corpus
+    * size), and r is one fixed double expression over identical
+    * scalars. Degrees broadcast back over the edge frame — two
+    * node-keyed joins, one edge-keyed reduce, no window.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = shipEdges(spark, dir)
+    val ds = e.groupBy("s").agg(count(lit(1)).as("ds"))
+    val dc = e.groupBy("c").agg(count(lit(1)).as("dc"))
+    val m = e.join(ds, "s").join(dc, "c")
+      .agg(count(lit(1)).as("m"),
+        sum(col("ds").cast("decimal(38,0)")).as("sx"),
+        sum(col("dc").cast("decimal(38,0)")).as("sy"),
+        sum((col("ds") * col("dc")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("ds") * col("ds")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("dc") * col("dc")).cast("decimal(38,0)")).as("syy"))
+    val n = col("m").cast("double")
+    def d(c0: org.apache.spark.sql.Column) = c0.cast("double")
+    m.select(col("m").as("n_edges"),
+      round((n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        (sqrt(n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+          sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+        .as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    s"""WITH e AS ($shipEdgesSql),
+       |ds AS (SELECT s, CAST(count(*) AS BIGINT) AS ds FROM e GROUP BY s),
+       |dc AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM e GROUP BY c),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m,
+       |         CAST(sum(CAST(ds AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+       |         CAST(sum(CAST(dc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+       |         CAST(sum(CAST(ds * dc AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       |           AS sxy,
+       |         CAST(sum(CAST(ds * ds AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       |           AS sxx,
+       |         CAST(sum(CAST(dc * dc AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       |           AS syy
+       |  FROM e JOIN ds USING (s) JOIN dc USING (c))
+       |SELECT m AS n_edges,
+       |       round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) -
+       |              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |             (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) -
+       |                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |              sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) -
+       |                   CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       |         AS assortativity
+       |FROM m""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("graph_assortativity", assortativity _, Some(assortativitySql)),
     Op("graph_jaccard", jaccardNeighbors _, Some(jaccardNeighborsSql)),
     Op("graph_degree", degrees _, Some(degreesSql)),
     Op("graph_components", components _, Some(componentsSql)),

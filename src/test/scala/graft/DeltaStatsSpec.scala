@@ -235,6 +235,54 @@ class DeltaStatsSpec extends SparkSpec {
       }
   }
 
+  test("assortativity: the decimal-moment pearson equals a collected " +
+      "per-edge computation") {
+    import graft.operators.Graph
+    val Array(r0) = Graph.assortativity(spark, sfDir).collect()
+    val edges = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+      .join(spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ds = edges.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val dc = edges.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val xs = edges.map(e => ds(e._1))
+    val ys = edges.map(e => dc(e._2))
+    val n = edges.length.toDouble
+    val r = (n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum) /
+      (math.sqrt(n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+        math.sqrt(n * ys.map(a => a * a).sum - ys.sum * ys.sum))
+    assert(r0.getLong(0) == edges.length.toLong)
+    assert(math.abs(r0.getDouble(1) - r) < 1e-4,
+      s"${r0.getDouble(1)} vs $r")
+  }
+
+  test("qq: each decile is the inclusive-rank order statistic of its " +
+      "group") {
+    import graft.operators.Analytics
+    val got = Analytics.qq(spark, sfDir).collect()
+      .map(r => math.rint(r.getDouble(0) * 10).toInt ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val byGrp = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .filter(r => r.getDouble(1) > 0 &&
+        Set("1-URGENT", "5-LOW").contains(r.getString(0)))
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r =>
+        math.floor(r.getDouble(1) * 100).toLong).sorted).toMap
+    def q(xs: Array[Long], p: Double): Long =
+      xs(math.ceil(xs.length * p).toInt - 1)
+    (1 to 9).foreach { i =>
+      val p = i / 10.0
+      assert(got(i)._1 == q(byGrp("1-URGENT"), p),
+        s"p=$p urgent ${got(i)._1}")
+      assert(got(i)._2 == q(byGrp("5-LOW"), p), s"p=$p low ${got(i)._2}")
+    }
+  }
+
   test("gini: the histogram rank formula equals the quadratic " +
       "mean-absolute-difference definition") {
     import graft.operators.Analytics
