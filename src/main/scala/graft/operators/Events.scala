@@ -1521,7 +1521,62 @@ object Events {
        |FROM v$MarkovIters""".stripMargin
   }
 
+  // ---------------------------------------- CUSUM changepoint scan
+
+  /** CUSUM changepoint detection over daily event volume — the
+    * monitoring read that localizes WHEN a level shift happened (the
+    * drift family says whether): S_t = Σ_{i≤t}(x_i − μ) peaks at the
+    * shift boundary. Reported per day with the |S| maximizer flagged.
+    *
+    * Determinism: daily counts and their cumulative sums are exact
+    * integers; μ = T/D and each S_t = cum_t − t·μ are the same IEEE
+    * expression on both engines, rounded at the boundary; the flag
+    * compares the rounded values so it cannot flap on a final ulp.
+    * All windows run over the DAY histogram — calendar-bounded, the
+    * `events_survival` class.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir, "events")
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = daily.agg(sum($"n_events").as("t"),
+      count(lit(1)).as("d"))
+    val wc = Window.orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    daily.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(Window.orderBy($"day".asc)))
+      .withColumn("cum", sum($"n_events").over(wc))
+      .withColumn("cusum",
+        round($"cum".cast("double") -
+          $"rk".cast("double") *
+            ($"t".cast("double") / $"d".cast("double")), 4))
+      .withColumn("is_change",
+        abs($"cusum") === max(abs($"cusum")).over(wAll))
+      .select($"day", $"n_events", $"cusum", $"is_change")
+  }
+
+  val changepointSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS t,
+      |               CAST(count(*) AS BIGINT) AS d FROM daily),
+      |c AS (
+      |  SELECT day, n_events,
+      |         round(CAST(sum(n_events) OVER (ORDER BY day ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             AS DOUBLE) -
+      |           CAST(row_number() OVER (ORDER BY day ASC) AS DOUBLE) *
+      |             (CAST(t AS DOUBLE) / CAST(d AS DOUBLE)), 4) AS cusum
+      |  FROM daily CROSS JOIN tot)
+      |SELECT day, n_events, cusum,
+      |       abs(cusum) = max(abs(cusum)) OVER () AS is_change
+      |FROM c""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("events_changepoint", changepoint _, Some(changepointSql)),
     Op("events_markov_stationary", markovStationary _,
       Some(markovStationarySql)),
     Op("events_survival", survival _, Some(survivalSql)),

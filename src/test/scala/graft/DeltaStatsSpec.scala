@@ -595,6 +595,32 @@ class DeltaStatsSpec extends SparkSpec {
       s"rank contract: ${check.mkString(", ")}")
   }
 
+  test("changepoint: CUSUM peaks at a planted level shift") {
+    import spark.implicits._
+    import graft.operators.Events
+    // 6 days at 10 events/day then 6 days at 30: the CUSUM extreme
+    // must land exactly on the last low day (day 6)
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = for {
+      d <- 0 until 12
+      k <- 0 until (if (d < 6) 10 else 30)
+    } yield ((d * 100 + k).toLong,
+      new java.sql.Timestamp(t0 + d * 86400000L + k * 1000L),
+      1L, "click", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Events.changepoint(spark, dir).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.size == 12)
+    // μ = 240/12 = 20; S_6 = 60 − 120 = −60 is the extreme
+    assert(got("2024-03-06") == ((10L, -60.0, true)),
+      s"got ${got("2024-03-06")}")
+    assert(got.count(_._2._3) == 1, s"one change day: $got")
+    assert(got("2024-03-12")._2 == 0.0, "CUSUM must return to zero")
+  }
+
   test("survival: Kaplan-Meier reconstructs by hand, last-day users " +
       "are censored not dead") {
     import spark.implicits._
