@@ -1575,7 +1575,95 @@ object Events {
       |       abs(cusum) = max(abs(cusum)) OVER () AS is_change
       |FROM c""".stripMargin
 
+  // --------------------------------------------- Holt trend forecast
+
+  private val HoltAlpha = 0.3
+  private val HoltBeta = 0.1
+  private val HoltHorizon = 7
+
+  /** Holt linear exponential smoothing over daily event volume — the
+    * capacity-planning read: fitted level per observed day plus a
+    * 7-day-ahead linear forecast. ℓ_t = αx_t + (1−α)(ℓ_{t−1}+b_{t−1}),
+    * b_t = β(ℓ_t−ℓ_{t−1}) + (1−β)b_{t−1}, initialized ℓ₁ = x₁,
+    * b₁ = x₂ − x₁; forecast(h) = ℓ_n + h·b_n.
+    *
+    * The recurrence is inherently sequential, so it runs where
+    * sequential is CORRECT at any corpus size: the corpus reduces to
+    * the calendar-bounded day histogram first (map-side combined),
+    * and only that tiny frame flows through a single ordered
+    * partition — the `curate_loss_band` boundedness class, with the
+    * same documented invariant. Cross-engine parity: inputs are exact
+    * integer counts and both engines evaluate the identical IEEE
+    * recurrence in the identical order (DuckDB as a recursive CTE),
+    * rounded at the boundary. Under 2 observed days → empty frame on
+    * both sides.
+    */
+  def forecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir, "events")
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .coalesce(1)
+      .sortWithinPartitions($"day".asc)
+      .as[(java.sql.Date, Long)]
+    val out = daily.mapPartitions { it =>
+      val xs = it.toArray
+      if (xs.length < 2) Iterator.empty
+      else {
+        var l = xs(0)._2.toDouble
+        var b = xs(1)._2.toDouble - xs(0)._2.toDouble
+        val rows = Vector.newBuilder[(java.sql.Date, String, Double)]
+        rows += ((xs(0)._1, "level", math.rint(l * 10000) / 10000))
+        var t = 1
+        while (t < xs.length) {
+          val prevL = l
+          l = HoltAlpha * xs(t)._2 + (1 - HoltAlpha) * (l + b)
+          b = HoltBeta * (l - prevL) + (1 - HoltBeta) * b
+          rows += ((xs(t)._1, "level", math.rint(l * 10000) / 10000))
+          t += 1
+        }
+        val lastMs = xs.last._1.getTime
+        (1 to HoltHorizon).foreach { h =>
+          rows += ((new java.sql.Date(lastMs + h * 86400000L), "forecast",
+            math.rint((l + h * b) * 10000) / 10000))
+        }
+        rows.result().iterator
+      }
+    }
+    out.toDF("day", "kind", "value")
+  }
+
+  val forecastSql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(row_number() OVER (ORDER BY CAST(ts AS DATE) ASC)
+       |           AS BIGINT) AS rn
+       |  FROM events GROUP BY 1),
+       |k AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+       |rec(rn, day, l, b) AS (
+       |  SELECT d1.rn, d1.day, CAST(d1.n AS DOUBLE),
+       |         CAST(d2.n AS DOUBLE) - CAST(d1.n AS DOUBLE)
+       |  FROM daily d1 JOIN daily d2 ON d1.rn = 1 AND d2.rn = 2
+       |  UNION ALL
+       |  SELECT d.rn, d.day,
+       |         $HoltAlpha * CAST(d.n AS DOUBLE) +
+       |           (1 - $HoltAlpha) * (r.l + r.b),
+       |         $HoltBeta * (($HoltAlpha * CAST(d.n AS DOUBLE) +
+       |             (1 - $HoltAlpha) * (r.l + r.b)) - r.l) +
+       |           (1 - $HoltBeta) * r.b
+       |  FROM rec r JOIN daily d ON d.rn = r.rn + 1),
+       |last AS (
+       |  SELECT day, l, b FROM rec
+       |  WHERE rn = (SELECT nd FROM k))
+       |SELECT day, 'level' AS kind, round(l, 4) AS value FROM rec
+       |UNION ALL
+       |SELECT last.day + CAST(h AS INTEGER), 'forecast',
+       |       round(l + CAST(h AS DOUBLE) * b, 4)
+       |FROM last CROSS JOIN
+       |  (SELECT unnest(generate_series(1, $HoltHorizon)) AS h)""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("events_forecast", forecast _, Some(forecastSql)),
     Op("events_changepoint", changepoint _, Some(changepointSql)),
     Op("events_markov_stationary", markovStationary _,
       Some(markovStationarySql)),

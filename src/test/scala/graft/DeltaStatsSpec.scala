@@ -595,6 +595,48 @@ class DeltaStatsSpec extends SparkSpec {
       s"rank contract: ${check.mkString(", ")}")
   }
 
+  test("forecast: the Holt recurrence reconstructs by hand and the " +
+      "horizon extrapolates the final trend") {
+    import spark.implicits._
+    import graft.operators.Events
+    // daily counts 10,12,14,16,18 (clean trend +2/day)
+    val dir = java.nio.file.Files.createTempDirectory("holt").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    val rows = for {
+      d <- 0 until 5; k <- 0 until (10 + 2 * d)
+    } yield ((d * 100 + k).toLong,
+      new java.sql.Timestamp(t0 + d * 86400000L + k * 1000L),
+      1L, "click", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Events.forecast(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // hand mirror
+    val xs = Seq(10.0, 12.0, 14.0, 16.0, 18.0)
+    var l = xs(0); var b = xs(1) - xs(0)
+    val levels = scala.collection.mutable.ArrayBuffer(l)
+    (1 until 5).foreach { t =>
+      val pl = l
+      l = 0.3 * xs(t) + 0.7 * (l + b)
+      b = 0.1 * (l - pl) + 0.9 * b
+      levels += l
+    }
+    (0 until 5).foreach { d =>
+      val day = f"2024-05-0${d + 1}%d"
+      assert(math.abs(got((day, "level")) - levels(d)) < 1e-3,
+        s"$day: ${got((day, "level"))} vs ${levels(d)}")
+    }
+    // a clean linear series forecasts ~linearly: +b per day
+    (1 to 7).foreach { h =>
+      val day = f"2024-05-0${5 + h}%02d".replace("2024-05-012", "2024-05-12")
+      val key = (java.time.LocalDate.parse("2024-05-05").plusDays(h)
+        .toString, "forecast")
+      assert(math.abs(got(key) - (l + h * b)) < 1e-3, s"h=$h ${got.get(key)}")
+    }
+    assert(got.count(_._1._2 == "forecast") == 7)
+  }
+
   test("changepoint: CUSUM peaks at a planted level shift") {
     import spark.implicits._
     import graft.operators.Events
