@@ -477,4 +477,38 @@ class EdgeCaseSpec extends SparkSpec {
     // text fallback: pseudo dims/duration from byte length (14 bytes)
     assert(m(3L) == ((30, 30, 14L, 1)), s"text fallback: ${m(3L)}")
   }
+
+  test("round-9 operators are empty-input safe") {
+    import spark.implicits._
+    import graft.operators.{Analytics, Curation, Events, TextAnalysis}
+    val dir = emptyDocsDir()
+    assert(TextAnalysis.zipf(spark, dir).count() == 0)
+    assert(TextAnalysis.bpePairs(spark, dir).count() == 0)
+    assert(TextAnalysis.readability(spark, dir).count() == 0)
+    assert(Curation.epochPlan(spark, dir).count() == 0)
+    val edir = java.nio.file.Files.createTempDirectory("r9ev").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$edir/events.parquet")
+    assert(Events.survival(spark, edir).count() == 0)
+    assert(Events.markovStationary(spark, edir).count() == 0)
+    assert(Events.changepoint(spark, edir).count() == 0)
+    assert(Events.forecast(spark, edir).count() == 0)
+    // a single-day history cannot seed the Holt trend either
+    val e1 = java.nio.file.Files.createTempDirectory("r9e1").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      7L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$e1/events.parquet")
+    assert(Events.forecast(spark, e1).count() == 0)
+    val odir = java.nio.file.Files.createTempDirectory("r9o").toString
+    Seq.empty[(Long, Long, String, Double, java.sql.Timestamp, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$odir/orders.parquet")
+    // benford keeps its 9-digit spine (all-zero counts, NaN-free
+    // contribs are not claimed on an empty frame — rows exist, n=0)
+    assert(Analytics.gini(spark, odir).count() == 0)
+    assert(Analytics.qq(spark, odir).count() == 0)
+  }
 }
