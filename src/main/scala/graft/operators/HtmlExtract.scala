@@ -1,0 +1,351 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Op, Tables}
+import graft.sources.WarcIngest
+
+/** HTML → clean-text extraction — the missing link between `WarcIngest`'s
+  * HTTP payloads and every downstream text/dedup/curation operator (the
+  * reference's whole job is fetch→convert→extract, `fetch.go:26-161`;
+  * this closes the extract leg for the web format a crawl corpus
+  * actually arrives in).
+  *
+  * The extraction spec is a FIXED, deterministic regexp chain kept inside
+  * the RE2 ∩ java.util.regex common syntax (inline `(?s)` flag,
+  * non-greedy `.*?`, bracket classes; NO backreferences — RE2 has none),
+  * so the DuckDB oracle executes the IDENTICAL chain and the driver
+  * hash-compares full extracted text:
+  *   1. strip `<script…>…</script>`, `<style…>…</style>`, `<!-- … -->`
+  *   2. strip remaining tags `<[^>]*>` (each → one space, so text from
+  *      adjacent blocks never word-joins)
+  *   3. decode the HTML 4 core entities (`&lt; &gt; &quot; &#39; &nbsp;`,
+  *      and `&amp;` LAST so escaped ampersands round-trip)
+  *   4. collapse whitespace runs, trim.
+  * Malformed markup degrades instead of failing: an unclosed script/style
+  * swallows to end-of-document (the browser behavior), an unclosed tag is
+  * stripped to its `>`-less tail by the whitespace pass, and a bare `<`
+  * with no closing `>` survives as text — no exception path exists.
+  *
+  * Scale shape: every operator here is an embarrassingly parallel scan —
+  * regexp projections inside whole-stage codegen, explode for block
+  * segmentation, no shuffle anywhere. At 100 TB this is a pure map over
+  * input splits, exactly like the rest of `TextAnalysis`.
+  *
+  * FIXTURE: the corpus has no HTML column, so each operator wraps
+  * `documents.text` in a deterministic page template (title/style/script/
+  * nav/h1/p/share/comment/footer — the boilerplate shapes a real page
+  * carries). The template is rendered from ONE shared token list by three
+  * renderers — Scala (WARC fixture bytes), Spark `Column`, DuckDB SQL —
+  * so the engines can never drift; `HtmlWarcSpec` pins Scala==Spark and
+  * the driver's oracle pins Spark==DuckDB.
+  */
+object HtmlExtract {
+
+  // ------------------------------------------------------------ template
+
+  private sealed trait Tok
+  private case class L(s: String) extends Tok   // literal HTML
+  private case object Id extends Tok            // doc_id as decimal string
+  private case object Esc extends Tok           // HTML-escaped text
+
+  /** One page: head with style, a script, a nav block, heading, the
+    * document body paragraph, a share block, a crawler comment, a footer.
+    * Single-line (no newlines) so whitespace assertions stay readable.
+    */
+  private val WrapTokens: Seq[Tok] = Seq(
+    L("<html><head><title>Doc "), Id,
+    L("</title><style type=\"text/css\">p{margin:0;}</style></head>" +
+      "<body><script type=\"text/javascript\">var docId="), Id,
+    L(";track(\"pv\");</script>" +
+      "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/docs\">Docs</a>" +
+      " <a href=\"/about\">About</a></div>" +
+      "<h1>Document "), Id,
+    L("</h1><p>"), Esc,
+    L("</p><div class=\"share\"><a href=\"/share\">Share</a>" +
+      " <a href=\"/print\">Print</a></div>" +
+      "<!-- seg:"), Id,
+    L(" --><div class=\"footer\"><a href=\"/terms\">Terms</a>" +
+      " <a href=\"/privacy\">Privacy</a></div></body></html>"))
+
+  /** Escape order & < > (ampersand FIRST); decode reverses with &amp;
+    * LAST — the pair round-trips any input text exactly.
+    */
+  private val escapePairs = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+
+  /** Scala renderer — the byte-exact page the WARC fixture serves. */
+  private[graft] def wrapScala(docId: Long, text: String): String = {
+    val esc = escapePairs.foldLeft(text) { case (s, (f, t)) => s.replace(f, t) }
+    WrapTokens.map {
+      case L(s) => s
+      case Id   => docId.toString
+      case Esc  => esc
+    }.mkString
+  }
+
+  /** Spark renderer — same page as a codegen'd concat projection. */
+  private[graft] def wrapCol(docId: Column, text: Column): Column = {
+    val esc = escapePairs.foldLeft(text) { case (c, (f, t)) =>
+      regexp_replace(c, f, t) // literal-safe: no metachars in & < >
+    }
+    concat(WrapTokens.map {
+      case L(s) => lit(s)
+      case Id   => docId.cast("string")
+      case Esc  => esc
+    }: _*)
+  }
+
+  private def sqlQ(s: String): String = s.replace("'", "''")
+
+  /** DuckDB renderer — same page in oracle SQL. */
+  private[graft] def wrapSql(idExpr: String, textExpr: String): String = {
+    val esc = escapePairs.foldLeft(textExpr) { case (e, (f, t)) =>
+      s"replace($e, '${sqlQ(f)}', '${sqlQ(t)}')"
+    }
+    WrapTokens.map {
+      case L(s) => s"'${sqlQ(s)}'"
+      case Id   => s"CAST($idExpr AS VARCHAR)"
+      case Esc  => esc
+    }.mkString("concat(", ", ", ")")
+  }
+
+  // ----------------------------------------------------- extraction chain
+
+  /** Strip patterns, applied in order, each match → one space. */
+  /** `\z` (end of TEXT, identical in Java and RE2 — `$` is not: Java's
+    * matches before a trailing newline) makes an unclosed script/style/
+    * comment swallow to end-of-document, the browser behavior.
+    */
+  private val StripPats = Seq(
+    "(?s)<script[^>]*>.*?(</script>|\\z)",
+    "(?s)<style[^>]*>.*?(</style>|\\z)",
+    "(?s)<!--.*?(-->|\\z)",
+    "<[^>]*>")
+
+  /** Entity decode, `&amp;` last (see scaladoc). All patterns are
+    * metachar-free, so regexp_replace is a literal replace.
+    */
+  private val EntityPairs = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  private val ChainPairs: Seq[(String, String)] =
+    StripPats.map(_ -> " ") ++ EntityPairs :+ ("\\s+" -> " ")
+
+  /** The full chain as one Spark projection (whole-stage codegen). */
+  private[graft] def cleanHtmlCol(html: Column): Column =
+    trim(ChainPairs.foldLeft(html) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    })
+
+  /** The identical chain in DuckDB SQL ('g' flag = Java's default-global). */
+  private[graft] def cleanHtmlSql(e: String): String = {
+    val folded = ChainPairs.foldLeft(e) { case (s, (p, r)) =>
+      s"regexp_replace($s, '${sqlQ(p)}', '${sqlQ(r)}', 'g')"
+    }
+    s"trim($folded)"
+  }
+
+  // ------------------------------------------------- text_html_extract
+
+  private val LinkPat  = "<a "
+  private val BlockPat = "(?s)<(?:p|h1|div)[^>]*>.*?</(?:p|h1|div)>"
+
+  /** Frame-in/frame-out form over any `(doc_id, html)` frame — a pure
+    * stateless projection, streaming-safe like `redactColumns`.
+    */
+  def extractColumns(df: DataFrame): DataFrame = {
+    val clean = cleanHtmlCol(col("html"))
+    df.select(
+      col("doc_id"),
+      length(col("html")).cast("long").as("n_chars_html"),
+      size(expr(s"regexp_extract_all(html, '$LinkPat', 0)"))
+        .cast("long").as("n_links"),
+      size(expr("regexp_extract_all(html, '<script', 0)"))
+        .cast("long").as("n_scripts"),
+      size(regexp_extract_all(col("html"), lit(BlockPat), lit(0)))
+        .cast("long").as("n_blocks"),
+      clean.as("text_clean"),
+      size(split(clean, " ")).cast("long").as("n_words"))
+  }
+
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    extractColumns(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          wrapCol(col("doc_id"), col("text")).as("html")))
+
+  val htmlExtractSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, ${wrapSql("doc_id", "text")} AS html FROM documents
+       |)
+       |SELECT doc_id,
+       |       CAST(length(html) AS BIGINT) AS n_chars_html,
+       |       CAST(len(regexp_extract_all(html, '$LinkPat')) AS BIGINT) AS n_links,
+       |       CAST(len(regexp_extract_all(html, '<script')) AS BIGINT) AS n_scripts,
+       |       CAST(len(regexp_extract_all(html, '${sqlQ(BlockPat)}')) AS BIGINT) AS n_blocks,
+       |       ${cleanHtmlSql("html")} AS text_clean,
+       |       CAST(len(string_split(${cleanHtmlSql("html")}, ' ')) AS BIGINT) AS n_words
+       |FROM h""".stripMargin
+
+  // --------------------------------------------- text_html_boilerplate
+
+  /** Block segmentation + link-density boilerplate scoring (the
+    * Boilerpipe/jusText signal, reduced to its deterministic core): split
+    * the page into block-level elements (`p`/`h1`/`div`; non-nested —
+    * RE2 has no recursion, and real extractors flatten anyway), score
+    * each block by links-per-word, and flag link-dominated blocks
+    * (density ≥ 0.5) as boilerplate. Downstream, `text_clean` of
+    * non-boilerplate blocks is the article text; the nav/share/footer
+    * chrome is exactly what this drops.
+    *
+    * One explode per page — output is bounded by block count, no shuffle.
+    */
+  def htmlBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val html = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        wrapCol(col("doc_id"), col("text")).as("html"))
+    val blocks = html.select(
+      col("doc_id"),
+      explode(regexp_extract_all(col("html"), lit(BlockPat), lit(0)))
+        .as("block"))
+    val clean = cleanHtmlCol(col("block"))
+    blocks.select(
+      col("doc_id"),
+      clean.as("block_text"),
+      size(expr(s"regexp_extract_all(block, '$LinkPat', 0)"))
+        .cast("long").as("n_links"),
+      size(split(clean, " ")).cast("long").as("n_words"))
+      .withColumn("link_density",
+        round(col("n_links").cast("double") / col("n_words"), 6))
+      .withColumn("is_boilerplate", col("link_density") >= 0.5)
+  }
+
+  val htmlBoilerplateSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, ${wrapSql("doc_id", "text")} AS html FROM documents
+       |), b AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(html, '${sqlQ(BlockPat)}')) AS block
+       |  FROM h
+       |), m AS (
+       |  SELECT doc_id,
+       |         ${cleanHtmlSql("block")} AS block_text,
+       |         CAST(len(regexp_extract_all(block, '$LinkPat')) AS BIGINT) AS n_links,
+       |         CAST(len(string_split(${cleanHtmlSql("block")}, ' ')) AS BIGINT) AS n_words
+       |  FROM b)
+       |SELECT doc_id, block_text, n_links, n_words,
+       |       round(CAST(n_links AS DOUBLE) / n_words, 6) AS link_density,
+       |       round(CAST(n_links AS DOUBLE) / n_words, 6) >= 0.5 AS is_boilerplate
+       |FROM m""".stripMargin
+
+  // -------------------------------------------------- docs_from_warc
+
+  /** Synthesize the WARC fixture once per scale dir: each executor task
+    * writes its partition's documents as one gzip-member-per-record
+    * `.warc.gz` segment (the Common Crawl layout) via temp-file + rename,
+    * and a `_SUCCESS` marker makes re-runs (Bench's best-of-3) a no-op —
+    * the O2 idempotence shape. Fixture synthesis only; the OPERATOR is
+    * everything after the landing dir.
+    */
+  private def synthDir(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(UTF_8)).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_warc_fixture_$key"
+  }
+
+  private[graft] def warcRecord(docId: Long, text: String): Array[Byte] = {
+    val html = wrapScala(docId, text).getBytes(UTF_8)
+    val httpHead =
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        .getBytes(UTF_8)
+    val payloadLen = httpHead.length + html.length
+    val warcHead =
+      (s"WARC/1.0\r\n" +
+        s"WARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://docs.example.nz/doc/$docId\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: $payloadLen\r\n\r\n").getBytes(UTF_8)
+    warcHead ++ httpHead ++ html ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private[graft] def synthWarcSegments(spark: SparkSession,
+      dir: String): String = {
+    val out = synthDir(dir)
+    val marker = new java.io.File(out, "_SUCCESS")
+    if (!marker.exists()) {
+      new java.io.File(out).mkdirs()
+      import spark.implicits._
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.get().partitionId()
+            val tmp = new java.io.File(out, s".part-$pid.tmp")
+            val dst = new java.io.File(out, f"part-$pid%05d.warc.gz")
+            val fos = new java.io.FileOutputStream(tmp)
+            try it.foreach { case (id, text) =>
+              // one gzip member per record (Common Crawl convention);
+              // finish() seals the member, the stream below starts a new one
+              val gz = new java.util.zip.GZIPOutputStream(fos)
+              gz.write(warcRecord(id, text))
+              gz.finish()
+            } finally fos.close()
+            tmp.renameTo(dst) // atomic publish; retries just overwrite tmp
+            ()
+          }
+        }
+      marker.createNewFile()
+    }
+    out
+  }
+
+  /** End-to-end web ingest: WARC segments → record parse → HTTP split →
+    * HTML extraction → per-doc text identity. FULLY oracled: the fixture
+    * pages are the shared template, so DuckDB recomputes the expected
+    * clean text (and its md5) straight from `documents` — a hash match
+    * proves the gzip-member chain, the WARC grammar, the HTTP split, the
+    * UTF-8 body decode, and the extraction chain all round-tripped
+    * byte-exactly. The operator side is `binaryFile` scan (one task per
+    * segment) → flatMap parse → codegen'd projection; no shuffle.
+    */
+  def docsFromWarc(spark: SparkSession, dir: String): DataFrame = {
+    val seg = synthWarcSegments(spark, dir)
+    val clean = cleanHtmlCol(col("html"))
+    WarcIngest.toDataFrame(spark, seg)
+      .where(col("warc_type") === "response" && col("http_status") === 200)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("http_status"),
+        col("body").cast("string").as("html"))
+      .select(
+        col("doc_id"),
+        col("http_status"),
+        size(expr(s"regexp_extract_all(html, '$LinkPat', 0)"))
+          .cast("long").as("n_links"),
+        size(split(clean, " ")).cast("long").as("n_words"),
+        md5(clean).as("text_md5"))
+  }
+
+  val docsFromWarcSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, ${wrapSql("doc_id", "text")} AS html FROM documents
+       |)
+       |SELECT doc_id,
+       |       CAST(200 AS INTEGER) AS http_status,
+       |       CAST(len(regexp_extract_all(html, '$LinkPat')) AS BIGINT) AS n_links,
+       |       CAST(len(string_split(${cleanHtmlSql("html")}, ' ')) AS BIGINT) AS n_words,
+       |       md5(${cleanHtmlSql("html")}) AS text_md5
+       |FROM h""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("text_html_extract", htmlExtract _, Some(htmlExtractSql)),
+    Op("text_html_boilerplate", htmlBoilerplate _, Some(htmlBoilerplateSql)),
+    Op("docs_from_warc", docsFromWarc _, Some(docsFromWarcSql)),
+  )
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.HtmlExtract
+
+/** HTML → clean-text extraction + the WARC end-to-end chain
+  * (VERDICT r10 #1): golden extraction cases, malformed-markup
+  * degradation, renderer parity (Scala fixture bytes == Spark Column),
+  * block/boilerplate classification, and the full
+  * segments → WarcIngest → extract roundtrip at sf0.001.
+  */
+class HtmlWarcSpec extends SparkSpec {
+
+  /** Run the Spark extraction chain on one literal HTML string. */
+  private def clean(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("html")
+      .select(HtmlExtract.cleanHtmlCol(col("html")).as("t"))
+      .collect()(0).getString(0)
+  }
+
+  // ------------------------------------------------------ golden cases
+
+  test("extraction strips script/style/comment bodies, not just tags") {
+    val html = "<html><script src=\"x.js\">var a = '<p>not text</p>';" +
+      "</script><style>body{color:red}</style><p>Real text.</p>" +
+      "<!-- hidden <b>note</b> --></html>"
+    assert(clean(html) == "Real text.")
+  }
+
+  test("entity decode round-trips, &amp; decoded last") {
+    assert(clean("<p>a &lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39; x&nbsp;y</p>")
+      == "a <tag> &amp; \"q\" 's' x y")
+    // escaped-then-extracted text equals the original (wrap round-trip)
+    val original = "5 < 6 & 7 > 2"
+    import spark.implicits._
+    val got = Seq((1L, original)).toDF("doc_id", "text")
+      .select(HtmlExtract.cleanHtmlCol(
+        HtmlExtract.wrapCol(col("doc_id"), col("text"))).as("t"))
+      .collect()(0).getString(0)
+    assert(got.contains(original))
+  }
+
+  test("adjacent blocks never word-join; whitespace collapses") {
+    assert(clean("<div>alpha</div><div>beta</div>") == "alpha beta")
+    assert(clean("<p>a\r\n  b\t c</p>") == "a b c")
+  }
+
+  test("malformed markup degrades, never throws") {
+    // unclosed script swallows to end of document (browser behavior)
+    assert(clean("<p>keep</p><script>var x=1; rest is gone") == "keep")
+    // unclosed tag at EOF: '<' with no '>' survives as text
+    assert(clean("text then <broken") == "text then <broken")
+    // stray '>' is plain text
+    assert(clean("a > b") == "a > b")
+    // attribute '>' inside quotes is NOT handled (documented regexp
+    // limitation): tag is cut at the first '>', remainder is text
+    assert(clean("<a href=\"x>y\">z</a>") == "y\">z")
+  }
+
+  // -------------------------------------------------- renderer parity
+
+  test("Scala wrap renderer == Spark wrap renderer on the corpus") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect()
+    val sparkSide = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        HtmlExtract.wrapCol(col("doc_id"), col("text")).as("html"))
+      .as[(Long, String)].collect().toMap
+    docs.foreach { case (id, text) =>
+      assert(HtmlExtract.wrapScala(id, text) == sparkSide(id),
+        s"renderer drift for doc $id")
+    }
+  }
+
+  // ------------------------------------------------------- boilerplate
+
+  test("link-dominated chrome flagged; article text kept") {
+    val rows = HtmlExtract.htmlBoilerplate(spark, sfDir)
+      .where(col("doc_id") === 0).collect()
+    assert(rows.length == 5) // nav, h1, p, share, footer
+    val byText = rows.map(r => r.getString(1) -> r.getBoolean(5)).toMap
+    assert(byText("Home Docs About"))          // nav: 3 links / 3 words
+    assert(byText("Share Print"))              // share chrome
+    assert(byText("Terms Privacy"))            // footer chrome
+    val article = rows.filter(!_.getBoolean(5))
+    assert(article.length == 2) // h1 + body paragraph
+    assert(article.exists(_.getString(1).startsWith("Document ")))
+  }
+
+  // ------------------------------------------------- WARC end-to-end
+
+  test("docs_from_warc round-trips every document through real WARC bytes") {
+    import spark.implicits._
+    val got = HtmlExtract.docsFromWarc(spark, sfDir)
+      .select(col("doc_id"), col("text_md5"), col("http_status")).as[(Long, String, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val expected = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(HtmlExtract.cleanHtmlCol(
+          HtmlExtract.wrapCol(col("doc_id"), col("text")))).as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(got.size == expected.size && got.nonEmpty)
+    expected.foreach { case (id, m) =>
+      assert(got(id) == ((m, 200)), s"roundtrip mismatch for doc $id")
+    }
+  }
+
+  test("warc fixture synthesis is idempotent (marker gate, O2 shape)") {
+    val dir = HtmlExtract.synthWarcSegments(spark, sfDir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    val again = HtmlExtract.synthWarcSegments(spark, sfDir)
+    val files2 = new java.io.File(again).listFiles().map(_.getName).sorted
+    assert(dir == again && files.sameElements(files2))
+    assert(files.contains("_SUCCESS") && files.exists(_.endsWith(".warc.gz")))
+  }
+}
