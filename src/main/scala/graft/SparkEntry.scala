@@ -13,7 +13,8 @@ object SparkEntry {
     Relational.ops ++ Events.ops ++ TextAnalysis.ops ++ Dedup.ops ++
       Similarity.ops ++ Multimodal.ops ++ Reshape.ops ++ Analytics.ops ++
       Skew.ops ++ DocsPipeline.ops ++ Curation.ops ++ Graph.ops ++
-      RuntimeFilter.ops ++ History.ops ++ Spatial.ops ++ HtmlExtract.ops
+      RuntimeFilter.ops ++ History.ops ++ Spatial.ops ++ HtmlExtract.ops ++
+      Domains.ops
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Domains
+
+/** URL → registered-domain extraction + blocklist curation
+  * (VERDICT r10 #2): scheme/port/case edge cases, two-level public
+  * suffixes, anti-join semantics, report arithmetic.
+  */
+class DomainsSpec extends SparkSpec {
+
+  private def extract(urls: String*): Map[String, (String, String)] = {
+    import spark.implicits._
+    Domains.withDomain(urls.toDF("url"))
+      .select(col("url"), col("host"), col("registered_domain"))
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("host extraction: port stripped, case folded, path/query ignored") {
+    val m = extract(
+      "https://media.example.com:8080/a/b?q=1",
+      "http://EN.Wikipedia.ORG/wiki/NZ",
+      "https://data.example.co.nz/x")
+    assert(m("https://media.example.com:8080/a/b?q=1") ==
+      (("media.example.com", "example.com")))
+    assert(m("http://EN.Wikipedia.ORG/wiki/NZ") ==
+      (("en.wikipedia.org", "wikipedia.org")))
+    assert(m("https://data.example.co.nz/x") ==
+      (("data.example.co.nz", "example.co.nz")))
+  }
+
+  test("two-level public suffixes take three labels; plain TLDs take two") {
+    val m = extract(
+      "https://api.services.govt.nz/",
+      "https://archive.heritage.org.nz/x",
+      "https://a.b.c.example.com/deep",
+      "https://shop.example.co.uk/")
+    assert(m("https://api.services.govt.nz/")._2 == "services.govt.nz")
+    assert(m("https://archive.heritage.org.nz/x")._2 == "heritage.org.nz")
+    assert(m("https://a.b.c.example.com/deep")._2 == "example.com")
+    assert(m("https://shop.example.co.uk/")._2 == "example.co.uk")
+  }
+
+  test("degenerate hosts degrade: single label falls back to host itself") {
+    val m = extract("http://localhost/health", "http://intranet:9090/")
+    assert(m("http://localhost/health")._2 == "localhost")
+    assert(m("http://intranet:9090/")._2 == "intranet")
+  }
+
+  test("blocklist anti-join drops exactly the blocked registered domains") {
+    import spark.implicits._
+    val kept = Domains.domainFilter(spark, sfDir)
+    val domains = kept.select(col("registered_domain")).distinct()
+      .as[String].collect().toSet
+    assert(!domains.contains("spam-farm.net") && !domains.contains("tracker.io"))
+    // hosts cycle doc_id % 8: exactly 6 of 8 kept
+    val total = Tables(spark, sfDir, "documents").count()
+    assert(kept.count() == total - total / 8 * 2 -
+      (if (total % 8 >= 3) 1L else 0L) - (if (total % 8 >= 7) 1L else 0L))
+  }
+
+  test("report: dup_rate and avg_words arithmetic, blocked flag set") {
+    val rows = Domains.domainReport(spark, sfDir).collect()
+    val byDom = rows.map(r => r.getString(0) -> r).toMap
+    assert(byDom.contains("spam-farm.net") && byDom("spam-farm.net")
+      .getBoolean(byDom("spam-farm.net").fieldIndex("blocked")))
+    rows.foreach { r =>
+      val nDocs = r.getLong(r.fieldIndex("n_docs"))
+      val uniq = r.getLong(r.fieldIndex("n_unique_texts"))
+      val dup = r.getDouble(r.fieldIndex("dup_rate"))
+      assert(nDocs > 0 && uniq <= nDocs)
+      assert(math.abs(dup - (1.0 - uniq.toDouble / nDocs)) < 1e-6)
+    }
+    // every registered domain appears exactly once
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
+  test("blocklist join is a broadcast (no shuffle of the fact side)") {
+    val plan = Domains.domainFilter(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
