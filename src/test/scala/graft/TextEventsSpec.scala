@@ -46,6 +46,46 @@ class TextEventsSpec extends SparkSpec {
     assert(rows(3L).getLong(2) == 2 && rows(3L).getLong(3) == 1)
   }
 
+  test("redact_pii: strict IPv4, Luhn-gated cards, planted branches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pii2").toString
+    // doc_id % 4 selects the planted suffix: 0 = IPs, 1 = valid card,
+    // 2 = invalid card, 3 = email+phone
+    Seq(
+      (4L, "visit 10.0.0.1 and 256.1.1.1 card 5500 0000 0000 0004 now"),
+      (5L, "run 12345678901234567890123456 x"),   // 26-digit run: no card
+      (6L, "order 1234567890123 ok"),             // 13 digits, Luhn-invalid
+      (7L, "embedded a1234567890123456b noise"))  // no word boundary
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.redactPii(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def n(id: Long, c: String) =
+      rows(id).getLong(rows(id).fieldIndex(c))
+    // doc 4: own 10.0.0.1 + planted 192.168.1.77; 256.1.1.1 is NOT an IP
+    assert(n(4L, "n_ipv4") == 2)
+    // own Mastercard test PAN is Luhn-valid
+    assert(n(4L, "n_card_candidates") == 1 && n(4L, "n_cards_luhn") == 1)
+    val red4 = rows(4L).getString(1)
+    assert(red4.contains("visit <IP>") && red4.contains("card <CARD> now"))
+    assert(red4.contains("srv <IP>")) // planted valid IP
+    // invalid-octet IPs degrade to phone-shaped, never to <IP>
+    assert(!red4.contains("256.1.1.1") && red4.contains("and <PHONE>"))
+    // doc 5: a 26-digit run has no boundary-terminated card sub-match;
+    // only the planted Luhn-valid Visa counts
+    assert(n(5L, "n_card_candidates") == 1 && n(5L, "n_cards_luhn") == 1)
+    // doc 6: own 13-digit run + planted dashed card are candidates,
+    // both Luhn-invalid
+    assert(n(6L, "n_card_candidates") == 2 && n(6L, "n_cards_luhn") == 0)
+    assert(rows(6L).getString(1).contains("order <CARD> ok"))
+    // doc 7: digits embedded in a word never match the CARD pattern
+    // (boundary-anchored); the legacy unanchored phone pattern still
+    // grabs the run — text_redact's inherited behavior, kept as-is
+    assert(n(7L, "n_card_candidates") == 0)
+    assert(n(7L, "n_emails") == 1)
+    assert(rows(7L).getString(1).contains("a<PHONE>b"))
+    assert(rows(7L).getString(1).contains("mail <EMAIL> or <PHONE>"))
+  }
+
   test("chunk: 64-token windows at stride 48, clamped tail") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("chunk").toString
