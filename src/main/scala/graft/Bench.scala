@@ -126,8 +126,19 @@ object Bench {
     // was a labeled helper map). Compact — no spread map — so it
     // survives the bounded front-truncating capture whole; the spread
     // lives in the full line above and in BENCH_FULL_LATEST.json.
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$errJson$loadJson,"sf":"$sfDir"}""")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$errJson$loadJson,"sf":"$sfDir"}"""
+    println(compact)
+    // Sidecar copy of the canonical compact record (VERDICT r10 #2 /
+    // ADVICE r10: driver `parsed` null for three rounds because sbt
+    // appends its "[success] …" epilogue AFTER our last stdout line, so
+    // a strict last-line parse fails). The sidecar is epilogue-immune;
+    // full-suite only, like BENCH_FULL_LATEST.json.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LAST.json"),
+        (compact + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }
