@@ -84,25 +84,31 @@ object Domains {
           .otherwise(col("host")))
   }
 
-  /** The identical extraction in DuckDB SQL (lateral alias references —
-    * `host`/`labels` reused in the same SELECT — are DuckDB-native).
+  /** SELECT-list snippet deriving `host`/`labels`/`registered_domain`
+    * from a `url` column via lateral alias references (DuckDB-native) —
+    * the oracle mirror of `withDomain`, shared with the link-graph
+    * oracle in `HtmlExtract`.
     */
-  private def domainSqlCte: String = {
+  private[graft] def domainSelectSql: String = {
     val multi = MultiTlds.map(t => s"host LIKE '%.$t'").mkString(" OR ")
+    s"""lower(regexp_replace(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+       |                     ':[0-9]+$$', '')) AS host,
+       |string_split(host, '.') AS labels,
+       |CASE WHEN ($multi) AND len(labels) >= 3
+       |       THEN array_to_string(labels[-3:], '.')
+       |     WHEN len(labels) >= 2
+       |       THEN array_to_string(labels[-2:], '.')
+       |     ELSE host END AS registered_domain""".stripMargin
+  }
+
+  /** The fixture-bound extraction CTE both report oracles share. */
+  private def domainSqlCte: String =
     s"""u AS (
        |  SELECT doc_id, source, text, $urlSqlExpr AS url FROM documents
        |), d AS (
        |  SELECT doc_id, source, text, url,
-       |         lower(regexp_replace(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
-       |                              ':[0-9]+$$', '')) AS host,
-       |         string_split(host, '.') AS labels,
-       |         CASE WHEN ($multi) AND len(labels) >= 3
-       |                THEN array_to_string(labels[-3:], '.')
-       |              WHEN len(labels) >= 2
-       |                THEN array_to_string(labels[-2:], '.')
-       |              ELSE host END AS registered_domain
+       |         $domainSelectSql
        |  FROM u)""".stripMargin
-  }
 
   // ------------------------------------------------ curate_domain_filter
 
@@ -174,8 +180,120 @@ object Domains {
        |FROM d GROUP BY registered_domain""".stripMargin
   }
 
+  // ------------------------------------------------ curate_url_canonical
+
+  /** URL canonicalization — the crawl-dedup key: the same page is
+    * fetched under scheme-case, default-port, trailing-slash, fragment,
+    * tracking-param and param-order variants, and exact text dedup only
+    * catches it AFTER paying the fetch. Canonical form: lowercase
+    * scheme+host, default port stripped per scheme, fragment dropped,
+    * trailing slashes trimmed, tracking params (`utm_*`, `gclid`,
+    * `fbclid`, `ref`) removed, surviving params SORTED. Pure string/
+    * array expressions (split → filter → array_sort → join), identical
+    * chains on both engines; a codegen'd projection, no shuffle.
+    *
+    * FIXTURE: six messy variants synthesized per `doc_id % 6`, covering
+    * every rule; `n_params_dropped` audits the tracking strip.
+    */
+  private val UrlVariants = Seq(
+    "?utm_source=feed&ref=home",   // host also upper-cased + :443 below
+    "/",                           // http + :80 + trailing slash
+    "#section-2",                  // fragment
+    "?b=2&a=1&utm_campaign=x",     // param order + tracking mix
+    "?gclid=abc123",               // tracking-only query
+    "")                            // already canonical
+
+  private def rawUrlCol: Column = {
+    val suffix = element_at(array(UrlVariants.map(lit): _*),
+      (col("doc_id") % UrlVariants.size + 1).cast("int"))
+    val base = when(col("doc_id") % UrlVariants.size === 0,
+        concat(lit("https://Docs.Example.NZ:443/doc/"),
+          col("doc_id").cast("string")))
+      .when(col("doc_id") % UrlVariants.size === 1,
+        concat(lit("http://docs.example.nz:80/doc/"),
+          col("doc_id").cast("string")))
+      .otherwise(concat(lit("https://docs.example.nz/doc/"),
+        col("doc_id").cast("string")))
+    concat(base, suffix)
+  }
+
+  private def rawUrlSqlExpr: String = {
+    val n = UrlVariants.size
+    val list = UrlVariants.map(v => s"'$v'").mkString("[", ", ", "]")
+    s"""concat(
+       |  CASE WHEN doc_id % $n = 0
+       |         THEN concat('https://Docs.Example.NZ:443/doc/', CAST(doc_id AS VARCHAR))
+       |       WHEN doc_id % $n = 1
+       |         THEN concat('http://docs.example.nz:80/doc/', CAST(doc_id AS VARCHAR))
+       |       ELSE concat('https://docs.example.nz/doc/', CAST(doc_id AS VARCHAR))
+       |  END,
+       |  ($list)[CAST(doc_id % $n + 1 AS INT)])""".stripMargin
+  }
+
+  private val TrackingPrefixes =
+    Seq("utm_", "gclid=", "fbclid=", "ref=")
+
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val noFrag = regexp_replace(col("url_raw"), "#.*", "")
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = regexp_extract(noFrag, "[?](.*)", 1)
+    val schemeHostRaw = lower(regexp_extract(base, "^([A-Za-z]+://[^/]*)", 1))
+    val schemeHost =
+      when(schemeHostRaw.startsWith("http://"),
+        regexp_replace(schemeHostRaw, ":80$", ""))
+      .when(schemeHostRaw.startsWith("https://"),
+        regexp_replace(schemeHostRaw, ":443$", ""))
+      .otherwise(schemeHostRaw)
+    val path = regexp_replace(
+      regexp_replace(base, "^[A-Za-z]+://[^/]*", ""), "/+$", "")
+    val rawParams = filter(split(query, "&"), p => p =!= "")
+    val kept = array_sort(filter(rawParams, p =>
+      TrackingPrefixes.map(t => !p.startsWith(t)).reduce(_ && _)))
+    val canonical = concat(schemeHost, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), rawUrlCol.as("url_raw"))
+      .select(col("doc_id"), col("url_raw"),
+        canonical.as("url_canonical"),
+        (size(rawParams) - size(kept)).cast("long").as("n_params_dropped"))
+  }
+
+  val urlCanonicalSql: String = {
+    // literal prefix compare (LIKE would read `_` in `utm_` as a
+    // wildcard — Spark's startsWith is literal)
+    val keepCond = TrackingPrefixes
+      .map(t => s"substr(p, 1, ${t.length}) <> '$t'").mkString(" AND ")
+    s"""WITH r AS (
+       |  SELECT doc_id, $rawUrlSqlExpr AS url_raw FROM documents
+       |), s AS (
+       |  SELECT doc_id, url_raw,
+       |         regexp_replace(url_raw, '#.*', '') AS nofrag,
+       |         regexp_extract(nofrag, '^([^?]*)', 1) AS base,
+       |         regexp_extract(nofrag, '[?](.*)', 1) AS query,
+       |         lower(regexp_extract(base, '^([A-Za-z]+://[^/]*)', 1)) AS shr,
+       |         CASE WHEN shr LIKE 'http://%'
+       |                THEN regexp_replace(shr, ':80$$', '')
+       |              WHEN shr LIKE 'https://%'
+       |                THEN regexp_replace(shr, ':443$$', '')
+       |              ELSE shr END AS sh,
+       |         regexp_replace(regexp_replace(base, '^[A-Za-z]+://[^/]*', ''),
+       |                        '/+$$', '') AS path,
+       |         list_filter(string_split(query, '&'), p -> p <> '') AS rawp,
+       |         list_sort(list_filter(rawp, p -> $keepCond)) AS kept
+       |  FROM r)
+       |SELECT doc_id, url_raw,
+       |       concat(sh, path,
+       |              CASE WHEN len(kept) > 0
+       |                   THEN concat('?', array_to_string(kept, '&'))
+       |                   ELSE '' END) AS url_canonical,
+       |       CAST(len(rawp) - len(kept) AS BIGINT) AS n_params_dropped
+       |FROM s""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("curate_domain_filter", domainFilter _, Some(domainFilterSql)),
     Op("stats_domain_report", domainReport _, Some(domainReportSql)),
+    Op("curate_url_canonical", urlCanonical _, Some(urlCanonicalSql)),
   )
 }

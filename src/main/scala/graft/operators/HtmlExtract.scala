@@ -69,7 +69,9 @@ object HtmlExtract {
       " <a href=\"/print\">Print</a></div>" +
       "<!-- seg:"), Id,
     L(" --><div class=\"footer\"><a href=\"/terms\">Terms</a>" +
-      " <a href=\"/privacy\">Privacy</a></div></body></html>"))
+      " <a href=\"/privacy\">Privacy</a>" +
+      " <a href=\"https://ads.tracker.io/px\">Ads</a>" +
+      " <a href=\"mailto:info@example.nz\">Contact</a></div></body></html>"))
 
   /** Escape order & < > (ampersand FIRST); decode reverses with &amp;
     * LAST — the pair round-trips any input text exactly.
@@ -252,8 +254,11 @@ object HtmlExtract {
     * everything after the landing dir.
     */
   private def synthDir(dir: String): String = {
+    // key includes a template probe so a template edit can never serve
+    // stale pre-edit segments through the _SUCCESS idempotence gate
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(UTF_8)).map("%02x".format(_)).mkString.take(12)
+      .digest((dir + " " + wrapScala(0L, "probe")).getBytes(UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
     s"${sys.props("java.io.tmpdir")}/graft_warc_fixture_$key"
   }
 
@@ -343,9 +348,65 @@ object HtmlExtract {
        |       md5(${cleanHtmlSql("html")}) AS text_md5
        |FROM h""".stripMargin
 
+  // -------------------------------------------------- text_html_links
+
+  /** Outlink extraction — the web-graph edge builder (the input the
+    * `Graph` family consumes for page/domain-rank at crawl scale): pull
+    * every `<a href>`, resolve root-relative hrefs against the page
+    * origin, pass absolute http(s) through, drop non-web schemes
+    * (`mailto:` here), and tag each target with its registered domain
+    * via `Domains.withDomain` — the operator-composition story (extract
+    * → domain → graph) the modules were shaped for. One explode per
+    * page, bounded by links/page; no shuffle.
+    */
+  private val HrefPat = "<a href=\"([^\"]*)\""
+  private val Origin  = "https://docs.example.nz" // the WARC fixture origin
+
+  def htmlLinks(spark: SparkSession, dir: String): DataFrame = {
+    val pages = Tables(spark, dir, "documents")
+      .select(col("doc_id"), wrapCol(col("doc_id"), col("text")).as("html"))
+    val hrefs = pages.select(col("doc_id"),
+      explode(regexp_extract_all(col("html"), lit(HrefPat), lit(1)))
+        .as("href"))
+    val resolved = hrefs
+      .withColumn("url",
+        when(col("href").startsWith("http://") ||
+             col("href").startsWith("https://"), col("href"))
+          .when(col("href").startsWith("/"), concat(lit(Origin), col("href")))
+          .otherwise(lit(null)))
+      .where(col("url").isNotNull)
+    Domains.withDomain(resolved)
+      .select(col("doc_id"), col("href"), col("url").as("link_url"),
+        col("registered_domain").as("link_domain"),
+        (col("registered_domain") =!= "example.nz").as("is_external"))
+  }
+
+  val htmlLinksSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, ${wrapSql("doc_id", "text")} AS html FROM documents
+       |), l AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS href
+       |  FROM h
+       |), r AS (
+       |  SELECT doc_id, href,
+       |         CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+       |              WHEN href LIKE '/%' THEN concat('$Origin', href)
+       |              ELSE NULL END AS url
+       |  FROM l
+       |), d AS (
+       |  SELECT doc_id, href, url,
+       |         ${Domains.domainSelectSql}
+       |  FROM r WHERE url IS NOT NULL)
+       |SELECT doc_id, href, url AS link_url,
+       |       registered_domain AS link_domain,
+       |       registered_domain <> 'example.nz' AS is_external
+       |FROM d""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_html_extract", htmlExtract _, Some(htmlExtractSql)),
     Op("text_html_boilerplate", htmlBoilerplate _, Some(htmlBoilerplateSql)),
     Op("docs_from_warc", docsFromWarc _, Some(docsFromWarcSql)),
+    Op("text_html_links", htmlLinks _, Some(htmlLinksSql)),
   )
 }

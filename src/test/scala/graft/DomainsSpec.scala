@@ -77,6 +77,36 @@ class DomainsSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).distinct.length == rows.length)
   }
 
+  test("url canonicalization: every rule, on the planted variants") {
+    import spark.implicits._
+    val rows = Domains.urlCanonical(spark, sfDir)
+      .select(col("doc_id"), col("url_raw"), col("url_canonical"),
+        col("n_params_dropped"))
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 0: upper-case host + :443 + tracking-only query
+    assert(rows(0L)._3 == "https://docs.example.nz/doc/0")
+    assert(rows(0L)._4 == 2) // utm_source + ref both dropped
+    // doc 1: http :80 + trailing slash
+    assert(rows(1L)._3 == "http://docs.example.nz/doc/1")
+    // doc 2: fragment dropped
+    assert(rows(2L)._3 == "https://docs.example.nz/doc/2")
+    // doc 3: params sorted, tracking stripped
+    assert(rows(3L)._3 == "https://docs.example.nz/doc/3?a=1&b=2")
+    assert(rows(3L)._4 == 1)
+    // doc 4: tracking-only query collapses to no query at all
+    assert(rows(4L)._3 == "https://docs.example.nz/doc/4")
+    // doc 5: already canonical — unchanged
+    assert(rows(5L)._2 == rows(5L)._3 && rows(5L)._4 == 0)
+    // canonicalization is idempotent: variants of the same doc path
+    // differ only in doc_id suffix structure, never reintroduce noise
+    rows.values.foreach { case (_, _, canon, _) =>
+      assert(!canon.contains("#") && !canon.contains("utm_") &&
+        !canon.contains(":443") && !canon.contains(":80/") &&
+        !canon.endsWith("/"))
+    }
+  }
+
   test("blocklist join is a broadcast (no shuffle of the fact side)") {
     val plan = Domains.domainFilter(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -85,7 +85,7 @@ class HtmlWarcSpec extends SparkSpec {
     val byText = rows.map(r => r.getString(1) -> r.getBoolean(5)).toMap
     assert(byText("Home Docs About"))          // nav: 3 links / 3 words
     assert(byText("Share Print"))              // share chrome
-    assert(byText("Terms Privacy"))            // footer chrome
+    assert(byText("Terms Privacy Ads Contact")) // footer chrome
     val article = rows.filter(!_.getBoolean(5))
     assert(article.length == 2) // h1 + body paragraph
     assert(article.exists(_.getString(1).startsWith("Document ")))
@@ -107,6 +107,26 @@ class HtmlWarcSpec extends SparkSpec {
     expected.foreach { case (id, m) =>
       assert(got(id) == ((m, 200)), s"roundtrip mismatch for doc $id")
     }
+  }
+
+  // ---------------------------------------------------------- outlinks
+
+  test("outlinks: relative resolved, absolute passed, mailto dropped") {
+    import spark.implicits._
+    val links = HtmlExtract.htmlLinks(spark, sfDir)
+      .where(col("doc_id") === 0)
+      .select(col("href"), col("link_url"), col("link_domain"),
+        col("is_external"))
+      .as[(String, String, String, Boolean)].collect()
+    assert(links.length == 8) // 9 hrefs in template, mailto: dropped
+    val byHref = links.map(l => l._1 -> l).toMap
+    assert(byHref("/docs") ==
+      (("/docs", "https://docs.example.nz/docs", "example.nz", false)))
+    assert(byHref("https://ads.tracker.io/px") ==
+      (("https://ads.tracker.io/px", "https://ads.tracker.io/px",
+        "tracker.io", true)))
+    assert(!byHref.contains("mailto:info@example.nz"))
+    assert(links.count(_._4) == 1) // exactly one external edge per page
   }
 
   test("warc fixture synthesis is idempotent (marker gate, O2 shape)") {
