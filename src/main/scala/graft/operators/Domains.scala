@@ -52,13 +52,13 @@ object Domains {
 
   // ------------------------------------------------------ URL synthesis
 
-  private def urlCol: Column =
+  private[graft] def fixtureUrlCol: Column =
     concat(lit("https://"),
       element_at(array(Hosts.map(lit): _*),
         (col("doc_id") % Hosts.size + 1).cast("int")),
       lit("/"), col("source"), lit("/"), col("doc_id").cast("string"))
 
-  private def urlSqlExpr: String = {
+  private[graft] def fixtureUrlSqlExpr: String = {
     val list = Hosts.map(h => s"'$h'").mkString("[", ", ", "]")
     s"concat('https://', ($list)[CAST(doc_id % ${Hosts.size} + 1 AS INT)], " +
       "'/', source, '/', CAST(doc_id AS VARCHAR))"
@@ -104,7 +104,7 @@ object Domains {
   /** The fixture-bound extraction CTE both report oracles share. */
   private def domainSqlCte: String =
     s"""u AS (
-       |  SELECT doc_id, source, text, $urlSqlExpr AS url FROM documents
+       |  SELECT doc_id, source, text, $fixtureUrlSqlExpr AS url FROM documents
        |), d AS (
        |  SELECT doc_id, source, text, url,
        |         $domainSelectSql
@@ -119,7 +119,7 @@ object Domains {
   def domainFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val urls = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), urlCol.as("url"))
+      .select(col("doc_id"), col("source"), fixtureUrlCol.as("url"))
     val blocked = Blocklist.toDF("blocked_domain")
     withDomain(urls)
       .join(broadcast(blocked),
@@ -145,7 +145,7 @@ object Domains {
     */
   def domainReport(spark: SparkSession, dir: String): DataFrame = {
     val urls = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), col("text"), urlCol.as("url"))
+      .select(col("doc_id"), col("source"), col("text"), fixtureUrlCol.as("url"))
     withDomain(urls)
       .groupBy(col("registered_domain"))
       .agg(

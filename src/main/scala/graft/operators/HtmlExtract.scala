@@ -318,10 +318,15 @@ object HtmlExtract {
     * byte-exactly. The operator side is `binaryFile` scan (one task per
     * segment) → flatMap parse → codegen'd projection; no shuffle.
     */
-  def docsFromWarc(spark: SparkSession, dir: String): DataFrame = {
-    val seg = synthWarcSegments(spark, dir)
+  /** WARC record frame → per-doc extraction frame. A stateless
+    * projection, so it composes UNCHANGED onto `WarcIngest.toDataFrame`
+    * (batch) and `WarcIngest.streamDataFrame` (the production
+    * landing-dir stream) — batch/stream parity pinned by
+    * `StreamingFileSpec`.
+    */
+  def fromWarcRecords(records: DataFrame): DataFrame = {
     val clean = cleanHtmlCol(col("html"))
-    WarcIngest.toDataFrame(spark, seg)
+    records
       .where(col("warc_type") === "response" && col("http_status") === 200)
       .select(
         regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
@@ -336,6 +341,10 @@ object HtmlExtract {
         size(split(clean, " ")).cast("long").as("n_words"),
         md5(clean).as("text_md5"))
   }
+
+  def docsFromWarc(spark: SparkSession, dir: String): DataFrame =
+    fromWarcRecords(
+      WarcIngest.toDataFrame(spark, synthWarcSegments(spark, dir)))
 
   val docsFromWarcSql: String =
     s"""WITH h AS (
@@ -403,10 +412,78 @@ object HtmlExtract {
        |       registered_domain <> 'example.nz' AS is_external
        |FROM d""".stripMargin
 
+  // ------------------------------------------------ graph_domain_links
+
+  /** Domain-level link graph — the edge list crawl-scale PageRank and
+    * spam analysis actually run on (page-level graphs are quadrillions
+    * of edges; the domain rollup is the tractable unit). Pages take
+    * their synthetic per-doc URL (the `Domains` host table, so eight
+    * distinct source hosts), relative hrefs resolve against EACH page's
+    * own origin, and both endpoints reduce to registered domains before
+    * ONE (src, dst)-keyed aggregation — map-side partials, result
+    * bounded by |domains|², never by |links|.
+    */
+  def domainLinks(spark: SparkSession, dir: String): DataFrame = {
+    val pages = Domains.withDomain(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), Domains.fixtureUrlCol.as("url")))
+      .select(col("doc_id"),
+        col("registered_domain").as("src_domain"),
+        regexp_extract(col("url"), "^([a-z]+://[^/]+)", 1).as("origin"),
+        wrapCol(col("doc_id"), col("text")).as("html"))
+    val links = pages.select(col("doc_id"), col("src_domain"), col("origin"),
+      explode(regexp_extract_all(col("html"), lit(HrefPat), lit(1)))
+        .as("href"))
+    val resolved = links
+      .withColumn("url",
+        when(col("href").startsWith("http://") ||
+             col("href").startsWith("https://"), col("href"))
+          .when(col("href").startsWith("/"), concat(col("origin"), col("href")))
+          .otherwise(lit(null)))
+      .where(col("url").isNotNull)
+    Domains.withDomain(resolved)
+      .groupBy(col("src_domain"),
+        col("registered_domain").as("dst_domain"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_pages"))
+  }
+
+  val domainLinksSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, text, ${Domains.fixtureUrlSqlExpr} AS url FROM documents
+       |), s AS (
+       |  SELECT doc_id, text, url,
+       |         ${Domains.domainSelectSql}
+       |  FROM u
+       |), p AS (
+       |  SELECT doc_id, registered_domain AS src_domain,
+       |         regexp_extract(url, '^([a-z]+://[^/]+)', 1) AS origin,
+       |         ${wrapSql("doc_id", "text")} AS html
+       |  FROM s
+       |), l AS (
+       |  SELECT doc_id, src_domain, origin,
+       |         unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS href
+       |  FROM p
+       |), r AS (
+       |  SELECT doc_id, src_domain,
+       |         CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+       |              WHEN href LIKE '/%' THEN concat(origin, href)
+       |              ELSE NULL END AS url
+       |  FROM l
+       |), d AS (
+       |  SELECT doc_id, src_domain, url,
+       |         ${Domains.domainSelectSql}
+       |  FROM r WHERE url IS NOT NULL)
+       |SELECT src_domain, registered_domain AS dst_domain,
+       |       count(*) AS n_links,
+       |       count(DISTINCT doc_id) AS n_pages
+       |FROM d GROUP BY 1, 2""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_html_extract", htmlExtract _, Some(htmlExtractSql)),
     Op("text_html_boilerplate", htmlBoilerplate _, Some(htmlBoilerplateSql)),
     Op("docs_from_warc", docsFromWarc _, Some(docsFromWarcSql)),
     Op("text_html_links", htmlLinks _, Some(htmlLinksSql)),
+    Op("graph_domain_links", domainLinks _, Some(domainLinksSql)),
   )
 }

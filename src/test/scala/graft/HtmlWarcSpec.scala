@@ -129,6 +129,31 @@ class HtmlWarcSpec extends SparkSpec {
     assert(links.count(_._4) == 1) // exactly one external edge per page
   }
 
+  test("domain link graph: self-edges from relative hrefs, ad edge everywhere") {
+    import spark.implicits._
+    val edges = HtmlExtract.domainLinks(spark, sfDir)
+      .select(col("src_domain"), col("dst_domain"), col("n_links"))
+      .as[(String, String, Long)].collect()
+    val srcs = edges.map(_._1).distinct.sorted
+    // 8 fixture hosts collapse to 7 registered domains
+    assert(srcs.length == 7)
+    // relative hrefs resolve to the page's own origin → a self-edge per
+    // domain; the template's ad link adds a tracker.io edge from every
+    // domain (coinciding with the self-edge for tracker.io itself)
+    srcs.foreach { s =>
+      assert(edges.exists(e => e._1 == s && e._2 == s), s"no self-edge for $s")
+      assert(edges.exists(e => e._1 == s && e._2 == "tracker.io"))
+    }
+    assert(edges.length == 7 + 7 - 1)
+    // 7 relative links per page, example.com spans TWO hosts (www + port)
+    val selfByDomain = edges.filter(e => e._1 == e._2)
+      .map(e => e._1 -> e._3).toMap
+    val total = Tables(spark, sfDir, "documents").count()
+    assert(selfByDomain("example.com") >= selfByDomain("wikipedia.org"))
+    assert(edges.filter(_._2 == "tracker.io").map(_._3).sum +
+      edges.filter(e => e._2 != "tracker.io").map(_._3).sum == total * 8)
+  }
+
   test("warc fixture synthesis is idempotent (marker gate, O2 shape)") {
     val dir = HtmlExtract.synthWarcSegments(spark, sfDir)
     val files = new java.io.File(dir).listFiles().map(_.getName).sorted

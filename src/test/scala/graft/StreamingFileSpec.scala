@@ -121,6 +121,50 @@ class StreamingFileSpec extends SparkSpec {
     assert(outRows() == done, "restart duplicated funnel advances")
   }
 
+  test("WARC stream → HTML extraction: batch/stream parity, exactly once") {
+    import graft.sources.WarcIngest
+    import graft.operators.HtmlExtract
+    val root = Files.createTempDirectory("warcextract").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    def runOnce(): Unit =
+      HtmlExtract.fromWarcRecords(
+          WarcIngest.streamDataFrame(spark, s"$root/in"))
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    def out() = spark.read.parquet(s"$root/out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text_md5")).toMap
+
+    // segment 1: two template pages as real WARC bytes
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/in/seg1.warc"),
+      HtmlExtract.warcRecord(1L, "alpha beta") ++
+        HtmlExtract.warcRecord(2L, "gamma"))
+    runOnce()
+    // expectation computed by the BATCH chain on the same texts
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val expect = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), md5(HtmlExtract.cleanHtmlCol(
+        HtmlExtract.wrapCol(col("doc_id"), col("text")))).as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(out() == Map(1L -> expect(1L), 2L -> expect(2L)))
+    // a late segment lands: only IT is processed, results accumulate
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/in/seg2.warc"),
+      HtmlExtract.warcRecord(3L, "delta"))
+    runOnce()
+    assert(out() == Map(1L -> expect(1L), 2L -> expect(2L), 3L -> expect(3L)))
+    // recovery with nothing new re-emits nothing
+    runOnce()
+    assert(out().size == 3)
+  }
+
   test("WARC landing-dir stream: each segment ingests exactly once") {
     import graft.sources.WarcIngest
     val root = Files.createTempDirectory("warcstream").toString
