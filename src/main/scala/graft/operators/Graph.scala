@@ -215,7 +215,25 @@ object Graph {
     * per iteration, so the unrolled plan is a linear chain — nothing is
     * recomputed.
     */
-  private val Scale = 1000000000000L
+  private[graft] val Scale = 1000000000000L
+
+  /** The oracle's unrolled power-iteration CTE chain (`r1..rN`), shared
+    * by `graph_pagerank` and the domain-graph rank — references CTEs
+    * named `e`/`nodes`/`params`/`od`/`r0` that the caller defines.
+    */
+  private[graft] def pagerankIterSql(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT node,
+         |         (15 * ${Scale}) // (100 * n) +
+         |         (85 * COALESCE(s, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN params
+         |  LEFT JOIN (SELECT e.dst AS d, sum(pr.r // od.outdeg) AS s
+         |             FROM e JOIN r${i - 1} pr ON pr.node = e.src
+         |             JOIN od ON od.src = e.src
+         |             GROUP BY e.dst) agg ON agg.d = node
+         |)""".stripMargin
+    }.mkString(",\n")
 
   def pagerankInt(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
@@ -425,18 +443,7 @@ object Graph {
   }
 
   val pagerankSql: String = {
-    val rec = (1 to PrIters).map { i =>
-      s"""r$i AS (
-         |  SELECT node,
-         |         (15 * ${Scale}) // (100 * n) +
-         |         (85 * COALESCE(s, 0)) // 100 AS r
-         |  FROM nodes CROSS JOIN params
-         |  LEFT JOIN (SELECT e.dst AS d, sum(pr.r // od.outdeg) AS s
-         |             FROM e JOIN r${i - 1} pr ON pr.node = e.src
-         |             JOIN od ON od.src = e.src
-         |             GROUP BY e.dst) agg ON agg.d = node
-         |)""".stripMargin
-    }.mkString(",\n")
+    val rec = pagerankIterSql(PrIters)
     s"""WITH se AS ($shipEdgesSql),
        |e AS (SELECT s * 2 + 1 AS src, c * 2 AS dst FROM se),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),

@@ -479,11 +479,49 @@ object HtmlExtract {
        |       count(DISTINCT doc_id) AS n_pages
        |FROM d GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- graph_domain_rank
+
+  /** Domain PageRank — the crawl chain's terminal composition: WARC →
+    * extract → outlinks → domain edges → `Graph.pagerankInt` (the
+    * integer-exact power-method core, unchanged — it takes ANY (src,
+    * dst) frame, string keys included). Rank arithmetic is BIGINT floor
+    * division in micro-units, so the DuckDB twin (the shared unrolled
+    * CTE chain over the same edge list) agrees BIT-FOR-BIT — the same
+    * guarantee `graph_pagerank` carries, now over crawl-derived edges.
+    * At 100 TB the domain graph is millions of nodes — exactly the
+    * scale the cached-degree/checkpointed core was measured at.
+    */
+  private val DrIters = 5
+
+  def domainRank(spark: SparkSession, dir: String): DataFrame =
+    Graph.pagerankInt(
+        domainLinks(spark, dir)
+          .select(col("src_domain").as("src"), col("dst_domain").as("dst")),
+        DrIters)
+      .orderBy(col("r").desc, col("node").asc)
+      .select(col("node").as("domain"), col("r").as("rank_micros"))
+
+  val domainRankSql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT src_domain AS src, dst_domain AS dst
+       |  FROM ($domainLinksSql)
+       |),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |params AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, ${Graph.Scale} // n AS r
+       |       FROM nodes CROSS JOIN params),
+       |${Graph.pagerankIterSql(DrIters)}
+       |SELECT node AS domain, CAST(r AS BIGINT) AS rank_micros
+       |FROM r$DrIters
+       |ORDER BY r DESC, node""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_html_extract", htmlExtract _, Some(htmlExtractSql)),
     Op("text_html_boilerplate", htmlBoilerplate _, Some(htmlBoilerplateSql)),
     Op("docs_from_warc", docsFromWarc _, Some(docsFromWarcSql)),
     Op("text_html_links", htmlLinks _, Some(htmlLinksSql)),
     Op("graph_domain_links", domainLinks _, Some(domainLinksSql)),
+    Op("graph_domain_rank", domainRank _, Some(domainRankSql)),
   )
 }

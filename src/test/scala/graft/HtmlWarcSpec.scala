@@ -154,6 +154,20 @@ class HtmlWarcSpec extends SparkSpec {
       edges.filter(e => e._2 != "tracker.io").map(_._3).sum == total * 8)
   }
 
+  test("domain rank: the universally-linked ad domain dominates") {
+    import spark.implicits._
+    val ranks = HtmlExtract.domainRank(spark, sfDir)
+      .as[(String, Long)].collect()
+    assert(ranks.length == 7)
+    // tracker.io receives an in-link from EVERY domain; all others only
+    // self-link, so they share the identical rank below it
+    assert(ranks.head._1 == "tracker.io")
+    val rest = ranks.tail.map(_._2).distinct
+    assert(rest.length == 1 && rest.head < ranks.head._2)
+    // deterministic tie order (rank DESC, domain ASC)
+    assert(ranks.tail.map(_._1).toSeq == ranks.tail.map(_._1).sorted.toSeq)
+  }
+
   test("warc fixture synthesis is idempotent (marker gate, O2 shape)") {
     val dir = HtmlExtract.synthWarcSegments(spark, sfDir)
     val files = new java.io.File(dir).listFiles().map(_.getName).sorted
