@@ -398,6 +398,76 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("HTML extraction: fuzzed tag soup leaves no tag, comment, or " +
+      "uncollapsed whitespace") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.HtmlExtract
+    // no &lt;/&gt; pieces: decoded entities are TEXT by design (browser
+    // semantics) and may legitimately look tag-shaped in the output —
+    // entity behavior is pinned by the golden cases instead
+    val pieces = Seq("<div>", "</div>", "<script>", "</script>", "<p a=\"b\">",
+      "<!--", "-->", "<style>", "</style>", "text", "&amp;", "a<b",
+      "x > y", " ", "\t", "\n", "\"", "'", "<", ">", "wor ds", "<br/>")
+    val soupRnd = new Random(4242) // private stream: never shifts the
+    val soups = (1 to 200).map { _ => // shared seeded fuzzes below
+      (1 to (3 + soupRnd.nextInt(25)))
+        .map(_ => pieces(soupRnd.nextInt(pieces.size))).mkString
+    }
+    val cleaned = soups.toDF("html")
+      .select(HtmlExtract.cleanHtmlCol(col("html")).as("t"))
+      .as[String].collect()
+    cleaned.foreach { t =>
+      assert(!"<[^>]*>".r.findFirstIn(t).isDefined, s"tag survived: '$t'")
+      assert(!t.contains("<script") && !t.contains("<!--"), s"'$t'")
+      assert(!t.contains("  ") && !t.contains("\t") && !t.contains("\n"),
+        s"whitespace uncollapsed: '$t'")
+      assert(t == t.trim)
+    }
+  }
+
+  test("WARC wrap round-trip: random special-char texts survive " +
+      "record → parse → extract") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.HtmlExtract
+    import graft.sources.WarcIngest
+    val alphabet = "ab c&<>\"'12 .x"
+    val wrapRnd = new Random(777) // private stream (see tag-soup test)
+    val cases = (1 to 80).map { i =>
+      val text = (1 to (1 + wrapRnd.nextInt(40)))
+        .map(_ => alphabet(wrapRnd.nextInt(alphabet.length))).mkString.trim
+      (i.toLong, text)
+    }
+    cases.foreach { case (id, text) =>
+      val (recs, quar) = WarcIngest.records(HtmlExtract.warcRecord(id, text))
+      assert(quar.isEmpty && recs.length == 1, s"case $id '$text'")
+      assert(recs.head.httpStatus == 200 &&
+        recs.head.targetUri.endsWith(s"/doc/$id"))
+      assert(new String(recs.head.body, "UTF-8") ==
+        HtmlExtract.wrapScala(id, text), s"body drift for '$text'")
+    }
+    // extraction recovers the whitespace-collapsed text from the page
+    val got = cases.toDF("doc_id", "text")
+      .select(col("text"), HtmlExtract.cleanHtmlCol(
+        HtmlExtract.wrapCol(col("doc_id"), col("text"))).as("clean"))
+      .as[(String, String)].collect()
+    got.foreach { case (text, clean) =>
+      val collapsed = text.replaceAll("\\s+", " ").trim
+      assert(collapsed.isEmpty || clean.contains(collapsed),
+        s"extract lost '$text' → '$clean'")
+    }
+  }
+
+  test("scan-family plans stay exchange-free (no accidental shuffle)") {
+    for (n <- Seq("text_html_extract", "text_redact_pii",
+        "curate_url_canonical", "text_html_links", "docs_from_warc")) {
+      val plan = SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$n plan gained a shuffle")
+    }
+  }
+
   test("WARC: fuzzed streams never throw; records + quarantines partition") {
     import graft.sources.WarcIngest
     // pure fuzz: arbitrary bytes parse to (possibly empty) records +
@@ -524,7 +594,11 @@ class PropertySpec extends SparkSpec {
         assert(m.channels == -1 && m.bits == -1 && m.n_frames == -1L &&
           m.duration_ms == -1L, s"mixed quarantine row: $m")
       else
-        assert(m.sample_rate > 0 && m.channels > 0 && m.bits > 0 &&
+        // bits == 0 is legitimate: random bytes can contain a valid
+        // MPEG sync, and the MP3 frame walk reports no bit depth by
+        // contract (Multimodal scaladoc) — found by fuzz when the
+        // shared seed stream shifted
+        assert(m.sample_rate > 0 && m.channels > 0 && m.bits >= 0 &&
           m.n_frames >= 0L && m.duration_ms >= 0L, s"insane decode: $m")
     }
   }
