@@ -159,8 +159,10 @@ object HtmlExtract {
   /** Frame-in/frame-out form over any `(doc_id, html)` frame — a pure
     * stateless projection, streaming-safe like `redactColumns`.
     */
-  def extractColumns(df: DataFrame): DataFrame = {
-    val clean = cleanHtmlCol(col("html"))
+  def extractColumns(df: DataFrame): DataFrame =
+    extractWith(df, cleanHtmlCol(col("html")))
+
+  private def extractWith(df: DataFrame, clean: Column): DataFrame = {
     df.select(
       col("doc_id"),
       length(col("html")).cast("long").as("n_chars_html"),
@@ -179,6 +181,21 @@ object HtmlExtract {
       Tables(spark, dir, "documents")
         .select(col("doc_id"),
           wrapCol(col("doc_id"), col("text")).as("html")))
+
+  /** The serving-path variant: clean text via the single-pass codegen'd
+    * `HtmlClean` expression instead of the eleven-stage regexp chain —
+    * one read and one write per byte versus eleven intermediate string
+    * copies per page (see `HtmlClean`'s scaladoc, incl. the two
+    * documented edge divergences). Rows-only; its `_check` twin runs
+    * THIS computation against the DuckDB CHAIN oracle, so driver-green
+    * proves expression == chain across the corpus.
+    */
+  def htmlExtractFast(spark: SparkSession, dir: String): DataFrame =
+    extractWith(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          wrapCol(col("doc_id"), col("text")).as("html")),
+      org.apache.spark.sql.graft.HtmlClean(col("html")))
 
   val htmlExtractSql: String =
     s"""WITH h AS (
@@ -523,5 +540,7 @@ object HtmlExtract {
     Op("text_html_links", htmlLinks _, Some(htmlLinksSql)),
     Op("graph_domain_links", domainLinks _, Some(domainLinksSql)),
     Op("graph_domain_rank", domainRank _, Some(domainRankSql)),
+    Op("text_html_extract_fast", htmlExtractFast _, None),
+    Op("text_html_extract_fast_check", htmlExtractFast _, Some(htmlExtractSql)),
   )
 }

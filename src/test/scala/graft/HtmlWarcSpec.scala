@@ -59,6 +59,57 @@ class HtmlWarcSpec extends SparkSpec {
     assert(clean("<a href=\"x>y\">z</a>") == "y\">z")
   }
 
+  // ------------------------------------------- single-pass expression
+
+  /** Run the codegen'd single-pass cleaner on one literal string. */
+  private def cleanFast(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("html")
+      .select(org.apache.spark.sql.graft.HtmlClean(col("html")).as("t"))
+      .collect()(0).getString(0)
+  }
+
+  test("HtmlClean == regexp chain on goldens, malformed markup, corpus") {
+    val goldens = Seq(
+      "<html><script src=\"x.js\">var a='<p>x</p>';</script>" +
+        "<style>b{c:d}</style><p>Real.</p><!-- n --></html>",
+      "<p>a &lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39; x&nbsp;y</p>",
+      "<div>alpha</div><div>beta</div>",
+      "<p>a\r\n  b\t c</p>",
+      "<p>keep</p><script>var x=1; rest is gone",
+      "text then <broken",
+      "a > b",
+      "<a href=\"x>y\">z</a>",
+      "", "   ", "&", "&amp", "<scriptx>no</script>k",
+      "<script no close tag at all",
+      "&amp;amp; &amp;lt;")
+    goldens.foreach(h => assert(cleanFast(h) == clean(h), s"diverged on '$h'"))
+    // whole-corpus equality (the _check twin pins this against DuckDB;
+    // this pins Spark-vs-Spark directly)
+    import spark.implicits._
+    val both = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        HtmlExtract.cleanHtmlCol(
+          HtmlExtract.wrapCol(col("doc_id"), col("text"))).as("chain"),
+        org.apache.spark.sql.graft.HtmlClean(
+          HtmlExtract.wrapCol(col("doc_id"), col("text"))).as("fast"))
+      .where(col("chain") =!= col("fast")).count()
+    assert(both == 0L)
+  }
+
+  test("HtmlClean documented divergences: nested openers go browser-style") {
+    // commented-out unclosed script: the staged chain strips script
+    // bodies over raw bytes FIRST and swallows to EOF; the single pass
+    // honors the outer comment (browser behavior)
+    val h1 = "<!--<script>-->text<!--x-->"
+    assert(clean(h1) == "")
+    assert(cleanFast(h1) == "text")
+    // style body containing an unclosed <script>
+    val h2 = "<style>a<script>b</style>c"
+    assert(clean(h2) == "")
+    assert(cleanFast(h2) == "c")
+  }
+
   // -------------------------------------------------- renderer parity
 
   test("Scala wrap renderer == Spark wrap renderer on the corpus") {

@@ -416,7 +416,10 @@ class PropertySpec extends SparkSpec {
     }
     val cleaned = soups.toDF("html")
       .select(HtmlExtract.cleanHtmlCol(col("html")).as("t"))
-      .as[String].collect()
+      .as[String].collect() ++
+      soups.toDF("html") // the single-pass expression holds the same laws
+        .select(org.apache.spark.sql.graft.HtmlClean(col("html")).as("t"))
+        .as[String].collect()
     cleaned.foreach { t =>
       assert(!"<[^>]*>".r.findFirstIn(t).isDefined, s"tag survived: '$t'")
       assert(!t.contains("<script") && !t.contains("<!--"), s"'$t'")
