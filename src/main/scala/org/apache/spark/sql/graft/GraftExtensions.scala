@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.kllMergeAggDescriptor)
     e.injectFunction(GraftExtensions.kllQuantileDescriptor)
     e.injectFunction(GraftExtensions.textStatsDescriptor)
+    e.injectFunction(GraftExtensions.htmlCleanDescriptor)
     e.injectOptimizerRule(_ => RangeJoinBanding)
   }
 }
@@ -135,6 +136,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
       textStatsBuilder)
 
+  private val htmlCleanBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "html_clean takes exactly 1 argument")
+    HtmlClean(exprs(0))
+  }
+
+  private[graft] val htmlCleanDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("html_clean"),
+      new ExpressionInfo(classOf[HtmlClean].getName, "html_clean"),
+      htmlCleanBuilder)
+
   /** Register on a live session's function registry. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -144,5 +156,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("kll_merge_agg", kllMergeAggBuilder, "built-in")
     reg.createOrReplaceTempFunction("kll_quantile", kllQuantileBuilder, "built-in")
     reg.createOrReplaceTempFunction("text_stats", textStatsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("html_clean", htmlCleanBuilder, "built-in")
   }
 }

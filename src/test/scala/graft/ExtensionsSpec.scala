@@ -5,6 +5,14 @@ import org.apache.spark.sql.graft.GraftExtensions
 /** SQL-surface registration of native expressions. */
 class ExtensionsSpec extends SparkSpec {
 
+  test("html_clean callable from SQL; equals the regexp chain") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT html_clean('<p>a &amp; b</p><script>x</script>') AS t")
+      .collect()(0)
+    assert(row.getString(0) == "a & b")
+  }
+
   test("cosine_sim callable from SQL after registration") {
     GraftExtensions.register(spark)
     val row = spark.sql(
