@@ -881,8 +881,219 @@ object Graph {
        |         AS assortativity
        |FROM m""".stripMargin
 
+  // ------------------------------------------------ HITS hubs/authorities
+
+  /** HITS (Kleinberg 1999) in integer micro-units, fixed `iters`
+    * mutual-reinforcement rounds. Per round, on the directed edge set:
+    *
+    *   rawA(u) = Σ h(v) over v→u        (authority mass from hubs)
+    *   a(u)    = (HScale · rawA(u)) div max(rawA)
+    *   rawH(v) = Σ a(u) over v→u        (hub mass from authorities)
+    *   h(v)    = (HScale · rawH(v)) div max(rawH)
+    *
+    * The classical L2 normalization is replaced by max-normalization so
+    * every step stays in positive-BIGINT floor arithmetic — both engines
+    * compute the identical integers regardless of partitioning or sum
+    * order (the `pagerankInt` discipline). Rankings are unaffected:
+    * per-round normalization is a positive scalar either way. Nodes with
+    * no in-edges score a=0, no out-edges h=0 (on the bipartite ship
+    * graph this is the structure: suppliers are pure hubs, customers
+    * pure authorities). Headroom: rawA ≤ indeg·HScale, so the
+    * normalization product needs indeg ≤ 9·10⁶ at HScale 10⁶ — same
+    * documented bound style as `assortativity`'s deg ≤ 10⁶.
+    *
+    * Shape at scale: each half-round is one node-keyed join + one
+    * dst-keyed (or src-keyed) reduction plus a 1-row broadcast max —
+    * identical exchange profile to a pagerank iteration; the edge frame
+    * is cached once for the unrolled loop.
+    */
+  private[graft] val HScale = 1000000L
+
+  def hitsInt(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def normalize(raw: DataFrame, out: String): DataFrame = {
+      // raw: (node, raw) for nodes with any incident mass; others → 0
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      val nm = nodes
+        .join(raw, Seq("node"), "left_outer")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          coalesce(expr(s"(${HScale}L * raw) div mx"), lit(0L)).as(out))
+        .localCheckpoint(eager = false)
+      intermediates += nm
+      nm
+    }
+    var hubs = nodes.select(col("node"), lit(HScale).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = normalize(
+        e.join(hubs, col("node") === col("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("raw")), "a")
+      hubs = normalize(
+        e.join(auths, col("node") === col("dst"))
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("raw")), "h")
+    }
+    val out = hubs.join(auths, "node")
+      .select(col("node"), col("h").as("hub_micros"), col("a").as("auth_micros"))
+      .localCheckpoint()
+    e.unpersist(); nodes.unpersist(); intermediates.foreach(_.unpersist())
+    out
+  }
+
+  /** The oracle's unrolled HITS CTE chain (`a1,h1..aN,hN`) — references
+    * `e`/`nodes`/`h0` that the caller defines. DuckDB sums BIGINT into
+    * HUGEINT, so every Σ is cast back before the scaled floor division.
+    */
+  private[graft] def hitsIterSql(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""a${i}r AS (
+         |  SELECT e.dst AS node, CAST(sum(p.h) AS BIGINT) AS raw
+         |  FROM e JOIN h${i - 1} p ON p.node = e.src GROUP BY e.dst),
+         |a$i AS (
+         |  SELECT n.node,
+         |         COALESCE((${HScale} * r.raw) // m.mx, 0) AS a
+         |  FROM nodes n
+         |  CROSS JOIN (SELECT max(raw) AS mx FROM a${i}r) m
+         |  LEFT JOIN a${i}r r ON r.node = n.node),
+         |h${i}r AS (
+         |  SELECT e.src AS node, CAST(sum(p.a) AS BIGINT) AS raw
+         |  FROM e JOIN a$i p ON p.node = e.dst GROUP BY e.src),
+         |h$i AS (
+         |  SELECT n.node,
+         |         COALESCE((${HScale} * r.raw) // m.mx, 0) AS h
+         |  FROM nodes n
+         |  CROSS JOIN (SELECT max(raw) AS mx FROM h${i}r) m
+         |  LEFT JOIN h${i}r r ON r.node = n.node)""".stripMargin
+    }.mkString(",\n")
+
+  private val HitsIters = 3
+
+  /** HITS over the ship graph: hub scores rank suppliers by how much
+    * authority-weighted flow they originate, authority scores rank
+    * customers by how much hub-weighted flow they receive — the
+    * mutual-reinforcement refinement of `graph_degree` (a big customer
+    * of important suppliers outranks an equally-big customer of
+    * marginal ones). Bit-for-bit vs the unrolled-CTE oracle.
+    */
+  def hitsShip(spark: SparkSession, dir: String): DataFrame = {
+    val e = shipEdges(spark, dir)
+      .select(suppNode(col("s")).as("src"), custNode(col("c")).as("dst"))
+    hitsInt(e, HitsIters)
+      .select(
+        when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("customer"))
+          .as("side"),
+        expr("node div 2").as("key"),
+        col("hub_micros"), col("auth_micros"))
+  }
+
+  val hitsShipSql: String = {
+    val rec = hitsIterSql(HitsIters)
+    s"""WITH se AS ($shipEdgesSql),
+       |e AS (SELECT s * 2 + 1 AS src, c * 2 AS dst FROM se),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, ${HScale} AS h FROM nodes),
+       |$rec
+       |SELECT CASE WHEN n.node % 2 = 1 THEN 'supplier' ELSE 'customer' END
+       |         AS side,
+       |       n.node // 2 AS key,
+       |       h.h AS hub_micros, a.a AS auth_micros
+       |FROM nodes n
+       |JOIN h$HitsIters h ON h.node = n.node
+       |JOIN a$HitsIters a ON a.node = n.node""".stripMargin
+  }
+
+  // ------------------------------------------- label propagation (LPA)
+
+  /** Synchronous label propagation (Raghavan 2007), `iters` rounds with
+    * a deterministic tie-break: each node adopts the label occurring
+    * most among its neighbours, ties to the SMALLEST label — no RNG, no
+    * visit-order dependence, so both engines converge to identical
+    * communities. Runs on the same thresholded peak-shipment subgraph as
+    * `graph_components`; where components answers "connected at all?",
+    * LPA splits each island into densely-knit trading communities.
+    *
+    * Per round: one node-keyed join to pull neighbour labels, one
+    * (node, label)-keyed count, one node-partitioned window to pick the
+    * mode (partitioned on the node key — never unpartitioned). Label
+    * frames are node-sized; per-round lazy localCheckpoint keeps the
+    * unrolled plan flat exactly as in `pagerankInt`.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct().cache()
+    val nodes = sym.select(col("u").as("node")).distinct().cache()
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("cnt").desc, col("lbl").asc)
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      labels = sym
+        .join(labels, col("node") === col("v"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byNode))
+        .where(col("rn") === 1)
+        .select(col("u").as("node"), col("lbl"))
+        .localCheckpoint(eager = false)
+      intermediates += labels
+    }
+    val out = labels.localCheckpoint()
+    sym.unpersist(); nodes.unpersist(); intermediates.foreach(_.unpersist())
+    out
+  }
+
+  private val LpaIters = 4
+
+  def labelPropShip(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "lineitem").as("l")
+      .join(Tables(spark, dir, "orders").as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .where(expr(ComponentEdgeCond))
+      .select(suppNode(col("l.l_suppkey")).as("u"),
+        custNode(col("o.o_custkey")).as("v"))
+      .distinct()
+    labelPropagation(e, LpaIters)
+      .select(
+        when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("customer"))
+          .as("side"),
+        expr("node div 2").as("key"),
+        col("lbl").as("community"))
+  }
+
+  val labelPropShipSql: String = {
+    val rounds = (1 to LpaIters).map { i =>
+      s"""l$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.u AS node, p.lbl,
+         |           row_number() OVER (PARTITION BY e.u
+         |             ORDER BY count(*) DESC, p.lbl ASC) AS rn
+         |    FROM edges e JOIN l${i - 1} p ON p.node = e.v
+         |    GROUP BY e.u, p.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_suppkey * 2 + 1 AS u, o_custkey * 2 AS v
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE $ComponentEdgeCond
+       |), edges AS (
+       |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+       |), l0 AS (
+       |  SELECT u AS node, u AS lbl FROM edges GROUP BY u
+       |),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END
+       |         AS side,
+       |       node // 2 AS key, lbl AS community
+       |FROM l$LpaIters""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("graph_assortativity", assortativity _, Some(assortativitySql)),
+    Op("graph_hits", hitsShip _, Some(hitsShipSql)),
+    Op("graph_label_prop", labelPropShip _, Some(labelPropShipSql)),
     Op("graph_jaccard", jaccardNeighbors _, Some(jaccardNeighborsSql)),
     Op("graph_degree", degrees _, Some(degreesSql)),
     Op("graph_components", components _, Some(componentsSql)),

@@ -191,4 +191,62 @@ class GraphSpec extends SparkSpec {
     // the sf0.01 oracle (13 survivors)
     assert(Graph.kcoreShip(spark, sfDir).isEmpty)
   }
+
+  test("HITS: exact integer fixpoint on a hand bipartite graph") {
+    import spark.implicits._
+    // hubs {1,2,3} → auths {10,11}; 2 links to both, 1 and 3 to one each.
+    // Hand-computed fixpoint (reached after round 1, stable thereafter):
+    //   a(10)=a(11)=HScale; h(2)=HScale, h(1)=h(3)=HScale/2;
+    //   sources score a=0, sinks score h=0.
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)).toDF("src", "dst")
+    for (iters <- Seq(1, 3)) {
+      val r = Graph.hitsInt(e, iters).collect()
+        .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+      val s = Graph.HScale
+      assert(r == Map(
+        1L -> (s / 2, 0L), 2L -> (s, 0L), 3L -> (s / 2, 0L),
+        10L -> (0L, s), 11L -> (0L, s)), s"iters=$iters got $r")
+    }
+  }
+
+  test("HITS: mutual reinforcement beats raw degree") {
+    import spark.implicits._
+    // auths 10 and 20 both have in-degree 2, but 10's hubs (1,2) also
+    // endorse each other's pick 11 — after round 2 hub 1,2 outrank 3,4
+    // via 11's authority, which feeds BACK into 10 > 20: degree can't
+    // see this, HITS must.
+    val e = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L),
+      (3L, 20L), (4L, 20L), (3L, 21L)).toDF("src", "dst")
+    val r = Graph.hitsInt(e, 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(10L) > r(20L), s"got $r")
+    assert(r(10L) == Graph.HScale, s"got $r") // the top authority
+  }
+
+  test("label propagation: two cliques resolve to their min labels") {
+    import spark.implicits._
+    // triangle {1,2,3} + triangle {10,11,12} joined by nothing: each
+    // converges to its minimum id (min tie-break drives the walk down)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("u", "v")
+    val r = Graph.labelPropagation(e, 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), r.toString)
+  }
+
+  test("label propagation: bridge node joins the denser side deterministically") {
+    import spark.implicits._
+    // clique {1,2,3,4} – bridge 5 – pair {6,7}: 5 hears 4 clique votes
+    // vs 1 pair vote once labels consolidate; the pair is then pulled in
+    // through 5's label only if propagation continues — pin the exact
+    // 4-round outcome so any tie-break regression shows up as a diff
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val e = (clique ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("u", "v")
+    val r = Graph.labelPropagation(e, 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((1L to 4L).forall(n => r(n) == 1L), r.toString)
+    assert(r(5L) == 1L, r.toString) // 4 clique labels beat the pair's 1
+  }
 }
