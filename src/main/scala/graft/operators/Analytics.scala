@@ -1414,7 +1414,70 @@ object Analytics {
        |WHERE a.grp = '$QqGroupA' AND b.grp = '$QqGroupB'
        |ORDER BY a.p""".stripMargin
 
+  // ------------------------------------------------- experiment power
+
+  /** Experiment power planning per event type: given each arm's observed
+    * n and variance, (a) the minimum detectable effect (MDE) a two-sample
+    * z-test at α=5% / power 80% could resolve TODAY, and (b) the per-arm
+    * sample size needed to detect a 5% relative lift of the arm's own
+    * mean. The standard pre-experiment sizing readout run before any A/B
+    * family op (`events_ab_*`) is trusted.
+    *
+    * `2.801585` = z₀.₉₇₅ + z₀.₈₀ (1.959964 + 0.841621) — a fixed literal
+    * on both engines, so no normal-CDF evaluation is needed anywhere.
+    * Moments accumulate as DECIMAL sums of DECIMAL(18,2) casts (the
+    * `stats_welch` discipline); mean/var/MDE are one fixed double
+    * expression over identical exact scalars. One shuffle on event_type,
+    * map-side partials; the result is |event types| rows.
+    */
+  def statsPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .where($"value".isNotNull)
+      .select($"event_type", $"value".cast("decimal(18,2)").as("v"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sx"),
+        sum($"v" * $"v").as("sxx"))
+      .select($"event_type", $"n",
+        ($"sx".cast("double") / $"n").as("mean"),
+        (($"sxx".cast("double") -
+          $"sx".cast("double") * $"sx".cast("double") / $"n") /
+          ($"n" - 1)).as("variance"))
+      .select($"event_type", $"n",
+        round($"mean", 6).as("mean_value"),
+        round(sqrt($"variance"), 6).as("sd_value"),
+        round(lit(2.801585) * sqrt(lit(2.0) * $"variance" / $"n"), 6)
+          .as("mde_abs"),
+        ceil(lit(2.801585) * lit(2.801585) * lit(2.0) * $"variance" /
+          (lit(0.05) * $"mean" * (lit(0.05) * $"mean")))
+          .cast("long").as("n_per_arm_5pct"))
+  }
+
+  val statsPowerSql: String =
+    """WITH a AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS sx,
+      |         sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+      |           AS sxx
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type, n,
+      |         CAST(sx AS DOUBLE) / n AS mean,
+      |         (CAST(sxx AS DOUBLE) -
+      |          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)
+      |           AS variance
+      |  FROM a)
+      |SELECT event_type, n,
+      |       round(mean, 6) AS mean_value,
+      |       round(sqrt(variance), 6) AS sd_value,
+      |       round(2.801585 * sqrt(2.0 * variance / n), 6) AS mde_abs,
+      |       CAST(ceil(2.801585 * 2.801585 * 2.0 * variance /
+      |                 (0.05 * mean * (0.05 * mean))) AS BIGINT)
+      |         AS n_per_arm_5pct
+      |FROM m""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stats_power", statsPower _, Some(statsPowerSql)),
     Op("stats_qq", qq _, Some(qqSql)),
     Op("stats_gini", gini _, Some(giniSql)),
     Op("stats_benford", benford _, Some(benfordSql)),

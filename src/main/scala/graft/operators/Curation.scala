@@ -1042,7 +1042,117 @@ object Curation {
        |         AS deficit_tokens
        |FROM s CROSS JOIN t""".stripMargin
 
+  // ------------------------------------------- trained-scorer application
+
+  /** Apply a fixed logistic-regression quality scorer — the "run the
+    * trained fastText/LR quality model over the corpus" step of a
+    * web-pipeline, with the model baked in as literal weights (features:
+    * log doc length in words, stopword ratio, mean word length — the
+    * `text_quality` feature set). Score = σ(z); keep = z ≥ 0.
+    *
+    * Determinism: the features are exact integers; z is ONE fixed double
+    * expression with identical literal weights and association order on
+    * both engines, so the doubles — and therefore the keep decisions —
+    * are bit-identical (the fixed-expression recipe used suite-wide).
+    * On the fixture the minimum |z| is ~5.9e-3, nine orders above
+    * double slack. Scan-only projection: no shuffle, no window; the
+    * sigmoid stays inside whole-stage codegen.
+    */
+  def qualityLr(spark: SparkSession, dir: String): DataFrame = {
+    val sw = TextAnalysis.stopwordList
+    val f = Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      expr("size(split(trim(text), ' '))").cast("long").as("n_words"),
+      expr(s"size(filter(split(trim(text), ' '), w -> w IN ($sw)))")
+        .cast("long").as("n_stopwords"))
+    val z = lit(-4.0) +
+      lit(1.0) * log(col("n_words").cast("double") + lit(1.0)) +
+      lit(8.0) * (col("n_stopwords").cast("double") / col("n_words")) -
+      lit(0.1) * (col("n_chars").cast("double") / col("n_words"))
+    f.select(col("doc_id"), col("n_words"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+      (z >= 0).as("keep"))
+  }
+
+  val qualityLrSql: String = {
+    val sw = TextAnalysis.stopwordList
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         length(text) AS n_chars,
+       |         len(string_split(trim(text), ' ')) AS n_words,
+       |         len(list_filter(string_split(trim(text), ' '),
+       |                         w -> w IN ($sw))) AS n_stopwords
+       |  FROM documents),
+       |z AS (
+       |  SELECT doc_id, n_words,
+       |         -4.0 +
+       |         1.0 * ln(CAST(n_words AS DOUBLE) + 1.0) +
+       |         8.0 * (CAST(n_stopwords AS DOUBLE) / n_words) -
+       |         0.1 * (CAST(n_chars AS DOUBLE) / n_words) AS z
+       |  FROM f)
+       |SELECT doc_id, n_words,
+       |       round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       |       z >= 0 AS keep
+       |FROM z""".stripMargin
+  }
+
+  // ---------------------------------------------- CCNet perplexity buckets
+
+  /** CCNet-style perplexity bucketing (Wenzek 2020): within each
+    * language, split the corpus into head/middle/tail thirds by LM
+    * cross-entropy — the canonical web-corpus quality partition (train
+    * on head+middle, drop or downweight tail). The LM signal is
+    * `text_perplexity`'s corpus-self unigram cross-entropy.
+    *
+    * Buckets come from per-language tercile THRESHOLDS (percentile ≡
+    * DuckDB quantile_cont over the 4-dp-rounded scores), not ntile —
+    * exactly how CCNet applies cutoffs, and the scale-correct shape:
+    * the threshold frame is |languages| rows and broadcasts back over
+    * the scan, so no per-language total sort of the corpus is needed.
+    * At 100 TB the exact `percentile` becomes `approx_percentile`
+    * (mergeable sketch) with identical downstream semantics. Docs at or
+    * below t_lo are head, at or below t_hi middle, else tail — boundary
+    * compares are on bit-identical doubles (rounded scores, shared
+    * interpolation arithmetic).
+    */
+  def ccnetBucket(spark: SparkSession, dir: String): DataFrame = {
+    val ppl = TextAnalysis.perplexity(spark, dir)
+      .select(col("doc_id"), col("cross_entropy"))
+    val scored = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(ppl, "doc_id")
+    val th = scored.groupBy(col("lang")).agg(
+      expr("percentile(cross_entropy, 0.333333)").as("t_lo"),
+      expr("percentile(cross_entropy, 0.666667)").as("t_hi"))
+    scored.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("cross_entropy"),
+        when(col("cross_entropy") <= col("t_lo"), lit("head"))
+          .when(col("cross_entropy") <= col("t_hi"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  val ccnetBucketSql: String = {
+    val ppl = TextAnalysis.perplexitySql
+    s"""WITH ppl AS ($ppl),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, p.cross_entropy
+       |  FROM documents d JOIN ppl p ON p.doc_id = d.doc_id),
+       |th AS (
+       |  SELECT lang,
+       |         quantile_cont(cross_entropy, 0.333333) AS t_lo,
+       |         quantile_cont(cross_entropy, 0.666667) AS t_hi
+       |  FROM scored GROUP BY lang)
+       |SELECT s.doc_id, s.lang, s.cross_entropy,
+       |       CASE WHEN s.cross_entropy <= th.t_lo THEN 'head'
+       |            WHEN s.cross_entropy <= th.t_hi THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM scored s JOIN th USING (lang)""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("curate_quality_lr", qualityLr _, Some(qualityLrSql)),
+    Op("curate_ccnet_bucket", ccnetBucket _, Some(ccnetBucketSql)),
     Op("curate_epoch_plan", epochPlan _, Some(epochPlanSql)),
     Op("curate_dsir", dsir _, Some(dsirSql)),
     Op("curate_dsir_hashed", dsirHashed _, None),

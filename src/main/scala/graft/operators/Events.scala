@@ -1662,7 +1662,90 @@ object Events {
        |FROM last CROSS JOIN
        |  (SELECT unnest(generate_series(1, $HoltHorizon)) AS h)""".stripMargin
 
+  // ---------------------------------------------- conversion attribution
+
+  /** Multi-touch conversion attribution: every purchase is matched to the
+    * user's view/click/signup touches in the preceding 7 days, and each
+    * channel is credited three ways — first-touch, last-touch, and linear
+    * (conversion credit split evenly across its k touches, held in
+    * integer micro-credits `10⁶ div k` so both engines sum identically).
+    * Purchases with no qualifying touch land in an explicit `(none)` row,
+    * so total mass stays auditable.
+    *
+    * Shape at scale: the touch↔conversion match is the same declarative
+    * user-equality + time-band join as `events_interval_join` (eligible
+    * for the banding rule; without it, per-user hash join + filter). The
+    * per-conversion windows partition on conv_id — never unpartitioned —
+    * and both orderings carry the event-id tiebreak. Output is
+    * |channels|+1 rows.
+    */
+  private val AttrLookback = "INTERVAL 7 DAYS"
+
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"))
+    val touch = ev.where(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts").as("touch_ts"), col("event_type").as("channel"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .where(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr(AttrLookback))
+    val w = Window.partitionBy(col("conv_id"))
+    val attributed = pairs
+      .withColumn("rn_first", row_number().over(
+        w.orderBy(col("touch_ts").asc, col("touch_id").asc)))
+      .withColumn("rn_last", row_number().over(
+        w.orderBy(col("touch_ts").desc, col("touch_id").desc)))
+      .withColumn("k", count(lit(1)).over(w))
+    val perChannel = attributed.groupBy(col("channel")).agg(
+      sum(when(col("rn_first") === 1, 1L).otherwise(0L)).as("first_touch"),
+      sum(when(col("rn_last") === 1, 1L).otherwise(0L)).as("last_touch"),
+      sum(expr("1000000L div k")).as("linear_micros"))
+    val unattributed = conv
+      .join(pairs.select(col("conv_id")).distinct(), Seq("conv_id"),
+        "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("(none)").as("channel"), col("n").as("first_touch"),
+        col("n").as("last_touch"), lit(0L).as("linear_micros"))
+    perChannel.unionAll(unattributed)
+  }
+
+  val attributionSql: String =
+    """WITH conv AS (
+      |  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+      |         event_type AS channel
+      |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+      |p AS (
+      |  SELECT conv_id, channel, touch_ts, touch_id
+      |  FROM conv JOIN t USING (user_id)
+      |  WHERE touch_ts < conv_ts AND touch_ts >= conv_ts - INTERVAL 7 DAY),
+      |r AS (
+      |  SELECT channel,
+      |         row_number() OVER (PARTITION BY conv_id
+      |           ORDER BY touch_ts ASC, touch_id ASC) AS rn_first,
+      |         row_number() OVER (PARTITION BY conv_id
+      |           ORDER BY touch_ts DESC, touch_id DESC) AS rn_last,
+      |         count(*) OVER (PARTITION BY conv_id) AS k
+      |  FROM p)
+      |SELECT channel,
+      |       CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS first_touch,
+      |       CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS last_touch,
+      |       CAST(sum(1000000 // k) AS BIGINT) AS linear_micros
+      |FROM r GROUP BY channel
+      |UNION ALL
+      |SELECT '(none)', n, n, 0
+      |FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM conv
+      |      WHERE conv_id NOT IN (SELECT conv_id FROM p))""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("events_attribution", attribution _, Some(attributionSql)),
     Op("events_forecast", forecast _, Some(forecastSql)),
     Op("events_changepoint", changepoint _, Some(changepointSql)),
     Op("events_markov_stationary", markovStationary _,

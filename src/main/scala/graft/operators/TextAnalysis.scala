@@ -21,7 +21,7 @@ import graft.{Op, Tables}
 object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
-  private def stopwordList = stopwords.map(w => s"'$w'").mkString(", ")
+  private[operators] def stopwordList = stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single non-alphanumeric marks — the

@@ -358,4 +358,60 @@ class CurationSpec extends SparkSpec {
     // and cum itself stayed exact (last row = total weight)
     assert(s.map(_.getAs[Long]("cum")).max == 1000000000000000000L)
   }
+
+  test("quality LR: score is the sigmoid of keep's margin, split is real") {
+    val rows = Curation.qualityLr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (score, keep) = (r.getDouble(2), r.getBoolean(3))
+      assert(score > 0.0 && score < 1.0, s"score out of range: $r")
+      // keep ⇔ z ≥ 0 ⇔ σ(z) ≥ 0.5 — the two outputs must agree
+      assert(keep == (score >= 0.5), s"keep/score disagree: $r")
+    }
+    // weights were tuned for a genuine split, not a constant gate
+    val kept = rows.count(_.getBoolean(3))
+    assert(kept > 0 && kept < rows.length, s"degenerate gate: $kept/${rows.length}")
+  }
+
+  test("quality LR: z matches a scalar recomputation on raw features") {
+    // recompute z from the raw document text in plain Scala for a
+    // sample; the engine's double must match exactly (fixed expression)
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(50).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stop = Set("the", "a", "of", "and", "is", "to", "in")
+    val scored = Curation.qualityLr(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    docs.foreach { case (id, text) =>
+      val words = text.trim.split(" ", -1)
+      val z = -4.0 + 1.0 * math.log(words.length.toDouble + 1.0) +
+        8.0 * (words.count(stop).toDouble / words.length) -
+        0.1 * (text.length.toDouble / words.length)
+      val expect = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(scored(id) - expect) < 1e-9,
+        s"doc $id: engine ${scored(id)} vs scalar $expect")
+    }
+  }
+
+  test("ccnet buckets: per-lang thresholds order head <= middle <= tail") {
+    val rows = Curation.ccnetBucket(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+      } assert(h.max <= m.min, s"$lang: head above middle")
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } assert(m.max <= t.min, s"$lang: middle above tail")
+      // terciles: no bucket may hold more than ~2/3 of a language with
+      // continuous scores (ties collapse buckets only at degeneracy)
+      val n = rs.length
+      if (n >= 9)
+        byBucket.values.foreach(b =>
+          assert(b.length <= 2 * n / 3 + 1, s"$lang skewed: ${byBucket.view.mapValues(_.length).toMap}"))
+    }
+  }
 }

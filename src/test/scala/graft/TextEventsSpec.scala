@@ -626,4 +626,53 @@ class TextEventsSpec extends SparkSpec {
       s"expected only the type-a spike: ${got.mkString(", ")}")
     assert(math.abs(got.head.getDouble(3) - 1334.8355) < 1e-4)
   }
+
+  test("attribution: credit mass conserves across first/last/linear views") {
+    val rows = Events.attribution(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("view", "click", "signup", "(none)"),
+      rows.keySet.toString)
+    // sf0.001 fixture: 202 purchases, 195 of them with ≥1 touch in the
+    // 7-day lookback (duckdb-probed) — the (none) row carries the rest
+    assert(rows("(none)") == (7L, 7L, 0L), rows("(none)").toString)
+    val channels = (rows - "(none)").values
+    // exactly one first and one last touch per attributed conversion
+    assert(channels.map(_._1).sum == 195L)
+    assert(channels.map(_._2).sum == 195L)
+    // linear micro-credits: ≤ 10⁶ per conversion, short only by the
+    // per-conversion floor-division remainder (< k ≤ all touches)
+    val linear = channels.map(_._3).sum
+    assert(linear <= 195L * 1000000L && linear > 194L * 1000000L,
+      s"linear mass $linear")
+  }
+
+  test("stats_power: moments match a scalar recomputation; sizing formulas hold") {
+    import org.apache.spark.sql.functions.col
+    val byType = Analytics.statsPower(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val raw = Tables(spark, sfDir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(r => BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP))).toMap
+    byType.foreach { case (t, row) =>
+      val vs = raw(t)
+      val n = vs.length.toLong
+      assert(row.getLong(1) == n, s"$t n")
+      val sx = vs.sum; val sxx = vs.map(v => v * v).sum
+      val mean = sx.toDouble / n
+      val variance = (sxx.toDouble - sx.toDouble * sx.toDouble / n) / (n - 1)
+      assert(math.abs(row.getDouble(2) - mean) < 1e-6, s"$t mean")
+      assert(math.abs(row.getDouble(3) - math.sqrt(variance)) < 1e-6, s"$t sd")
+      val mde = 2.801585 * math.sqrt(2.0 * variance / n)
+      assert(math.abs(row.getDouble(4) - mde) < 1e-6, s"$t mde")
+      val nReq = math.ceil(2.801585 * 2.801585 * 2.0 * variance /
+        (0.05 * mean * (0.05 * mean))).toLong
+      assert(row.getLong(5) == nReq, s"$t n_req")
+      // more data → smaller detectable effect at the same variance
+      assert(row.getDouble(4) > 0 && row.getLong(5) > 0)
+    }
+  }
 }
