@@ -533,7 +533,40 @@ object HtmlExtract {
        |FROM r$DrIters
        |ORDER BY r DESC, node""".stripMargin
 
+  // ------------------------------------------------- graph_domain_hits
+
+  /** Domain HITS — hubs (link directories, aggregators) vs authorities
+    * (heavily-cited domains) over the same crawl-derived edge list as
+    * `graph_domain_rank`, via `Graph.hitsInt` (integer micro-units,
+    * max-normalized — bit-for-bit vs the shared unrolled CTE chain).
+    * PageRank and HITS disagree exactly where a crawl's structure is
+    * interesting: a domain that links out to every good authority ranks
+    * as a top hub here while staying invisible to in-link-only rank.
+    */
+  private val DhIters = 3
+
+  def domainHits(spark: SparkSession, dir: String): DataFrame =
+    Graph.hitsInt(
+        domainLinks(spark, dir)
+          .select(col("src_domain").as("src"), col("dst_domain").as("dst")),
+        DhIters)
+      .select(col("node").as("domain"), col("hub_micros"), col("auth_micros"))
+
+  val domainHitsSql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT src_domain AS src, dst_domain AS dst
+       |  FROM ($domainLinksSql)
+       |),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, ${Graph.HScale} AS h FROM nodes),
+       |${Graph.hitsIterSql(DhIters)}
+       |SELECT n.node AS domain, h.h AS hub_micros, a.a AS auth_micros
+       |FROM nodes n
+       |JOIN h$DhIters h ON h.node = n.node
+       |JOIN a$DhIters a ON a.node = n.node""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("graph_domain_hits", domainHits _, Some(domainHitsSql)),
     Op("text_html_extract", htmlExtract _, Some(htmlExtractSql)),
     Op("text_html_boilerplate", htmlBoilerplate _, Some(htmlBoilerplateSql)),
     Op("docs_from_warc", docsFromWarc _, Some(docsFromWarcSql)),

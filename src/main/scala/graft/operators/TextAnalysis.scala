@@ -1110,7 +1110,65 @@ object TextAnalysis {
        |FROM t""".stripMargin
   }
 
+  // ---------------------------------------------------- vocabulary growth
+
+  /** Heaps-law vocabulary growth per source: after each document (in
+    * doc_id order within its source), how many tokens have streamed past
+    * and how many DISTINCT words have been seen — the saturation curve
+    * that tells a corpus builder whether a source still contributes new
+    * vocabulary or has gone repetitive (flat curve → candidates for
+    * dedup/downweighting; compare sources by curve shape).
+    *
+    * Shape at scale: "new word" is attributed via min(doc_id) per
+    * (source, word) — one shuffle on the word key with map-side
+    * combine — then both running sums ride ONE window PARTITIONED BY
+    * source over the |docs|-sized spine (never an unpartitioned window;
+    * per-source spine sort is the |docs per source| term, the same
+    * bound `events_sessionize` carries per user).
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("w"))
+    val perDoc = toks.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = toks.groupBy(col("source"), col("w"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_new_words"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Long.MinValue, 0L)
+    perDoc.join(firstSeen, Seq("source", "doc_id"), "left_outer")
+      .select(col("source"), col("doc_id"),
+        sum(col("n_tokens")).over(win).as("cum_tokens"),
+        sum(coalesce(col("n_new_words"), lit(0L))).over(win).as("cum_vocab"))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id, unnest(string_split(trim(text), ' ')) AS w
+      |  FROM documents),
+      |per_doc AS (
+      |  SELECT source, doc_id, count(*) AS n_tokens
+      |  FROM toks GROUP BY source, doc_id),
+      |first_seen AS (
+      |  SELECT source, min_doc AS doc_id, count(*) AS n_new_words
+      |  FROM (SELECT source, w, min(doc_id) AS min_doc
+      |        FROM toks GROUP BY source, w)
+      |  GROUP BY source, min_doc)
+      |SELECT p.source, p.doc_id,
+      |       CAST(sum(p.n_tokens) OVER win AS BIGINT) AS cum_tokens,
+      |       CAST(sum(COALESCE(f.n_new_words, 0)) OVER win AS BIGINT)
+      |         AS cum_vocab
+      |FROM per_doc p
+      |LEFT JOIN first_seen f ON f.source = p.source AND f.doc_id = p.doc_id
+      |WINDOW win AS (PARTITION BY p.source ORDER BY p.doc_id ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+      .stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("text_vocab_growth", vocabGrowth _, Some(vocabGrowthSql)),
     Op("text_redact_pii", redactPii _, Some(redactPiiSql)),
     Op("text_fertility", fertility _, Some(fertilitySql)),
     Op("text_readability", readability _, Some(readabilitySql)),

@@ -539,4 +539,76 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) onAlert(psiOfWindows(batch, baseline))
       }
+
+  // ------------------------------------------------ conversion attribution
+
+  final case class Touch(channel: String, tsMs: Long, id: Long)
+  final case class AttribState(touches: List[Touch], maxTsMs: Long)
+  final case class TouchCredit(conv_id: Long, user_id: Long, channel: String,
+      is_first: Boolean, is_last: Boolean, linear_micros: Long)
+
+  /** Streaming twin of the batch `Events.attribution`: per user, buffer
+    * view/click/signup touches; every purchase emits one `TouchCredit`
+    * row PER ELIGIBLE TOUCH — channel, first/last flags, and the linear
+    * credit `10⁶ div k` — so a downstream
+    * `groupBy(channel).agg(count_if(is_first), count_if(is_last),
+    * sum(linear_micros))` reproduces the batch per-channel table live,
+    * row for row. Purchases with no eligible touch emit a single
+    * `(none)` row flagged both first and last with zero credit, keeping
+    * conversion mass auditable exactly as the batch op does.
+    *
+    * State = the touches inside the lookback horizon plus the max event
+    * time seen — pruned per batch at `maxTs − lookback − lateness`, so
+    * per-user state is bounded by one lookback window of touches (NOT
+    * stream length). The lateness margin keeps a purchase that arrives
+    * up to `allowedLatenessMs` out of order from finding its touches
+    * already pruned; events later than that are outside the declared
+    * reordering contract (the watermark the caller sets should match).
+    * Per-(user, micro-batch) slices sort under the bounded-memory
+    * contract documented at `sessionize`.
+    */
+  private val TouchTypes = Set("view", "click", "signup")
+
+  def attribution(events: Dataset[Event],
+      lookbackMs: Long = 7L * 24 * 3600 * 1000,
+      allowedLatenessMs: Long = 2L * 3600 * 1000): Dataset[TouchCredit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, TouchCredit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[AttribState]) =>
+          var s = state.getOption.getOrElse(AttribState(Nil, Long.MinValue))
+          val out = List.newBuilder[TouchCredit]
+          val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          batch.foreach { e =>
+            val t = e.ts.getTime
+            if (TouchTypes(e.event_type)) {
+              s = AttribState(Touch(e.event_type, t, e.event_id) :: s.touches,
+                math.max(s.maxTsMs, t))
+            } else {
+              if (e.event_type == "purchase") {
+                val eligible = s.touches
+                  .filter(x => x.tsMs < t && x.tsMs >= t - lookbackMs)
+                  .sortBy(x => (x.tsMs, x.id))
+                if (eligible.isEmpty)
+                  out += TouchCredit(e.event_id, userId, "(none)",
+                    is_first = true, is_last = true, 0L)
+                else {
+                  val k = eligible.length
+                  eligible.zipWithIndex.foreach { case (x, i) =>
+                    out += TouchCredit(e.event_id, userId, x.channel,
+                      is_first = i == 0, is_last = i == k - 1, 1000000L / k)
+                  }
+                }
+              }
+              s = s.copy(maxTsMs = math.max(s.maxTsMs, t))
+            }
+          }
+          val horizon = s.maxTsMs - lookbackMs - allowedLatenessMs
+          s = s.copy(touches = s.touches.filter(_.tsMs >= horizon))
+          state.update(s)
+          out.result().iterator
+      }
+  }
 }

@@ -600,4 +600,66 @@ class StreamingSpec extends SparkSpec {
       assert(got(5L) == ((0, 0, false)), s"got ${got(5L)}")
     } finally q.stop()
   }
+
+  test("streaming attribution: per-touch credits, flags, (none), no future credit") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.attribution(mem.toDS())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(10), 1, "view", 1.0),
+        Event(2, ts(20), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(
+        Event(3, ts(30), 1, "purchase", 1.0), // two touches, split credit
+        Event(4, ts(40), 2, "purchase", 1.0)) // no touches → (none)
+      q.processAllAvailable()
+      // a later touch must never retro-credit purchase 4
+      mem.addData(Event(5, ts(50), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3),
+          r.getBoolean(4), r.getLong(5))).toSet
+      assert(rows == Set(
+        (3L, "view", true, false, 500000L),
+        (3L, "click", false, true, 500000L),
+        (4L, "(none)", true, true, 0L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming attribution parity: channel rollup equals the batch op on sf0.001") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{sum, when}
+    implicit val sc = spark.sqlContext
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = EventStream.attribution(mem.toDS())
+      .writeStream.format("memory").queryName("attr_parity_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches split mid-stream: purchases in the second
+      // batch must find their first-batch touches in state
+      val (a, b) = evs.splitAt(evs.length / 2)
+      mem.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      val got = spark.table("attr_parity_out").groupBy(col("channel"))
+        .agg(
+          sum(when(col("is_first"), 1L).otherwise(0L)).as("first_touch"),
+          sum(when(col("is_last"), 1L).otherwise(0L)).as("last_touch"),
+          sum(col("linear_micros")).as("linear_micros"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val want = graft.operators.Events.attribution(spark, sfDir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got == want, s"streaming $got vs batch $want")
+    } finally q.stop()
+  }
 }

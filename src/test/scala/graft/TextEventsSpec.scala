@@ -675,4 +675,32 @@ class TextEventsSpec extends SparkSpec {
       assert(row.getDouble(4) > 0 && row.getLong(5) > 0)
     }
   }
+
+  test("vocab growth: monotone curves ending at exact per-source totals") {
+    import org.apache.spark.sql.functions.{col, trim, split, explode}
+    val rows = TextAnalysis.vocabGrowth(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("w")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // both running sums strictly ordered the way a prefix sum must be
+      sorted.sliding(2).foreach {
+        case Array((_, _, t1, v1), (_, _, t2, v2)) =>
+          assert(t2 > t1, s"$src tokens not increasing")
+          assert(v2 >= v1, s"$src vocab decreased")
+        case _ =>
+      }
+      val mine = docs.filter(_._1 == src)
+      assert(sorted.last._3 == mine.length.toLong, s"$src token total")
+      assert(sorted.last._4 == mine.map(_._3).distinct.length.toLong,
+        s"$src vocab total")
+      // Heaps: vocabulary grows sublinearly — strictly fewer distinct
+      // words than tokens once any word repeats
+      assert(sorted.last._4 <= sorted.last._3)
+    }
+  }
 }
