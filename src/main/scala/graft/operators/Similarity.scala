@@ -1137,7 +1137,102 @@ object Similarity {
        |FROM ranked WHERE rank <= $KnnK""".stripMargin
   }
 
+  // ------------------------------------------- nearest-centroid confusion
+
+  /** Nearest-class-mean confusion matrix over the quantized corpus — the
+    * standard "are these embeddings linearly separable by label?" eval a
+    * labeled embedding table gets before anyone trains on it. Every
+    * vector is classified to the class centroid with the highest cosine
+    * (resubstitution: a vector contributes to its own class's centroid —
+    * the diagnostic convention; ties break to the smallest label), and
+    * the (true, predicted) counts come out as the confusion matrix.
+    *
+    * Exactness: coordinates are the int8-quantized images (the
+    * `labelCentroids` geometry), so vector·centroidSum dot products and
+    * centroid norms are EXACT integers (Σq ≤ 127·n per dim; the norm's
+    * squares accumulate as DECIMAL(38,0) for headroom at any class
+    * size); the classification score `dot / √ssq` is one fixed double
+    * expression over identical exact scalars — the query vector's own
+    * norm is label-constant and drops out of the argmax. Fully oracled.
+    *
+    * Shape at scale: the centroid frame is |labels|·dim rows and
+    * BROADCASTS twice (sums, norms); per-vector work is the dim-explode
+    * joined against it with map-side partial sums — |vecs|·dim·|labels|
+    * flows through partial aggregation, never a shuffle of vectors; the
+    * argmax window partitions on vec_id.
+    */
+  def centroidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val flat = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        (expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+          / 127.0).as("scale"),
+        col("embedding"))
+      .where(col("scale") > 0)
+      .select(col("vec_id"), col("label"), col("scale"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        expr("CAST(floor(CAST(x AS DOUBLE) / nullif(scale, 0.0d) + 0.5d) AS INT)")
+          .cast("long").as("qi"))
+    val cent = flat.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(sum(col("qi")).as("s"))
+    val cnorm = cent.groupBy(col("clabel"))
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("ssq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("clabel").asc)
+    flat
+      .join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum(col("qi") * col("s")).as("dot"))
+      .join(broadcast(cnorm), "clabel")
+      .select(col("vec_id"), col("label"), col("clabel"),
+        (col("dot").cast("double") / sqrt(col("ssq").cast("double")))
+          .as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("label").as("label_true"), col("clabel").as("label_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val centroidConfusionSql: String =
+    """WITH flat AS (
+      |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+      |         CAST(CAST(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5)
+      |                   AS INT) AS BIGINT) AS qi
+      |  FROM (
+      |    SELECT vec_id, label, embedding,
+      |           list_max(list_transform(embedding,
+      |             x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |    FROM embeddings)
+      |  CROSS JOIN unnest(range(1, len(embedding) + 1)) AS t(i)
+      |  WHERE scale > 0
+      |), cent AS (
+      |  SELECT label AS clabel, dim, CAST(sum(qi) AS BIGINT) AS s
+      |  FROM flat GROUP BY 1, 2
+      |), cnorm AS (
+      |  SELECT clabel,
+      |         CAST(sum(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0)) AS ssq
+      |  FROM cent GROUP BY 1
+      |), dots AS (
+      |  SELECT f.vec_id, f.label, c.clabel,
+      |         CAST(sum(f.qi * c.s) AS BIGINT) AS dot
+      |  FROM flat f JOIN cent c ON c.dim = f.dim
+      |  GROUP BY 1, 2, 3
+      |), scored AS (
+      |  SELECT d.vec_id, d.label, d.clabel,
+      |         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.ssq AS DOUBLE)) AS score
+      |  FROM dots d JOIN cnorm n USING (clabel)
+      |), best AS (
+      |  SELECT vec_id, label, clabel,
+      |         row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY score DESC, clabel ASC) AS rn
+      |  FROM scored)
+      |SELECT label AS label_true, clabel AS label_pred, count(*) AS n
+      |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("sim_centroid_confusion", centroidConfusion _,
+      Some(centroidConfusionSql)),
     Op("dedup_semantic", semanticDedup _, Some(semanticDedupSql)),
     Op("sim_knn_lsh", knnLsh _, Some(knnLshSql)),
     Op("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceSql)),

@@ -618,4 +618,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean > 0.6 && mean < 1.6, s"JL mean ratio $mean off: $ratios")
     assert(ratios.forall(r => r > 0.05 && r < 5.0), s"pair ratio out of band: $ratios")
   }
+
+  test("centroid confusion: every vector classified once, diagonal dominates") {
+    val m = Similarity.centroidConfusion(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val perLabel = Tables(spark, sfDir, "embeddings")
+      .groupBy(col("label")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // row sums: each vector lands in exactly one predicted class
+    // (no zero-scale vectors exist in the fixture)
+    perLabel.foreach { case (l, n) =>
+      val rowSum = m.collect { case ((t, _), c) if t == l => c }.sum
+      assert(rowSum == n, s"label $l row sum $rowSum != $n")
+    }
+    // resubstitution with 10 well-separated-ish classes: the diagonal
+    // must carry more mass than any single off-diagonal cell
+    val diag = m.collect { case ((t, p), c) if t == p => c }.sum
+    val offMax = (m.collect { case ((t, p), c) if t != p => c } ++ Seq(0L)).max
+    assert(diag > offMax, s"diag $diag vs off-diag max $offMax")
+  }
 }
