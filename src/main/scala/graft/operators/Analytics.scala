@@ -1476,7 +1476,70 @@ object Analytics {
       |         AS n_per_arm_5pct
       |FROM m""".stripMargin
 
+  // ---------------------------------------------- categorical entropy
+
+  /** Shannon-entropy report over the pipeline's categorical columns —
+    * the balance diagnostic read before any stratified
+    * sampling/mixture decision (a source column with near-zero
+    * normalized entropy means one source dominates and per-source
+    * weighting is load-bearing). For each column: row count, distinct
+    * count, entropy in nats via H = ln(n) − (Σ c·ln c)/n, and entropy
+    * normalized by its ln(k) maximum.
+    *
+    * Determinism: c·ln(c) is an identical double per category on both
+    * engines; each term is cast to DECIMAL(30,10) and summed EXACTLY,
+    * so the one float-sensitive step (summation order) is removed — the
+    * decimal-moments recipe applied to transcendental terms. Each
+    * column costs one map-side-combined reduce to |categories| rows;
+    * the union output is 3 rows.
+    */
+  def statsEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def entropyOf(table: String, column: String): DataFrame =
+      Tables(spark, dir, table)
+        .groupBy(col(column).as("v")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("c")).as("n"),
+          sum((col("c").cast("double") * log(col("c").cast("double")))
+            .cast("decimal(30,10)")).as("sclnc"))
+        .select(lit(s"$table.$column").as("entity"),
+          col("n"), col("k").as("n_distinct"),
+          round(log(col("n").cast("double")) -
+            col("sclnc").cast("double") / col("n"), 6).as("entropy"),
+          when(col("k") > 1,
+            round((log(col("n").cast("double")) -
+              col("sclnc").cast("double") / col("n")) /
+              log(col("k").cast("double")), 6))
+            .otherwise(lit(0.0)).as("norm_entropy"))
+    entropyOf("events", "event_type")
+      .unionAll(entropyOf("documents", "lang"))
+      .unionAll(entropyOf("documents", "source"))
+  }
+
+  val statsEntropySql: String = {
+    def one(table: String, column: String): String =
+      s"""SELECT '$table.$column' AS entity, n, n_distinct,
+         |       round(ln(CAST(n AS DOUBLE)) -
+         |             CAST(sclnc AS DOUBLE) / n, 6) AS entropy,
+         |       CASE WHEN n_distinct > 1 THEN
+         |         round((ln(CAST(n AS DOUBLE)) -
+         |                CAST(sclnc AS DOUBLE) / n) /
+         |               ln(CAST(n_distinct AS DOUBLE)), 6)
+         |       ELSE 0.0 END AS norm_entropy
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+         |         CAST(sum(c) AS BIGINT) AS n,
+         |         CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+         |                       AS DECIMAL(30,10))) AS DECIMAL(38,10))
+         |           AS sclnc
+         |  FROM (SELECT $column AS v, count(*) AS c
+         |        FROM $table GROUP BY 1))""".stripMargin
+    s"${one("events", "event_type")}\nUNION ALL\n" +
+      s"${one("documents", "lang")}\nUNION ALL\n" +
+      s"${one("documents", "source")}"
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("stats_entropy", statsEntropy _, Some(statsEntropySql)),
     Op("stats_power", statsPower _, Some(statsPowerSql)),
     Op("stats_qq", qq _, Some(qqSql)),
     Op("stats_gini", gini _, Some(giniSql)),

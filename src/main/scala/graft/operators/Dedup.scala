@@ -1582,7 +1582,70 @@ object Dedup {
        |LEFT JOIN kept k ON d.doc_id = k.doc_id
        |LEFT JOIN removed r ON d.doc_id = r.doc_id""".stripMargin
 
+  // ------------------------------------------------- threshold sweep
+
+  /** Dedup-threshold sensitivity report: for each candidate Jaccard
+    * cutoff ≥ the LSH family's 0.8 design point, how many pairs
+    * survive, how many documents they touch, and the surviving pairs'
+    * mean similarity — the one-page readout a pipeline owner reads
+    * before committing to a threshold (0.80 vs 0.95 can differ by an
+    * order of magnitude in removed volume). Rides `dedup_minhash_lsh`'s
+    * verified pair frame, so the sweep costs one extra pass over a
+    * PAIR-sized frame, not a corpus re-shingle; only cutoffs at or
+    * above the LSH design threshold are offered, keeping every count
+    * exact (below it, banded recall is no longer a superset).
+    *
+    * Means accumulate the 6-dp-rounded jaccards as DECIMAL(10,6) — the
+    * exact-sum-then-one-divide recipe — so both engines agree despite
+    * float addition being order-sensitive.
+    */
+  private val SweepThresholds = Seq("0.80", "0.85", "0.90", "0.95")
+
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    val th = explode(array(SweepThresholds.map(t =>
+      lit(t).cast("double")): _*)).as("threshold")
+    val s = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"), th)
+      .where(col("jaccard") >= col("threshold"))
+      .localCheckpoint() // two aggregates read it; pairs-sized, tiny
+    val agg = s.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jaccard").cast("decimal(10,6)")).as("sj"))
+      .select(col("threshold"), col("n_pairs"),
+        round(col("sj").cast("double") / col("n_pairs"), 6)
+          .as("mean_jaccard"))
+    val docs = s
+      .select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("doc")).as("n_docs"))
+    agg.join(docs, "threshold")
+      .select(col("threshold"), col("n_pairs"), col("n_docs"),
+        col("mean_jaccard"))
+  }
+
+  val thresholdSweepSql: String = {
+    val list = SweepThresholds.map(t => s"CAST($t AS DOUBLE)").mkString(", ")
+    s"""WITH p AS ($minhashLshSql),
+       |th AS (SELECT unnest([$list]) AS threshold),
+       |s AS (
+       |  SELECT th.threshold, p.doc_a, p.doc_b, p.jaccard
+       |  FROM p CROSS JOIN th WHERE p.jaccard >= th.threshold),
+       |agg AS (
+       |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         round(CAST(sum(CAST(jaccard AS DECIMAL(10,6))) AS DOUBLE)
+       |               / count(*), 6) AS mean_jaccard
+       |  FROM s GROUP BY 1),
+       |docs AS (
+       |  SELECT threshold, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+       |  FROM (SELECT threshold, unnest([doc_a, doc_b]) AS doc FROM s)
+       |  GROUP BY 1)
+       |SELECT a.threshold, a.n_pairs, d.n_docs, a.mean_jaccard
+       |FROM agg a JOIN docs d USING (threshold)""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("dedup_threshold_sweep", thresholdSweep _, Some(thresholdSweepSql)),
     Op("dedup_line_boilerplate", lineBoilerplate _, Some(lineBoilerplateSql)),
     Op("dedup_cross_spans", crossSpans _, Some(crossSpansSql)),
     Op("dedup_span_incremental", spanIncremental _, Some(spanIncrementalSql)),

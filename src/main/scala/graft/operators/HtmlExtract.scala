@@ -565,8 +565,51 @@ object HtmlExtract {
        |JOIN h$DhIters h ON h.node = n.node
        |JOIN a$DhIters a ON a.node = n.node""".stripMargin
 
+  // -------------------------------------------- graph_domain_reciprocity
+
+  /** Directed reciprocity of the domain link graph: of the distinct
+    * non-self edges u→v, what fraction have the reverse v→u — the
+    * one-number "is this link economy mutual or broadcast?" diagnostic
+    * (link-exchange rings score near 1, pure ad-sink topologies near 0).
+    * Self-loops (every domain's internal navigation) are excluded or
+    * the score inflates meaninglessly. One self-semi-join on the
+    * |domains|²-bounded edge frame; output is a single row.
+    */
+  def domainReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val e = domainLinks(spark, dir)
+      .select(col("src_domain").as("u"), col("dst_domain").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val n = e.agg(count(lit(1)).as("n_edges"))
+    val r = e.as("a")
+      .join(e.as("b"),
+        col("a.u") === col("b.v") && col("a.v") === col("b.u"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+    broadcast(n).crossJoin(broadcast(r))
+      .select(col("n_edges"), col("n_reciprocal"),
+        round(col("n_reciprocal").cast("double") / col("n_edges"), 6)
+          .as("reciprocity"))
+  }
+
+  val domainReciprocitySql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT src_domain AS u, dst_domain AS v
+       |  FROM ($domainLinksSql)
+       |  WHERE src_domain <> dst_domain)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM e a
+       |        WHERE EXISTS (SELECT 1 FROM e b
+       |                      WHERE b.u = a.v AND b.v = a.u))
+       |         AS n_reciprocal,
+       |       round(CAST((SELECT count(*) FROM e a
+       |                   WHERE EXISTS (SELECT 1 FROM e b
+       |                                 WHERE b.u = a.v AND b.v = a.u))
+       |                  AS DOUBLE) /
+       |             (SELECT count(*) FROM e), 6) AS reciprocity""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("graph_domain_hits", domainHits _, Some(domainHitsSql)),
+    Op("graph_domain_reciprocity", domainReciprocity _,
+      Some(domainReciprocitySql)),
     Op("text_html_extract", htmlExtract _, Some(htmlExtractSql)),
     Op("text_html_boilerplate", htmlBoilerplate _, Some(htmlBoilerplateSql)),
     Op("docs_from_warc", docsFromWarc _, Some(docsFromWarcSql)),

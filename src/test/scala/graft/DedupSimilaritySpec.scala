@@ -637,4 +637,31 @@ class DedupSimilaritySpec extends SparkSpec {
     val offMax = (m.collect { case ((t, p), c) if t != p => c } ++ Seq(0L)).max
     assert(diag > offMax, s"diag $diag vs off-diag max $offMax")
   }
+
+  test("threshold sweep: counts reconstruct from the base pair frame, monotone") {
+    val base = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val rows = Dedup.thresholdSweep(spark, sfDir).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    Seq(0.80, 0.85, 0.90, 0.95).foreach { t =>
+      val surv = base.filter(_._3 >= t)
+      if (surv.isEmpty) assert(!rows.contains(t))
+      else {
+        val (np, nd, mj) = rows(t)
+        assert(np == surv.length.toLong, s"t=$t pairs")
+        assert(nd == surv.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong,
+          s"t=$t docs")
+        val mean = surv.map(p => BigDecimal(p._3)).sum.toDouble / surv.length
+        assert(math.abs(mj - mean) < 1e-6, s"t=$t mean $mj vs $mean")
+      }
+    }
+    // survivor counts can only fall and mean similarity only rise with t
+    val present = Seq(0.80, 0.85, 0.90, 0.95).filter(rows.contains)
+    present.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(rows(a)._1 >= rows(b)._1 && rows(a)._3 <= rows(b)._3)
+      case _ =>
+    }
+  }
 }

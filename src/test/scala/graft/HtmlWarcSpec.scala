@@ -219,6 +219,17 @@ class HtmlWarcSpec extends SparkSpec {
     assert(ranks.tail.map(_._1).toSeq == ranks.tail.map(_._1).sorted.toSeq)
   }
 
+  test("domain reciprocity: matches a scalar recompute of the edge set") {
+    val e = HtmlExtract.domainLinks(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(p => p._1 != p._2).distinct.toSet
+    val row = HtmlExtract.domainReciprocity(spark, sfDir).collect().head
+    val recip = e.count(p => e.contains((p._2, p._1))).toLong
+    assert(row.getLong(0) == e.size.toLong, s"edges ${row.getLong(0)} vs ${e.size}")
+    assert(row.getLong(1) == recip, s"reciprocal ${row.getLong(1)} vs $recip")
+    assert(math.abs(row.getDouble(2) - recip.toDouble / e.size) < 1e-6)
+  }
+
   test("warc fixture synthesis is idempotent (marker gate, O2 shape)") {
     val dir = HtmlExtract.synthWarcSegments(spark, sfDir)
     val files = new java.io.File(dir).listFiles().map(_.getName).sorted

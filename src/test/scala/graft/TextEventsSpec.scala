@@ -703,4 +703,32 @@ class TextEventsSpec extends SparkSpec {
       assert(sorted.last._4 <= sorted.last._3)
     }
   }
+
+  test("entropy report: event_type entropy matches a scalar recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = Analytics.statsEntropy(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet == Set("events.event_type", "documents.lang",
+      "documents.source"), rows.keySet.toString)
+    val counts = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type")).count().collect().map(_.getLong(1))
+    val n = counts.sum
+    // exact-sum recompute: per-category c·ln(c) terms rounded to the
+    // same DECIMAL(30,10) grid, summed exactly, one final expression
+    val sclnc = counts.map(c => BigDecimal(c.toDouble * math.log(c.toDouble))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+    val h = math.log(n.toDouble) - sclnc.toDouble / n
+    val (gn, gk, gh, gnorm) = rows("events.event_type")
+    assert(gn == n && gk == counts.length.toLong)
+    assert(math.abs(gh - h) < 1e-6, s"H $gh vs $h")
+    assert(math.abs(gnorm - h / math.log(counts.length.toDouble)) < 1e-6)
+    // five near-uniform event types: normalized entropy close to 1;
+    // all entropies within [0, ln k]
+    assert(gnorm > 0.9 && gnorm <= 1.0)
+    rows.values.foreach { case (_, k, ent, nm) =>
+      assert(ent >= 0.0 && ent <= math.log(k.toDouble) + 1e-9)
+      assert(nm >= 0.0 && nm <= 1.0 + 1e-9)
+    }
+  }
 }
