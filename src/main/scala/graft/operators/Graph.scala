@@ -402,6 +402,84 @@ object Graph {
         col("label").as("component"))
   }
 
+  /** Incremental connected components — the corpus-growth twin of
+    * `components`, the way labeling actually runs at 100 TB: the
+    * historical graph is represented ONLY by its persisted (node,
+    * label) frame (labels are component MINIMUM ids from the star
+    * core), a new edge batch contracts its endpoints through the
+    * stored labels, and the components loop runs on that CONTRACTED
+    * graph — O(batch edges + touched components), never O(corpus).
+    *
+    * Why the result is EXACT (bit-equal to a full recompute, which is
+    * what the oracle checks): labels are component minima, so merging
+    * components through the contracted edges takes the min over
+    * {stored label ids} ∪ {new node ids} — precisely the min over all
+    * member ids of the merged component, i.e. the label a full run
+    * assigns. A batch edge inside one existing component contracts to
+    * a self-loop, which the core reduces to a no-op singleton.
+    *
+    * History/batch split by l_orderkey parity (the `minhashIncremental`
+    * convention) so both paths — novel components and cross-component
+    * merges — exercise at any sf; the label snapshot is
+    * content-addressed to the lineitem fixture via the SnapshotStore,
+    * written once and reused (the persisted-index discipline).
+    */
+  def componentsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables(spark, dir, "lineitem").as("l")
+      .join(Tables(spark, dir, "orders").as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .where(expr(ComponentEdgeCond))
+      .select(suppNode(col("l.l_suppkey")).as("u"),
+        custNode(col("o.o_custkey")).as("v"),
+        (col("l.l_orderkey") % 2 === 0).as("is_hist"))
+    val histE = raw.where(col("is_hist")).select(col("u"), col("v")).distinct()
+    val batchE = raw.where(!col("is_hist")).select(col("u"), col("v")).distinct()
+    val (store, ts) = graft.sources.SnapshotStore
+      .contentAddressed(spark, s"$dir/lineitem.parquet", "graft_ccstore")
+    if (!store.hasTableSnapshot("cc_labels", ts))
+      store.writeTableSnapshot(connectedComponents(histE), "cc_labels", ts)
+    val labels = store.readTableSnapshot(spark, "cc_labels", ts)
+      .select(col("id"), col("label"))
+    componentsIncrementalMerge(labels, batchE)
+      .select(
+        when(col("id") % 2 === 1, lit("supplier")).otherwise(lit("customer"))
+          .as("side"),
+        expr("id div 2").as("key"),
+        col("label").as("component"))
+  }
+
+  /** The pure merge step of the incremental labeling: `labels` is the
+    * persisted (id, label) frame where every label is its component's
+    * MINIMUM member id, `batchE` is the new (u, v) edge batch. Returns
+    * the updated (id, label) frame covering labels ∪ batch nodes. The
+    * batch edges are contracted through the stored labels, the star
+    * core runs on that contracted graph only, and the result relabels
+    * history rows by their OLD label (one broadcast-sized join — the
+    * contracted graph has at most 2·|batchE| nodes, never O(corpus)).
+    * Exactness argument in [[componentsIncremental]]'s doc.
+    */
+  def componentsIncrementalMerge(labels: DataFrame, batchE: DataFrame)
+      : DataFrame = {
+    val contracted = batchE
+      .join(labels.select(col("id").as("u"), col("label").as("lu")),
+        Seq("u"), "left_outer")
+      .join(labels.select(col("id").as("v"), col("label").as("lv")),
+        Seq("v"), "left_outer")
+      .select(coalesce(col("lu"), col("u")).as("u"),
+        coalesce(col("lv"), col("v")).as("v"))
+    val merged = connectedComponents(contracted)
+    val relabel = merged
+      .select(col("id").as("label"), col("label").as("new_label"))
+    val histFinal = labels.join(relabel, Seq("label"), "left_outer")
+      .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
+    val batchOnly = batchE.select(col("u").as("id"))
+      .union(batchE.select(col("v").as("id"))).distinct()
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .join(merged, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    histFinal.unionByName(batchOnly)
+  }
+
   val componentsSql: String =
     s"""WITH RECURSIVE e0 AS (
        |  SELECT DISTINCT l_suppkey * 2 + 1 AS u, o_custkey * 2 AS v
@@ -1097,6 +1175,10 @@ object Graph {
     Op("graph_jaccard", jaccardNeighbors _, Some(jaccardNeighborsSql)),
     Op("graph_degree", degrees _, Some(degreesSql)),
     Op("graph_components", components _, Some(componentsSql)),
+    // exactness contract: the incremental path must reproduce the FULL
+    // recompute bit-for-bit, so it shares components' oracle verbatim
+    Op("graph_components_incremental", componentsIncremental _,
+      Some(componentsSql)),
     Op("graph_pagerank", pagerank _, Some(pagerankSql)),
     Op("graph_triangles", nearDupTriangles _, Some(nearDupTrianglesSql)),
     Op("graph_kcore", kcoreShip _, Some(kcoreShipSql)),

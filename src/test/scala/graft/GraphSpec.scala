@@ -249,4 +249,40 @@ class GraphSpec extends SparkSpec {
     assert((1L to 4L).forall(n => r(n) == 1L), r.toString)
     assert(r(5L) == 1L, r.toString) // 4 clique labels beat the pair's 1
   }
+
+  test("incremental components merge: cross-merge, internal no-op, novel island") {
+    import spark.implicits._
+    // history: {1,2,3} labeled 1, {5,6} labeled 5, isolated {9} labeled 9
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (9L, 9L)).toDF("id", "label")
+    // batch: (3,6) merges the two components through their labels;
+    // (1,2) is internal (contracts to a self-loop, must be a no-op);
+    // (20,21) is an entirely novel island
+    val batch = Seq((3L, 6L), (1L, 2L), (20L, 21L)).toDF("u", "v")
+    val r = Graph.componentsIncrementalMerge(labels, batch).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L,
+      9L -> 9L, 20L -> 20L, 21L -> 20L), r.toString)
+  }
+
+  test("incremental components merge: batch node wins the min when smaller than labels") {
+    import spark.implicits._
+    // history component {7,8} labeled 7; batch attaches NEW node 2 to 8:
+    // the merged component's minimum member is now 2, and a full
+    // recompute would label {2,7,8} as 2 — the merge must agree
+    val labels = Seq((7L, 7L), (8L, 7L)).toDF("id", "label")
+    val batch = Seq((8L, 2L)).toDF("u", "v")
+    val r = Graph.componentsIncrementalMerge(labels, batch).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(2L -> 2L, 7L -> 2L, 8L -> 2L), r.toString)
+  }
+
+  test("incremental components: fixture result equals the full recompute, twice") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = canon(Graph.components(spark, sfDir))
+    // second call exercises the snapshot-reuse path (write-once gate)
+    assert(canon(Graph.componentsIncremental(spark, sfDir)) == full)
+    assert(canon(Graph.componentsIncremental(spark, sfDir)) == full)
+  }
 }
