@@ -1538,7 +1538,371 @@ object Analytics {
       s"${one("documents", "source")}"
   }
 
+  // ---------------------------------------------- mutual information
+
+  /** Mutual information between categorical column pairs — the
+    * association measure in information units that χ² significance
+    * can't give: MI(X;Y) quantifies how many nats knowing one column
+    * reveals about the other (feature-selection and leakage screening
+    * both read this). For each pair: n, MI in nats, the two marginal
+    * entropies, and MI normalized by min(Hx, Hy) (1 = one column
+    * determines the other, 0 = independent).
+    *
+    * Identities that keep everything on the cell frame: with cell
+    * counts c, marginals cx/cy and total n,
+    * MI = (Σ c·ln(c·n/(cx·cy)))/n and Σ_x cx·ln cx = Σ_cells c·ln cx —
+    * so ONE |X|·|Y|-cell aggregate feeds MI and both entropies. Each
+    * transcendental term is a fixed double expression cast to
+    * DECIMAL(30,10) and summed exactly (the `statsEntropy` recipe), so
+    * summation order — the only float-sensitive step — is removed.
+    * Scale: one map-side-combined reduce to the cell frame, windows
+    * over cells only, 2-row output.
+    */
+  private[graft] def miOf(df: DataFrame, xc: Column, yc: Column,
+      entity: String): DataFrame = {
+      val cells = df.groupBy(xc.as("x"), yc.as("y"))
+        .agg(count(lit(1)).as("c"))
+      val t = cells
+        .withColumn("cx", sum(col("c")).over(Window.partitionBy(col("x"))))
+        .withColumn("cy", sum(col("c")).over(Window.partitionBy(col("y"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+        .withColumn("term",
+          (col("c").cast("double") *
+            log(col("c").cast("double") * col("n").cast("double") /
+              (col("cx").cast("double") * col("cy").cast("double"))))
+            .cast("decimal(30,10)"))
+        .withColumn("xln",
+          (col("c").cast("double") * log(col("cx").cast("double")))
+            .cast("decimal(30,10)"))
+        .withColumn("yln",
+          (col("c").cast("double") * log(col("cy").cast("double")))
+            .cast("decimal(30,10)"))
+      val a = t.agg(max(col("n")).as("n"), sum(col("term")).as("sterm"),
+        sum(col("xln")).as("sxln"), sum(col("yln")).as("syln"))
+      val nD = col("n").cast("double")
+      val hx = log(nD) - col("sxln").cast("double") / nD
+      val hy = log(nD) - col("syln").cast("double") / nD
+      val mi = col("sterm").cast("double") / nD
+      a.select(lit(entity).as("entity"), col("n"),
+        round(mi, 6).as("mi_nats"),
+        round(hx, 6).as("h_x"), round(hy, 6).as("h_y"),
+        when(least(hx, hy) > 0, round(mi / least(hx, hy), 6))
+          .otherwise(lit(0.0)).as("norm_mi"))
+    }
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame =
+    miOf(Tables(spark, dir, "documents"), col("lang"), col("source"),
+      "documents.lang*source")
+      .unionAll(miOf(Tables(spark, dir, "events"), col("event_type"),
+        dayofweek(col("ts")), "events.type*dow"))
+
+  val mutualInfoSql: String = {
+    def one(table: String, x: String, y: String, entity: String): String =
+      s"""SELECT '$entity' AS entity, n,
+         |       round(CAST(sterm AS DOUBLE) / n, 6) AS mi_nats,
+         |       round(ln(CAST(n AS DOUBLE)) -
+         |             CAST(sxln AS DOUBLE) / n, 6) AS h_x,
+         |       round(ln(CAST(n AS DOUBLE)) -
+         |             CAST(syln AS DOUBLE) / n, 6) AS h_y,
+         |       CASE WHEN least(ln(CAST(n AS DOUBLE)) -
+         |                         CAST(sxln AS DOUBLE) / n,
+         |                       ln(CAST(n AS DOUBLE)) -
+         |                         CAST(syln AS DOUBLE) / n) > 0
+         |         THEN round((CAST(sterm AS DOUBLE) / n) /
+         |                    least(ln(CAST(n AS DOUBLE)) -
+         |                            CAST(sxln AS DOUBLE) / n,
+         |                          ln(CAST(n AS DOUBLE)) -
+         |                            CAST(syln AS DOUBLE) / n), 6)
+         |         ELSE 0.0 END AS norm_mi
+         |FROM (
+         |  SELECT CAST(max(n) AS BIGINT) AS n,
+         |         sum(term) AS sterm, sum(xln) AS sxln, sum(yln) AS syln
+         |  FROM (
+         |    SELECT c, n,
+         |           CAST(CAST(c AS DOUBLE) *
+         |                ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE) /
+         |                   (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+         |                AS DECIMAL(30,10)) AS term,
+         |           CAST(CAST(c AS DOUBLE) * ln(CAST(cx AS DOUBLE))
+         |                AS DECIMAL(30,10)) AS xln,
+         |           CAST(CAST(c AS DOUBLE) * ln(CAST(cy AS DOUBLE))
+         |                AS DECIMAL(30,10)) AS yln
+         |    FROM (
+         |      SELECT c,
+         |             CAST(sum(c) OVER (PARTITION BY x) AS BIGINT) AS cx,
+         |             CAST(sum(c) OVER (PARTITION BY y) AS BIGINT) AS cy,
+         |             CAST(sum(c) OVER () AS BIGINT) AS n
+         |      FROM (SELECT $x AS x, $y AS y, count(*) AS c
+         |            FROM $table GROUP BY 1, 2))))""".stripMargin
+    one("documents", "lang", "source", "documents.lang*source") +
+      "\nUNION ALL\n" +
+      one("events", "event_type", "dayofweek(ts) + 1", "events.type*dow")
+  }
+
+  // ------------------------------------------- Jensen-Shannon drift
+
+  /** Jensen-Shannon divergence between the event-type mix of the
+    * corpus's EARLY and LATE halves (split at the exact microsecond
+    * midpoint of the observed time range) — the bounded, symmetric
+    * drift measure the PSI/KS family lacks: JSD ∈ [0, ln 2] always,
+    * even for categories present on only one side (where KL is
+    * infinite). JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2.
+    *
+    * Determinism: the split point is integer microseconds
+    * ((t0+t1) div 2 — exact); each category's two KL terms are fixed
+    * double expressions on exact integer counts, cast DECIMAL(30,10),
+    * summed exactly, halved once at the boundary; bits via the literal
+    * ln 2 (no engine-evaluated ln(2)). One-sided categories contribute
+    * only their present-side term (the 0·ln 0 = 0 convention).
+    * Scale: one reduce to |types| rows; the 1-row bound frame
+    * broadcasts — no second corpus pass, no sort.
+    */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val Ln2 = 0.6931471805599453
+    val e = Tables(spark, dir, "events")
+      // ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so the cast
+      // is instant-preserving and unix_micros == DuckDB's epoch_us
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val bounds = e.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+      .select(expr("(t0 + t1) div 2").as("mid"))
+    val cells = e.crossJoin(broadcast(bounds))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("us") <= col("mid"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("us") > col("mid"), 1L).otherwise(0L)).as("b"))
+    val t = cells
+      .withColumn("na", sum(col("a")).over(Window.partitionBy()))
+      .withColumn("nb", sum(col("b")).over(Window.partitionBy()))
+    val p = col("a").cast("double") / col("na").cast("double")
+    val q = col("b").cast("double") / col("nb").cast("double")
+    val m = (p + q) / 2
+    val terms = t
+      .withColumn("tp",
+        when(col("a") > 0, (p * log(p / m)).cast("decimal(30,10)"))
+          .otherwise(lit(0).cast("decimal(30,10)")))
+      .withColumn("tq",
+        when(col("b") > 0, (q * log(q / m)).cast("decimal(30,10)"))
+          .otherwise(lit(0).cast("decimal(30,10)")))
+    terms.agg(max(col("na")).as("n_early"), max(col("nb")).as("n_late"),
+      count(lit(1)).as("n_types"),
+      round((sum(col("tp")) + sum(col("tq"))).cast("double") / 2, 6)
+        .as("jsd_nats"))
+      .withColumn("jsd_bits", round(col("jsd_nats") / Ln2, 6))
+  }
+
+  val jsDivergenceSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS us FROM events
+      |), mid AS (
+      |  SELECT (min(us) + max(us)) // 2 AS mid FROM e
+      |), cells AS (
+      |  SELECT event_type,
+      |         CAST(sum(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS a,
+      |         CAST(sum(CASE WHEN us > mid THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS b
+      |  FROM e CROSS JOIN mid GROUP BY 1
+      |), t AS (
+      |  SELECT *,
+      |         CAST(sum(a) OVER () AS BIGINT) AS na,
+      |         CAST(sum(b) OVER () AS BIGINT) AS nb
+      |  FROM cells
+      |), terms AS (
+      |  SELECT na, nb,
+      |         CASE WHEN a > 0 THEN
+      |           CAST((CAST(a AS DOUBLE) / CAST(na AS DOUBLE)) *
+      |                ln((CAST(a AS DOUBLE) / CAST(na AS DOUBLE)) /
+      |                   ((CAST(a AS DOUBLE) / CAST(na AS DOUBLE) +
+      |                     CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)) / 2))
+      |                AS DECIMAL(30,10))
+      |         ELSE CAST(0 AS DECIMAL(30,10)) END AS tp,
+      |         CASE WHEN b > 0 THEN
+      |           CAST((CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)) *
+      |                ln((CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)) /
+      |                   ((CAST(a AS DOUBLE) / CAST(na AS DOUBLE) +
+      |                     CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)) / 2))
+      |                AS DECIMAL(30,10))
+      |         ELSE CAST(0 AS DECIMAL(30,10)) END AS tq
+      |  FROM t
+      |)
+      |SELECT max(na) AS n_early, max(nb) AS n_late,
+      |       count(*) AS n_types,
+      |       round(CAST(sum(tp) + sum(tq) AS DOUBLE) / 2, 6) AS jsd_nats,
+      |       round(round(CAST(sum(tp) + sum(tq) AS DOUBLE) / 2, 6) /
+      |             0.6931471805599453, 6) AS jsd_bits
+      |FROM terms""".stripMargin
+
+  // ------------------------------------------------- one-way ANOVA
+
+  /** One-way ANOVA F test: does mean `value` differ across event
+    * types? The k-group generalization of `stats_welch` (which only
+    * compares two): between/within sum-of-squares decomposition, F
+    * statistic, and η² effect size (share of variance explained by
+    * the grouping).
+    *
+    * Determinism: per-group moments are EXACT decimal sums on the 2-dp
+    * value grid (the `stats_summary` recipe); each group's SSW/SSB
+    * contribution is one fixed double expression on those exact
+    * moments, rounded to 6 dp and summed as DECIMAL(28,6) — the χ²
+    * recipe, order-independent by construction. Scale: one map-side-
+    * combined reduce to |types| rows, then scalar arithmetic.
+    */
+  def anova(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables(spark, dir, "events").where(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("value").cast("decimal(18,2)")).as("sx"),
+        sum(col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).as("sxx"))
+    val t = g.select(col("ng"), col("sx"),
+      round(col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") /
+          col("ng").cast("double"), 6).cast("decimal(28,6)").as("sswg"),
+      round(col("sx").cast("double") * col("sx").cast("double") /
+        col("ng").cast("double"), 6).cast("decimal(28,6)").as("ssbg"))
+    val a = t.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sx")).as("gsx"), sum(col("sswg")).as("ssw"),
+      sum(col("ssbg")).as("ssbsum"))
+    val ssb = round(col("ssbsum").cast("double") -
+      col("gsx").cast("double") * col("gsx").cast("double") /
+        col("n").cast("double"), 6)
+    val ssw = col("ssw").cast("double")
+    a.select(col("k"), col("n"), ssb.as("ss_between"),
+      round(ssw, 6).as("ss_within"),
+      round((ssb / (col("k") - 1).cast("double")) /
+        (ssw / (col("n") - col("k")).cast("double")), 6).as("f_stat"),
+      round(ssb / (ssb + ssw), 6).as("eta_sq"))
+  }
+
+  val anovaSql: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS sx,
+      |         sum(CAST(value AS DECIMAL(18,2)) *
+      |             CAST(value AS DECIMAL(18,2))) AS sxx
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |), t AS (
+      |  SELECT ng, sx,
+      |         CAST(round(CAST(sxx AS DOUBLE) -
+      |                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+      |                      CAST(ng AS DOUBLE), 6) AS DECIMAL(28,6))
+      |           AS sswg,
+      |         CAST(round(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+      |                      CAST(ng AS DOUBLE), 6) AS DECIMAL(28,6))
+      |           AS ssbg
+      |  FROM g
+      |), a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+      |         sum(sx) AS gsx, sum(sswg) AS ssw, sum(ssbg) AS ssbsum
+      |  FROM t
+      |)
+      |SELECT k, n,
+      |       round(CAST(ssbsum AS DOUBLE) -
+      |             CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) /
+      |               CAST(n AS DOUBLE), 6) AS ss_between,
+      |       round(CAST(ssw AS DOUBLE), 6) AS ss_within,
+      |       round((round(CAST(ssbsum AS DOUBLE) -
+      |                    CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) /
+      |                      CAST(n AS DOUBLE), 6) /
+      |              CAST(k - 1 AS DOUBLE)) /
+      |             (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)), 6)
+      |         AS f_stat,
+      |       round(round(CAST(ssbsum AS DOUBLE) -
+      |                   CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) /
+      |                     CAST(n AS DOUBLE), 6) /
+      |             (round(CAST(ssbsum AS DOUBLE) -
+      |                    CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) /
+      |                      CAST(n AS DOUBLE), 6) +
+      |              CAST(ssw AS DOUBLE)), 6) AS eta_sq
+      |FROM a""".stripMargin
+
+  // ------------------------------------------- daily autocorrelation
+
+  /** Lag-1..7 autocorrelation of the daily event-count series — the
+    * "is there a weekly cycle" diagnostic that complements
+    * `stats_seasonal` (hour-of-day) and `stats_trend` (linear drift):
+    * a lag-7 peak is the weekly rhythm, lag-1 persistence is burst
+    * clumping. ACF over the day-ordered observed series, overall-mean
+    * convention.
+    *
+    * Determinism: every sum feeding r_k is an exact BIGINT (Σy, Σy²,
+    * Σy_t·y_{t-k} and the two one-sided sums), and the final r_k is
+    * generated from ONE shared expression template (`acfExprSql`) fed
+    * verbatim to BOTH engines — parity by construction, not by
+    * mirroring. Scale: the corpus reduces to |days| rows before the
+    * single ordered window; everything after is fixed-size.
+    */
+  private val AcfMaxLag = 7
+
+  private def acfExprSql(k: Int): String =
+    s"""round((CAST(p$k AS DOUBLE) -
+       |        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) *
+       |          (CAST(a$k AS DOUBLE) + CAST(b$k AS DOUBLE)) +
+       |        CAST(n$k AS DOUBLE) *
+       |          (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |          (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) /
+       |       (CAST(sxx AS DOUBLE) -
+       |        CAST(n AS DOUBLE) *
+       |          (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |          (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 6)""".stripMargin
+
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("y"))
+    val w = Window.orderBy(col("d"))
+    val lagged = daily.select(
+      col("y") +: (1 to AcfMaxLag).map(k =>
+        lag(col("y"), k).over(w).as(s"l$k")): _*)
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("y")).as("s1"),
+      sum(col("y") * col("y")).as("sxx")) ++
+      (1 to AcfMaxLag).flatMap(k => Seq(
+        sum(when(col(s"l$k").isNotNull, col("y") * col(s"l$k"))
+          .otherwise(0L)).as(s"p$k"),
+        sum(when(col(s"l$k").isNotNull, col("y")).otherwise(0L))
+          .as(s"a$k"),
+        sum(when(col(s"l$k").isNotNull, col(s"l$k")).otherwise(0L))
+          .as(s"b$k"),
+        sum(when(col(s"l$k").isNotNull, 1L).otherwise(0L)).as(s"n$k")))
+    val one = lagged.agg(aggs.head, aggs.tail: _*)
+    (1 to AcfMaxLag).map(k =>
+      one.selectExpr(s"$k AS lag", s"n$k AS n_pairs",
+        s"${acfExprSql(k)} AS acf"))
+      .reduce(_ unionAll _)
+  }
+
+  val autocorrSql: String = {
+    val conds = (1 to AcfMaxLag).flatMap(k => Seq(
+      s"CAST(sum(CASE WHEN l$k IS NOT NULL THEN y * l$k ELSE 0 END) AS BIGINT) AS p$k",
+      s"CAST(sum(CASE WHEN l$k IS NOT NULL THEN y ELSE 0 END) AS BIGINT) AS a$k",
+      s"CAST(sum(CASE WHEN l$k IS NOT NULL THEN l$k ELSE 0 END) AS BIGINT) AS b$k",
+      s"CAST(sum(CASE WHEN l$k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n$k"))
+      .mkString(",\n         ")
+    val lags = (1 to AcfMaxLag)
+      .map(k => s"lag(y, $k) OVER (ORDER BY d) AS l$k").mkString(",\n         ")
+    val rows = (1 to AcfMaxLag).map(k =>
+      s"SELECT $k AS lag, n$k AS n_pairs, ${acfExprSql(k)} AS acf FROM one")
+      .mkString("\nUNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1
+       |), lagged AS (
+       |  SELECT y,
+       |         $lags
+       |  FROM daily
+       |), one AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(y) AS BIGINT) AS s1,
+       |         CAST(sum(y * y) AS BIGINT) AS sxx,
+       |         $conds
+       |  FROM lagged
+       |)
+       |$rows""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("stats_anova", anova _, Some(anovaSql)),
+    Op("stats_autocorr", autocorr _, Some(autocorrSql)),
+    Op("stats_mutual_info", mutualInfo _, Some(mutualInfoSql)),
+    Op("stats_js_divergence", jsDivergence _, Some(jsDivergenceSql)),
     Op("stats_entropy", statsEntropy _, Some(statsEntropySql)),
     Op("stats_power", statsPower _, Some(statsPowerSql)),
     Op("stats_qq", qq _, Some(qqSql)),

@@ -1150,7 +1150,160 @@ object Curation {
        |FROM scored s JOIN th USING (lang)""".stripMargin
   }
 
+  // ------------------------------------------------ Gopher rule filter
+
+  /** Gopher rule thresholds (Rae et al. 2021, table A1 — the published
+    * web-corpus repetition-free quality gate every large pretraining
+    * pipeline replicates). Values are the paper's; the stop list keeps
+    * the paper's function-word INTENT on this fixture's vocabulary
+    * (which contains `the`/`a` but not `be`/`that`/`have`/`with`). */
+  private val GopherMinWords = 50L
+  private val GopherMaxWords = 100000L
+  private val GopherMinMeanLen = 3.0
+  private val GopherMaxMeanLen = 10.0
+  private val GopherMaxSymbolRatio = 0.1
+  private val GopherMaxBulletFrac = 0.9
+  private val GopherMaxEllipsisFrac = 0.3
+  private val GopherMinAlphaFrac = 0.8
+  private val GopherStops = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val GopherMinStopHits = 2
+
+  /** Frame-in/frame-out Gopher metric core over any (doc_id, text)
+    * frame: every rule's measured value, its pass flag, and the overall
+    * keep conjunction. All metrics are exact integer counts divided
+    * once at the boundary (round 6, DOUBLE), so both engines agree
+    * bit-for-bit: word/line splits are the same regex in Java and
+    * DuckDB's RE2 (`[ \n]+` has identical semantics), per-word length
+    * sums are integer list folds, and symbol counts come from
+    * length-difference arithmetic after literal `replace` (both engines
+    * replace non-overlapping left-to-right).
+    *
+    * Scale shape: one codegen'd projection over the scan — no shuffle,
+    * no explode; the word array lives only inside its own row's
+    * expressions. The 100 TB plan is the sf0.01 plan.
+    */
+  def gopherMetrics(df: DataFrame): DataFrame = {
+    val words = split(col("text"), "[ \n]+")
+    val lines = split(col("text"), "\n")
+    val nWords = size(words).cast("long")
+    val wordChars = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val alphaWords = size(filter(words, w => w.rlike("^[a-z]+$"))).cast("long")
+    val hashCount =
+      (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+        .cast("long")
+    val ellipsisCount =
+      ((length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val bulletLines =
+      size(filter(lines, l => l.rlike("^[-*•]"))).cast("long")
+    val ellipsisLines =
+      size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("long")
+    val nLines = size(lines).cast("long")
+    val padded = concat(lit(" "),
+      regexp_replace(col("text"), "\n", " "), lit(" "))
+    val stopHits = GopherStops.map(s =>
+      when(padded.contains(s" $s "), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val meanLen = round(wordChars.cast("double") / nWords, 6)
+    val alphaFrac = round(alphaWords.cast("double") / nWords, 6)
+    val symbolRatio =
+      round((hashCount + ellipsisCount).cast("double") / nWords, 6)
+    val bulletFrac = round(bulletLines.cast("double") / nLines, 6)
+    val ellipsisFrac = round(ellipsisLines.cast("double") / nLines, 6)
+    val passWords = nWords >= GopherMinWords && nWords <= GopherMaxWords
+    val passMeanLen =
+      meanLen >= GopherMinMeanLen && meanLen <= GopherMaxMeanLen
+    val passStops = stopHits >= GopherMinStopHits
+    val passAlpha = alphaFrac >= GopherMinAlphaFrac
+    val passSymbols = symbolRatio <= GopherMaxSymbolRatio
+    val passBullets = bulletFrac <= GopherMaxBulletFrac
+    val passEllipsis = ellipsisFrac <= GopherMaxEllipsisFrac
+    df.select(col("doc_id"), nWords.as("n_words"),
+      meanLen.as("mean_word_len"), stopHits.as("stop_hits"),
+      alphaFrac.as("alpha_frac"), symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
+      passWords.as("pass_words"), passMeanLen.as("pass_mean_len"),
+      passStops.as("pass_stops"), passAlpha.as("pass_alpha"),
+      passSymbols.as("pass_symbols"), passBullets.as("pass_bullets"),
+      passEllipsis.as("pass_ellipsis"),
+      (passWords && passMeanLen && passStops && passAlpha &&
+        passSymbols && passBullets && passEllipsis).as("keep"))
+  }
+
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame =
+    gopherMetrics(Tables(spark, dir, "documents"))
+
+  val gopherFilterSql: String = {
+    val stops = GopherStops
+      .map(s => s"CASE WHEN padded LIKE '% $s %' THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         string_split_regex(text, '[ \n]+') AS words,
+       |         string_split(text, chr(10)) AS lines,
+       |         ' ' || replace(text, chr(10), ' ') || ' ' AS padded,
+       |         length(text) AS nc,
+       |         length(replace(text, '#', '')) AS nc_nohash,
+       |         length(replace(text, '...', '')) AS nc_nodots
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |         CAST(len(words) AS BIGINT) AS n_words,
+       |         CAST(list_sum(list_transform(words, w -> length(w)))
+       |              AS BIGINT) AS word_chars,
+       |         CAST(len(list_filter(words,
+       |                w -> regexp_full_match(w, '[a-z]+'))) AS BIGINT)
+       |           AS alpha_words,
+       |         CAST(nc - nc_nohash AS BIGINT) +
+       |           CAST((nc - nc_nodots) / 3 AS BIGINT) AS symbols,
+       |         CAST(len(list_filter(lines,
+       |                l -> regexp_matches(l, '^[-*•]'))) AS BIGINT)
+       |           AS bullet_lines,
+       |         CAST(len(list_filter(lines,
+       |                l -> regexp_matches(l, '\\.\\.\\.$$'))) AS BIGINT)
+       |           AS ellipsis_lines,
+       |         CAST(len(lines) AS BIGINT) AS n_lines,
+       |         CAST($stops AS BIGINT) AS stop_hits
+       |  FROM m
+       |), v AS (
+       |  SELECT doc_id, n_words, stop_hits,
+       |         round(CAST(word_chars AS DOUBLE) / n_words, 6)
+       |           AS mean_word_len,
+       |         round(CAST(alpha_words AS DOUBLE) / n_words, 6)
+       |           AS alpha_frac,
+       |         round(CAST(symbols AS DOUBLE) / n_words, 6)
+       |           AS symbol_ratio,
+       |         round(CAST(bullet_lines AS DOUBLE) / n_lines, 6)
+       |           AS bullet_frac,
+       |         round(CAST(ellipsis_lines AS DOUBLE) / n_lines, 6)
+       |           AS ellipsis_frac
+       |  FROM c
+       |)
+       |SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_frac,
+       |       symbol_ratio, bullet_frac, ellipsis_frac,
+       |       n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+       |         AS pass_words,
+       |       mean_word_len >= $GopherMinMeanLen AND
+       |         mean_word_len <= $GopherMaxMeanLen AS pass_mean_len,
+       |       stop_hits >= $GopherMinStopHits AS pass_stops,
+       |       alpha_frac >= $GopherMinAlphaFrac AS pass_alpha,
+       |       symbol_ratio <= $GopherMaxSymbolRatio AS pass_symbols,
+       |       bullet_frac <= $GopherMaxBulletFrac AS pass_bullets,
+       |       ellipsis_frac <= $GopherMaxEllipsisFrac AS pass_ellipsis,
+       |       (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
+       |         AND (mean_word_len >= $GopherMinMeanLen AND
+       |              mean_word_len <= $GopherMaxMeanLen)
+       |         AND stop_hits >= $GopherMinStopHits
+       |         AND alpha_frac >= $GopherMinAlphaFrac
+       |         AND symbol_ratio <= $GopherMaxSymbolRatio
+       |         AND bullet_frac <= $GopherMaxBulletFrac
+       |         AND ellipsis_frac <= $GopherMaxEllipsisFrac AS keep
+       |FROM v""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("curate_gopher_filter", gopherFilter _, Some(gopherFilterSql)),
     Op("curate_quality_lr", qualityLr _, Some(qualityLrSql)),
     Op("curate_ccnet_bucket", ccnetBucket _, Some(ccnetBucketSql)),
     Op("curate_epoch_plan", epochPlan _, Some(epochPlanSql)),

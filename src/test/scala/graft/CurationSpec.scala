@@ -414,4 +414,63 @@ class CurationSpec extends SparkSpec {
           assert(b.length <= 2 * n / 3 + 1, s"$lang skewed: ${byBucket.view.mapValues(_.length).toMap}"))
     }
   }
+
+  test("gopher filter: each rule fails in isolation on planted docs") {
+    import spark.implicits._
+    val w60 = Seq.fill(60)("word").mkString(" ")
+    val bulletLine = "- word word word word the a"
+    val ellLine = Seq.fill(9)("word").mkString(" ") + " the a word..."
+    val docs = Seq(
+      (1L, w60 + " the a"),                                   // keep
+      (2L, "the of tiny docs"),                               // words only
+      (3L, w60 + " " + Seq.fill(10)("#").mkString(" ") + " the a of"), // symbols only
+      (4L, Seq.fill(10)(bulletLine).mkString("\n")),          // bullets only
+      (5L, Seq.fill(10)(ellLine).mkString("\n")),             // ellipsis lines only
+      (6L, Seq.fill(62)("extraordinarily").mkString(" ") + " the a"), // mean len only
+      (7L, w60),                                              // stops only
+      (8L, Seq.fill(40)("word").mkString(" ") + " " +
+        Seq.fill(15)("1234").mkString(" ") + " the a of")     // alpha only
+    ).toDF("doc_id", "text")
+    val m = Curation.gopherMetrics(docs).collect()
+      .map(r => r.getLong(0) -> r.getValuesMap[Any](r.schema.fieldNames))
+      .toMap
+    def flags(id: Long): Map[String, Boolean] = m(id).collect {
+      case (k, v: Boolean) if k.startsWith("pass_") => k -> v
+    }.toMap
+    val all = Seq("pass_words", "pass_mean_len", "pass_stops", "pass_alpha",
+      "pass_symbols", "pass_bullets", "pass_ellipsis")
+    def onlyFails(id: Long, failing: Set[String]): Unit = {
+      val f = flags(id)
+      all.foreach(k => assert(f(k) == !failing(k), s"doc $id $k: $f"))
+      assert(m(id)("keep") == failing.isEmpty, s"doc $id keep")
+    }
+    onlyFails(1L, Set.empty)
+    onlyFails(2L, Set("pass_words"))
+    onlyFails(3L, Set("pass_symbols"))
+    onlyFails(4L, Set("pass_bullets"))
+    onlyFails(5L, Set("pass_ellipsis"))
+    onlyFails(6L, Set("pass_mean_len"))
+    onlyFails(7L, Set("pass_stops"))
+    onlyFails(8L, Set("pass_alpha"))
+    // spot-check the measured values behind doc 1's flags
+    assert(m(1L)("n_words") == 62L)
+    assert(m(1L)("mean_word_len") == // (60*4 + 3 + 1) / 62, rounded to 6
+      BigDecimal(244.0 / 62).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(m(1L)("stop_hits") == 2L)
+    assert(m(1L)("alpha_frac") == 1.0)
+  }
+
+  test("gopher filter: fixture is non-degenerate and keep is the flag conjunction") {
+    val rows = Curation.gopherFilter(spark, sfDir).collect()
+    assert(rows.length == graft.Tables(spark, sfDir, "documents").count())
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length, s"degenerate: $kept/${rows.length}")
+    rows.foreach { r =>
+      val conj = Seq("pass_words", "pass_mean_len", "pass_stops",
+        "pass_alpha", "pass_symbols", "pass_bullets", "pass_ellipsis")
+        .forall(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("keep") == conj, r.toString)
+    }
+  }
 }

@@ -731,4 +731,126 @@ class TextEventsSpec extends SparkSpec {
       assert(nm >= 0.0 && nm <= 1.0 + 1e-9)
     }
   }
+
+  test("mutual information: determined pair saturates, independent pair is zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // X == Y: MI = H(X) exactly, norm_mi = 1
+    val dep = (Seq.fill(3)(("x", "x")) ++ Seq.fill(5)(("y", "y")))
+      .toDF("u", "v")
+    val d = Analytics.miOf(dep, col("u"), col("v"), "dep").head()
+    val h = math.log(8) - (3 * math.log(3) + 5 * math.log(5)) / 8
+    assert(math.abs(d.getDouble(2) - h) < 2e-6, s"mi ${d.getDouble(2)} vs $h")
+    assert(math.abs(d.getDouble(5) - 1.0) < 2e-6, s"norm ${d.getDouble(5)}")
+    // uniform independent 2x2: every cell term ln(1*4/(2*2)) = ln 1 = 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("u", "v")
+    val i = Analytics.miOf(ind, col("u"), col("v"), "ind").head()
+    assert(i.getDouble(2) == 0.0 && i.getDouble(5) == 0.0, i.toString)
+  }
+
+  test("mutual information: fixture marginals cross-check stats_entropy, bounds hold") {
+    val mi = Analytics.mutualInfo(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ent = Analytics.statsEntropy(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // the pair's marginal entropy must reproduce the entropy op's value
+    // (same formula, cell-sharded term grouping -> tiny decimal dust)
+    assert(math.abs(mi("events.type*dow").getDouble(3) -
+      ent("events.event_type")) < 2e-6)
+    assert(math.abs(mi("documents.lang*source").getDouble(3) -
+      ent("documents.lang")) < 2e-6)
+    assert(math.abs(mi("documents.lang*source").getDouble(4) -
+      ent("documents.source")) < 2e-6)
+    mi.values.foreach { r =>
+      val (m, hx, hy, nm) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(m >= -1e-6 && m <= math.min(hx, hy) + 1e-6, r.toString)
+      assert(nm >= 0.0 && nm <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
+  test("js divergence: bit-exact scalar recompute from raw events") {
+    val got = Analytics.jsDivergence(spark, sfDir).head()
+    val rows = graft.Tables(spark, sfDir, "events")
+      .selectExpr("event_type", "unix_micros(cast(ts as timestamp)) AS us")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val mid = Math.floorDiv(rows.map(_._2).min + rows.map(_._2).max, 2L)
+    val byType = rows.groupBy(_._1).view.mapValues { xs =>
+      (xs.count(_._2 <= mid).toLong, xs.count(_._2 > mid).toLong)
+    }.toMap
+    val na = byType.values.map(_._1).sum
+    val nb = byType.values.map(_._2).sum
+    def dec10(x: Double): BigDecimal =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val terms = byType.values.map { case (a, b) =>
+      val p = a.toDouble / na; val q = b.toDouble / nb; val m = (p + q) / 2
+      val tp = if (a > 0) dec10(p * math.log(p / m)) else BigDecimal(0)
+      val tq = if (b > 0) dec10(q * math.log(q / m)) else BigDecimal(0)
+      tp + tq
+    }
+    val jsd = round6(terms.sum.toDouble / 2)
+    assert(got.getLong(0) == na && got.getLong(1) == nb)
+    assert(got.getLong(2) == byType.size.toLong)
+    assert(got.getDouble(3) == jsd, s"jsd ${got.getDouble(3)} vs $jsd")
+    assert(got.getDouble(4) == round6(jsd / 0.6931471805599453))
+    assert(jsd >= 0.0 && jsd <= 0.6931471805599453 + 1e-9)
+  }
+
+  test("anova: sums of squares match a decimal-exact scalar recompute") {
+    val got = Analytics.anova(spark, sfDir).head()
+    val raw = graft.Tables(spark, sfDir, "events")
+      .where(org.apache.spark.sql.functions.col("value").isNotNull)
+      .selectExpr("event_type", "CAST(value AS DECIMAL(18,2)) AS v")
+      .collect().map(r => (r.getString(0), r.getDecimal(1)))
+    val groups = raw.groupBy(_._1).view.mapValues(_.map(x =>
+      BigDecimal(x._2))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val k = groups.size.toLong
+    val n = raw.length.toLong
+    val gsx = groups.values.map(_.sum).sum
+    val ssw = groups.values.map { vs =>
+      val sx = vs.sum; val sxx = vs.map(v => v * v).sum
+      dec6(sxx.toDouble - sx.toDouble * sx.toDouble / vs.length.toDouble)
+    }.sum
+    val ssbsum = groups.values.map { vs =>
+      val sx = vs.sum
+      dec6(sx.toDouble * sx.toDouble / vs.length.toDouble)
+    }.sum
+    val ssb = r6(ssbsum.toDouble - gsx.toDouble * gsx.toDouble / n.toDouble)
+    assert(got.getLong(0) == k && got.getLong(1) == n)
+    assert(got.getDouble(2) == ssb, s"ssb ${got.getDouble(2)} vs $ssb")
+    assert(got.getDouble(3) == r6(ssw.toDouble))
+    assert(got.getDouble(4) ==
+      r6((ssb / (k - 1)) / (ssw.toDouble / (n - k))))
+    assert(got.getDouble(5) == r6(ssb / (ssb + ssw.toDouble)))
+    assert(got.getDouble(4) >= 0.0)
+  }
+
+  test("autocorr: exact-integer scalar recompute, full lag coverage") {
+    val rows = Analytics.autocorr(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == (1 to 7).toSet)
+    val daily = graft.Tables(spark, sfDir, "events")
+      .selectExpr("CAST(ts AS DATE) AS d").groupBy("d").count()
+      .orderBy("d").collect().map(_.getLong(1))
+    val n = daily.length
+    val m = daily.sum.toDouble / n
+    val den = daily.map(y => y.toDouble * y).sum - n * m * m
+    for (k <- 1 to 7) {
+      val pairs = daily.drop(k).zip(daily.dropRight(k))
+      val (np, (pk, ak, bk)) = (pairs.length.toLong,
+        (pairs.map { case (a, b) => a * b }.sum,
+          pairs.map(_._1).sum, pairs.map(_._2).sum))
+      val r = (pk.toDouble - m * (ak.toDouble + bk.toDouble) +
+        np.toDouble * m * m) / den
+      assert(rows(k)._1 == np && np == (n - k).toLong, s"lag $k pairs")
+      assert(math.abs(rows(k)._2 - r) < 2e-6,
+        s"lag $k: ${rows(k)._2} vs $r")
+      assert(rows(k)._2 >= -1.000001 && rows(k)._2 <= 1.000001)
+    }
+  }
 }

@@ -110,4 +110,53 @@ class ZOrderSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(zScanned < plainScanned / 2,
       s"store z-order scanned $zScanned vs plain $plainScanned — no pruning?")
   }
+
+  test("layout_zorder report: z-buckets are tight on BOTH keys, natural on neither") {
+    val rows = graft.operators.Layout.zorderReport(spark, sfDir).collect()
+    val byLayout = rows.groupBy(_.getString(0))
+    assert(byLayout.keySet == Set("zorder", "natural"))
+    // simulated file counts and row conservation
+    for ((_, rs) <- byLayout) assert(rs.length <= 64)
+    val zRows = byLayout("zorder").map(_.getLong(2)).sum
+    val nRows = byLayout("natural").map(_.getLong(2)).sum
+    assert(zRows == nRows && zRows > 0)
+    def mean(rs: Array[org.apache.spark.sql.Row], i: Int): Double =
+      rs.map(_.getDouble(i)).sum / rs.length
+    val zp = mean(byLayout("zorder"), 3); val zs = mean(byLayout("zorder"), 4)
+    val np = mean(byLayout("natural"), 3); val ns = mean(byLayout("natural"), 4)
+    // each 64th of the z-curve covers a 1/8 x 1/8 key rectangle (plus
+    // grid-boundary slack); ingest-ordered buckets span ~everything
+    assert(zp < 0.3 && zs < 0.3, s"zorder spans p=$zp s=$zs")
+    assert(np > 0.7 && ns > 0.7, s"natural spans p=$np s=$ns")
+    // min/max pruning: a point query on either key reads a small
+    // fraction of z-files; with natural layout it reads ~all of them
+    assert(zp < np / 2 && zs < ns / 2)
+  }
+
+  test("layout_partition_stats: exact counts, skew and verdict recompute per candidate") {
+    val got = graft.operators.Layout.partitionStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("documents.source", "documents.lang",
+      "events.event_type", "events.day"))
+    def expect(counts: Array[Long], entity: String): Unit = {
+      val r = got(entity)
+      val k = counts.length.toLong; val n = counts.sum
+      assert(r.getLong(1) == k && r.getLong(2) == n, entity)
+      assert(r.getLong(3) == counts.min && r.getLong(4) == counts.max)
+      val skew = BigDecimal(counts.max.toDouble * k / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(6) == skew, entity)
+      assert(r.getLong(7) == counts.count(_ < 50).toLong, entity)
+      val verdict = if (k > 1000) "too_many"
+        else if (skew > 4.0) "skewed" else "ok"
+      assert(r.getString(8) == verdict, entity)
+    }
+    def counts(table: String, key: String): Array[Long] =
+      graft.Tables(spark, sfDir, table).selectExpr(s"$key AS k")
+        .groupBy("k").count().collect().map(_.getLong(1))
+    expect(counts("documents", "source"), "documents.source")
+    expect(counts("documents", "lang"), "documents.lang")
+    expect(counts("events", "event_type"), "events.event_type")
+    expect(counts("events", "CAST(ts AS DATE)"), "events.day")
+  }
 }
