@@ -1644,7 +1644,59 @@ object Dedup {
        |FROM agg a JOIN docs d USING (threshold)""".stripMargin
   }
 
+  /** What a training pipeline actually DOES with near-dup clusters:
+    * per-document sampling weights that downweight duplicate families
+    * instead of hard-dropping them (the "keep one copy, or keep all at
+    * 1/k weight" recipe — total sampled mass per cluster stays one
+    * document regardless of how many mirrors the crawl caught).
+    * Every document gets a row: cluster members carry their
+    * `dedup_clusters` label and 10⁶ div size micro-weight (integer
+    * floor division — deterministic, and the per-cluster mass
+    * Σ weights ≤ 10⁶ is auditable in integers); non-clustered docs are
+    * singletons at full weight. One broadcast-sized join against the
+    * cluster frame (pair-graph-bounded, tiny next to the corpus) and
+    * one |clusters|-row reduce for sizes — the corpus never shuffles.
+    */
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cl = clusters(spark, dir)
+    val sizes = cl.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val labeled = cl.join(sizes, "canonical_id")
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(broadcast(labeled), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        expr("1000000 div coalesce(cluster_size, 1)").as("weight_micro"))
+  }
+
+  val dedupWeightsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashLshSql}
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), walk(u, x) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.x
+       |), cl AS (
+       |  SELECT u AS doc_id, min(x) AS canonical_id FROM walk GROUP BY u
+       |), sizes AS (
+       |  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM cl GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(cl.canonical_id, d.doc_id) AS canonical_id,
+       |       COALESCE(s.cluster_size, 1) AS cluster_size,
+       |       1000000 // COALESCE(s.cluster_size, 1) AS weight_micro
+       |FROM documents d
+       |LEFT JOIN cl ON cl.doc_id = d.doc_id
+       |LEFT JOIN sizes s ON s.canonical_id = cl.canonical_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("curate_dedup_weights", dedupWeights _, Some(dedupWeightsSql)),
     Op("dedup_threshold_sweep", thresholdSweep _, Some(thresholdSweepSql)),
     Op("dedup_line_boilerplate", lineBoilerplate _, Some(lineBoilerplateSql)),
     Op("dedup_cross_spans", crossSpans _, Some(crossSpansSql)),

@@ -42,6 +42,48 @@ object Events {
       |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Incremental hourly rollup — the closed-partition ETL pattern, the
+    * way a 100 TB event warehouse actually maintains this table: hours
+    * BEFORE a boundary are aggregated once and persisted (the
+    * content-addressed SnapshotStore, the `graph_components_incremental`
+    * discipline); each run aggregates only the OPEN tail and unions.
+    * EXACT including the distinct-user counts, because the split is an
+    * HOUR boundary and the group key contains the hour — no group ever
+    * straddles the history/batch line, so per-side aggregation IS the
+    * global aggregation (this is precisely why warehouses close
+    * partitions on the grouping grain; a mid-group split would break
+    * countDistinct additivity). The entry shares `hourlySql` VERBATIM,
+    * so the driver proves bit-equality with the full recompute.
+    * Fixture boundary: the hour containing the time-range midpoint
+    * (integer-microsecond arithmetic, both-engine exact).
+    */
+  def hourlyIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val mid = e.agg(expr(
+      """cast(date_trunc('HOUR', timestamp_micros(
+        |  (unix_micros(cast(min(ts) as timestamp)) +
+        |   unix_micros(cast(max(ts) as timestamp))) div 2))
+        |as timestamp_ntz)""".stripMargin).as("mid_hour"))
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("HOUR", col("ts"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("total_value"))
+    val tagged = e.crossJoin(broadcast(mid))
+    val (store, ts) = graft.sources.SnapshotStore
+      .contentAddressed(spark, s"$dir/events.parquet", "graft_hourlystore")
+    if (!store.hasTableSnapshot("hourly_closed", ts))
+      store.writeTableSnapshot(
+        agg(tagged.where(col("ts") < col("mid_hour"))), "hourly_closed", ts)
+    val closed = store.readTableSnapshot(spark, "hourly_closed", ts)
+      .select(col("hour_start"), col("event_type"), col("n_events"),
+        col("n_users"), col("total_value"))
+    closed.unionByName(agg(tagged.where(col("ts") >= col("mid_hour"))))
+  }
+
   /** Gap-based sessionization: a session breaks after >30 min of per-user
     * inactivity. lag + conditional cumulative sum — the standard batch
     * formulation; the streaming twin is flatMapGroupsWithState with a
@@ -1760,6 +1802,9 @@ object Events {
     Op("events_sequence_examples", sequenceExamples _,
       Some(sequenceExamplesSql)),
     Op("events_hourly", hourly _, Some(hourlySql)),
+    // exactness contract: the closed-partition incremental path must
+    // reproduce the full rollup bit-for-bit — shares hourlySql verbatim
+    Op("events_hourly_incremental", hourlyIncremental _, Some(hourlySql)),
     Op("events_heavy_hitters", heavyHitters _, Some(heavyHittersSql)),
     Op("events_gapfill", gapfill _, Some(gapfillSql)),
     Op("events_gapfill_locf", gapfillLocf _, Some(gapfillLocfSql)),

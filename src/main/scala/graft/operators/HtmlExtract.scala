@@ -606,7 +606,41 @@ object HtmlExtract {
        |                  AS DOUBLE) /
        |             (SELECT count(*) FROM e), 6) AS reciprocity""".stripMargin
 
+  /** Weakly-connected components of the domain link graph — "how many
+    * disjoint web neighborhoods does the crawl actually contain", the
+    * question frontier scheduling and per-neighborhood quota decisions
+    * start from. Composes `graph_domain_links` edges (self-loops are
+    * harmless: the core drops u = v) through the shared
+    * `Graph.connectedComponents` star-contraction core, which is
+    * key-type-agnostic (min/least on STRING keys here — labels are the
+    * lexicographically smallest member domain). Runs on the REDUCED
+    * domain graph, so at 100 TB the loop's frames are |domains|-sized
+    * regardless of corpus size. The oracle states the same fixpoint as
+    * recursive reachability, the `dedup_clusters` pattern.
+    */
+  def domainComponents(spark: SparkSession, dir: String): DataFrame =
+    Graph.connectedComponents(
+      domainLinks(spark, dir)
+        .select(col("src_domain").as("u"), col("dst_domain").as("v")))
+      .select(col("id").as("domain"), col("label").as("component"))
+
+  val domainComponentsSql: String =
+    s"""WITH RECURSIVE dl AS (
+       |${domainLinksSql}
+       |), edges AS (
+       |  SELECT src_domain AS u, dst_domain AS v FROM dl
+       |  UNION ALL
+       |  SELECT dst_domain, src_domain FROM dl
+       |), walk(u, x) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.x
+       |)
+       |SELECT u AS domain, min(x) AS component FROM walk GROUP BY u""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("graph_domain_components", domainComponents _,
+      Some(domainComponentsSql)),
     Op("graph_domain_hits", domainHits _, Some(domainHitsSql)),
     Op("graph_domain_reciprocity", domainReciprocity _,
       Some(domainReciprocitySql)),

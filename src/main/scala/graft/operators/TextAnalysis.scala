@@ -1167,7 +1167,87 @@ object TextAnalysis {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
       .stripMargin
 
+  /** Per-document n-gram novelty: of a document's DISTINCT 3-word
+    * shingles, what fraction appears in no earlier document (gram
+    * ownership = global minimum doc_id — the `dedup_repeated_ngrams`
+    * attribution convention)? The curation signal between exact dedup
+    * and near-dup: a late document whose grams are all old is a remix
+    * even when no single pair-level match fires; streaming-corpus
+    * admission gates read exactly this curve.
+    *
+    * Shape: the gram build is one per-doc-partitioned window (lead×2 on
+    * word position — no self-join), the ownership reduce shuffles
+    * 8-byte (hash-groupable) gram keys once, and the per-doc rollup
+    * rides the same distinct frame. Corpus-linear like every gram op;
+    * ownership could swap to the persisted gram-index snapshot for the
+    * incremental variant (the `dedup_span_incremental` path).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = words
+      .select(col("doc_id"), concat_ws(" ", col("w"),
+        lead(col("w"), 1).over(byDoc), lead(col("w"), 2).over(byDoc))
+        .as("gram"),
+        lead(col("w"), 2).over(byDoc).isNotNull.as("full"))
+      .where(col("full")).select(col("doc_id"), col("gram")).distinct()
+    val owners = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = grams.join(owners, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round(col("n_novel").cast("double") /
+            col("n_grams").cast("double"), 6))
+          .otherwise(lit(0.0)).as("novelty_frac"))
+  }
+
+  val ngramNoveltySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), g0 AS (
+      |  SELECT doc_id,
+      |         concat_ws(' ', w,
+      |           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+      |           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos))
+      |           AS gram,
+      |         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+      |           IS NOT NULL AS is_full
+      |  FROM w
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, gram FROM g0 WHERE is_full
+      |), owners AS (
+      |  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1
+      |), perdoc AS (
+      |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |         CAST(sum(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_novel
+      |  FROM grams g JOIN owners o USING (gram) GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |       COALESCE(p.n_grams, 0) AS n_grams,
+      |       COALESCE(p.n_novel, 0) AS n_novel,
+      |       CASE WHEN COALESCE(p.n_grams, 0) > 0
+      |            THEN round(CAST(p.n_novel AS DOUBLE) /
+      |                       CAST(p.n_grams AS DOUBLE), 6)
+      |            ELSE 0.0 END AS novelty_frac
+      |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id"""
+      .stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("text_ngram_novelty", ngramNovelty _, Some(ngramNoveltySql)),
     Op("text_vocab_growth", vocabGrowth _, Some(vocabGrowthSql)),
     Op("text_redact_pii", redactPii _, Some(redactPiiSql)),
     Op("text_fertility", fertility _, Some(fertilitySql)),

@@ -664,4 +664,32 @@ class DedupSimilaritySpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("dedup weights: cluster mass conserves to one document, singletons full") {
+    val rows = Dedup.dedupWeights(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length ==
+      graft.Tables(spark, sfDir, "documents").count())
+    rows.foreach { case (_, _, size, w) =>
+      assert(w == 1000000L / size, s"weight $w size $size")
+    }
+    // per-cluster sampled mass: within floor-division dust of exactly 1e6
+    rows.groupBy(_._2).foreach { case (canon, members) =>
+      val size = members.head._3
+      assert(members.forall(_._3 == size), s"cluster $canon sizes differ")
+      assert(members.length == size, s"cluster $canon incomplete")
+      val mass = members.map(_._4).sum
+      assert(mass <= 1000000L && mass > 1000000L - size,
+        s"cluster $canon mass $mass")
+    }
+    // clustered docs carry the dedup_clusters label verbatim
+    val cl = Dedup.clusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (doc, canon, size, _) =>
+      cl.get(doc) match {
+        case Some(c) => assert(canon == c && size >= 1)
+        case None => assert(canon == doc && size == 1L, s"doc $doc")
+      }
+    }
+  }
 }

@@ -238,4 +238,13 @@ class HtmlWarcSpec extends SparkSpec {
     assert(dir == again && files.sameElements(files2))
     assert(files.contains("_SUCCESS") && files.exists(_.endsWith(".warc.gz")))
   }
+
+  test("domain components: the ad domain stitches the crawl into one island") {
+    val rows = graft.operators.HtmlExtract.domainComponents(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // every page links the universally-embedded ad domain, so the whole
+    // domain graph is one weak component labeled by its lexicographic min
+    assert(rows.values.toSet == Set(rows.keys.min), rows.toString)
+    assert(rows.size >= 5)
+  }
 }

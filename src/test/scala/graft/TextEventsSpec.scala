@@ -853,4 +853,32 @@ class TextEventsSpec extends SparkSpec {
       assert(rows(k)._2 >= -1.000001 && rows(k)._2 <= 1.000001)
     }
   }
+
+  test("hourly incremental: equals the full rollup bit-for-bit, twice") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.get(0).toString, r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val full = canon(Events.hourly(spark, sfDir))
+    // second call exercises the snapshot-reuse path (write-once gate)
+    assert(canon(Events.hourlyIncremental(spark, sfDir)) == full)
+    assert(canon(Events.hourlyIncremental(spark, sfDir)) == full)
+  }
+
+  test("ngram novelty: first doc fully novel, verbatim copy fully stale") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nov").toString
+    Seq(
+      (1L, "alpha beta gamma delta"),      // grams: abc, bcd -> both novel
+      (2L, "alpha beta gamma delta"),      // verbatim copy -> 0 novel
+      (3L, "alpha beta gamma zeta"),       // abg stale, bgz novel -> 1/2
+      (4L, "xy")                           // too short -> no grams
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.ngramNovelty(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toMap
+    assert(r(1L) == ((2L, 2L, 1.0)), r(1L).toString)
+    assert(r(2L) == ((2L, 0L, 0.0)), r(2L).toString)
+    assert(r(3L) == ((2L, 1L, 0.5)), r(3L).toString)
+    assert(r(4L) == ((0L, 0L, 0.0)), r(4L).toString)
+  }
 }
