@@ -1898,7 +1898,73 @@ object Analytics {
        |$rows""".stripMargin
   }
 
+  // ------------------------------------------- capture-recapture
+
+  /** Capture-recapture corpus-coverage estimate (Chapman's
+    * bias-corrected Lincoln-Petersen): treat two independent crawl
+    * passes as capture samples; the overlap rate estimates how much of
+    * the underlying population BOTH passes missed —
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1. The "how big is the web we're
+    * sampling" question every crawl-budget decision starts from,
+    * answerable without ever seeing the uncrawled part.
+    *
+    * The fixture simulates the two passes as independent deterministic
+    * md5 samples of the document space (salted keys, ~30% each — the
+    * `sampleHash` convention), so the estimator's input marginals are
+    * exact integers and N̂ is one fixed double expression. err_frac
+    * audits the estimate against the fixture's KNOWN population — the
+    * column a real crawl cannot have, which is exactly why the fixture
+    * should pin it. Scale: one scan, one reduce, 1-row output.
+    */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val inA = substring(md5(concat(col("doc_id").cast("string"),
+      lit(":a"))), 1, 2) < "4d"
+    val inB = substring(md5(concat(col("doc_id").cast("string"),
+      lit(":b"))), 1, 2) < "4d"
+    val a = Tables(spark, dir, "documents").agg(
+      count(lit(1)).as("n_true"),
+      sum(when(inA, 1L).otherwise(0L)).as("n_crawl_a"),
+      sum(when(inB, 1L).otherwise(0L)).as("n_crawl_b"),
+      sum(when(inA && inB, 1L).otherwise(0L)).as("n_overlap"))
+    val nhat = round((col("n_crawl_a") + 1).cast("double") *
+      (col("n_crawl_b") + 1).cast("double") /
+      (col("n_overlap") + 1).cast("double") - 1.0, 6)
+    a.select(col("n_true"), col("n_crawl_a"), col("n_crawl_b"),
+      col("n_overlap"), nhat.as("n_hat"),
+      round((nhat - col("n_true").cast("double")) /
+        col("n_true").cast("double"), 6).as("err_frac"))
+  }
+
+  val captureRecaptureSql: String =
+    """WITH t AS (
+      |  SELECT count(*) AS n_true,
+      |         CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)
+      |                                    || ':a'), 1, 2) < '4d'
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_crawl_a,
+      |         CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)
+      |                                    || ':b'), 1, 2) < '4d'
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_crawl_b,
+      |         CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)
+      |                                    || ':a'), 1, 2) < '4d'
+      |                        AND substr(md5(CAST(doc_id AS VARCHAR)
+      |                                    || ':b'), 1, 2) < '4d'
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+      |  FROM documents
+      |)
+      |SELECT n_true, n_crawl_a, n_crawl_b, n_overlap,
+      |       round(CAST(n_crawl_a + 1 AS DOUBLE) *
+      |             CAST(n_crawl_b + 1 AS DOUBLE) /
+      |             CAST(n_overlap + 1 AS DOUBLE) - 1.0, 6) AS n_hat,
+      |       round((round(CAST(n_crawl_a + 1 AS DOUBLE) *
+      |                    CAST(n_crawl_b + 1 AS DOUBLE) /
+      |                    CAST(n_overlap + 1 AS DOUBLE) - 1.0, 6) -
+      |              CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE), 6)
+      |         AS err_frac
+      |FROM t""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stats_capture_recapture", captureRecapture _,
+      Some(captureRecaptureSql)),
     Op("stats_anova", anova _, Some(anovaSql)),
     Op("stats_autocorr", autocorr _, Some(autocorrSql)),
     Op("stats_mutual_info", mutualInfo _, Some(mutualInfoSql)),

@@ -209,7 +209,60 @@ object Layout {
       .mkString("\nUNION ALL\n")
   }
 
+  // ------------------------------------------- compaction planner
+
+  /** Small-file compaction plan — the OPTIMIZE/rewrite job's input: the
+    * events lake's daily files greedily coalesced, in day order, into
+    * merge groups of ~`CompactTargetRows` rows each (the `curate_pack`
+    * running-sum convention: group = cumulative rows BEFORE the file,
+    * integer-divided by the target — a file straddling a boundary joins
+    * the earlier group, so groups can overshoot by at most one file,
+    * never undershoot fragmented). Greedy-in-order is the production
+    * choice on purpose: merge groups stay CONTIGUOUS day ranges, so
+    * compacted files still prune on date predicates.
+    *
+    * Output: one row per merge group with file count, row total and the
+    * day range it covers. The running sum is one ordered window over
+    * the |days| frame (corpus already reduced); at 100 TB the window
+    * shards by month exactly like `curate_pack` shards packing — same
+    * plan, month-prefixed group ids.
+    */
+  private val CompactTargetRows = 2000L
+
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .groupBy(expr("cast(ts as date)").as("d"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("before", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("group_id", expr(s"before div $CompactTargetRows"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("total_rows"),
+        min(col("d")).as("first_day"), max(col("d")).as("last_day"))
+  }
+
+  val compactionPlanSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM events GROUP BY 1
+       |), cum AS (
+       |  SELECT d, n_rows,
+       |         COALESCE(CAST(sum(n_rows) OVER (ORDER BY d
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS BIGINT), 0) AS before
+       |  FROM daily
+       |)
+       |SELECT before // $CompactTargetRows AS group_id,
+       |       CAST(count(*) AS BIGINT) AS n_files,
+       |       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       |       min(d) AS first_day, max(d) AS last_day
+       |FROM cum GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("layout_zorder", zorderReport _, Some(zorderReportSql)),
-    Op("layout_partition_stats", partitionStats _, Some(partitionStatsSql)))
+    Op("layout_partition_stats", partitionStats _, Some(partitionStatsSql)),
+    Op("layout_compaction_plan", compactionPlan _, Some(compactionPlanSql)))
 }

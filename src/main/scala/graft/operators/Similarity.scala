@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Op, Tables}
@@ -1230,7 +1230,94 @@ object Similarity {
       |SELECT label AS label_true, clabel AS label_pred, count(*) AS n
       |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------ product quantization
+
+  /** PQ-ADC top-k — the fourth ANN family (after IVF, hyperplane LSH,
+    * int8): vectors compressed to M sub-space code bytes, queries
+    * scanned in the COMPRESSED domain via additive distance tables
+    * (Jégou 2011). Unlike IVF/LSH, PQ-ADC is an exhaustive scan by
+    * design — its win is bandwidth (M bytes/vector vs 4·dim), which is
+    * why serving stacks compose it INSIDE IVF cells at 100 TB (probe
+    * cells → ADC over the cell's codes; this operator is that inner
+    * kernel, and the composition note is the scale path).
+    *
+    * Determinism without k-means: the codebook is SAMPLED — the
+    * sub-vectors of the first `PqKs` corpus vectors (a standard
+    * baseline codebook; Lloyd refinement would reuse `topkIvfTrained`'s
+    * loop per sub-space). Assignment = min L2 per sub-space with id
+    * tie-break (min_by on a (dist, code) struct). Serving: per-query
+    * M×Ks dot table (128 tiny rows, broadcast), additive scores over
+    * the code frame, top-`PqShortlist` shortlist, then EXACT cosine
+    * re-rank to K — emitted scores are exact, so the strict exactly-K
+    * value check applies (full-scan pool ⇒ K results always, the IVF
+    * argument a fortiori).
+    */
+  private val PqM = 8
+  private val PqDsub = 8 // 64 dims = 8 sub-spaces x 8
+  private val PqKs = 32
+  private val PqShortlist = 50
+
+  /** (vec_id, m, sub): the M sub-vector slices of each embedding. */
+  private def pqSubvecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+      slice(col("embedding"), m * PqDsub + 1, PqDsub)): _*))
+      .as(Seq("m", "sub")))
+
+  private def pqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  def topkPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val book = pqSubvecs(e.where(col("vec_id") < PqKs))
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sub").as("c_sub"))
+    // corpus -> codes: min-L2 code per (vector, sub-space), id tiebreak
+    val codes = pqSubvecs(e).join(broadcast(book), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        pqL2(col("sub"), col("c_sub")).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    // per-query additive dot tables over the same codebook
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val table = pqSubvecs(q.select(col("query_id").as("vec_id"),
+      col("q_emb").as("embedding")))
+      .join(broadcast(book), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("code"),
+        V.dot(col("sub"), col("c_sub")).as("pdot"))
+    val shortK = udaf(new TopKAgg(PqShortlist))
+    val shortlist = codes.join(broadcast(table), Seq("m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adc"))
+      .groupBy(col("query_id"))
+      .agg(shortK(col("vec_id"), col("adc")).as("s"))
+      .select(col("query_id"), explode(expr("transform(s, x -> x.id)"))
+        .as("neighbor_id"))
+    // exact re-rank of the shortlist
+    val topk = udaf(new TopKAgg(K))
+    shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        V.cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("cos"))
+  }
+
+  def topkPqCheck(spark: SparkSession, dir: String): DataFrame =
+    topkValueCheck(topkPq(spark, dir), emb(spark, dir))
+
   val ops: Seq[Op] = Seq(
+    Op("sim_topk_pq", topkPq _, None),
+    Op("sim_topk_pq_check", topkPqCheck _, Some(topkCheckSql)),
     Op("sim_centroid_confusion", centroidConfusion _,
       Some(centroidConfusionSql)),
     Op("dedup_semantic", semanticDedup _, Some(semanticDedupSql)),

@@ -14,6 +14,17 @@ object CorpusStream {
   final case class PackAssign(shard: Int, doc_id: Long, pack_id: Long,
       pack_offset: Long)
 
+  /** Streaming Gopher admission gate: the batch rule-set applied to
+    * documents ON ARRIVAL — `Curation.gopherMetrics` is a stateless
+    * projection, so the SAME function body serves both engines' modes
+    * (zero streaming state; parity with batch is by construction and
+    * pinned in StreamingSpec). This is the filter a continuous-ingest
+    * pipeline runs before anything stateful sees the document.
+    */
+  def gopherStream(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.Curation.gopherMetrics(docs)
+
   /** Streaming greedy sequence packing — `Curation.pack`'s running
     * prefix sum carried as stream state instead of a window: each shard
     * keeps ONE number (its cumulative token total) and every arriving

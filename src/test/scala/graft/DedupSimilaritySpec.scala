@@ -692,4 +692,23 @@ class DedupSimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("pq top-k: exactly K exact-cosine rows per query, recall vs brute force") {
+    val pq = Similarity.topkPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val bf = Similarity.topkBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val byQ = pq.groupBy(_._1); val bfByQ = bf.groupBy(_._1)
+    assert(byQ.keySet == bfByQ.keySet && byQ.keySet.size == 10)
+    byQ.foreach { case (q, rs) => assert(rs.length == 10, s"query $q") }
+    // the re-rank emits EXACT cosines: any neighbor PQ shares with brute
+    // force must carry the identical rounded score
+    val bfScore = bf.map(t => (t._1, t._2) -> t._3).toMap
+    pq.foreach { case (q, n, c) =>
+      bfScore.get((q, n)).foreach(exp => assert(c == exp, s"($q,$n)")) }
+    val recall = byQ.keys.toSeq.map { q =>
+      byQ(q).map(_._2).toSet.intersect(bfByQ(q).map(_._2).toSet).size
+    }.sum / 100.0
+    assert(recall >= 0.6, s"recall $recall") // sampled-codebook ADC floor
+  }
 }

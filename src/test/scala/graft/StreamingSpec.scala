@@ -662,4 +662,31 @@ class StreamingSpec extends SparkSpec {
       assert(got == want, s"streaming $got vs batch $want")
     } finally q.stop()
   }
+
+  test("gopher stream: arrival-time admission equals the batch rule-set row-for-row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      (1L, Seq.fill(60)("word").mkString(" ") + " the a"), // keep
+      (2L, "the of tiny docs"),                            // too short
+      (3L, Seq.fill(60)("word").mkString(" ")))            // no stops
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStream
+      .gopherStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => r.toSeq.toList).sortBy(_.head.toString)
+      val streamed = canon(spark.table("gopher_out").collect())
+      val batch = canon(graft.operators.Curation
+        .gopherMetrics(docs.toDF("doc_id", "text")).collect())
+      assert(streamed.toList == batch.toList)
+      val keep = spark.table("gopher_out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(15)).toMap
+      assert(keep == Map(1L -> true, 2L -> false, 3L -> false))
+    } finally q.stop()
+  }
 }

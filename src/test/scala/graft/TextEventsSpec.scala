@@ -881,4 +881,25 @@ class TextEventsSpec extends SparkSpec {
     assert(r(3L) == ((2L, 1L, 0.5)), r(3L).toString)
     assert(r(4L) == ((0L, 0L, 0.0)), r(4L).toString)
   }
+
+  test("capture-recapture: counts match an independent md5 recompute, Chapman formula exact") {
+    val got = Analytics.captureRecapture(spark, sfDir).head()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ids = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val a = ids.filter(i => md5hex(s"$i:a").substring(0, 2) < "4d")
+    val b = ids.filter(i => md5hex(s"$i:b").substring(0, 2) < "4d")
+    val m = a.toSet.intersect(b.toSet).size
+    assert(got.getLong(0) == ids.length.toLong)
+    assert(got.getLong(1) == a.length.toLong, s"A ${got.getLong(1)} vs ${a.length}")
+    assert(got.getLong(2) == b.length.toLong)
+    assert(got.getLong(3) == m.toLong)
+    val nhat = round6((a.length + 1).toDouble * (b.length + 1) / (m + 1) - 1.0)
+    assert(got.getDouble(4) == nhat)
+    assert(got.getDouble(5) == round6((nhat - ids.length) / ids.length))
+    // the estimator should land near the known population on ~30% samples
+    assert(math.abs(got.getDouble(5)) < 0.5, s"err ${got.getDouble(5)}")
+  }
 }

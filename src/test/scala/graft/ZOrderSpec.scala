@@ -159,4 +159,28 @@ class ZOrderSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     expect(counts("events", "event_type"), "events.event_type")
     expect(counts("events", "CAST(ts AS DATE)"), "events.day")
   }
+
+  test("compaction plan: exact scalar recompute, contiguous non-overlapping groups") {
+    val got = graft.operators.Layout.compactionPlan(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDate(3).toString, r.getDate(4).toString))).toMap
+    val daily = graft.Tables(spark, sfDir, "events")
+      .selectExpr("CAST(ts AS DATE) AS d").groupBy("d").count()
+      .orderBy("d").collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    var before = 0L
+    val expect = scala.collection.mutable.Map[Long, (Long, Long, String, String)]()
+    for ((d, n) <- daily) {
+      val g = before / 2000L
+      val (f, t, d0, _) = expect.getOrElse(g, (0L, 0L, d, d))
+      expect(g) = (f + 1, t + n, d0, d)
+      before += n
+    }
+    assert(got == expect.toMap, s"got $got\nexp $expect")
+    // greedy contiguity: consecutive group ids cover adjacent day ranges
+    val ordered = got.toSeq.sortBy(_._1).map(_._2)
+    ordered.sliding(2).foreach {
+      case Seq((_, _, _, last), (_, _, first, _)) => assert(last < first)
+      case _ =>
+    }
+  }
 }
