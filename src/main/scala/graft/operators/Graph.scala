@@ -1168,7 +1168,67 @@ object Graph {
        |FROM l$LpaIters""".stripMargin
   }
 
+  // ------------------------------------------------ power-law fit
+
+  /** Hill estimator of the degree distribution's power-law tail,
+    * per graph side: α̂ = 1 + n/Σ ln(dᵢ/d_min) over degrees ≥ d_min —
+    * the "is this graph scale-free" diagnostic that decides whether
+    * hub-capping (the `graph_jaccard` super-hub treatment) and
+    * skew-aware planning are load-bearing for a given corpus. An α
+    * near 2 means extreme hubs (heavy skew machinery required);
+    * α ≥ 3 means tails thin enough for plain hash partitioning.
+    * Also emits the standard error (α̂−1)/√n.
+    *
+    * Determinism: each ln(d/d_min) is one fixed double on exact
+    * integer degrees, cast DECIMAL(30,10), summed exactly — the
+    * entropy recipe. Shape: degree reduce per side, tail filter,
+    * one |tail|-row aggregate; 2-row output.
+    */
+  private val HillDmin = 5L
+
+  def powerlawFit(spark: SparkSession, dir: String): DataFrame = {
+    val e = shipEdges(spark, dir)
+    def side(key: String, label: String): DataFrame = {
+      val deg = e.groupBy(col(key)).agg(count(lit(1)).as("d"))
+        .where(col("d") >= HillDmin)
+      deg.agg(count(lit(1)).as("n_tail"),
+        sum((log(col("d").cast("double") / lit(HillDmin).cast("double")))
+          .cast("decimal(30,10)")).as("slnr"))
+        .select(lit(label).as("side"), lit(HillDmin).as("d_min"),
+          col("n_tail"),
+          round(lit(1.0) + col("n_tail").cast("double") /
+            col("slnr").cast("double"), 6).as("alpha"),
+          round((col("n_tail").cast("double") /
+            col("slnr").cast("double")) /
+            sqrt(col("n_tail").cast("double")), 6).as("alpha_se"))
+    }
+    side("s", "supplier").unionAll(side("c", "customer"))
+  }
+
+  val powerlawFitSql: String = {
+    def one(key: String, label: String): String =
+      s"""SELECT '$label' AS side, CAST($HillDmin AS BIGINT) AS d_min,
+         |       n_tail,
+         |       round(1.0 + CAST(n_tail AS DOUBLE) /
+         |             CAST(slnr AS DOUBLE), 6) AS alpha,
+         |       round((CAST(n_tail AS DOUBLE) / CAST(slnr AS DOUBLE)) /
+         |             sqrt(CAST(n_tail AS DOUBLE)), 6) AS alpha_se
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_tail,
+         |         CAST(sum(CAST(ln(CAST(d AS DOUBLE) /
+         |                          CAST($HillDmin AS DOUBLE))
+         |                       AS DECIMAL(30,10))) AS DECIMAL(38,10))
+         |           AS slnr
+         |  FROM (SELECT $key, count(*) AS d FROM e GROUP BY 1)
+         |  WHERE d >= $HillDmin)""".stripMargin
+    s"""WITH e AS ($shipEdgesSql)
+       |${one("s", "supplier")}
+       |UNION ALL
+       |${one("c", "customer")}""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("graph_powerlaw_fit", powerlawFit _, Some(powerlawFitSql)),
     Op("graph_assortativity", assortativity _, Some(assortativitySql)),
     Op("graph_hits", hitsShip _, Some(hitsShipSql)),
     Op("graph_label_prop", labelPropShip _, Some(labelPropShipSql)),

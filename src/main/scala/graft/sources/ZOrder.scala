@@ -23,24 +23,16 @@ object ZOrder {
 
   private val Bits = 21 // 21 bits per dimension → 42-bit z-values
 
-  /** Spread the low 21 bits of a non-negative long so consecutive bits
-    * land 2 apart (…b2_b1_b0 → …b2 0 b1 0 b0), via the standard
-    * shift-and-mask cascade. Pure built-in expressions — whole-stage
-    * codegen compiles this to straight-line long arithmetic.
-    */
-  private def spread(in: Column): Column = {
-    var x = in.bitwiseAND(lit(0x1FFFFFL))
-    x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
-    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
-    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
-    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
-    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
-  }
-
   /** Morton z-value of two dimension keys already normalized into
-    * [0, 2^21). Bit i of x lands at z-bit 2i, bit i of y at 2i+1. */
+    * [0, 2^21). Bit i of x lands at z-bit 2i, bit i of y at 2i+1.
+    * Delegates to the native `ZValue` Catalyst expression (also on the
+    * SQL surface as `zvalue(x, y)` via `GraftExtensions`): one codegen'd
+    * static call per row instead of the ~40-node shift-and-mask Column
+    * cascade this used to build — same bits, pinned by the round-trip
+    * spec against an independent per-bit reference.
+    */
   def zvalue(x: Column, y: Column): Column =
-    spread(x.cast("long")).bitwiseOR(shiftleft(spread(y.cast("long")), 1))
+    org.apache.spark.sql.graft.ZValue(x.cast("long"), y.cast("long"))
 
   /** Write `df` to parquet clustered along the z-curve of two numeric
     * columns. Each column is affine-normalized into the 21-bit domain

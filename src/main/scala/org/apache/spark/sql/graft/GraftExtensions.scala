@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.kllQuantileDescriptor)
     e.injectFunction(GraftExtensions.textStatsDescriptor)
     e.injectFunction(GraftExtensions.htmlCleanDescriptor)
+    e.injectFunction(GraftExtensions.zvalueDescriptor)
     e.injectOptimizerRule(_ => RangeJoinBanding)
   }
 }
@@ -147,6 +148,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[HtmlClean].getName, "html_clean"),
       htmlCleanBuilder)
 
+  private val zvalueBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "zvalue takes exactly 2 arguments")
+    ZValue(exprs(0), exprs(1))
+  }
+
+  private[graft] val zvalueDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("zvalue"),
+      new ExpressionInfo(classOf[ZValue].getName, "zvalue"),
+      zvalueBuilder)
+
   /** Register on a live session's function registry. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -157,5 +169,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("kll_quantile", kllQuantileBuilder, "built-in")
     reg.createOrReplaceTempFunction("text_stats", textStatsBuilder, "built-in")
     reg.createOrReplaceTempFunction("html_clean", htmlCleanBuilder, "built-in")
+    reg.createOrReplaceTempFunction("zvalue", zvalueBuilder, "built-in")
   }
 }

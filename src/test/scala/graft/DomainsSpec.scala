@@ -113,4 +113,35 @@ class DomainsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("fetch plan: rank-round-robin recompute, makespan bounded by the heaviest domain") {
+    val got = graft.operators.Domains.fetchPlan(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == Set(0, 1, 2))
+    // scalar recompute from the same fixture-URL convention
+    val perDomain = graft.operators.Domains.withDomain(
+      graft.Tables(spark, sfDir, "documents").selectExpr("doc_id", "source",
+        "concat('https://', element_at(array('data.example.co.nz'," +
+        "'www.example.com','blog.spam-farm.net','archive.heritage.org.nz'," +
+        "'EN.Wikipedia.ORG','media.example.com:8080','ads.tracker.io'," +
+        "'api.services.govt.nz'), CAST(doc_id % 8 + 1 AS INT)), '/', source," +
+        "'/', CAST(doc_id AS STRING)) AS url"))
+      .groupBy("registered_domain").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ranked = perDomain.sortBy { case (d, n) => (-n, d) }.zipWithIndex
+    val byWorker = ranked.groupBy(_._2 % 3).view.mapValues(_.map(_._1)).toMap
+    val total = perDomain.map(_._2).sum
+    for (w <- 0 to 2) {
+      val ds = byWorker(w)
+      val busy = ds.map(_._2).sum
+      assert(got(w)._1 == ds.length.toLong, s"worker $w domains")
+      assert(got(w)._2 == busy && got(w)._3 == busy, s"worker $w load")
+      assert(got(w)._4 == BigDecimal(busy.toDouble * 3 / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // no worker may beat the heaviest-domain lower bound
+    val heaviest = perDomain.map(_._2).max
+    assert(got.values.map(_._3).max >= heaviest)
+  }
 }

@@ -102,4 +102,27 @@ class ExtensionsSpec extends SparkSpec {
     val e = spark.sql("SELECT text_stats('') AS s").collect()
     assert(e.head.getSeq[Int](0) == Seq(1, 1, 0))
   }
+
+  test("zvalue callable from SQL; matches the per-bit reference and the Column API") {
+    GraftExtensions.register(spark)
+    def refZ(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 21) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val row = spark.sql(
+      """SELECT zvalue(3L, 5L) AS a, zvalue(0L, 0L) AS b,
+        |       zvalue(2097151L, 2097151L) AS c,
+        |       zvalue(CAST(NULL AS BIGINT), 1L) AS d""".stripMargin).head()
+    assert(row.getLong(0) == refZ(3L, 5L) && row.getLong(0) == 39L)
+    assert(row.getLong(1) == 0L)
+    assert(row.getLong(2) == refZ(2097151L, 2097151L))
+    assert(row.isNullAt(3)) // null-propagating like every binary op
+    // interpreted helper == the expression the writer/report now use
+    assert(org.apache.spark.sql.graft.ZValue.interleave(1234L, 4321L) ==
+      refZ(1234L, 4321L))
+  }
 }

@@ -285,4 +285,31 @@ class GraphSpec extends SparkSpec {
     assert(canon(Graph.componentsIncremental(spark, sfDir)) == full)
     assert(canon(Graph.componentsIncremental(spark, sfDir)) == full)
   }
+
+  test("powerlaw fit: Hill alpha matches a decimal-exact scalar recompute") {
+    val got = Graph.powerlawFit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dec10(x: Double): BigDecimal =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val edges = graft.Tables(spark, sfDir, "lineitem").as("l")
+      .join(graft.Tables(spark, sfDir, "orders").as("o"),
+        org.apache.spark.sql.functions.expr("l_orderkey = o_orderkey"))
+      .selectExpr("l_suppkey AS s", "o_custkey AS c").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for ((label, key) <- Seq("supplier" -> true, "customer" -> false)) {
+      val degs = edges.groupBy(e => if (key) e._1 else e._2)
+        .map(_._2.length.toLong).filter(_ >= 5L).toSeq
+      val slnr = degs.map(d => dec10(math.log(d.toDouble / 5.0))).sum
+      val alpha = r6(1.0 + degs.length / slnr.toDouble)
+      val (n, a, se) = got(label)
+      assert(n == degs.length.toLong, label)
+      assert(a == alpha, s"$label alpha $a vs $alpha")
+      assert(se == r6((degs.length / slnr.toDouble) /
+        math.sqrt(degs.length.toDouble)), label)
+      assert(a > 1.0, label) // Hill estimate is > 1 by construction
+    }
+  }
 }
