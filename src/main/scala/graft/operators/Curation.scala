@@ -1165,7 +1165,10 @@ object Curation {
   private val GopherMaxBulletFrac = 0.9
   private val GopherMaxEllipsisFrac = 0.3
   private val GopherMinAlphaFrac = 0.8
-  private val GopherStops = Seq("the", "a", "and", "of", "to", "in", "is")
+  // single source of truth shared with the native GopherStats
+  // expression, so the chain and the byte-pass cannot drift
+  private val GopherStops: Seq[String] =
+    org.apache.spark.sql.graft.GopherStats.Stops
   private val GopherMinStopHits = 2
 
   /** Frame-in/frame-out Gopher metric core over any (doc_id, text)
@@ -1233,6 +1236,65 @@ object Curation {
 
   def gopherFilter(spark: SparkSession, dir: String): DataFrame =
     gopherMetrics(Tables(spark, dir, "documents"))
+
+  /** The serving-path twin of [[gopherMetrics]]: identical columns and
+    * values from the native `GopherStats` byte-pass expression instead
+    * of the three per-row arrays the chain allocates (regex word
+    * split, line split, element lambdas). Equality is pinned
+    * Spark-vs-Spark on planted edge cases in `CurationSpec` AND
+    * corpus-wide by the ORACLED `_check` twin, which runs THIS path
+    * against the chain's DuckDB SQL at the driver gate.
+    */
+  def gopherMetricsFast(df: DataFrame): DataFrame = {
+    val raw = df.select(col("doc_id"),
+      org.apache.spark.sql.graft.GopherStats(col("text")).as("g"))
+      .select(col("doc_id"),
+        element_at(col("g"), 1).as("n_words"),
+        element_at(col("g"), 2).as("wc"),
+        element_at(col("g"), 3).as("aw"),
+        element_at(col("g"), 4).as("hashes"),
+        element_at(col("g"), 5).as("ellipses"),
+        element_at(col("g"), 6).as("nl"),
+        element_at(col("g"), 7).as("bl"),
+        element_at(col("g"), 8).as("el"),
+        element_at(col("g"), 9).as("stop_hits"))
+    val m = raw.select(col("doc_id"), col("n_words"),
+      round(col("wc").cast("double") / col("n_words").cast("double"), 6)
+        .as("mean_word_len"),
+      col("stop_hits"),
+      round(col("aw").cast("double") / col("n_words").cast("double"), 6)
+        .as("alpha_frac"),
+      round((col("hashes") + col("ellipses")).cast("double") /
+        col("n_words").cast("double"), 6).as("symbol_ratio"),
+      round(col("bl").cast("double") / col("nl").cast("double"), 6)
+        .as("bullet_frac"),
+      round(col("el").cast("double") / col("nl").cast("double"), 6)
+        .as("ellipsis_frac"))
+    m.select(col("doc_id"), col("n_words"), col("mean_word_len"),
+      col("stop_hits"), col("alpha_frac"), col("symbol_ratio"),
+      col("bullet_frac"), col("ellipsis_frac"),
+      (col("n_words") >= GopherMinWords &&
+        col("n_words") <= GopherMaxWords).as("pass_words"),
+      (col("mean_word_len") >= GopherMinMeanLen &&
+        col("mean_word_len") <= GopherMaxMeanLen).as("pass_mean_len"),
+      (col("stop_hits") >= GopherMinStopHits).as("pass_stops"),
+      (col("alpha_frac") >= GopherMinAlphaFrac).as("pass_alpha"),
+      (col("symbol_ratio") <= GopherMaxSymbolRatio).as("pass_symbols"),
+      (col("bullet_frac") <= GopherMaxBulletFrac).as("pass_bullets"),
+      (col("ellipsis_frac") <= GopherMaxEllipsisFrac).as("pass_ellipsis"),
+      (col("n_words") >= GopherMinWords &&
+        col("n_words") <= GopherMaxWords &&
+        col("mean_word_len") >= GopherMinMeanLen &&
+        col("mean_word_len") <= GopherMaxMeanLen &&
+        col("stop_hits") >= GopherMinStopHits &&
+        col("alpha_frac") >= GopherMinAlphaFrac &&
+        col("symbol_ratio") <= GopherMaxSymbolRatio &&
+        col("bullet_frac") <= GopherMaxBulletFrac &&
+        col("ellipsis_frac") <= GopherMaxEllipsisFrac).as("keep"))
+  }
+
+  def gopherFilterFast(spark: SparkSession, dir: String): DataFrame =
+    gopherMetricsFast(Tables(spark, dir, "documents"))
 
   val gopherFilterSql: String = {
     val stops = GopherStops
@@ -1304,6 +1366,11 @@ object Curation {
 
   val ops: Seq[Op] = Seq(
     Op("curate_gopher_filter", gopherFilter _, Some(gopherFilterSql)),
+    Op("curate_gopher_filter_fast", gopherFilterFast _, None),
+    // fast Spark output vs the CHAIN's DuckDB oracle: driver-green
+    // proves expression == chain corpus-wide (the HtmlClean pattern)
+    Op("curate_gopher_filter_fast_check", gopherFilterFast _,
+      Some(gopherFilterSql)),
     Op("curate_quality_lr", qualityLr _, Some(qualityLrSql)),
     Op("curate_ccnet_bucket", ccnetBucket _, Some(ccnetBucketSql)),
     Op("curate_epoch_plan", epochPlan _, Some(epochPlanSql)),

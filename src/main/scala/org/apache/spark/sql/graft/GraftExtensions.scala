@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.textStatsDescriptor)
     e.injectFunction(GraftExtensions.htmlCleanDescriptor)
     e.injectFunction(GraftExtensions.zvalueDescriptor)
+    e.injectFunction(GraftExtensions.gopherStatsDescriptor)
     e.injectOptimizerRule(_ => RangeJoinBanding)
   }
 }
@@ -159,6 +160,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ZValue].getName, "zvalue"),
       zvalueBuilder)
 
+  private val gopherStatsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "gopher_stats takes exactly 1 argument")
+    GopherStats(exprs(0))
+  }
+
+  private[graft] val gopherStatsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("gopher_stats"),
+      new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
+      gopherStatsBuilder)
+
   /** Register on a live session's function registry. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -170,5 +182,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("text_stats", textStatsBuilder, "built-in")
     reg.createOrReplaceTempFunction("html_clean", htmlCleanBuilder, "built-in")
     reg.createOrReplaceTempFunction("zvalue", zvalueBuilder, "built-in")
+    reg.createOrReplaceTempFunction("gopher_stats", gopherStatsBuilder, "built-in")
   }
 }

@@ -473,4 +473,43 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Boolean]("keep") == conj, r.toString)
     }
   }
+
+  test("gopher fast path: equals the chain on planted edge cases, bit-for-bit") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, ""),                                 // split("") -> [""] both axes
+      (2L, " "),                                // separator-only -> [] words
+      (3L, " leading and trailing "),           // kept leading empty token
+      (4L, "a\n\nb\n"),                         // interior empty line kept, trailing dropped
+      (5L, "the a of to in is and"),            // all stops
+      (6L, "# ## .... ...... . .."),            // dot runs and hashes
+      (7L, "- bullet\n* star\n\u2022 dot\nplain"), // all three bullet forms
+      (8L, "ends with dots...\nmid... not end"),
+      (9L, "caf\u00e9 na\u00efve r\u00e9sum\u00e9"), // multibyte chars in tokens
+      (10L, Seq.fill(60)("word").mkString(" ") + " the a")) // the keep doc
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.toList).sortBy(_.head.toString).toList
+    assert(canon(Curation.gopherMetricsFast(cases)) ==
+      canon(Curation.gopherMetrics(cases)))
+  }
+
+  test("gopher fast path: fuzz equality with the chain over the rule alphabet") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815)
+    val atoms = Seq("word", "the", "a", "of", "extraordinarily", "x1",
+      "#", "...", ".", "-", "*", "\u2022", "caf\u00e9", " ", " ", "\n")
+    val docs = (1L to 120L).map { i =>
+      (i, Seq.fill(rnd.nextInt(40))(atoms(rnd.nextInt(atoms.length)))
+        .mkString(rnd.nextInt(3) match {
+          case 0 => " "
+          case 1 => "  "
+          case _ => "\n"
+        }))
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.toList).sortBy(_.head.toString).toList
+    assert(canon(Curation.gopherMetricsFast(docs)) ==
+      canon(Curation.gopherMetrics(docs)))
+  }
 }
