@@ -1962,7 +1962,58 @@ object Analytics {
       |         AS err_frac
       |FROM t""".stripMargin
 
+  // ------------------------------------------------- Ljung-Box test
+
+  /** Ljung-Box portmanteau test over the lag-1..7 daily ACF — the
+    * one-number answer to "is the event series white noise, or does it
+    * carry structure worth modeling": Q = n(n+2)·Σ r²ₖ/(n−k), compared
+    * against the χ²₀.₉₅(7) critical value (literal constant, no CDF
+    * evaluation). Composes `autocorr` — n−k is exactly that frame's
+    * n_pairs column, so the whole test is one aggregate over 7 rows.
+    * Determinism: r_k are the autocorr op's 6-dp-rounded doubles; each
+    * r²ₖ/n_pairs term is cast DECIMAL(30,10) and summed exactly.
+    */
+  private val Chi2Crit95Df7 = 14.067140
+
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val a = autocorr(spark, dir)
+      .withColumn("n", col("n_pairs") + col("lag"))
+    val agg = a.agg(max(col("n")).as("n_days"),
+      count(lit(1)).as("h"),
+      sum((col("acf") * col("acf") / col("n_pairs").cast("double"))
+        .cast("decimal(30,10)")).as("sterm"))
+    agg.select(col("n_days"), col("h"),
+      round(col("n_days").cast("double") *
+        (col("n_days") + 2).cast("double") *
+        col("sterm").cast("double"), 6).as("q_stat"),
+      lit(Chi2Crit95Df7).as("chi2_crit_95"),
+      (round(col("n_days").cast("double") *
+        (col("n_days") + 2).cast("double") *
+        col("sterm").cast("double"), 6) > Chi2Crit95Df7)
+        .as("white_noise_rejected"))
+  }
+
+  val ljungBoxSql: String =
+    s"""WITH acf AS (
+       |${autocorrSql}
+       |), agg AS (
+       |  SELECT CAST(max(n_pairs + lag) AS BIGINT) AS n_days,
+       |         CAST(count(*) AS BIGINT) AS h,
+       |         sum(CAST(acf * acf / CAST(n_pairs AS DOUBLE)
+       |                  AS DECIMAL(30,10))) AS sterm
+       |  FROM acf
+       |)
+       |SELECT n_days, h,
+       |       round(CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE) *
+       |             CAST(sterm AS DOUBLE), 6) AS q_stat,
+       |       CAST($Chi2Crit95Df7 AS DOUBLE) AS chi2_crit_95,
+       |       round(CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE) *
+       |             CAST(sterm AS DOUBLE), 6) > $Chi2Crit95Df7
+       |         AS white_noise_rejected
+       |FROM agg""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stats_ljung_box", ljungBox _, Some(ljungBoxSql)),
     Op("stats_capture_recapture", captureRecapture _,
       Some(captureRecaptureSql)),
     Op("stats_anova", anova _, Some(anovaSql)),

@@ -1364,7 +1364,97 @@ object Curation {
        |FROM v""".stripMargin
   }
 
+  // ------------------------------------------------ pipeline yield
+
+  /** End-to-end curation funnel — the yield table every data team
+    * tracks: document and token mass surviving each cumulative stage
+    * of the standard web pipeline (raw → domain blocklist → Gopher
+    * rules → exact dedup), each stage COMPOSED from this engine's own
+    * operators (`Domains.domainFilter`, `gopherMetricsFast` — the
+    * oracle-proven byte-pass — and `Dedup.keepBest`). The fractions
+    * answer "where does my corpus go", and a stage whose yield moves
+    * round-over-round is the regression alarm.
+    *
+    * Scale shape: stage membership is three id-frames (projection-only
+    * or window-on-md5) semi-joined against the token spine; the
+    * aggregates are map-side-combined counts; 4-row output with
+    * window fractions on that tiny frame.
+    */
+  def pipelineReport(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val s1 = Domains.domainFilter(spark, dir).select(col("doc_id"))
+    val s2 = gopherMetricsFast(Tables(spark, dir, "documents"))
+      .where(col("keep")).select(col("doc_id"))
+    val s3 = Dedup.keepBest(spark, dir).select(col("doc_id"))
+    def stageAgg(df: DataFrame, stage: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    val c1 = d0.join(s1, "doc_id")
+    val c2 = c1.join(s2, "doc_id")
+    val c3 = c2.join(s3, "doc_id")
+    val stages = stageAgg(d0, 0, "raw")
+      .unionAll(stageAgg(c1, 1, "domain_filter"))
+      .unionAll(stageAgg(c2, 2, "gopher_rules"))
+      .unionAll(stageAgg(c3, 3, "exact_dedup"))
+    val w = Window.partitionBy()
+    val rawDocs = max(when(col("stage") === 0, col("n_docs"))).over(w)
+    val rawToks = max(when(col("stage") === 0, col("n_tokens"))).over(w)
+    stages.select(col("stage"), col("stage_name"), col("n_docs"),
+      col("n_tokens"),
+      round(col("n_docs").cast("double") / rawDocs.cast("double"), 6)
+        .as("docs_frac"),
+      round(col("n_tokens").cast("double") / rawToks.cast("double"), 6)
+        .as("tokens_frac"))
+  }
+
+  val pipelineReportSql: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents
+       |), s1 AS (
+       |  SELECT doc_id FROM (
+       |${Domains.domainFilterSql}
+       |  )
+       |), s2 AS (
+       |  SELECT doc_id FROM (
+       |${gopherFilterSql}
+       |  ) WHERE keep
+       |), s3 AS (
+       |  SELECT doc_id FROM (
+       |${graft.operators.Dedup.keepBestSql}
+       |  )
+       |), stages AS (
+       |  SELECT 0 AS stage, 'raw' AS stage_name,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(toks) AS BIGINT) AS n_tokens FROM d0
+       |  UNION ALL
+       |  SELECT 1, 'domain_filter', CAST(count(*) AS BIGINT),
+       |         CAST(sum(toks) AS BIGINT)
+       |  FROM d0 JOIN s1 USING (doc_id)
+       |  UNION ALL
+       |  SELECT 2, 'gopher_rules', CAST(count(*) AS BIGINT),
+       |         CAST(sum(toks) AS BIGINT)
+       |  FROM d0 JOIN s1 USING (doc_id) JOIN s2 USING (doc_id)
+       |  UNION ALL
+       |  SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+       |         CAST(sum(toks) AS BIGINT)
+       |  FROM d0 JOIN s1 USING (doc_id) JOIN s2 USING (doc_id)
+       |          JOIN s3 USING (doc_id)
+       |)
+       |SELECT stage, stage_name, n_docs, n_tokens,
+       |       round(CAST(n_docs AS DOUBLE) /
+       |             CAST(max(CASE WHEN stage = 0 THEN n_docs END) OVER ()
+       |                  AS DOUBLE), 6) AS docs_frac,
+       |       round(CAST(n_tokens AS DOUBLE) /
+       |             CAST(max(CASE WHEN stage = 0 THEN n_tokens END) OVER ()
+       |                  AS DOUBLE), 6) AS tokens_frac
+       |FROM stages""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("curate_pipeline_report", pipelineReport _, Some(pipelineReportSql)),
     Op("curate_gopher_filter", gopherFilter _, Some(gopherFilterSql)),
     Op("curate_gopher_filter_fast", gopherFilterFast _, None),
     // fast Spark output vs the CHAIN's DuckDB oracle: driver-green

@@ -512,4 +512,38 @@ class CurationSpec extends SparkSpec {
     assert(canon(Curation.gopherMetricsFast(docs)) ==
       canon(Curation.gopherMetrics(docs)))
   }
+
+  test("pipeline report: monotone funnel, stage sets recompute exactly") {
+    val rows = Curation.pipelineReport(spark, sfDir).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(x => (x._1, x._2)).toSeq == Seq((0, "raw"),
+      (1, "domain_filter"), (2, "gopher_rules"), (3, "exact_dedup")))
+    // monotone non-increasing mass
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"funnel grew: $a -> $b")
+    }
+    // independent recompute of every cumulative stage
+    val d0 = Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS LONG) AS toks")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s1 = graft.operators.Domains.domainFilter(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Curation.gopherFilter(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s3 = graft.operators.Dedup.keepBest(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cum = Seq(d0.keySet, d0.keySet & s1, d0.keySet & s1 & s2,
+      d0.keySet & s1 & s2 & s3)
+    for ((ids, r) <- cum.zip(rows)) {
+      assert(r._3 == ids.size.toLong, s"stage ${r._1} docs")
+      assert(r._4 == ids.toSeq.map(d0).sum, s"stage ${r._1} tokens")
+      assert(r._5 == BigDecimal(ids.size.toDouble / d0.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the funnel must actually cut somewhere on the fixture
+    assert(rows.last._3 < rows.head._3)
+  }
 }

@@ -902,4 +902,20 @@ class TextEventsSpec extends SparkSpec {
     // the estimator should land near the known population on ~30% samples
     assert(math.abs(got.getDouble(5)) < 0.5, s"err ${got.getDouble(5)}")
   }
+
+  test("ljung-box: Q recomputes from the acf frame; verdict matches the literal") {
+    val got = Analytics.ljungBox(spark, sfDir).head()
+    val acf = Analytics.autocorr(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val n = acf.map { case (lag, np, _) => np + lag }.max
+    val sterm = acf.map { case (_, np, r) =>
+      BigDecimal(r * r / np.toDouble)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val q = round6(n.toDouble * (n + 2).toDouble * sterm.toDouble)
+    assert(got.getLong(0) == n && got.getLong(1) == 7L)
+    assert(got.getDouble(2) == q, s"Q ${got.getDouble(2)} vs $q")
+    assert(got.getDouble(3) == 14.067140)
+    assert(got.getBoolean(4) == (q > 14.067140))
+  }
 }
