@@ -362,7 +362,153 @@ object Domains {
        |         AS makespan_ratio
        |FROM bw""".stripMargin
 
+  // ------------------------------------------------ robots.txt rules
+
+  /** Per-domain robots.txt fixture — deterministic literal text per
+    * registered domain (identical CASE on both engines), covering the
+    * RFC 9309 shapes a parser must handle: full block (`Disallow: /`),
+    * empty-pattern Disallow (no effect — allows all), Allow overriding
+    * a shorter Disallow (longest-match), and prefix rules that
+    * deliberately collide (`/src1` also matches `/src10`..`/src19`).
+    */
+  private def robotsFixtureCol(domain: Column): Column =
+    when(domain.isin("spam-farm.net", "tracker.io"),
+      lit("User-agent: *\nDisallow: /"))
+      .when(domain === "example.com",
+        lit("User-agent: *\nDisallow: /src1\nAllow: /src12\nDisallow: /src3"))
+      .when(domain === "example.co.nz",
+        lit("User-agent: *\nDisallow: \nDisallow: /src7"))
+      .when(domain === "wikipedia.org", lit("User-agent: *\nAllow: /"))
+      .otherwise(lit("User-agent: *\nDisallow: /src5\nAllow: /src5/1"))
+
+  private def robotsFixtureSql(domain: String): String =
+    s"""CASE WHEN $domain IN ('spam-farm.net', 'tracker.io')
+       |       THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+       |     WHEN $domain = 'example.com'
+       |       THEN 'User-agent: *' || chr(10) || 'Disallow: /src1' ||
+       |            chr(10) || 'Allow: /src12' || chr(10) || 'Disallow: /src3'
+       |     WHEN $domain = 'example.co.nz'
+       |       THEN 'User-agent: *' || chr(10) || 'Disallow: ' ||
+       |            chr(10) || 'Disallow: /src7'
+       |     WHEN $domain = 'wikipedia.org'
+       |       THEN 'User-agent: *' || chr(10) || 'Allow: /'
+       |     ELSE 'User-agent: *' || chr(10) || 'Disallow: /src5' ||
+       |          chr(10) || 'Allow: /src5/1' END""".stripMargin
+
+  /** Parsed per-domain rule table: (domain, line_no, directive,
+    * path_prefix) for every Allow/Disallow line. At 100 TB this frame
+    * is |domains|·|rules| — KBs — and broadcasts into the admission
+    * join; fetching/refreshing robots bodies is the `HttpFetch` path.
+    */
+  def robotsRules(spark: SparkSession, dir: String): DataFrame = {
+    val domains = withDomain(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), fixtureUrlCol.as("url")))
+      .select(col("registered_domain")).distinct()
+    domains
+      .select(col("registered_domain"),
+        posexplode(split(robotsFixtureCol(col("registered_domain")), "\n"))
+          .as(Seq("ln0", "line")))
+      .select(col("registered_domain"),
+        (col("ln0") + 1).cast("long").as("line_no"),
+        regexp_extract(col("line"), "^(Allow|Disallow): ?(.*)$", 1)
+          .as("directive"),
+        regexp_extract(col("line"), "^(Allow|Disallow): ?(.*)$", 2)
+          .as("path_prefix"))
+      .where(col("directive") =!= "")
+  }
+
+  val robotsRulesSql: String =
+    s"""WITH doms AS (
+       |  SELECT DISTINCT registered_domain FROM (
+       |    SELECT doc_id, source, url,
+       |           $domainSelectSql
+       |    FROM (SELECT doc_id, source, $fixtureUrlSqlExpr AS url
+       |          FROM documents))
+       |), lines AS (
+       |  SELECT registered_domain,
+       |         unnest(string_split(${robotsFixtureSql("registered_domain")},
+       |                             chr(10))) AS line,
+       |         generate_subscripts(
+       |           string_split(${robotsFixtureSql("registered_domain")},
+       |                        chr(10)), 1) AS line_no
+       |  FROM doms
+       |)
+       |SELECT registered_domain, CAST(line_no AS BIGINT) AS line_no,
+       |       regexp_extract(line, '^(Allow|Disallow): ?(.*)$$', 1)
+       |         AS directive,
+       |       regexp_extract(line, '^(Allow|Disallow): ?(.*)$$', 2)
+       |         AS path_prefix
+       |FROM lines
+       |WHERE regexp_extract(line, '^(Allow|Disallow): ?(.*)$$', 1) <> ''"""
+      .stripMargin
+
+  /** RFC 9309 URL admission: every page checked against its domain's
+    * parsed rules — longest matching prefix wins, Allow beats Disallow
+    * on equal length, empty-pattern rules have no effect, no match =
+    * allowed. The rule frame broadcasts (KBs); the corpus never
+    * shuffles — admission is the map-side gate it is in a real
+    * frontier.
+    */
+  def urlAllowed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pages = withDomain(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), fixtureUrlCol.as("url")))
+      .select(col("doc_id"), col("registered_domain"),
+        regexp_replace(col("url"), "^[a-z]+://[^/]+", "").as("path"))
+    val rules = robotsRules(spark, dir).where(length(col("path_prefix")) > 0)
+      .withColumnRenamed("registered_domain", "r_domain")
+    // the prefix match lives IN the join condition: a page whose domain
+    // has rules but matches none must keep its (null-rule) row — a
+    // post-join filter would drop it entirely
+    val matched = pages.join(broadcast(rules),
+        col("registered_domain") === col("r_domain") &&
+          col("path").startsWith(col("path_prefix")), "left")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(
+          length(col("path_prefix")).desc,
+          (col("directive") === "Allow").desc, col("line_no").asc)))
+      .where(col("rk") === 1)
+    matched.select(col("doc_id"), col("registered_domain"), col("path"),
+      coalesce(col("directive"), lit("default")).as("matched_directive"),
+      coalesce(col("path_prefix"), lit("")).as("matched_prefix"),
+      (coalesce(col("directive"), lit("Allow")) === "Allow").as("allowed"))
+  }
+
+  val urlAllowedSql: String =
+    s"""WITH pages AS (
+       |  SELECT doc_id, registered_domain,
+       |         regexp_replace(url, '^[a-z]+://[^/]+', '') AS path
+       |  FROM (
+       |    SELECT doc_id, url,
+       |           $domainSelectSql
+       |    FROM (SELECT doc_id, source, $fixtureUrlSqlExpr AS url
+       |          FROM documents))
+       |), rules AS (
+       |  SELECT * FROM (
+       |$robotsRulesSql
+       |  ) WHERE length(path_prefix) > 0
+       |), m AS (
+       |  SELECT p.doc_id, p.registered_domain, p.path,
+       |         r.directive, r.path_prefix, r.line_no,
+       |         row_number() OVER (PARTITION BY p.doc_id ORDER BY
+       |           length(r.path_prefix) DESC,
+       |           (r.directive = 'Allow') DESC, r.line_no ASC) AS rk
+       |  FROM pages p
+       |  LEFT JOIN rules r
+       |    ON r.registered_domain = p.registered_domain
+       |   AND starts_with(p.path, r.path_prefix)
+       |)
+       |SELECT doc_id, registered_domain, path,
+       |       COALESCE(directive, 'default') AS matched_directive,
+       |       COALESCE(path_prefix, '') AS matched_prefix,
+       |       COALESCE(directive, 'Allow') = 'Allow' AS allowed
+       |FROM m WHERE rk = 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("crawl_robots_rules", robotsRules _, Some(robotsRulesSql)),
+    Op("crawl_url_allowed", urlAllowed _, Some(urlAllowedSql)),
     Op("crawl_fetch_plan", fetchPlan _, Some(fetchPlanSql)),
     Op("curate_domain_filter", domainFilter _, Some(domainFilterSql)),
     Op("stats_domain_report", domainReport _, Some(domainReportSql)),

@@ -144,4 +144,58 @@ class DomainsSpec extends SparkSpec {
     val heaviest = perDomain.map(_._2).max
     assert(got.values.map(_._3).max >= heaviest)
   }
+
+  test("robots admission: RFC 9309 longest-match, allow-wins, empty-pattern no-op") {
+    val hosts = Seq("example.co.nz", "example.com", "spam-farm.net",
+      "heritage.org.nz", "wikipedia.org", "example.com", "tracker.io",
+      "services.govt.nz") // registered domain by doc_id % 8
+    val src = Tables(spark, sfDir, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.operators.Domains.urlAllowed(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(3),
+        r.getString(4), r.getBoolean(5)))).toMap
+    assert(rows.keySet == src.keySet)
+    for ((doc, (domain, directive, prefix, allowed)) <- rows) {
+      val s = src(doc)
+      assert(domain == hosts((doc % 8).toInt), s"doc $doc domain")
+      domain match {
+        case "spam-farm.net" | "tracker.io" =>
+          assert(!allowed && prefix == "/", s"doc $doc: full block")
+        case "wikipedia.org" =>
+          assert(allowed && directive == "Allow", s"doc $doc: allow-all")
+        case "example.com" =>
+          if (s == "src12")
+            assert(allowed && prefix == "/src12", s"doc $doc: longest match")
+          else if (s == "src1" || s.startsWith("src1"))
+            assert(!allowed && prefix == "/src1", s"doc $doc: prefix block")
+          else if (s == "src3")
+            assert(!allowed, s"doc $doc: src3 block")
+          else assert(allowed && directive == "default", s"doc $doc")
+        case "example.co.nz" =>
+          // the empty-pattern Disallow must be a no-op
+          if (s == "src7") assert(!allowed, s"doc $doc: src7 block")
+          else assert(allowed && directive == "default",
+            s"doc $doc: empty Disallow leaked")
+        case _ => // heritage.org.nz / services.govt.nz: default ruleset
+          if (s == "src5")
+            assert(allowed == s"/src5/$doc".startsWith("/src5/1"),
+              s"doc $doc src5 admission")
+          else assert(allowed && directive == "default", s"doc $doc")
+      }
+    }
+    // default-domain src5 docs: blocked unless the doc path falls under
+    // the /src5/1 Allow prefix (doc ids rendering with a leading 1)
+    val defaultSrc5 = rows.filter { case (d, (dom, _, _, _)) =>
+      (dom == "heritage.org.nz" || dom == "services.govt.nz") &&
+        src(d) == "src5"
+    }
+    // (fixture-size dependent: present at sf>=0.01, may be empty at
+    // sf0.001 - the per-doc loop above already covers every present doc)
+    defaultSrc5.foreach { case (doc, (_, _, prefix, allowed)) =>
+      val underAllow = s"/src5/$doc".startsWith("/src5/1")
+      assert(allowed == underAllow, s"doc $doc src5: $prefix $allowed")
+    }
+    // both admission outcomes occur
+    assert(rows.values.exists(_._4) && rows.values.exists(!_._4))
+  }
 }
