@@ -451,29 +451,36 @@ object Domains {
     * frontier.
     */
   def urlAllowed(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pages = withDomain(
       Tables(spark, dir, "documents")
         .select(col("doc_id"), col("source"), fixtureUrlCol.as("url")))
       .select(col("doc_id"), col("registered_domain"),
         regexp_replace(col("url"), "^[a-z]+://[^/]+", "").as("path"))
-    val rules = robotsRules(spark, dir).where(length(col("path_prefix")) > 0)
-      .withColumnRenamed("registered_domain", "r_domain")
-    // the prefix match lives IN the join condition: a page whose domain
-    // has rules but matches none must keep its (null-rule) row — a
-    // post-join filter would drop it entirely
-    val matched = pages.join(broadcast(rules),
-        col("registered_domain") === col("r_domain") &&
-          col("path").startsWith(col("path_prefix")), "left")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(
-          length(col("path_prefix")).desc,
-          (col("directive") === "Allow").desc, col("line_no").asc)))
-      .where(col("rk") === 1)
-    matched.select(col("doc_id"), col("registered_domain"), col("path"),
-      coalesce(col("directive"), lit("default")).as("matched_directive"),
-      coalesce(col("path_prefix"), lit("")).as("matched_prefix"),
-      (coalesce(col("directive"), lit("Allow")) === "Allow").as("allowed"))
+    // each domain's rules collected into ONE array row (KBs total),
+    // broadcast, and resolved per page by array lambdas — the corpus
+    // side has NO exchange at all (pinned in DomainsSpec): a window on
+    // doc_id here would shuffle every page just to rank ≤4 rule hits
+    val ruleArr = robotsRules(spark, dir)
+      .where(length(col("path_prefix")) > 0)
+      .groupBy(col("registered_domain").as("r_domain"))
+      .agg(collect_list(struct(
+        (-length(col("path_prefix"))).as("neg_len"),
+        when(col("directive") === "Allow", 0).otherwise(1).as("allow_rk"),
+        col("line_no"), col("directive"), col("path_prefix"))).as("rs"))
+    val matching = filter(col("rs"),
+      r => col("path").startsWith(r("path_prefix")))
+    // struct sort orders fields lexicographically: longest prefix
+    // first (neg_len), Allow before Disallow on ties, then line order.
+    // get() (0-based), not element_at: ANSI mode makes element_at
+    // THROW on an empty match array; get returns the null we want
+    val best = get(sort_array(matching), lit(0))
+    pages.join(broadcast(ruleArr),
+        col("registered_domain") === col("r_domain"), "left")
+      .select(col("doc_id"), col("registered_domain"), col("path"),
+        coalesce(best("directive"), lit("default")).as("matched_directive"),
+        coalesce(best("path_prefix"), lit("")).as("matched_prefix"),
+        (coalesce(best("directive"), lit("Allow")) === "Allow")
+          .as("allowed"))
   }
 
   val urlAllowedSql: String =

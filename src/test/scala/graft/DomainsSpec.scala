@@ -198,4 +198,19 @@ class DomainsSpec extends SparkSpec {
     // both admission outcomes occur
     assert(rows.values.exists(_._4) && rows.values.exists(!_._4))
   }
+
+  test("robots admission plan: fact side never shuffles, one broadcast gate") {
+    val df = graft.operators.Domains.urlAllowed(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"admission grew a Window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only repartitioning exchange may build the KB-sized rule
+    // array (groupBy registered_domain); the page side goes scan ->
+    // broadcast join with no exchange at all
+    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.forall(_.startsWith("registered_domain")),
+      s"fact-side shuffle: $exchanges")
+  }
 }
