@@ -1227,7 +1227,98 @@ object Graph {
        |${one("c", "customer")}""".stripMargin
   }
 
+  // ------------------------------------------------ modularity score
+
+  /** Newman modularity of the `graph_label_prop` communities —
+    * Q = Σ_c (e_c/m − (d_c/2m)²) — the one-number answer to "are these
+    * communities real structure or partition noise" (Q ≈ 0 means the
+    * split explains nothing beyond degree; > 0.3 is conventionally
+    * strong). Composes the SAME deterministic LPA labels the community
+    * operator emits, so the score audits an output the engine already
+    * serves.
+    *
+    * Exactness: e_c (intra-community edges), d_c (community degree
+    * mass) and m are exact integers; each community's term is one
+    * fixed double expression rounded to 10 dp and summed as
+    * DECIMAL(30,10) — the χ² recipe. Shape: two label joins on the
+    * edge frame, two |communities|-row reduces, a 1-row broadcast for
+    * m; single-row output.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "lineitem").as("l")
+      .join(Tables(spark, dir, "orders").as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .where(expr(ComponentEdgeCond))
+      .select(suppNode(col("l.l_suppkey")).as("u"),
+        custNode(col("o.o_custkey")).as("v"))
+      .distinct()
+    val labels = labelPropagation(e, LpaIters)
+      .select(col("node"), col("lbl"))
+    val mAgg = e.agg(count(lit(1)).as("m"))
+    val lu = labels.select(col("node").as("u"), col("lbl").as("lu"))
+    val lv = labels.select(col("node").as("v"), col("lbl").as("lv"))
+    val intra = e.join(lu, "u").join(lv, "v")
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("ec"))
+    val degs = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .join(labels, "node")
+      .groupBy(col("lbl")).agg(count(lit(1)).as("dc"))
+    val terms = degs.join(intra, Seq("lbl"), "left")
+      .withColumn("ec", coalesce(col("ec"), lit(0L)))
+      .crossJoin(broadcast(mAgg))
+      .withColumn("term",
+        round(col("ec").cast("double") / col("m").cast("double") -
+          (col("dc").cast("double") / (col("m") * 2).cast("double")) *
+          (col("dc").cast("double") / (col("m") * 2).cast("double")), 10)
+          .cast("decimal(30,10)"))
+    terms.agg(count(lit(1)).as("n_communities"),
+      max(col("m")).as("m_edges"),
+      round(sum(col("term")).cast("double"), 6).as("modularity"))
+  }
+
+  val modularitySql: String =
+    s"""WITH lp AS (
+       |$labelPropShipSql
+       |), labels AS (
+       |  SELECT CASE WHEN side = 'supplier' THEN key * 2 + 1
+       |              ELSE key * 2 END AS node,
+       |         community AS lbl
+       |  FROM lp
+       |), e AS (
+       |  SELECT DISTINCT l_suppkey * 2 + 1 AS u, o_custkey * 2 AS v
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE $ComponentEdgeCond
+       |), mm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m FROM e
+       |), intra AS (
+       |  SELECT a.lbl, CAST(count(*) AS BIGINT) AS ec
+       |  FROM e
+       |  JOIN labels a ON a.node = e.u
+       |  JOIN labels b ON b.node = e.v
+       |  WHERE a.lbl = b.lbl GROUP BY 1
+       |), degs AS (
+       |  SELECT l.lbl, CAST(count(*) AS BIGINT) AS dc
+       |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) n
+       |  JOIN labels l ON l.node = n.node GROUP BY 1
+       |), terms AS (
+       |  SELECT CAST(round(CAST(COALESCE(i.ec, 0) AS DOUBLE) /
+       |                      CAST(m AS DOUBLE) -
+       |                    (CAST(d.dc AS DOUBLE) /
+       |                       CAST(m * 2 AS DOUBLE)) *
+       |                    (CAST(d.dc AS DOUBLE) /
+       |                       CAST(m * 2 AS DOUBLE)), 10)
+       |              AS DECIMAL(30,10)) AS term,
+       |         m
+       |  FROM degs d LEFT JOIN intra i ON i.lbl = d.lbl CROSS JOIN mm
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |       CAST(max(m) AS BIGINT) AS m_edges,
+       |       round(CAST(sum(term) AS DOUBLE), 6) AS modularity
+       |FROM terms""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("graph_modularity", modularity _, Some(modularitySql)),
     Op("graph_powerlaw_fit", powerlawFit _, Some(powerlawFitSql)),
     Op("graph_assortativity", assortativity _, Some(assortativitySql)),
     Op("graph_hits", hitsShip _, Some(hitsShipSql)),

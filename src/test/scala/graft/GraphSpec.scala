@@ -312,4 +312,38 @@ class GraphSpec extends SparkSpec {
       assert(a > 1.0, label) // Hill estimate is > 1 by construction
     }
   }
+
+  test("modularity: decimal-exact scalar recompute over the LPA labels") {
+    val got = Graph.modularity(spark, sfDir).head()
+    val edges = graft.Tables(spark, sfDir, "lineitem").as("l")
+      .join(graft.Tables(spark, sfDir, "orders").as("o"),
+        org.apache.spark.sql.functions.expr("l_orderkey = o_orderkey"))
+      .where(org.apache.spark.sql.functions.expr(
+        "l_quantity >= 49 AND month(l_shipdate) IN (1, 2)"))
+      .selectExpr("l_suppkey * 2 + 1 AS u", "o_custkey * 2 AS v")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = Graph.labelPropShip(spark, sfDir).collect().map { r =>
+      val node = if (r.getString(0) == "supplier") r.getLong(1) * 2 + 1
+        else r.getLong(1) * 2
+      node -> r.getLong(2)
+    }.toMap
+    val m = edges.length.toDouble
+    val ec = edges.filter { case (u, v) => lbl(u) == lbl(v) }
+      .groupBy(e => lbl(e._1)).view.mapValues(_.length.toLong).toMap
+    val dc = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(lbl).view.mapValues(_.length.toLong).toMap
+    def dec10(x: Double): BigDecimal =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val q = dc.keys.toSeq.map { c =>
+      dec10(ec.getOrElse(c, 0L).toDouble / m -
+        (dc(c).toDouble / (m * 2)) * (dc(c).toDouble / (m * 2)))
+    }.sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == dc.size.toLong)
+    assert(got.getLong(1) == edges.length.toLong)
+    assert(got.getDouble(2) == r6(q.toDouble),
+      s"Q ${got.getDouble(2)} vs ${r6(q.toDouble)}")
+    assert(got.getDouble(2) >= -0.5 && got.getDouble(2) <= 1.0)
+  }
 }
