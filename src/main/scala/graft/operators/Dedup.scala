@@ -1695,7 +1695,50 @@ object Dedup {
        |LEFT JOIN cl ON cl.doc_id = d.doc_id
        |LEFT JOIN sizes s ON s.canonical_id = cl.canonical_id""".stripMargin
 
+  /** The LSH family's S-curve design table: for the SHIPPED banding
+    * (16 bands × 4 rows), the collision probability
+    * P(candidate | similarity s) = 1 − (1 − s⁴)¹⁶ on a 0.05 similarity
+    * grid — the tuning table every MinHash deployment reads to pick
+    * its banding (where the curve crosses ½ is the family's effective
+    * threshold; the 0.8 design point should sit on the steep flank).
+    * Published math (Leskovec/Rajaraman/Ullman ch. 3) evaluated over
+    * THIS engine's actual constants, so the table documents the
+    * deployed family, not a textbook abstraction.
+    *
+    * Determinism: s = i/20 exact; the powers are FIXED squaring chains
+    * (s²→s⁴; t²→t⁴→t⁸→t¹⁶) — identical IEEE sequences both engines,
+    * no libm pow anywhere. 20-row compute-only frame.
+    */
+  def lshCurve(spark: SparkSession, dir: String): DataFrame = {
+    val s = col("id").cast("double") / lit(20.0)
+    val s2 = s * s
+    val s4 = s2 * s2
+    val t = lit(1.0) - s4
+    val t2 = t * t
+    val t4 = t2 * t2
+    val t8 = t4 * t4
+    val t16 = t8 * t8
+    spark.range(1, 21)
+      .select(round(s, 2).as("similarity"),
+        lit(Bands).as("bands"), lit(RowsPerBand).as("rows_per_band"),
+        round(lit(1.0) - t16, 6).as("p_candidate"))
+  }
+
+  val lshCurveSql: String =
+    s"""SELECT round(s, 2) AS similarity,
+       |       $Bands AS bands, $RowsPerBand AS rows_per_band,
+       |       round(1.0 - t16, 6) AS p_candidate
+       |FROM (
+       |  SELECT s, ((t2 * t2) * (t2 * t2)) * ((t2 * t2) * (t2 * t2)) AS t16
+       |  FROM (
+       |    SELECT s, t * t AS t2
+       |    FROM (
+       |      SELECT s, 1.0 - (s * s) * (s * s) AS t
+       |      FROM (SELECT CAST(i AS DOUBLE) / 20.0 AS s
+       |            FROM generate_series(1, 20) AS g(i)))))""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("dedup_lsh_curve", lshCurve _, Some(lshCurveSql)),
     Op("curate_dedup_weights", dedupWeights _, Some(dedupWeightsSql)),
     Op("dedup_threshold_sweep", thresholdSweep _, Some(thresholdSweepSql)),
     Op("dedup_line_boilerplate", lineBoilerplate _, Some(lineBoilerplateSql)),

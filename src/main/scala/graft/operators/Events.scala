@@ -509,6 +509,44 @@ object Events {
       |)
       |SELECT day, dau, wau FROM dau JOIN wau USING (day)""".stripMargin
 
+  /** DAU/MAU stickiness — the product-health ratio (what share of the
+    * monthly base shows up daily): per active day, exact DAU, exact
+    * trailing-28-day MAU, and their ratio. Same contribution-explode
+    * framing as `activeUsers` (each (day, user) contributes to the 28
+    * forward days; no rolling-distinct window, no day-contiguity
+    * assumption) — the shuffle ships (day, user) keys once; the
+    * sketch swap at 100 TB is `wauSketch`'s documented path with a
+    * 28-day fan-out.
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables(spark, dir, "events")
+      .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val mau = du
+      .select(explode(expr("sequence(day, date_add(day, 27))")).as("day"),
+        col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 6)
+          .as("stickiness"))
+  }
+
+  val stickinessSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      |), dau AS (
+      |  SELECT day, count(*) AS dau FROM du GROUP BY 1
+      |), mau AS (
+      |  SELECT day + CAST(i AS INTEGER) AS day,
+      |         count(DISTINCT user_id) AS mau
+      |  FROM du, unnest(range(0, 28)) AS t(i) GROUP BY 1
+      |)
+      |SELECT day, dau, mau,
+      |       round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6)
+      |         AS stickiness
+      |FROM dau JOIN mau USING (day)""".stripMargin
+
   /** Rolling WAU via HLL sketch merge — the scale swap `activeUsers`
     * documents: rolling COUNT DISTINCT doesn't decompose over frames,
     * and the exact contribution-explode ships (day, user) keys, linear
@@ -1811,6 +1849,7 @@ object Events {
     Op("events_funnel_latency", funnelLatency _, Some(funnelLatencySql)),
     Op("events_cooccurrence", cooccurrence _, Some(cooccurrenceSql)),
     Op("events_active_users", activeUsers _, Some(activeUsersSql)),
+    Op("events_stickiness", stickiness _, Some(stickinessSql)),
     Op("events_wau_sketch", wauSketch _, None),
     Op("events_wau_sketch_check", wauSketchCheck _, Some(wauSketchCheckSql)),
     Op("events_seasonal", seasonal _, Some(seasonalSql)),

@@ -918,4 +918,48 @@ class TextEventsSpec extends SparkSpec {
     assert(got.getDouble(3) == 14.067140)
     assert(got.getBoolean(4) == (q > 14.067140))
   }
+
+  test("stickiness: DAU/MAU from a hand recompute; bounds and WAU consistency") {
+    val got = Events.stickiness(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val du = graft.Tables(spark, sfDir, "events")
+      .selectExpr("CAST(ts AS DATE) AS d", "user_id").distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = du.map(_._1).distinct
+    assert(got.size == days.size)
+    for (d <- days) {
+      val dau = du.count(_._1 == d).toLong
+      val mau = du.filter { case (dd, _) =>
+        !dd.isAfter(d) && !dd.isBefore(d.minusDays(27))
+      }.map(_._2).distinct.size.toLong
+      val (gd, gm, gs) = got(d.toString)
+      assert(gd == dau && gm == mau, s"$d: ($gd,$gm) vs ($dau,$mau)")
+      assert(gs == round6(dau.toDouble / mau))
+      assert(gs > 0.0 && gs <= 1.0)
+    }
+    // MAU dominates WAU dominates DAU on every day
+    val wau = Events.activeUsers(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    got.foreach { case (d, (dau, mau, _)) =>
+      assert(dau <= wau(d) && wau(d) <= mau, s"$d ordering") }
+  }
+
+  test("lsh curve: closed-form recompute, monotone S-shape, design point on the flank") {
+    val got = graft.operators.Dedup.lshCurve(spark, sfDir).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    assert(got.size == 20)
+    for (i <- 1 to 20) {
+      val s = i / 20.0
+      val p = 1.0 - math.pow(1.0 - math.pow(s, 4), 16)
+      val key = BigDecimal(s).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      // squaring chains vs pow: equal well inside 6-dp rounding
+      assert(math.abs(got(key) - round6(p)) <= 1e-6, s"s=$s")
+    }
+    val ordered = got.toSeq.sortBy(_._1).map(_._2)
+    ordered.sliding(2).foreach { case Seq(a, b) => assert(b >= a); case _ => }
+    assert(got(0.4) < 0.35 && got(0.8) > 0.9, // steep flank brackets 0.8
+      s"curve off: ${got(0.4)} ${got(0.8)}")
+  }
 }
