@@ -1274,13 +1274,56 @@ object Similarity {
     val book = pqSubvecs(e.where(col("vec_id") < PqKs))
       .select(col("m"), col("vec_id").cast("int").as("code"),
         col("sub").as("c_sub"))
-    // corpus -> codes: min-L2 code per (vector, sub-space), id tiebreak
+    pqServe(e, book)
+  }
+
+  def topkPqCheck(spark: SparkSession, dir: String): DataFrame =
+    topkValueCheck(topkPq(spark, dir), emb(spark, dir))
+
+  /** PQ with Lloyd-refined sub-space codebooks — the training-depth
+    * dial, mirroring `topkIvfTrained`: each round reassigns every
+    * sub-vector to its nearest code and recenters codes on their
+    * members (per-(code, dim) mean via dimension explode; the tiny
+    * M×Ks centroid frame is materialized per round so round r+1 plans
+    * against r's RESULT). rounds = 0 is exactly the sampled-codebook
+    * serving path. Float means make refined codebooks engine-specific
+    * (like IVF's) — the exact re-rank keeps emitted cosines exact
+    * regardless, so quality moves, correctness doesn't.
+    */
+  def topkPqTrained(spark: SparkSession, dir: String,
+      lloydRounds: Int): DataFrame = {
+    val e = emb(spark, dir)
+    var book = pqSubvecs(e.where(col("vec_id") < PqKs))
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sub").as("c_sub"))
+    for (_ <- 0 until lloydRounds) {
+      val assigned = pqSubvecs(e).join(broadcast(book), Seq("m"))
+        .select(col("vec_id"), col("m"), col("code"), col("sub"),
+          pqL2(col("sub"), col("c_sub")).as("d2"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(struct(col("code"), col("sub")),
+          struct(col("d2"), col("code"))).as("a"))
+        .select(col("m"), col("a.code").as("code"), col("a.sub").as("sub"))
+      book = assigned
+        .select(col("m"), col("code"), posexplode(col("sub"))
+          .as(Seq("dim", "x")))
+        .groupBy(col("m"), col("code"), col("dim"))
+        .agg(avg(col("x")).as("mu"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"),
+          col("mu")))), x => x("mu").cast("float")).as("c_sub"))
+        .localCheckpoint()
+    }
+    pqServe(e, book)
+  }
+
+  /** The shared PQ serving path over any (m, code, c_sub) codebook. */
+  private def pqServe(e: DataFrame, book: DataFrame): DataFrame = {
     val codes = pqSubvecs(e).join(broadcast(book), Seq("m"))
       .select(col("vec_id"), col("m"), col("code"),
         pqL2(col("sub"), col("c_sub")).as("d2"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-    // per-query additive dot tables over the same codebook
     val q = e.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val table = pqSubvecs(q.select(col("query_id").as("vec_id"),
@@ -1297,7 +1340,6 @@ object Similarity {
       .agg(shortK(col("vec_id"), col("adc")).as("s"))
       .select(col("query_id"), explode(expr("transform(s, x -> x.id)"))
         .as("neighbor_id"))
-    // exact re-rank of the shortlist
     val topk = udaf(new TopKAgg(K))
     shortlist
       .join(e.select(col("vec_id").as("neighbor_id"),
@@ -1311,9 +1353,6 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("cos"))
   }
-
-  def topkPqCheck(spark: SparkSession, dir: String): DataFrame =
-    topkValueCheck(topkPq(spark, dir), emb(spark, dir))
 
   val ops: Seq[Op] = Seq(
     Op("sim_topk_pq", topkPq _, None),
