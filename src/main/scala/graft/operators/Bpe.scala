@@ -154,8 +154,11 @@ object Bpe {
             val toks = memo.getOrElseUpdate(w, encodeTokens(w, merges))
             nTok += toks.length
             toks.foreach { t =>
-              nChars += t.length
-              if (t.length > maxLen) maxLen = t.length
+              // code points, not UTF-16 units: the oracle's length() counts
+              // code points, so a supplementary-plane char must count as 1
+              val cpl = t.codePointCount(0, t.length).toLong
+              nChars += cpl
+              if (cpl > maxLen) maxLen = cpl
             }
             if (!first) detok.append(' ')
             detok.append(String.join("", toks: _*))

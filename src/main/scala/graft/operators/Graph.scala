@@ -435,7 +435,8 @@ object Graph {
     val histE = raw.where(col("is_hist")).select(col("u"), col("v")).distinct()
     val batchE = raw.where(!col("is_hist")).select(col("u"), col("v")).distinct()
     val (store, ts) = graft.sources.SnapshotStore
-      .contentAddressed(spark, s"$dir/lineitem.parquet", "graft_ccstore")
+      .contentAddressed(spark,
+        Seq(s"$dir/lineitem.parquet", s"$dir/orders.parquet"), "graft_ccstore")
     if (!store.hasTableSnapshot("cc_labels", ts))
       store.writeTableSnapshot(connectedComponents(histE), "cc_labels", ts)
     val labels = store.readTableSnapshot(spark, "cc_labels", ts)

@@ -274,7 +274,7 @@ object HtmlExtract {
     // key includes a template probe so a template edit can never serve
     // stale pre-edit segments through the _SUCCESS idempotence gate
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((dir + " " + wrapScala(0L, "probe")).getBytes(UTF_8))
+      .digest((dir + "\u0000" + wrapScala(0L, "probe")).getBytes(UTF_8))
       .map("%02x".format(_)).mkString.take(12)
     s"${sys.props("java.io.tmpdir")}/graft_warc_fixture_$key"
   }
@@ -310,14 +310,24 @@ object HtmlExtract {
             val tmp = new java.io.File(out, s".part-$pid.tmp")
             val dst = new java.io.File(out, f"part-$pid%05d.warc.gz")
             val fos = new java.io.FileOutputStream(tmp)
+            // close-shield: gz.close() releases the Deflater's native
+            // buffers (finish() alone leaks them until finalization) but
+            // must not close the shared file stream between members
+            val shield = new java.io.FilterOutputStream(fos) {
+              override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                out.write(b, off, len)
+              override def close(): Unit = flush()
+            }
             try it.foreach { case (id, text) =>
-              // one gzip member per record (Common Crawl convention);
-              // finish() seals the member, the stream below starts a new one
-              val gz = new java.util.zip.GZIPOutputStream(fos)
+              // one gzip member per record (Common Crawl convention)
+              val gz = new java.util.zip.GZIPOutputStream(shield)
               gz.write(warcRecord(id, text))
-              gz.finish()
+              gz.close()
             } finally fos.close()
-            tmp.renameTo(dst) // atomic publish; retries just overwrite tmp
+            // atomic publish; a silent rename failure would let _SUCCESS
+            // gate a missing segment, so fail the task instead
+            if (!tmp.renameTo(dst))
+              throw new java.io.IOException(s"rename failed: $tmp -> $dst")
             ()
           }
         }

@@ -210,17 +210,28 @@ object SnapshotStore {
     * `hasTableSnapshot` for the write-once gate.
     */
   def contentAddressed(spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, namespace: String): (SnapshotStore, String) = {
+      srcPath: String, namespace: String): (SnapshotStore, String) =
+    contentAddressed(spark, Seq(srcPath), namespace)
+
+  /** Multi-source variant: when a derived snapshot depends on SEVERAL
+    * inputs (e.g. `componentsIncremental`'s label store derives from the
+    * lineitem×orders join), the key must fold every input's identity —
+    * keying on one path alone would serve a stale snapshot when only the
+    * other input regenerates.
+    */
+  def contentAddressed(spark: org.apache.spark.sql.SparkSession,
+      srcPaths: Seq[String], namespace: String): (SnapshotStore, String) = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(srcPath)
-    val fs = p.getFileSystem(hconf)
-    val st = fs.getFileStatus(p)
-    // For a DIRECTORY source (a parquet dataset), (len, mtime) degenerates
-    // to mtime-only — len is the fs block entry, not content — and a
-    // regenerated fixture within mtime granularity would serve a stale
-    // cached artifact across JVM runs (the store lives in java.io.tmpdir).
-    // Fold every child's (name, len, mtime) into the key instead.
-    val key =
+    val key = srcPaths.map { srcPath =>
+      val p = new Path(srcPath)
+      val fs = p.getFileSystem(hconf)
+      val st = fs.getFileStatus(p)
+      // For a DIRECTORY source (a parquet dataset), (len, mtime)
+      // degenerates to mtime-only — len is the fs block entry, not
+      // content — and a regenerated fixture within mtime granularity
+      // would serve a stale cached artifact across JVM runs (the store
+      // lives in java.io.tmpdir). Fold every child's (name, len, mtime)
+      // into the key instead.
       if (st.isDirectory) {
         val h = fs.listStatus(p).sortBy(_.getPath.getName)
           .foldLeft(1125899906842597L) { (acc, c) =>
@@ -229,8 +240,9 @@ object SnapshotStore {
           }
         s"d_${java.lang.Long.toHexString(h)}"
       } else s"${st.getLen}_${st.getModificationTime}"
+    }.mkString("_")
     val root = s"${System.getProperty("java.io.tmpdir")}/$namespace/" +
-      Integer.toHexString(srcPath.hashCode)
+      Integer.toHexString(srcPaths.mkString(",").hashCode)
     (new SnapshotStore(root, hconf), key)
   }
 }
