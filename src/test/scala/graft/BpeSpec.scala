@@ -38,6 +38,59 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeTokens("low", merges).sameElements(Array("low")))
     assert(Bpe.encodeTokens("slow", merges)
       .sameElements(Array("s", "low")))
+    // the sampled-local production trainer agrees merge-for-merge with
+    // the distributed reference on the same fixture (no sampling or
+    // vocab truncation triggers at this size)
+    assert(Bpe.learnMergesSampled(spark, dir, rounds = 10) == merges)
+  }
+
+  test("sampled-local trainer == distributed reference, merge-for-merge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe3").toString
+    // mixed corpus: repeats, overlapping runs ("aaaa"), shared prefixes,
+    // tie-heavy short words — the shapes that expose argmax/rewrite drift
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the fox"),
+      (2L, "aaaa aaa aa a abab ababab"),
+      (3L, "lower lowest low slow slower glow glowing"),
+      (4L, "the the the and and or or or or"),
+      (5L, "internationalization interning internal intern"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rounds = 24
+    val ref = Bpe.learnMerges(spark, dir, rounds)
+    val fast = Bpe.learnMergesSampled(spark, dir, rounds)
+    assert(fast == ref, s"sampled-local diverged:\n  ref=$ref\n fast=$fast")
+    // run the local learner to exhaustion: every word fully merged means
+    // encode(word) == [word] for every corpus word
+    val full = Bpe.learnMergesLocal(Bpe.sampledWordCounts(spark, dir))
+    val rank = Bpe.rankOf(full)
+    Seq("the", "aaaa", "ababab", "internationalization").foreach { w =>
+      assert(Bpe.encodeGreedy(w, rank).sameElements(Array(w)), w)
+    }
+  }
+
+  test("encodeGreedy reproduces learned-order encoding") {
+    val merges =
+      Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"), ("a", "b"))
+    val rank = Bpe.rankOf(merges)
+    Seq("lower", "low", "slow", "lowlow", "ablow", "xyz", "", "l")
+      .foreach { w =>
+        assert(Bpe.encodeGreedy(w, rank)
+          .sameElements(Bpe.encodeTokens(w, merges)), w)
+      }
+  }
+
+  test("learning cost is bounded by the sample, not the corpus") {
+    // the only unbounded inputs reach the driver through
+    // sampledWordCounts, which caps at VocabWords rows; pin the contract
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe4").toString
+    val docs = (0L until 200L).map(i => (i, s"tok$i common common"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val wc = Bpe.sampledWordCounts(spark, dir)
+    assert(wc.length <= Bpe.VocabWords)
+    // deterministic truncation order: count DESC first
+    assert(wc.head._1 == "common" && wc.head._2 == 400L)
   }
 
   test("check twin invariants hold on awkward whitespace and unicode") {
