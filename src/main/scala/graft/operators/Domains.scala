@@ -294,26 +294,36 @@ object Domains {
   // ------------------------------------------------ crawl fetch plan
 
   /** Politeness-constrained fetch scheduling — the crawl-side capacity
-    * question: with one request per domain per `CrawlDelaySec`, a
-    * domain's pages fetch SEQUENTIALLY no matter how many workers
+    * question: with one request per domain per its robots crawl-delay,
+    * a domain's pages fetch SEQUENTIALLY no matter how many workers
     * exist, so per-domain duration = pages × delay and the only free
-    * variable is which worker owns which domain. Assignment is
-    * rank-round-robin (domains ranked by duration desc, id asc; worker
-    * = (rank−1) mod W) — the deterministic, fully-SQL approximation of
-    * longest-processing-time scheduling (true LPT is a sequential
-    * argmin loop; rank-mod keeps the heavy domains spread and is the
-    * shape a distributed planner can actually compute). Output per
+    * variable is which worker owns which domain. The delay is the REAL
+    * per-domain `Crawl-delay` the engine already parses from robots.txt
+    * (`robotsRules`; `DefaultCrawlDelaySec` where a domain declares
+    * none) — a planner that assumes 1 s everywhere under-budgets a
+    * slow-host crawl by the delay ratio. Assignment is BUCKETED
+    * rank-round-robin (r11 verdict #3): domains hash into `PlanBuckets`
+    * via the first md5 nibble (portable across engines), rank by
+    * duration desc within their bucket only, worker =
+    * (bucket + rank − 1) mod W — the same deterministic LPT
+    * approximation as a global rank, but the window is PARTITIONED so
+    * no single-partition sort exists anywhere in the plan: at a
+    * 100M-domain web crawl each bucket sorts 1/B of the domains in
+    * parallel (raise B with |domains|; W and B are coprime-ish here so
+    * the bucket offset staggers heavy ranks across workers). Output per
     * worker: domain count, page total, busy seconds, and the makespan
     * ratio of this worker against the perfectly-balanced ideal — the
-    * number that says whether one mega-domain serializes the crawl
-    * (cf. `layout_partition_stats`' skew verdict; a domain bigger than
-    * total/W bounds the ratio from below regardless of scheduling).
+    * number that says whether one mega-domain (or one slow-robots
+    * domain) serializes the crawl (a domain bigger than total/W bounds
+    * the ratio from below regardless of scheduling).
     *
     * Scale: the corpus reduces to |domains| rows before any window;
-    * the rank and the worker rollup both live on that tiny frame.
+    * the rank and the worker rollup both live on that tiny frame, and
+    * the delay join broadcasts (the rule table is KBs).
     */
-  private val CrawlDelaySec = 1L
+  private val DefaultCrawlDelaySec = 1L
   private val CrawlWorkers = 3
+  private val PlanBuckets = 8
 
   def fetchPlan(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -322,10 +332,24 @@ object Domains {
         .select(col("doc_id"), col("source"), fixtureUrlCol.as("url")))
       .groupBy(col("registered_domain"))
       .agg(count(lit(1)).as("n_pages"))
-      .withColumn("seconds", col("n_pages") * CrawlDelaySec)
-    val ranked = perDomain.withColumn("rk", row_number().over(
-      Window.orderBy(col("seconds").desc, col("registered_domain").asc)))
-      .withColumn("worker", (col("rk") - 1) % CrawlWorkers)
+    val delays = robotsRules(spark, dir)
+      .where(col("directive") === "Crawl-delay")
+      .groupBy(col("registered_domain").as("d_domain"))
+      .agg(max(col("path_prefix").cast("long")).as("crawl_delay"))
+    val pd = perDomain
+      .join(broadcast(delays),
+        col("registered_domain") === col("d_domain"), "left")
+      .withColumn("delay_sec",
+        coalesce(col("crawl_delay"), lit(DefaultCrawlDelaySec)))
+      .withColumn("seconds", col("n_pages") * col("delay_sec"))
+      .withColumn("bucket",
+        pmod(ascii(substring(md5(col("registered_domain")), 1, 1)),
+          lit(PlanBuckets)))
+    val ranked = pd.withColumn("rk", row_number().over(
+      Window.partitionBy(col("bucket"))
+        .orderBy(col("seconds").desc, col("registered_domain").asc)))
+      .withColumn("worker",
+        pmod(col("bucket") + col("rk") - 1, lit(CrawlWorkers)).cast("int"))
     val byWorker = ranked.groupBy(col("worker"))
       .agg(count(lit(1)).as("n_domains"), sum(col("n_pages")).as("n_pages"),
         sum(col("seconds")).as("busy_seconds"))
@@ -338,19 +362,33 @@ object Domains {
           col("total").cast("double"), 6).as("makespan_ratio"))
   }
 
-  val fetchPlanSql: String =
+  // lazy: interpolates robotsRulesSql, declared later in this object
+  lazy val fetchPlanSql: String =
     s"""WITH $domainSqlCte,
        |pd AS (
-       |  SELECT registered_domain, CAST(count(*) AS BIGINT) AS n_pages,
-       |         CAST(count(*) * $CrawlDelaySec AS BIGINT) AS seconds
+       |  SELECT registered_domain, CAST(count(*) AS BIGINT) AS n_pages
        |  FROM d GROUP BY 1
+       |), delays AS (
+       |  SELECT registered_domain,
+       |         max(CAST(path_prefix AS BIGINT)) AS crawl_delay
+       |  FROM ($robotsRulesSql)
+       |  WHERE directive = 'Crawl-delay' GROUP BY 1
+       |), pd2 AS (
+       |  SELECT p.registered_domain, p.n_pages,
+       |         CAST(p.n_pages * COALESCE(dl.crawl_delay,
+       |                                   $DefaultCrawlDelaySec) AS BIGINT)
+       |           AS seconds,
+       |         CAST(ascii(substr(md5(p.registered_domain), 1, 1))
+       |              % $PlanBuckets AS INT) AS bucket
+       |  FROM pd p LEFT JOIN delays dl USING (registered_domain)
        |), ranked AS (
        |  SELECT *,
-       |         row_number() OVER (ORDER BY seconds DESC,
+       |         row_number() OVER (PARTITION BY bucket
+       |                            ORDER BY seconds DESC,
        |                            registered_domain ASC) AS rk
-       |  FROM pd
+       |  FROM pd2
        |), bw AS (
-       |  SELECT CAST((rk - 1) % $CrawlWorkers AS INT) AS worker,
+       |  SELECT CAST((bucket + rk - 1) % $CrawlWorkers AS INT) AS worker,
        |         CAST(count(*) AS BIGINT) AS n_domains,
        |         CAST(sum(n_pages) AS BIGINT) AS n_pages,
        |         CAST(sum(seconds) AS BIGINT) AS busy_seconds
@@ -368,8 +406,11 @@ object Domains {
     * registered domain (identical CASE on both engines), covering the
     * RFC 9309 shapes a parser must handle: full block (`Disallow: /`),
     * empty-pattern Disallow (no effect — allows all), Allow overriding
-    * a shorter Disallow (longest-match), and prefix rules that
-    * deliberately collide (`/src1` also matches `/src10`..`/src19`).
+    * a shorter Disallow (longest-match), prefix rules that
+    * deliberately collide (`/src1` also matches `/src10`..`/src19`),
+    * and the de-facto `Crawl-delay` extension (two domains declare
+    * one — 10 s and 2 s — feeding the fetch planner's per-domain
+    * politeness budget; the rest default).
     */
   private def robotsFixtureCol(domain: Column): Column =
     when(domain.isin("spam-farm.net", "tracker.io"),
@@ -377,8 +418,9 @@ object Domains {
       .when(domain === "example.com",
         lit("User-agent: *\nDisallow: /src1\nAllow: /src12\nDisallow: /src3"))
       .when(domain === "example.co.nz",
-        lit("User-agent: *\nDisallow: \nDisallow: /src7"))
-      .when(domain === "wikipedia.org", lit("User-agent: *\nAllow: /"))
+        lit("User-agent: *\nCrawl-delay: 10\nDisallow: \nDisallow: /src7"))
+      .when(domain === "wikipedia.org",
+        lit("User-agent: *\nCrawl-delay: 2\nAllow: /"))
       .otherwise(lit("User-agent: *\nDisallow: /src5\nAllow: /src5/1"))
 
   private def robotsFixtureSql(domain: String): String =
@@ -388,17 +430,21 @@ object Domains {
        |       THEN 'User-agent: *' || chr(10) || 'Disallow: /src1' ||
        |            chr(10) || 'Allow: /src12' || chr(10) || 'Disallow: /src3'
        |     WHEN $domain = 'example.co.nz'
-       |       THEN 'User-agent: *' || chr(10) || 'Disallow: ' ||
+       |       THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 10' ||
+       |            chr(10) || 'Disallow: ' ||
        |            chr(10) || 'Disallow: /src7'
        |     WHEN $domain = 'wikipedia.org'
-       |       THEN 'User-agent: *' || chr(10) || 'Allow: /'
+       |       THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 2' ||
+       |            chr(10) || 'Allow: /'
        |     ELSE 'User-agent: *' || chr(10) || 'Disallow: /src5' ||
        |          chr(10) || 'Allow: /src5/1' END""".stripMargin
 
   /** Parsed per-domain rule table: (domain, line_no, directive,
-    * path_prefix) for every Allow/Disallow line. At 100 TB this frame
-    * is |domains|·|rules| — KBs — and broadcasts into the admission
-    * join; fetching/refreshing robots bodies is the `HttpFetch` path.
+    * path_prefix) for every Allow/Disallow/Crawl-delay line (for
+    * Crawl-delay the payload column carries the seconds value). At
+    * 100 TB this frame is |domains|·|rules| — KBs — and broadcasts into
+    * the admission join and the fetch planner's delay lookup;
+    * fetching/refreshing robots bodies is the `HttpFetch` path.
     */
   def robotsRules(spark: SparkSession, dir: String): DataFrame = {
     val domains = withDomain(
@@ -411,9 +457,9 @@ object Domains {
           .as(Seq("ln0", "line")))
       .select(col("registered_domain"),
         (col("ln0") + 1).cast("long").as("line_no"),
-        regexp_extract(col("line"), "^(Allow|Disallow): ?(.*)$", 1)
+        regexp_extract(col("line"), "^(Allow|Disallow|Crawl-delay): ?(.*)$", 1)
           .as("directive"),
-        regexp_extract(col("line"), "^(Allow|Disallow): ?(.*)$", 2)
+        regexp_extract(col("line"), "^(Allow|Disallow|Crawl-delay): ?(.*)$", 2)
           .as("path_prefix"))
       .where(col("directive") =!= "")
   }
@@ -435,12 +481,12 @@ object Domains {
        |  FROM doms
        |)
        |SELECT registered_domain, CAST(line_no AS BIGINT) AS line_no,
-       |       regexp_extract(line, '^(Allow|Disallow): ?(.*)$$', 1)
+       |       regexp_extract(line, '^(Allow|Disallow|Crawl-delay): ?(.*)$$', 1)
        |         AS directive,
-       |       regexp_extract(line, '^(Allow|Disallow): ?(.*)$$', 2)
+       |       regexp_extract(line, '^(Allow|Disallow|Crawl-delay): ?(.*)$$', 2)
        |         AS path_prefix
        |FROM lines
-       |WHERE regexp_extract(line, '^(Allow|Disallow): ?(.*)$$', 1) <> ''"""
+       |WHERE regexp_extract(line, '^(Allow|Disallow|Crawl-delay): ?(.*)$$', 1) <> ''"""
       .stripMargin
 
   /** RFC 9309 URL admission: every page checked against its domain's
@@ -461,7 +507,8 @@ object Domains {
     // side has NO exchange at all (pinned in DomainsSpec): a window on
     // doc_id here would shuffle every page just to rank ≤4 rule hits
     val ruleArr = robotsRules(spark, dir)
-      .where(length(col("path_prefix")) > 0)
+      .where(col("directive").isin("Allow", "Disallow") &&
+        length(col("path_prefix")) > 0)
       .groupBy(col("registered_domain").as("r_domain"))
       .agg(collect_list(struct(
         (-length(col("path_prefix"))).as("neg_len"),
@@ -495,7 +542,8 @@ object Domains {
        |), rules AS (
        |  SELECT * FROM (
        |$robotsRulesSql
-       |  ) WHERE length(path_prefix) > 0
+       |  ) WHERE directive IN ('Allow', 'Disallow')
+       |      AND length(path_prefix) > 0
        |), m AS (
        |  SELECT p.doc_id, p.registered_domain, p.path,
        |         r.directive, r.path_prefix, r.line_no,

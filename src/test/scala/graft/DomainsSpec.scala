@@ -114,11 +114,11 @@ class DomainsSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("fetch plan: rank-round-robin recompute, makespan bounded by the heaviest domain") {
+  test("fetch plan: bucketed-LPT recompute with robots delays, slow domain dominates makespan") {
     val got = graft.operators.Domains.fetchPlan(spark, sfDir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4)))).toMap
-    assert(got.keySet == Set(0, 1, 2))
+    assert(got.keySet.subsetOf(Set(0, 1, 2)) && got.nonEmpty)
     // scalar recompute from the same fixture-URL convention
     val perDomain = graft.operators.Domains.withDomain(
       graft.Tables(spark, sfDir, "documents").selectExpr("doc_id", "source",
@@ -129,20 +129,60 @@ class DomainsSpec extends SparkSpec {
         "'/', CAST(doc_id AS STRING)) AS url"))
       .groupBy("registered_domain").count().collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    val ranked = perDomain.sortBy { case (d, n) => (-n, d) }.zipWithIndex
-    val byWorker = ranked.groupBy(_._2 % 3).view.mapValues(_.map(_._1)).toMap
-    val total = perDomain.map(_._2).sum
-    for (w <- 0 to 2) {
-      val ds = byWorker(w)
-      val busy = ds.map(_._2).sum
+    // per-domain politeness from the robots fixture's Crawl-delay lines
+    def delay(d: String): Long = d match {
+      case "example.co.nz" => 10L
+      case "wikipedia.org" => 2L
+      case _               => 1L
+    }
+    def bucket(d: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.charAt(0).toInt % 8
+    }
+    val scheduled = perDomain
+      .map { case (d, n) => (d, n, n * delay(d), bucket(d)) }
+      .groupBy(_._4).toSeq
+      .flatMap { case (b, ds) =>
+        ds.sortBy { case (d, _, sec, _) => (-sec, d) }.zipWithIndex
+          .map { case ((d, n, sec, _), rk0) => ((b + rk0) % 3, d, n, sec) }
+      }
+    val byWorker = scheduled.groupBy(_._1)
+    val total = scheduled.map(_._4).sum
+    for ((w, ds) <- byWorker) {
+      val busy = ds.map(_._4).sum
       assert(got(w)._1 == ds.length.toLong, s"worker $w domains")
-      assert(got(w)._2 == busy && got(w)._3 == busy, s"worker $w load")
+      assert(got(w)._2 == ds.map(_._3).sum, s"worker $w pages")
+      assert(got(w)._3 == busy, s"worker $w busy")
       assert(got(w)._4 == BigDecimal(busy.toDouble * 3 / total)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
+    // the slow-robots domain (10 s/page) must dominate: its worker's
+    // busy time bounds the makespan from below, ratio > 1
+    val slow = scheduled.find(_._2 == "example.co.nz").get
+    assert(got(slow._1)._3 >= slow._4)
+    assert(got(slow._1)._4 > 1.0, s"slow domain did not dominate: $got")
     // no worker may beat the heaviest-domain lower bound
-    val heaviest = perDomain.map(_._2).max
+    val heaviest = scheduled.map(_._4).max
     assert(got.values.map(_._3).max >= heaviest)
+  }
+
+  test("fetch plan: rank window is sharded — no single-partition sort in the plan") {
+    val df = graft.operators.Domains.fetchPlan(spark, sfDir)
+    df.collect()
+    // AQE's toString appends "== Initial Plan ==" — pin the FINAL plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the domain rank must be a bucket-partitioned window (sharded
+    // sort), never a global one
+    assert(plan.contains("windowspecdefinition(bucket"),
+      s"rank window not partitioned by bucket:\n$plan")
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"bucketed exchange missing:\n$plan")
+    // the only SinglePartition exchange allowed is the final
+    // |workers|-sized rollup window (3 rows by construction)
+    assert("Exchange SinglePartition".r.findAllIn(plan).size <= 1,
+      s"extra global exchange:\n$plan")
   }
 
   test("robots admission: RFC 9309 longest-match, allow-wins, empty-pattern no-op") {
