@@ -709,6 +709,8 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = byQ.keys.toSeq.map { q =>
       byQ(q).map(_._2).toSet.intersect(bfByQ(q).map(_._2).toSet).size
     }.sum / 100.0
-    assert(recall >= 0.6, s"recall $recall") // sampled-codebook ADC floor
+    // Lloyd-refined served codebook (ks=64, shortlist=150, rounds=2)
+    // measures 0.95/0.90 at sf0.01/sf0.1 — gate the regression floor
+    assert(recall >= 0.85, s"recall $recall")
   }
 }
