@@ -450,9 +450,15 @@ object HtmlExtract {
     * ONE (src, dst)-keyed aggregation — map-side partials, result
     * bounded by |domains|², never by |links|.
     */
-  def domainLinks(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-link frame the domain rollups share: (doc_id, src_domain,
+    * dst_domain) for every resolved outlink of every page passing
+    * `docCond` — the corpus-sized extraction stage, factored so the
+    * incremental rank twin can run it over a BATCH predicate only.
+    */
+  private def resolvedDomainLinks(spark: SparkSession, dir: String,
+      docCond: Column): DataFrame = {
     val pages = Domains.withDomain(
-        Tables(spark, dir, "documents")
+        Tables(spark, dir, "documents").where(docCond)
           .select(col("doc_id"), col("text"), Domains.fixtureUrlCol.as("url")))
       .select(col("doc_id"),
         col("registered_domain").as("src_domain"),
@@ -469,11 +475,15 @@ object HtmlExtract {
           .otherwise(lit(null)))
       .where(col("url").isNotNull)
     Domains.withDomain(resolved)
-      .groupBy(col("src_domain"),
+      .select(col("doc_id"), col("src_domain"),
         col("registered_domain").as("dst_domain"))
+  }
+
+  def domainLinks(spark: SparkSession, dir: String): DataFrame =
+    resolvedDomainLinks(spark, dir, lit(true))
+      .groupBy(col("src_domain"), col("dst_domain"))
       .agg(count(lit(1)).as("n_links"),
         countDistinct(col("doc_id")).as("n_pages"))
-  }
 
   val domainLinksSql: String =
     s"""WITH u AS (
@@ -542,6 +552,65 @@ object HtmlExtract {
        |SELECT node AS domain, CAST(r AS BIGINT) AS rank_micros
        |FROM r$DrIters
        |ORDER BY r DESC, node""".stripMargin
+
+  // -------------------------------------- graph_domain_rank_incremental
+
+  /** Incremental domain PageRank — the corpus-growth twin of
+    * `graph_domain_rank` (r11 verdict #5), the way crawl-graph rank
+    * actually runs per batch at 100 TB: the page corpus is NEVER
+    * re-walked. History is represented only by its persisted artifacts
+    * — the distinct domain edge set (`dr_edges`) plus the last served
+    * rank (`dr_rank`), both content-addressed to the corpus version —
+    * and a new batch pays (a) outlink extraction over the BATCH pages
+    * only, the corpus-sized stage, and (b) the power-method core over
+    * the merged DOMAIN edge set, which is |domains|²-bounded (millions
+    * of edges at web scale, KBs here) regardless of how many pages
+    * history holds.
+    *
+    * Why the rank recomputes over the merged edge set rather than
+    * warm-starting from `dr_rank`: PageRank is global — one new edge
+    * can move every node's score — and the engine's rank contract is
+    * BIT-EQUALITY with the unrolled-CTE oracle (integer micro-units,
+    * fixed iterations from the uniform start). The stored rank is the
+    * serving artifact between batches, exactly like a production
+    * frontier serves yesterday's rank while today's recompute runs.
+    *
+    * Exactness: distinct(history edges) ∪ distinct(batch edges) =
+    * distinct(all edges), and `pagerankInt` is deterministic on the
+    * edge SET — so the oracle is `domainRankSql` VERBATIM (the full
+    * recompute), the same twin-proof `componentsIncremental` carries.
+    * History/batch split is 90/10 by doc_id (mod 10), the realistic
+    * batch-to-corpus ratio, so the probe can show batch cost tracking
+    * batch size, not history.
+    */
+  private val DrBatchMod = 10
+
+  def domainRankIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val isBatch = col("doc_id") % DrBatchMod === DrBatchMod - 1
+    val (store, ts) = graft.sources.SnapshotStore.contentAddressed(
+      spark, s"$dir/documents.parquet", s"graft_drstore_i$DrIters")
+    if (!store.hasTableSnapshot("dr_rank", ts)) {
+      val histE = resolvedDomainLinks(spark, dir, !isBatch)
+        .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+        .distinct()
+      store.writeTableSnapshot(histE, "dr_edges", ts)
+      // the between-batches serving artifact (see scaladoc); written
+      // LAST so it doubles as the index-complete marker
+      store.writeTableSnapshot(Graph.pagerankInt(histE, DrIters),
+        "dr_rank", ts)
+    }
+    val histE = store.readTableSnapshot(spark, "dr_edges", ts)
+      .select(col("src"), col("dst"))
+    val batchE = resolvedDomainLinks(spark, dir, isBatch)
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      .distinct()
+    Graph.pagerankInt(histE.union(batchE), DrIters)
+      .orderBy(col("r").desc, col("node").asc)
+      .select(col("node").as("domain"), col("r").as("rank_micros"))
+  }
+
+  /** Oracle = the full recompute, verbatim — the bit-equality proof. */
+  val domainRankIncrementalSql: String = domainRankSql
 
   // ------------------------------------------------- graph_domain_hits
 
@@ -660,6 +729,8 @@ object HtmlExtract {
     Op("text_html_links", htmlLinks _, Some(htmlLinksSql)),
     Op("graph_domain_links", domainLinks _, Some(domainLinksSql)),
     Op("graph_domain_rank", domainRank _, Some(domainRankSql)),
+    Op("graph_domain_rank_incremental", domainRankIncremental _,
+      Some(domainRankIncrementalSql)),
     Op("text_html_extract_fast", htmlExtractFast _, None),
     Op("text_html_extract_fast_check", htmlExtractFast _, Some(htmlExtractSql)),
   )

@@ -219,6 +219,20 @@ class HtmlWarcSpec extends SparkSpec {
     assert(ranks.tail.map(_._1).toSeq == ranks.tail.map(_._1).sorted.toSeq)
   }
 
+  test("incremental domain rank == full recompute, bit-for-bit; snapshot reused") {
+    import spark.implicits._
+    val full = HtmlExtract.domainRank(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    val inc1 = HtmlExtract.domainRankIncremental(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    assert(inc1 == full, s"incremental diverged:\n full=$full\n  inc=$inc1")
+    // second call serves the persisted history artifacts (write-once
+    // gate) and must still be bit-equal
+    val inc2 = HtmlExtract.domainRankIncremental(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    assert(inc2 == full)
+  }
+
   test("domain reciprocity: matches a scalar recompute of the edge set") {
     val e = HtmlExtract.domainLinks(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)))
