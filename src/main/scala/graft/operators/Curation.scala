@@ -1456,10 +1456,10 @@ object Curation {
   val ops: Seq[Op] = Seq(
     Op("curate_pipeline_report", pipelineReport _, Some(pipelineReportSql)),
     Op("curate_gopher_filter", gopherFilter _, Some(gopherFilterSql)),
-    Op("curate_gopher_filter_fast", gopherFilterFast _, None),
     // fast Spark output vs the CHAIN's DuckDB oracle: driver-green
-    // proves expression == chain corpus-wide (the HtmlClean pattern)
-    Op("curate_gopher_filter_fast_check", gopherFilterFast _,
+    // proves expression == chain corpus-wide (the HtmlClean pattern) --
+    // the oracle rides the primary row directly (r11 verdict #6)
+    Op("curate_gopher_filter_fast", gopherFilterFast _,
       Some(gopherFilterSql)),
     Op("curate_quality_lr", qualityLr _, Some(qualityLrSql)),
     Op("curate_ccnet_bucket", ccnetBucket _, Some(ccnetBucketSql)),

@@ -731,7 +731,8 @@ object HtmlExtract {
     Op("graph_domain_rank", domainRank _, Some(domainRankSql)),
     Op("graph_domain_rank_incremental", domainRankIncremental _,
       Some(domainRankIncrementalSql)),
-    Op("text_html_extract_fast", htmlExtractFast _, None),
-    Op("text_html_extract_fast_check", htmlExtractFast _, Some(htmlExtractSql)),
+    // fast Spark output vs the slow chain's DuckDB oracle, carried on
+    // the primary row directly (r11 verdict #6)
+    Op("text_html_extract_fast", htmlExtractFast _, Some(htmlExtractSql)),
   )
 }
