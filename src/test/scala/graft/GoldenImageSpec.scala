@@ -192,6 +192,169 @@ class GoldenImageSpec extends SparkSpec {
     assert(Multimodal.decodeWavSamples(f32).isEmpty)
   }
 
+  // ------------------------------------------------ FLAC sample decode
+
+  private final class BitWriter {
+    private val bos = new java.io.ByteArrayOutputStream()
+    private var cur = 0; private var nb = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nb += 1
+      if (nb == 8) { bos.write(cur); cur = 0; nb = 0 }
+    }
+    def bits(v: Long, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bit(((v >> i) & 1).toInt))
+    def align(): Unit = while (nb != 0) bit(0)
+    def result: Array[Byte] = { align(); bos.toByteArray }
+  }
+
+  private def crc8(bytes: Array[Byte]): Int = {
+    var crc = 0
+    bytes.foreach { b =>
+      crc ^= (b & 0xFF)
+      (0 until 8).foreach { _ =>
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xFF
+              else (crc << 1) & 0xFF
+      }
+    }
+    crc
+  }
+
+  private def riceResiduals(w: BitWriter, res: Seq[Long], param: Int): Unit = {
+    w.bits(0, 2)           // coding method 0: 4-bit Rice
+    w.bits(0, 4)           // partition order 0
+    w.bits(param.toLong, 4)
+    res.foreach { v =>
+      val u = (v << 1) ^ (v >> 63) // zigzag
+      val q = (u >>> param).toInt
+      (0 until q).foreach(_ => w.bit(0)); w.bit(1)
+      w.bits(u & ((1L << param) - 1), param)
+    }
+  }
+
+  /** Spec-valid FLAC: STREAMINFO + one fixed-blocksize frame whose
+    * subframes are written by `sub` (one call per channel) — the real
+    * header grammar including the frame CRC-8.
+    */
+  private def buildFlac(nCh: Int, bs: Int, n: Int,
+      sub: (BitWriter, Int) => Unit): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new BitWriter
+    si.bits(bs.toLong, 16); si.bits(bs.toLong, 16) // min/max blocksize
+    si.bits(0, 24); si.bits(0, 24)                 // min/max framesize
+    si.bits(8000, 20)                              // sample rate
+    si.bits((nCh - 1).toLong, 3)                   // channels-1
+    si.bits(15, 5)                                 // bits-1 (16-bit)
+    si.bits(n.toLong, 36)                          // total samples
+    (0 until 16).foreach(_ => si.bits(0, 8))       // md5
+    val siBytes = si.result
+    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes)
+    // frame header (bytes buffered for the CRC-8)
+    val h = new BitWriter
+    h.bits(0x3FFE, 14); h.bits(0, 2)               // sync, reserved, fixed
+    h.bits(7, 4)                                   // bs code: 16-bit bs-1
+    h.bits(0, 4)                                   // rate from STREAMINFO
+    h.bits((nCh - 1).toLong, 4)                    // independent channels
+    h.bits(4, 3); h.bit(0)                         // 16-bit samples
+    h.bits(0, 8)                                   // frame number 0 (UTF-8)
+    h.bits((bs - 1).toLong, 16)
+    val hb = h.result
+    out.write(hb)
+    out.write(crc8(hb))
+    val w = new BitWriter
+    (0 until nCh).foreach(c => sub(w, c))
+    out.write(w.result)
+    out.write(0); out.write(0)                     // frame CRC-16
+    out.toByteArray
+  }
+
+  private def expectedStats(chans: Seq[Array[Long]])
+      : (Long, Int, Double, Long) = {
+    val total = chans.map(_.length.toLong).sum
+    val peak = chans.flatMap(_.map(math.abs)).max.toInt
+    val sumSq = chans.flatMap(_.map(s => s * s)).sum
+    val rms = math.rint(math.sqrt(sumSq.toDouble / total) * 10000) / 10000
+    var zc = 0L; var prev = 0
+    chans.head.foreach { s =>
+      val sign = java.lang.Long.signum(s)
+      if (sign != 0 && prev != 0 && sign != prev) zc += 1
+      if (sign != 0) prev = sign
+    }
+    (total, peak, rms, zc)
+  }
+
+  test("flac constant + verbatim subframes decode to exact sample stats") {
+    // stereo: channel 0 constant 5000, channel 1 verbatim sine
+    val n = 192
+    val sine = Array.tabulate(n)(i =>
+      math.rint(8000 * math.sin(2 * math.Pi * 440 * i / 8000)).toLong)
+    val flac = buildFlac(2, n, n, { (w, c) =>
+      if (c == 0) { w.bit(0); w.bits(0, 6); w.bit(0); w.bits(5000, 16) }
+      else {
+        w.bit(0); w.bits(1, 6); w.bit(0)
+        sine.foreach(s => w.bits(s & 0xFFFF, 16))
+      }
+    })
+    val got = Multimodal.decodeFlacSamples(flac)
+    val exp = expectedStats(Seq(Array.fill(n)(5000L), sine))
+    assert(got.contains(exp), s"got=$got exp=$exp")
+  }
+
+  test("flac fixed-predictor subframes reconstruct through Rice residuals") {
+    // order-2 on a linear ramp: every residual is 0 after the warmup —
+    // and a order-1 channel with nonzero residuals exercises real Rice
+    val n = 64
+    val ramp = Array.tabulate(n)(i => 3L * i - 90L)
+    val walk = Array.tabulate(n)(i => (i % 7).toLong - 3L)
+    val flac = buildFlac(2, n, n, { (w, c) =>
+      if (c == 0) {
+        w.bit(0); w.bits(10, 6); w.bit(0) // FIXED order 2
+        w.bits(ramp(0) & 0xFFFF, 16); w.bits(ramp(1) & 0xFFFF, 16)
+        riceResiduals(w, (2 until n).map(i =>
+          ramp(i) - 2 * ramp(i - 1) + ramp(i - 2)), param = 0)
+      } else {
+        w.bit(0); w.bits(9, 6); w.bit(0) // FIXED order 1
+        w.bits(walk(0) & 0xFFFF, 16)
+        riceResiduals(w, (1 until n).map(i => walk(i) - walk(i - 1)),
+          param = 2)
+      }
+    })
+    val got = Multimodal.decodeFlacSamples(flac)
+    val exp = expectedStats(Seq(ramp, walk))
+    assert(got.contains(exp), s"got=$got exp=$exp")
+  }
+
+  test("flac refusal: truncation, LPC subframes, stereo decorrelation") {
+    val n = 192
+    val ok = buildFlac(1, n, n, (w, _) => {
+      w.bit(0); w.bits(0, 6); w.bit(0); w.bits(1234, 16)
+    })
+    assert(Multimodal.decodeFlacSamples(ok).isDefined)
+    assert(Multimodal.decodeFlacSamples(ok.take(ok.length - 6)).isEmpty)
+    // LPC subframe type (32): refused, not faked
+    val lpc = buildFlac(1, n, n, (w, _) => {
+      w.bit(0); w.bits(32, 6); w.bit(0); w.bits(1234, 16)
+    })
+    assert(Multimodal.decodeFlacSamples(lpc).isEmpty)
+    assert(Multimodal.decodeFlacSamples("words".getBytes).isEmpty)
+  }
+
+  test("extractSamples: FLAC assets decode for real alongside WAV") {
+    import spark.implicits._
+    val n = 192
+    val flac = buildFlac(1, n, n, (w, _) => {
+      w.bit(0); w.bits(0, 6); w.bit(0); w.bits(7000, 16)
+    })
+    val got = Multimodal.extractSamples(Seq(
+      Multimodal.Asset(1L, "audio", flac, "s"),
+      Multimodal.Asset(4L, "audio", "just words".getBytes("UTF-8"), "s"))
+      .toDS()).collect().map(s => s.asset_id -> s).toMap
+    assert(got(1L).decoded && got(1L).n_samples == n.toLong &&
+      got(1L).peak == 7000)
+    assert(!got(4L).decoded)
+  }
+
   // --------------------------------------------------------- resize
 
   test("box resize: solid color is exact, gradient means survive, the " +
@@ -319,5 +482,77 @@ class GoldenImageSpec extends SparkSpec {
     assert(got(6L).ahash == hex.take(16))
     assert(got(6L).mean_luma ==
       (java.lang.Long.parseLong(hex.take(4), 16) % 2560L) / 10.0)
+  }
+
+  // ------------------------------------------------- MJPEG-in-AVI video
+
+  /** Minimal spec-valid AVI: RIFF('AVI ') [ LIST('hdrl')[avih zeros],
+    * LIST('movi')[##dc frames] ] — the chunk grammar is all the walk
+    * reads; stream headers are opaque to it.
+    */
+  private def buildAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 255).toByte, ((v >> 8) & 255).toByte,
+        ((v >> 16) & 255).toByte, ((v >> 24) & 255).toByte)
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] =
+      fourcc.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    bos.write("RIFF".getBytes("US-ASCII"))
+    bos.write(le32(body.length))
+    bos.write(body)
+    bos.toByteArray
+  }
+
+  private def grayJpeg(level: Int): Array[Byte] = {
+    val img = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32)
+      img.setRGB(x, y, (level << 16) | (level << 8) | level)
+    encode(img, "jpg")
+  }
+
+  test("MJPEG AVI: real per-frame pixel decode through the image kernel") {
+    import spark.implicits._
+    val levels = Seq(40, 128, 220)
+    val avi = buildAvi(levels.map(grayJpeg))
+    // container walk alone: three frames found at the right offsets
+    val frames = Multimodal.decodeAviFrames(avi)
+    assert(frames.exists(_.size == 3), s"frames=$frames")
+    val assets = Seq(
+      Multimodal.Asset(2L, "video", avi, "s"),
+      Multimodal.Asset(5L, "video", "plain text".getBytes("UTF-8"), "s"),
+      Multimodal.Asset(3L, "image", avi, "s")) // wrong kind: excluded
+      .toDS()
+    val got = Multimodal.extractVideoPixels(assets).collect()
+      .groupBy(_.asset_id)
+    assert(got.keySet == Set(2L, 5L))
+    val real = got(2L).sortBy(_.frame_idx)
+    assert(real.length == 3 && real.forall(_.decoded))
+    assert(real.forall(f => f.width == 32 && f.height == 24))
+    // JPEG is lossy but a uniform frame decodes within a few levels
+    levels.zip(real).foreach { case (l, f) =>
+      assert(math.abs(f.mean_luma - l) <= 3.0, s"level $l got ${f.mean_luma}")
+    }
+    // the non-AVI payload takes the deterministic pseudo path
+    assert(got(5L).forall(!_.decoded))
+  }
+
+  test("AVI walk refuses truncation; non-MJPEG frames degrade per-frame") {
+    val avi = buildAvi(Seq(grayJpeg(100)))
+    // chop mid-frame: the declared size now overruns the payload
+    assert(Multimodal.decodeAviFrames(avi.take(avi.length - 8)).isEmpty)
+    // a frame whose bytes no ImageIO reader claims (a fake codec):
+    // container decodes, the frame itself falls to pseudo-stats
+    import spark.implicits._
+    val fake = buildAvi(Seq(Array.fill[Byte](64)(0x42)))
+    val rows = Multimodal.extractVideoPixels(
+      Seq(Multimodal.Asset(8L, "video", fake, "s")).toDS()).collect()
+    assert(rows.length == 1 && !rows.head.decoded)
   }
 }
