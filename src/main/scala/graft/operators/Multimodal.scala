@@ -372,9 +372,8 @@ object Multimodal {
     * crossings (the cheap pitch/noisiness proxy). Only format-1
     * 16-bit PCM decodes; other encodings and non-RIFF payloads fall
     * to md5 pseudo-stats the oracle recomputes (the `decodePixels`
-    * convention). Remaining codec seam: MP3 sample decode (lossy DSP)
-    * and FLAC's LPC/stereo-decorrelation modes — the FLAC fixed-
-    * predictor subset decodes for real below.
+    * convention). Remaining codec seam: MP3 sample decode (lossy DSP) —
+    * FLAC decodes for real below.
     */
   private[graft] def decodeWavSamples(
       p: Array[Byte]): Option[(Long, Int, Double, Long)] = {
@@ -462,14 +461,16 @@ object Multimodal {
   /** REAL FLAC sample decode — the lossless half of the compressed-audio
     * seam, a pure-JVM bitstream parse of the published format (RFC
     * 9639): STREAMINFO, frame headers (UTF-8 frame numbers, explicit and
-    * coded block sizes, CRC bytes), subframe types CONSTANT, VERBATIM,
-    * and FIXED orders 0–4 with Rice-coded residuals (both 4- and 5-bit
-    * parameter widths, escape partitions included) reconstructed through
-    * the fixed polynomial predictors. What stays refused (None → the
-    * pseudo path) is LPC subframes and the stereo-decorrelation channel
-    * modes — the same honest-subset line `MdbCatalog` draws: everything
-    * parsed is parsed for real, nothing is faked. Stats mirror the PCM
-    * path so WAV and FLAC land in one schema.
+    * coded block sizes, CRC bytes), ALL four subframe types — CONSTANT,
+    * VERBATIM, FIXED orders 0–4, and LPC orders 1–32 (quantized
+    * coefficients, signed shift) — with Rice-coded residuals (both 4-
+    * and 5-bit parameter widths, escape partitions, wasted bits), plus
+    * the three stereo-decorrelation channel modes (left/side,
+    * side/right, mid/side with parity re-expansion, the side channel's
+    * extra bit included). Reserved subframe types, reserved channel
+    * assignments, and malformed streams refuse (None → the pseudo
+    * path) — nothing is faked. Stats mirror the PCM path so WAV and
+    * FLAC land in one schema.
     */
   private[graft] def decodeFlacSamples(
       p: Array[Byte]): Option[(Long, Int, Double, Long)] = {
@@ -540,18 +541,49 @@ object Multimodal {
           case 6 => 24
           case _ => return None
         }
-        if (chAsgn > 7) return None // stereo decorrelation: declared seam
-        val frameCh = chAsgn + 1
+        if (chAsgn > 10) return None // 11-15: reserved
+        val frameCh = if (chAsgn >= 8) 2 else chAsgn + 1
         if (frameCh != nCh) return None
         r.bits(8) // header CRC-8 (spec-valid fixtures carry the real one)
-        val ch0 = new Array[Long](blockSize)
-        var c = 0
-        while (c < frameCh) {
-          if (r.bit() != 0) return None // subframe zero pad
+        // refusal inside the subframe decoder rides the same exception
+        // the bit reader throws on exhaustion — every path lands on None
+        def refuse(): Nothing = throw new IndexOutOfBoundsException
+        def riceResiduals(samples: Array[Long], order: Int): Unit = {
+          val method = r.bits(2).toInt
+          if (method > 1) refuse()
+          val pBits = if (method == 0) 4 else 5
+          val escape = (1 << pBits) - 1
+          val po = r.bits(4).toInt
+          val parts = 1 << po
+          if (blockSize % parts != 0) refuse()
+          var pi = 0
+          var si = order
+          while (pi < parts) {
+            val param = r.bits(pBits).toInt
+            val nRes = (blockSize >> po) - (if (pi == 0) order else 0)
+            var k = 0
+            while (k < nRes) {
+              val v =
+                if (param == escape) {
+                  val raw = r.bits(5).toInt
+                  if (raw == 0) 0L else r.sbits(raw)
+                } else {
+                  val q = r.unary().toLong
+                  val u = (q << param) | r.bits(param)
+                  (u >> 1) ^ -(u & 1) // zigzag
+                }
+              samples(si) = v
+              si += 1; k += 1
+            }
+            pi += 1
+          }
+        }
+        def decodeSubframe(chBps: Int): Array[Long] = {
+          if (r.bit() != 0) refuse() // subframe zero pad
           val typ = r.bits(6).toInt
           var wasted = 0
           if (r.bit() == 1) { wasted = r.unary() + 1 }
-          val eff = bps - wasted
+          val eff = chBps - wasted
           val samples = new Array[Long](blockSize)
           typ match {
             case 0 => // CONSTANT
@@ -564,35 +596,7 @@ object Multimodal {
               val order = t - 8
               var i = 0
               while (i < order) { samples(i) = r.sbits(eff); i += 1 }
-              // residual: coding method, partition order, Rice partitions
-              val method = r.bits(2).toInt
-              if (method > 1) return None
-              val pBits = if (method == 0) 4 else 5
-              val escape = (1 << pBits) - 1
-              val po = r.bits(4).toInt
-              val parts = 1 << po
-              if (blockSize % parts != 0) return None
-              var pi = 0
-              var si = order
-              while (pi < parts) {
-                val param = r.bits(pBits).toInt
-                val nRes = (blockSize >> po) - (if (pi == 0) order else 0)
-                var k = 0
-                while (k < nRes) {
-                  val v =
-                    if (param == escape) {
-                      val raw = r.bits(5).toInt
-                      if (raw == 0) 0L else r.sbits(raw)
-                    } else {
-                      val q = r.unary().toLong
-                      val u = (q << param) | r.bits(param)
-                      (u >> 1) ^ -(u & 1) // zigzag
-                    }
-                  samples(si) = v
-                  si += 1; k += 1
-                }
-                pi += 1
-              }
+              riceResiduals(samples, order)
               // fixed polynomial reconstruction
               i = order
               while (i < blockSize) {
@@ -607,12 +611,68 @@ object Multimodal {
                 })
                 i += 1
               }
-            case _ => return None // LPC: the declared seam
+            case t if t >= 32 => // LPC order 1-32
+              val order = (t & 31) + 1
+              var i = 0
+              while (i < order) { samples(i) = r.sbits(eff); i += 1 }
+              val precision = r.bits(4).toInt + 1
+              if (precision == 16) refuse() // 0b1111 is invalid per spec
+              val shift = r.sbits(5).toInt
+              if (shift < 0) refuse()
+              val coefs = new Array[Long](order)
+              i = 0
+              while (i < order) { coefs(i) = r.sbits(precision); i += 1 }
+              riceResiduals(samples, order)
+              i = order
+              while (i < blockSize) {
+                var acc = 0L
+                var j = 0
+                while (j < order) { acc += coefs(j) * samples(i - 1 - j); j += 1 }
+                samples(i) += (acc >> shift)
+                i += 1
+              }
+            case _ => refuse() // 2-7, 16-31: reserved
           }
           if (wasted > 0) {
             var i = 0
             while (i < blockSize) { samples(i) <<= wasted; i += 1 }
           }
+          samples
+        }
+        val chans = new Array[Array[Long]](frameCh)
+        var c = 0
+        while (c < frameCh) {
+          // the SIDE channel of a decorrelated pair carries one extra bit
+          val isSide = (chAsgn == 8 && c == 1) || (chAsgn == 9 && c == 0) ||
+            (chAsgn == 10 && c == 1)
+          chans(c) = decodeSubframe(bps + (if (isSide) 1 else 0))
+          c += 1
+        }
+        // stereo decorrelation back to left/right (RFC 9639 §4.2.2)
+        chAsgn match {
+          case 8 => // left/side: right = left − side
+            var i = 0
+            while (i < blockSize) {
+              chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1
+            }
+          case 9 => // side/right: left = right + side
+            var i = 0
+            while (i < blockSize) {
+              chans(0)(i) = chans(1)(i) + chans(0)(i); i += 1
+            }
+          case 10 => // mid/side: re-expand the halved mid with side parity
+            var i = 0
+            while (i < blockSize) {
+              val m2 = (chans(0)(i) << 1) | (chans(1)(i) & 1L)
+              chans(0)(i) = (m2 + chans(1)(i)) >> 1
+              chans(1)(i) = (m2 - chans(1)(i)) >> 1
+              i += 1
+            }
+          case _ => ()
+        }
+        c = 0
+        while (c < frameCh) {
+          val samples = chans(c)
           var i = 0
           while (i < blockSize) {
             val s = samples(i)
@@ -621,12 +681,11 @@ object Multimodal {
             sumSq += s * s
             i += 1
           }
-          if (c == 0) System.arraycopy(samples, 0, ch0, 0, blockSize)
           c += 1
         }
         var i = 0
         while (i < blockSize) {
-          val sign = java.lang.Long.signum(ch0(i))
+          val sign = java.lang.Long.signum(chans(0)(i))
           if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
           if (sign != 0) prevSign = sign
           i += 1

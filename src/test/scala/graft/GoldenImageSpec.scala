@@ -325,18 +325,79 @@ class GoldenImageSpec extends SparkSpec {
     assert(got.contains(exp), s"got=$got exp=$exp")
   }
 
-  test("flac refusal: truncation, LPC subframes, stereo decorrelation") {
+  test("flac LPC subframes reconstruct through quantized coefficients") {
+    // order-2 LPC, precision 12, shift 4: residuals computed forward by
+    // the test's own reference predictor, decoder must invert exactly
+    val n = 64
+    val s = Array.tabulate(n)(i =>
+      math.rint(6000 * math.sin(2 * math.Pi * 3 * i / n)).toLong)
+    val order = 2; val shift = 4
+    val coefs = Array(31L, -15L) // ~2cos(θ), -1 in 4-bit-shifted units
+    def pred(i: Int): Long = {
+      var acc = 0L
+      (0 until order).foreach(j => acc += coefs(j) * s(i - 1 - j))
+      acc >> shift
+    }
+    val flac = buildFlac(1, n, n, { (w, _) =>
+      w.bit(0); w.bits((32 | (order - 1)).toLong, 6); w.bit(0)
+      (0 until order).foreach(i => w.bits(s(i) & 0xFFFF, 16))
+      w.bits((12 - 1).toLong, 4)   // precision-1
+      w.bits(shift.toLong, 5)
+      coefs.foreach(c => w.bits(c & 0xFFF, 12))
+      riceResiduals(w, (order until n).map(i => s(i) - pred(i)), param = 6)
+    })
+    val got = Multimodal.decodeFlacSamples(flac)
+    val exp = expectedStats(Seq(s))
+    assert(got.contains(exp), s"got=$got exp=$exp")
+  }
+
+  test("flac stereo decorrelation: left/side, side/right, mid/side") {
+    val n = 64
+    val left = Array.tabulate(n)(i => (137L * i) % 901L - 450L)
+    val right = Array.tabulate(n)(i => (89L * i) % 677L - 338L)
+    val side = Array.tabulate(n)(i => left(i) - right(i))
+    val mid = Array.tabulate(n)(i => (left(i) + right(i)) >> 1)
+    val exp = expectedStats(Seq(left, right))
+    def verbatim(w: BitWriter, xs: Array[Long], bits: Int): Unit = {
+      w.bit(0); w.bits(1, 6); w.bit(0)
+      xs.foreach(x => w.bits(x & ((1L << bits) - 1), bits))
+    }
+    // buildFlac writes chAsgn = nCh-1; decorrelated frames need 8/9/10,
+    // so patch the 4-bit assignment: header bits 24-27 = high nibble of
+    // frame-header byte 3 (sync+reserved fill bytes 0-1, bs|sr byte 2).
+    // The decoder ignores the CRC-8, so no recompute is needed.
+    def withAsgn(flac: Array[Byte], asgn: Int): Array[Byte] = {
+      val out = flac.clone()
+      val hOff = 4 + 4 + 34 // magic + block header + STREAMINFO
+      out(hOff + 3) = ((asgn << 4) | (out(hOff + 3) & 0x0F)).toByte
+      out
+    }
+    val ls = withAsgn(buildFlac(2, n, n, { (w, c) =>
+      if (c == 0) verbatim(w, left, 16) else verbatim(w, side, 17)
+    }), 8)
+    assert(Multimodal.decodeFlacSamples(ls).contains(exp), "left/side")
+    val sr = withAsgn(buildFlac(2, n, n, { (w, c) =>
+      if (c == 0) verbatim(w, side, 17) else verbatim(w, right, 16)
+    }), 9)
+    assert(Multimodal.decodeFlacSamples(sr).contains(exp), "side/right")
+    val ms = withAsgn(buildFlac(2, n, n, { (w, c) =>
+      if (c == 0) verbatim(w, mid, 16) else verbatim(w, side, 17)
+    }), 10)
+    assert(Multimodal.decodeFlacSamples(ms).contains(exp), "mid/side")
+  }
+
+  test("flac refusal: truncation, reserved subframe type, junk") {
     val n = 192
     val ok = buildFlac(1, n, n, (w, _) => {
       w.bit(0); w.bits(0, 6); w.bit(0); w.bits(1234, 16)
     })
     assert(Multimodal.decodeFlacSamples(ok).isDefined)
     assert(Multimodal.decodeFlacSamples(ok.take(ok.length - 6)).isEmpty)
-    // LPC subframe type (32): refused, not faked
-    val lpc = buildFlac(1, n, n, (w, _) => {
-      w.bit(0); w.bits(32, 6); w.bit(0); w.bits(1234, 16)
+    // reserved subframe type (2): refused, not guessed
+    val reserved = buildFlac(1, n, n, (w, _) => {
+      w.bit(0); w.bits(2, 6); w.bit(0); w.bits(1234, 16)
     })
-    assert(Multimodal.decodeFlacSamples(lpc).isEmpty)
+    assert(Multimodal.decodeFlacSamples(reserved).isEmpty)
     assert(Multimodal.decodeFlacSamples("words".getBytes).isEmpty)
   }
 
