@@ -713,4 +713,23 @@ class DedupSimilaritySpec extends SparkSpec {
     // measures 0.95/0.90 at sf0.01/sf0.1 — gate the regression floor
     assert(recall >= 0.85, s"recall $recall")
   }
+
+  test("ivf-pq composed stack: exactly K exact rows, cell-gated pool, recall") {
+    val got = Similarity.topkIvfPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val bf = Similarity.topkBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val byQ = got.groupBy(_._1); val bfByQ = bf.groupBy(_._1)
+    assert(byQ.keySet == bfByQ.keySet && byQ.keySet.size == 10)
+    byQ.foreach { case (q, rs) => assert(rs.length == 10, s"query $q") }
+    // exact re-rank: shared neighbors carry identical rounded cosines
+    val bfScore = bf.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (q, n, c) =>
+      bfScore.get((q, n)).foreach(exp => assert(c == exp, s"($q,$n)")) }
+    // measured 0.87/0.96 at sf0.01/sf0.1 — floor the regression gate
+    val recall = byQ.keys.toSeq.map { q =>
+      byQ(q).map(_._2).toSet.intersect(bfByQ(q).map(_._2).toSet).size
+    }.sum / 100.0
+    assert(recall >= 0.8, s"recall $recall")
+  }
 }

@@ -24,6 +24,16 @@ object PqProbe {
     val bf = Similarity.topkBruteForce(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
       .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    // composed serving stack: recall of IVF-gated ADC vs brute force
+    val t0 = System.nanoTime()
+    val ivfpq = Similarity.topkIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val sec0 = (System.nanoTime() - t0) / 1e9
+    val rc = bf.keys.toSeq
+      .map(q => bf(q).intersect(ivfpq.getOrElse(q, Set.empty)).size)
+      .sum / (bf.size * 10.0)
+    println(f"[pq-probe] dir=$dir IVFPQ recall@10=$rc%.3f wall_sec=$sec0%.2f")
     for {
       ks <- Seq(64, 128)
       shortlist <- Seq(100, 150, 200)
