@@ -612,6 +612,79 @@ object HtmlExtract {
   /** Oracle = the full recompute, verbatim — the bit-equality proof. */
   val domainRankIncrementalSql: String = domainRankSql
 
+  // ------------------------------------------------ crawl_frontier_rank
+
+  /** Frontier prioritization — the crawl family's terminal composition,
+    * built ENTIRELY from this engine's own oracled operators: robots
+    * admission gates the candidate set (`crawl_url_allowed`), domain
+    * PageRank supplies the value signal (`graph_domain_rank`), the
+    * robots crawl-delay supplies the cost signal (`crawl_robots_rules`),
+    * and URL depth demotes deep pages — score = rank_micros div
+    * (delay × (1 + depth)), BIGINT floor arithmetic end to end so both
+    * engines agree bit-for-bit. `fetch_order` ranks within each domain
+    * (politeness serializes per-domain anyway, so the global order is
+    * irrelevant — and the window partitions by domain, staying sharded
+    * at any corpus; a mega-domain's frontier would bucket like
+    * `crawl_fetch_plan`'s LPT). Both dimension joins broadcast
+    * (|domains| rows); the page side never shuffles before the
+    * domain-partitioned window.
+    */
+  def frontierRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val admitted = Domains.urlAllowed(spark, dir)
+      .where(col("allowed"))
+      .select(col("doc_id"), col("registered_domain"), col("path"))
+    val rank = domainRank(spark, dir)
+    val delays = Domains.robotsRules(spark, dir)
+      .where(col("directive") === "Crawl-delay")
+      .groupBy(col("registered_domain").as("d_domain"))
+      .agg(max(col("path_prefix").cast("long")).as("crawl_delay"))
+    admitted
+      .join(broadcast(rank), col("registered_domain") === col("domain"))
+      .join(broadcast(delays),
+        col("registered_domain") === col("d_domain"), "left")
+      .withColumn("delay_sec", coalesce(col("crawl_delay"), lit(1L)))
+      .withColumn("depth",
+        expr("CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)"))
+      .withColumn("score_micros",
+        expr("rank_micros div (delay_sec * (1 + depth))"))
+      .withColumn("fetch_order", row_number().over(
+        Window.partitionBy(col("registered_domain"))
+          .orderBy(col("score_micros").desc, col("doc_id").asc)).cast("int"))
+      .select(col("doc_id"), col("registered_domain").as("domain"),
+        col("depth"), col("score_micros"), col("fetch_order"))
+  }
+
+  lazy val frontierRankSql: String =
+    s"""WITH adm AS (
+       |  SELECT doc_id, registered_domain, path
+       |  FROM (${Domains.urlAllowedSql}) WHERE allowed
+       |), rnk AS (
+       |  SELECT * FROM ($domainRankSql)
+       |), dl AS (
+       |  SELECT registered_domain,
+       |         max(CAST(path_prefix AS BIGINT)) AS crawl_delay
+       |  FROM (${Domains.robotsRulesSql})
+       |  WHERE directive = 'Crawl-delay' GROUP BY 1
+       |), scored AS (
+       |  SELECT a.doc_id, a.registered_domain AS domain,
+       |         CAST(length(a.path) - length(replace(a.path, '/', ''))
+       |              AS BIGINT) AS depth,
+       |         r.rank_micros //
+       |           (COALESCE(dl.crawl_delay, 1) *
+       |            (1 + CAST(length(a.path) - length(replace(a.path, '/', ''))
+       |                      AS BIGINT))) AS score_micros
+       |  FROM adm a
+       |  JOIN rnk r ON r.domain = a.registered_domain
+       |  LEFT JOIN dl ON dl.registered_domain = a.registered_domain
+       |)
+       |SELECT doc_id, domain, depth, CAST(score_micros AS BIGINT)
+       |         AS score_micros,
+       |       CAST(row_number() OVER (PARTITION BY domain
+       |              ORDER BY score_micros DESC, doc_id ASC) AS INT)
+       |         AS fetch_order
+       |FROM scored""".stripMargin
+
   // ------------------------------------------------- graph_domain_hits
 
   /** Domain HITS — hubs (link directories, aggregators) vs authorities
@@ -731,6 +804,7 @@ object HtmlExtract {
     Op("graph_domain_rank", domainRank _, Some(domainRankSql)),
     Op("graph_domain_rank_incremental", domainRankIncremental _,
       Some(domainRankIncrementalSql)),
+    Op("crawl_frontier_rank", frontierRank _, Some(frontierRankSql)),
     // fast Spark output vs the slow chain's DuckDB oracle, carried on
     // the primary row directly (r11 verdict #6)
     Op("text_html_extract_fast", htmlExtractFast _, Some(htmlExtractSql)),

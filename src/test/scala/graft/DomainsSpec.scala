@@ -253,4 +253,37 @@ class DomainsSpec extends SparkSpec {
     assert(exchanges.forall(_.startsWith("registered_domain")),
       s"fact-side shuffle: $exchanges")
   }
+
+  test("frontier rank: admitted-only, scored from rank/delay/depth, ordered per domain") {
+    val rows = graft.operators.HtmlExtract.frontierRank(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    val admitted = graft.operators.Domains.urlAllowed(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(5)))).toMap
+    // exactly the admitted pages appear
+    assert(rows.map(_._1).toSet == admitted.filter(_._2._2).keySet)
+    // blocked domains never appear (their every page is disallowed)
+    assert(!rows.exists(r => r._2 == "spam-farm.net" || r._2 == "tracker.io"))
+    val ranks = graft.operators.HtmlExtract.domainRank(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def delay(d: String) = d match {
+      case "example.co.nz" => 10L; case "wikipedia.org" => 2L; case _ => 1L
+    }
+    rows.foreach { case (doc, dom, depth, score, _) =>
+      val path = admitted(doc)._1
+      assert(depth == path.count(_ == '/').toLong, s"doc $doc depth")
+      assert(score == ranks(dom) / (delay(dom) * (1 + depth)), s"doc $doc")
+    }
+    // fetch_order is a dense 1..n ranking per domain following score desc
+    rows.groupBy(_._2).foreach { case (dom, ds) =>
+      val ordered = ds.sortBy(_._5)
+      assert(ordered.map(_._5).toSeq == (1 to ds.length).toSeq, dom)
+      assert(ordered.map(-_._4).toSeq == ordered.map(-_._4).toSeq.sorted, dom)
+    }
+    // the slow domain's pages score below an equally-ranked 1 s domain's
+    val slow = rows.filter(_._2 == "example.co.nz").map(_._4).max
+    val fast = rows.filter(_._2 == "heritage.org.nz").map(_._4).max
+    assert(slow < fast, s"delay did not demote: $slow vs $fast")
+  }
 }
