@@ -1291,24 +1291,47 @@ object Similarity {
         (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
 
-  /** The served PQ codebook: trained once per corpus version, stored,
-    * and read back by every subsequent search — the namespace carries
-    * the training hyperparameters so a geometry/depth change re-trains
-    * instead of serving a stale book (the `servedIvfIndex` rule).
+  /** Corpus code assignment: each vector's nearest code per sub-space
+    * (min L2, code tie-break) — the expensive |corpus|×Ks sweep that
+    * production PQ runs ONCE at index-build time, because the codes ARE
+    * the index (M bytes per vector).
     */
-  private def servedPqBook(spark: SparkSession, dir: String): DataFrame = {
+  private def pqCodes(e: DataFrame, book: DataFrame): DataFrame =
+    pqSubvecs(e).join(broadcast(book), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        pqL2(col("sub"), col("c_sub")).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+  /** The served PQ index: codebook AND corpus codes, trained/assigned
+    * once per corpus version and stored — queries pay the broadcast dot
+    * table + the ADC scan over the code frame, never the |corpus|×Ks
+    * assignment sweep (the `servedIvfIndex` economics; codes written
+    * LAST as the completion marker). The namespace carries the training
+    * hyperparameters so a geometry/depth change re-builds instead of
+    * serving a stale index.
+    */
+  private def servedPq(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val (store, ts) = graft.sources.SnapshotStore.contentAddressed(
       spark, s"$dir/embeddings.parquet",
       s"graft_pq_m${PqM}_ks${PqKs}_r$PqLloydRounds")
-    if (!store.hasTableSnapshot("pq_book", ts))
-      store.writeTableSnapshot(
-        trainPqBook(emb(spark, dir), PqLloydRounds, PqKs), "pq_book", ts)
-    store.readTableSnapshot(spark, "pq_book", ts)
-      .select(col("m"), col("code"), col("c_sub"))
+    if (!store.hasTableSnapshot("pq_codes", ts)) {
+      val book = trainPqBook(emb(spark, dir), PqLloydRounds, PqKs)
+        .localCheckpoint()
+      store.writeTableSnapshot(book, "pq_book", ts)
+      store.writeTableSnapshot(pqCodes(emb(spark, dir), book), "pq_codes", ts)
+    }
+    (store.readTableSnapshot(spark, "pq_book", ts)
+        .select(col("m"), col("code"), col("c_sub")),
+      store.readTableSnapshot(spark, "pq_codes", ts)
+        .select(col("vec_id"), col("m"), col("code")))
   }
 
-  def topkPq(spark: SparkSession, dir: String): DataFrame =
-    pqServe(emb(spark, dir), servedPqBook(spark, dir))
+  def topkPq(spark: SparkSession, dir: String): DataFrame = {
+    val (book, codes) = servedPq(spark, dir)
+    pqServe(emb(spark, dir), book, codes)
+  }
 
   def topkPqCheck(spark: SparkSession, dir: String): DataFrame =
     topkValueCheck(topkPq(spark, dir), emb(spark, dir))
@@ -1326,7 +1349,8 @@ object Similarity {
   def topkPqTrained(spark: SparkSession, dir: String, lloydRounds: Int,
       ks: Int = PqKs, shortlist: Int = PqShortlist): DataFrame = {
     val e = emb(spark, dir)
-    pqServe(e, trainPqBook(e, lloydRounds, ks), shortlist)
+    val book = trainPqBook(e, lloydRounds, ks)
+    pqServe(e, book, pqCodes(e, book), shortlist)
   }
 
   /** Sampled seed codebook + `lloydRounds` refinement rounds: each round
@@ -1376,12 +1400,8 @@ object Similarity {
   def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val (cent, assigned) = servedIvfIndex(spark, dir)
-    val book = servedPqBook(spark, dir)
-    val codes = pqSubvecs(e).join(broadcast(book), Seq("m"))
-      .select(col("vec_id"), col("m"), col("code"),
-        pqL2(col("sub"), col("c_sub")).as("d2"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    val (book, storedCodes) = servedPq(spark, dir)
+    val codes = storedCodes
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
     val q = e.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -1426,14 +1446,11 @@ object Similarity {
   def topkIvfPqCheck(spark: SparkSession, dir: String): DataFrame =
     topkValueCheck(topkIvfPq(spark, dir), emb(spark, dir))
 
-  /** The shared PQ serving path over any (m, code, c_sub) codebook. */
-  private def pqServe(e: DataFrame, book: DataFrame,
+  /** The shared PQ serving path over any (m, code, c_sub) codebook and
+    * its pre-assigned (vec_id, m, code) frame.
+    */
+  private def pqServe(e: DataFrame, book: DataFrame, codes: DataFrame,
       shortlistK: Int = PqShortlist): DataFrame = {
-    val codes = pqSubvecs(e).join(broadcast(book), Seq("m"))
-      .select(col("vec_id"), col("m"), col("code"),
-        pqL2(col("sub"), col("c_sub")).as("d2"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
     val q = e.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val table = pqSubvecs(q.select(col("query_id").as("vec_id"),
