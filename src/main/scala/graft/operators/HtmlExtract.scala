@@ -479,11 +479,30 @@ object HtmlExtract {
         col("registered_domain").as("dst_domain"))
   }
 
-  def domainLinks(spark: SparkSession, dir: String): DataFrame =
-    resolvedDomainLinks(spark, dir, lit(true))
-      .groupBy(col("src_domain"), col("dst_domain"))
-      .agg(count(lit(1)).as("n_links"),
-        countDistinct(col("doc_id")).as("n_pages"))
+  /** The SERVED domain edge table: outlink extraction + the (src, dst)
+    * rollup run ONCE per corpus version and persist (content-addressed,
+    * write-once) — a crawl pipeline extracts outlinks once, and every
+    * graph op over the domain graph (rank, HITS, components,
+    * reciprocity) reads the derived table instead of re-walking the
+    * page corpus. Reciprocity's self-join alone re-executed the
+    * extraction subtree 2-3× per run before this (no exchange reuse
+    * across differing join keys); at sf1 the family's cost was
+    * extraction × consumers (BENCH_NOTES r12).
+    */
+  def domainLinks(spark: SparkSession, dir: String): DataFrame = {
+    val (store, ts) = graft.sources.SnapshotStore.contentAddressed(
+      spark, s"$dir/documents.parquet", "graft_dlinks")
+    if (!store.hasTableSnapshot("domain_links", ts))
+      store.writeTableSnapshot(
+        resolvedDomainLinks(spark, dir, lit(true))
+          .groupBy(col("src_domain"), col("dst_domain"))
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct(col("doc_id")).as("n_pages")),
+        "domain_links", ts)
+    store.readTableSnapshot(spark, "domain_links", ts)
+      .select(col("src_domain"), col("dst_domain"), col("n_links"),
+        col("n_pages"))
+  }
 
   val domainLinksSql: String =
     s"""WITH u AS (
