@@ -1097,6 +1097,142 @@ object Curation {
        |FROM z""".stripMargin
   }
 
+  // ------------------------------------------------------ LR TRAINING
+
+  /** Trained-in-engine quality scorer — the step `curate_quality_lr`
+    * (fixed weights) points at: learn the weights HERE, by full-batch
+    * gradient descent distilling the Gopher rule cascade into a cheap
+    * linear scorer (the standard rule→model distillation a curation
+    * stack runs so serving pays one dot product instead of nine rule
+    * counters). Features are `curate_quality_lr`'s (log words, stopword
+    * ratio, chars/word); labels are the engine's own oracled
+    * `curate_gopher_filter` keep flags.
+    *
+    * Cross-engine exactness uses the decimal-moments recipe on GRADIENT
+    * terms: each per-row mean-gradient contribution (σ(z) − y)·x / n is
+    * one fixed double expression (identical literals and association
+    * order on both engines), rounded to the 10-dp grid and summed as
+    * DECIMAL(30,10) — exact, order-independent. Weight updates happen
+    * in EXACT decimal arithmetic (w − 0.5·g; Scala BigDecimal here, the
+    * decimal engine in DuckDB — equal rationals), and each step's z
+    * re-enters double precision through the correctly-rounded
+    * decimal→double cast, so the engines cannot drift step over step.
+    * The per-step gradient is ONE distributed aggregate with a bounded
+    * 1-row collect (the graph-fixpoint convention); the feature frame
+    * is materialized once. Output: one row per step — weights (DOUBLE
+    * at the boundary), predicted-keep count, and training accuracy
+    * against the Gopher labels, all integers exact.
+    */
+  private val LrTrainSteps = 20
+  private val LrTrainRate = BigDecimal("0.1")
+
+  def lrTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sw = TextAnalysis.stopwordList
+    val feats = Tables(spark, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("size(split(trim(text), ' '))").cast("long").as("n_words"),
+        expr(s"size(filter(split(trim(text), ' '), w -> w IN ($sw)))")
+          .cast("long").as("n_stopwords"))
+      .join(gopherFilter(spark, dir).select(col("doc_id"), col("keep")),
+        "doc_id")
+      .select(
+        log(col("n_words").cast("double") + lit(1.0)).as("x1"),
+        (col("n_stopwords").cast("double") / col("n_words")).as("x2"),
+        (col("n_chars").cast("double") / col("n_words")).as("x3"),
+        when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y"))
+      .localCheckpoint() // one corpus scan; steps re-read the snapshot
+    val n = feats.count()
+    val w = Array.fill(4)(BigDecimal(0))
+    def zCol: Column = lit(w(0).toDouble) +
+      lit(w(1).toDouble) * col("x1") +
+      lit(w(2).toDouble) * col("x2") +
+      lit(w(3).toDouble) * col("x3")
+    val out = Seq.newBuilder[(Int, Double, Double, Double, Double, Long, Long)]
+    for (step <- 1 to LrTrainSteps) {
+      val p = lit(1.0) / (lit(1.0) + exp(-zCol))
+      def g(x: Column) =
+        sum(round((p - col("y")) * x / lit(n.toDouble), 10)
+          .cast("decimal(30,10)"))
+      val gs = feats.agg(g(lit(1.0)), g(col("x1")), g(col("x2")),
+        g(col("x3"))).collect()(0)
+      for (j <- 0 to 3)
+        w(j) = w(j) - LrTrainRate * BigDecimal(gs.getDecimal(j))
+      val acc = feats.agg(
+        count(when(zCol >= 0, 1)).as("n_keep"),
+        count(when((zCol >= 0) === (col("y") === 1.0), 1)).as("n_ok"))
+        .collect()(0)
+      out += ((step, w(0).toDouble, w(1).toDouble, w(2).toDouble,
+        w(3).toDouble, acc.getLong(0), acc.getLong(1)))
+    }
+    out.result().toDF("step", "w_bias", "w_log_words", "w_stop_ratio",
+      "w_chars_per_word", "n_keep_pred", "n_correct")
+  }
+
+  /** Unrolled-CTE oracle: the same three GD steps, gradient terms on
+    * the same 10-dp decimal grid, weight updates in DuckDB's exact
+    * decimal engine, weights re-entering double via the same cast.
+    */
+  // lazy: interpolates gopherFilterSql, declared later in this object
+  lazy val lrTrainSql: String = {
+    val sw = TextAnalysis.stopwordList
+    def zSql(wcte: String): String =
+      s"CAST($wcte.wb AS DOUBLE) + CAST($wcte.w1 AS DOUBLE)*f.x1 + " +
+        s"CAST($wcte.w2 AS DOUBLE)*f.x2 + CAST($wcte.w3 AS DOUBLE)*f.x3"
+    def gSql(x: String, wcte: String): String =
+      s"SUM(CAST(round((1.0/(1.0+exp(-(${zSql(wcte)}))) - f.y) * $x / " +
+        s"params.n, 10) AS DECIMAL(30,10)))"
+    val steps = (1 to LrTrainSteps).map { s =>
+      val prev = if (s == 1) "w0" else s"w${s - 1}"
+      s"""g$s AS MATERIALIZED (
+         |  SELECT ${gSql("1.0", prev)} AS gb, ${gSql("f.x1", prev)} AS g1,
+         |         ${gSql("f.x2", prev)} AS g2, ${gSql("f.x3", prev)} AS g3
+         |  FROM f CROSS JOIN $prev CROSS JOIN params
+         |), w$s AS MATERIALIZED (
+         |  SELECT $prev.wb - 0.1*g$s.gb AS wb, $prev.w1 - 0.1*g$s.g1 AS w1,
+         |         $prev.w2 - 0.1*g$s.g2 AS w2, $prev.w3 - 0.1*g$s.g3 AS w3
+         |  FROM $prev CROSS JOIN g$s
+         |), a$s AS MATERIALIZED (
+         |  SELECT count(CASE WHEN ${zSql(s"w$s")} >= 0 THEN 1 END)
+         |           AS n_keep,
+         |         count(CASE WHEN (${zSql(s"w$s")} >= 0) = (f.y = 1.0)
+         |                    THEN 1 END) AS n_ok
+         |  FROM f CROSS JOIN w$s
+         |)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to LrTrainSteps).map { s =>
+      s"""SELECT CAST($s AS INT) AS step, CAST(wb AS DOUBLE) AS w_bias,
+         |       CAST(w1 AS DOUBLE) AS w_log_words,
+         |       CAST(w2 AS DOUBLE) AS w_stop_ratio,
+         |       CAST(w3 AS DOUBLE) AS w_chars_per_word,
+         |       CAST(n_keep AS BIGINT) AS n_keep_pred,
+         |       CAST(n_ok AS BIGINT) AS n_correct
+         |FROM w$s CROSS JOIN a$s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f0 AS (
+       |  SELECT doc_id,
+       |         length(text) AS n_chars,
+       |         len(string_split(trim(text), ' ')) AS n_words,
+       |         len(list_filter(string_split(trim(text), ' '),
+       |                         w -> w IN ($sw))) AS n_stopwords
+       |  FROM documents),
+       |lbl AS MATERIALIZED (SELECT doc_id, keep FROM ($gopherFilterSql)),
+       |f AS MATERIALIZED (
+       |  SELECT ln(CAST(n_words AS DOUBLE) + 1.0) AS x1,
+       |         CAST(n_stopwords AS DOUBLE) / n_words AS x2,
+       |         CAST(n_chars AS DOUBLE) / n_words AS x3,
+       |         CASE WHEN lbl.keep THEN 1.0 ELSE 0.0 END AS y
+       |  FROM f0 JOIN lbl ON lbl.doc_id = f0.doc_id),
+       |params AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+       |w0 AS (SELECT CAST(0 AS DECIMAL(30,10)) AS wb,
+       |              CAST(0 AS DECIMAL(30,10)) AS w1,
+       |              CAST(0 AS DECIMAL(30,10)) AS w2,
+       |              CAST(0 AS DECIMAL(30,10)) AS w3),
+       |$steps
+       |$rows""".stripMargin
+  }
+
   // ---------------------------------------------- CCNet perplexity buckets
 
   /** CCNet-style perplexity bucketing (Wenzek 2020): within each
@@ -1462,6 +1598,7 @@ object Curation {
     Op("curate_gopher_filter_fast", gopherFilterFast _,
       Some(gopherFilterSql)),
     Op("curate_quality_lr", qualityLr _, Some(qualityLrSql)),
+    Op("curate_lr_train", lrTrain _, Some(lrTrainSql)),
     Op("curate_ccnet_bucket", ccnetBucket _, Some(ccnetBucketSql)),
     Op("curate_epoch_plan", epochPlan _, Some(epochPlanSql)),
     Op("curate_dsir", dsir _, Some(dsirSql)),

@@ -546,4 +546,29 @@ class CurationSpec extends SparkSpec {
     // the funnel must actually cut somewhere on the fixture
     assert(rows.last._3 < rows.head._3)
   }
+
+  test("lr training: gradient descent genuinely learns the Gopher labels") {
+    val steps = graft.operators.Curation.lrTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(steps.length == 20)
+    val labels = graft.operators.Curation.gopherFilter(spark, sfDir)
+      .select("keep").collect().map(_.getBoolean(0))
+    val n = labels.length.toLong
+    val majority = math.max(labels.count(identity),
+      labels.count(!_)).toLong
+    // training accuracy must END above the majority-class baseline —
+    // the all-reject/all-keep degenerate solutions are beaten
+    assert(steps.last._7 > majority,
+      s"final acc ${steps.last._7} <= majority $majority")
+    // and improve over training (first vs last; the curve is the output)
+    assert(steps.last._7 > steps.head._7)
+    // predictions are a genuine split, counts in range
+    assert(steps.last._6 > 0 && steps.last._6 < n)
+    steps.foreach { s =>
+      assert(s._6 >= 0 && s._6 <= n && s._7 >= 0 && s._7 <= n)
+      assert(!s._2.isNaN && !s._3.isNaN && !s._4.isNaN && !s._5.isNaN)
+    }
+  }
 }
