@@ -536,6 +536,119 @@ object Graph {
        |ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
 
+  /** Personalized PageRank in integer micro-units — the seed-expansion
+    * primitive (related-domain discovery for crawl frontiers, "customers
+    * like these" retrieval): identical floor-division power iterations
+    * to `pagerankInt`, except the teleport mass lands UNIFORMLY ON THE
+    * SEED SET instead of all nodes:
+    *   rank'(u) = seed(u)·(15·Scale) div (100·|S∩V|) + (85·Σ contrib) div 100
+    * Seeds outside the graph carry no mass (the |S∩V| denominator —
+    * both engines intersect identically). Exchange profile is exactly
+    * pagerank's: per iteration one src-keyed join + one dst-keyed
+    * reduction over the cached edge/degree frames, lazy checkpoints.
+    */
+  private[graft] def pprIterSql(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT node,
+         |         CASE WHEN is_seed THEN (15 * ${Scale}) // (100 * ns)
+         |              ELSE 0 END +
+         |         (85 * COALESCE(s, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN sparams
+         |  LEFT JOIN (SELECT e.dst AS d, sum(pr.r // od.outdeg) AS s
+         |             FROM e JOIN r${i - 1} pr ON pr.node = e.src
+         |             JOIN od ON od.src = e.src
+         |             GROUP BY e.dst) agg ON agg.d = node
+         |)""".stripMargin
+    }.mkString(",\n")
+
+  private[graft] def pprInt(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seeds.select(col("node"), lit(true).as("sd")).distinct(),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("sd"), lit(false)).as("is_seed"))
+      .cache()
+    val eOut = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+      "src").cache()
+    val ns = nodes.where(col("is_seed")).agg(count(lit(1)).as("ns"))
+    def withNs(df: DataFrame): DataFrame = df.crossJoin(broadcast(ns))
+    var ranks = withNs(nodes)
+      .select(col("node"),
+        when(col("is_seed"), expr(s"${Scale}L div ns")).otherwise(lit(0L))
+          .as("r"))
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to iters) {
+      val sums = eOut
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = withNs(nodes)
+        .join(sums, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (when(col("is_seed"), expr(s"(15 * ${Scale}L) div (100 * ns)"))
+            .otherwise(lit(0L)) +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        .localCheckpoint(eager = false)
+      intermediates += ranks
+    }
+    val out = ranks.localCheckpoint()
+    Seq(e, nodes, eOut).foreach(_.unpersist())
+    intermediates.foreach(_.unpersist())
+    out
+  }
+
+  private val PprIters = 4
+
+  /** graph_ppr: PPR over the BIDIRECTIONAL ship graph (supplier↔customer
+    * — the standard bipartite random walk, so mass bounces seed →
+    * customers → co-supplied suppliers → …) seeded at suppliers with
+    * `s_suppkey % 5 = 1` (deterministic, non-empty at every SF). Top-20
+    * by rank — "the entities most related to this seed set".
+    */
+  def ppr(spark: SparkSession, dir: String): DataFrame = {
+    val se = shipEdges(spark, dir)
+      .select(suppNode(col("s")).as("src"), custNode(col("c")).as("dst"))
+    val e = se.union(se.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Tables(spark, dir, "supplier")
+      .where(col("s_suppkey") % 5 === 1)
+      .select(suppNode(col("s_suppkey")).as("node"))
+    pprInt(e, seeds, PprIters)
+      .orderBy(col("r").desc, col("node").asc)
+      .limit(20)
+      .select(
+        when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("customer"))
+          .as("side"),
+        expr("node div 2").as("key"),
+        col("r").as("ppr_micros"))
+  }
+
+  val pprSql: String = {
+    val rec = pprIterSql(PprIters)
+    s"""WITH se AS ($shipEdgesSql),
+       |e0 AS (SELECT s * 2 + 1 AS src, c * 2 AS dst FROM se),
+       |e AS (SELECT src, dst FROM e0
+       |      UNION SELECT dst AS src, src AS dst FROM e0),
+       |seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+       |          WHERE s_suppkey % 5 = 1),
+       |nodes AS (SELECT v.node, s.node IS NOT NULL AS is_seed
+       |          FROM (SELECT src AS node FROM e
+       |                UNION SELECT dst FROM e) v
+       |          LEFT JOIN seeds s ON s.node = v.node),
+       |sparams AS (SELECT count(*) AS ns FROM nodes WHERE is_seed),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node,
+       |              CASE WHEN is_seed THEN ${Scale} // ns ELSE 0 END AS r
+       |       FROM nodes CROSS JOIN sparams),
+       |$rec
+       |SELECT CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS side,
+       |       node // 2 AS key, CAST(r AS BIGINT) AS ppr_micros
+       |FROM r$PprIters
+       |ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
   /** Triangle census of the document near-dup graph: near-duplication
     * should be near-transitive (A~B, B~C usually means A~C), and the
     * clustering coefficient quantifies how true that is for the corpus —
@@ -1332,6 +1445,7 @@ object Graph {
     Op("graph_components_incremental", componentsIncremental _,
       Some(componentsSql)),
     Op("graph_pagerank", pagerank _, Some(pagerankSql)),
+    Op("graph_ppr", ppr _, Some(pprSql)),
     Op("graph_triangles", nearDupTriangles _, Some(nearDupTrianglesSql)),
     Op("graph_kcore", kcoreShip _, Some(kcoreShipSql)),
     Op("graph_bfs", bfsShip _, Some(bfsShipSql)))

@@ -346,4 +346,37 @@ class GraphSpec extends SparkSpec {
       s"Q ${got.getDouble(2)} vs ${r6(q.toDouble)}")
     assert(got.getDouble(2) >= -0.5 && got.getDouble(2) <= 1.0)
   }
+
+  test("ppr: teleport mass confined to the seed's component, decaying with distance") {
+    import spark.implicits._
+    // undirected path 1-2-3-4 plus a disconnected pair {10,11}; seed {1}
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L),
+      (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.pprInt(e, seeds, 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // nothing reaches the island: no teleport there, no path there
+    assert(r(10L) == 0L && r(11L) == 0L)
+    // the seed dominates, and the farthest node holds the least
+    // connected-component mass (a path is bipartite, so intermediate
+    // nodes oscillate with walk parity — no monotone decay claim)
+    assert(r(1L) == r.values.max && r(4L) < r(1L), s"seed not dominant: $r")
+    // exact first-hop arithmetic: iteration math is pure floor division,
+    // so recompute the fixpoint scalar-side and compare bit-for-bit
+    val scale = 1000000000000L
+    var rk = Map(1L -> scale, 2L -> 0L, 3L -> 0L, 4L -> 0L, 10L -> 0L,
+      11L -> 0L)
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+      4L -> Seq(3L), 10L -> Seq(11L), 11L -> Seq(10L))
+    for (_ <- 1 to 4) {
+      val contrib = adj.toSeq.flatMap { case (u, vs) =>
+        vs.map(v => v -> rk(u) / vs.length)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rk = rk.keys.map { v =>
+        val tp = if (v == 1L) (15L * scale) / 100L else 0L
+        v -> (tp + 85L * contrib.getOrElse(v, 0L) / 100L)
+      }.toMap
+    }
+    rk.foreach { case (v, exp) => assert(r(v) == exp, s"node $v") }
+  }
 }
