@@ -631,6 +631,48 @@ object HtmlExtract {
   /** Oracle = the full recompute, verbatim — the bit-equality proof. */
   val domainRankIncrementalSql: String = domainRankSql
 
+  // ------------------------------------------------- graph_domain_ppr
+
+  /** Related-domain discovery — personalized PageRank over the DIRECTED
+    * crawl link graph (citation semantics kept), teleporting to the
+    * `.nz` registry seed set: the crawl-expansion question "starting
+    * from the home registry, which domains does the link economy pull
+    * in". Rides `Graph.pprInt` (string keys, the `domainRank`
+    * precedent) over the SERVED domain edge table; seeds are derived
+    * from the node set itself so the op has no extra fixture
+    * dependency.
+    */
+  private val DomainPprIters = 4
+
+  def domainPpr(spark: SparkSession, dir: String): DataFrame = {
+    val e = domainLinks(spark, dir)
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+    val seeds = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().where(col("node").endsWith(".nz"))
+    Graph.pprInt(e, seeds, DomainPprIters)
+      .orderBy(col("r").desc, col("node").asc)
+      .select(col("node").as("domain"), col("r").as("ppr_micros"))
+  }
+
+  val domainPprSql: String =
+    s"""WITH el AS ($domainLinksSql),
+       |e AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM el),
+       |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |seeds AS (SELECT node FROM v WHERE node LIKE '%.nz'),
+       |nodes AS (SELECT v.node, s.node IS NOT NULL AS is_seed
+       |          FROM v LEFT JOIN seeds s ON s.node = v.node),
+       |sparams AS (SELECT count(*) AS ns FROM nodes WHERE is_seed),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node,
+       |              CASE WHEN is_seed THEN ${Graph.Scale} // ns
+       |                   ELSE 0 END AS r
+       |       FROM nodes CROSS JOIN sparams),
+       |${Graph.pprIterSql(DomainPprIters)}
+       |SELECT node AS domain, CAST(r AS BIGINT) AS ppr_micros
+       |FROM r$DomainPprIters
+       |ORDER BY r DESC, node""".stripMargin
+
   // ------------------------------------------------ crawl_frontier_rank
 
   /** Frontier prioritization — the crawl family's terminal composition,
@@ -824,6 +866,7 @@ object HtmlExtract {
     Op("graph_domain_rank_incremental", domainRankIncremental _,
       Some(domainRankIncrementalSql)),
     Op("crawl_frontier_rank", frontierRank _, Some(frontierRankSql)),
+    Op("graph_domain_ppr", domainPpr _, Some(domainPprSql)),
     // fast Spark output vs the slow chain's DuckDB oracle, carried on
     // the primary row directly (r11 verdict #6)
     Op("text_html_extract_fast", htmlExtractFast _, Some(htmlExtractSql)),

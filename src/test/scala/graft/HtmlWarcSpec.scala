@@ -233,6 +233,21 @@ class HtmlWarcSpec extends SparkSpec {
     assert(inc2 == full)
   }
 
+  test("domain ppr: seed mass shared, universally-linked sink absorbs the walk") {
+    import spark.implicits._
+    val r = HtmlExtract.domainPpr(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val seeds = r.keys.filter(_.endsWith(".nz"))
+    // the three .nz seeds hold identical (teleport-symmetric) mass > 0
+    assert(seeds.size == 3 && seeds.map(r).toSet.size == 1 &&
+      r(seeds.head) > 0)
+    // the ad domain is linked from EVERY domain incl. the seeds: it
+    // absorbs the directed walk and outranks everything
+    assert(r("tracker.io") == r.values.max)
+    // domains unreachable from the seed set carry zero mass
+    assert(r("wikipedia.org") == 0L && r("spam-farm.net") == 0L)
+  }
+
   test("domain reciprocity: matches a scalar recompute of the edge set") {
     val e = HtmlExtract.domainLinks(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)))
