@@ -609,8 +609,11 @@ object Graph {
     * by rank — "the entities most related to this seed set".
     */
   def ppr(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the directed edges ONCE: the bidirectional union would
+    // otherwise execute the lineitem⋈orders subtree twice
     val se = shipEdges(spark, dir)
       .select(suppNode(col("s")).as("src"), custNode(col("c")).as("dst"))
+      .localCheckpoint()
     val e = se.union(se.select(col("dst").as("src"), col("src").as("dst")))
     val seeds = Tables(spark, dir, "supplier")
       .where(col("s_suppkey") % 5 === 1)
