@@ -332,10 +332,7 @@ object Domains {
         .select(col("doc_id"), col("source"), fixtureUrlCol.as("url")))
       .groupBy(col("registered_domain"))
       .agg(count(lit(1)).as("n_pages"))
-    val delays = robotsRules(spark, dir)
-      .where(col("directive") === "Crawl-delay")
-      .groupBy(col("registered_domain").as("d_domain"))
-      .agg(max(col("path_prefix").cast("long")).as("crawl_delay"))
+    val delays = crawlDelays(spark, dir)
     val pd = perDomain
       .join(broadcast(delays),
         col("registered_domain") === col("d_domain"), "left")
@@ -496,17 +493,12 @@ object Domains {
     * shuffles — admission is the map-side gate it is in a real
     * frontier.
     */
-  def urlAllowed(spark: SparkSession, dir: String): DataFrame = {
-    val pages = withDomain(
-      Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("source"), fixtureUrlCol.as("url")))
-      .select(col("doc_id"), col("registered_domain"),
-        regexp_replace(col("url"), "^[a-z]+://[^/]+", "").as("path"))
-    // each domain's rules collected into ONE array row (KBs total),
-    // broadcast, and resolved per page by array lambdas — the corpus
-    // side has NO exchange at all (pinned in DomainsSpec): a window on
-    // doc_id here would shuffle every page just to rank ≤4 rule hits
-    val ruleArr = robotsRules(spark, dir)
+  /** Per-domain rules collected into ONE array row each (KBs total) for
+    * the broadcast admission gate — shared by the batch op and the
+    * streaming frontier twin.
+    */
+  private[graft] def ruleArrays(spark: SparkSession, dir: String): DataFrame =
+    robotsRules(spark, dir)
       .where(col("directive").isin("Allow", "Disallow") &&
         length(col("path_prefix")) > 0)
       .groupBy(col("registered_domain").as("r_domain"))
@@ -514,6 +506,25 @@ object Domains {
         (-length(col("path_prefix"))).as("neg_len"),
         when(col("directive") === "Allow", 0).otherwise(1).as("allow_rk"),
         col("line_no"), col("directive"), col("path_prefix"))).as("rs"))
+
+  /** Per-domain crawl-delay lookup (seconds; absent = caller defaults) —
+    * shared by the fetch planner and the frontier scorers.
+    */
+  private[graft] def crawlDelays(spark: SparkSession, dir: String): DataFrame =
+    robotsRules(spark, dir)
+      .where(col("directive") === "Crawl-delay")
+      .groupBy(col("registered_domain").as("d_domain"))
+      .agg(max(col("path_prefix").cast("long")).as("crawl_delay"))
+
+  /** Frame-in/frame-out admission core over any (doc_id,
+    * registered_domain, path) frame — STATELESS, so the identical
+    * function body serves the batch table scan and a landing stream
+    * (the `gopherMetrics` convention). The rule frame broadcasts; the
+    * page side has NO exchange at all (pinned in DomainsSpec): a window
+    * on doc_id here would shuffle every page just to rank ≤4 rule hits.
+    */
+  private[graft] def admissionCols(pages: DataFrame,
+      ruleArr: DataFrame): DataFrame = {
     val matching = filter(col("rs"),
       r => col("path").startsWith(r("path_prefix")))
     // struct sort orders fields lexicographically: longest prefix
@@ -528,6 +539,15 @@ object Domains {
         coalesce(best("path_prefix"), lit("")).as("matched_prefix"),
         (coalesce(best("directive"), lit("Allow")) === "Allow")
           .as("allowed"))
+  }
+
+  def urlAllowed(spark: SparkSession, dir: String): DataFrame = {
+    val pages = withDomain(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), fixtureUrlCol.as("url")))
+      .select(col("doc_id"), col("registered_domain"),
+        regexp_replace(col("url"), "^[a-z]+://[^/]+", "").as("path"))
+    admissionCols(pages, ruleArrays(spark, dir))
   }
 
   val urlAllowedSql: String =

@@ -690,16 +690,15 @@ object HtmlExtract {
     * (|domains| rows); the page side never shuffles before the
     * domain-partitioned window.
     */
-  def frontierRank(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val admitted = Domains.urlAllowed(spark, dir)
-      .where(col("allowed"))
-      .select(col("doc_id"), col("registered_domain"), col("path"))
-    val rank = domainRank(spark, dir)
-    val delays = Domains.robotsRules(spark, dir)
-      .where(col("directive") === "Crawl-delay")
-      .groupBy(col("registered_domain").as("d_domain"))
-      .agg(max(col("path_prefix").cast("long")).as("crawl_delay"))
+  /** Stateless scoring stage over any admitted (doc_id,
+    * registered_domain, path) frame plus the two broadcast dimension
+    * frames — shared verbatim by the batch op and the streaming twin
+    * (`CorpusStream.frontierStream`): a real frontier scores pages ON
+    * ARRIVAL and lets the fetch scheduler's priority queue do the
+    * ordering.
+    */
+  private[graft] def frontierScore(admitted: DataFrame, rank: DataFrame,
+      delays: DataFrame): DataFrame =
     admitted
       .join(broadcast(rank), col("registered_domain") === col("domain"))
       .join(broadcast(delays),
@@ -709,6 +708,16 @@ object HtmlExtract {
         expr("CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)"))
       .withColumn("score_micros",
         expr("rank_micros div (delay_sec * (1 + depth))"))
+      .select(col("doc_id"), col("registered_domain"), col("depth"),
+        col("score_micros"))
+
+  def frontierRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val admitted = Domains.urlAllowed(spark, dir)
+      .where(col("allowed"))
+      .select(col("doc_id"), col("registered_domain"), col("path"))
+    frontierScore(admitted, domainRank(spark, dir),
+      Domains.crawlDelays(spark, dir))
       .withColumn("fetch_order", row_number().over(
         Window.partitionBy(col("registered_domain"))
           .orderBy(col("score_micros").desc, col("doc_id").asc)).cast("int"))

@@ -25,6 +25,32 @@ object CorpusStream {
       : org.apache.spark.sql.DataFrame =
     graft.operators.Curation.gopherMetrics(docs)
 
+  /** Streaming frontier admission + scoring: discovered URLs arrive as a
+    * stream, each is robots-gated and priority-scored ON ARRIVAL —
+    * exactly the batch `crawl_frontier_rank` chain minus its per-domain
+    * rank window (a real frontier's ordering lives in the fetch
+    * scheduler's priority queue, not the scorer). Every stage is either
+    * a stateless projection (`withDomain`, the score arithmetic) or a
+    * stream-static broadcast join against the engine's own served
+    * dimension frames (rule arrays, domain rank, crawl delays) — zero
+    * streaming state, so batch parity is by construction and pinned in
+    * StreamingSpec. Input: any streaming frame with (doc_id, url).
+    */
+  def frontierStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      urls: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pages = graft.operators.Domains.withDomain(urls)
+      .select(col("doc_id"), col("registered_domain"),
+        regexp_replace(col("url"), "^[a-z]+://[^/]+", "").as("path"))
+    val admitted = graft.operators.Domains
+      .admissionCols(pages, graft.operators.Domains.ruleArrays(spark, dir))
+      .where(col("allowed"))
+      .select(col("doc_id"), col("registered_domain"), col("path"))
+    graft.operators.HtmlExtract.frontierScore(admitted,
+      graft.operators.HtmlExtract.domainRank(spark, dir),
+      graft.operators.Domains.crawlDelays(spark, dir))
+  }
+
   /** Streaming greedy sequence packing — `Curation.pack`'s running
     * prefix sum carried as stream state instead of a window: each shard
     * keeps ONE number (its cumulative token total) and every arriving

@@ -689,4 +689,37 @@ class StreamingSpec extends SparkSpec {
       assert(keep == Map(1L -> true, 2L -> false, 3L -> false))
     } finally q.stop()
   }
+
+  test("frontier stream: arrival-time admission + scoring equals the batch scores") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // URLs across the fixture's domain space: an admitted deep page, a
+    // robots-blocked domain, a disallowed path, and a crawl-delay domain
+    val urls = Seq(
+      (101L, "https://www.example.com/docs/101"),
+      (102L, "https://ads.tracker.io/px/102"),     // full block
+      (103L, "https://www.example.com/src3/103"),  // Disallow: /src3
+      (104L, "https://data.example.co.nz/a/104"))  // Crawl-delay: 10
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStream
+      .frontierStream(spark, sfDir, mem.toDF().toDF("doc_id", "url"))
+      .writeStream.format("memory").queryName("frontier_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(urls: _*)
+      q.processAllAvailable()
+      val got = spark.table("frontier_out").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      // blocked/disallowed URLs never surface
+      assert(got.keySet == Set(101L, 104L), s"got $got")
+      // scores equal the batch formula against the same dimensions
+      val ranks = graft.operators.HtmlExtract.domainRank(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got(101L)._1 == "example.com" && got(101L)._2 == 2L &&
+        got(101L)._3 == ranks("example.com") / (1L * 3L))
+      assert(got(104L)._1 == "example.co.nz" &&
+        got(104L)._3 == ranks("example.co.nz") / (10L * 3L))
+    } finally q.stop()
+  }
 }
