@@ -1126,8 +1126,23 @@ object Curation {
   private val LrTrainSteps = 20
   private val LrTrainRate = BigDecimal("0.1")
 
-  def lrTrain(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Per-process trained-weight cache keyed by scale dir — the learned
+    * model is a build artifact (the `Bpe.mergeCache` amortization), so
+    * the serving op pays scoring, not 40 training jobs per call.
+    */
+  private val lrWeightCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, Array[BigDecimal], Long, Long)]]()
+
+  /** The training loop: per-step (step, weights-after-update,
+    * n_keep_pred, n_correct). Shared by the trajectory op and the
+    * trained scorer.
+    */
+  private def trainLr(spark: SparkSession,
+      dir: String): Seq[(Int, Array[BigDecimal], Long, Long)] =
+    lrWeightCache.computeIfAbsent(dir, d => trainLrUncached(spark, d))
+
+  private def trainLrUncached(spark: SparkSession,
+      dir: String): Seq[(Int, Array[BigDecimal], Long, Long)] = {
     val sw = TextAnalysis.stopwordList
     val feats = Tables(spark, dir, "documents").select(
         col("doc_id"),
@@ -1149,7 +1164,7 @@ object Curation {
       lit(w(1).toDouble) * col("x1") +
       lit(w(2).toDouble) * col("x2") +
       lit(w(3).toDouble) * col("x3")
-    val out = Seq.newBuilder[(Int, Double, Double, Double, Double, Long, Long)]
+    val out = Seq.newBuilder[(Int, Array[BigDecimal], Long, Long)]
     for (step <- 1 to LrTrainSteps) {
       val p = lit(1.0) / (lit(1.0) + exp(-zCol))
       def g(x: Column) =
@@ -1163,11 +1178,49 @@ object Curation {
         count(when(zCol >= 0, 1)).as("n_keep"),
         count(when((zCol >= 0) === (col("y") === 1.0), 1)).as("n_ok"))
         .collect()(0)
-      out += ((step, w(0).toDouble, w(1).toDouble, w(2).toDouble,
-        w(3).toDouble, acc.getLong(0), acc.getLong(1)))
+      out += ((step, w.clone(), acc.getLong(0), acc.getLong(1)))
     }
-    out.result().toDF("step", "w_bias", "w_log_words", "w_stop_ratio",
-      "w_chars_per_word", "n_keep_pred", "n_correct")
+    out.result()
+  }
+
+  def lrTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainLr(spark, dir)
+      .map { case (step, w, nKeep, nOk) =>
+        (step, w(0).toDouble, w(1).toDouble, w(2).toDouble, w(3).toDouble,
+          nKeep, nOk)
+      }
+      .toDF("step", "w_bias", "w_log_words", "w_stop_ratio",
+        "w_chars_per_word", "n_keep_pred", "n_correct")
+  }
+
+  /** Train→serve composition: the corpus scored by the TRAINED weights
+    * (the final GD step's), closing the loop `curate_quality_lr` opens
+    * with fixed literals — the distilled model a pipeline actually
+    * applies after `curate_lr_train` converges. Weights enter the
+    * scoring expression as the correctly-rounded doubles of the exact
+    * decimals (identical to the oracle's CAST from its w-CTE), so score
+    * and keep are bit-stable; scoring itself is one codegen'd
+    * projection over the scan — no shuffle, the `qualityLr` shape.
+    */
+  def qualityLrTrained(spark: SparkSession, dir: String): DataFrame = {
+    val w = trainLr(spark, dir).last._2
+    val sw = TextAnalysis.stopwordList
+    val f = Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      expr("size(split(trim(text), ' '))").cast("long").as("n_words"),
+      expr(s"size(filter(split(trim(text), ' '), w -> w IN ($sw)))")
+        .cast("long").as("n_stopwords"))
+    val z = lit(w(0).toDouble) +
+      lit(w(1).toDouble) * log(col("n_words").cast("double") + lit(1.0)) +
+      lit(w(2).toDouble) *
+        (col("n_stopwords").cast("double") / col("n_words")) +
+      lit(w(3).toDouble) *
+        (col("n_chars").cast("double") / col("n_words"))
+    f.select(col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+      (z >= 0).as("keep"))
   }
 
   /** Unrolled-CTE oracle: the same three GD steps, gradient terms on
@@ -1210,7 +1263,17 @@ object Curation {
          |       CAST(n_ok AS BIGINT) AS n_correct
          |FROM w$s CROSS JOIN a$s""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH f0 AS (
+    s"""WITH $lrTrainCtes,
+       |$steps
+       |$rows""".stripMargin
+  }
+
+  /** The training CTE prologue (features, labels, params, w0) shared by
+    * the trajectory oracle and the trained-scorer oracle.
+    */
+  private lazy val lrTrainCtes: String = {
+    val sw = TextAnalysis.stopwordList
+    s"""f0 AS (
        |  SELECT doc_id,
        |         length(text) AS n_chars,
        |         len(string_split(trim(text), ' ')) AS n_words,
@@ -1228,9 +1291,59 @@ object Curation {
        |w0 AS (SELECT CAST(0 AS DECIMAL(30,10)) AS wb,
        |              CAST(0 AS DECIMAL(30,10)) AS w1,
        |              CAST(0 AS DECIMAL(30,10)) AS w2,
-       |              CAST(0 AS DECIMAL(30,10)) AS w3),
-       |$steps
-       |$rows""".stripMargin
+       |              CAST(0 AS DECIMAL(30,10)) AS w3)""".stripMargin
+  }
+
+  /** Oracle for the trained scorer: the SAME training chain (gradient
+    * CTEs verbatim, so the driver re-proves the training run inside
+    * this query too), then every document scored with w$LrTrainSteps —
+    * the decimal weights entering double via the identical cast the
+    * Spark literals took.
+    */
+  lazy val qualityLrTrainedSql: String = {
+    val sw = TextAnalysis.stopwordList
+    def zSql(wcte: String): String =
+      s"CAST($wcte.wb AS DOUBLE) + CAST($wcte.w1 AS DOUBLE)*f.x1 + " +
+        s"CAST($wcte.w2 AS DOUBLE)*f.x2 + CAST($wcte.w3 AS DOUBLE)*f.x3"
+    def gSql(x: String, wcte: String): String =
+      s"SUM(CAST(round((1.0/(1.0+exp(-(${zSql(wcte)}))) - f.y) * $x / " +
+        s"params.n, 10) AS DECIMAL(30,10)))"
+    val steps = (1 to LrTrainSteps).map { s =>
+      val prev = if (s == 1) "w0" else s"w${s - 1}"
+      s"""g$s AS MATERIALIZED (
+         |  SELECT ${gSql("1.0", prev)} AS gb, ${gSql("f.x1", prev)} AS g1,
+         |         ${gSql("f.x2", prev)} AS g2, ${gSql("f.x3", prev)} AS g3
+         |  FROM f CROSS JOIN $prev CROSS JOIN params
+         |), w$s AS MATERIALIZED (
+         |  SELECT $prev.wb - 0.1*g$s.gb AS wb, $prev.w1 - 0.1*g$s.g1 AS w1,
+         |         $prev.w2 - 0.1*g$s.g2 AS w2, $prev.w3 - 0.1*g$s.g3 AS w3
+         |  FROM $prev CROSS JOIN g$s
+         |)""".stripMargin
+    }.mkString(",\n")
+    val wf = s"w$LrTrainSteps"
+    s"""WITH $lrTrainCtes,
+       |$steps,
+       |fd AS (
+       |  SELECT doc_id,
+       |         length(text) AS n_chars,
+       |         len(string_split(trim(text), ' ')) AS n_words,
+       |         len(list_filter(string_split(trim(text), ' '),
+       |                         w -> w IN ($sw))) AS n_stopwords
+       |  FROM documents),
+       |z AS (
+       |  SELECT fd.doc_id,
+       |         CAST($wf.wb AS DOUBLE) +
+       |         CAST($wf.w1 AS DOUBLE) *
+       |           ln(CAST(n_words AS DOUBLE) + 1.0) +
+       |         CAST($wf.w2 AS DOUBLE) *
+       |           (CAST(n_stopwords AS DOUBLE) / n_words) +
+       |         CAST($wf.w3 AS DOUBLE) *
+       |           (CAST(n_chars AS DOUBLE) / n_words) AS z
+       |  FROM fd CROSS JOIN $wf)
+       |SELECT doc_id,
+       |       round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       |       z >= 0 AS keep
+       |FROM z""".stripMargin
   }
 
   // ---------------------------------------------- CCNet perplexity buckets
@@ -1599,6 +1712,8 @@ object Curation {
       Some(gopherFilterSql)),
     Op("curate_quality_lr", qualityLr _, Some(qualityLrSql)),
     Op("curate_lr_train", lrTrain _, Some(lrTrainSql)),
+    Op("curate_quality_lr_trained", qualityLrTrained _,
+      Some(qualityLrTrainedSql)),
     Op("curate_ccnet_bucket", ccnetBucket _, Some(ccnetBucketSql)),
     Op("curate_epoch_plan", epochPlan _, Some(epochPlanSql)),
     Op("curate_dsir", dsir _, Some(dsirSql)),

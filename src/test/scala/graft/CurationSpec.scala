@@ -570,5 +570,17 @@ class CurationSpec extends SparkSpec {
       assert(s._6 >= 0 && s._6 <= n && s._7 >= 0 && s._7 <= n)
       assert(!s._2.isNaN && !s._3.isNaN && !s._4.isNaN && !s._5.isNaN)
     }
+    // train→serve composition: the trained scorer's keep/score agree
+    // with the final training step's own prediction counts
+    val served = graft.operators.Curation.qualityLrTrained(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(served.length.toLong == n)
+    assert(served.count(_._3).toLong == steps.last._6,
+      "served keep count != final step n_keep_pred")
+    served.foreach { case (_, score, keep) =>
+      assert(score >= 0.0 && score <= 1.0)
+      assert(keep == (score >= 0.5) ||
+        math.abs(score - 0.5) < 1e-6) // keep is z>=0; σ rounds at 6dp
+    }
   }
 }
