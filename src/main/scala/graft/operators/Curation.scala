@@ -1113,7 +1113,8 @@ object Curation {
     * one fixed double expression (identical literals and association
     * order on both engines), rounded to the 10-dp grid and summed as
     * DECIMAL(30,10) — exact, order-independent. Weight updates happen
-    * in EXACT decimal arithmetic (w − 0.5·g; Scala BigDecimal here, the
+    * in EXACT decimal arithmetic (w − `LrTrainRate`·g, rate 0.1; Scala
+    * BigDecimal here, the
     * decimal engine in DuckDB — equal rationals), and each step's z
     * re-enters double precision through the correctly-rounded
     * decimal→double cast, so the engines cannot drift step over step.
@@ -1243,8 +1244,10 @@ object Curation {
          |         ${gSql("f.x2", prev)} AS g2, ${gSql("f.x3", prev)} AS g3
          |  FROM f CROSS JOIN $prev CROSS JOIN params
          |), w$s AS MATERIALIZED (
-         |  SELECT $prev.wb - 0.1*g$s.gb AS wb, $prev.w1 - 0.1*g$s.g1 AS w1,
-         |         $prev.w2 - 0.1*g$s.g2 AS w2, $prev.w3 - 0.1*g$s.g3 AS w3
+         |  SELECT $prev.wb - $LrTrainRate*g$s.gb AS wb,
+         |         $prev.w1 - $LrTrainRate*g$s.g1 AS w1,
+         |         $prev.w2 - $LrTrainRate*g$s.g2 AS w2,
+         |         $prev.w3 - $LrTrainRate*g$s.g3 AS w3
          |  FROM $prev CROSS JOIN g$s
          |), a$s AS MATERIALIZED (
          |  SELECT count(CASE WHEN ${zSql(s"w$s")} >= 0 THEN 1 END)
@@ -1315,8 +1318,10 @@ object Curation {
          |         ${gSql("f.x2", prev)} AS g2, ${gSql("f.x3", prev)} AS g3
          |  FROM f CROSS JOIN $prev CROSS JOIN params
          |), w$s AS MATERIALIZED (
-         |  SELECT $prev.wb - 0.1*g$s.gb AS wb, $prev.w1 - 0.1*g$s.g1 AS w1,
-         |         $prev.w2 - 0.1*g$s.g2 AS w2, $prev.w3 - 0.1*g$s.g3 AS w3
+         |  SELECT $prev.wb - $LrTrainRate*g$s.gb AS wb,
+         |         $prev.w1 - $LrTrainRate*g$s.g1 AS w1,
+         |         $prev.w2 - $LrTrainRate*g$s.g2 AS w2,
+         |         $prev.w3 - $LrTrainRate*g$s.g3 AS w3
          |  FROM $prev CROSS JOIN g$s
          |)""".stripMargin
     }.mkString(",\n")

@@ -367,7 +367,7 @@ object Domains {
        |  FROM d GROUP BY 1
        |), delays AS (
        |  SELECT registered_domain,
-       |         max(CAST(path_prefix AS BIGINT)) AS crawl_delay
+       |         max(TRY_CAST(path_prefix AS BIGINT)) AS crawl_delay
        |  FROM ($robotsRulesSql)
        |  WHERE directive = 'Crawl-delay' GROUP BY 1
        |), pd2 AS (

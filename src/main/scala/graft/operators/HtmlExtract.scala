@@ -733,7 +733,7 @@ object HtmlExtract {
        |  SELECT * FROM ($domainRankSql)
        |), dl AS (
        |  SELECT registered_domain,
-       |         max(CAST(path_prefix AS BIGINT)) AS crawl_delay
+       |         max(TRY_CAST(path_prefix AS BIGINT)) AS crawl_delay
        |  FROM (${Domains.robotsRulesSql})
        |  WHERE directive = 'Crawl-delay' GROUP BY 1
        |), scored AS (

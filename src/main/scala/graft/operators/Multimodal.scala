@@ -530,6 +530,7 @@ object Multimodal {
         srCode match {
           case 12 => r.bits(8)
           case 13 | 14 => r.bits(16)
+          case 15 => return None // invalid per RFC 9639 §9.1.2 — refuse
           case _ => ()
         }
         val bps = ssCode match {
@@ -561,12 +562,15 @@ object Multimodal {
           while (pi < parts) {
             val param = r.bits(pBits).toInt
             val nRes = (blockSize >> po) - (if (pi == 0) order else 0)
+            // RFC 9639 §9.2.7: an escaped partition stores the raw
+            // bit-width ONCE (5 bits) right after the escape code, then
+            // all residuals follow at that width — not width-per-residual.
+            val rawBits = if (param == escape) r.bits(5).toInt else -1
             var k = 0
             while (k < nRes) {
               val v =
                 if (param == escape) {
-                  val raw = r.bits(5).toInt
-                  if (raw == 0) 0L else r.sbits(raw)
+                  if (rawBits == 0) 0L else r.sbits(rawBits)
                 } else {
                   val q = r.unary().toLong
                   val u = (q << param) | r.bits(param)

@@ -325,6 +325,64 @@ class GoldenImageSpec extends SparkSpec {
     assert(got.contains(exp), s"got=$got exp=$exp")
   }
 
+  test("flac escaped Rice partitions decode at the per-partition width") {
+    // RFC 9639 §9.2.7: escape code (param 15 for 4-bit method) is
+    // followed by ONE 5-bit raw width, then every residual of the
+    // partition verbatim at that width. Partition order 1 mixes an
+    // escaped partition with a normal Rice partition in one subframe —
+    // a per-residual width read (the pre-fix bug) desyncs immediately.
+    val n = 64
+    val walk = Array.tabulate(n)(i => (i % 5).toLong - 2L)
+    val res = (1 until n).map(i => walk(i) - walk(i - 1)) // in [-4, 4]
+    val flac = buildFlac(1, n, n, { (w, _) =>
+      w.bit(0); w.bits(9, 6); w.bit(0) // FIXED order 1
+      w.bits(walk(0) & 0xFFFF, 16)
+      w.bits(0, 2)  // coding method 0: 4-bit Rice params
+      w.bits(1, 4)  // partition order 1: two partitions of 32
+      // partition 0 (31 residuals after warmup): ESCAPED, 6-bit raw
+      w.bits(15, 4); w.bits(6, 5)
+      res.take(31).foreach(v => w.bits(v & 0x3F, 6))
+      // partition 1 (32 residuals): normal Rice, param 2
+      w.bits(2, 4)
+      res.drop(31).foreach { v =>
+        val u = (v << 1) ^ (v >> 63)
+        val q = (u >>> 2).toInt
+        (0 until q).foreach(_ => w.bit(0)); w.bit(1)
+        w.bits(u & 3, 2)
+      }
+    })
+    val got = Multimodal.decodeFlacSamples(flac)
+    val exp = expectedStats(Seq(walk))
+    assert(got.contains(exp), s"got=$got exp=$exp")
+  }
+
+  test("flac escaped partition with raw width 0 yields all-zero residuals") {
+    val n = 32
+    val const = Array.fill(n)(7L) // order-1 fixed => residuals all 0
+    val flac = buildFlac(1, n, n, { (w, _) =>
+      w.bit(0); w.bits(9, 6); w.bit(0)
+      w.bits(const(0) & 0xFFFF, 16)
+      w.bits(0, 2); w.bits(0, 4)     // method 0, partition order 0
+      w.bits(15, 4); w.bits(0, 5)    // escape, raw width 0: no bits follow
+    })
+    val got = Multimodal.decodeFlacSamples(flac)
+    val exp = expectedStats(Seq(const))
+    assert(got.contains(exp), s"got=$got exp=$exp")
+  }
+
+  test("flac frame with invalid sample-rate code 15 is refused") {
+    val n = 32
+    val ok = buildFlac(1, n, n, { (w, _) =>
+      w.bit(0); w.bits(0, 6); w.bit(0); w.bits(123, 16)
+    })
+    assert(Multimodal.decodeFlacSamples(ok).isDefined)
+    // frame header starts right after fLaC + 4-byte block header + 34-byte
+    // STREAMINFO = offset 42; srCode is the low nibble of header byte 2.
+    val bad = ok.clone()
+    bad(44) = ((bad(44) & 0xF0) | 0x0F).toByte
+    assert(Multimodal.decodeFlacSamples(bad).isEmpty)
+  }
+
   test("flac LPC subframes reconstruct through quantized coefficients") {
     // order-2 LPC, precision 12, shift 4: residuals computed forward by
     // the test's own reference predictor, decoder must invert exactly
