@@ -1044,66 +1044,128 @@ object Dedup {
       |              END) AS DOUBLE) / count(*), 6) AS dup_rate
       |FROM documents GROUP BY source""".stripMargin
 
-  /** Edit-distance near-dup pairs with LOSSLESS segment blocking — the
-    * entity-resolution primitive (same record, small typo) that Jaccard
-    * shingles are blind to. Finds all doc pairs whose 24-char text
-    * prefixes are within Levenshtein distance 2, without the all-pairs
-    * cross product, via the PassJoin pigeonhole (Li, Deng, Feng: "PASS-
-    * JOIN: a partition-based method for similarity joins", PVLDB 2011;
-    * public literature): split each key into d+1 = 3 segments — at most
-    * d = 2 edits can touch at most 2 of them, so some segment survives
-    * verbatim in the other string, displaced by at most the net indel
-    * count before it (≤ d). Index side emits its 3 segments at their
-    * exact positions; probe side emits every length-8 substring starting
-    * within ±2 of each segment start; candidates are the (segment index,
-    * piece) equi-join — provably a superset of all true pairs, which the
-    * exact `levenshtein` then verifies. The all-pairs oracle therefore
-    * proves the blocking lossless on the corpus, the same contract as
-    * the MinHash ops. Shape at scale: two corpus-sized projections (3
-    * resp. ≤15 rows each), one equi-join keyed on 8-char pieces whose
-    * volume tracks key entropy (near-linear on natural text; degenerate
-    * shared prefixes concentrate it — the same caveat as any blocking
-    * scheme), pair-distinct on 16-byte keys, then O(pairs) verify.
-    * Restricted to docs with ≥ 24 chars so every key has full segments;
-    * equal-length keys also make the oracle's semantics unambiguous.
+  /** Edit-distance near-dup pairs with LOSSLESS paired-segment blocking
+    * — the entity-resolution primitive (same record, small typo) that
+    * Jaccard shingles are blind to. Finds all doc pairs whose 24-char
+    * text prefixes are within Levenshtein distance 2, without the
+    * all-pairs cross product, via the PassJoin pigeonhole (Li, Deng,
+    * Feng: "PASS-JOIN: a partition-based method for similarity joins",
+    * PVLDB 2011; public literature) STRENGTHENED to 2-of-4 signatures
+    * (the r12 sf1 audit's skew fix): split each 24-char key into d+2 =
+    * 4 segments of 6 — at most d = 2 edits touch at most 2 of them, so
+    * at least TWO segments survive verbatim in the other string.
+    * Candidates must therefore agree on a PAIR of aligned segments
+    * (12 chars of content at two fixed slots), not one: a corpus-wide
+    * hot 8-char prefix — the measured quadratic bucket at sf1 (max
+    * bucket 1650, Σn² 5.2M under 1-of-3) — no longer forms a bucket at
+    * all unless both slots' contents agree (max bucket 45, Σn² 0.78M,
+    * growth tracking true-pair growth).
+    *
+    * Shift geometry (equal-length keys, d = 2 ⇒ #ins = #del ≤ 1): the
+    * net indel displacement of any surviving segment is in {−1, 0, +1};
+    * the leading segment cannot shift −1 (no characters precede it) and
+    * the trailing cannot shift +1 (its copy would overrun the key); and
+    * between the two survivors the displacement delta is bounded by the
+    * ops the gap can hold — 0 for ADJACENT survivors (the gap is
+    * exactly the edit-free earlier segment), else |Δ| ≤ 1. The probe
+    * side enumerates exactly the 20 feasible (i < j, k_i, k_j) shift
+    * combos; the index side emits its 6 segment pairs at exact
+    * positions; candidates are the (i, j, piece_i, piece_j) equi-join —
+    * provably a superset of all true pairs, which the exact
+    * `levenshtein` then verifies. The all-pairs oracle proves the
+    * blocking lossless on the corpus, the same contract as the MinHash
+    * ops.
+    *
+    * Skew backstop, the `jaccardScores` hub discipline: index-side
+    * buckets larger than `EditPairsMaxBucket` are excluded from
+    * candidate generation (join output per bucket is then ≤ cap ×
+    * probe rows — linear in corpus size by construction), and the
+    * count of excluded buckets rides every row as the `capped_buckets`
+    * audit column — a capped run is visibly capped, never silently
+    * thinner. Fixture buckets max 45 at 10× sf0.1, so the cap never
+    * fires on any oracled scale. Restricted to docs with ≥ 24 chars so
+    * every key has full segments; equal-length keys also make the
+    * oracle's semantics unambiguous.
     */
+  private[graft] val EditPairsMaxBucket = 1024
+
+  /** The 20 feasible (i, j, k_i, k_j) probe shift combos derived in the
+    * scaladoc above — shared by the operator and its spec.
+    */
+  private[graft] val editPairShifts: Seq[(Int, Int, Int, Int)] = for {
+    i <- 0 to 3; j <- i + 1 to 3
+    ki <- -1 to 1; kj <- -1 to 1
+    if !(i == 0 && ki == -1)      // nothing precedes the leading segment
+    if !(j == 3 && kj == 1)       // trailing copy would overrun the key
+    if math.abs(kj - ki) <= (if (j == i + 1) 0 else 1)
+  } yield (i, j, ki, kj)
+
   def editPairs(spark: SparkSession, dir: String): DataFrame = {
     val keys = Tables(spark, dir, "documents")
       .where(col("text").isNotNull && length(col("text")) >= 24)
       .select(col("doc_id"), substring(col("text"), 1, 24).as("s"))
+    editPairsCore(keys, EditPairsMaxBucket)
+  }
+
+  /** Core blocking + verify over a (doc_id, s) frame of equal-length
+    * 24-char keys, parameterized by the bucket cap so the spec can
+    * plant a hot bucket and watch the audit column fire.
+    */
+  private[graft] def editPairsCore(keys: DataFrame, maxBucket: Int)
+      : DataFrame = {
+    // index side: the 6 segment pairs at exact positions
+    val segPairs = (for { i <- 0 to 3; j <- i + 1 to 3 } yield
+      s"struct($i AS i, $j AS j, substring(s, ${1 + 6 * i}, 6) AS pi, " +
+        s"substring(s, ${1 + 6 * j}, 6) AS pj)")
+      .mkString("array(", ", ", ")")
     val seg = keys.select(col("doc_id").as("a"), col("s").as("sa"),
-      posexplode(array(
-        substring(col("s"), 1, 8),
-        substring(col("s"), 9, 8),
-        substring(col("s"), 17, 8))).as(Seq("i", "piece")))
-    // probe pieces: for segment i at 1-based start p_i ∈ {1, 9, 17},
-    // all substrings of length 8 starting in [p_i − 2, p_i + 2] ∩ [1, 17]
-    val probePieces = (0 to 2).flatMap { i =>
-      val p0 = 1 + 8 * i
-      (p0 - 2 to p0 + 2).filter(p => p >= 1 && p <= 17).distinct
-        .map(p => s"struct($i AS i, substring(s, $p, 8) AS piece)")
+        explode(expr(segPairs)).as("sp"))
+      .select(col("a"), col("sa"), col("sp.i").as("i"), col("sp.j").as("j"),
+        col("sp.pi").as("pi"), col("sp.pj").as("pj"))
+    // skew backstop: drop over-cap index buckets, audit the count
+    val bsz = seg.groupBy("i", "j", "pi", "pj").agg(count(lit(1)).as("n"))
+    val kept = bsz.where(col("n") <= maxBucket)
+      .select("i", "j", "pi", "pj")
+    val cappedBuckets = bsz.where(col("n") > maxBucket)
+      .agg(count(lit(1)).as("capped_buckets"))
+    val segKept = seg.join(kept, Seq("i", "j", "pi", "pj"), "left_semi")
+    // probe side: feasible shifted substring pairs
+    val probePieces = editPairShifts.map { case (i, j, ki, kj) =>
+      s"struct($i AS i, $j AS j, substring(s, ${1 + 6 * i + ki}, 6) AS pi, " +
+        s"substring(s, ${1 + 6 * j + kj}, 6) AS pj)"
     }.mkString("array_distinct(array(", ", ", "))")
     val probe = keys.select(col("doc_id").as("b"), col("s").as("sb"),
-      expr(probePieces).as("pieces"))
-      .select(col("b"), col("sb"), explode(col("pieces")).as("pp"))
-      .select(col("b"), col("sb"), col("pp.i").as("i"), col("pp.piece").as("piece"))
-    seg.join(probe, Seq("i", "piece"))
+        explode(expr(probePieces)).as("pp"))
+      .select(col("b"), col("sb"), col("pp.i").as("i"), col("pp.j").as("j"),
+        col("pp.pi").as("pi"), col("pp.pj").as("pj"))
+    segKept.join(probe, Seq("i", "j", "pi", "pj"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
       .where(levenshtein(col("sa"), col("sb")) <= 2)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         levenshtein(col("sa"), col("sb")).as("dist"))
+      .crossJoin(broadcast(cappedBuckets))
   }
 
-  val editPairsSql: String =
-    """WITH k AS (
+  val editPairsSql: String = {
+    val segUnion = (for { i <- 0 to 3; j <- i + 1 to 3 } yield
+      s"SELECT $i AS i, $j AS j, substr(s, ${1 + 6 * i}, 6) AS pi, " +
+        s"substr(s, ${1 + 6 * j}, 6) AS pj FROM k")
+      .mkString("\n      UNION ALL ")
+    s"""WITH k AS (
       |  SELECT doc_id, substr(text, 1, 24) AS s
       |  FROM documents WHERE text IS NOT NULL AND length(text) >= 24
-      |)
+      |),
+      |seg AS ($segUnion),
+      |cb AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS capped_buckets
+      |  FROM (SELECT i, j, pi, pj, count(*) AS n FROM seg GROUP BY 1,2,3,4)
+      |  WHERE n > $EditPairsMaxBucket)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
-      |FROM k a, k b
+      |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist, capped_buckets
+      |FROM k a, k b, cb
       |WHERE a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= 2""".stripMargin
+  }
 
   /** Cross-document duplicated-SPAN detection — the word-granular
     * analogue of exact-substring training dedup (Lee et al. 2022,

@@ -89,6 +89,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("edit pairs: paired signatures defuse a hot prefix; cap audits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def tail(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // 30 docs share a hot 6-char PREFIX (segment 0) but nothing else:
+    // under 1-of-3 blocking these were one quadratic bucket; under
+    // 2-of-4 paired signatures no bucket forms (segment 1 differs), so
+    // even a small cap never fires on them.
+    val hotPrefix = (1 to 30).map(i => (100L + i, "prefix" + tail(18)))
+    // near pair differing only in segment 0 — found via (1,2)/(1,3)/(2,3)
+    val near = Seq((1L, "Xbcdefghijklmnopqrstuvwx"),
+      (2L, "Ybcdefghijklmnopqrstuvwx"))
+    val keys1 = (hotPrefix ++ near).toDF("doc_id", "s")
+    val out1 = Dedup.editPairsCore(keys1, maxBucket = 8).collect()
+    assert(out1.forall(_.getLong(3) == 0L),
+      s"hot PREFIX must not form a paired bucket: ${out1.mkString(",")}")
+    assert(out1.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      == Set((1L, 2L, 1)), s"got ${out1.mkString(",")}")
+
+    // 30 docs share segments 0 AND 1 (12 chars): that IS a paired
+    // bucket; cap 8 excludes it and the audit column says so on every
+    // row. A pair whose ONLY surviving signature is the capped (0,1)
+    // bucket (one sub in seg 2 + one in seg 3) is visibly lost; a pair
+    // with a surviving uncapped signature (both subs in seg 3, so
+    // (0,2)/(1,2) survive) is still found.
+    val hotPair = (1 to 30).map(i => (200L + i, "AAAAAABBBBBB" + tail(12)))
+    val lost = Seq((1L, "AAAAAABBBBBBcccccZddddZd"),
+      (2L, "AAAAAABBBBBBcccccYddddYd"))
+    val found = Seq((3L, "AAAAAABBBBBBeeeeeeffffZZ"),
+      (4L, "AAAAAABBBBBBeeeeeeffffYY"))
+    val keys2 = (hotPair ++ lost ++ found).toDF("doc_id", "s")
+    val out2 = Dedup.editPairsCore(keys2, maxBucket = 8).collect()
+    assert(out2.nonEmpty && out2.forall(_.getLong(3) >= 1L),
+      s"capped bucket must ride the audit column: ${out2.mkString(",")}")
+    val got2 = out2.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2.contains((3L, 4L)), s"uncapped signature lost: $got2")
+    assert(!got2.contains((1L, 2L)),
+      s"capped-only pair must be dropped (visibly), not kept: $got2")
+    // uncapped run on the same frame recovers the lost pair: the cap is
+    // the ONLY thing between blocked and all-pairs semantics
+    val full = Dedup.editPairsCore(keys2, maxBucket = 1 << 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((1L, 2L)) && full.contains((3L, 4L)))
+  }
+
   test("minhash LSH finds constructed near-dups, skips unrelated docs") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"t$i").mkString(" ")
