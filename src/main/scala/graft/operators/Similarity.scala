@@ -882,6 +882,11 @@ object Similarity {
       .crossJoin(broadcast(hits(topkQuantized(spark, dir), "quant_hits")))
       .crossJoin(broadcast(hits(topkPq(spark, dir), "pq_hits")))
       .crossJoin(broadcast(hits(topkIvfPq(spark, dir), "ivfpq_hits")))
+      // the incrementally-maintained indexes serve at the SAME floors as
+      // their full-rebuild twins — insert ≡ rebuild at the floor, so a
+      // degraded insert path reds CORRECTNESS, not just a spec
+      .crossJoin(broadcast(hits(topkIvfIncremental(spark, dir), "ivfinc_hits")))
+      .crossJoin(broadcast(hits(topkPqIncremental(spark, dir), "pqinc_hits")))
       .select(col("n_exact"),
         (col("ivf_hits").cast("double") / col("n_exact") >= IvfRecallFloor)
           .as("ivf_recall_ok"),
@@ -892,7 +897,11 @@ object Similarity {
         (col("pq_hits").cast("double") / col("n_exact") >= PqRecallFloor)
           .as("pq_recall_ok"),
         (col("ivfpq_hits").cast("double") / col("n_exact") >= IvfPqRecallFloor)
-          .as("ivfpq_recall_ok"))
+          .as("ivfpq_recall_ok"),
+        (col("ivfinc_hits").cast("double") / col("n_exact") >= IvfRecallFloor)
+          .as("ivfinc_recall_ok"),
+        (col("pqinc_hits").cast("double") / col("n_exact") >= PqRecallFloor)
+          .as("pqinc_recall_ok"))
   }
 
   val recallAuditSql: String =
@@ -901,7 +910,9 @@ object Similarity {
        |       true AS lsh_recall_ok,
        |       true AS quantized_recall_ok,
        |       true AS pq_recall_ok,
-       |       true AS ivfpq_recall_ok
+       |       true AS ivfpq_recall_ok,
+       |       true AS ivfinc_recall_ok,
+       |       true AS pqinc_recall_ok
        |FROM ($topkBruteForceSql)""".stripMargin
 
   /** Corpus similarity audit: the distribution of pairwise cosines over
@@ -1481,7 +1492,289 @@ object Similarity {
         col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("cos"))
   }
 
+  // ------------------- incremental index maintenance (corpus growth)
+
+  /** Incremental ANN index maintenance — the #1 operational cost of a
+    * real embedding store (r12 verdict #3): `servedIvfIndex` /
+    * `servedPq` train once per corpus VERSION, so a new embedding batch
+    * used to force a full retrain of cells and codebook. The insert
+    * path is pure serving arithmetic: assign the batch to the EXISTING
+    * centroids (`assignCells`) and encode it against the EXISTING
+    * codebook (`pqCodes`), then persist extended cells/codes as a NEW
+    * immutable snapshot — the `minhashIncrementalStep` discipline
+    * (history snapshots never mutate; the next batch reads the extended
+    * ts; replayed batches are anti-joined out, so a step is
+    * idempotent). Per-batch cost is batch-proportional for the compute
+    * (|batch| × NLIST resp. |batch| × M·KS broadcast sweeps); the
+    * snapshot write is the merged table (the lakehouse-MERGE economics
+    * documented at `SnapshotStore.upsertTableSnapshot`).
+    *
+    * The DRIFT GATE makes "serve stale centroids forever" safe: an
+    * insert-only index degrades when the data distribution moves, so
+    * each insert reports (a) cell-size skew — max/mean cell population
+    * after the insert; a batch the old centroids don't fit piles into
+    * few cells — and (b) the batch's mean PQ quantization error against
+    * the BASE corpus mean (stored at build time, so no base rescan);
+    * either ratio past its threshold flips the `retrain` flag that
+    * tells the pipeline to fall back to the full `servedIvfIndex` /
+    * `servedPq` build. Thresholds sit well above the fixture's
+    * same-distribution values (skew ~2, err ratio ~1) and the spec
+    * plants a drifted batch to flip them.
+    *
+    * Fixture semantics: base = vec_id % 10 ≠ 9, batch = vec_id % 10 = 9
+    * (the `minhashIncremental` split convention). Base training seeds
+    * from the base corpus only; serving recall over the FULL corpus is
+    * pinned in `sim_recall_audit` at the SAME floors as the full
+    * rebuild — incremental ≡ rebuild at the floor.
+    */
+  private val IvfDriftSkewMax = 6.0
+  private val PqDriftErrRatioMax = 2.0
+
+  private def incBase(e: DataFrame): DataFrame =
+    e.where(col("vec_id") % 10 =!= 9)
+  private def incBatch(e: DataFrame): DataFrame =
+    e.where(col("vec_id") % 10 === 9)
+
+  /** PQ assignment that also returns the achieved L2 error — the drift
+    * gate's signal. `pqCodes` = this minus the error column.
+    */
+  private def pqCodesErr(e: DataFrame, book: DataFrame): DataFrame =
+    pqSubvecs(e).join(broadcast(book), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        pqL2(col("sub"), col("c_sub")).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("code"), col("d2")),
+        struct(col("d2"), col("code"))).as("a"))
+      .select(col("vec_id"), col("m"), col("a.code").as("code"),
+        col("a.d2").as("d2"))
+
+  /** One corpus-growth step for the served IVF index: assign `batch` to
+    * the `prevTs` centroids, write `nextTs` = cells ∪ the NOVEL batch
+    * assignments (vectors already indexed are anti-joined out — a
+    * replayed batch adds nothing), centroids copied forward unchanged.
+    * Returns the added (vec_id, embedding, cell) frame.
+    */
+  private[graft] def ivfInsertStep(spark: SparkSession,
+      store: graft.sources.SnapshotStore, batch: DataFrame,
+      prevTs: String, nextTs: String): DataFrame = {
+    val cent = store.readTableSnapshot(spark, "ivf_centroids", prevTs)
+      .select(col("cent_id"), col("cent_emb"))
+    val cells = store.readTableSnapshot(spark, "ivf_cells", prevTs)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val novel = batch.join(cells.select("vec_id"), Seq("vec_id"), "left_anti")
+    val added = assignCells(novel, cent).localCheckpoint()
+    store.writeTableSnapshot(cent, "ivf_centroids", nextTs)
+    store.writeTableSnapshot(cells.unionByName(added), "ivf_cells", nextTs)
+    added
+  }
+
+  /** One corpus-growth step for the served PQ index: encode `batch`
+    * against the `prevTs` codebook, write `nextTs` = codes ∪ the novel
+    * batch codes; the batch's mean quantization error lands alongside
+    * as `pq_qerr_batch` for the drift gate. Returns the added
+    * (vec_id, m, code, d2) frame.
+    */
+  private[graft] def pqInsertStep(spark: SparkSession,
+      store: graft.sources.SnapshotStore, batch: DataFrame,
+      prevTs: String, nextTs: String): DataFrame = {
+    val book = store.readTableSnapshot(spark, "pq_book", prevTs)
+      .select(col("m"), col("code"), col("c_sub"))
+    val codes = store.readTableSnapshot(spark, "pq_codes", prevTs)
+      .select(col("vec_id"), col("m"), col("code"))
+    val novel = batch.join(codes.select("vec_id").distinct(),
+      Seq("vec_id"), "left_anti")
+    val added = pqCodesErr(novel, book).localCheckpoint()
+    store.writeTableSnapshot(book, "pq_book", nextTs)
+    store.writeTableSnapshot(
+      codes.unionByName(added.select("vec_id", "m", "code")),
+      "pq_codes", nextTs)
+    store.writeTableSnapshot(added.agg(avg(col("d2")).as("qerr")),
+      "pq_qerr_batch", nextTs)
+    added
+  }
+
+  /** Base-train + one insert step, built once per corpus version:
+    * returns (store, baseTs, insertedTs). The LAST write of the build
+    * (`pq_qerr_batch` at the inserted ts) is the completion marker.
+    */
+  private def servedIncStore(spark: SparkSession, dir: String)
+      : (graft.sources.SnapshotStore, String, String) = {
+    val (store, ts) = graft.sources.SnapshotStore.contentAddressed(
+      spark, s"$dir/embeddings.parquet",
+      s"graft_annins_n${NList}_r${LloydRounds}_m${PqM}_ks$PqKs")
+    val tsBase = s"${ts}_base"
+    val tsIns = s"${ts}_ins"
+    if (!store.hasTableSnapshot("pq_qerr_batch", tsIns)) {
+      val e = emb(spark, dir)
+      buildIncBase(spark, store, incBase(e), tsBase)
+      ivfInsertStep(spark, store, incBatch(e), tsBase, tsIns)
+      pqInsertStep(spark, store, incBatch(e), tsBase, tsIns)
+    }
+    (store, tsBase, tsIns)
+  }
+
+  /** Full base-index build (IVF centroids+cells, PQ book+codes, base
+    * quantization error) at `ts` — the once-per-version training the
+    * insert path amortizes away. Shared by `servedIncStore` and the
+    * two-successive-batches spec.
+    */
+  private[graft] def buildIncBase(spark: SparkSession,
+      store: graft.sources.SnapshotStore, base: DataFrame,
+      ts: String): Unit = {
+    var cent = base.where(col("vec_id") < NList)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    for (_ <- 0 until LloydRounds)
+      cent = lloydStep(assignCells(base, cent)).localCheckpoint()
+    store.writeTableSnapshot(cent, "ivf_centroids", ts)
+    store.writeTableSnapshot(assignCells(base, cent), "ivf_cells", ts)
+    val book = trainPqBook(base, PqLloydRounds, PqKs).localCheckpoint()
+    store.writeTableSnapshot(book, "pq_book", ts)
+    val baseCodes = pqCodesErr(base, book).localCheckpoint()
+    store.writeTableSnapshot(baseCodes.select("vec_id", "m", "code"),
+      "pq_codes", ts)
+    store.writeTableSnapshot(baseCodes.agg(avg(col("d2")).as("qerr")),
+      "pq_qerr", ts)
+  }
+
+  /** The insert report: per-cell before/added/after populations plus
+    * the drift gate — rows-only (cell geometry is the engine-specific
+    * Lloyd float means, like every served-index frame); its exact
+    * invariants are the oracled `sim_index_insert_check` twin.
+    */
+  def indexInsert(spark: SparkSession, dir: String): DataFrame = {
+    val (store, tsBase, tsIns) = servedIncStore(spark, dir)
+    insertDriftReport(spark, store, tsBase, tsIns)
+  }
+
+  /** The per-cell report + drift gate over any (base ts, inserted ts)
+    * snapshot pair — split from `indexInsert` so the spec can plant a
+    * drifted batch and watch the gate flip.
+    */
+  private[graft] def insertDriftReport(spark: SparkSession,
+      store: graft.sources.SnapshotStore, tsBase: String,
+      tsIns: String): DataFrame = {
+    val before = store.readTableSnapshot(spark, "ivf_cells", tsBase)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_before"))
+    val after = store.readTableSnapshot(spark, "ivf_cells", tsIns)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_after"))
+    val perCell = after.join(before, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_before"), lit(0L)).as("n_before"),
+        (col("n_after") - coalesce(col("n_before"), lit(0L))).as("n_added"),
+        col("n_after"))
+    val skew = perCell.agg((max(col("n_after")).cast("double") /
+      avg(col("n_after"))).as("skew"))
+    val baseErr = store.readTableSnapshot(spark, "pq_qerr", tsBase)
+      .select(col("qerr").as("base_qerr"))
+    val batchErr = store.readTableSnapshot(spark, "pq_qerr_batch", tsIns)
+      .select(col("qerr").as("batch_qerr"))
+    perCell
+      .crossJoin(broadcast(skew))
+      .crossJoin(broadcast(baseErr))
+      .crossJoin(broadcast(batchErr))
+      .withColumn("err_ratio",
+        // a zero-error base (every vector a codebook seed — tiny corpus)
+        // makes any nonzero batch error infinite drift, not a crash
+        when(col("base_qerr") > 0, col("batch_qerr") / col("base_qerr"))
+          .otherwise(when(col("batch_qerr") > 0,
+            lit(Double.PositiveInfinity)).otherwise(lit(1.0))))
+      .select(col("cell"), col("n_before"), col("n_added"), col("n_after"),
+        round(col("skew"), 4).as("cell_skew"),
+        (col("skew") > IvfDriftSkewMax).as("ivf_retrain"),
+        round(col("err_ratio"), 4).as("pq_err_ratio"),
+        (col("err_ratio") > PqDriftErrRatioMax).as("pq_retrain"))
+  }
+
+  /** Oracled exact invariants of the insert step: every batch vector
+    * assigned exactly once (conservation), per-cell populations add up,
+    * the code frame grew by exactly |batch| × M rows, and a replay
+    * would add nothing (idempotence) — all independent of WHERE the
+    * engine-specific centroids put each vector.
+    */
+  def indexInsertCheck(spark: SparkSession, dir: String): DataFrame = {
+    val (store, tsBase, tsIns) = servedIncStore(spark, dir)
+    val batch = incBatch(emb(spark, dir)).localCheckpoint()
+    val cellsB = store.readTableSnapshot(spark, "ivf_cells", tsBase)
+      .select(col("vec_id"), col("cell"))
+    val cellsA = store.readTableSnapshot(spark, "ivf_cells", tsIns)
+      .select(col("vec_id"), col("cell"))
+    val added = cellsA.join(cellsB.select("vec_id"), Seq("vec_id"), "left_anti")
+    val nBatch = batch.agg(count(lit(1)).as("n_batch"))
+    val conservation = added.agg(
+      (count(lit(1)) === countDistinct(col("vec_id"))).as("unique_assign"),
+      count(lit(1)).as("n_added"))
+    val monotone = cellsA.groupBy(col("cell")).agg(count(lit(1)).as("na"))
+      .join(cellsB.groupBy(col("cell")).agg(count(lit(1)).as("nb")), Seq("cell"), "left")
+      .join(added.groupBy(col("cell")).agg(count(lit(1)).as("nd")), Seq("cell"), "left")
+      .agg(every(col("na") === coalesce(col("nb"), lit(0L)) +
+        coalesce(col("nd"), lit(0L))).as("monotone_ok"))
+    val codeGrowth = store.readTableSnapshot(spark, "pq_codes", tsIns)
+      .agg(count(lit(1)).as("ca"))
+      .crossJoin(store.readTableSnapshot(spark, "pq_codes", tsBase)
+        .agg(count(lit(1)).as("cb")))
+      .select((col("ca") - col("cb")).as("code_rows_added"))
+    val replay = batch.join(cellsA, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_unindexed"))
+    nBatch
+      .crossJoin(broadcast(conservation))
+      .crossJoin(broadcast(monotone))
+      .crossJoin(broadcast(codeGrowth))
+      .crossJoin(broadcast(replay))
+      .select(col("n_batch"),
+        (col("unique_assign") && col("n_added") === col("n_batch"))
+          .as("conservation_ok"),
+        col("monotone_ok"),
+        (col("code_rows_added") === col("n_batch") * PqM)
+          .as("pq_conservation_ok"),
+        (col("n_unindexed") === 0L).as("replay_ok"))
+  }
+
+  val indexInsertCheckSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_batch,
+      |       true AS conservation_ok, true AS monotone_ok,
+      |       true AS pq_conservation_ok, true AS replay_ok
+      |FROM embeddings WHERE vec_id % 10 = 9""".stripMargin
+
+  /** Serve the FULL corpus from the incrementally-extended index: the
+    * recall evidence that insert ≡ rebuild at the floor (the probed
+    * cells still partition-cover the corpus, so the strict exactly-K
+    * value check applies unchanged).
+    */
+  def topkIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (store, _, tsIns) = servedIncStore(spark, dir)
+    val cent = store.readTableSnapshot(spark, "ivf_centroids", tsIns)
+      .select(col("cent_id"), col("cent_emb"))
+    val cells = store.readTableSnapshot(spark, "ivf_cells", tsIns)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val q = emb(spark, dir).where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    ivfSearch(q, cent, cells)
+  }
+
+  def topkIvfIncrementalCheck(spark: SparkSession, dir: String): DataFrame =
+    topkValueCheck(topkIvfIncremental(spark, dir), emb(spark, dir))
+
+  def topkPqIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (store, _, tsIns) = servedIncStore(spark, dir)
+    val book = store.readTableSnapshot(spark, "pq_book", tsIns)
+      .select(col("m"), col("code"), col("c_sub"))
+    val codes = store.readTableSnapshot(spark, "pq_codes", tsIns)
+      .select(col("vec_id"), col("m"), col("code"))
+    pqServe(emb(spark, dir), book, codes)
+  }
+
+  def topkPqIncrementalCheck(spark: SparkSession, dir: String): DataFrame =
+    topkValueCheck(topkPqIncremental(spark, dir), emb(spark, dir))
+
   val ops: Seq[Op] = Seq(
+    Op("sim_index_insert", indexInsert _, None),
+    Op("sim_index_insert_check", indexInsertCheck _,
+      Some(indexInsertCheckSql)),
+    Op("sim_topk_ivf_inc", topkIvfIncremental _, None),
+    Op("sim_topk_ivf_inc_check", topkIvfIncrementalCheck _,
+      Some(topkCheckSql)),
+    Op("sim_topk_pq_inc", topkPqIncremental _, None),
+    Op("sim_topk_pq_inc_check", topkPqIncrementalCheck _,
+      Some(topkCheckSql)),
     Op("sim_topk_pq", topkPq _, None),
     Op("sim_topk_pq_check", topkPqCheck _, Some(topkCheckSql)),
     Op("sim_topk_ivfpq", topkIvfPq _, None),

@@ -134,6 +134,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(full.contains((1L, 2L)) && full.contains((3L, 4L)))
   }
 
+  test("ANN insert: two successive batches extend the index; replay adds nothing; drift gate flips") {
+    import spark.implicits._
+    def v(id: Long): Seq[Float] =
+      Array.tabulate(64)(d => math.sin(d * 1.3 + id * 2.7).toFloat * 3f).toSeq
+    // same direction, 5x magnitude: concentrates into one cell AND
+    // quantizes terribly against the base-trained codebook
+    def drifted(id: Long): Seq[Float] =
+      Array.tabulate(64)(d =>
+        (math.cos(d * 0.37) * 15).toFloat + (id % 7) * 0.01f).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("annins").toString
+    val base = (0L until 300L).map(i => (i, v(i)))  // seeds (64) a minority, so base qerr is representative
+    base.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val (store, _) = graft.sources.SnapshotStore.contentAddressed(
+      spark, s"$dir/embeddings.parquet", "spec_annins")
+    Similarity.buildIncBase(spark, store,
+      base.toDF("vec_id", "embedding"), "t0")
+
+    val batch1 = (1100L until 1110L).map(i => (i, v(i))).toDF("vec_id", "embedding")
+    val added1 = Similarity.ivfInsertStep(spark, store, batch1, "t0", "t1")
+    Similarity.pqInsertStep(spark, store, batch1, "t0", "t1")
+    assert(added1.count() == 10)
+    assert(store.readTableSnapshot(spark, "ivf_cells", "t1").count() == 310)
+
+    // batch 2 REPLAYS batch 1 alongside 20 novel vectors: the anti-join
+    // admits only the novel ones — the step is idempotent under replay
+    val batch2 = ((1100L until 1110L) ++ (1200L until 1220L))
+      .map(i => (i, v(i))).toDF("vec_id", "embedding")
+    val added2 = Similarity.ivfInsertStep(spark, store, batch2, "t1", "t2")
+    Similarity.pqInsertStep(spark, store, batch2, "t1", "t2")
+    assert(added2.count() == 20, "replayed vectors must not re-insert")
+    assert(store.readTableSnapshot(spark, "ivf_cells", "t2").count() == 330)
+    assert(store.readTableSnapshot(spark, "pq_codes", "t2").count() == 330 * 8)
+
+    // same-distribution insert: both drift flags stay down
+    val calm = Similarity.insertDriftReport(spark, store, "t0", "t1")
+      .select("ivf_retrain", "pq_retrain").distinct().collect()
+    assert(calm.forall(r => !r.getBoolean(0) && !r.getBoolean(1)),
+      s"same-distribution batch must not trip the gate: ${calm.mkString(",")}")
+
+    // drifted batch: 250 vectors on one alien direction pile into one
+    // cell (skew) and quantize badly (err ratio) — both flags flip
+    val batch3 = (1300L until 1550L).map(i => (i, drifted(i)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfInsertStep(spark, store, batch3, "t2", "t3")
+    Similarity.pqInsertStep(spark, store, batch3, "t2", "t3")
+    val hot = Similarity.insertDriftReport(spark, store, "t0", "t3")
+      .select("ivf_retrain", "pq_retrain", "pq_err_ratio")
+      .distinct().collect()
+    assert(hot.length == 1 && hot(0).getBoolean(0),
+      s"cell-skew gate must flip on the piled-up batch: ${hot.mkString(",")}")
+    assert(hot(0).getBoolean(1) && hot(0).getDouble(2) > 2.0,
+      s"quantization-error gate must flip on the alien batch: ${hot.mkString(",")}")
+  }
+
   test("minhash LSH finds constructed near-dups, skips unrelated docs") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"t$i").mkString(" ")
