@@ -860,7 +860,128 @@ object HtmlExtract {
        |)
        |SELECT u AS domain, min(x) AS component FROM walk GROUP BY u""".stripMargin
 
+  // ------------------------------------------- crawl_pipeline_report
+
+  /** Crawl-pipeline yield report — the crawl-side twin of
+    * `curate_pipeline_report` (r12 verdict #4): the whole crawl family
+    * composed END-TO-END over one corpus, with per-stage document and
+    * domain mass. Every stage is an operator the registry already
+    * oracles individually; the composition proves they agree on one
+    * corpus (shared URL fixture, shared doc_id key):
+    *
+    *   0 warc_records     — every WARC response record (`docsFromWarc`)
+    *   1 extracted        — HTTP 200 with nonempty extracted text
+    *   2 text_dedup       — exact-content survivors (min doc_id per
+    *                        `text_md5`, the WARC record's own hash)
+    *   3 canonical_url    — canonical-URL survivors (min doc_id per
+    *                        `curate_url_canonical` key: the crawl-dedup
+    *                        gate that catches refetch variants)
+    *   4 robots_admitted  — RFC 9309 admission (`crawl_url_allowed`)
+    *   5 frontier_ranked  — pages whose domain holds a link-graph rank
+    *                        (`crawl_frontier_rank`; unranked domains
+    *                        leave the frontier)
+    *   6 first_wave       — the first politeness window per domain
+    *                        (fetch_order ≤ $FirstWaveFetches)
+    *
+    * Gates are CUMULATIVE (left-semi chains on doc_id), so the funnel
+    * is monotone by construction — pinned by HtmlWarcSpec. Scale shape:
+    * each stage frame is a doc_id projection of an operator whose own
+    * scale story is documented at its definition; the report adds only
+    * doc_id semi-joins and count aggregates (map-side partial), and the
+    * 7-row stage frame computes its fractions against stage 0 on the
+    * driver-side window, never reshuffling the corpus.
+    */
+  private val FirstWaveFetches = 5
+
+  def crawlPipelineReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = Domains.withDomain(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Domains.fixtureUrlCol.as("url")))
+      .select(col("doc_id"), col("registered_domain"))
+    val warc = docsFromWarc(spark, dir)
+      .select(col("doc_id"), col("http_status"), col("n_words"),
+        col("text_md5")).localCheckpoint()
+    val s1 = warc.where(col("http_status") === 200 && col("n_words") > 0)
+      .select("doc_id")
+    val s2 = warc.groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s3 = Domains.urlCanonical(spark, dir)
+      .groupBy(col("url_canonical"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s4 = Domains.urlAllowed(spark, dir).where(col("allowed"))
+      .select("doc_id")
+    val fr = frontierRank(spark, dir)
+      .select(col("doc_id"), col("fetch_order")).localCheckpoint()
+    val s5 = fr.select("doc_id")
+    val s6 = fr.where(col("fetch_order") <= FirstWaveFetches)
+      .select("doc_id")
+    val names = Seq("warc_records", "extracted", "text_dedup",
+      "canonical_url", "robots_admitted", "frontier_ranked", "first_wave")
+    val cumulative = Seq(s1, s2, s3, s4, s5, s6)
+      .scanLeft(d0)((acc, s) => acc.join(s, Seq("doc_id"), "left_semi"))
+    val stages = cumulative.zipWithIndex.map { case (c, k) =>
+      c.agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("registered_domain")).as("n_domains"))
+        .select(lit(k).as("stage"), lit(names(k)).as("stage_name"),
+          col("n_docs"), col("n_domains"))
+    }.reduce(_ unionAll _)
+    val w = Window.partitionBy()
+    val rawDocs = max(when(col("stage") === 0, col("n_docs"))).over(w)
+    stages.select(col("stage"), col("stage_name"), col("n_docs"),
+      col("n_domains"),
+      round(col("n_docs").cast("double") / rawDocs.cast("double"), 6)
+        .as("docs_frac"))
+  }
+
+  lazy val crawlPipelineReportSql: String = {
+    val stageNames = Seq("warc_records", "extracted", "text_dedup",
+      "canonical_url", "robots_admitted", "frontier_ranked", "first_wave")
+    val stageSelects = (0 to 6).map { k =>
+      val joins = (1 to k).map(i => s"JOIN s$i USING (doc_id)").mkString(" ")
+      s"""  SELECT $k AS stage, '${stageNames(k)}' AS stage_name,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(DISTINCT registered_domain) AS BIGINT)
+         |           AS n_domains
+         |  FROM d0 $joins""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, registered_domain FROM (
+       |    SELECT doc_id, url,
+       |           ${Domains.domainSelectSql}
+       |    FROM (SELECT doc_id, source, ${Domains.fixtureUrlSqlExpr} AS url
+       |          FROM documents))
+       |), warc AS (
+       |$docsFromWarcSql
+       |), s1 AS (
+       |  SELECT doc_id FROM warc WHERE http_status = 200 AND n_words > 0
+       |), s2 AS (
+       |  SELECT min(doc_id) AS doc_id FROM warc GROUP BY text_md5
+       |), s3 AS (
+       |  SELECT min(doc_id) AS doc_id FROM (${Domains.urlCanonicalSql})
+       |  GROUP BY url_canonical
+       |), s4 AS (
+       |  SELECT doc_id FROM (${Domains.urlAllowedSql}) WHERE allowed
+       |), fr AS (
+       |  SELECT doc_id, fetch_order FROM ($frontierRankSql)
+       |), s5 AS (
+       |  SELECT doc_id FROM fr
+       |), s6 AS (
+       |  SELECT doc_id FROM fr WHERE fetch_order <= $FirstWaveFetches
+       |), stages AS (
+       |$stageSelects
+       |)
+       |SELECT stage, stage_name, n_docs, n_domains,
+       |       round(CAST(n_docs AS DOUBLE) /
+       |             (SELECT CAST(n_docs AS DOUBLE) FROM stages
+       |              WHERE stage = 0), 6) AS docs_frac
+       |FROM stages""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("crawl_pipeline_report", crawlPipelineReport _,
+      Some(crawlPipelineReportSql)),
     Op("graph_domain_components", domainComponents _,
       Some(domainComponentsSql)),
     Op("graph_domain_hits", domainHits _, Some(domainHitsSql)),

@@ -160,6 +160,29 @@ class HtmlWarcSpec extends SparkSpec {
     }
   }
 
+  test("crawl pipeline report: monotone funnel, full mass at stage 0") {
+    val rows = HtmlExtract.crawlPipelineReport(spark, sfDir)
+      .orderBy(col("stage")).collect()
+    assert(rows.length == 7)
+    assert(rows(0).getString(1) == "warc_records" &&
+      rows(6).getString(1) == "first_wave")
+    val nDocsTotal = Tables(spark, sfDir, "documents").count()
+    assert(rows(0).getLong(2) == nDocsTotal,
+      s"stage 0 must carry the whole corpus: ${rows(0)} vs $nDocsTotal")
+    // cumulative gates: doc AND domain mass never increase stage over
+    // stage — the composition is a funnel, not a re-mix
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) <= a.getLong(2),
+        s"doc mass must be monotone: $a -> $b")
+      assert(b.getLong(3) <= a.getLong(3),
+        s"domain mass must be monotone: $a -> $b")
+    }
+    // the politeness window really cuts: first_wave ≤ 5 pages per
+    // surviving domain
+    assert(rows(6).getLong(2) <= rows(6).getLong(3) * 5)
+    assert(rows(0).getDouble(4) == 1.0 && rows(6).getDouble(4) < 1.0)
+  }
+
   // ---------------------------------------------------------- outlinks
 
   test("outlinks: relative resolved, absolute passed, mailto dropped") {
