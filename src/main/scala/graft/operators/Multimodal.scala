@@ -385,6 +385,7 @@ object Multimodal {
     if (!(tag(0, "RIFF") && tag(8, "WAVE"))) return None
     var off = 12
     var fmtCode = 0; var ch = 0; var bits = 0; var blockAlign = 0
+    var spb = 0 // samples-per-block (fmt extension; block codecs only)
     var dataOff = -1; var dataLen = 0L
     while (off + 8 <= p.length && (fmtCode == 0 || dataOff < 0)) {
       val size = leInt(off + 4).toLong & 0xFFFFFFFFL
@@ -393,39 +394,155 @@ object Multimodal {
         ch = leShort(off + 10)
         blockAlign = leShort(off + 20)
         bits = leShort(off + 22)
+        if (size >= 20 && off + 28 <= p.length) spb = leShort(off + 26)
       } else if (tag(off, "data")) { dataOff = off + 8; dataLen = size }
       val step = 8L + size + (size & 1)
       if (off + step > Int.MaxValue) return None else off += step.toInt
     }
-    if (fmtCode != 1 || bits != 16 || ch <= 0 || blockAlign != 2 * ch ||
-      dataOff < 0) return None
-    val end = math.min(p.length.toLong, dataOff + dataLen).toInt
-    val nFrames = (end - dataOff).toLong / blockAlign
-    if (nFrames <= 0) return None
+    if (ch <= 0 || dataOff < 0) return None
+    // shared stats accumulation: peak/sumSq over all channels, zero
+    // crossings over channel 0 in sample order
     var peak = 0
     var sumSq = 0L
     var zc = 0L
     var prevSign = 0
-    var f = 0L
-    while (f < nFrames) {
-      val base = dataOff + (f * blockAlign).toInt
-      var c = 0
-      while (c < ch) {
-        val s = leShort(base + 2 * c).toShort.toInt
-        val m = math.abs(s)
-        if (m > peak) peak = m
-        sumSq += s.toLong * s
-        c += 1
+    var n = 0L
+    def add(s: Int, isCh0: Boolean): Unit = {
+      val m = math.abs(s)
+      if (m > peak) peak = m
+      sumSq += s.toLong * s
+      n += 1
+      if (isCh0) {
+        val sign = Integer.signum(s)
+        if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+        if (sign != 0) prevSign = sign
       }
-      val s0 = leShort(base).toShort.toInt
-      val sign = Integer.signum(s0)
-      if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
-      if (sign != 0) prevSign = sign
-      f += 1
     }
-    val n = nFrames * ch
-    val rms = math.rint(math.sqrt(sumSq.toDouble / n) * 10000) / 10000
-    Some((n, peak, rms, zc))
+    def stats(): Option[(Long, Int, Double, Long)] =
+      if (n <= 0) None
+      else Some((n, peak,
+        math.rint(math.sqrt(sumSq.toDouble / n) * 10000) / 10000, zc))
+    val end = math.min(p.length.toLong, dataOff + dataLen).toInt
+    fmtCode match {
+      case 1 if bits == 16 && blockAlign == 2 * ch => // linear PCM
+        val nFrames = (end - dataOff).toLong / blockAlign
+        if (nFrames <= 0) return None
+        var f = 0L
+        while (f < nFrames) {
+          val base = dataOff + (f * blockAlign).toInt
+          var c = 0
+          while (c < ch) {
+            add(leShort(base + 2 * c).toShort.toInt, c == 0)
+            c += 1
+          }
+          f += 1
+        }
+        stats()
+      case 6 | 7 if bits == 8 && blockAlign == ch => // G.711 a-law / µ-law
+        val nFrames = (end - dataOff).toLong / ch
+        if (nFrames <= 0) return None
+        var f = 0L
+        while (f < nFrames) {
+          val base = dataOff + (f * ch).toInt
+          var c = 0
+          while (c < ch) {
+            val b = p(base + c) & 0xFF
+            add(if (fmtCode == 6) alawDecode(b) else ulawDecode(b), c == 0)
+            c += 1
+          }
+          f += 1
+        }
+        stats()
+      case 17 if bits == 4 => // IMA ADPCM (block codec: refuse partials)
+        if (blockAlign < 4 * ch + 4 || (blockAlign - 4 * ch) % (4 * ch) != 0)
+          return None
+        // the published layout fixes samples-per-block to the block
+        // geometry: header sample + 2 nibbles per data byte per channel
+        if (spb != (blockAlign - 4 * ch) * 2 / ch + 1) return None
+        if (dataLen <= 0 || dataLen % blockAlign != 0 ||
+          dataOff + dataLen > p.length) return None // truncated: refuse
+        val nBlocks = (dataLen / blockAlign).toInt
+        val pred = new Array[Int](ch)
+        val idx = new Array[Int](ch)
+        var b = 0
+        while (b < nBlocks) {
+          val bo = dataOff + b * blockAlign
+          var c = 0
+          while (c < ch) {
+            pred(c) = leShort(bo + 4 * c).toShort.toInt
+            idx(c) = p(bo + 4 * c + 2) & 0xFF
+            if (idx(c) > 88 || p(bo + 4 * c + 3) != 0) return None
+            add(pred(c), c == 0) // the header predictor IS sample 0
+            c += 1
+          }
+          var pos = bo + 4 * ch
+          while (pos < bo + blockAlign) {
+            var c2 = 0
+            while (c2 < ch) {
+              var k = 0
+              while (k < 4) {
+                val byte = p(pos + 4 * c2 + k) & 0xFF
+                add(imaStep(pred, idx, c2, byte & 0xF), c2 == 0)
+                add(imaStep(pred, idx, c2, byte >> 4), c2 == 0)
+                k += 1
+              }
+              c2 += 1
+            }
+            pos += 4 * ch
+          }
+          b += 1
+        }
+        stats()
+      case _ => None
+    }
+  }
+
+  /** G.711 a-law byte → 16-bit sample (ITU-T G.711 decode, public
+    * reference implementation; MSB set = positive).
+    */
+  private[graft] def alawDecode(b: Int): Int = {
+    val a = b ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = ((a & 0x0F) << 4) + 8
+    if (seg >= 1) t += 0x100
+    if (seg > 1) t <<= seg - 1
+    if ((b & 0x80) != 0) t else -t
+  }
+
+  /** G.711 µ-law byte → 16-bit sample (ITU-T G.711 decode, public
+    * reference implementation; stored inverted, bias 0x84).
+    */
+  private[graft] def ulawDecode(b: Int): Int = {
+    val u = ~b & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** The published IMA/DVI ADPCM step-size and index-adjust tables. */
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM nibble through channel `c`'s (predictor, step-index)
+    * state; returns the decoded sample.
+    */
+  private def imaStep(pred: Array[Int], idx: Array[Int], c: Int,
+      nib: Int): Int = {
+    val step = ImaStepTable(idx(c))
+    var diff = step >> 3
+    if ((nib & 1) != 0) diff += step >> 2
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 4) != 0) diff += step
+    if ((nib & 8) != 0) diff = -diff
+    pred(c) = math.max(-32768, math.min(32767, pred(c) + diff))
+    idx(c) = math.max(0, math.min(88, idx(c) + ImaIndexTable(nib & 7)))
+    pred(c)
   }
 
   /** MSB-first bit reader over a byte array — the FLAC bitstream unit.
@@ -706,10 +823,14 @@ object Multimodal {
     } catch { case _: IndexOutOfBoundsException => None }
   }
 
-  /** Sample pass over the audio assets: real PCM decode where the WAV
-    * container validates, real bitstream decode where the FLAC subset
-    * does, md5 pseudo-stats otherwise — strictly oracled on the text
-    * fixture, golden-tested on synthesized PCM and spec-valid FLAC.
+  /** Sample pass over the audio assets: real decode where the WAV
+    * container validates — linear PCM, G.711 a-law/µ-law, and IMA
+    * ADPCM encodings — real bitstream decode where FLAC does, md5
+    * pseudo-stats otherwise; strictly oracled on the text fixture,
+    * golden-tested on synthesized PCM/G.711/ADPCM and spec-valid FLAC
+    * (the ADPCM goldens bit-match an independently implemented
+    * encoder). Remaining seam: MP3 sample synthesis and inter-frame
+    * video codecs (JNI-by-construction).
     */
   def extractSamples(assets: Dataset[Asset]): Dataset[SampleStats] = {
     import assets.sparkSession.implicits._

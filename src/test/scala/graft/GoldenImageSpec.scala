@@ -192,6 +192,174 @@ class GoldenImageSpec extends SparkSpec {
     assert(Multimodal.decodeWavSamples(f32).isEmpty)
   }
 
+  /** RIFF/WAVE wrapper around arbitrary fmt + data payloads — shared by
+    * the G.711 and IMA-ADPCM goldens.
+    */
+  private def buildWav(fmtCode: Int, ch: Int, bits: Int, blockAlign: Int,
+      spb: Int, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int) = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 255))
+    def le16(v: Int) = (0 until 2).foreach(i => out.write((v >> (8 * i)) & 255))
+    val fmtLen = if (spb > 0) 20 else 16
+    out.write("RIFF".getBytes); le32(20 + fmtLen + data.length)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le32(fmtLen)
+    le16(fmtCode); le16(ch); le32(8000); le32(8000 * blockAlign / ch)
+    le16(blockAlign); le16(bits)
+    if (spb > 0) { le16(2); le16(spb) }
+    out.write("data".getBytes); le32(data.length)
+    out.write(data)
+    out.toByteArray
+  }
+
+  test("G.711 a-law/µ-law: published reference values, sine through the container") {
+    // Published decode pins (ITU-T G.711 / the classic public tables):
+    assert(Multimodal.alawDecode(0xD5) == 8 && Multimodal.alawDecode(0x55) == -8)
+    assert(Multimodal.alawDecode(0xAA) == 32256 &&
+      Multimodal.alawDecode(0x2A) == -32256)
+    assert(Multimodal.ulawDecode(0xFF) == 0 && Multimodal.ulawDecode(0x7F) == 0)
+    assert(Multimodal.ulawDecode(0x80) == 32124 &&
+      Multimodal.ulawDecode(0x00) == -32124)
+    // the full codebooks are symmetric and bounded
+    val aVals = (0 until 256).map(Multimodal.alawDecode)
+    val uVals = (0 until 256).map(Multimodal.ulawDecode)
+    assert(aVals.max == 32256 && aVals.min == -32256)
+    assert(uVals.max == 32124 && uVals.min == -32124)
+    assert(aVals.toSet.size == 256, "a-law codes must be distinct")
+
+    // sine through the WAV container: nearest-code quantization of a
+    // 10000-amp sine; decoded stats must match the quantized reference
+    // exactly, and sit within codec tolerance of the ideal sine
+    def nearest(vals: IndexedSeq[Int], s: Int): Int =
+      vals.indices.minBy(i => (math.abs(vals(i) - s), vals(i)))
+    for ((code, vals) <- Seq(6 -> aVals, 7 -> uVals)) {
+      val sine = Array.tabulate(800)(i =>
+        math.rint(10000 * math.sin(2 * math.Pi * 440 * i / 8000)).toInt)
+      val bytes = sine.map(s => nearest(vals, s).toByte)
+      val decoded = bytes.map(b => vals(b & 0xFF))
+      val wav = buildWav(code, 1, 8, 1, 0, bytes)
+      val Some((n, peak, rms, zc)) = Multimodal.decodeWavSamples(wav)
+      assert(n == 800L, s"fmt $code")
+      assert(peak == decoded.map(math.abs).max, s"fmt $code peak $peak")
+      assert(math.abs(rms - 7071.0) < 160, s"fmt $code rms $rms")
+      var ezc = 0; var prev = 0
+      decoded.foreach { s =>
+        val sg = Integer.signum(s)
+        if (sg != 0 && prev != 0 && sg != prev) ezc += 1
+        if (sg != 0) prev = sg
+      }
+      assert(zc == ezc, s"fmt $code zc $zc != $ezc")
+    }
+  }
+
+  /** Test-side IMA-ADPCM ENCODER (the published IMA/DVI algorithm,
+    * implemented independently of the decoder): returns the encoded
+    * blocks AND the encoder's own reconstructed samples — which the
+    * decoder must reproduce bit-exactly.
+    */
+  private def imaEncode(chans: Seq[Array[Int]], blockAlign: Int)
+      : (Array[Byte], Seq[Array[Int]]) = {
+    val step = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
+      28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+      130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+      449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+      1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+      4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    val idxAdj = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    val ch = chans.length
+    val spb = (blockAlign - 4 * ch) * 2 / ch + 1
+    val nBlocks = chans.head.length / spb
+    val out = new java.io.ByteArrayOutputStream()
+    val recon = chans.map(_ => Array.newBuilder[Int])
+    val idx = new Array[Int](ch)
+    for (b <- 0 until nBlocks) {
+      val pred = new Array[Int](ch)
+      for (c <- 0 until ch) {
+        pred(c) = chans(c)(b * spb)
+        out.write(pred(c) & 255); out.write((pred(c) >> 8) & 255)
+        out.write(idx(c)); out.write(0)
+        recon(c) += pred(c)
+      }
+      def nib(c: Int, s: Int): Int = {
+        val st = step(idx(c))
+        var diff = s - pred(c)
+        var v = 0
+        if (diff < 0) { v = 8; diff = -diff }
+        if (diff >= st) { v |= 4; diff -= st }
+        if (diff >= (st >> 1)) { v |= 2; diff -= st >> 1 }
+        if (diff >= (st >> 2)) v |= 1
+        // decoder-mirror state update
+        var d = st >> 3
+        if ((v & 1) != 0) d += st >> 2
+        if ((v & 2) != 0) d += st >> 1
+        if ((v & 4) != 0) d += st
+        if ((v & 8) != 0) d = -d
+        pred(c) = math.max(-32768, math.min(32767, pred(c) + d))
+        idx(c) = math.max(0, math.min(88, idx(c) + idxAdj(v & 7)))
+        recon(c) += pred(c)
+        v
+      }
+      var s = 1
+      while (s < spb) {
+        for (c <- 0 until ch) {
+          var k = 0
+          while (k < 4) {
+            val lo = nib(c, chans(c)(b * spb + s + 2 * k))
+            val hi = nib(c, chans(c)(b * spb + s + 2 * k + 1))
+            out.write(lo | (hi << 4))
+            k += 1
+          }
+        }
+        s += 8
+      }
+    }
+    (out.toByteArray, recon.map(_.result()))
+  }
+
+  test("IMA ADPCM: decoder bit-matches an independent encoder, mono + stereo") {
+    def expectedOf(chans: Seq[Array[Int]]): (Long, Int, Double, Long) = {
+      val n = chans.map(_.length.toLong).sum
+      val peak = chans.flatMap(_.map(math.abs)).max
+      val sumSq = chans.flatMap(_.map(s => s.toLong * s)).sum
+      val rms = math.rint(math.sqrt(sumSq.toDouble / n) * 10000) / 10000
+      var zcv = 0L; var prev = 0
+      chans.head.foreach { s =>
+        val sg = Integer.signum(s)
+        if (sg != 0 && prev != 0 && sg != prev) zcv += 1
+        if (sg != 0) prev = sg
+      }
+      (n, peak, rms, zcv)
+    }
+    // mono: 2 blocks of 505 samples (blockAlign 256)
+    val mono = Array.tabulate(1010)(i =>
+      math.rint(9000 * math.sin(2 * math.Pi * 300 * i / 8000)).toInt)
+    val (md, mrec) = imaEncode(Seq(mono), 256)
+    val mwav = buildWav(17, 1, 4, 256, 505, md)
+    val got = Multimodal.decodeWavSamples(mwav)
+    assert(got.contains(expectedOf(mrec)), s"mono: $got")
+
+    // stereo: interleaved 4-byte channel words (blockAlign 16, spb 9)
+    val l = Array.tabulate(18)(i => i * 500 - 4000)
+    val r = Array.tabulate(18)(i => 1000 - i * 300)
+    val (sd, srec) = imaEncode(Seq(l, r), 16)
+    val swav = buildWav(17, 2, 4, 16, 9, sd)
+    val got2 = Multimodal.decodeWavSamples(swav)
+    assert(got2.contains(expectedOf(srec)), s"stereo: $got2")
+
+    // refusals: truncated final block, reserved step index, spb mismatch
+    assert(Multimodal.decodeWavSamples(
+      mwav.take(mwav.length - 5)).isEmpty, "truncated block must refuse")
+    val badIdx = mwav.clone()
+    badIdx(50) = 90 // block 0 stepIndex (data at 48; 2-byte pred first)
+    assert(Multimodal.decodeWavSamples(badIdx).isEmpty,
+      "stepIndex > 88 must refuse")
+    val badSpb = buildWav(17, 1, 4, 256, 504, md)
+    assert(Multimodal.decodeWavSamples(badSpb).isEmpty,
+      "samples-per-block mismatch must refuse")
+  }
+
   // ------------------------------------------------ FLAC sample decode
 
   private final class BitWriter {
