@@ -1322,7 +1322,7 @@ object Similarity {
     * hyperparameters so a geometry/depth change re-builds instead of
     * serving a stale index.
     */
-  private def servedPq(spark: SparkSession,
+  private[graft] def servedPq(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val (store, ts) = graft.sources.SnapshotStore.contentAddressed(
       spark, s"$dir/embeddings.parquet",
@@ -1764,6 +1764,51 @@ object Similarity {
 
   def topkPqIncrementalCheck(spark: SparkSession, dir: String): DataFrame =
     topkValueCheck(topkPqIncremental(spark, dir), emb(spark, dir))
+
+  /** The served artifacts COLLECTED for the stateless ingest projection:
+    * NList centroid rows and M×Ks codebook rows — both bounded by
+    * contract (16 resp. 512 rows), the LR-weights collect convention.
+    */
+  private[graft] def servedArtifactRows(spark: SparkSession, dir: String)
+      : (Seq[(Long, Seq[Float])], Seq[(Int, Int, Seq[Float])]) = {
+    val (cent, _) = servedIvfIndex(spark, dir)
+    val (book, _) = servedPq(spark, dir)
+    (cent.collect().toSeq.map(r =>
+       (r.getLong(0), r.getSeq[Float](1))),
+     book.collect().toSeq.map(r =>
+       (r.getInt(0), r.getInt(1), r.getSeq[Float](2))))
+  }
+
+  /** Stateless ANN ingest projection over any (vec_id, embedding) frame
+    * — the insert-on-arrival kernel: per row, the IVF cell (argmax
+    * cosine over the literal centroid array, the `TopKAgg` tie-break:
+    * score desc then id asc) and the M PQ codes (min L2 per sub-space,
+    * code tie-break) as ONE codegen'd expression with zero aggregation
+    * state. Because it aggregates nothing, the identical function body
+    * serves the batch table and a landing STREAM (the `gopherMetrics`
+    * convention — `CorpusStream.annIngestStream` is the streaming twin),
+    * and parity with the batch `assignCells`/`pqCodes` paths is exact:
+    * same cosine/L2 double arithmetic over the same artifacts, same tie
+    * order, pinned row-for-row in StreamingSpec.
+    */
+  private[graft] def annIngestCols(embs: DataFrame,
+      cents: Seq[(Long, Seq[Float])],
+      book: Seq[(Int, Int, Seq[Float])]): DataFrame = {
+    val centLit = typedLit(cents)
+    val scored = transform(centLit, c =>
+      struct((-V.cosine(col("embedding"), c("_2"))).as("negcos"),
+        c("_1").as("id")))
+    val cell = get(array_sort(scored), lit(0))("id")
+    val codeCols = (0 until PqM).map { m =>
+      val bm = typedLit(book.filter(_._1 == m).map(b => (b._2, b._3)))
+      val sub = slice(col("embedding"), m * PqDsub + 1, PqDsub)
+      val cand = transform(bm, b =>
+        struct(pqL2(sub, b("_2")).as("d2"), b("_1").as("code")))
+      get(array_sort(cand), lit(0))("code")
+    }
+    embs.select(col("vec_id"), cell.as("cell"),
+      array(codeCols: _*).as("codes"))
+  }
 
   val ops: Seq[Op] = Seq(
     Op("sim_index_insert", indexInsert _, None),

@@ -51,6 +51,27 @@ object CorpusStream {
       graft.operators.Domains.crawlDelays(spark, dir))
   }
 
+  /** Streaming ANN ingest: embeddings arrive as a stream and leave with
+    * their IVF cell and PQ codes assigned ON ARRIVAL against the
+    * engine's own SERVED index artifacts (`servedIvfIndex`/`servedPq`) —
+    * the continuous form of the batch insert step (`ivfInsertStep` /
+    * `pqInsertStep`): a real embedding store assigns each arriving
+    * vector immediately and folds the assignments into the next index
+    * snapshot at compaction time. The centroid/codebook frames are
+    * bounded by contract (16 / 512 rows) and enter the plan as LITERAL
+    * arrays, so the whole operator is one stateless codegen'd
+    * projection — no stream state, no watermark, batch parity by
+    * construction (pinned row-for-row in StreamingSpec against the
+    * batch assignment paths). Input: any streaming frame with
+    * (vec_id, embedding).
+    */
+  def annIngestStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      embs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (cents, book) =
+      graft.operators.Similarity.servedArtifactRows(spark, dir)
+    graft.operators.Similarity.annIngestCols(embs, cents, book)
+  }
+
   /** Streaming greedy sequence packing — `Curation.pack`'s running
     * prefix sum carried as stream state instead of a window: each shard
     * keeps ONE number (its cumulative token total) and every arriving

@@ -690,6 +690,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ANN ingest stream: arrival-time cell+code assignment equals the served index") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // stream the corpus's own vectors: the served batch index already
+    // assigned every one of them, so the stateless arrival-time path
+    // must reproduce cell AND all M codes row-for-row
+    val corpus = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.CorpusStream
+      .annIngestStream(spark, sfDir, mem.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("annin_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(corpus.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("annin_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2).toList)))
+        .toMap
+      assert(got.size == corpus.length)
+      val expCell = graft.operators.Similarity.servedIvfIndex(spark, sfDir)
+        ._2.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val expCodes = graft.operators.Similarity.servedPq(spark, sfDir)
+        ._2.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .groupBy(_._1).map { case (v, rs) =>
+          v -> rs.sortBy(_._2).map(_._3).toList }
+      corpus.foreach { case (v, _) =>
+        assert(got(v)._1 == expCell(v), s"cell parity broke for vec $v")
+        assert(got(v)._2 == expCodes(v), s"code parity broke for vec $v")
+      }
+    } finally q.stop()
+  }
+
   test("frontier stream: arrival-time admission + scoring equals the batch scores") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
