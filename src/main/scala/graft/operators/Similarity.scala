@@ -1673,10 +1673,13 @@ object Similarity {
       .crossJoin(broadcast(batchErr))
       .withColumn("err_ratio",
         // a zero-error base (every vector a codebook seed — tiny corpus)
-        // makes any nonzero batch error infinite drift, not a crash
-        when(col("base_qerr") > 0, col("batch_qerr") / col("base_qerr"))
-          .otherwise(when(col("batch_qerr") > 0,
-            lit(Double.PositiveInfinity)).otherwise(lit(1.0))))
+        // makes any nonzero batch error infinite drift, not a crash; an
+        // EMPTY insert (all-replay batch → null batch error) is calm
+        coalesce(
+          when(col("base_qerr") > 0, col("batch_qerr") / col("base_qerr"))
+            .otherwise(when(col("batch_qerr") > 0,
+              lit(Double.PositiveInfinity)).otherwise(lit(1.0))),
+          lit(1.0)))
       .select(col("cell"), col("n_before"), col("n_added"), col("n_after"),
         round(col("skew"), 4).as("cell_skew"),
         (col("skew") > IvfDriftSkewMax).as("ivf_retrain"),
@@ -1764,6 +1767,36 @@ object Similarity {
 
   def topkPqIncrementalCheck(spark: SparkSession, dir: String): DataFrame =
     topkValueCheck(topkPqIncremental(spark, dir), emb(spark, dir))
+
+  /** One full maintenance step — the ACTION the drift gate exists for:
+    * insert `batch` (IVF + PQ, `prevTs` → `nextTs`), read the gate
+    * against `baseTs`'s training-time error floor, and when either flag
+    * fires REBUILD the index from the full extended corpus at
+    * `${nextTs}_rb` (fresh Lloyd centroids + fresh codebook — the
+    * fallback both retrain flags point at). Returns (servingTs,
+    * retrained): callers serve from `servingTs` either way, so the
+    * rotation is invisible to readers — the snapshot-pointer discipline.
+    * Cost: batch-proportional serving arithmetic when calm; one
+    * corpus-proportional rebuild exactly when the gate says the frozen
+    * geometry stopped fitting (spec: a rebuilt index absorbs the
+    * drifted direction, so the NEXT alien batch rides in calm).
+    */
+  private[graft] def maintainStep(spark: SparkSession,
+      store: graft.sources.SnapshotStore, batch: DataFrame,
+      baseTs: String, prevTs: String, nextTs: String): (String, Boolean) = {
+    ivfInsertStep(spark, store, batch, prevTs, nextTs)
+    pqInsertStep(spark, store, batch, prevTs, nextTs)
+    val flags = insertDriftReport(spark, store, baseTs, nextTs)
+      .select(col("ivf_retrain"), col("pq_retrain")).limit(1).collect()
+    val retrain = flags.nonEmpty &&
+      (flags(0).getBoolean(0) || flags(0).getBoolean(1))
+    if (retrain) {
+      val corpus = store.readTableSnapshot(spark, "ivf_cells", nextTs)
+        .select(col("vec_id"), col("embedding"))
+      buildIncBase(spark, store, corpus, s"${nextTs}_rb")
+      (s"${nextTs}_rb", true)
+    } else (nextTs, false)
+  }
 
   /** The served artifacts COLLECTED for the stateless ingest projection:
     * NList centroid rows and M×Ks codebook rows — both bounded by

@@ -188,6 +188,52 @@ class DedupSimilaritySpec extends SparkSpec {
       s"quantization-error gate must flip on the alien batch: ${hot.mkString(",")}")
   }
 
+  test("ANN maintain: calm serves extended; drift rebuilds; rebuilt index absorbs the shift") {
+    import spark.implicits._
+    def v(id: Long): Seq[Float] =
+      Array.tabulate(64)(d => math.sin(d * 1.3 + id * 2.7).toFloat * 3f).toSeq
+    // an alien FAMILY: four direction clusters on a different basis —
+    // spread over several cells (skew stays calm), quantizes badly
+    // against the v-family codebook (err gate fires), and near-exactly
+    // against a codebook retrained after the rebuild (absorbed)
+    def g(id: Long): Seq[Float] =
+      Array.tabulate(64)(d => (math.cos(d * 0.9 + (id % 4) * 1.5) * 3 +
+        (id % 7) * 0.01).toFloat).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("annmaint").toString
+    val base = (0L until 300L).map(i => (i, v(i)))
+    base.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val (store, _) = graft.sources.SnapshotStore.contentAddressed(
+      spark, s"$dir/embeddings.parquet", "spec_annmaint")
+    Similarity.buildIncBase(spark, store,
+      base.toDF("vec_id", "embedding"), "t0")
+
+    // same-distribution batch: gate calm, serve the EXTENDED snapshot
+    val calm = (1100L until 1110L).map(i => (i, v(i)))
+      .toDF("vec_id", "embedding")
+    val (ts1, re1) = Similarity.maintainStep(spark, store, calm,
+      "t0", "t0", "m1")
+    assert(ts1 == "m1" && !re1, s"calm batch must not rebuild: $ts1 $re1")
+
+    // alien batch: gate fires, maintenance rotates to a rebuilt base
+    val alien1 = (2000L until 2100L).map(i => (i, g(i)))
+      .toDF("vec_id", "embedding")
+    val (ts2, re2) = Similarity.maintainStep(spark, store, alien1,
+      "t0", "m1", "m2")
+    assert(ts2 == "m2_rb" && re2, s"alien batch must rebuild: $ts2 $re2")
+    // the rebuilt snapshot carries the full corpus
+    assert(store.readTableSnapshot(spark, "ivf_cells", "m2_rb").count()
+      == 300 + 10 + 100)
+
+    // a SECOND alien batch against the rebuilt index: the codebook now
+    // covers the alien basis, so the same family rides in calm
+    val alien2 = (3000L until 3100L).map(i => (i, g(i)))
+      .toDF("vec_id", "embedding")
+    val (ts3, re3) = Similarity.maintainStep(spark, store, alien2,
+      "m2_rb", "m2_rb", "m3")
+    assert(ts3 == "m3" && !re3,
+      s"rebuilt index must absorb the drifted family: $ts3 $re3")
+  }
+
   test("minhash LSH finds constructed near-dups, skips unrelated docs") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"t$i").mkString(" ")
