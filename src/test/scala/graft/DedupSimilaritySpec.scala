@@ -234,6 +234,27 @@ class DedupSimilaritySpec extends SparkSpec {
       s"rebuilt index must absorb the drifted family: $ts3 $re3")
   }
 
+  test("plan shapes: ANN ingest is exchange-free; edit pairs has no cartesian") {
+    // the ingest projection must stay stateless whatever the input
+    // size — ZERO exchanges (that is what makes it stream-safe)
+    val (cents, book) = Similarity.servedArtifactRows(spark, sfDir)
+    val plan1 = Similarity.annIngestCols(
+      Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+      cents, book).queryExecution.executedPlan.toString
+    assert(!plan1.contains("Exchange"), s"ingest must not shuffle:\n$plan1")
+    // edit pairs: the paired-signature equi-join only; the single
+    // BroadcastNestedLoopJoin is the 1-row capped-buckets audit scalar
+    val df = Dedup.editPairs(spark, sfDir)
+    df.collect()
+    val plan2 = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan2.contains("CartesianProduct"),
+      s"cartesian in edit pairs:\n$plan2")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan2).size <= 1,
+      s"non-scalar nested-loop join in edit pairs:\n$plan2")
+  }
+
   test("minhash LSH finds constructed near-dups, skips unrelated docs") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"t$i").mkString(" ")
