@@ -581,7 +581,96 @@ object Domains {
        |       COALESCE(directive, 'Allow') = 'Allow' AS allowed
        |FROM m WHERE rk = 1""".stripMargin
 
+  // ------------------------------------------------ crawl_seen_bloom
+
+  /** Bloom-filter URL-seen gate — the frontier primitive that makes
+    * "have we fetched this URL before?" affordable at 100 TB: exact
+    * membership needs an anti-join against ALL crawl history per
+    * discovered URL, while the Bloom summarizes history into `BloomBits`
+    * bits that BROADCAST (the bit frame is |bits-set| rows ≤ 16 Ki —
+    * KBs — vs a billions-row history), so definitely-new URLs skip
+    * history entirely and only `maybe_seen` rows pay the exact lookup —
+    * the candidates-only confirm discipline the dedup family uses.
+    * No false negatives by construction (every history URL sets all its
+    * bits), false positives bounded by (1 − e^(−kn/m))^k.
+    *
+    * Hashes are md5-hex-prefix derived (the portable-across-engines
+    * convention the fetch planner's bucketing uses — xxhash64 would be
+    * engine-specific and force rows-only), so the oracle recomputes the
+    * exact same bit array and the op is hash-exact oracled, unlike any
+    * native-hash bloom. Fixture semantics: history = even doc_ids'
+    * canonical URLs; the probe set is EVERY canonical URL (a frontier
+    * re-discovers old pages alongside new ones), so `actually_seen` has
+    * real mass and `false_positive` audits the filter against exact
+    * truth on the same row.
+    */
+  private val BloomBits = 1 << 14
+  private val BloomHashes = 3
+
+  /** Core over any (doc_id, url) probe/history frames, parameterized so
+    * the spec can shrink the filter and force false positives.
+    */
+  private[graft] def seenBloomCore(probe: DataFrame, hist: DataFrame,
+      mBits: Int, kHashes: Int): DataFrame = {
+    def pos(c: Column, i: Int): Column =
+      conv(substring(md5(concat(c, lit(s"#$i"))), 1, 8), 16, 10)
+        .cast("long") % mBits
+    val bits = hist.select(explode(array((0 until kHashes).map(i =>
+      pos(col("url"), i)): _*)).as("bit")).distinct()
+    val nSet = probe.select(col("doc_id"),
+        explode(array((0 until kHashes).map(i =>
+          pos(col("url"), i)): _*)).as("bit"))
+      .join(broadcast(bits), Seq("bit"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_set"))
+    // exact membership via a history join on the URL itself
+    val exact = probe
+      .join(hist.select(col("url"), lit(true).as("actually_seen"))
+        .distinct(), Seq("url"), "left")
+    exact.join(nSet, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("n_set"), lit(0L)) === kHashes).as("maybe_seen"),
+        coalesce(col("actually_seen"), lit(false)).as("actually_seen"))
+      .withColumn("false_positive",
+        col("maybe_seen") && !col("actually_seen"))
+  }
+
+  def seenBloom(spark: SparkSession, dir: String): DataFrame = {
+    val urls = urlCanonical(spark, dir)
+      .select(col("doc_id"), col("url_canonical").as("url"))
+    seenBloomCore(urls, urls.where(col("doc_id") % 2 === 0),
+      BloomBits, BloomHashes)
+  }
+
+  val seenBloomSql: String = {
+    def pos(c: String, i: Int): String =
+      s"CAST(CAST(concat('0x', substr(md5(concat($c, '#$i')), 1, 8)) " +
+        s"AS UBIGINT) % $BloomBits AS BIGINT)"
+    val posList = (0 until BloomHashes).map(i => pos("url", i))
+      .mkString("[", ", ", "]")
+    s"""WITH urls AS (
+       |  SELECT doc_id, url_canonical AS url FROM ($urlCanonicalSql)
+       |), hist AS (
+       |  SELECT * FROM urls WHERE doc_id % 2 = 0
+       |), bits AS (
+       |  SELECT DISTINCT unnest($posList) AS bit FROM hist
+       |), nset AS (
+       |  SELECT doc_id, count(*) AS n_set FROM (
+       |    SELECT doc_id, unnest($posList) AS bit FROM urls
+       |  ) p JOIN bits USING (bit)
+       |  GROUP BY doc_id
+       |)
+       |SELECT u.doc_id,
+       |       COALESCE(n_set, 0) = $BloomHashes AS maybe_seen,
+       |       (h.url IS NOT NULL) AS actually_seen,
+       |       COALESCE(n_set, 0) = $BloomHashes AND h.url IS NULL
+       |         AS false_positive
+       |FROM urls u
+       |LEFT JOIN (SELECT DISTINCT url FROM hist) h ON h.url = u.url
+       |LEFT JOIN nset ON nset.doc_id = u.doc_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("crawl_seen_bloom", seenBloom _, Some(seenBloomSql)),
     Op("crawl_robots_rules", robotsRules _, Some(robotsRulesSql)),
     Op("crawl_url_allowed", urlAllowed _, Some(urlAllowedSql)),
     Op("crawl_fetch_plan", fetchPlan _, Some(fetchPlanSql)),

@@ -286,4 +286,34 @@ class DomainsSpec extends SparkSpec {
     val fast = rows.filter(_._2 == "heritage.org.nz").map(_._4).max
     assert(slow < fast, s"delay did not demote: $slow vs $fast")
   }
+
+  test("seen bloom: no false negatives ever; tiny filter shows flagged FPs") {
+    import spark.implicits._
+    val hist = (0L until 40L).map(i => (i, s"https://h/$i"))
+    // probe re-discovers half of history plus 60 novel URLs
+    val probe = hist.take(20) ++ (100L until 160L).map(i => (i, s"https://h/$i"))
+    val probeDf = probe.toDF("doc_id", "url")
+    val histDf = hist.toDF("doc_id", "url")
+    // production-sized filter: exact answers on this tiny set
+    val big = Domains.seenBloomCore(probeDf, histDf, 1 << 14, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3)))).toMap
+    assert(big.size == 80)
+    probe.foreach { case (id, _) =>
+      val (maybe, actual, fp) = big(id)
+      assert(!actual || maybe, s"false negative at $id — bloom contract broken")
+      assert(fp == (maybe && !actual), s"fp flag inconsistent at $id")
+    }
+    assert(hist.take(20).forall { case (id, _) => big(id)._2 })
+    // a 16-bit filter saturates: still ZERO false negatives, many
+    // flagged false positives — the audit column earns its keep
+    val tiny = Domains.seenBloomCore(probeDf, histDf, 16, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3)))).toMap
+    probe.foreach { case (id, _) =>
+      assert(!tiny(id)._2 || tiny(id)._1, s"false negative at $id (tiny)")
+    }
+    assert(tiny.values.count(_._3) > 0,
+      "a saturated filter must show flagged false positives")
+  }
 }
