@@ -906,6 +906,108 @@ object Analytics {
       |FROM (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL)
       |CROSS JOIN (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)""".stripMargin
 
+  /** Count-min-sketch heavy hitters over the corpus token stream
+    * (Cormode–Muthukrishnan 2005) — the frequency sketch a streaming
+    * vocabulary/abuse monitor runs when exact per-token counts don't
+    * fit: depth × width counters (3 × 1024 here — KBs at ANY corpus
+    * size), point query = min over the depth rows, one-sided error
+    * (never under-counts; over-counts by ≤ εN w.h.p., ε ≈ 2/width).
+    *
+    * Unlike the HLL/KLL ops — rows-only because their native sketches
+    * are engine-specific — this CMS is FULLY ORACLED: the row hashes
+    * are md5-hex-prefix derived (the portable convention `crawl_seen_bloom`
+    * and the fetch planner use), so DuckDB rebuilds the identical
+    * counter table and the driver hash-compares estimates, exact
+    * counts, and both error-contract booleans per row.
+    *
+    * Scale shape: the counter build is one groupBy over (row, bucket) —
+    * 3 rows per token map-side-combined into ≤ 3×1024 cells; the
+    * estimate probe joins candidate tokens against the BROADCAST
+    * counter frame. The exact-count column is the fixture-scale audit
+    * (one vocab groupBy); at 100 TB the sketch's point is that probes
+    * never need it — the audit shows per-row what that trade costs.
+    * Top-K under the (estimate DESC, token ASC) total order.
+    */
+  private val CmsDepth = 3
+  private val CmsWidth = 1024
+  private val CmsTopK = 20
+
+  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir, "documents")
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+    heavyHittersCmsCore(words, CmsWidth, CmsDepth, CmsTopK)
+  }
+
+  /** Core over any single-column `w` token frame, parameterized so the
+    * spec can shrink the width and watch collisions over-count (never
+    * under-count).
+    */
+  private[graft] def heavyHittersCmsCore(words: DataFrame, width: Int,
+      depth: Int, topK: Int): DataFrame = {
+    def h(c: Column, j: Int): Column =
+      conv(substring(md5(concat(c, lit(s"#$j"))), 1, 8), 16, 10)
+        .cast("long") % width
+    def positions(c: Column): Column =
+      posexplode(array((0 until depth).map(j => h(c, j)): _*))
+    val counters = words
+      .select(positions(col("w")).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val total = counters.where(col("j") === 0)
+      .agg(sum(col("cnt")).as("n_total"))
+    val exact = words.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+    exact
+      .select(col("w"), col("exact"), positions(col("w")).as(Seq("j", "bucket")))
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(col("w"), col("exact"))
+      .agg(min(col("cnt")).as("est"))
+      .crossJoin(broadcast(total))
+      .orderBy(col("est").desc, col("w").asc)
+      .limit(topK)
+      .select(col("w").as("token"), col("est").as("cms_estimate"),
+        col("exact").as("exact_count"),
+        (col("est") >= col("exact")).as("no_underestimate"),
+        ((col("est") - col("exact")).cast("double")
+          <= lit(2.0) * col("n_total") / width).as("within_eps"))
+  }
+
+  val heavyHittersCmsSql: String = {
+    def pos(c: String): String =
+      (0 until CmsDepth).map(j =>
+        s"CAST(CAST(concat('0x', substr(md5(concat($c, '#$j')), 1, 8)) " +
+          s"AS UBIGINT) % $CmsWidth AS BIGINT)").mkString("[", ", ", "]")
+    s"""WITH w0 AS (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+       |), words AS (
+       |  SELECT w FROM w0 WHERE w <> ''
+       |), inst AS (
+       |  SELECT w, generate_subscripts(${pos("w")}, 1) - 1 AS j,
+       |         unnest(${pos("w")}) AS bucket
+       |  FROM words
+       |), counters AS (
+       |  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM inst GROUP BY 1, 2
+       |), total AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM counters WHERE j = 0
+       |), exact AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS exact FROM words GROUP BY 1
+       |), probes AS (
+       |  SELECT DISTINCT w, j, bucket FROM inst
+       |), est AS (
+       |  SELECT p.w, min(c.cnt) AS est
+       |  FROM probes p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+       |  GROUP BY p.w
+       |)
+       |SELECT e.w AS token, CAST(est AS BIGINT) AS cms_estimate,
+       |       exact AS exact_count,
+       |       est >= exact AS no_underestimate,
+       |       CAST(est - exact AS DOUBLE)
+       |         <= 2.0 * n_total / $CmsWidth AS within_eps
+       |FROM est e JOIN exact USING (w) CROSS JOIN total
+       |ORDER BY est DESC, token ASC
+       |LIMIT $CmsTopK""".stripMargin
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of two event types — the distribution-shift test that
     * complements `stats_drift`'s binned PSI with a bin-free exact D =
@@ -2033,6 +2135,7 @@ object Analytics {
     Op("agg_quantile_sketch", quantileSketch _, None),
     Op("agg_quantile_sketch_check", quantileSketchCheck _,
       Some(quantileSketchCheckSql)),
+    Op("agg_heavy_hitters_cms", heavyHittersCms _, Some(heavyHittersCmsSql)),
     Op("stats_skew_report", skewReport _, Some(skewReportSql)),
     Op("dq_checks", dqChecks _, Some(dqChecksSql)),
     Op("agg_pareto", aggPareto _, Some(aggParetoSql)),

@@ -251,4 +251,28 @@ class SkewApproxSpec extends SparkSpec {
     val big = bytesFor(100000)
     assert(big <= small * 2, s"sketch grew $small -> $big bytes at 100x")
   }
+
+  test("CMS heavy hitters: exact at real width, one-sided error when crushed") {
+    import spark.implicits._
+    // planted stream: token "hot" x 100, "warm" x 40, 30 singletons
+    val words = (Seq.fill(100)("hot") ++ Seq.fill(40)("warm") ++
+      (1 to 30).map(i => s"rare$i")).toDF("w")
+    val wide = Analytics.heavyHittersCmsCore(words, width = 1024,
+      depth = 3, topK = 5).collect()
+    val byTok = wide.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+      r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(byTok("hot") == ((100L, 100L, true, true)), s"got $byTok")
+    assert(byTok("warm") == ((40L, 40L, true, true)), s"got $byTok")
+    assert(wide.head.getString(0) == "hot", "top-1 must be the hot token")
+    // crush the filter to 4 buckets: collisions must OVER-count only —
+    // the CMS one-sided guarantee — and the top token still surfaces
+    val tiny = Analytics.heavyHittersCmsCore(words, width = 4,
+      depth = 2, topK = 32).collect()
+    assert(tiny.forall(_.getBoolean(3)),
+      s"CMS must never under-count: ${tiny.mkString(",")}")
+    assert(tiny.exists(r => r.getLong(1) > r.getLong(2)),
+      "a 4-bucket filter over 32 tokens must show inflated estimates")
+    val hotRow = tiny.find(_.getString(0) == "hot").get
+    assert(hotRow.getLong(1) >= 100L)
+  }
 }
