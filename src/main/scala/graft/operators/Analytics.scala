@@ -1008,6 +1008,122 @@ object Analytics {
        |LIMIT $CmsTopK""".stripMargin
   }
 
+  /** Portable-hash HyperLogLog distinct-token estimate per source
+    * (Flajolet et al. 2007) — the FULLY-ORACLED twin of `agg_approx`'s
+    * native `approx_count_distinct` (rows-only, engine-specific sketch):
+    * registers derive from the md5-hex-prefix hash (the portable
+    * convention), bucket = top 8 of 32 hash bits (m = 256 registers),
+    * register rank = leading-zero count of the low 24 bits + 1 via the
+    * EXACT `bin()`-string-length identity (floor(log2)+1 with no float
+    * log anywhere). The indicator sum Σ 2^(−M_j) is a sum of exact
+    * powers of two spanning < 52 mantissa bits, so every partial sum is
+    * exact and ORDER-INDEPENDENT — the one place a float sum is safe by
+    * construction. Small-range correction (linear counting m·ln(m/V)
+    * when raw ≤ 2.5m and empty registers exist) goes through the house
+    * ln discipline: final estimate rounded to 4 dp absorbs libm ulp
+    * divergence. The exact-distinct column audits the estimate per row;
+    * `within_bound` pins |err| ≤ 3σ = 3·1.04/√m ≈ 19.5%.
+    *
+    * Scale shape: the corpus reduces to (source, bucket) max-rank — map
+    * side combine to ≤ |sources|·256 cells; densify against a literal
+    * 256-row range; everything after is arithmetic on a KB frame. The
+    * exact column is the fixture-scale audit (one distinct per source);
+    * the sketch's point at 100 TB is mergeable constant state.
+    */
+  private val HllM = 256
+
+  def distinctHllPortable(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"), explode(split(trim(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+    distinctHllCore(spark, toks)
+  }
+
+  /** Core over any (source, w) frame — split out so the spec can drive
+    * a high-cardinality stream through the raw-estimate branch (the
+    * fixture vocabulary sits in the linear-counting regime).
+    */
+  private[graft] def distinctHllCore(spark: SparkSession,
+      toks: DataFrame): DataFrame = {
+    val v = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+    val bucket = shiftright(v, 24)
+    val w24 = v.bitwiseAND(lit(0xFFFFFFL))
+    val rank = when(w24 === 0, lit(25))
+      .otherwise(lit(25) - length(bin(w24)))
+    val regs = toks
+      .select(col("source"), bucket.as("bucket"), rank.as("rank"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rank")).as("mj"))
+    val dense = toks.select(col("source")).distinct()
+      .crossJoin(spark.range(HllM).select(col("id").as("bucket")))
+      .join(regs, Seq("source", "bucket"), "left")
+      .select(col("source"), coalesce(col("mj"), lit(0L)).as("mj"))
+    val perSource = dense.groupBy(col("source"))
+      .agg(sum(pow(lit(2.0), -col("mj"))).as("ind"),
+        count(when(col("mj") === 0, 1)).as("v0"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / HllM)
+    val raw = alpha * HllM * HllM / col("ind")
+    val est = round(
+      when(raw <= 2.5 * HllM && col("v0") > 0,
+        lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v0")))
+        .otherwise(raw), 4)
+    val exact = toks.groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("exact_distinct"))
+    perSource.join(exact, Seq("source"))
+      .select(col("source"), est.as("hll_estimate"), col("exact_distinct"),
+        round(abs(est - col("exact_distinct")) / col("exact_distinct"), 6)
+          .as("rel_err"))
+      .withColumn("within_bound", col("rel_err") <= lit(3.0 * 1.04) /
+        math.sqrt(HllM.toDouble))
+  }
+
+  val distinctHllPortableSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, w FROM (
+       |    SELECT source, unnest(string_split(trim(text), ' ')) AS w
+       |    FROM documents) WHERE w <> ''
+       |), hashed AS (
+       |  SELECT source,
+       |         CAST(CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT)
+       |              AS BIGINT) AS v
+       |  FROM toks
+       |), regs AS (
+       |  SELECT source, v // 16777216 AS bucket,
+       |         max(CASE WHEN v % 16777216 = 0 THEN 25
+       |                  ELSE 25 - length(bin(v % 16777216)) END) AS mj
+       |  FROM hashed GROUP BY 1, 2
+       |), dense AS (
+       |  SELECT s.source, t.bucket, COALESCE(mj, 0) AS mj
+       |  FROM (SELECT DISTINCT source FROM toks) s
+       |  CROSS JOIN (SELECT unnest(range($HllM)) AS bucket) t
+       |  LEFT JOIN regs ON regs.source = s.source AND regs.bucket = t.bucket
+       |), per_source AS (
+       |  SELECT source, sum(pow(2.0, -mj)) AS ind,
+       |         CAST(count(CASE WHEN mj = 0 THEN 1 END) AS BIGINT) AS v0
+       |  FROM dense GROUP BY 1
+       |), est AS (
+       |  SELECT source, v0, ind,
+       |         (0.7213 / (1.0 + 1.079 / $HllM)) * $HllM * $HllM / ind
+       |           AS raw
+       |  FROM per_source
+       |), e2 AS (
+       |  SELECT source,
+       |         round(CASE WHEN raw <= 2.5 * $HllM AND v0 > 0
+       |                    THEN CAST($HllM AS DOUBLE) *
+       |                         ln(CAST($HllM AS DOUBLE) / v0)
+       |                    ELSE raw END, 4) AS hll_estimate
+       |  FROM est
+       |), exact AS (
+       |  SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+       |  FROM toks GROUP BY 1
+       |)
+       |SELECT e2.source, hll_estimate, exact_distinct,
+       |       round(abs(hll_estimate - exact_distinct) / exact_distinct, 6)
+       |         AS rel_err,
+       |       round(abs(hll_estimate - exact_distinct) / exact_distinct, 6)
+       |         <= 3.0 * 1.04 / sqrt(CAST($HllM AS DOUBLE)) AS within_bound
+       |FROM e2 JOIN exact USING (source)""".stripMargin
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of two event types — the distribution-shift test that
     * complements `stats_drift`'s binned PSI with a bin-free exact D =
@@ -2136,6 +2252,8 @@ object Analytics {
     Op("agg_quantile_sketch_check", quantileSketchCheck _,
       Some(quantileSketchCheckSql)),
     Op("agg_heavy_hitters_cms", heavyHittersCms _, Some(heavyHittersCmsSql)),
+    Op("agg_distinct_hll_portable", distinctHllPortable _,
+      Some(distinctHllPortableSql)),
     Op("stats_skew_report", skewReport _, Some(skewReportSql)),
     Op("dq_checks", dqChecks _, Some(dqChecksSql)),
     Op("agg_pareto", aggPareto _, Some(aggParetoSql)),

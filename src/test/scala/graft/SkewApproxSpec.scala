@@ -275,4 +275,26 @@ class SkewApproxSpec extends SparkSpec {
     val hotRow = tiny.find(_.getString(0) == "hot").get
     assert(hotRow.getLong(1) >= 100L)
   }
+
+  test("portable HLL: linear-counting and raw branches inside the 3-sigma bound") {
+    import spark.implicits._
+    // small vocab -> linear counting; 5000 distinct -> raw estimator
+    val toks = ((1 to 40).map(i => ("small", s"tok$i")) ++
+      (1 to 5000).map(i => ("big", s"item$i"))).toDF("source", "w")
+    val got = Analytics.distinctHllCore(spark, toks).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2),
+        r.getBoolean(4)))).toMap
+    val (se, sn, sok) = got("small")
+    val (be, bn, bok) = got("big")
+    assert(sn == 40L && bn == 5000L)
+    assert(sok, s"small-source estimate $se out of bound vs $sn")
+    assert(bok, s"big-source estimate $be out of bound vs $bn")
+    // repeated observations of the same values change nothing: the
+    // register file is a max, so the sketch counts DISTINCT
+    val dup = toks.union(toks).union(toks)
+    val got2 = Analytics.distinctHllCore(spark, dup).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got2("small") == se && got2("big") == be,
+      "duplicate-insensitive by construction")
+  }
 }
