@@ -396,6 +396,38 @@ class PropertySpec extends SparkSpec {
           s"fuzz $i: ($n,$pk,$rms,$zc)")
       }
     }
+    // G.711 / IMA-ADPCM branches: a well-formed header over random
+    // payload bytes, then random single-byte mutations of the whole
+    // file — every path returns an Option, never throws, and any
+    // decoded stats stay sane (G.711 peaks bounded by the codebook max)
+    def wav(fmt: Int, ch: Int, bits: Int, ba: Int, spb: Int,
+        data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int) = (0 until 4).foreach(k => out.write((v >> (8 * k)) & 255))
+      def le16(v: Int) = (0 until 2).foreach(k => out.write((v >> (8 * k)) & 255))
+      val fl = if (spb > 0) 20 else 16
+      out.write("RIFF".getBytes); le32(20 + fl + data.length)
+      out.write("WAVE".getBytes); out.write("fmt ".getBytes); le32(fl)
+      le16(fmt); le16(ch); le32(8000); le32(8000 * ba / ch); le16(ba); le16(bits)
+      if (spb > 0) { le16(2); le16(spb) }
+      out.write("data".getBytes); le32(data.length); out.write(data)
+      out.toByteArray
+    }
+    (1 to 120).foreach { i =>
+      val payload = new Array[Byte](rnd.nextInt(600))
+      rnd.nextBytes(payload)
+      val f = rnd.nextInt(3) match {
+        case 0 => wav(6, 1 + rnd.nextInt(2), 8, 1 + rnd.nextInt(2), 0, payload)
+        case 1 => wav(7, 1, 8, 1, 0, payload)
+        case _ => wav(17, 1, 4, 256, 505, payload)
+      }
+      if (rnd.nextBoolean() && f.nonEmpty)
+        f(rnd.nextInt(f.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeWavSamples(f).foreach { case (n, pk, rms, zc) =>
+        assert(n > 0 && pk >= 0 && pk <= 32768 && rms >= 0 && zc >= 0 &&
+          zc <= n, s"codec fuzz $i: ($n,$pk,$rms,$zc)")
+      }
+    }
   }
 
   test("HTML extraction: fuzzed tag soup leaves no tag, comment, or " +
