@@ -1016,13 +1016,49 @@ object Similarity {
       .select(col(idAs), col("k.band").as("band"), col("k.bucket").as("bucket"))
   }
 
+  /** Hot-bucket bound for the banded candidate stage (r13): a
+    * candidate pair must include one of its bucket's `SemBucketCap`
+    * SMALLEST ids (the bucket's anchors), so per-bucket pair volume is
+    * O(cap · |bucket|) — linear in bucket size — instead of |bucket|²,
+    * and a boilerplate-embedding mega-bucket (the 100 TB runaway shape)
+    * is bounded IN CODE. The anchor rank is a window PARTITIONED by
+    * (band, bucket) — sharded, never a global sort. For the dedup
+    * keeper rule the anchor restriction is usually lossless: a dropped
+    * vector only needs SOME confirmed smaller-id neighbor, and a real
+    * near-dup family's smallest ids are exactly its bucket anchors.
+    * When a bucket overflows the cap, the count rides every output row
+    * as `capped_buckets` — capped runs are visibly capped (the
+    * `graph_jaccard` / `dedup_edit_pairs` audit discipline), and the
+    * ORACLE mirrors the same rank rule, so the op stays hash-exact at
+    * every scale, firing or not. Fixture buckets sit far under the cap.
+    */
+  private val SemBucketCap = 64
+
+  /** (capped candidate pairs id_a < id_b, 1-row capped-bucket count)
+    * over the shared banded signatures.
+    */
+  private def bandedCandidates(idSigs: DataFrame): (DataFrame, DataFrame) = {
+    val b = semBands(idSigs, "vec_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("vec_id"))
+    val ranked = b.withColumn("rk", row_number().over(w))
+    val cand = ranked.where(col("rk") <= SemBucketCap)
+      .select(col("vec_id").as("id_a"), col("band"), col("bucket"))
+      .join(b.select(col("vec_id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val capped = ranked.groupBy(col("band"), col("bucket"))
+      .agg(max(col("rk")).as("n"))
+      .where(col("n") > SemBucketCap)
+      .agg(count(lit(1)).as("capped_buckets"))
+    (cand, capped)
+  }
+
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val idSigs = hyperplaneSigsN(emb(spark, dir), SemBits)
       .select(col("vec_id"), col("sig"))
-    def bands(idAs: String) = semBands(idSigs, idAs)
-    val cand = bands("id_a").join(bands("id_b"), Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val (cand, capped) = bandedCandidates(idSigs)
     val e = emb(spark, dir)
     val confirmed = cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")),
@@ -1036,6 +1072,7 @@ object Similarity {
       .select(col("vec_id"), col("sig").as("bucket"),
         when(col("kept_by").isNull, "keep").otherwise("drop").as("status"),
         col("kept_by"))
+      .crossJoin(broadcast(capped))
   }
 
   val semanticDedupSql: String = {
@@ -1057,8 +1094,16 @@ object Similarity {
        |              (sig >> (band * $SemBandBits)) &
        |                ${(1L << SemBandBits) - 1} AS bucket
        |       FROM s CROSS JOIN (SELECT unnest($bandList) AS band)),
+       |ranked AS (SELECT vec_id, band, bucket,
+       |                  row_number() OVER (PARTITION BY band, bucket
+       |                    ORDER BY vec_id) AS rk
+       |           FROM bd),
+       |cb AS (SELECT CAST(count(*) AS BIGINT) AS capped_buckets
+       |       FROM (SELECT band, bucket, max(rk) AS n FROM ranked
+       |             GROUP BY 1, 2) WHERE n > $SemBucketCap),
        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-       |         FROM bd x JOIN bd y
+       |         FROM (SELECT * FROM ranked WHERE rk <= $SemBucketCap) x
+       |         JOIN bd y
        |           ON x.band = y.band AND x.bucket = y.bucket
        |          AND x.vec_id < y.vec_id),
        |conf AS (SELECT c.id_a, c.id_b
@@ -1071,8 +1116,9 @@ object Similarity {
        |SELECT s.vec_id, s.sig AS bucket,
        |       CASE WHEN d.kept_by IS NULL THEN 'keep' ELSE 'drop' END
        |         AS status,
-       |       d.kept_by
-       |FROM s LEFT JOIN drops d ON s.vec_id = d.vec_id""".stripMargin
+       |       d.kept_by, capped_buckets
+       |FROM s LEFT JOIN drops d ON s.vec_id = d.vec_id
+       |CROSS JOIN cb""".stripMargin
   }
 
   private val KnnK = 3
@@ -1098,11 +1144,13 @@ object Similarity {
       .select(col("vec_id"), col("sig"))
     // score each unordered pair ONCE (cosine is symmetric), mirror the
     // scored frame for the per-vector ranking — halves both the
-    // candidate dedup and the cosine evaluations vs a directed join
-    val cand = semBands(idSigs, "id_a")
-      .join(semBands(idSigs, "id_b"), Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // candidate dedup and the cosine evaluations vs a directed join.
+    // Candidates are the anchor-capped banded pairs (`bandedCandidates`)
+    // so a hot bucket costs O(cap·|bucket|), with `capped_buckets`
+    // riding every row; in an over-cap bucket a vector ranks only the
+    // bucket's cap smallest ids as candidates FROM THAT BAND — other
+    // bands still contribute, and the audit column says it happened.
+    val (cand, capped) = bandedCandidates(idSigs)
     val e = emb(spark, dir)
     val scored = cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")),
@@ -1123,6 +1171,7 @@ object Similarity {
       .where(col("rank") <= KnnK)
       .select(col("id_a").as("vec_id"), col("rank"),
         col("id_b").as("neighbor_id"), round(col("cos_raw"), 6).as("cos"))
+      .crossJoin(broadcast(capped))
   }
 
   val knnLshSql: String = {
@@ -1144,22 +1193,33 @@ object Similarity {
        |              (sig >> (band * $SemBandBits)) &
        |                ${(1L << SemBandBits) - 1} AS bucket
        |       FROM s CROSS JOIN (SELECT unnest($bandList) AS band)),
+       |rk0 AS (SELECT vec_id, band, bucket,
+       |               row_number() OVER (PARTITION BY band, bucket
+       |                 ORDER BY vec_id) AS rk
+       |        FROM bd),
+       |cb AS (SELECT CAST(count(*) AS BIGINT) AS capped_buckets
+       |       FROM (SELECT band, bucket, max(rk) AS n FROM rk0
+       |             GROUP BY 1, 2) WHERE n > $SemBucketCap),
        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-       |         FROM bd x JOIN bd y
+       |         FROM (SELECT * FROM rk0 WHERE rk <= $SemBucketCap) x
+       |         JOIN bd y
        |           ON x.band = y.band AND x.bucket = y.bucket
-       |          AND x.vec_id <> y.vec_id),
-       |scored AS (SELECT c.id_a, c.id_b,
-       |                  ${duckCos("a.embedding", "b.embedding")} AS cos_raw
-       |           FROM cand c
-       |           JOIN embeddings a ON a.vec_id = c.id_a
-       |           JOIN embeddings b ON b.vec_id = c.id_b),
+       |          AND x.vec_id < y.vec_id),
+       |scored0 AS (SELECT c.id_a, c.id_b,
+       |                   ${duckCos("a.embedding", "b.embedding")} AS cos_raw
+       |            FROM cand c
+       |            JOIN embeddings a ON a.vec_id = c.id_a
+       |            JOIN embeddings b ON b.vec_id = c.id_b),
+       |scored AS (SELECT id_a, id_b, cos_raw FROM scored0
+       |           UNION ALL
+       |           SELECT id_b, id_a, cos_raw FROM scored0),
        |ranked AS (SELECT id_a, id_b, cos_raw,
        |                  row_number() OVER (PARTITION BY id_a
        |                    ORDER BY cos_raw DESC, id_b ASC) AS rank
        |           FROM scored)
        |SELECT id_a AS vec_id, CAST(rank AS BIGINT) AS rank,
-       |       id_b AS neighbor_id, round(cos_raw, 6) AS cos
-       |FROM ranked WHERE rank <= $KnnK""".stripMargin
+       |       id_b AS neighbor_id, round(cos_raw, 6) AS cos, capped_buckets
+       |FROM ranked CROSS JOIN cb WHERE rank <= $KnnK""".stripMargin
   }
 
   // ------------------------------------------- nearest-centroid confusion

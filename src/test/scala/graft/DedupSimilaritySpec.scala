@@ -234,6 +234,33 @@ class DedupSimilaritySpec extends SparkSpec {
       s"rebuilt index must absorb the drifted family: $ts3 $re3")
   }
 
+  test("semantic dedup: a 70-wide near-dup bucket caps visibly, min id still wins") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("semcap").toString
+    val base = Array.tabulate(64)(d => math.sin(d * 1.7).toFloat * 3f + 4f)
+    // 70 near-identical vectors (> SemBucketCap = 64) share every band
+    // bucket; plus one distinct direction that must stay untouched
+    val family = (0L until 70L).map(i =>
+      (i, base.map(_ * (1f + i * 1e-6f)).toSeq))
+    val lone = Seq((999L,
+      Array.tabulate(64)(d => math.cos(d * 2.3).toFloat * 5f - 1f).toSeq))
+    (family ++ lone).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.semanticDedup(spark, dir).collect()
+    assert(rows.forall(_.getLong(4) >= 1L),
+      s"over-cap family must ride the audit column: ${rows.take(3).mkString(",")}")
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(byId(0L)._1 == "keep", "family min id must survive")
+    assert(byId(999L)._1 == "keep", "distinct direction must survive")
+    // every other family member drops against an ANCHOR (one of the cap
+    // smallest ids) — the capped candidate set still finds the keeper
+    (1L until 70L).foreach { i =>
+      assert(byId(i) == (("drop", 0L)),
+        s"member $i must drop against the family min: ${byId(i)}")
+    }
+  }
+
   test("plan shapes: ANN ingest is exchange-free; edit pairs has no cartesian") {
     // the ingest projection must stay stateless whatever the input
     // size — ZERO exchanges (that is what makes it stream-safe)
