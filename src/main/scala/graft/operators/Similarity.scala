@@ -887,6 +887,7 @@ object Similarity {
       // degraded insert path reds CORRECTNESS, not just a spec
       .crossJoin(broadcast(hits(topkIvfIncremental(spark, dir), "ivfinc_hits")))
       .crossJoin(broadcast(hits(topkPqIncremental(spark, dir), "pqinc_hits")))
+      .crossJoin(broadcast(hits(topkIvfPqInc(spark, dir), "ivfpqinc_hits")))
       .select(col("n_exact"),
         (col("ivf_hits").cast("double") / col("n_exact") >= IvfRecallFloor)
           .as("ivf_recall_ok"),
@@ -901,7 +902,9 @@ object Similarity {
         (col("ivfinc_hits").cast("double") / col("n_exact") >= IvfRecallFloor)
           .as("ivfinc_recall_ok"),
         (col("pqinc_hits").cast("double") / col("n_exact") >= PqRecallFloor)
-          .as("pqinc_recall_ok"))
+          .as("pqinc_recall_ok"),
+        (col("ivfpqinc_hits").cast("double") / col("n_exact")
+          >= IvfPqRecallFloor).as("ivfpqinc_recall_ok"))
   }
 
   val recallAuditSql: String =
@@ -912,7 +915,8 @@ object Similarity {
        |       true AS pq_recall_ok,
        |       true AS ivfpq_recall_ok,
        |       true AS ivfinc_recall_ok,
-       |       true AS pqinc_recall_ok
+       |       true AS pqinc_recall_ok,
+       |       true AS ivfpqinc_recall_ok
        |FROM ($topkBruteForceSql)""".stripMargin
 
   /** Corpus similarity audit: the distribution of pairwise cosines over
@@ -1469,9 +1473,41 @@ object Similarity {
     * ≥ K a fortiori).
     */
   def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
     val (cent, assigned) = servedIvfIndex(spark, dir)
     val (book, storedCodes) = servedPq(spark, dir)
+    ivfPqServe(emb(spark, dir), cent, assigned, book, storedCodes)
+  }
+
+  /** The composed IVF×PQ serving stack served from the INCREMENTALLY
+    * maintained artifacts (`servedIncStore`: base-trained centroids +
+    * codebook, cells/codes extended by the insert step) — the round's
+    * two flagships composed: corpus growth pays batch-proportional
+    * inserts AND the production probe-ADC-rerank query path serves the
+    * grown corpus without any retrain. Same strict exactly-K value
+    * check (probed cells partition-cover the corpus), same recall floor
+    * as the rebuilt composition in `sim_recall_audit`.
+    */
+  def topkIvfPqInc(spark: SparkSession, dir: String): DataFrame = {
+    val (store, _, tsIns) = servedIncStore(spark, dir)
+    val cent = store.readTableSnapshot(spark, "ivf_centroids", tsIns)
+      .select(col("cent_id"), col("cent_emb"))
+    val cells = store.readTableSnapshot(spark, "ivf_cells", tsIns)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val book = store.readTableSnapshot(spark, "pq_book", tsIns)
+      .select(col("m"), col("code"), col("c_sub"))
+    val codes = store.readTableSnapshot(spark, "pq_codes", tsIns)
+      .select(col("vec_id"), col("m"), col("code"))
+    ivfPqServe(emb(spark, dir), cent, cells, book, codes)
+  }
+
+  def topkIvfPqIncCheck(spark: SparkSession, dir: String): DataFrame =
+    topkValueCheck(topkIvfPqInc(spark, dir), emb(spark, dir))
+
+  /** Shared probe → cell-gated ADC → exact-rerank body over any served
+    * (centroids, cell assignments, codebook, codes) artifact set.
+    */
+  private def ivfPqServe(e: DataFrame, cent: DataFrame, assigned: DataFrame,
+      book: DataFrame, storedCodes: DataFrame): DataFrame = {
     val codes = storedCodes
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
     val q = e.where(col("vec_id") < NumQueries)
@@ -1912,6 +1948,9 @@ object Similarity {
       Some(topkCheckSql)),
     Op("sim_topk_pq_inc", topkPqIncremental _, None),
     Op("sim_topk_pq_inc_check", topkPqIncrementalCheck _,
+      Some(topkCheckSql)),
+    Op("sim_topk_ivfpq_inc", topkIvfPqInc _, None),
+    Op("sim_topk_ivfpq_inc_check", topkIvfPqIncCheck _,
       Some(topkCheckSql)),
     Op("sim_topk_pq", topkPq _, None),
     Op("sim_topk_pq_check", topkPqCheck _, Some(topkCheckSql)),
