@@ -1939,7 +1939,40 @@ object Similarity {
       array(codeCols: _*).as("codes"))
   }
 
+  /** Batch form of the ingest projection (`annIngestCols` over the full
+    * corpus against the served artifacts) — the assignment query an
+    * embedding pipeline runs on every landed batch; rows-only (cell and
+    * code geometry are the engine-specific Lloyd artifacts), with the
+    * oracled `_check` twin pinning the exact contract: one row per
+    * corpus vector, cell inside the centroid id space, all M codes
+    * inside the codebook.
+    */
+  def annIngest(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, book) = servedArtifactRows(spark, dir)
+    annIngestCols(emb(spark, dir), cents, book)
+  }
+
+  def annIngestCheck(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, book) = servedArtifactRows(spark, dir)
+    val centIds = cents.map(_._1).toSet
+    val maxCode = book.map(_._2).max
+    annIngest(spark, dir).agg(
+      count(lit(1)).as("n_vectors"),
+      every(col("cell").isInCollection(centIds)).as("cell_in_space"),
+      every(expr(s"forall(codes, c -> c >= 0 AND c <= $maxCode)"))
+        .as("codes_in_book"),
+      every(size(col("codes")) === PqM).as("codes_complete"))
+  }
+
+  val annIngestCheckSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |       true AS cell_in_space, true AS codes_in_book,
+      |       true AS codes_complete
+      |FROM embeddings""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("sim_ann_ingest", annIngest _, None),
+    Op("sim_ann_ingest_check", annIngestCheck _, Some(annIngestCheckSql)),
     Op("sim_index_insert", indexInsert _, None),
     Op("sim_index_insert_check", indexInsertCheck _,
       Some(indexInsertCheckSql)),
