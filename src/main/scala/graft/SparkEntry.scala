@@ -24,4 +24,22 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allOps.collect { case Op(n, _, Some(sql)) => n -> sql }.toMap
+
+  /** Oracles whose SQL embeds DATA-DEPENDENT literals (served-index
+    * geometry collected from content-addressed snapshots — bounded by
+    * contract), so they can only be rendered against a concrete sfDir
+    * with a live session. Verify merges these into `oracle_sql.json`
+    * alongside the static map; each entry is computed independently so
+    * one failure degrades that op to rows-only, never crashes the dump.
+    */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    Seq[(String, () => String)](
+      "sim_ann_ingest" -> (() => Similarity.annIngestOracle(spark, sfDir))
+    ).flatMap { case (name, render) =>
+      try Some(name -> render())
+      catch { case e: Throwable =>
+        System.err.println(s"[oracle] $name dynamic render failed: ${e.getMessage}")
+        None
+      }
+    }.toMap
 }

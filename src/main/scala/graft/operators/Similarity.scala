@@ -1941,22 +1941,90 @@ object Similarity {
 
   /** Batch form of the ingest projection (`annIngestCols` over the full
     * corpus against the served artifacts) — the assignment query an
-    * embedding pipeline runs on every landed batch; rows-only (cell and
-    * code geometry are the engine-specific Lloyd artifacts), with the
-    * oracled `_check` twin pinning the exact contract: one row per
-    * corpus vector, cell inside the centroid id space, all M codes
-    * inside the codebook.
+    * embedding pipeline runs on every landed batch, EXPLODED to one
+    * scalar row per (vector, sub-space): `(vec_id, cell, m, code)`.
+    * The exploded shape exists for the verification boundary: the
+    * driver's row canonicalization sorts scalar columns only (an
+    * `array<int>` column crashed it — r13's one red row), and scalars
+    * make the op FULLY oracled — `annIngestOracle` embeds the served
+    * centroid/codebook geometry as DOUBLE literals (the
+    * `dedup_semantic` literal-hyperplane trick applied to collected
+    * Lloyd artifacts, which are bounded by contract at 16 + 512 rows)
+    * and replays the same argmax-cosine / argmin-L2 double arithmetic
+    * in DuckDB. The streaming twin keeps the compact `codes` array —
+    * `annIngestCols` is unchanged.
     */
   def annIngest(spark: SparkSession, dir: String): DataFrame = {
     val (cents, book) = servedArtifactRows(spark, dir)
     annIngestCols(emb(spark, dir), cents, book)
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+  }
+
+  /** The full-oracle twin of `annIngest`: DuckDB SQL with the served
+    * centroids and codebook inlined as exact DOUBLE literals
+    * (`Double.toString` round-trips, and DuckDB's decimal→double parse
+    * is correctly rounded, so both engines see identical bits). Cell =
+    * argmax cosine with the `TopKAgg` tie order (score desc, id asc),
+    * expressed as `ORDER BY negcos ASC` to keep NaN-ordering identical
+    * to Spark's struct sort (both engines sort NaN last ascending);
+    * codes = argmin L2 per sub-space with code-asc ties. Same
+    * sequential-left-fold double arithmetic as `duckCos`/`pqL2`.
+    * Data-dependent (the literals are Lloyd artifacts of the corpus at
+    * `dir`), so it is registered via `SparkEntry.dynamicOracleSql`,
+    * not a static `Op` oracle.
+    */
+  def annIngestOracle(spark: SparkSession, dir: String): String = {
+    val (cents, book) = servedArtifactRows(spark, dir)
+    def dlist(xs: Seq[Float]): String =
+      xs.map(f => f.toDouble.toString).mkString("[", ", ", "]")
+    val centVals = cents.map { case (id, e) =>
+      s"(CAST($id AS BIGINT), CAST(${dlist(e)} AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    val bookVals = book.map { case (m, c, sub) =>
+      s"(CAST($m AS INTEGER), CAST($c AS INTEGER), CAST(${dlist(sub)} AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    s"""WITH cent(cent_id, cent_emb) AS (
+       |  SELECT * FROM (VALUES
+       |    $centVals)
+       |), book(m, code, c_sub) AS (
+       |  SELECT * FROM (VALUES
+       |    $bookVals)
+       |), scored AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         -(${duckCos("e.embedding", "c.cent_emb")}) AS negcos
+       |  FROM embeddings e, cent c
+       |), cellpick AS (
+       |  SELECT vec_id, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY negcos ASC, cent_id ASC) AS rn
+       |  FROM scored
+       |), cells AS (
+       |  SELECT vec_id, cent_id AS cell FROM cellpick WHERE rn = 1
+       |), subd AS (
+       |  SELECT e.vec_id, b.m, b.code,
+       |         list_sum(list_transform(
+       |           list_zip(list_slice(e.embedding, b.m * $PqDsub + 1, b.m * $PqDsub + $PqDsub), b.c_sub),
+       |           x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))) AS d2
+       |  FROM embeddings e, book b
+       |), codepick AS (
+       |  SELECT vec_id, m, code,
+       |         row_number() OVER (PARTITION BY vec_id, m
+       |                            ORDER BY d2 ASC, code ASC) AS rn
+       |  FROM subd
+       |)
+       |SELECT k.vec_id, cl.cell, k.m, k.code
+       |FROM codepick k JOIN cells cl ON k.vec_id = cl.vec_id
+       |WHERE k.rn = 1""".stripMargin
   }
 
   def annIngestCheck(spark: SparkSession, dir: String): DataFrame = {
+    // one servedArtifactRows collect feeds both the checked frame and
+    // the invariant constants (r13 ADVICE: annIngest re-collected them)
     val (cents, book) = servedArtifactRows(spark, dir)
     val centIds = cents.map(_._1).toSet
     val maxCode = book.map(_._2).max
-    annIngest(spark, dir).agg(
+    annIngestCols(emb(spark, dir), cents, book).agg(
       count(lit(1)).as("n_vectors"),
       every(col("cell").isInCollection(centIds)).as("cell_in_space"),
       every(expr(s"forall(codes, c -> c >= 0 AND c <= $maxCode)"))
