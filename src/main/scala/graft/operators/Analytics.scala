@@ -1032,6 +1032,19 @@ object Analytics {
     */
   private val HllM = 256
 
+  /** The linear-counting table m·ln(m/v0) for every attainable v0
+    * (1..m), precomputed ONCE on the JVM and embedded as identical
+    * literals in BOTH engines (r13 ADVICE: comparing JVM `math.log`
+    * against DuckDB `ln` relied on 4-dp rounding to absorb libm ulp
+    * divergence — a value within an ulp of a 0.00005 boundary could
+    * flip the hash-exact oracle across platforms; a shared constant
+    * table is engine-independent by construction, since
+    * `Double.toString` round-trips and DuckDB's decimal parse is
+    * correctly rounded). Index 1-based by v0 on both sides.
+    */
+  private val HllLinearEst: Seq[Double] =
+    (1 to HllM).map(v => HllM.toDouble * math.log(HllM.toDouble / v))
+
   def distinctHllPortable(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
       .select(col("source"), explode(split(trim(col("text")), " ")).as("w"))
@@ -1065,7 +1078,7 @@ object Analytics {
     val raw = alpha * HllM * HllM / col("ind")
     val est = round(
       when(raw <= 2.5 * HllM && col("v0") > 0,
-        lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v0")))
+        element_at(typedLit(HllLinearEst), col("v0").cast("int")))
         .otherwise(raw), 4)
     val exact = toks.groupBy(col("source"))
       .agg(countDistinct(col("w")).as("exact_distinct"))
@@ -1109,8 +1122,7 @@ object Analytics {
        |), e2 AS (
        |  SELECT source,
        |         round(CASE WHEN raw <= 2.5 * $HllM AND v0 > 0
-       |                    THEN CAST($HllM AS DOUBLE) *
-       |                         ln(CAST($HllM AS DOUBLE) / v0)
+       |                    THEN ([${HllLinearEst.mkString(", ")}])[v0]
        |                    ELSE raw END, 4) AS hll_estimate
        |  FROM est
        |), exact AS (

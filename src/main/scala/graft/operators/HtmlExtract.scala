@@ -883,13 +883,15 @@ object HtmlExtract {
     *   6 first_wave       — the first politeness window per domain
     *                        (fetch_order ≤ $FirstWaveFetches)
     *
-    * Gates are CUMULATIVE (left-semi chains on doc_id), so the funnel
-    * is monotone by construction — pinned by HtmlWarcSpec. Scale shape:
-    * each stage frame is a doc_id projection of an operator whose own
-    * scale story is documented at its definition; the report adds only
-    * doc_id semi-joins and count aggregates (map-side partial), and the
-    * 7-row stage frame computes its fractions against stage 0 on the
-    * driver-side window, never reshuffling the corpus.
+    * Gates are CUMULATIVE (a doc's `reached` stage is its first failing
+    * gate), so the funnel is monotone by construction — pinned by
+    * HtmlWarcSpec. Scale shape: each stage frame is a doc_id projection
+    * of an operator whose own scale story is documented at its
+    * definition; the report joins each gate ONCE as a membership flag,
+    * explodes ≤ 7 stage rows per doc, and reduces in a single
+    * count/distinct shuffle (map-side partial); the 7-row stage frame
+    * computes its fractions against stage 0 on the driver-side window,
+    * never reshuffling the corpus.
     */
   private val FirstWaveFetches = 5
 
@@ -919,14 +921,37 @@ object HtmlExtract {
       .select("doc_id")
     val names = Seq("warc_records", "extracted", "text_dedup",
       "canonical_url", "robots_admitted", "frontier_ranked", "first_wave")
-    val cumulative = Seq(s1, s2, s3, s4, s5, s6)
-      .scanLeft(d0)((acc, s) => acc.join(s, Seq("doc_id"), "left_semi"))
-    val stages = cumulative.zipWithIndex.map { case (c, k) =>
-      c.agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("registered_domain")).as("n_domains"))
-        .select(lit(k).as("stage"), lit(names(k)).as("stage_name"),
-          col("n_docs"), col("n_domains"))
-    }.reduce(_ unionAll _)
+    // Funnel as ONE pass (r13 verdict #5): the r13 form chained
+    // left-semi joins per stage and aggregated each cumulative frame
+    // separately, so stage k's gate plan re-executed 7−k times. Here
+    // every gate joins ONCE as a membership flag (distinct'd — set
+    // semantics whatever a future stage emits), `reached` = the first
+    // failing gate (gates are cumulative, so the funnel stays monotone
+    // by construction), and each doc explodes to one row per stage it
+    // survives (≤ 7) feeding a single count/distinct-domain shuffle.
+    // A 7-row spine keeps empty tail stages present at zero.
+    val gates = Seq(s1, s2, s3, s4, s5, s6)
+    val flagged = gates.zipWithIndex.foldLeft(d0) { case (acc, (s, i)) =>
+      acc.join(s.distinct().withColumn(s"f${i + 1}", lit(1)),
+        Seq("doc_id"), "left")
+    }
+    var firstGap = when(col("f1").isNull, lit(0))
+    for (i <- 2 to gates.length) firstGap =
+      firstGap.when(col(s"f$i").isNull, lit(i - 1))
+    val reached = firstGap.otherwise(lit(gates.length))
+    val counted = flagged
+      .select(col("registered_domain"),
+        explode(sequence(lit(0), reached)).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("registered_domain")).as("n_domains"))
+    val spine = spark.range(names.length)
+      .select(col("id").cast("int").as("stage"))
+    val stages = spine.join(counted, Seq("stage"), "left")
+      .select(col("stage"),
+        element_at(typedLit(names), col("stage") + 1).as("stage_name"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_domains"), lit(0L)).as("n_domains"))
     val w = Window.partitionBy()
     val rawDocs = max(when(col("stage") === 0, col("n_docs"))).over(w)
     stages.select(col("stage"), col("stage_name"), col("n_docs"),
@@ -955,20 +980,21 @@ object HtmlExtract {
        |), warc AS (
        |$docsFromWarcSql
        |), s1 AS (
-       |  SELECT doc_id FROM warc WHERE http_status = 200 AND n_words > 0
+       |  SELECT DISTINCT doc_id FROM warc
+       |  WHERE http_status = 200 AND n_words > 0
        |), s2 AS (
-       |  SELECT min(doc_id) AS doc_id FROM warc GROUP BY text_md5
+       |  SELECT DISTINCT min(doc_id) AS doc_id FROM warc GROUP BY text_md5
        |), s3 AS (
-       |  SELECT min(doc_id) AS doc_id FROM (${Domains.urlCanonicalSql})
-       |  GROUP BY url_canonical
+       |  SELECT DISTINCT min(doc_id) AS doc_id
+       |  FROM (${Domains.urlCanonicalSql}) GROUP BY url_canonical
        |), s4 AS (
-       |  SELECT doc_id FROM (${Domains.urlAllowedSql}) WHERE allowed
+       |  SELECT DISTINCT doc_id FROM (${Domains.urlAllowedSql}) WHERE allowed
        |), fr AS (
        |  SELECT doc_id, fetch_order FROM ($frontierRankSql)
        |), s5 AS (
-       |  SELECT doc_id FROM fr
+       |  SELECT DISTINCT doc_id FROM fr
        |), s6 AS (
-       |  SELECT doc_id FROM fr WHERE fetch_order <= $FirstWaveFetches
+       |  SELECT DISTINCT doc_id FROM fr WHERE fetch_order <= $FirstWaveFetches
        |), stages AS (
        |$stageSelects
        |)

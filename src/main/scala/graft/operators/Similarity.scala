@@ -1697,7 +1697,9 @@ object Similarity {
       : (graft.sources.SnapshotStore, String, String) = {
     val (store, ts) = graft.sources.SnapshotStore.contentAddressed(
       spark, s"$dir/embeddings.parquet",
-      s"graft_annins_n${NList}_r${LloydRounds}_m${PqM}_ks$PqKs")
+      // `_sr` = seed-by-rank discipline: the seeding change is part of
+      // the trained geometry, so it must change the snapshot address
+      s"graft_annins_n${NList}_r${LloydRounds}_m${PqM}_ks${PqKs}_sr")
     val tsBase = s"${ts}_base"
     val tsIns = s"${ts}_ins"
     if (!store.hasTableSnapshot("pq_qerr_batch", tsIns)) {
@@ -1717,8 +1719,18 @@ object Similarity {
   private[graft] def buildIncBase(spark: SparkSession,
       store: graft.sources.SnapshotStore, base: DataFrame,
       ts: String): Unit = {
-    var cent = base.where(col("vec_id") < NList)
+    // Seed by RANK, not absolute id (r13 ADVICE): `vec_id < NList` over
+    // an arbitrary input frame under-seeds — the %10 base split drops
+    // seed id 9 (15 of 16 centroids), and a maintainStep rebuild over a
+    // corpus whose ids don't start near 0 could seed none. The NList
+    // smallest vec_ids of THIS frame always exist when the corpus does;
+    // the count is asserted so a too-small corpus fails loudly instead
+    // of training a degenerate index.
+    var cent = base.orderBy(col("vec_id")).limit(NList)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .localCheckpoint()
+    require(cent.count() == NList,
+      s"ANN base training needs >= $NList seed vectors")
     for (_ <- 0 until LloydRounds)
       cent = lloydStep(assignCells(base, cent)).localCheckpoint()
     store.writeTableSnapshot(cent, "ivf_centroids", ts)
