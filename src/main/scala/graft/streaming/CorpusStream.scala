@@ -72,6 +72,87 @@ object CorpusStream {
     graft.operators.Similarity.annIngestCols(embs, cents, book)
   }
 
+  /** The full streaming index-maintenance LOOP — landing stream →
+    * micro-batch insert into the snapshot store → drift gate →
+    * rebuild rotation — composing `Similarity.maintainStep` behind a
+    * `foreachBatch` seam (the `snapshotSink` discipline applied to ANN
+    * maintenance). Each micro-batch extends the served IVF cells and PQ
+    * codes batch-proportionally when the drift gate is calm, and
+    * rotates to a full rebuild exactly when the frozen geometry stops
+    * fitting; readers always resolve the current index through
+    * `annServingState`, so the rotation is invisible to them — the
+    * snapshot-pointer discipline.
+    *
+    * EXACTLY-ONCE under restart, with zero coordination beyond the
+    * store itself: the per-batch pointer artifact `ann_maintain/b<id>`
+    * is the completion marker (written AFTER the step's snapshots —
+    * marker-last, O3), and the pre-step state is read from batch id−1's
+    * IMMUTABLE marker, never from the mutable `latest` pointer — a
+    * replayed micro-batch therefore re-derives the same (base, serving,
+    * next) triple and overwrites the same snapshot directories with the
+    * same bytes, and a batch whose marker exists is skipped outright.
+    * Structured Streaming replays micro-batches in id order from its
+    * offset log, so marker id−1 always exists when id runs. The store's
+    * maintenance lineage is tied to the query's checkpoint lineage:
+    * reusing a store with a FRESH checkpoint restarts batch ids at 0
+    * and must use a fresh store root (same contract as any
+    * `foreachBatch` sink keyed by batch id).
+    *
+    * Scale: per calm batch, cost is the insert steps' batch-
+    * proportional arithmetic plus the merged-snapshot write (the
+    * lakehouse-MERGE economics documented at `upsertTableSnapshot`);
+    * the corpus-proportional rebuild runs exactly when the gate fires.
+    * Input: any streaming frame with (vec_id, embedding); `baseTs`
+    * names a base index built by `Similarity.buildIncBase` in `store`.
+    */
+  def annMaintainStream(spark: org.apache.spark.sql.SparkSession,
+      store: graft.sources.SnapshotStore, baseTs: String,
+      embs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    embs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val marker = f"b$batchId%06d"
+        if (!store.isProcessed("ann_maintain", marker)) {
+          val (prevServing, prevBase) =
+            annMaintainState(store, baseTs, batchId - 1)
+          val nextTs = s"${baseTs}_$marker"
+          val (serving, retrained) = graft.operators.Similarity
+            .maintainStep(spark, store, batch, prevBase, prevServing, nextTs)
+          // on rotation the rebuilt snapshot becomes the drift BASELINE
+          // too: its training-time quantization error is what the next
+          // batch's error ratio must be judged against
+          val newBase = if (retrained) serving else prevBase
+          store.writeArtifact("ann_maintain", marker,
+            s"$serving\n$newBase"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+    }
+
+  /** (serving ts, drift-baseline ts) after micro-batch `batchId` — the
+    * immutable per-batch pointer the loop reads its own pre-state from;
+    * `batchId` < 0 resolves to the built base.
+    */
+  private[graft] def annMaintainState(store: graft.sources.SnapshotStore,
+      baseTs: String, batchId: Long): (String, String) =
+    if (batchId < 0) (baseTs, baseTs)
+    else {
+      val s = store
+        .readArtifactString("ann_maintain", f"b$batchId%06d").split("\n")
+      (s(0), s(1))
+    }
+
+  /** The snapshot pair the maintenance loop CURRENTLY serves (mutable
+    * `latest` pointer; falls back to the base when no batch landed yet)
+    * — what a search path resolves before reading `ivf_cells`/`pq_codes`.
+    */
+  def annServingState(store: graft.sources.SnapshotStore,
+      baseTs: String): (String, String) =
+    if (!store.isProcessed("ann_maintain", "latest")) (baseTs, baseTs)
+    else {
+      val s = store.readArtifactString("ann_maintain", "latest").split("\n")
+      (s(0), s(1))
+    }
+
   /** Streaming greedy sequence packing — `Curation.pack`'s running
     * prefix sum carried as stream state instead of a window: each shard
     * keeps ONE number (its cumulative token total) and every arriving

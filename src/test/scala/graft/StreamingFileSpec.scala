@@ -200,4 +200,71 @@ class StreamingFileSpec extends SparkSpec {
     runOnce()
     assert(uris() == Seq("https://a.nz/", "https://b.nz/"))
   }
+
+  test("ANN maintenance stream: calm batch extends, drifted batch rotates, restart replays nothing") {
+    import spark.implicits._
+    // the maintainStep spec's two vector families: v = base
+    // distribution, g = an alien basis that quantizes badly against a
+    // v-trained codebook but near-exactly against a rebuilt one
+    def v(id: Long): Seq[Float] =
+      Array.tabulate(64)(d => math.sin(d * 1.3 + id * 2.7).toFloat * 3f).toSeq
+    def g(id: Long): Seq[Float] =
+      Array.tabulate(64)(d => (math.cos(d * 0.9 + (id % 4) * 1.5) * 3 +
+        (id % 7) * 0.01).toFloat).toSeq
+    val root = Files.createTempDirectory("annmstream").toString
+    val base = (0L until 300L).map(i => (i, v(i)))
+    base.toDF("vec_id", "embedding")
+      .write.parquet(s"$root/base/embeddings.parquet")
+    val (store, _) = graft.sources.SnapshotStore.contentAddressed(
+      spark, s"$root/base/embeddings.parquet", "spec_annmstream")
+    graft.operators.Similarity.buildIncBase(spark, store,
+      base.toDF("vec_id", "embedding"), "t0")
+    val schema = base.toDF("vec_id", "embedding").schema
+
+    // each runOnce is a FRESH StreamingQuery instance recovering batch
+    // ids from the checkpoint — the kill+restart cycle of production
+    def runOnce(): Unit =
+      graft.streaming.CorpusStream.annMaintainStream(spark, store, "t0",
+          spark.readStream.schema(schema).parquet(s"$root/in"))
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    def cells(ts: String): Long =
+      store.readTableSnapshot(spark, "ivf_cells", ts).count()
+    def state() =
+      graft.streaming.CorpusStream.annServingState(store, "t0")
+
+    // calm batch: the loop extends the served snapshot, no rotation
+    (1100L until 1110L).map(i => (i, v(i))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$root/in")
+    runOnce()
+    val (s1, b1) = state()
+    assert(s1 == "t0_b000000" && b1 == "t0", s"calm extend: $s1 $b1")
+    assert(cells(s1) == 310)
+
+    // drifted batch, processed by a fresh query instance: the gate
+    // fires and the loop rotates serving AND drift baseline to the
+    // rebuilt snapshot
+    (2000L until 2100L).map(i => (i, g(i))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$root/in")
+    runOnce()
+    val (s2, b2) = state()
+    assert(s2 == "t0_b000001_rb" && b2 == s2, s"drift rotate: $s2 $b2")
+    assert(cells(s2) == 410, "rebuilt snapshot must carry the full corpus")
+
+    // restart with nothing new: the marker gate + the file source's
+    // offset log replay NOTHING — pointers and snapshots untouched
+    runOnce()
+    assert(state() == ((s2, b2)), "empty restart must not move pointers")
+
+    // the SAME alien family now rides in calm: the rebuilt codebook
+    // covers its basis, so maintenance extends instead of rebuilding
+    (3000L until 3100L).map(i => (i, g(i))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$root/in")
+    runOnce()
+    val (s3, b3) = state()
+    assert(s3 == "t0_b000002" && b3 == b2,
+      s"absorbed family must ride calm: $s3 $b3")
+    assert(cells(s3) == 510)
+  }
 }
