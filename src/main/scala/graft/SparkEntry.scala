@@ -32,14 +32,16 @@ object SparkEntry {
     * alongside the static map; each entry is computed independently so
     * one failure degrades that op to rows-only, never crashes the dump.
     */
-  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+  def dynamicOracleSql(spark: SparkSession, sfDir: String,
+      only: Option[Set[String]] = None): Map[String, String] =
     Seq[(String, () => String)](
       "sim_ann_ingest" -> (() => Similarity.annIngestOracle(spark, sfDir))
-    ).flatMap { case (name, render) =>
-      try Some(name -> render())
-      catch { case e: Throwable =>
-        System.err.println(s"[oracle] $name dynamic render failed: ${e.getMessage}")
-        None
-      }
-    }.toMap
+    ).filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, render) =>
+        try Some(name -> render())
+        catch { case e: Throwable =>
+          System.err.println(s"[oracle] $name dynamic render failed: ${e.getMessage}")
+          None
+        }
+      }.toMap
 }

@@ -70,7 +70,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = (SparkEntry.oracleSql ++
-        SparkEntry.dynamicOracleSql(spark, sfDir))
+        SparkEntry.dynamicOracleSql(spark, sfDir, only))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Manifest of every attempted query: a query that ERRORS above leaves

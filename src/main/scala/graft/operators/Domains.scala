@@ -233,7 +233,13 @@ object Domains {
   private val TrackingPrefixes =
     Seq("utm_", "gclid=", "fbclid=", "ref=")
 
-  def urlCanonical(spark: SparkSession, dir: String): DataFrame = {
+  /** Frame-in/frame-out canonicalization core over any (doc_id,
+    * url_raw) frame — STATELESS per-row string algebra, split from the
+    * registered op so the fuzz suite can drive it with adversarial
+    * URLs (10 kB paths, repeated fragments, regex metacharacters,
+    * non-ASCII hosts) the fixture synthesis never produces.
+    */
+  private[graft] def urlCanonicalCols(urls: DataFrame): DataFrame = {
     val noFrag = regexp_replace(col("url_raw"), "#.*", "")
     val base = regexp_extract(noFrag, "^([^?]*)", 1)
     val query = regexp_extract(noFrag, "[?](.*)", 1)
@@ -252,12 +258,16 @@ object Domains {
     val canonical = concat(schemeHost, path,
       when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
         .otherwise(lit("")))
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), rawUrlCol.as("url_raw"))
+    urls
       .select(col("doc_id"), col("url_raw"),
         canonical.as("url_canonical"),
         (size(rawParams) - size(kept)).cast("long").as("n_params_dropped"))
   }
+
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame =
+    urlCanonicalCols(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), rawUrlCol.as("url_raw")))
 
   val urlCanonicalSql: String = {
     // literal prefix compare (LIKE would read `_` in `utm_` as a

@@ -637,4 +637,123 @@ class PropertySpec extends SparkSpec {
           m.n_frames >= 0L && m.duration_ms >= 0L, s"insane decode: $m")
     }
   }
+
+  // ------------------------------------------------ crawl-surface fuzz
+  // robots, URLs, and WARC are untrusted bytes: the r12 TRY_CAST lesson
+  // is that even when Spark is safe, semantics can silently drift on
+  // malformed input. These cases pin never-throw + the semantic
+  // invariants on adversarial strings the fixture synthesis never makes
+  // (the cross-ENGINE fuzz — Spark vs DuckDB on a garbage corpus — is
+  // tools/fuzz_crawl.py, run per-round).
+
+  private def garbage(rnd: Random, n: Int): String = {
+    val metas = "?&#%\\^$[](){}|.*+\n\r\t\"'`<>@:;,=~!│ -代码абв "
+    (0 until n).map(_ => metas(rnd.nextInt(metas.length))).mkString
+  }
+
+  test("fuzz: URL canonicalization never throws; fragments and tracking params never survive") {
+    import spark.implicits._
+    val r = new Random(1337)
+    val urls: Seq[String] = Seq(
+      "", "https://", "http://h:80", "HTTPS://UPPER.Host:443/P#f#g",
+      "https://h/p?utm_source=x&utm_source=y&&&",
+      "https://h/\n#a\n#b", "no-scheme-at-all",
+      "https://h/p?" + Seq.fill(500)("a=1").mkString("&"),
+      "https://h/" + "x" * 10000 + "#frag",
+      "https://例え.テスト/パス?q=値#断片",
+      "https://h/p?gclid=1&ref=2&fbclid=3&utm_x=4&keep=5",
+      "https://h/p???", "https://h/p?#?", "https://h:443:443/p",
+      garbage(r, 100)) ++
+      (1 to 60).map(_ => "https://h/" + garbage(r, 1 + r.nextInt(80)))
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url_raw")
+    val rows = graft.operators.Domains.urlCanonicalCols(df).collect()
+    assert(rows.length == urls.length)
+    rows.foreach { row =>
+      assert(!row.isNullAt(2), s"null canonical for ${row.getString(1)}")
+      val canon = row.getString(2)
+      assert(!canon.contains("#"),
+        s"fragment survived: ${row.getString(1)} -> $canon")
+      val q = canon.indexOf('?')
+      if (q >= 0) canon.substring(q + 1).split("&").foreach { p =>
+        Seq("utm_", "gclid=", "fbclid=", "ref=").foreach(t =>
+          assert(!p.startsWith(t),
+            s"tracking param survived: ${row.getString(1)} -> $canon"))
+      }
+      assert(row.getLong(3) >= 0, s"negative drop count: $row")
+    }
+  }
+
+  test("fuzz: robots admission returns a verdict for every garbage page, no exchange") {
+    import spark.implicits._
+    val r = new Random(7331)
+    val domains = Seq("example.com", "spam-farm.net", "example.co.nz",
+      "wikipedia.org", "heritage.org.nz", "no-rules.zz")
+    val pages = (0L until 200L).map { i =>
+      val d = domains((i % domains.size).toInt)
+      val path = i % 5 match {
+        case 0 => ""                       // no path at all
+        case 1 => "/src1" + garbage(r, 30) // rule-colliding prefix
+        case 2 => "/" + "p" * 10000        // 10 kB path
+        case 3 => garbage(r, 40)           // not even /-rooted
+        case _ => "/src5/1/" + garbage(r, 10)
+      }
+      (i, d, path)
+    }.toDF("doc_id", "registered_domain", "path")
+    val rules = graft.operators.Domains.ruleArrays(spark, sfDir)
+    val out = graft.operators.Domains.admissionCols(pages, rules)
+    val rows = out.collect()
+    assert(rows.length == 200)
+    rows.foreach { row =>
+      assert(!row.isNullAt(5), s"null verdict: $row")
+      val d = row.getString(3)
+      assert(d == "Allow" || d == "Disallow" || d == "default",
+        s"unknown directive: $row")
+      // RFC 9309: a matched verdict must come from a true prefix match
+      if (d != "default")
+        assert(row.getString(2).startsWith(row.getString(4)), s"bogus match: $row")
+    }
+    // the gate stays map-side even on garbage (DomainsSpec's plan pin):
+    // the only repartitioning exchange may build the KB rule array;
+    // the page side never shuffles
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.forall(_.startsWith("registered_domain")),
+      s"fact-side shuffle: $exchanges")
+  }
+
+  test("fuzz: seen-bloom keeps zero false negatives on garbage URLs") {
+    import spark.implicits._
+    val r = new Random(4242)
+    val urls = (0L until 300L).map { i =>
+      val u = i % 4 match {
+        case 0 => "https://h/" + garbage(r, 1 + r.nextInt(50))
+        case 1 => ""                            // empty URL
+        case 2 => "https://h/" + "q" * 5000     // 5 kB URL
+        case _ => s"https://例え.テスト/$i"      // non-ASCII
+      }
+      (i, u)
+    }
+    val probe = urls.toDF("doc_id", "url")
+    val hist = urls.filter(_._1 % 3 == 0).toDF("doc_id", "url")
+    // tiny filter (64 bits) so false POSITIVES are forced too — the
+    // audit column must stay consistent under saturation
+    val rows = graft.operators.Domains
+      .seenBloomCore(probe, hist, mBits = 64, kHashes = 3).collect()
+    assert(rows.length == 300)
+    rows.foreach { row =>
+      val (maybe, seen, fp) =
+        (row.getBoolean(1), row.getBoolean(2), row.getBoolean(3))
+      assert(!seen || maybe,
+        s"FALSE NEGATIVE: doc ${row.getLong(0)} seen but not flagged")
+      assert(fp == (maybe && !seen), s"audit column inconsistent: $row")
+    }
+    // exact membership is by URL VALUE (duplicate garbage strings —
+    // notably the empty URL — make some ids seen through a twin)
+    val histUrls = urls.filter(_._1 % 3 == 0).map(_._2).toSet
+    val expectSeen = urls.filter(u => histUrls.contains(u._2)).map(_._1).toSet
+    val seenIds = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(seenIds == expectSeen, "exact membership diverged")
+  }
 }
