@@ -1707,7 +1707,58 @@ object Curation {
        |                  AS DOUBLE), 6) AS tokens_frac
        |FROM stages""".stripMargin
 
+  // ------------------------------------------------ curate_k_anonymity
+
+  private val KAnonK = 5L
+
+  /** k-ANONYMITY audit over a quasi-identifier tuple — the privacy/
+    * compliance gate a training-data pipeline runs before structured
+    * records (user tables, metadata sidecars) enter a corpus: a row is
+    * re-identifiable when its quasi-identifier combination is shared by
+    * fewer than k rows, so the audit reports every equivalence class
+    * with its population, the under-k flag, and the corpus-wide share
+    * of at-risk ROWS (the number a release decision reads). Quasi-
+    * identifiers here: (nation, market segment, account-balance
+    * band) — the classic "harmless individually, identifying jointly"
+    * shape; the band is exact integer floor(acctbal/1000), identical
+    * IEEE arithmetic on both engines.
+    *
+    * Scale: one map-side-combined groupBy on the quasi tuple; the
+    * share rides a window over the |classes| frame (bounded by the
+    * attribute cross-product, never corpus-sized). Suppression/
+    * generalization would consume exactly this frame.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("acctbal_band"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy()
+    g.select(col("c_nationkey"), col("c_mktsegment"), col("acctbal_band"),
+      col("n_rows"), (col("n_rows") < KAnonK).as("at_risk"),
+      round(sum(when(col("n_rows") < KAnonK, col("n_rows")).otherwise(0L))
+          .over(w).cast("double") /
+        sum(col("n_rows")).over(w).cast("double"), 6).as("risk_row_share"))
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+       |         count(*) AS n_rows
+       |  FROM customer GROUP BY 1, 2, 3
+       |)
+       |SELECT c_nationkey, c_mktsegment, acctbal_band,
+       |       CAST(n_rows AS BIGINT) AS n_rows,
+       |       n_rows < $KAnonK AS at_risk,
+       |       round(CAST(sum(CASE WHEN n_rows < $KAnonK THEN n_rows
+       |                           ELSE 0 END) OVER () AS DOUBLE) /
+       |             CAST(sum(n_rows) OVER () AS DOUBLE), 6)
+       |         AS risk_row_share
+       |FROM g""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("curate_k_anonymity", kAnonymity _, Some(kAnonymitySql)),
     Op("curate_pipeline_report", pipelineReport _, Some(pipelineReportSql)),
     Op("curate_gopher_filter", gopherFilter _, Some(gopherFilterSql)),
     // fast Spark output vs the CHAIN's DuckDB oracle: driver-green

@@ -1125,6 +1125,207 @@ object Similarity {
        |CROSS JOIN cb""".stripMargin
   }
 
+  // ------------------------------------------- sim_hard_negatives
+
+  /** Contrastive TRIPLET MINING — the training-data op for embedding
+    * models: for each benchmark query vector (the anchor), its best
+    * same-label neighbor by exact cosine (the positive) and its best
+    * DIFFERENT-label neighbor (the hard negative — the pair that
+    * actually teaches a margin; random negatives are trivially easy,
+    * which is why production contrastive pipelines mine hard ones).
+    * `margin` = positive − negative cosine: ≤ 0 flags an anchor whose
+    * nearest foreign vector beats its own class — a label error or a
+    * genuinely hard region, either way the row a curator reads first.
+    *
+    * Exact and single-pass: one broadcast of the bounded query set,
+    * one corpus scan, and per side a conditional max over
+    * (cos, −neighbor_id) structs — the `TopKAgg` tie order (score
+    * desc, id asc) without a window or a second scan; a query with no
+    * same-label (resp. different-label) neighbor carries nulls, never
+    * a fabricated pair. At 100 TB the same mining serves from the
+    * persisted IVF/PQ shortlist instead of the full scan — the corpus
+    * pass here is the exactness baseline the fixture can afford.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val el = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = el.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    def best(sameLabel: Boolean) = {
+      val cond =
+        if (sameLabel) col("label") === col("q_label")
+        else col("label") =!= col("q_label")
+      max(when(cond, struct(col("cos"),
+        (-col("neighbor_id")).as("nid"), col("neighbor_id"))))
+    }
+    el.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("label"),
+        col("vec_id").as("neighbor_id"),
+        V.cosine(col("embedding"), col("q_emb")).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(best(sameLabel = true).as("p"), best(sameLabel = false).as("n"))
+      .select(col("query_id"),
+        col("p.neighbor_id").as("positive_id"),
+        round(col("p.cos"), 6).as("pos_cos"),
+        col("n.neighbor_id").as("negative_id"),
+        round(col("n.cos"), 6).as("neg_cos"),
+        round(col("p.cos") - col("n.cos"), 6).as("margin"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), scored AS (
+       |  SELECT q.query_id, q.q_label, e.label, e.vec_id AS neighbor_id,
+       |         ${duckCos("e.embedding", "q.q_emb")} AS cos
+       |  FROM embeddings e, q WHERE e.vec_id != q.query_id
+       |), pos AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM scored WHERE label = q_label
+       |), neg AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM scored WHERE label != q_label
+       |)
+       |SELECT q.query_id, p.neighbor_id AS positive_id,
+       |       round(p.cos, 6) AS pos_cos,
+       |       n.neighbor_id AS negative_id, round(n.cos, 6) AS neg_cos,
+       |       round(p.cos - n.cos, 6) AS margin
+       |FROM q
+       |LEFT JOIN pos p ON p.query_id = q.query_id AND p.rk = 1
+       |LEFT JOIN neg n ON n.query_id = q.query_id AND n.rk = 1""".stripMargin
+
+  // ------------------------------------------- sim_label_noise
+
+  private val NoiseTau = 0.9
+  private val NoiseMinNbrs = 2L
+
+  /** Label-noise flagging by NEIGHBORHOOD AGREEMENT (the confident-
+    * learning intuition at corpus scale): a vector whose confirmed
+    * τ-similar neighbors mostly carry a DIFFERENT label is either
+    * mislabeled or sits on a class boundary — the rows a labeling-QA
+    * pass re-reviews first. Neighborhoods come from the SAME
+    * literal-hyperplane banded candidates as `dedup_semantic` (anchor-
+    * capped, audit column riding every row) confirmed by exact cosine
+    * ≥ τ — so the op is strictly oracled end-to-end AND bounded in
+    * code; no all-pairs form exists outside the DuckDB twin. A vector
+    * with fewer than `NoiseMinNbrs` confirmed neighbors is never
+    * flagged (one neighbor is an anecdote, not evidence); agreement is
+    * exact integer arithmetic (2·n_agree < n_neighbors) at the flag
+    * boundary, doubles only in the reported ratio.
+    */
+  def labelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val idSigs = hyperplaneSigsN(emb(spark, dir), SemBits)
+      .select(col("vec_id"), col("sig"))
+    val (cand, capped) = bandedCandidates(idSigs)
+    val e = emb(spark, dir)
+    val confirmed = cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")),
+        Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")),
+        Seq("id_b"))
+      .where(V.cosine(col("emb_a"), col("emb_b")) >= NoiseTau)
+      .select(col("id_a"), col("id_b"))
+      // candidate-sized; feeds both branches of the symmetric union
+      .localCheckpoint()
+    val sym = confirmed.unionByName(confirmed
+      .select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val agree = sym
+      .join(lbl.select(col("vec_id").as("id_a"), col("label").as("lab_a")),
+        Seq("id_a"))
+      .join(lbl.select(col("vec_id").as("id_b"), col("label").as("lab_b")),
+        Seq("id_b"))
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("lab_a") === col("lab_b"), 1L).otherwise(0L))
+          .as("n_agree"))
+    lbl.join(agree, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+        round(col("n_agree").cast("double") / col("n_neighbors"), 6)
+          .as("agreement"),
+        (coalesce(col("n_neighbors"), lit(0L)) >= NoiseMinNbrs &&
+          coalesce(col("n_agree"), lit(0L)) * 2 <
+            coalesce(col("n_neighbors"), lit(0L))).as("flagged"))
+      .crossJoin(broadcast(capped))
+  }
+
+  /** The shared banded-candidate CTE chain (signatures → bands →
+    * anchor-capped pairs + capped-bucket audit) — textually the same
+    * construction `semanticDedupSql` inlines; factored for the oracles
+    * that rank or aggregate over the SAME candidate set.
+    */
+  private def semCandSql: String = {
+    def dot(j: Int) = {
+      val lits = (0 until 64).map(d => hyperplaneVal(j, d))
+        .mkString("[", ", ", "]")
+      s"""list_sum(list_transform(list_zip(embedding, $lits),
+         |           x -> CAST(x[1] AS DOUBLE) * x[2]))""".stripMargin
+    }
+    val sigExpr = (0 until SemBits)
+      .map(j => s"(CASE WHEN ${dot(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("\n       + ")
+    val bandList = (0 until SemBands).mkString("[", ", ", "]")
+    s"""s AS (
+       |  SELECT vec_id, embedding,
+       |         CAST($sigExpr AS BIGINT) AS sig
+       |  FROM embeddings),
+       |bd AS (SELECT vec_id, sig, band,
+       |              (sig >> (band * $SemBandBits)) &
+       |                ${(1L << SemBandBits) - 1} AS bucket
+       |       FROM s CROSS JOIN (SELECT unnest($bandList) AS band)),
+       |ranked AS (SELECT vec_id, band, bucket,
+       |                  row_number() OVER (PARTITION BY band, bucket
+       |                    ORDER BY vec_id) AS rk
+       |           FROM bd),
+       |cb AS (SELECT CAST(count(*) AS BIGINT) AS capped_buckets
+       |       FROM (SELECT band, bucket, max(rk) AS n FROM ranked
+       |             GROUP BY 1, 2) WHERE n > $SemBucketCap),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |         FROM (SELECT * FROM ranked WHERE rk <= $SemBucketCap) x
+       |         JOIN bd y
+       |           ON x.band = y.band AND x.bucket = y.bucket
+       |          AND x.vec_id < y.vec_id)""".stripMargin
+  }
+
+  val labelNoiseSql: String =
+    s"""WITH $semCandSql,
+       |conf AS (SELECT c.id_a, c.id_b
+       |         FROM cand c
+       |         JOIN embeddings a ON a.vec_id = c.id_a
+       |         JOIN embeddings b ON b.vec_id = c.id_b
+       |         WHERE ${duckCos("a.embedding", "b.embedding")} >= $NoiseTau),
+       |sym AS (SELECT id_a, id_b FROM conf
+       |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM conf),
+       |agree AS (SELECT p.id_a AS vec_id,
+       |                 CAST(count(*) AS BIGINT) AS n_neighbors,
+       |                 CAST(sum(CASE WHEN la.label = lb.label
+       |                               THEN 1 ELSE 0 END) AS BIGINT)
+       |                   AS n_agree
+       |          FROM sym p
+       |          JOIN embeddings la ON la.vec_id = p.id_a
+       |          JOIN embeddings lb ON lb.vec_id = p.id_b
+       |          GROUP BY 1)
+       |SELECT e.vec_id, e.label,
+       |       COALESCE(n_neighbors, 0) AS n_neighbors,
+       |       COALESCE(n_agree, 0) AS n_agree,
+       |       round(CAST(n_agree AS DOUBLE) / n_neighbors, 6) AS agreement,
+       |       (COALESCE(n_neighbors, 0) >= $NoiseMinNbrs AND
+       |        COALESCE(n_agree, 0) * 2 < COALESCE(n_neighbors, 0))
+       |         AS flagged,
+       |       capped_buckets
+       |FROM embeddings e
+       |LEFT JOIN agree ON agree.vec_id = e.vec_id
+       |CROSS JOIN cb""".stripMargin
+
   private val KnnK = 3
 
   /** kNN-GRAPH construction over the same literal-hyperplane LSH
@@ -2073,6 +2274,8 @@ object Similarity {
       Some(centroidConfusionSql)),
     Op("dedup_semantic", semanticDedup _, Some(semanticDedupSql)),
     Op("sim_knn_lsh", knnLsh _, Some(knnLshSql)),
+    Op("sim_hard_negatives", hardNegatives _, Some(hardNegativesSql)),
+    Op("sim_label_noise", labelNoise _, Some(labelNoiseSql)),
     Op("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceSql)),
     Op("emb_random_project", randomProject _, Some(randomProjectSql)),
     Op("sim_cosine_audit", cosineAudit _, Some(cosineAuditSql)),

@@ -6,6 +6,29 @@ import graft.operators.Curation
 
 class CurationSpec extends SparkSpec {
 
+  test("k-anonymity: under-k classes flag, risk share counts rows not classes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kanon").toString
+    // class A: 6 identical quasi-tuples (safe); class B: 2 (at risk);
+    // class C: 1 (at risk) — risk share = (2+1)/9 rows
+    val rows =
+      (1 to 6).map(i => (i.toLong, s"a$i", 1, 1500.0, "BUILDING")) ++
+      (7 to 8).map(i => (i.toLong, s"b$i", 2, 2500.0, "AUTO")) ++
+      Seq((9L, "c9", 3, 3500.0, "MACHINERY"))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val out = Curation.kAnonymity(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getBoolean(4), r.getDouble(5)))
+    assert(out.length == 3)
+    val byNation = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byNation(1) == ((6L, false)))
+    assert(byNation(2) == ((2L, true)))
+    assert(byNation(3) == ((1L, true)))
+    // share is row mass, not class count: 3/9, on every row
+    assert(out.forall(_._4 == math.rint(3.0 / 9.0 * 1e6) / 1e6))
+  }
+
   test("pack: token conservation, greedy fill, shard-local bin ids") {
     val packs = Curation.pack(spark, sfDir).collect()
     val corpusTokens = Tables(spark, sfDir, "documents")

@@ -134,6 +134,66 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(full.contains((1L, 2L)) && full.contains((3L, 4L)))
   }
 
+  test("hard negatives: planted positive and a mislabeled intruder; unique label yields nulls") {
+    import spark.implicits._
+    def unit(theta: Double): Seq[Float] =
+      Array.tabulate(64)(d =>
+        (math.cos(d * 0.7 + theta) * 2).toFloat).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("hardneg").toString
+    // query 0 (label 0) at theta=0; id 20 = same label, near (the
+    // positive); id 25 = DIFFERENT label but nearer still (a mislabeled
+    // intruder -> the hard negative, margin < 0). query 5 carries a
+    // label nobody else has -> null positive. ids 1-9 are far-off
+    // queries so the bounded query set stays populated.
+    val rows = Seq(
+      (0L, unit(0.0), 0),
+      (20L, unit(0.05), 0),
+      (25L, unit(0.01), 1),
+      (5L, unit(2.0), 7)) ++
+      (1L to 4L).map(i => (i, unit(1.0 + i * 0.3), 2)) ++
+      (6L to 9L).map(i => (i, unit(2.5 + i * 0.3), 3)) ++
+      Seq((30L, unit(4.0), 1), (31L, unit(4.3), 2), (32L, unit(4.6), 3))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.hardNegatives(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 10)
+    val q0 = out(0L)
+    assert(q0.getLong(1) == 20L, s"positive must be the near same-label: $q0")
+    assert(q0.getLong(3) == 25L, s"hard negative must be the intruder: $q0")
+    assert(q0.getDouble(5) < 0,
+      s"intruder beats the class -> negative margin: $q0")
+    val q5 = out(5L)
+    assert(q5.isNullAt(1) && q5.isNullAt(2) && q5.isNullAt(5),
+      s"unique label must yield null positive and margin: $q5")
+    assert(!q5.isNullAt(3), s"negative side still mined: $q5")
+  }
+
+  test("label noise: the minority label of a tight family flags; isolated vectors never do") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(d => math.sin(d * 1.7).toFloat * 3f + 4f)
+    // ten near-identical vectors (cos ~ 1): nine labeled 0, one labeled
+    // 1 -> the one disagrees with its whole neighborhood
+    val family = (0L until 10L).map(i =>
+      (i, base.map(_ * (1f + i * 1e-6f)).toSeq, if (i == 7L) 1 else 0))
+    val lone = Seq((99L,
+      Array.tabulate(64)(d => math.cos(d * 2.3).toFloat * 5f - 1f).toSeq, 0))
+    val dir = java.nio.file.Files.createTempDirectory("labnoise").toString
+    (family ++ lone).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.labelNoise(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(5)))).toMap
+    assert(out.size == 11)
+    val (n7, a7, f7) = out(7L)
+    assert(n7 == 9 && a7 == 0 && f7, s"minority label must flag: ${out(7L)}")
+    (0L until 10L).filter(_ != 7L).foreach { i =>
+      val (n, a, f) = out(i)
+      assert(n == 9 && a == 8 && !f, s"majority member must not flag: $i ${out(i)}")
+    }
+    assert(out(99L) == ((0L, 0L, false)), "isolated vector must never flag")
+  }
+
   test("ANN insert: two successive batches extend the index; replay adds nothing; drift gate flips") {
     import spark.implicits._
     def v(id: Long): Seq[Float] =
