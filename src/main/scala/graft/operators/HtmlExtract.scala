@@ -557,6 +557,27 @@ object HtmlExtract {
       .orderBy(col("r").desc, col("node").asc)
       .select(col("node").as("domain"), col("r").as("rank_micros"))
 
+  /** The SERVED domain rank: `domainRank` computed once per corpus
+    * version and landed as a content-addressed snapshot, read back by
+    * every consumer that COMPOSES over the rank (`frontierRank`, the
+    * pipeline report, the streaming frontier) — the offline-index /
+    * online-serve split the ANN family uses, applied to the crawl
+    * chain's most expensive shared stage (WARC extract → outlinks →
+    * 5 PageRank iterations, ~3 s at sf0.1, re-derived per composed op
+    * before r14). The registered `graph_domain_rank` op keeps
+    * COMPUTING the rank — it is the query whose oracle proves the
+    * bit-equality contract; this serves the proven artifact.
+    */
+  private[graft] def servedDomainRank(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (store, ts) = graft.sources.SnapshotStore.contentAddressed(
+      spark, s"$dir/documents.parquet", s"graft_drserve_i$DrIters")
+    if (!store.hasTableSnapshot("dr_rank", ts))
+      store.writeTableSnapshot(domainRank(spark, dir), "dr_rank", ts)
+    store.readTableSnapshot(spark, "dr_rank", ts)
+      .select(col("domain"), col("rank_micros"))
+  }
+
   val domainRankSql: String =
     s"""WITH e AS (
        |  SELECT DISTINCT src_domain AS src, dst_domain AS dst
@@ -716,7 +737,7 @@ object HtmlExtract {
     val admitted = Domains.urlAllowed(spark, dir)
       .where(col("allowed"))
       .select(col("doc_id"), col("registered_domain"), col("path"))
-    frontierScore(admitted, domainRank(spark, dir),
+    frontierScore(admitted, servedDomainRank(spark, dir),
       Domains.crawlDelays(spark, dir))
       .withColumn("fetch_order", row_number().over(
         Window.partitionBy(col("registered_domain"))

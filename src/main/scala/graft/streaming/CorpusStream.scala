@@ -47,7 +47,7 @@ object CorpusStream {
       .where(col("allowed"))
       .select(col("doc_id"), col("registered_domain"), col("path"))
     graft.operators.HtmlExtract.frontierScore(admitted,
-      graft.operators.HtmlExtract.domainRank(spark, dir),
+      graft.operators.HtmlExtract.servedDomainRank(spark, dir),
       graft.operators.Domains.crawlDelays(spark, dir))
   }
 
