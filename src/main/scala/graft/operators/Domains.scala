@@ -542,13 +542,15 @@ object Domains {
     // get() (0-based), not element_at: ANSI mode makes element_at
     // THROW on an empty match array; get returns the null we want
     val best = get(sort_array(matching), lit(0))
+    // every input column rides through (the sitemap gate carries loc/
+    // lastmod/scope alongside the admission key), verdicts appended
     pages.join(broadcast(ruleArr),
         col("registered_domain") === col("r_domain"), "left")
-      .select(col("doc_id"), col("registered_domain"), col("path"),
+      .select(pages.columns.map(col) ++ Seq(
         coalesce(best("directive"), lit("default")).as("matched_directive"),
         coalesce(best("path_prefix"), lit("")).as("matched_prefix"),
         (coalesce(best("directive"), lit("Allow")) === "Allow")
-          .as("allowed"))
+          .as("allowed")): _*)
   }
 
   def urlAllowed(spark: SparkSession, dir: String): DataFrame = {
@@ -589,6 +591,170 @@ object Domains {
        |       COALESCE(directive, 'default') AS matched_directive,
        |       COALESCE(path_prefix, '') AS matched_prefix,
        |       COALESCE(directive, 'Allow') = 'Allow' AS allowed
+       |FROM m WHERE rk = 1""".stripMargin
+
+  // ------------------------------------------------ crawl_sitemap_urls
+
+  /** Per-domain sitemap fixture — deterministic literal XML per
+    * registered domain (identical CASE on both engines, the
+    * `robotsFixtureCol` convention), covering the sitemaps.org shapes
+    * a discovery parser must handle: a plain urlset with and without
+    * `<lastmod>`, an entry the domain's OWN robots disallow (sitemaps
+    * advertise; robots still gates), a CROSS-HOST entry (the protocol
+    * violation crawlers must drop — a sitemap may only list URLs on
+    * its own host), a blocked domain's sitemap, and a sitemap INDEX
+    * whose entries are child sitemaps, not page URLs. Domains without
+    * a sitemap contribute no rows.
+    */
+  private def sitemapFixtureCol(domain: Column): Column =
+    when(domain === "example.com", lit(
+      "<urlset>" +
+        "<url><loc>https://www.example.com/doc/1</loc>" +
+        "<lastmod>2024-01-05</lastmod></url>" +
+        "<url><loc>https://www.example.com/src1/page</loc>" +
+        "<lastmod>2024-02-11</lastmod></url>" +
+        "<url><loc>https://www.example.com/src12/ok</loc></url>" +
+        "<url><loc>https://elsewhere.org/stolen</loc>" +
+        "<lastmod>2024-03-01</lastmod></url>" +
+        "</urlset>"))
+      .when(domain === "spam-farm.net", lit(
+        "<urlset><url><loc>https://blog.spam-farm.net/x</loc></url></urlset>"))
+      .when(domain === "wikipedia.org", lit(
+        "<sitemapindex>" +
+          "<sitemap><loc>https://en.wikipedia.org/sitemap-0.xml</loc>" +
+          "<lastmod>2024-04-01</lastmod></sitemap>" +
+          "<sitemap><loc>https://en.wikipedia.org/sitemap-1.xml</loc>" +
+          "</sitemap></sitemapindex>"))
+      .when(domain === "example.co.nz", lit(
+        "<urlset><url><loc>https://data.example.co.nz/a/1</loc></url>" +
+          "<url><loc>https://data.example.co.nz/src7/hidden</loc>" +
+          "<lastmod>2023-12-31</lastmod></url></urlset>"))
+      .otherwise(lit(""))
+
+  private def sitemapFixtureSql(domain: String): String = {
+    def q(s: String) = s"'$s'"
+    s"""CASE WHEN $domain = 'example.com' THEN ${q(
+      "<urlset><url><loc>https://www.example.com/doc/1</loc>" +
+        "<lastmod>2024-01-05</lastmod></url>" +
+        "<url><loc>https://www.example.com/src1/page</loc>" +
+        "<lastmod>2024-02-11</lastmod></url>" +
+        "<url><loc>https://www.example.com/src12/ok</loc></url>" +
+        "<url><loc>https://elsewhere.org/stolen</loc>" +
+        "<lastmod>2024-03-01</lastmod></url></urlset>")}
+       |     WHEN $domain = 'spam-farm.net' THEN ${q(
+      "<urlset><url><loc>https://blog.spam-farm.net/x</loc></url></urlset>")}
+       |     WHEN $domain = 'wikipedia.org' THEN ${q(
+      "<sitemapindex><sitemap><loc>https://en.wikipedia.org/sitemap-0.xml</loc>" +
+        "<lastmod>2024-04-01</lastmod></sitemap>" +
+        "<sitemap><loc>https://en.wikipedia.org/sitemap-1.xml</loc>" +
+        "</sitemap></sitemapindex>")}
+       |     WHEN $domain = 'example.co.nz' THEN ${q(
+      "<urlset><url><loc>https://data.example.co.nz/a/1</loc></url>" +
+        "<url><loc>https://data.example.co.nz/src7/hidden</loc>" +
+        "<lastmod>2023-12-31</lastmod></url></urlset>")}
+       |     ELSE '' END""".stripMargin
+  }
+
+  /** Sitemap-driven URL DISCOVERY — the crawl stage between robots and
+    * the frontier the family was missing: parse each domain's sitemap
+    * (urlset entries AND sitemap-index children), validate the
+    * protocol's own-host scope rule, and gate every in-scope page URL
+    * through the domain's parsed robots rules — a sitemap ADVERTISES,
+    * robots still decides (`allowed` is null for child sitemaps and
+    * out-of-scope entries: no admission claim is made where none
+    * applies). Block extraction is two non-greedy `[\\s\\S]*?` regex
+    * passes (RE2 ≡ Java semantics), per-entry `<loc>`/`<lastmod>`
+    * pulls, then the shared broadcast admission gate — per-domain
+    * work, KB-sized frames, zero corpus shuffles; at 100 TB sitemap
+    * bodies arrive via `HttpFetch` exactly like robots bodies.
+    */
+  def sitemapUrls(spark: SparkSession, dir: String): DataFrame = {
+    val doms = withDomain(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), fixtureUrlCol.as("url")))
+      .select(col("registered_domain")).distinct()
+      .select(col("registered_domain").as("sm_domain"),
+        sitemapFixtureCol(col("registered_domain")).as("xml"))
+    def blocksOf(kind: String, tag: String) =
+      transform(
+        regexp_extract_all(col("xml"), lit(s"<$tag>([\\s\\S]*?)</$tag>"),
+          lit(1)),
+        b => struct(lit(kind).as("kind"), b.as("block")))
+    val entries = doms
+      .select(col("sm_domain"),
+        explode(concat(blocksOf("url", "url"),
+          blocksOf("sitemap", "sitemap"))).as("e"))
+      .select(col("sm_domain"), col("e.kind").as("kind"),
+        regexp_extract(col("e.block"), "<loc>([^<]*)</loc>", 1).as("loc"),
+        when(regexp_extract(col("e.block"),
+            "<lastmod>([^<]*)</lastmod>", 1) === "", lit(null))
+          .otherwise(regexp_extract(col("e.block"),
+            "<lastmod>([^<]*)</lastmod>", 1)).as("lastmod"))
+    val scoped = withDomain(entries.withColumn("url", col("loc")))
+      .select(col("sm_domain").as("registered_domain"), col("kind"),
+        col("loc"), col("lastmod"),
+        (col("registered_domain") === col("sm_domain")).as("in_scope"),
+        regexp_replace(col("loc"), "^[a-z]+://[^/]+", "").as("path"))
+    admissionCols(scoped, ruleArrays(spark, dir))
+      .select(col("registered_domain").as("domain"), col("kind"),
+        col("loc"), col("path"), col("lastmod"), col("in_scope"),
+        when(col("kind") === "url" && col("in_scope"), col("allowed"))
+          .as("allowed"))
+  }
+
+  val sitemapUrlsSql: String =
+    s"""WITH doms AS (
+       |  SELECT DISTINCT registered_domain FROM (
+       |    SELECT doc_id, source, url,
+       |           $domainSelectSql
+       |    FROM (SELECT doc_id, source, $fixtureUrlSqlExpr AS url
+       |          FROM documents))
+       |), sm AS (
+       |  SELECT registered_domain AS sm_domain,
+       |         ${sitemapFixtureSql("registered_domain")} AS xml
+       |  FROM doms
+       |), blocks AS (
+       |  SELECT sm_domain, 'url' AS kind,
+       |         unnest(regexp_extract_all(xml, '<url>([\\s\\S]*?)</url>', 1))
+       |           AS block
+       |  FROM sm
+       |  UNION ALL
+       |  SELECT sm_domain, 'sitemap',
+       |         unnest(regexp_extract_all(xml,
+       |                '<sitemap>([\\s\\S]*?)</sitemap>', 1))
+       |  FROM sm
+       |), e AS (
+       |  SELECT sm_domain, kind,
+       |         regexp_extract(block, '<loc>([^<]*)</loc>', 1) AS loc,
+       |         nullif(regexp_extract(block, '<lastmod>([^<]*)</lastmod>', 1),
+       |                '') AS lastmod
+       |  FROM blocks
+       |), scoped AS (
+       |  SELECT sm_domain, kind, loc, lastmod,
+       |         registered_domain = sm_domain AS in_scope,
+       |         regexp_replace(loc, '^[a-z]+://[^/]+', '') AS path
+       |  FROM (SELECT sm_domain, kind, loc, lastmod, url, $domainSelectSql
+       |        FROM (SELECT sm_domain, kind, loc, lastmod, loc AS url
+       |              FROM e))
+       |), rules AS (
+       |  SELECT * FROM (
+       |${robotsRulesSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) WHERE directive IN ('Allow', 'Disallow')
+       |      AND length(path_prefix) > 0
+       |), m AS (
+       |  SELECT p.sm_domain, p.kind, p.loc, p.path, p.lastmod, p.in_scope,
+       |         r.directive,
+       |         row_number() OVER (PARTITION BY p.sm_domain, p.kind, p.loc
+       |           ORDER BY length(r.path_prefix) DESC,
+       |                    (r.directive = 'Allow') DESC, r.line_no ASC) AS rk
+       |  FROM scoped p
+       |  LEFT JOIN rules r
+       |    ON r.registered_domain = p.sm_domain
+       |   AND starts_with(p.path, r.path_prefix)
+       |)
+       |SELECT sm_domain AS domain, kind, loc, path, lastmod, in_scope,
+       |       CASE WHEN kind = 'url' AND in_scope
+       |            THEN COALESCE(directive, 'Allow') = 'Allow' END AS allowed
        |FROM m WHERE rk = 1""".stripMargin
 
   // ------------------------------------------------ crawl_seen_bloom
@@ -680,6 +846,7 @@ object Domains {
   }
 
   val ops: Seq[Op] = Seq(
+    Op("crawl_sitemap_urls", sitemapUrls _, Some(sitemapUrlsSql)),
     Op("crawl_seen_bloom", seenBloom _, Some(seenBloomSql)),
     Op("crawl_robots_rules", robotsRules _, Some(robotsRulesSql)),
     Op("crawl_url_allowed", urlAllowed _, Some(urlAllowedSql)),

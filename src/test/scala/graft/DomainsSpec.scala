@@ -316,4 +316,31 @@ class DomainsSpec extends SparkSpec {
     assert(tiny.values.count(_._3) > 0,
       "a saturated filter must show flagged false positives")
   }
+
+  test("sitemap discovery: scope rule, robots still gates, index children make no admission claim") {
+    val rows = graft.operators.Domains.sitemapUrls(spark, sfDir).collect()
+      .map(r => r.getString(2) -> ((r.getString(0), r.getString(1),
+        if (r.isNullAt(4)) null else r.getString(4), r.getBoolean(5),
+        if (r.isNullAt(6)) null else r.getBoolean(6)))).toMap
+    assert(rows.size == 9)
+    // a sitemap ADVERTISES; the domain's own robots still decides
+    assert(rows("https://www.example.com/doc/1")._5 == true)
+    assert(rows("https://www.example.com/src1/page")._5 == false,
+      "Disallow /src1 must gate the advertised URL")
+    assert(rows("https://www.example.com/src12/ok")._5 == true,
+      "the longer Allow /src12 must override")
+    assert(rows("https://data.example.co.nz/src7/hidden")._5 == false)
+    assert(rows("https://blog.spam-farm.net/x")._5 == false,
+      "a fully blocked domain's sitemap admits nothing")
+    // protocol scope rule: a sitemap may only list its own host
+    val stolen = rows("https://elsewhere.org/stolen")
+    assert(!stolen._4 && stolen._5 == null,
+      s"cross-host entry: out of scope, no admission claim: $stolen")
+    // index children are sitemap refs, never page admissions
+    val child = rows("https://en.wikipedia.org/sitemap-0.xml")
+    assert(child._2 == "sitemap" && child._3 == "2024-04-01" &&
+      child._5 == null, s"index child: $child")
+    // lastmod is nullable, absent entries stay null
+    assert(rows("https://data.example.co.nz/a/1")._3 == null)
+  }
 }
