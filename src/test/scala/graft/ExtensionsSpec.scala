@@ -125,4 +125,58 @@ class ExtensionsSpec extends SparkSpec {
     assert(org.apache.spark.sql.graft.ZValue.interleave(1234L, 4321L) ==
       refZ(1234L, 4321L))
   }
+
+  test("AnnAssign equals the HOF transform+array_sort formulation, incl. degenerate rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(20260815)
+    val m = 8; val dsub = 8
+    val cents: Seq[(Long, Seq[Float])] = (0L until 16L).map(i =>
+      (i, Seq.tabulate(64)(_ => rnd.nextFloat() * 4 - 2)))
+    val book: Seq[(Int, Int, Seq[Float])] = for {
+      mm <- 0 until m; code <- 0 until 32
+    } yield (mm, code, Seq.tabulate(dsub)(_ => rnd.nextFloat() * 4 - 2))
+    // random vectors + the degenerate shapes the kernel must order
+    // exactly like Spark's struct sort: an all-zero vector (null
+    // cosine), a SHORT vector (null d2 in trailing sub-spaces, null
+    // cosine vs 64-dim centroids), a long vector
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L until 40L).map(i =>
+        (i, Seq.tabulate(64)(_ => rnd.nextFloat() * 6 - 3))) ++
+      Seq((100L, Seq.fill(64)(0f)), (101L, Seq.fill(60)(1f)),
+        (102L, Seq.fill(70)(0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // the r13 HOF reference formulation, verbatim
+    import org.apache.spark.sql.Column
+    def pqL2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    val centLit = typedLit(cents)
+    val scored = transform(centLit, c =>
+      struct((-org.apache.spark.sql.graft.CosineSim(
+        col("embedding"), c("_2"))).as("negcos"), c("_1").as("id")))
+    val cellRef = get(array_sort(scored), lit(0))("id")
+    val codeRefs = (0 until m).map { mm =>
+      val bm = typedLit(book.filter(_._1 == mm).map(b => (b._2, b._3)))
+      val sub = slice(col("embedding"), mm * dsub + 1, dsub)
+      val cand = transform(bm, b =>
+        struct(pqL2(sub, b("_2")).as("d2"), b("_1").as("code")))
+      get(array_sort(cand), lit(0))("code")
+    }
+    val ref = df.select(col("vec_id"), cellRef.as("cell"),
+        array(codeRefs: _*).as("codes")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2)))).toMap
+    val assign = org.apache.spark.sql.graft.AnnAssign(
+      col("embedding"), cents, book, m, dsub)
+    val got = df.select(col("vec_id"), assign.as("a"))
+      .select(col("vec_id"), col("a.cell"), col("a.codes")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2)))).toMap
+    assert(got.size == ref.size)
+    ref.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"native/HOF divergence at vec $id: " +
+        s"${got(id)} vs $exp")
+    }
+  }
 }
