@@ -668,19 +668,19 @@ object Domains {
     * work, KB-sized frames, zero corpus shuffles; at 100 TB sitemap
     * bodies arrive via `HttpFetch` exactly like robots bodies.
     */
-  def sitemapUrls(spark: SparkSession, dir: String): DataFrame = {
-    val doms = withDomain(
-      Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("source"), fixtureUrlCol.as("url")))
-      .select(col("registered_domain")).distinct()
-      .select(col("registered_domain").as("sm_domain"),
-        sitemapFixtureCol(col("registered_domain")).as("xml"))
+  /** Frame-in/frame-out sitemap gate over any (sm_domain, xml) frame —
+    * STATELESS (regex block extraction + broadcast admission), so the
+    * identical body serves the batch fixture scan and a landing stream
+    * of fetched sitemap bodies (the `gopherMetrics` convention).
+    */
+  private[graft] def sitemapCols(sm: DataFrame,
+      ruleArr: DataFrame): DataFrame = {
     def blocksOf(kind: String, tag: String) =
       transform(
         regexp_extract_all(col("xml"), lit(s"<$tag>([\\s\\S]*?)</$tag>"),
           lit(1)),
         b => struct(lit(kind).as("kind"), b.as("block")))
-    val entries = doms
+    val entries = sm
       .select(col("sm_domain"),
         explode(concat(blocksOf("url", "url"),
           blocksOf("sitemap", "sitemap"))).as("e"))
@@ -695,11 +695,21 @@ object Domains {
         col("loc"), col("lastmod"),
         (col("registered_domain") === col("sm_domain")).as("in_scope"),
         regexp_replace(col("loc"), "^[a-z]+://[^/]+", "").as("path"))
-    admissionCols(scoped, ruleArrays(spark, dir))
+    admissionCols(scoped, ruleArr)
       .select(col("registered_domain").as("domain"), col("kind"),
         col("loc"), col("path"), col("lastmod"), col("in_scope"),
         when(col("kind") === "url" && col("in_scope"), col("allowed"))
           .as("allowed"))
+  }
+
+  def sitemapUrls(spark: SparkSession, dir: String): DataFrame = {
+    val doms = withDomain(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), fixtureUrlCol.as("url")))
+      .select(col("registered_domain")).distinct()
+      .select(col("registered_domain").as("sm_domain"),
+        sitemapFixtureCol(col("registered_domain")).as("xml"))
+    sitemapCols(doms, ruleArrays(spark, dir))
   }
 
   val sitemapUrlsSql: String =

@@ -72,6 +72,21 @@ object CorpusStream {
     graft.operators.Similarity.annIngestCols(embs, cents, book)
   }
 
+  /** Streaming sitemap discovery: fetched sitemap BODIES arrive as a
+    * stream of (sm_domain, xml) and leave as scope-validated,
+    * robots-gated URL/child-sitemap rows ON ARRIVAL — the continuous
+    * form of `crawl_sitemap_urls`, sharing its frame-in/frame-out core
+    * (`Domains.sitemapCols`): regex block extraction is a stateless
+    * projection and the admission gate is a stream-static broadcast
+    * join against the engine's parsed rule arrays — zero streaming
+    * state, batch parity by construction (pinned in StreamingSpec).
+    */
+  def sitemapStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      sitemaps: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.Domains.sitemapCols(sitemaps,
+      graft.operators.Domains.ruleArrays(spark, dir))
+
   /** The full streaming index-maintenance LOOP — landing stream →
     * micro-batch insert into the snapshot store → drift gate →
     * rebuild rotation — composing `Similarity.maintainStep` behind a

@@ -756,4 +756,44 @@ class StreamingSpec extends SparkSpec {
         got(104L)._3 == ranks("example.co.nz") / (10L * 3L))
     } finally q.stop()
   }
+
+  test("sitemap stream: arrival-time parse + scope + robots gate equals the batch rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // stream the SAME per-domain bodies the batch fixture synthesizes:
+    // the stateless core must reproduce every batch row exactly
+    val bodies = Seq(
+      ("example.com",
+        "<urlset><url><loc>https://www.example.com/doc/1</loc>" +
+          "<lastmod>2024-01-05</lastmod></url>" +
+          "<url><loc>https://www.example.com/src1/page</loc>" +
+          "<lastmod>2024-02-11</lastmod></url>" +
+          "<url><loc>https://www.example.com/src12/ok</loc></url>" +
+          "<url><loc>https://elsewhere.org/stolen</loc>" +
+          "<lastmod>2024-03-01</lastmod></url></urlset>"),
+      ("wikipedia.org",
+        "<sitemapindex><sitemap><loc>https://en.wikipedia.org/sitemap-0.xml" +
+          "</loc><lastmod>2024-04-01</lastmod></sitemap>" +
+          "<sitemap><loc>https://en.wikipedia.org/sitemap-1.xml</loc>" +
+          "</sitemap></sitemapindex>"))
+    val mem = MemoryStream[(String, String)]
+    val q = graft.streaming.CorpusStream
+      .sitemapStream(spark, sfDir, mem.toDF().toDF("sm_domain", "xml"))
+      .writeStream.format("memory").queryName("sitemap_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(bodies: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getString(2),
+          if (r.isNullAt(4)) null else r.getString(4), r.getBoolean(5),
+          if (r.isNullAt(6)) null else r.getBoolean(6))
+      val got = spark.table("sitemap_out").collect().map(key).toSet
+      val batch = graft.operators.Domains.sitemapUrls(spark, sfDir)
+        .where(col("domain").isin("example.com", "wikipedia.org"))
+        .collect().map(key).toSet
+      assert(got == batch, s"stream/batch divergence:\n$got\nvs\n$batch")
+      assert(got.size == 6)
+    } finally q.stop()
+  }
 }
