@@ -428,6 +428,18 @@ object Domains {
         lit("User-agent: *\nCrawl-delay: 10\nDisallow: \nDisallow: /src7"))
       .when(domain === "wikipedia.org",
         lit("User-agent: *\nCrawl-delay: 2\nAllow: /"))
+      // UA-GROUP fixtures (r14): heritage stacks two UA lines on one
+      // group (RFC 9309 §2.1 — adjacent UA lines share their rules) and
+      // fully blocks everyone else; services gives the named crawler
+      // its own rules + delay while * gets different ones. A crawler
+      // that ignores group selection blocks everything on heritage and
+      // obeys the wrong Disallow on services.
+      .when(domain === "heritage.org.nz",
+        lit("User-agent: otherbot\nUser-agent: graftbot\n" +
+          "Disallow: /src6\nUser-agent: *\nDisallow: /"))
+      .when(domain === "services.govt.nz",
+        lit("User-agent: graftbot\nDisallow: /src2\nCrawl-delay: 4\n" +
+          "User-agent: *\nDisallow: /src4"))
       .otherwise(lit("User-agent: *\nDisallow: /src5\nAllow: /src5/1"))
 
   private def robotsFixtureSql(domain: String): String =
@@ -443,6 +455,16 @@ object Domains {
        |     WHEN $domain = 'wikipedia.org'
        |       THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 2' ||
        |            chr(10) || 'Allow: /'
+       |     WHEN $domain = 'heritage.org.nz'
+       |       THEN 'User-agent: otherbot' || chr(10) ||
+       |            'User-agent: graftbot' || chr(10) ||
+       |            'Disallow: /src6' || chr(10) ||
+       |            'User-agent: *' || chr(10) || 'Disallow: /'
+       |     WHEN $domain = 'services.govt.nz'
+       |       THEN 'User-agent: graftbot' || chr(10) ||
+       |            'Disallow: /src2' || chr(10) || 'Crawl-delay: 4' ||
+       |            chr(10) || 'User-agent: *' || chr(10) ||
+       |            'Disallow: /src4'
        |     ELSE 'User-agent: *' || chr(10) || 'Disallow: /src5' ||
        |          chr(10) || 'Allow: /src5/1' END""".stripMargin
 
@@ -453,22 +475,68 @@ object Domains {
     * the admission join and the fetch planner's delay lookup;
     * fetching/refreshing robots bodies is the `HttpFetch` path.
     */
+  /** The product token this engine crawls as — the name RFC 9309 group
+    * selection matches against. One constant, shared by the Spark
+    * parser and (textually) the oracle SQL.
+    */
+  private[graft] val CrawlerUa = "graftbot"
+
+  /** RFC 9309 §2.1 group selection (r14): rules belong to the GROUP
+    * opened by the nearest preceding run of `User-agent:` lines
+    * (adjacent UA lines share one group), and a crawler obeys the
+    * groups naming ITS product token when any exist, else the `*`
+    * groups — never both. The returned frame keeps the r13 shape
+    * (domain, line_no, directive, path_prefix) and contains ONLY the
+    * selected groups' Allow/Disallow/Crawl-delay lines, so every
+    * consumer (admission, delays, fetch plan, sitemap gate) obeys the
+    * right group for free. Group machinery is per-domain windows over
+    * the ≤10-line rule frame — KBs at any corpus size.
+    */
   def robotsRules(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val domains = withDomain(
       Tables(spark, dir, "documents")
         .select(col("doc_id"), col("source"), fixtureUrlCol.as("url")))
       .select(col("registered_domain")).distinct()
-    domains
+    val dirRe = "^(User-agent|Allow|Disallow|Crawl-delay): ?(.*)$"
+    val lines = domains
       .select(col("registered_domain"),
         posexplode(split(robotsFixtureCol(col("registered_domain")), "\n"))
           .as(Seq("ln0", "line")))
       .select(col("registered_domain"),
         (col("ln0") + 1).cast("long").as("line_no"),
-        regexp_extract(col("line"), "^(Allow|Disallow|Crawl-delay): ?(.*)$", 1)
-          .as("directive"),
-        regexp_extract(col("line"), "^(Allow|Disallow|Crawl-delay): ?(.*)$", 2)
-          .as("path_prefix"))
+        regexp_extract(col("line"), dirRe, 1).as("directive"),
+        regexp_extract(col("line"), dirRe, 2).as("path_prefix"))
       .where(col("directive") =!= "")
+    val byLine = Window.partitionBy(col("registered_domain"))
+      .orderBy(col("line_no"))
+    val isUa = col("directive") === "User-agent"
+    val grouped = lines
+      // a UA line whose predecessor is not a UA line STARTS a group;
+      // every line belongs to the latest started group
+      .withColumn("run_start",
+        when(isUa && !coalesce(lag(isUa, 1).over(byLine), lit(false)),
+          col("line_no")))
+      .withColumn("grp",
+        max(col("run_start")).over(byLine
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // group keys stay named registered_domain so every exchange in the
+    // rule-frame build is visibly rule-side (DomainsSpec's plan pin)
+    val groups = grouped.where(isUa)
+      .groupBy(col("registered_domain"), col("grp"))
+      .agg(max(when(col("path_prefix") === CrawlerUa, 1).otherwise(0))
+          .as("has_ua"),
+        max(when(col("path_prefix") === "*", 1).otherwise(0)).as("has_star"))
+    val anyUa = groups.groupBy(col("registered_domain"))
+      .agg(max(col("has_ua")).as("any_ua"))
+    val selected = groups.join(anyUa, Seq("registered_domain"))
+      .where((col("any_ua") === 1 && col("has_ua") === 1) ||
+        (col("any_ua") === 0 && col("has_star") === 1))
+      .select(col("registered_domain"), col("grp"))
+    grouped.where(!isUa)
+      .join(selected, Seq("registered_domain", "grp"), "left_semi")
+      .select(col("registered_domain"), col("line_no"), col("directive"),
+        col("path_prefix"))
   }
 
   val robotsRulesSql: String =
@@ -478,7 +546,7 @@ object Domains {
        |           $domainSelectSql
        |    FROM (SELECT doc_id, source, $fixtureUrlSqlExpr AS url
        |          FROM documents))
-       |), lines AS (
+       |), rawlines AS (
        |  SELECT registered_domain,
        |         unnest(string_split(${robotsFixtureSql("registered_domain")},
        |                             chr(10))) AS line,
@@ -486,15 +554,49 @@ object Domains {
        |           string_split(${robotsFixtureSql("registered_domain")},
        |                        chr(10)), 1) AS line_no
        |  FROM doms
+       |), lines AS (
+       |  SELECT registered_domain, CAST(line_no AS BIGINT) AS line_no,
+       |         regexp_extract(line,
+       |           '^(User-agent|Allow|Disallow|Crawl-delay): ?(.*)$$', 1)
+       |           AS directive,
+       |         regexp_extract(line,
+       |           '^(User-agent|Allow|Disallow|Crawl-delay): ?(.*)$$', 2)
+       |           AS path_prefix
+       |  FROM rawlines
+       |  WHERE regexp_extract(line,
+       |          '^(User-agent|Allow|Disallow|Crawl-delay): ?(.*)$$', 1) <> ''
+       |), marked AS (
+       |  SELECT *,
+       |         COALESCE(lag(directive = 'User-agent') OVER
+       |             (PARTITION BY registered_domain ORDER BY line_no),
+       |           false) AS prev_ua
+       |  FROM lines
+       |), grouped AS (
+       |  SELECT registered_domain, line_no, directive, path_prefix,
+       |         max(CASE WHEN directive = 'User-agent' AND NOT prev_ua
+       |                  THEN line_no END) OVER
+       |           (PARTITION BY registered_domain ORDER BY line_no
+       |            ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM marked
+       |), groups AS (
+       |  SELECT registered_domain, grp,
+       |         max(CASE WHEN path_prefix = 'graftbot' THEN 1 ELSE 0 END)
+       |           AS has_ua,
+       |         max(CASE WHEN path_prefix = '*' THEN 1 ELSE 0 END)
+       |           AS has_star
+       |  FROM grouped WHERE directive = 'User-agent' GROUP BY 1, 2
+       |), anyua AS (
+       |  SELECT registered_domain, max(has_ua) AS any_ua
+       |  FROM groups GROUP BY 1
+       |), selected AS (
+       |  SELECT g.registered_domain, g.grp
+       |  FROM groups g JOIN anyua a USING (registered_domain)
+       |  WHERE (a.any_ua = 1 AND g.has_ua = 1)
+       |     OR (a.any_ua = 0 AND g.has_star = 1)
        |)
-       |SELECT registered_domain, CAST(line_no AS BIGINT) AS line_no,
-       |       regexp_extract(line, '^(Allow|Disallow|Crawl-delay): ?(.*)$$', 1)
-       |         AS directive,
-       |       regexp_extract(line, '^(Allow|Disallow|Crawl-delay): ?(.*)$$', 2)
-       |         AS path_prefix
-       |FROM lines
-       |WHERE regexp_extract(line, '^(Allow|Disallow|Crawl-delay): ?(.*)$$', 1) <> ''"""
-      .stripMargin
+       |SELECT registered_domain, line_no, directive, path_prefix
+       |FROM grouped JOIN selected USING (registered_domain, grp)
+       |WHERE directive <> 'User-agent'""".stripMargin
 
   /** RFC 9309 URL admission: every page checked against its domain's
     * parsed rules — longest matching prefix wins, Allow beats Disallow

@@ -131,9 +131,10 @@ class DomainsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     // per-domain politeness from the robots fixture's Crawl-delay lines
     def delay(d: String): Long = d match {
-      case "example.co.nz" => 10L
-      case "wikipedia.org" => 2L
-      case _               => 1L
+      case "example.co.nz"    => 10L
+      case "wikipedia.org"    => 2L
+      case "services.govt.nz" => 4L // graftbot group's own delay (r14)
+      case _                  => 1L
     }
     def bucket(d: String): Int = {
       val hex = java.security.MessageDigest.getInstance("MD5")
@@ -239,15 +240,43 @@ class DomainsSpec extends SparkSpec {
     assert(rows.values.exists(_._4) && rows.values.exists(!_._4))
   }
 
+  test("RFC 9309 group selection: named group beats *, stacked UA lines share one group") {
+    val rules = Domains.robotsRules(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3)))
+    // heritage: a stacked (otherbot + graftbot) group with one rule,
+    // then a * group that blocks EVERYTHING — selecting the named
+    // group means the full block must never appear
+    val heritage = rules.filter(_._1 == "heritage.org.nz").toSet
+    assert(heritage == Set(("heritage.org.nz", "Disallow", "/src6")),
+      s"stacked graftbot group must win over *'s full block: $heritage")
+    // services: the named group carries its own Disallow AND delay;
+    // the * group's /src4 must not leak through
+    val services = rules.filter(_._1 == "services.govt.nz").toSet
+    assert(services == Set(
+      ("services.govt.nz", "Disallow", "/src2"),
+      ("services.govt.nz", "Crawl-delay", "4")), s"services: $services")
+    // star-only domains keep their full rule set
+    assert(rules.filter(_._1 == "example.com").map(_._3).toSet ==
+      Set("/src1", "/src12", "/src3"))
+  }
+
   test("robots admission plan: fact side never shuffles, one broadcast gate") {
     val df = graft.operators.Domains.urlAllowed(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"admission grew a Window:\n$plan")
+    // windows exist only in the rule-frame build (r14 UA-group
+    // selection runs lag/max over the <=10-line per-domain robots
+    // text) — every one must be partitioned by the rule key, never a
+    // fact-side key like doc_id
+    val winParts = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(winParts.nonEmpty &&
+      winParts.forall(_.startsWith("registered_domain")),
+      s"fact-side window: $winParts")
     assert(plan.contains("BroadcastHashJoin"), plan)
-    // the only repartitioning exchange may build the KB-sized rule
-    // array (groupBy registered_domain); the page side goes scan ->
-    // broadcast join with no exchange at all
+    // the only repartitioning exchanges may build the KB-sized rule
+    // array (group machinery + groupBy registered_domain); the page
+    // side goes scan -> broadcast join with no exchange at all
     val exchanges = "Exchange hashpartitioning\\((\\w+)".r
       .findAllMatchIn(plan).map(_.group(1)).toList
     assert(exchanges.forall(_.startsWith("registered_domain")),
@@ -268,7 +297,8 @@ class DomainsSpec extends SparkSpec {
     val ranks = graft.operators.HtmlExtract.domainRank(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def delay(d: String) = d match {
-      case "example.co.nz" => 10L; case "wikipedia.org" => 2L; case _ => 1L
+      case "example.co.nz" => 10L; case "wikipedia.org" => 2L
+      case "services.govt.nz" => 4L; case _ => 1L
     }
     rows.foreach { case (doc, dom, depth, score, _) =>
       val path = admitted(doc)._1
