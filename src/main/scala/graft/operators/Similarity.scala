@@ -1200,6 +1200,97 @@ object Similarity {
        |LEFT JOIN pos p ON p.query_id = q.query_id AND p.rk = 1
        |LEFT JOIN neg n ON n.query_id = q.query_id AND n.rk = 1""".stripMargin
 
+  /** The 100 TB form of the triplet miner: the SAME per-side
+    * conditional-max selection, but over the served IVF index's probed
+    * cells instead of a full corpus scan — each anchor pays
+    * probe + |its NProbe cells|, the production economics of every
+    * served search path here. Rows-only (which vectors the shortlist
+    * holds is index geometry); the oracled `_check` twin pins the
+    * contract: every emitted cosine re-derives exactly from the raw
+    * embeddings (value check), margins are consistent, and the served
+    * NEGATIVE side agrees with the exact miner on a floor fraction of
+    * anchors (the IVF recall economics — positives live in dense
+    * same-class cells, negatives on boundaries, so the floor is the
+    * interesting number).
+    */
+  private val HardNegAgreeFloor = 0.6
+
+  def hardNegativesServed(spark: SparkSession, dir: String): DataFrame = {
+    val (cent, cells) = servedIvfIndex(spark, dir)
+    val lbl = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val q = Tables(spark, dir, "embeddings")
+      .where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val probeK = udaf(new TopKAgg(NProbe))
+    val probes = q.join(broadcast(cent), expr("true"))
+      .select(col("query_id"), col("q_emb"), col("q_label"),
+        col("cent_id"), V.cosine(col("q_emb"), col("cent_emb")).as("ccos"))
+      .groupBy(col("query_id"), col("q_emb"), col("q_label"))
+      .agg(probeK(col("cent_id"), col("ccos")).as("p"))
+      .select(col("query_id"), col("q_emb"), col("q_label"),
+        explode(expr("transform(p, x -> x.id)")).as("cell"))
+    def best(sameLabel: Boolean) = {
+      val cond =
+        if (sameLabel) col("label") === col("q_label")
+        else col("label") =!= col("q_label")
+      max(when(cond, struct(col("cos"),
+        (-col("neighbor_id")).as("nid"), col("neighbor_id"))))
+    }
+    probes.join(cells, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(lbl, Seq("vec_id"))
+      .select(col("query_id"), col("q_label"), col("label"),
+        col("vec_id").as("neighbor_id"),
+        V.cosine(col("q_emb"), col("embedding")).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(best(sameLabel = true).as("p"), best(sameLabel = false).as("n"))
+      .select(col("query_id"),
+        col("p.neighbor_id").as("positive_id"),
+        round(col("p.cos"), 6).as("pos_cos"),
+        col("n.neighbor_id").as("negative_id"),
+        round(col("n.cos"), 6).as("neg_cos"),
+        round(col("p.cos") - col("n.cos"), 6).as("margin"))
+  }
+
+  def hardNegativesServedCheck(spark: SparkSession, dir: String): DataFrame = {
+    val served = hardNegativesServed(spark, dir).localCheckpoint()
+    val e = emb(spark, dir)
+    // value check: every emitted cosine re-derives from raw embeddings
+    def rederive(idCol: String, cosCol: String, name: String) =
+      served.where(col(idCol).isNotNull)
+        .join(e.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb")), Seq("query_id"))
+        .join(e.select(col("vec_id").as(idCol), col("embedding").as("n_emb")),
+          Seq(idCol))
+        .agg(every(col(cosCol) ===
+          round(V.cosine(col("q_emb"), col("n_emb")), 6)).as(name))
+    val exact = hardNegatives(spark, dir)
+      .select(col("query_id"), col("negative_id").as("x_neg"))
+    val agree = served.join(exact, Seq("query_id"))
+      .agg((count(when(col("negative_id") === col("x_neg"), 1))
+        .cast("double") / count(lit(1)) >= HardNegAgreeFloor)
+        .as("neg_agree_ok"))
+    served.agg(count(lit(1)).as("n_queries"),
+        // margin exists exactly when both sides do (it rounds the RAW
+        // difference, so re-deriving it from the rounded sides would
+        // be a false mismatch — nullability is the checkable contract)
+        every(col("margin").isNotNull ===
+          (col("positive_id").isNotNull && col("negative_id").isNotNull))
+          .as("margin_consistent"))
+      .crossJoin(broadcast(rederive("positive_id", "pos_cos", "pos_rederives")))
+      .crossJoin(broadcast(rederive("negative_id", "neg_cos", "neg_rederives")))
+      .crossJoin(broadcast(agree))
+      .select(col("n_queries"), col("pos_rederives"), col("neg_rederives"),
+        col("margin_consistent"), col("neg_agree_ok"))
+  }
+
+  val hardNegativesServedCheckSql: String =
+    s"""SELECT CAST($NumQueries AS BIGINT) AS n_queries,
+       |       true AS pos_rederives, true AS neg_rederives,
+       |       true AS margin_consistent, true AS neg_agree_ok""".stripMargin
+
   // ------------------------------------------- sim_label_noise
 
   private val NoiseTau = 0.9
@@ -2283,6 +2374,9 @@ object Similarity {
     Op("dedup_semantic", semanticDedup _, Some(semanticDedupSql)),
     Op("sim_knn_lsh", knnLsh _, Some(knnLshSql)),
     Op("sim_hard_negatives", hardNegatives _, Some(hardNegativesSql)),
+    Op("sim_hard_negatives_ann", hardNegativesServed _, None),
+    Op("sim_hard_negatives_ann_check", hardNegativesServedCheck _,
+      Some(hardNegativesServedCheckSql)),
     Op("sim_label_noise", labelNoise _, Some(labelNoiseSql)),
     Op("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceSql)),
     Op("emb_random_project", randomProject _, Some(randomProjectSql)),
