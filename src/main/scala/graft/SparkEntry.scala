@@ -35,7 +35,9 @@ object SparkEntry {
   def dynamicOracleSql(spark: SparkSession, sfDir: String,
       only: Option[Set[String]] = None): Map[String, String] =
     Seq[(String, () => String)](
-      "sim_ann_ingest" -> (() => Similarity.annIngestOracle(spark, sfDir))
+      "sim_ann_ingest" -> (() => Similarity.annIngestOracle(spark, sfDir)),
+      "sim_embedding_drift" ->
+        (() => Similarity.embeddingDriftOracle(spark, sfDir))
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, render) =>
         try Some(name -> render())

@@ -2286,22 +2286,20 @@ object Similarity {
     * `dir`), so it is registered via `SparkEntry.dynamicOracleSql`,
     * not a static `Op` oracle.
     */
-  def annIngestOracle(spark: SparkSession, dir: String): String = {
-    val (cents, book) = servedArtifactRows(spark, dir)
-    def dlist(xs: Seq[Float]): String =
-      xs.map(f => f.toDouble.toString).mkString("[", ", ", "]")
+  private def dlist(xs: Seq[Float]): String =
+    xs.map(f => f.toDouble.toString).mkString("[", ", ", "]")
+
+  /** The literal-centroid cell-assignment CTE chain (cent → scored →
+    * cellpick → cells(vec_id, cell)) — the oracle mirror of
+    * `AnnAssign`'s cell half, shared by the ingest and drift oracles.
+    */
+  private def annCellsCtes(cents: Seq[(Long, Seq[Float])]): String = {
     val centVals = cents.map { case (id, e) =>
       s"(CAST($id AS BIGINT), CAST(${dlist(e)} AS DOUBLE[]))"
     }.mkString(",\n    ")
-    val bookVals = book.map { case (m, c, sub) =>
-      s"(CAST($m AS INTEGER), CAST($c AS INTEGER), CAST(${dlist(sub)} AS DOUBLE[]))"
-    }.mkString(",\n    ")
-    s"""WITH cent(cent_id, cent_emb) AS (
+    s"""cent(cent_id, cent_emb) AS (
        |  SELECT * FROM (VALUES
        |    $centVals)
-       |), book(m, code, c_sub) AS (
-       |  SELECT * FROM (VALUES
-       |    $bookVals)
        |), scored AS (
        |  SELECT e.vec_id, c.cent_id,
        |         -(${duckCos("e.embedding", "c.cent_emb")}) AS negcos
@@ -2313,6 +2311,17 @@ object Similarity {
        |  FROM scored
        |), cells AS (
        |  SELECT vec_id, cent_id AS cell FROM cellpick WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  def annIngestOracle(spark: SparkSession, dir: String): String = {
+    val (cents, book) = servedArtifactRows(spark, dir)
+    val bookVals = book.map { case (m, c, sub) =>
+      s"(CAST($m AS INTEGER), CAST($c AS INTEGER), CAST(${dlist(sub)} AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    s"""WITH ${annCellsCtes(cents)}, book(m, code, c_sub) AS (
+       |  SELECT * FROM (VALUES
+       |    $bookVals)
        |), subd AS (
        |  SELECT e.vec_id, b.m, b.code,
        |         list_sum(list_transform(
@@ -2344,6 +2353,115 @@ object Similarity {
       every(size(col("codes")) === PqM).as("codes_complete"))
   }
 
+  // ------------------------------------------- sim_embedding_drift
+
+  /** χ² drift gate in integer MICRO-UNITS: flag threshold, chosen
+    * between the fixture's same-distribution value (≤ ~200k — the %10
+    * split over one distribution) and a planted alien batch (≥ ~10⁷,
+    * spec-pinned). Units are parts-per-million fractions, so the
+    * statistic is corpus-size-free.
+    */
+  private val DriftChi2MicroMax = 2000000L
+
+  /** Embedding-distribution DRIFT between the history corpus and the
+    * newest batch (%10 split, the `minhashIncremental` convention),
+    * measured where an embedding pipeline actually feels it: the
+    * served IVF cell histogram. Both slices are assigned to the SAME
+    * frozen centroids (`AnnAssign`); per cell, Laplace-smoothed
+    * parts-per-million occupancy of each slice and a χ²-style
+    * contribution ((pb−ph)²/ph) — ALL arithmetic integer (BIGINT floor
+    * division on ppm counts), so the op is engine-exact by
+    * construction with no float sum-order or libm anywhere (the
+    * `pagerankInt` micro-unit discipline applied to drift), and the
+    * 16-row spine keeps empty cells present. FULLY oracled via the
+    * dynamic literal-centroid oracle. This is the analytical
+    * REGISTERED face of the maintenance loop's drift gate: the same
+    * question (did the distribution move off the frozen geometry?),
+    * answerable per corpus version without touching the store.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, book) = servedArtifactRows(spark, dir)
+    val assign = org.apache.spark.sql.graft.AnnAssign(
+      col("embedding"), cents, book, PqM, PqDsub)
+    val cells = emb(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"), assign.as("a"))
+      .select(col("vec_id"), col("a.cell").as("cell"))
+    val h = cells.where(col("vec_id") % 10 =!= 9)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_hist"))
+    val b = cells.where(col("vec_id") % 10 === 9)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_batch"))
+    import spark.implicits._
+    val spine = cents.map(_._1).toDF("cell")
+    val k = cents.length
+    val w = Window.partitionBy()
+    spine.join(h, Seq("cell"), "left").join(b, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_hist"), lit(0L)).as("n_hist"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+      .withColumn("nh_tot", sum(col("n_hist")).over(w))
+      .withColumn("nb_tot", sum(col("n_batch")).over(w))
+      .withColumn("ph_ppm", expr(
+        s"CAST(1000000 * (n_hist + 1) DIV (nh_tot + $k) AS BIGINT)"))
+      .withColumn("pb_ppm", expr(
+        s"CAST(1000000 * (n_batch + 1) DIV (nb_tot + $k) AS BIGINT)"))
+      .withColumn("chi2_contrib", expr(
+        "CAST((pb_ppm - ph_ppm) * (pb_ppm - ph_ppm) " +
+          "DIV greatest(ph_ppm, 1) AS BIGINT)"))
+      .withColumn("chi2_total", sum(col("chi2_contrib")).over(w))
+      .select(col("cell"), col("n_hist"), col("n_batch"),
+        col("ph_ppm"), col("pb_ppm"), col("chi2_contrib"),
+        col("chi2_total"),
+        (col("chi2_total") > DriftChi2MicroMax).as("drifted"))
+  }
+
+  /** The dynamic oracle twin: the shared literal-centroid cell CTEs +
+    * the same integer ppm/χ² arithmetic in DuckDB.
+    */
+  def embeddingDriftOracle(spark: SparkSession, dir: String): String = {
+    val (cents, _) = servedArtifactRows(spark, dir)
+    val k = cents.length
+    val spineVals = cents.map(c => s"(CAST(${c._1} AS BIGINT))")
+      .mkString(", ")
+    s"""WITH ${annCellsCtes(cents)}, spine(cell) AS (
+       |  SELECT * FROM (VALUES $spineVals)
+       |), h AS (
+       |  SELECT c.cell, count(*) AS n_hist FROM cells c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  WHERE e.vec_id % 10 != 9 GROUP BY 1
+       |), b AS (
+       |  SELECT c.cell, count(*) AS n_batch FROM cells c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  WHERE e.vec_id % 10 = 9 GROUP BY 1
+       |), j AS (
+       |  SELECT s.cell, COALESCE(n_hist, 0) AS n_hist,
+       |         COALESCE(n_batch, 0) AS n_batch
+       |  FROM spine s LEFT JOIN h ON h.cell = s.cell
+       |  LEFT JOIN b ON b.cell = s.cell
+       |), t AS (
+       |  SELECT *, sum(n_hist) OVER () AS nh_tot,
+       |         sum(n_batch) OVER () AS nb_tot
+       |  FROM j
+       |), p AS (
+       |  SELECT cell, n_hist, n_batch,
+       |         CAST(1000000 * (n_hist + 1) // (nh_tot + $k) AS BIGINT)
+       |           AS ph_ppm,
+       |         CAST(1000000 * (n_batch + 1) // (nb_tot + $k) AS BIGINT)
+       |           AS pb_ppm
+       |  FROM t
+       |), c2 AS (
+       |  SELECT *,
+       |         CAST((pb_ppm - ph_ppm) * (pb_ppm - ph_ppm)
+       |              // greatest(ph_ppm, 1) AS BIGINT) AS chi2_contrib
+       |  FROM p
+       |)
+       |SELECT cell, n_hist, n_batch, ph_ppm, pb_ppm, chi2_contrib,
+       |       CAST(sum(chi2_contrib) OVER () AS BIGINT) AS chi2_total,
+       |       sum(chi2_contrib) OVER () > $DriftChi2MicroMax AS drifted
+       |FROM c2""".stripMargin
+  }
+
   val annIngestCheckSql: String =
     """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
       |       true AS cell_in_space, true AS codes_in_book,
@@ -2352,6 +2470,8 @@ object Similarity {
 
   val ops: Seq[Op] = Seq(
     Op("sim_ann_ingest", annIngest _, None),
+    // dynamic literal-artifact oracle, like sim_ann_ingest
+    Op("sim_embedding_drift", embeddingDrift _, None),
     Op("sim_ann_ingest_check", annIngestCheck _, Some(annIngestCheckSql)),
     Op("sim_index_insert", indexInsert _, None),
     Op("sim_index_insert_check", indexInsertCheck _,

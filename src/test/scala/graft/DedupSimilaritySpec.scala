@@ -134,6 +134,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(full.contains((1L, 2L)) && full.contains((3L, 4L)))
   }
 
+  test("embedding drift: alien batch flips the chi2 gate; same-distribution stays calm") {
+    import spark.implicits._
+    def v(id: Long): Seq[Float] =
+      Array.tabulate(64)(d => math.sin(d * 1.3 + id * 2.7).toFloat * 3f).toSeq
+    def g(id: Long): Seq[Float] =
+      Array.tabulate(64)(d => (math.cos(d * 0.37) * 15).toFloat +
+        (id % 7) * 0.01f).toSeq
+    // calm: both %10 slices draw from the v family
+    val calmDir = java.nio.file.Files.createTempDirectory("embdrift_c").toString
+    (0L until 400L).map(i => (i, v(i), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$calmDir/embeddings.parquet")
+    val calm = Similarity.embeddingDrift(spark, calmDir).collect()
+    assert(calm.length == 16)
+    assert(calm.forall(!_.getBoolean(7)),
+      s"same-distribution split must stay calm: total ${calm.head.getLong(6)}")
+    // drifted: the batch slice (vec_id % 10 == 9) is one alien direction
+    // that piles into few cells of the v-trained geometry
+    val driftDir = java.nio.file.Files.createTempDirectory("embdrift_d").toString
+    (0L until 400L).map(i =>
+        (i, if (i % 10 == 9) g(i) else v(i), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$driftDir/embeddings.parquet")
+    val hot = Similarity.embeddingDrift(spark, driftDir).collect()
+    assert(hot.forall(_.getBoolean(7)),
+      s"alien batch must flip the gate: total ${hot.head.getLong(6)}")
+    // conservation: spine carries every centroid; histograms cover the corpus
+    assert(hot.map(_.getLong(1)).sum == 360 && hot.map(_.getLong(2)).sum == 40)
+  }
+
   test("hard negatives: planted positive and a mislabeled intruder; unique label yields nulls") {
     import spark.implicits._
     def unit(theta: Double): Seq[Float] =
