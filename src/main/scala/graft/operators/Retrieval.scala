@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Op, Tables}
+
+/** Lexical retrieval (north-star extension): the BM25 inverted-index
+  * scoring path a training-data pipeline uses for decontamination
+  * lookups, more-like-this mining, and retrieval-based quality
+  * filtering at corpus scale.
+  *
+  * The shape is the production one — posting lists, not brute force:
+  * the corpus is reduced ONCE to (doc, term, tf) postings with
+  * map-side combine; the (tiny, bounded) query term set broadcasts
+  * against the postings so only matching-term postings survive the
+  * scan; document frequency is computed on the pruned postings
+  * (pruning is by TERM only, so per-term df over the pruned frame
+  * equals global df — every posting of a surviving term survives).
+  * Nothing corpus-sized crosses the shuffle except the one
+  * map-side-combined groupBy building the postings themselves; at
+  * 100 TB that is the same one-pass inverted-index build every search
+  * engine's indexer runs, and the per-query cost is bounded by the
+  * postings of its terms, not the corpus.
+  *
+  * Determinism contract (the house float discipline): tf, df, dl are
+  * integers; avgdl enters as the exact rational dl·N/Σdl; the single
+  * transcendental (the BM25 idf's ln) is computed once per (term,
+  * query) and immediately quantized to BIGINT micro-units with an
+  * explicit floor(x·1e6 + 0.5) — both engines evaluate the SAME
+  * expression tree left-to-right, so every double is bit-identical
+  * up to the documented 1-ulp libm seam, and the SUM that crosses the
+  * shuffle is an order-free integer sum, never a float accumulation.
+  * Ranking orders on (score_micro DESC, doc_id ASC) — integer keys
+  * only.
+  */
+object Retrieval {
+
+  /** Queries = the first QueryDocs documents; a query's terms are the
+    * DISTINCT tokens of its first QueryPrefix whitespace tokens
+    * (classic more-like-this: the document's own head as the query).
+    */
+  private val QueryDocs = 5
+  private val QueryPrefix = 12
+  private val TopK = 10
+  // Okapi defaults; written as literals in BOTH expression trees.
+  private val K1 = "1.2"
+  private val B75 = "0.75"
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+
+  /** BM25 top-k retrieval over the documents table. Output: one row
+    * per (query_id, rank) with the retrieved doc, its matched-term
+    * count and integer micro-unit score.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // postings: (doc_id, term, tf, dl) — ONE explode + map-side combine
+    val postings = d
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // query terms: distinct head tokens of the first QueryDocs docs
+    val qterms = d.where(col("doc_id") < QueryDocs)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("w"), 1, QueryPrefix)).as("term"))
+      .distinct()
+    val termset = qterms.select(col("term")).distinct()
+    // prune postings to query terms BEFORE any further shuffle; df on
+    // the pruned frame is exact (pruning is by term only)
+    val p = postings.join(broadcast(termset), Seq("term"))
+    val df = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scalars = d
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(size(col("w"))).cast("double").as("sum_dl"))
+    // per-(query, term, doc) contribution, quantized to micro-units at
+    // the leaf so the cross-shuffle SUM is pure integer
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfp = (col("tf").cast("double") * expr(s"($K1 + 1.0)")) /
+      (col("tf").cast("double") + expr(K1) *
+        (expr(s"(1.0 - $B75)") + expr(B75) *
+          ((col("dl").cast("double") * col("n_docs")) / col("sum_dl"))))
+    val contrib = p
+      .join(broadcast(qterms), Seq("term"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(scalars))
+      .select(col("query_id"), col("doc_id"),
+        floor(idf * tfp * lit(1000000.0) + lit(0.5)).as("c_micro"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms"), col("score_micro"))
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       |), postings AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       |         CAST(max(dl) AS BIGINT) AS dl
+       |  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d)
+       |  GROUP BY doc_id, term
+       |), qterms AS (
+       |  SELECT DISTINCT doc_id AS query_id, unnest(w[1:$QueryPrefix]) AS term
+       |  FROM d WHERE doc_id < $QueryDocs
+       |), p AS (
+       |  SELECT * FROM postings
+       |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+       |), dfr AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term
+       |), scalars AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |         CAST(sum(len(w)) AS DOUBLE) AS sum_dl
+       |  FROM d
+       |), contrib AS (
+       |  SELECT q.query_id, p.doc_id,
+       |         CAST(floor(
+       |           ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
+       |                    / (CAST(df AS DOUBLE) + 0.5))
+       |           * ((CAST(tf AS DOUBLE) * ($K1 + 1.0))
+       |              / (CAST(tf AS DOUBLE) + $K1
+       |                 * ((1.0 - $B75) + $B75
+       |                    * ((CAST(dl AS DOUBLE) * n_docs) / sum_dl))))
+       |           * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+       |  FROM p JOIN qterms q USING (term)
+       |       JOIN dfr USING (term), scalars
+       |  WHERE p.doc_id != q.query_id
+       |), scored AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(sum(c_micro) AS BIGINT) AS score_micro,
+       |         CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM contrib GROUP BY query_id, doc_id
+       |)
+       |SELECT query_id, rank, doc_id, n_terms, score_micro
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |      FROM scored)
+       |WHERE rank <= $TopK""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("text_bm25_topk", bm25TopK _, Some(bm25TopKSql)))
+}
