@@ -2512,5 +2512,153 @@ object Similarity {
     Op("curate_contamination_emb", contaminationEmbedding _,
       Some(contaminationEmbeddingSql)),
     Op("sim_recall_audit", recallAudit _, Some(recallAuditSql)),
+    Op("sim_mmr_diversify", mmrDiversify _, Some(mmrDiversifySql)),
   )
+
+  // ---------------------------------------------------------------------
+  // MMR diversity re-ranking
+  // ---------------------------------------------------------------------
+
+  // `final` so they constant-fold at compile time: `ops` (declared above)
+  // forces `mmrDiversifySql` during object init, before plain vals here
+  // would have been assigned
+  private final val MmrCands = 16
+  private final val MmrPicks = 5
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98):
+    * from each query's top-`MmrCands` exact-cosine candidates, greedily
+    * pick `MmrPicks` results maximizing λ·rel(q,d) − (1−λ)·max_{s∈S}
+    * sim(d,s) — the standard diversity-aware selection a training-data
+    * pipeline uses to keep retrieved/mined examples from collapsing
+    * onto near-duplicates (hard-negative mining, eval-set selection,
+    * demonstration sampling).
+    *
+    * Scale shape: the expensive part is the candidate top-k, which is
+    * the bounded-state `TopKAgg` scan (O(k) per task, same as
+    * `sim_topk_bruteforce` and swappable for the served IVF path at
+    * real scale); the greedy loop then runs on Q·C rows (bounded by
+    * contract: queries × candidates, NOT corpus-sized) with Q·C²
+    * pairwise sims, localCheckpointed once and probed per step. The
+    * k-step sequential dependence is inherent to MMR; it runs on the
+    * reduced frame, never the corpus.
+    *
+    * Determinism: rel and pairwise sims are the house bit-exact cosine
+    * (sequential double accumulation ≡ DuckDB's list fold); each step's
+    * argmax orders on (score DESC, id ASC) where score is the SAME
+    * arithmetic tree in both engines, so selection is bit-deterministic
+    * and the oracle UNROLLS the five steps as CTEs (the `curate_lr_train`
+    * move applied to greedy selection).
+    */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val topc = udaf(new TopKAgg(MmrCands))
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cid"),
+        V.cosine(col("q_emb"), col("embedding")).as("rel"))
+      .groupBy(col("query_id"))
+      .agg(topc(col("cid"), col("rel")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("n"))
+      .select(col("query_id"), col("n.id").as("cid"), col("n.score").as("rel"))
+      .localCheckpoint()
+    // pairwise sims among each query's candidates: Q·C² rows, bounded
+    val ce = cand.select(col("cid")).distinct()
+      .join(e, col("cid") === col("vec_id"))
+      .select(col("cid"), col("embedding"))
+    val pair = cand.select(col("query_id"), col("cid").as("aid"))
+      .join(cand.select(col("query_id"), col("cid").as("bid")), Seq("query_id"))
+      .where(col("aid") =!= col("bid"))
+      .join(broadcast(ce.select(col("cid").as("aid"), col("embedding").as("ea"))),
+        Seq("aid"))
+      .join(broadcast(ce.select(col("cid").as("bid"), col("embedding").as("eb"))),
+        Seq("bid"))
+      .select(col("query_id"), col("aid"), col("bid"),
+        V.cosine(col("ea"), col("eb")).as("sim"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cid").asc)
+    var picks = cand
+      .withColumn("score", lit(0.7) * col("rel"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("cid"), col("rel"), col("score"),
+        lit(1L).as("pick"))
+      .localCheckpoint()
+    for (i <- 2 to MmrPicks) {
+      val selected = picks.select(col("query_id"), col("cid").as("bid"))
+      val ms = pair.join(selected, Seq("query_id", "bid"))
+        .groupBy(col("query_id"), col("aid"))
+        .agg(max(col("sim")).as("m"))
+        .select(col("query_id"), col("aid").as("cid"), col("m"))
+      val sc = cand
+        .join(picks.select(col("query_id"), col("cid")),
+          Seq("query_id", "cid"), "left_anti")
+        .join(ms, Seq("query_id", "cid"))
+        .select(col("query_id"), col("cid"), col("rel"),
+          (lit(0.7) * col("rel") - lit(0.3) * col("m")).as("score"))
+      val p = sc.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("cid"), col("rel"), col("score"),
+          lit(i.toLong).as("pick"))
+      picks = picks.unionByName(p).localCheckpoint()
+    }
+    picks.select(col("query_id"), col("pick"), col("cid").as("neighbor_id"),
+      round(col("score"), 6).as("mmr"), round(col("rel"), 6).as("cos"))
+  }
+
+  // lazy: referenced by the `ops` val declared above it
+  lazy val mmrDiversifySql: String = {
+    val base =
+      s"""WITH cand AS (
+         |  SELECT query_id, cid, rel FROM (
+         |    SELECT q.vec_id AS query_id, x.vec_id AS cid,
+         |           ${duckCos("q.embedding", "x.embedding")} AS rel,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${duckCos("q.embedding", "x.embedding")} DESC,
+         |                      x.vec_id ASC) AS rn
+         |    FROM embeddings q, embeddings x
+         |    WHERE q.vec_id < $NumQueries AND x.vec_id != q.vec_id)
+         |  WHERE rn <= $MmrCands
+         |), pair AS (
+         |  SELECT a.query_id, a.cid AS aid, b.cid AS bid,
+         |         ${duckCos("ea.embedding", "eb.embedding")} AS sim
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cid != b.cid
+         |  JOIN embeddings ea ON ea.vec_id = a.cid
+         |  JOIN embeddings eb ON eb.vec_id = b.cid
+         |), pick1 AS (
+         |  SELECT query_id, cid, rel, score, CAST(1 AS BIGINT) AS pick
+         |  FROM (SELECT query_id, cid, rel, 0.7 * rel AS score,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY 0.7 * rel DESC, cid ASC) AS rn FROM cand)
+         |  WHERE rn = 1
+         |), sel1 AS (SELECT query_id, cid FROM pick1)""".stripMargin
+    val steps = (2 to MmrPicks).map { i =>
+      val pv = i - 1
+      s"""|, ms$i AS (
+          |  SELECT p.query_id, p.aid AS cid, max(p.sim) AS m
+          |  FROM pair p JOIN sel$pv s ON s.query_id = p.query_id AND s.cid = p.bid
+          |  GROUP BY 1, 2
+          |), sc$i AS (
+          |  SELECT c.query_id, c.cid, c.rel, 0.7 * c.rel - 0.3 * m.m AS score
+          |  FROM cand c JOIN ms$i m ON m.query_id = c.query_id AND m.cid = c.cid
+          |  WHERE NOT EXISTS (SELECT 1 FROM sel$pv s
+          |                    WHERE s.query_id = c.query_id AND s.cid = c.cid)
+          |), pick$i AS (
+          |  SELECT query_id, cid, rel, score, CAST($i AS BIGINT) AS pick
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |          ORDER BY score DESC, cid ASC) AS rn FROM sc$i)
+          |  WHERE rn = 1
+          |), sel$i AS (SELECT query_id, cid FROM sel$pv
+          |             UNION ALL SELECT query_id, cid FROM pick$i)""".stripMargin
+    }.mkString("\n")
+    val unions = (1 to MmrPicks)
+      .map(i => s"SELECT * FROM pick$i").mkString(" UNION ALL ")
+    s"""$base
+       |$steps
+       |SELECT query_id, pick, cid AS neighbor_id,
+       |       round(score, 6) AS mmr, round(rel, 6) AS cos
+       |FROM ($unions)""".stripMargin
+  }
 }

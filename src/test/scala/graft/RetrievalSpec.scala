@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Retrieval
+import org.apache.spark.sql.functions.col
 
 class RetrievalSpec extends SparkSpec {
 
@@ -22,6 +23,25 @@ class RetrievalSpec extends SparkSpec {
     assert(r1doc == 6L && r1terms == 2L) // matches apple AND banana
     assert(r2doc == 5L && r2terms == 1L)
     assert(r1score > r2score && r2score > 0L)
+  }
+
+  test("mmr: second pick skips the exact duplicate of the first") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mmr").toString
+    // q=0; a(11) and its exact dup a2(12) at rel .9; b(13) equally
+    // relevant but diverse (sim to a ≈ .81) — plain ranking would take
+    // the dup second, MMR must take b
+    Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (11L, Array(0.9f, 0.436f, 0f), 0),
+      (12L, Array(0.9f, 0.436f, 0f), 0),
+      (13L, Array(0.9f, 0f, 0.436f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val picks = graft.operators.Similarity.mmrDiversify(spark, dir)
+      .where(col("query_id") === 0L).orderBy("pick").collect()
+      .map(r => r.getLong(2))
+    assert(picks.toSeq == Seq(11L, 13L, 12L))
   }
 
   test("bm25: identical docs tie exactly and break on doc_id") {
