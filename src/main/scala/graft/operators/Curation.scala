@@ -1757,7 +1757,76 @@ object Curation {
        |         AS risk_row_share
        |FROM g""".stripMargin
 
+  /** Differentially-private released histogram over (lang, source) —
+    * the privacy-preserving corpus-composition report a pipeline can
+    * publish without exposing exact slice counts. Noise is the
+    * SYMMETRIZED GEOMETRIC mechanism — the integer-valued analogue of
+    * Laplace (Ghosh–Roughgarden–Sundararajan's geometric mechanism,
+    * p = 1/2, i.e. ε = ln 2 at unit sensitivity): magnitude = number of
+    * leading zero bits of a 24-bit uniform draw (P(k) = 2^-(k+1)), sign
+    * from an independent bit. The draw is the house md5 convention on
+    * the group key, making the mechanism a deterministic function of
+    * the key — hash-exact across engines (both sides derive the SAME
+    * bits from the SAME md5), pure integer end-to-end, with none of
+    * the inverse-CDF `ln` that makes float Laplace noise an oracle
+    * hazard. In production the salt below rotates per release; a
+    * pinned salt here is what makes the op testable. `n_true` is
+    * emitted for audit parity only — a real release drops it.
+    *
+    * Scale shape: one map-side-combined groupBy to ≤ |langs|·|sources|
+    * rows; noise is a projection on the reduced frame. Nothing
+    * corpus-sized survives the aggregation.
+    */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val key = concat(lit("dp1:"), col("lang"), lit(":"), col("source"))
+    val hv = conv(substring(md5(key), 1, 6), 16, 10).cast("long")
+    val sgn = when(
+      conv(substring(md5(key), 7, 1), 16, 10).cast("long") % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+    // leading-zero count of the 24-bit draw: geometric(1/2) from 0
+    val magChain = {
+      var c = when(hv >= (1L << 23), 0L)
+      for (k <- 1 to 23) c = c.when(hv >= (1L << (23 - k)), k.toLong)
+      c.otherwise(24L)
+    }
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_true"))
+      .select(col("lang"), col("source"), col("n_true"),
+        (sgn * magChain).as("noise"),
+        (col("n_true") + sgn * magChain).as("n_noisy"),
+        greatest(lit(0L), col("n_true") + sgn * magChain).as("n_released"))
+  }
+
+  lazy val dpCountsSql: String = {
+    val mag = (1 to 23).map(k =>
+      s"WHEN hv >= ${1L << (23 - k)} THEN $k").mkString("\n           ")
+    s"""WITH g AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM documents GROUP BY 1, 2
+       |), h AS (
+       |  SELECT lang, source, n_true,
+       |         CAST(('0x' || substr(md5('dp1:' || lang || ':' || source),
+       |                              1, 6)) AS BIGINT) AS hv,
+       |         CASE WHEN CAST(('0x' || substr(
+       |                  md5('dp1:' || lang || ':' || source), 7, 1))
+       |                AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM g
+       |), n AS (
+       |  SELECT lang, source, n_true,
+       |         CAST(sgn * (CASE WHEN hv >= ${1L << 23} THEN 0
+       |           $mag
+       |           ELSE 24 END) AS BIGINT) AS noise
+       |  FROM h
+       |)
+       |SELECT lang, source, n_true, noise,
+       |       n_true + noise AS n_noisy,
+       |       greatest(CAST(0 AS BIGINT), n_true + noise) AS n_released
+       |FROM n""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("curate_dp_counts", dpCounts _, Some(dpCountsSql)),
     Op("curate_k_anonymity", kAnonymity _, Some(kAnonymitySql)),
     Op("curate_pipeline_report", pipelineReport _, Some(pipelineReportSql)),
     Op("curate_gopher_filter", gopherFilter _, Some(gopherFilterSql)),

@@ -606,4 +606,40 @@ class CurationSpec extends SparkSpec {
         math.abs(score - 0.5) < 1e-6) // keep is z>=0; σ rounds at 6dp
     }
   }
+
+  test("dp counts: noise is md5-determined symmetric geometric, release clamps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dp").toString
+    Seq(
+      (1L, "t", "en", "src0", 1L),
+      (2L, "t", "en", "src0", 1L),
+      (3L, "t", "mi", "src1", 1L),
+      (4L, "t", "de", "src2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expected(lang: String, source: String): Long = {
+      val hex = md.digest(s"dp1:$lang:$source".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 6), 16).toInt
+      val mag =
+        if (h == 0) 24L
+        else (Integer.numberOfLeadingZeros(h) - 8).toLong // 24-bit draw
+      val sgn =
+        if (java.lang.Long.parseLong(hex.substring(6, 7), 16) % 2 == 0) 1L
+        else -1L
+      sgn * mag
+    }
+    val rows = graft.operators.Curation.dpCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.size == 3)
+    rows.foreach { case ((lang, source), (t, noise, noisy, released)) =>
+      assert(noise == expected(lang, source),
+        s"$lang/$source: CASE chain disagrees with numberOfLeadingZeros")
+      assert(math.abs(noise) <= 24 && noisy == t + noise)
+      assert(released == math.max(0L, noisy) && released >= 0)
+    }
+    assert(rows(("en", "src0"))._1 == 2L)
+  }
 }
