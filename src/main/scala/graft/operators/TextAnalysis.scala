@@ -1246,7 +1246,69 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id"""
       .stripMargin
 
+  /** Compression-ratio quality signal (the CCNet/RedPajama deflate
+    * heuristic): highly repetitive/templated text compresses far below
+    * prose, random noise barely compresses — `ratio_micro` (deflated
+    * bytes per input byte, integer micro-units) is the cheap one-pass
+    * proxy curation stacks gate on before any model-based scoring.
+    * Deflate runs in the native `DeflateLen` expression inside
+    * whole-stage codegen; the division is integer, so every emitted
+    * value is exact. Rows-only BY DESIGN: DuckDB has no deflate, so
+    * no SQL oracle can reproduce the byte counts — the `_check` twin
+    * pins what IS oracle-expressible.
+    *
+    * Scale shape: a pure projection — one scan, no shuffle at all;
+    * the flag threshold (0.35) is the conventional "mostly repeated
+    * content" knee, tunable downstream.
+    */
+  def compressRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("octet_length(text)").cast("long").as("n_bytes"),
+        org.apache.spark.sql.graft.DeflateLen(col("text")).cast("long")
+          .as("deflate_len"))
+      .where(col("n_bytes") > 0)
+      .withColumn("ratio_micro",
+        col("deflate_len") * lit(1000000L) / col("n_bytes"))
+      .withColumn("ratio_micro", col("ratio_micro").cast("long"))
+      .withColumn("flag_repetitive", col("ratio_micro") < 350000L)
+
+  /** Oracled invariants for the deflate signal: count parity, output
+    * bounds (deflate of a non-empty input is positive and can exceed
+    * the input by at most the stored-block overhead), and the
+    * repetition law — doubling a document must compress BETTER than
+    * twice the original (the second copy is one back-reference) for
+    * any doc past trivial size. The oracle pins the booleans TRUE and
+    * the count from the table (the `sim_recall_audit` pattern), so a
+    * broken Deflater integration or a platform-divergent zlib reds
+    * CORRECTNESS, not just the spec suite.
+    */
+  def compressRatioCheck(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(
+        expr("octet_length(text)").cast("long").as("n_bytes"),
+        org.apache.spark.sql.graft.DeflateLen(col("text")).cast("long")
+          .as("dl"),
+        org.apache.spark.sql.graft.DeflateLen(
+          concat(col("text"), col("text"))).cast("long").as("dl2"))
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(bool_and(col("dl") > 0 && col("dl") <= col("n_bytes") + 64),
+        lit(true)).as("all_bounds_ok"),
+      coalesce(bool_and(col("n_bytes") < 64 || col("dl2") < col("dl") * 2),
+        lit(true)).as("repeat_compresses"))
+  }
+
+  val compressRatioCheckSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       true AS all_bounds_ok,
+      |       true AS repeat_compresses
+      |FROM documents""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("text_compress_ratio", compressRatio _, None),
+    Op("text_compress_ratio_check", compressRatioCheck _,
+      Some(compressRatioCheckSql)),
     Op("text_ngram_novelty", ngramNovelty _, Some(ngramNoveltySql)),
     Op("text_vocab_growth", vocabGrowth _, Some(vocabGrowthSql)),
     Op("text_redact_pii", redactPii _, Some(redactPiiSql)),

@@ -962,4 +962,34 @@ class TextEventsSpec extends SparkSpec {
     assert(got(0.4) < 0.35 && got(0.8) > 0.9, // steep flank brackets 0.8
       s"curve off: ${got(0.4)} ${got(0.8)}")
   }
+
+  test("compress ratio: deflate signal separates repetition from noise") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("defl").toString
+    val rep = ("spam " * 200).trim                    // highly repetitive
+    val mix = (0 until 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
+    Seq((1L, rep, "en", "s", rep.length.toLong),
+        (2L, mix, "en", "s", mix.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis.compressRatio(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    // independent Deflater: same level/nowrap, computed outside Catalyst
+    def ind(s: String): Long = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](s.getBytes("UTF-8").length * 2 + 64)
+      var t = 0L
+      while (!d.finished()) t += d.deflate(buf)
+      d.end(); t
+    }
+    assert(rows(1L)._2 == ind(rep) && rows(2L)._2 == ind(mix))
+    assert(rows(1L)._4 && !rows(2L)._4) // repetition flags, mixed does not
+    assert(rows(1L)._3 < rows(2L)._3)   // and ranks strictly lower
+    val chk = graft.operators.TextAnalysis.compressRatioCheck(spark, dir)
+      .head()
+    assert(chk.getLong(0) == 2L && chk.getBoolean(1) && chk.getBoolean(2))
+  }
 }
