@@ -315,6 +315,209 @@ object Multimodal {
     }
   }
 
+  /** One frame's parsed Layer III side info, summed over its granules. */
+  private final case class SideInfoFrame(mainDataBegin: Int,
+      granuleChannels: Int, part23Bits: Long, shortBlocks: Int,
+      mainDataBytes: Int)
+
+  /** Layer III side-info parse for ONE frame at offset `o` with header
+    * fields already decoded. Pure ISO 11172-3 / 13818-3 bit layout —
+    * NO Annex-B tables involved (that's what makes this half of the
+    * Layer III structure honestly implementable here; see
+    * `mp3SideInfo`'s scaladoc for the seam statement). Returns None on
+    * any structural violation: truncation, a reserved block_type-0
+    * window switch, or big_values past the spec's 288 ceiling.
+    */
+  private def parseSideInfoFrame(p: Array[Byte], o: Int, mpeg1: Boolean,
+      mono: Boolean, crc: Boolean, frameLen: Int): Option[SideInfoFrame] = {
+    val nch = if (mono) 1 else 2
+    val sideLen =
+      if (mpeg1) { if (mono) 17 else 32 }
+      else { if (mono) 9 else 17 }
+    val sideOff = o + 4 + (if (crc) 2 else 0)
+    if (sideOff + sideLen > p.length || o + frameLen > p.length) return None
+    val mainBytes = frameLen - 4 - (if (crc) 2 else 0) - sideLen
+    if (mainBytes < 0) return None
+    // Every side-info field is FIXED width and both window branches
+    // consume the same 22 bits, so the walk reads exactly sideLen
+    // bytes (verified above against p.length) — the shared BitReader's
+    // throw-on-exhaustion can't fire.
+    val r = new BitReader(p, sideOff)
+    def take(n: Int): Int = r.bits(n).toInt
+    val mdb = take(if (mpeg1) 9 else 8)
+    take(if (mpeg1) { if (mono) 5 else 3 } else { if (mono) 1 else 2 })
+    if (mpeg1) { var c = 0; while (c < nch) { take(4); c += 1 } } // scfsi
+    val granules = if (mpeg1) 2 else 1
+    var part23 = 0L
+    var short = 0
+    var g = 0
+    while (g < granules) {
+      var c = 0
+      while (c < nch) {
+        val p23 = take(12)
+        val bigv = take(9)
+        take(8) // global_gain
+        take(if (mpeg1) 4 else 9) // scalefac_compress
+        val wsf = take(1)
+        if (wsf == 1) {
+          val bt = take(2)
+          take(1) // mixed_block_flag
+          take(5); take(5) // table_select ×2
+          take(3); take(3); take(3) // subblock_gain ×3
+          if (bt == 0) return None // reserved under switching
+          if (bt == 2) short += 1
+        } else {
+          take(5); take(5); take(5) // table_select ×3
+          take(4) // region0_count
+          take(3) // region1_count
+        }
+        if (mpeg1) take(1) // preflag (implicit under LSF)
+        take(1) // scalefac_scale
+        take(1) // count1table_select
+        if (bigv > 288) return None
+        part23 += p23
+        c += 1
+      }
+      g += 1
+    }
+    Some(SideInfoFrame(mdb, granules * nch, part23, short, mainBytes))
+  }
+
+  /** Full-stream Layer III side-info census: walks every frame (the
+    * `decodeMp3` stepping), parses each frame's side info, and checks
+    * the BIT-RESERVOIR DISCIPLINE — frame i's `main_data_begin` must
+    * not reach back past the main-data bytes its predecessors actually
+    * carried (the structural invariant a splice/truncation corruption
+    * breaks first). Returns (frames, granule_channels, Σpart2_3_length,
+    * max main_data_begin, short-block count, reservoir_ok); None if the
+    * payload is not MPEG audio at all; all -1s if it claims MPEG (ID3
+    * or valid sync) but violates the layout.
+    */
+  private[graft] def parseMp3SideInfo(
+      p: Array[Byte]): Option[(Long, Long, Long, Int, Long, Boolean)] = {
+    def u8(o: Int) = p(o) & 0xFF
+    val corrupt = Some((-1L, -1L, -1L, -1, -1L, false))
+    val hasId3 = p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3' &&
+      u8(3) != 0xFF && u8(6) < 0x80 && u8(7) < 0x80 && u8(8) < 0x80 && u8(9) < 0x80
+    val start =
+      if (hasId3)
+        10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
+      else 0
+    def header(o: Int): Option[(Boolean, Boolean, Boolean, Int)] = {
+      if (o + 4 > p.length || u8(o) != 0xFF || (u8(o + 1) & 0xE0) != 0xE0)
+        return None
+      val ver = (u8(o + 1) >>> 3) & 0x3
+      val layer = (u8(o + 1) >>> 1) & 0x3
+      val crc = (u8(o + 1) & 1) == 0
+      val brIdx = (u8(o + 2) >>> 4) & 0xF
+      val srIdx = (u8(o + 2) >>> 2) & 0x3
+      val pad = (u8(o + 2) >>> 1) & 0x1
+      if (ver == 1 || layer != 1 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+        return None
+      val mpeg1 = ver == 3
+      val sr = (if (ver == 3) Mp3RatesV1 else if (ver == 2) Mp3RatesV2
+        else Mp3RatesV25)(srIdx)
+      val kbps = (if (ver == 3) Mp3BitrateV1 else Mp3BitrateV2)(brIdx)
+      val spf = if (mpeg1) 1152 else 576
+      val len = (spf / 8) * kbps * 1000 / sr + pad
+      val mono = ((u8(o + 3) >>> 6) & 0x3) == 3
+      Some((mpeg1, mono, crc, len))
+    }
+    header(start) match {
+      case None => if (hasId3) corrupt else None
+      case Some(_) =>
+        var off = start
+        var frames = 0L
+        var gch = 0L
+        var bits = 0L
+        var maxMdb = 0
+        var short = 0L
+        var reservoir = 0L // main-data bytes carried by PRIOR frames
+        var reservoirOk = true
+        var ok = true
+        var bad = false
+        while (ok && !bad) header(off) match {
+          case Some((mpeg1, mono, crc, len)) if len > 4 =>
+            parseSideInfoFrame(p, off, mpeg1, mono, crc, len) match {
+              case Some(si) =>
+                frames += 1
+                gch += si.granuleChannels
+                bits += si.part23Bits
+                if (si.mainDataBegin > maxMdb) maxMdb = si.mainDataBegin
+                short += si.shortBlocks
+                if (si.mainDataBegin > reservoir) reservoirOk = false
+                // the spec caps the reachable reservoir at 511 bytes
+                reservoir = math.min(511L, reservoir + si.mainDataBytes)
+                off += len
+              case None => bad = true
+            }
+          case _ => ok = false
+        }
+        if (bad || frames == 0) corrupt
+        else Some((frames, gch, bits, maxMdb, short, reservoirOk))
+    }
+  }
+
+  final case class Mp3SideInfo(asset_id: Long, decoded: Boolean,
+      n_frames: Long, n_granule_channels: Long, sum_part23_bits: Long,
+      max_main_data_begin: Int, n_short_blocks: Long, reservoir_ok: Boolean)
+
+  /** MPEG Layer III side-info census per audio asset — the half of the
+    * Layer III structure that is PURE bit layout (ISO 11172-3 §2.4.1.7
+    * + the 13818-3 LSF variant): main_data_begin, per-granule
+    * part2_3_length / big_values / window switching / block types, and
+    * the bit-reservoir consistency law across frames. This narrows the
+    * audio seam to exactly the entropy/DSP layer: full PCM synthesis
+    * needs the Annex-B TABULATED data (34 Huffman code tables and the
+    * 512-tap synthesis window), which is not present in this
+    * environment and cannot be re-derived from first principles —
+    * shipping invented tables would fake fidelity, so the sample stage
+    * stays a declared stub while everything structurally checkable is
+    * checked for real (and golden-pinned in EdgeCaseSpec on
+    * hand-packed spec-valid frames).
+    *
+    * Fixture payloads (UTF-8 text) are not MPEG audio and take the
+    * deterministic md5 pseudo path the oracle recomputes — the
+    * `multimodal_samples` convention.
+    */
+  def extractMp3SideInfo(assets: Dataset[Asset]): Dataset[Mp3SideInfo] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "audio").mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        parseMp3SideInfo(a.payload) match {
+          case Some((f, g, b, mdb, s, resOk)) =>
+            Mp3SideInfo(a.asset_id, decoded = f > 0, f, g, b, mdb, s, resOk)
+          case None =>
+            md.reset()
+            val hex = md.digest(a.payload).map("%02x".format(_)).mkString
+            val n = a.payload.length.toLong
+            Mp3SideInfo(a.asset_id, decoded = false,
+              n / 418L, 2L * (n / 418L),
+              java.lang.Long.parseLong(hex.take(4), 16) % 4096L,
+              (java.lang.Long.parseLong(hex.slice(4, 8), 16) % 512L).toInt,
+              n % 3L, reservoir_ok = true)
+        }
+      }
+    }
+  }
+
+  def mp3SideInfo(spark: SparkSession, dir: String): DataFrame =
+    extractMp3SideInfo(assets(spark, dir)).toDF()
+
+  val mp3SideInfoSql: String =
+    """SELECT doc_id AS asset_id, false AS decoded,
+      |       CAST(octet_length(encode(text)) // 418 AS BIGINT) AS n_frames,
+      |       CAST(2 * (octet_length(encode(text)) // 418) AS BIGINT)
+      |         AS n_granule_channels,
+      |       CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS UBIGINT)
+      |              % 4096 AS BIGINT) AS sum_part23_bits,
+      |       CAST(CAST(concat('0x', substr(md5(text), 5, 4)) AS UBIGINT)
+      |              % 512 AS INT) AS max_main_data_begin,
+      |       CAST(octet_length(encode(text)) % 3 AS BIGINT) AS n_short_blocks,
+      |       true AS reservoir_ok
+      |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+
   /** (sample_rate, channels, bits_per_sample, n_frames). RIFF chunks are
     * word-aligned (odd sizes pad one byte); the walk stops once both
     * `fmt ` and `data` have been seen. Declared sizes are trusted for
@@ -372,8 +575,9 @@ object Multimodal {
     * crossings (the cheap pitch/noisiness proxy). Only format-1
     * 16-bit PCM decodes; other encodings and non-RIFF payloads fall
     * to md5 pseudo-stats the oracle recomputes (the `decodePixels`
-    * convention). Remaining codec seam: MP3 sample decode (lossy DSP) —
-    * FLAC decodes for real below.
+    * convention). Remaining codec seam: MP3 sample decode (lossy DSP;
+    * the table-free structural half is parsed for real by
+    * `parseMp3SideInfo`) — FLAC decodes for real below.
     */
   private[graft] def decodeWavSamples(
       p: Array[Byte]): Option[(Long, Int, Double, Long)] = {
@@ -829,8 +1033,12 @@ object Multimodal {
     * pseudo-stats otherwise; strictly oracled on the text fixture,
     * golden-tested on synthesized PCM/G.711/ADPCM and spec-valid FLAC
     * (the ADPCM goldens bit-match an independently implemented
-    * encoder). Remaining seam: MP3 sample synthesis and inter-frame
-    * video codecs (JNI-by-construction).
+    * encoder). Remaining seam: MP3 sample synthesis (requires the ISO
+    * Annex-B tabulated Huffman code tables and 512-tap synthesis
+    * window, which are not derivable from first principles and not
+    * present in this environment — the structural half IS parsed, see
+    * `multimodal_mp3_sideinfo`) and inter-frame video codecs
+    * (JNI-by-construction).
     */
   def extractSamples(assets: Dataset[Asset]): Dataset[SampleStats] = {
     import assets.sparkSession.implicits._
@@ -1623,6 +1831,7 @@ object Multimodal {
     Op("multimodal_meta", meta _, Some(metaSql)),
     Op("multimodal_frames", frames _, Some(framesSql)),
     Op("multimodal_audio_meta", audioMeta _, Some(audioMetaSql)),
+    Op("multimodal_mp3_sideinfo", mp3SideInfo _, Some(mp3SideInfoSql)),
     Op("multimodal_video_meta", videoMeta _, Some(videoMetaSql)),
     Op("multimodal_video_pixels", videoPixels _, Some(videoPixelsSql)),
   )
