@@ -2242,7 +2242,115 @@ object Analytics {
        |         AS white_noise_rejected
        |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Poisson bootstrap
+  // ---------------------------------------------------------------------
+
+  private final val BootB = 32
+
+  /** floor(2²⁴ · CDF_Poisson(1)(k)) for k = 0..6 — computed ONCE here
+    * and rendered as integer literals into BOTH expression trees (the
+    * HLL-literal move), so the mechanism is engine-independent by
+    * construction; the tail past 6 collapses to count 7 (P ≈ 8·10⁻⁵).
+    */
+  private val BootThresholds: IndexedSeq[Long] = {
+    var p = math.exp(-1.0)
+    var cdf = 0.0
+    (0 to 6).map { k =>
+      if (k > 0) p = p / k
+      cdf += p
+      math.floor(cdf * (1L << 24)).toLong
+    }
+  }
+
+  private def bootCountCol(d: Column): Column = {
+    var c = when(d < BootThresholds(0), 0L)
+    for (k <- 1 to 6) c = c.when(d < BootThresholds(k), k.toLong)
+    c.otherwise(7L)
+  }
+
+  private def bootCountSql(d: String): String = {
+    val whens = (0 to 6).map(k =>
+      s"WHEN $d < ${BootThresholds(k)} THEN $k").mkString(" ")
+    s"(CASE $whens ELSE 7 END)"
+  }
+
+  /** Poisson-bootstrap confidence interval for the per-type mean of
+    * `events.value` — THE bootstrap that works on a cluster: instead
+    * of materializing B resamples of n rows (impossible at 100 TB),
+    * each row independently contributes a Poisson(1) count to every
+    * resample (Chamandy et al.'s "Estimating Uncertainty for Massive
+    * Data Streams" / the Google Poisson-bootstrap construction), so
+    * the whole thing is ONE corpus scan producing 2·B map-side-combined
+    * partial sums per group — no explosion, no shuffle growth with B.
+    *
+    * Determinism: values quantize to BIGINT micro-units at the leaf
+    * (the sums that cross the shuffle are order-free integers; at
+    * true 100 TB scale the integer sums would move to DECIMAL(38)
+    * headroom), the per-(row, resample) Poisson draw is the house
+    * md5 convention against literal CDF thresholds, and each resample
+    * mean is one double division of two exact integers — bit-identical
+    * cross-engine, so even the sorted order statistics match exactly.
+    * CI = [2nd, 31st] of the 32 sorted resample means (~94% coverage).
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).as("v_micro"))
+    val headAgg = count(lit(1)).as("n")
+    val tailAggs: Seq[Column] = sum(col("v_micro")).as("sv") +:
+      (0 until BootB).flatMap { b =>
+        val d = conv(substring(md5(concat(lit(s"boot:$b:"),
+          col("event_id").cast("string"))), 1, 6), 16, 10).cast("long")
+        val c = bootCountCol(d)
+        Seq(sum(c * col("v_micro")).as(s"s$b"), sum(c).as(s"c$b"))
+      }
+    val g = base.groupBy(col("event_type")).agg(headAgg, tailAggs: _*)
+    val means = array_sort(array((0 until BootB).map(b =>
+      col(s"s$b").cast("double") / nullif(col(s"c$b"), lit(0L)).cast("double")): _*))
+    g.select(col("event_type"), col("n"),
+      (col("sv").cast("double") / col("n").cast("double")).as("mean_micro"),
+      element_at(means, 2).as("boot_lo_micro"),
+      element_at(means, BootB - 1).as("boot_hi_micro"))
+      .withColumn("ci_contains_mean",
+        col("boot_lo_micro") <= col("mean_micro") &&
+          col("mean_micro") <= col("boot_hi_micro"))
+  }
+
+  val bootstrapCiSql: String = {
+    val draws = (0 until BootB).map { b =>
+      val d = s"CAST(('0x' || substr(md5('boot:$b:' || CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT)"
+      val c = bootCountSql(d)
+      s"""         CAST(sum($c * v_micro) AS BIGINT) AS s$b,
+         |         CAST(sum($c) AS BIGINT) AS c$b""".stripMargin
+    }.mkString(",\n")
+    val means = (0 until BootB).map(b =>
+      s"CAST(s$b AS DOUBLE) / CAST(nullif(c$b, 0) AS DOUBLE)").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT event_type, event_id,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+       |  FROM events WHERE value IS NOT NULL
+       |), g AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(v_micro) AS BIGINT) AS sv,
+       |$draws
+       |  FROM base GROUP BY event_type
+       |), m AS (
+       |  SELECT event_type, n,
+       |         CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_micro,
+       |         list_sort([$means])[2] AS boot_lo_micro,
+       |         list_sort([$means])[${BootB - 1}] AS boot_hi_micro
+       |  FROM g
+       |)
+       |SELECT event_type, n, mean_micro, boot_lo_micro, boot_hi_micro,
+       |       (boot_lo_micro <= mean_micro AND mean_micro <= boot_hi_micro)
+       |         AS ci_contains_mean
+       |FROM m""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("stats_bootstrap_ci", bootstrapCi _, Some(bootstrapCiSql)),
     Op("stats_ljung_box", ljungBox _, Some(ljungBoxSql)),
     Op("stats_capture_recapture", captureRecapture _,
       Some(captureRecaptureSql)),

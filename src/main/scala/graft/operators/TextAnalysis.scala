@@ -1246,6 +1246,91 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id"""
       .stripMargin
 
+  /** Interpolated Kneser–Ney bigram probabilities for the corpus's
+    * top-20 bigrams — the smoothing that actually ships in n-gram LMs
+    * (Chen & Goodman '98): the discounted bigram estimate backs off to
+    * a CONTINUATION unigram (how many distinct histories a word
+    * follows, not how often it occurs), which is what keeps
+    * high-frequency-but-fixed-context words ("Francisco") from
+    * stealing mass. All five ingredients are integer counts off ONE
+    * bigram frame (c(w1 w2), c(w1·), N1+(w1,·), N1+(·,w2), total
+    * bigram types); the probability is a single rational expression of
+    * those integers (d = 0.75 — NO transcendentals), quantized to
+    * micro-units, ranking integer/string-only. Fully oracled.
+    *
+    * Scale shape: corpus reduces to the vocab²-bounded bigram-count
+    * frame in one explode + map-side combine; every derived count is a
+    * groupBy of THAT frame; the top-20 window prunes via
+    * WindowGroupLimit. Nothing corpus-sized crosses a second shuffle.
+    */
+  def bigramKn(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(split(trim(col("text")), " ").as("w"))
+    val bg = d.where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(w)), " +
+          "i -> struct(element_at(w, i-1) AS w1, element_at(w, i) AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val c1 = cb.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("ncont"))
+    val hist = cb.groupBy(col("w2")).agg(count(lit(1)).as("nhist"))
+    val types = cb.agg(count(lit(1)).as("ntypes"))
+    val pkn = (greatest(col("c12").cast("double") - lit(0.75), lit(0.0)) +
+      (lit(0.75) * col("ncont").cast("double")) *
+        (col("nhist").cast("double") / col("ntypes").cast("double"))) /
+      col("c1").cast("double")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+    cb.join(c1, Seq("w1")).join(hist, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("ncont"), col("nhist"),
+        floor(pkn * lit(1000000.0) + lit(0.5)).as("pkn_micro"))
+      // global top-20 as orderBy+limit → TakeOrderedAndProject (each
+      // task keeps 20 rows, no single-partition sort of the bigram
+      // frame); the rank window then runs on 20 rows only
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("c12"), col("c1"),
+        col("ncont"), col("nhist"), col("pkn_micro"))
+  }
+
+  val bigramKnSql: String =
+    """WITH s AS (
+      |  SELECT string_split(trim(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(trim(text), ' ')) >= 2
+      |), bg AS (
+      |  SELECT w[i-1] AS w1, w[i] AS w2
+      |  FROM s, unnest(range(2, len(w) + 1)) AS t(i)
+      |), cb AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+      |         CAST(count(*) AS BIGINT) AS ncont
+      |  FROM cb GROUP BY 1
+      |), hist AS (
+      |  SELECT w2, CAST(count(*) AS BIGINT) AS nhist FROM cb GROUP BY 1
+      |), types AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS ntypes FROM cb
+      |)
+      |SELECT rank, w1, w2, c12, c1, ncont, nhist, pkn_micro
+      |FROM (
+      |  SELECT w1, w2, c12, c1, ncont, nhist,
+      |         CAST(floor(
+      |           ((greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+      |             + (0.75 * CAST(ncont AS DOUBLE))
+      |               * (CAST(nhist AS DOUBLE) / CAST(ntypes AS DOUBLE)))
+      |            / CAST(c1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |           AS pkn_micro,
+      |         CAST(row_number() OVER (ORDER BY c12 DESC, w1 ASC, w2 ASC)
+      |           AS BIGINT) AS rank
+      |  FROM cb JOIN c1 USING (w1) JOIN hist USING (w2), types)
+      |WHERE rank <= 20""".stripMargin
+
   /** Compression-ratio quality signal (the CCNet/RedPajama deflate
     * heuristic): highly repetitive/templated text compresses far below
     * prose, random noise barely compresses — `ratio_micro` (deflated
@@ -1320,6 +1405,7 @@ object TextAnalysis {
     Op("text_repetition", repetition _, Some(repetitionSql)),
     Op("text_perplexity", perplexity _, Some(perplexitySql)),
     Op("text_bigram_lm", bigramLm _, Some(bigramLmSql)),
+    Op("text_bigram_kn", bigramKn _, Some(bigramKnSql)),
     Op("rag_chunk_topk", ragChunkTopk _, Some(ragChunkTopkSql)),
     Op("text_quality", quality _, Some(qualitySql)),
     Op("text_langid", langId _, Some(langIdSql)),

@@ -918,4 +918,26 @@ class DeltaStatsSpec extends SparkSpec {
       "unpartitioned Window in stats_ks — the sharded ECDF decomposition " +
         "was lost; see Analytics.statsKs scaladoc"))
   }
+
+  test("poisson bootstrap: constant values collapse the CI to the mean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("boot").toString
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    ((0 until 200).map(i => (i.toLong, ts, i.toLong % 7, "buy", 5.0, "{}")) ++
+     (0 until 50).map(i => (1000L + i, ts, i.toLong % 3, "view",
+       1.0 + (i % 10), "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = graft.operators.Analytics.bootstrapCi(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    // every resample of a constant column has mean == the constant
+    val (nBuy, mBuy, loBuy, hiBuy, okBuy) = rows("buy")
+    assert(nBuy == 200L && mBuy == 5000000.0)
+    assert(loBuy == 5000000.0 && hiBuy == 5000000.0 && okBuy)
+    // spread values: a proper interval that still brackets the mean
+    val (nV, mV, loV, hiV, okV) = rows("view")
+    assert(nV == 50L && loV < hiV && okV && loV <= mV && mV <= hiV)
+  }
 }

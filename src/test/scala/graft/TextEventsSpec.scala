@@ -992,4 +992,23 @@ class TextEventsSpec extends SparkSpec {
       .head()
     assert(chk.getLong(0) == 2L && chk.getBoolean(1) && chk.getBoolean(2))
   }
+
+  test("kneser-ney: hand-computed probabilities and integer rank order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kn").toString
+    Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis.bigramKn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(rows.size == 3)
+    // P(b|a) = (max(2-.75,0) + .75*2*(1/3)) / 3 = 0.58333...
+    assert(rows(1L) == ("a", "b", 2L, 3L, 2L, 1L, 583333L))
+    // P(a|b) = (1.25 + .75*1*(1/3)) / 2 = 0.75
+    assert(rows(2L) == ("b", "a", 2L, 2L, 1L, 1L, 750000L))
+    // P(c|a) = (0.25 + .75*2*(1/3)) / 3 = 0.25
+    assert(rows(3L) == ("a", "c", 1L, 3L, 2L, 1L, 250000L))
+  }
 }
