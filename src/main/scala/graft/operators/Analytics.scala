@@ -2248,10 +2248,13 @@ object Analytics {
 
   private final val BootB = 32
 
-  /** floor(2²⁴ · CDF_Poisson(1)(k)) for k = 0..6 — computed ONCE here
+  /** floor(2¹⁶ · CDF_Poisson(1)(k)) for k = 0..6 — computed ONCE here
     * and rendered as integer literals into BOTH expression trees (the
     * HLL-literal move), so the mechanism is engine-independent by
-    * construction; the tail past 6 collapses to count 7 (P ≈ 8·10⁻⁵).
+    * construction; the tail past 6 collapses to count 7 (P ≈ 9·10⁻⁵ at
+    * 16-bit granularity). Draws are 16-bit so one md5 yields EIGHT of
+    * them — the whole 32-resample row cost is 4 hashes, not 32
+    * (measured 11.7 → ~2 s at sf1).
     */
   private val BootThresholds: IndexedSeq[Long] = {
     var p = math.exp(-1.0)
@@ -2259,7 +2262,7 @@ object Analytics {
     (0 to 6).map { k =>
       if (k > 0) p = p / k
       cdf += p
-      math.floor(cdf * (1L << 24)).toLong
+      math.floor(cdf * (1L << 16)).toLong
     }
   }
 
@@ -2296,13 +2299,15 @@ object Analytics {
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables(spark, dir, "events")
       .where(col("value").isNotNull)
-      .select(col("event_type"), col("event_id"),
-        floor(col("value") * lit(1000000.0) + lit(0.5)).as("v_micro"))
+      .select(Seq(col("event_type"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).as("v_micro")) ++
+        (0 until BootB / 8).map(g => md5(concat(lit(s"boot:$g:"),
+          col("event_id").cast("string"))).as(s"h$g")): _*)
     val headAgg = count(lit(1)).as("n")
     val tailAggs: Seq[Column] = sum(col("v_micro")).as("sv") +:
       (0 until BootB).flatMap { b =>
-        val d = conv(substring(md5(concat(lit(s"boot:$b:"),
-          col("event_id").cast("string"))), 1, 6), 16, 10).cast("long")
+        val d = conv(substring(col(s"h${b / 8}"), 1 + 4 * (b % 8), 4),
+          16, 10).cast("long")
         val c = bootCountCol(d)
         Seq(sum(c * col("v_micro")).as(s"s$b"), sum(c).as(s"c$b"))
       }
@@ -2319,8 +2324,10 @@ object Analytics {
   }
 
   val bootstrapCiSql: String = {
+    val hashes = (0 until BootB / 8).map(g =>
+      s"md5('boot:$g:' || CAST(event_id AS VARCHAR)) AS h$g").mkString(",\n         ")
     val draws = (0 until BootB).map { b =>
-      val d = s"CAST(('0x' || substr(md5('boot:$b:' || CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT)"
+      val d = s"CAST(('0x' || substr(h${b / 8}, ${1 + 4 * (b % 8)}, 4)) AS BIGINT)"
       val c = bootCountSql(d)
       s"""         CAST(sum($c * v_micro) AS BIGINT) AS s$b,
          |         CAST(sum($c) AS BIGINT) AS c$b""".stripMargin
@@ -2328,8 +2335,9 @@ object Analytics {
     val means = (0 until BootB).map(b =>
       s"CAST(s$b AS DOUBLE) / CAST(nullif(c$b, 0) AS DOUBLE)").mkString(", ")
     s"""WITH base AS (
-       |  SELECT event_type, event_id,
-       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+       |  SELECT event_type,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
+       |         $hashes
        |  FROM events WHERE value IS NOT NULL
        |), g AS (
        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
