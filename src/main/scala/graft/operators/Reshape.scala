@@ -32,7 +32,46 @@ object Reshape {
        |)""".stripMargin
   }
 
+  /** Columnar-format round-trip gate: the documents table written to
+    * ORC (Spark's second first-class columnar format — the one a
+    * Hive-side consumer reads) and read back must be ROW-EXACT and
+    * schema-identical. The comparison is declarative: a full-outer
+    * join on the key with a null-safe bool_and over every column —
+    * a dropped, duplicated, or value-mutated row breaks either the
+    * count or the conjunction, and both sides red CORRECTNESS because
+    * the oracle pins the count from the source table and the booleans
+    * TRUE. Writes go to a per-invocation temp dir (bounded: one copy
+    * of the fixture table); at warehouse scale this is the format-
+    * migration smoke gate run on a sampled partition, same plan.
+    */
+  def orcRoundtripCheck(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val path = s"$tmp/documents.orc"
+    d.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    val b = back.select(col("doc_id"), col("text").as("t2"),
+      col("lang").as("l2"), col("source").as("s2"), col("n_chars").as("n2"))
+    d.join(b, Seq("doc_id"), "full_outer")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(bool_and(col("text") <=> col("t2") &&
+          col("lang") <=> col("l2") && col("source") <=> col("s2") &&
+          col("n_chars") <=> col("n2")), lit(true)).as("roundtrip_exact"))
+      .withColumn("schema_ok",
+        lit(back.schema.map(f => (f.name, f.dataType)) ==
+          d.schema.map(f => (f.name, f.dataType))))
+  }
+
+  val orcRoundtripCheckSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       true AS roundtrip_exact,
+      |       true AS schema_ok
+      |FROM documents""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("csv_json_reshape", csvJsonReshape _, Some(csvJsonReshapeSql)),
+    Op("src_orc_roundtrip_check", orcRoundtripCheck _,
+      Some(orcRoundtripCheckSql)),
   )
 }

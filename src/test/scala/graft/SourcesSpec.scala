@@ -328,4 +328,15 @@ class SourcesSpec extends SparkSpec {
       quar.head.getAs[String]("path").endsWith("seg2.warc") &&
       quar.head.getAs[String]("target_uri").contains("unterminated"))
   }
+
+  test("orc round-trip: exact rows and schema through Spark's ORC writer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orcrt").toString
+    Seq((1L, "alpha", "en", "s0", 5L), (2L, "beta\ttab", "mi", "s1", 8L),
+        (3L, null.asInstanceOf[String], "de", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Reshape.orcRoundtripCheck(spark, dir).head()
+    assert(r.getLong(0) == 3L && r.getBoolean(1) && r.getBoolean(2))
+  }
 }
