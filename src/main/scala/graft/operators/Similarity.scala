@@ -274,8 +274,11 @@ object Similarity {
     * ranks the NLIST centroids, searches its NPROBE nearest cells only.
     */
   private def ivfSearch(q: DataFrame, cent: DataFrame,
-      assigned: DataFrame): DataFrame = {
-    val probeK = udaf(new TopKAgg(NProbe))
+      assigned: DataFrame): DataFrame = ivfSearch(q, cent, assigned, NProbe)
+
+  private def ivfSearch(q: DataFrame, cent: DataFrame,
+      assigned: DataFrame, nprobe: Int): DataFrame = {
+    val probeK = udaf(new TopKAgg(nprobe))
     val probes = q.join(broadcast(cent), expr("true"))
       .select(col("query_id"), col("q_emb"),
         col("cent_id"), V.cosine(col("q_emb"), col("cent_emb")).as("ccos"))
@@ -2513,7 +2516,75 @@ object Similarity {
       Some(contaminationEmbeddingSql)),
     Op("sim_recall_audit", recallAudit _, Some(recallAuditSql)),
     Op("sim_mmr_diversify", mmrDiversify _, Some(mmrDiversifySql)),
+    Op("sim_recall_curve", recallCurve _, None),
+    Op("sim_recall_curve_check", recallCurveCheck _,
+      Some(recallCurveCheckSql)),
   )
+
+  // ---------------------------------------------------------------------
+  // IVF recall/nprobe curve
+  // ---------------------------------------------------------------------
+
+  private final val CurveProbes = Seq(1, 2, 4, 8)
+
+  /** Recall@K of the SERVED IVF index as a function of nprobe — the
+    * tuning curve an operator reads before setting the latency/recall
+    * dial in production (probing twice the cells costs ~2× scan for
+    * the measured recall gain). One brute-force baseline, then four
+    * searches against the SAME persisted index (training paid once by
+    * the snapshot store); per-nprobe hits counted by semi-join against
+    * the exact set. Rows-only (hit counts are index geometry); the
+    * check twin pins what IS provable: hits MONOTONE in nprobe — a
+    * displacing candidate must itself be an exact-top-K member, so
+    * growing the probed pool can never lose a hit — and the served
+    * floor at the production nprobe.
+    */
+  private def curveHits(spark: SparkSession, dir: String): DataFrame = {
+    val exact = topkBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val (cent, assigned) = servedIvfIndex(spark, dir)
+    val q = emb(spark, dir).where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val nEx = exact.agg(count(lit(1)).as("n_exact"))
+    CurveProbes.map { np =>
+      val hits = exact.join(
+        ivfSearch(q, cent, assigned, np)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      broadcast(nEx).crossJoin(broadcast(hits))
+        .select(lit(np.toLong).as("nprobe"), col("n_exact"), col("n_hits"))
+    }.reduce(_ unionByName _)
+  }
+
+  def recallCurve(spark: SparkSession, dir: String): DataFrame =
+    curveHits(spark, dir)
+      .select(col("nprobe"), col("n_exact"), col("n_hits"),
+        floor(col("n_hits").cast("double") / col("n_exact").cast("double")
+          * lit(1000000.0) + lit(0.5)).as("recall_micro"))
+
+  def recallCurveCheck(spark: SparkSession, dir: String): DataFrame = {
+    val h = curveHits(spark, dir)
+    val byNp = CurveProbes.map(np =>
+      h.where(col("nprobe") === np.toLong)
+        .select(col("n_exact"), col("n_hits").as(s"h$np")))
+    val one = byNp.reduce((a, b) =>
+      broadcast(a).crossJoin(broadcast(b.drop("n_exact"))))
+    one.select(col("n_exact"),
+      (col("h1") <= col("h2") && col("h2") <= col("h4") &&
+        col("h4") <= col("h8")).as("monotone_ok"),
+      (col(s"h$NProbe").cast("double") / col("n_exact").cast("double")
+        >= IvfRecallFloor).as("served_floor_ok"),
+      (col("h8").cast("double") / col("n_exact").cast("double")
+        >= IvfRecallFloor).as("widest_floor_ok"))
+  }
+
+  lazy val recallCurveCheckSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |       true AS monotone_ok,
+       |       true AS served_floor_ok,
+       |       true AS widest_floor_ok
+       |FROM ($topkBruteForceSql)""".stripMargin
 
   // ---------------------------------------------------------------------
   // MMR diversity re-ranking

@@ -1015,4 +1015,15 @@ class DedupSimilaritySpec extends SparkSpec {
     }.sum / 100.0
     assert(recall >= 0.8, s"recall $recall")
   }
+
+  test("ivf recall curve: monotone in nprobe, served point matches audit") {
+    val rows = graft.operators.Similarity.recallCurve(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    val hits = rows.map(_._2._2)
+    assert(hits.sliding(2).forall(p => p(0) <= p(1)),
+      s"hits not monotone: ${hits.toSeq}")
+    assert(rows.forall(_._2._1 == rows.head._2._1)) // one shared n_exact
+  }
 }
