@@ -393,6 +393,162 @@ object Multimodal {
     * payload is not MPEG audio at all; all -1s if it claims MPEG (ID3
     * or valid sync) but violates the layout.
     */
+  /** EXIF (TIFF IFD) metadata parse for JPEG payloads — pure byte
+    * structure, both endiannesses: find the APP1 "Exif\0\0" segment in
+    * the JPEG marker walk, validate the TIFF header (II/MM + 42), walk
+    * IFD0's 12-byte entries for Orientation (0x0112), Make (0x010F,
+    * inline or offset-stored ASCII) and the Exif sub-IFD pointer
+    * (0x8769), then the sub-IFD for PixelXDimension/PixelYDimension
+    * (0xA002/3, SHORT or LONG). This is the metadata an image-curation
+    * pass actually routes on (orientation-aware perceptual hashing,
+    * camera-source stratification) and it needs NO entropy decode.
+    * Returns None when the payload is not JPEG or carries no Exif APP1;
+    * a positively-claimed Exif block with structural violations
+    * (truncated IFD, entry offsets past the segment) quarantines to
+    * (-1, null, -1, -1). Every offset is bounds-checked against the
+    * SEGMENT, not the payload — Exif offsets are TIFF-relative and
+    * untrusted.
+    */
+  private[graft] def parseExif(
+      p: Array[Byte]): Option[(Int, String, Int, Int)] = {
+    def u8(o: Int) = p(o) & 0xFF
+    if (p.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+    // JPEG marker walk to APP1/Exif (same stepping as decodeHeader)
+    var o = 2
+    var seg = -1
+    var segLen = 0
+    var done = false
+    while (!done && o + 3 < p.length) {
+      if (u8(o) != 0xFF) done = true
+      else {
+        val m = u8(o + 1)
+        if (m == 0xFF) o += 1
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) o += 2
+        else if (m == 0xD9 || m == 0xDA) done = true
+        else {
+          val len = (u8(o + 2) << 8) | u8(o + 3)
+          if (len < 2 || o + 2 + len > p.length) done = true
+          else if (m == 0xE1 && len >= 10 &&
+            p(o + 4) == 'E' && p(o + 5) == 'x' && p(o + 6) == 'i' &&
+            p(o + 7) == 'f' && p(o + 8) == 0 && p(o + 9) == 0) {
+            seg = o + 10 // TIFF header offset
+            segLen = len - 8 // TIFF-addressable bytes
+            done = true
+          } else o += 2 + len
+        }
+      }
+    }
+    if (seg < 0) return None
+    val corrupt = Some((-1, null: String, -1, -1))
+    // TIFF header: byte order, magic 42, IFD0 offset (TIFF-relative)
+    if (segLen < 8) return corrupt
+    val le =
+      if (p(seg) == 'I' && p(seg + 1) == 'I') true
+      else if (p(seg) == 'M' && p(seg + 1) == 'M') false
+      else return corrupt
+    def u16(off: Int): Int = {
+      if (off < 0 || off + 2 > segLen) return -1
+      if (le) u8(seg + off) | (u8(seg + off + 1) << 8)
+      else (u8(seg + off) << 8) | u8(seg + off + 1)
+    }
+    def u32(off: Int): Long = {
+      if (off < 0 || off + 4 > segLen) return -1L
+      if (le) u8(seg + off).toLong | (u8(seg + off + 1).toLong << 8) |
+        (u8(seg + off + 2).toLong << 16) | (u8(seg + off + 3).toLong << 24)
+      else (u8(seg + off).toLong << 24) | (u8(seg + off + 1).toLong << 16) |
+        (u8(seg + off + 2).toLong << 8) | u8(seg + off + 3).toLong
+    }
+    if (u16(2) != 42) return corrupt
+    // one IFD walk: returns the wanted tag values found in it
+    final case class Entry(tag: Int, typ: Int, count: Long, valOff: Int)
+    def ifdEntries(ifdOff: Long): Option[IndexedSeq[Entry]] = {
+      if (ifdOff < 0 || ifdOff + 2 > segLen) return None
+      val n = u16(ifdOff.toInt)
+      if (n < 0 || ifdOff + 2 + 12L * n > segLen) return None
+      Some((0 until n).map { i =>
+        val e = ifdOff.toInt + 2 + 12 * i
+        Entry(u16(e), u16(e + 2), u32(e + 4), e + 8)
+      })
+    }
+    ifdEntries(u32(4)) match {
+      case None => corrupt
+      case Some(ifd0) =>
+        var orient = 0
+        var make: String = null
+        var exifPtr = -1L
+        ifd0.foreach { e =>
+          val vOff = e.valOff // TIFF-relative offset of the value field
+          e.tag match {
+            case 0x0112 if e.typ == 3 => orient = u16(vOff)
+            case 0x010F if e.typ == 2 && e.count > 0 =>
+              // ASCII: ≤4 bytes inline, else offset-stored
+              val off = if (e.count <= 4) vOff else u32(vOff)
+              if (off >= 0 && off + e.count <= segLen) {
+                val raw = new Array[Byte](e.count.toInt)
+                System.arraycopy(p, seg + off.toInt, raw, 0, e.count.toInt)
+                val z = raw.indexOf(0.toByte)
+                make = new String(raw, 0, if (z < 0) raw.length else z, "US-ASCII")
+              }
+            case 0x8769 if e.typ == 4 => exifPtr = u32(vOff)
+            case _ => ()
+          }
+        }
+        var px = -1
+        var py = -1
+        if (exifPtr >= 0) ifdEntries(exifPtr) match {
+          case None => return corrupt
+          case Some(sub) => sub.foreach { e =>
+            val vOff = e.valOff
+            e.tag match {
+              case 0xA002 =>
+                px = (if (e.typ == 3) u16(vOff).toLong else u32(vOff)).toInt
+              case 0xA003 =>
+                py = (if (e.typ == 3) u16(vOff).toLong else u32(vOff)).toInt
+              case _ => ()
+            }
+          }
+        }
+        if (orient < 0 || orient > 8) corrupt
+        else Some((orient, make, px, py))
+    }
+  }
+
+  final case class ExifMeta(asset_id: Long, has_exif: Boolean,
+      orientation: Int, make: String, pixel_x: Int, pixel_y: Int)
+
+  /** Per-image EXIF census over the asset table: real APP1/TIFF walks
+    * for JPEG payloads, the deterministic pseudo path for everything
+    * else (the fixture's text payloads — oracle-recomputable). The
+    * quarantine convention matches the other decoders: a positive Exif
+    * claim with a broken layout yields -1 markers, never an exception
+    * mid-scan.
+    */
+  def extractExif(assets: Dataset[Asset]): Dataset[ExifMeta] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      it.map { a =>
+        parseExif(a.payload) match {
+          case Some((o, mk, x, y)) =>
+            ExifMeta(a.asset_id, has_exif = true, o, mk, x, y)
+          case None =>
+            ExifMeta(a.asset_id, has_exif = false,
+              (a.payload.length % 8 + 1).toInt, null,
+              -1, -1)
+        }
+      }
+    }
+  }
+
+  def exifMeta(spark: SparkSession, dir: String): DataFrame =
+    extractExif(assets(spark, dir)).toDF()
+
+  val exifMetaSql: String =
+    """SELECT doc_id AS asset_id, false AS has_exif,
+      |       CAST(octet_length(encode(text)) % 8 + 1 AS INT) AS orientation,
+      |       CAST(NULL AS VARCHAR) AS make,
+      |       CAST(-1 AS INT) AS pixel_x, CAST(-1 AS INT) AS pixel_y
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
   private[graft] def parseMp3SideInfo(
       p: Array[Byte]): Option[(Long, Long, Long, Int, Long, Boolean)] = {
     def u8(o: Int) = p(o) & 0xFF
@@ -1832,6 +1988,7 @@ object Multimodal {
     Op("multimodal_frames", frames _, Some(framesSql)),
     Op("multimodal_audio_meta", audioMeta _, Some(audioMetaSql)),
     Op("multimodal_mp3_sideinfo", mp3SideInfo _, Some(mp3SideInfoSql)),
+    Op("multimodal_exif", exifMeta _, Some(exifMetaSql)),
     Op("multimodal_video_meta", videoMeta _, Some(videoMetaSql)),
     Op("multimodal_video_pixels", videoPixels _, Some(videoPixelsSql)),
   )
