@@ -1825,7 +1825,81 @@ object Curation {
        |FROM n""".stripMargin
   }
 
+  /** Differentially-private mean doc length per lang — the composed
+    * form every DP release of an average uses: noise the CLAMPED sum
+    * and the count separately (each via the [[dpCounts]] geometric
+    * mechanism; the sum's noise scales by the clamp bound C, its
+    * sensitivity), release their ratio. Clamping to [0, C] is what
+    * BOUNDS the sensitivity — without it one outlier document could
+    * shift the sum arbitrarily and no finite noise would hide it.
+    * Everything stays exact integer until the final division of two
+    * released BIGINTs (one double division — bit-identical
+    * cross-engine); a fully-noised-away slice (released count 0)
+    * degrades to a NULL mean, never a division error.
+    */
+  def dpMean(spark: SparkSession, dir: String): DataFrame = {
+    val C = 200L // clamp bound: tokens of n_chars-scale docs
+    def draw(salt: String) = {
+      val key = concat(lit(s"$salt:"), col("lang"))
+      (conv(substring(md5(key), 1, 6), 16, 10).cast("long"),
+        when(conv(substring(md5(key), 7, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)))
+    }
+    def mag(hv: Column): Column = {
+      var c = when(hv >= (1L << 23), 0L)
+      for (k <- 1 to 23) c = c.when(hv >= (1L << (23 - k)), k.toLong)
+      c.otherwise(24L)
+    }
+    val (h1, s1) = draw("dpm_n")
+    val (h2, s2) = draw("dpm_s")
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(least(greatest(col("n_chars"), lit(0L)), lit(C))).as("sum_true"))
+      .select(col("lang"), col("n_true"), col("sum_true"),
+        greatest(lit(0L), col("n_true") + s1 * mag(h1)).as("n_released"),
+        greatest(lit(0L), col("sum_true") + s2 * (mag(h2) * lit(C)))
+          .as("sum_released"))
+      .withColumn("mean_released",
+        when(col("n_released") > 0,
+          col("sum_released").cast("double") / col("n_released").cast("double")))
+  }
+
+  lazy val dpMeanSql: String = {
+    val C = 200L
+    def magSql(hv: String): String = {
+      val whens = (s"WHEN $hv >= ${1L << 23} THEN 0" +:
+        (1 to 23).map(k => s"WHEN $hv >= ${1L << (23 - k)} THEN $k"))
+        .mkString("\n             ")
+      s"(CASE $whens\n             ELSE 24 END)"
+    }
+    def hv(salt: String) =
+      s"CAST(('0x' || substr(md5('$salt:' || lang), 1, 6)) AS BIGINT)"
+    def sgn(salt: String) =
+      s"(CASE WHEN CAST(('0x' || substr(md5('$salt:' || lang), 7, 1)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
+    s"""WITH g AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_true,
+       |         CAST(sum(least(greatest(n_chars, 0), $C)) AS BIGINT) AS sum_true
+       |  FROM documents GROUP BY 1
+       |), r AS (
+       |  SELECT lang, n_true, sum_true,
+       |         greatest(CAST(0 AS BIGINT),
+       |           n_true + ${sgn("dpm_n")} * ${magSql(hv("dpm_n"))})
+       |           AS n_released,
+       |         greatest(CAST(0 AS BIGINT),
+       |           sum_true + ${sgn("dpm_s")} * (${magSql(hv("dpm_s"))} * $C))
+       |           AS sum_released
+       |  FROM g
+       |)
+       |SELECT lang, n_true, sum_true, n_released, sum_released,
+       |       CASE WHEN n_released > 0
+       |            THEN CAST(sum_released AS DOUBLE) / CAST(n_released AS DOUBLE)
+       |            END AS mean_released
+       |FROM r""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("curate_dp_mean", dpMean _, Some(dpMeanSql)),
     Op("curate_dp_counts", dpCounts _, Some(dpCountsSql)),
     Op("curate_k_anonymity", kAnonymity _, Some(kAnonymitySql)),
     Op("curate_pipeline_report", pipelineReport _, Some(pipelineReportSql)),

@@ -642,4 +642,28 @@ class CurationSpec extends SparkSpec {
     }
     assert(rows(("en", "src0"))._1 == 2L)
   }
+
+  test("dp mean: clamped sum, composed noise, zero-count slice degrades to null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dpm").toString
+    // lang "en": two docs, one with n_chars far past the clamp bound --
+    // the released sum must reflect the CLAMPED contribution (200), not
+    // the outlier
+    Seq(
+      (1L, "t", "en", "s", 50L),
+      (2L, "t", "en", "s", 999999L),
+      (3L, "t", "mi", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Curation.dpMean(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (nEn, sumEn, nRelEn, sumRelEn) = rows("en")
+    assert(nEn == 2L && sumEn == 250L) // 50 + clamp(999999 -> 200)
+    // noise is bounded: |count noise| <= 24, |sum noise| <= 24 * 200
+    assert(math.abs(nRelEn - nEn) <= 24L)
+    assert(math.abs(sumRelEn - sumEn) <= 24L * 200L)
+    val (nMi, sumMi, _, _) = rows("mi")
+    assert(nMi == 1L && sumMi == 100L)
+  }
 }
