@@ -1346,17 +1346,25 @@ object TextAnalysis {
     * the flag threshold (0.35) is the conventional "mostly repeated
     * content" knee, tunable downstream.
     */
-  def compressRatio(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"),
-        expr("octet_length(text)").cast("long").as("n_bytes"),
-        org.apache.spark.sql.graft.DeflateLen(col("text")).cast("long")
-          .as("deflate_len"))
+  /** The stateless deflate-signal projection, shared verbatim by the
+    * batch registration and `CorpusStream.deflateGateStream` — batch ≡
+    * stream parity is by construction (the `gopherStream` pattern).
+    * Input needs a `text` column; all other columns pass through.
+    */
+  private[graft] def compressCols(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_bytes", expr("octet_length(text)").cast("long"))
       .where(col("n_bytes") > 0)
+      .withColumn("deflate_len",
+        org.apache.spark.sql.graft.DeflateLen(col("text")).cast("long"))
       .withColumn("ratio_micro",
-        col("deflate_len") * lit(1000000L) / col("n_bytes"))
-      .withColumn("ratio_micro", col("ratio_micro").cast("long"))
+        (col("deflate_len") * lit(1000000L) / col("n_bytes")).cast("long"))
       .withColumn("flag_repetitive", col("ratio_micro") < 350000L)
+
+  def compressRatio(spark: SparkSession, dir: String): DataFrame =
+    compressCols(Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text")))
+      .drop("text")
 
   /** Oracled invariants for the deflate signal: count parity, output
     * bounds (deflate of a non-empty input is positive and can exceed

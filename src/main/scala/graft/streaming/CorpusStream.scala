@@ -25,6 +25,18 @@ object CorpusStream {
       : org.apache.spark.sql.DataFrame =
     graft.operators.Curation.gopherMetrics(docs)
 
+  /** Streaming deflate-ratio admission gate: the compression-quality
+    * signal (`text_compress_ratio`) computed ON ARRIVAL — a stateless
+    * native-expression projection (the `gopherStream` pattern), so the
+    * SAME function body serves batch and stream and parity is by
+    * construction. This is the cheap first gate a continuous-ingest
+    * pipeline runs: repetitive/templated payloads flag before any
+    * stateful stage pays for them.
+    */
+  def deflateGateStream(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.TextAnalysis.compressCols(docs)
+
   /** Streaming frontier admission + scoring: discovered URLs arrive as a
     * stream, each is robots-gated and priority-scored ON ARRIVAL —
     * exactly the batch `crawl_frontier_rank` chain minus its per-domain

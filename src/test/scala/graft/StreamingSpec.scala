@@ -796,4 +796,30 @@ class StreamingSpec extends SparkSpec {
       assert(got.size == 6)
     } finally q.stop()
   }
+
+  test("deflate gate stream: arrival-time ratio equals batch, repetition flags") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      (1L, ("spam " * 200).trim),
+      (2L, (0 until 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStream
+      .deflateGateStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("deflate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => r.toSeq.toList).sortBy(_.head.toString)
+      val streamed = canon(spark.table("deflate_out").collect())
+      val batch = canon(graft.operators.TextAnalysis
+        .compressCols(docs.toDF("doc_id", "text")).collect())
+      assert(streamed.toList == batch.toList)
+      val flags = spark.table("deflate_out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+      assert(flags == Map(1L -> true, 2L -> false))
+    } finally q.stop()
+  }
 }
