@@ -940,4 +940,20 @@ class DeltaStatsSpec extends SparkSpec {
     val (nV, mV, loV, hiV, okV) = rows("view")
     assert(nV == 50L && loV < hiV && okV && loV <= mV && mV <= hiV)
   }
+
+  test("plan shapes: bootstrap is one scan one shuffle; deflate is shuffle-free") {
+    val df = graft.operators.Analytics.bootstrapCi(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // 32 resamples must NOT multiply scans or shuffles: one exchange
+    // (the per-type aggregation), everything else map-side
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"bootstrap gained a shuffle:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size <= 1,
+      s"bootstrap re-scans the corpus:\n$plan")
+    val dp = graft.operators.TextAnalysis.compressRatio(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!dp.contains("Exchange"), s"deflate signal gained a shuffle:\n$dp")
+  }
 }

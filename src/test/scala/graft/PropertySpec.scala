@@ -756,4 +756,43 @@ class PropertySpec extends SparkSpec {
     val seenIds = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
     assert(seenIds == expectSeen, "exact membership diverged")
   }
+
+  test("exif fuzz: arbitrary and magic-prefixed bytes never throw") {
+    val r = new Random(1414)
+    (1 to 300).foreach { _ =>
+      val n = r.nextInt(96)
+      val b = new Array[Byte](n); r.nextBytes(b)
+      graft.operators.Multimodal.parseExif(b) // must not throw
+      if (n >= 2) { b(0) = 0xFF.toByte; b(1) = 0xD8.toByte }
+      graft.operators.Multimodal.parseExif(b) match {
+        case Some((o, _, _, _)) => assert(o >= -1 && o <= 8)
+        case None => ()
+      }
+      // a claimed APP1/Exif header followed by garbage must quarantine
+      // or parse, never throw
+      val hdr = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+        0xE1.toByte, 0, 40, 'E', 'x', 'i', 'f', 0, 0)
+      val tail = new Array[Byte](34); r.nextBytes(tail)
+      graft.operators.Multimodal.parseExif(hdr ++ tail)
+    }
+  }
+
+  test("mp3 side-info fuzz: sync-prefixed garbage never throws") {
+    val r = new Random(2828)
+    (1 to 300).foreach { _ =>
+      val n = r.nextInt(600)
+      val b = new Array[Byte](n); r.nextBytes(b)
+      graft.operators.Multimodal.parseMp3SideInfo(b)
+      if (n >= 4) {
+        // force a plausible MPEG1 Layer III sync so the side-info walk
+        // engages on random side-info bits
+        b(0) = 0xFF.toByte; b(1) = 0xFB.toByte; b(2) = 0x90.toByte
+        graft.operators.Multimodal.parseMp3SideInfo(b) match {
+          case Some((f, g, bits, mdb, s, _)) =>
+            assert(f >= -1 && g >= -1 && bits >= -1 && mdb >= -1 && s >= -1)
+          case None => ()
+        }
+      }
+    }
+  }
 }

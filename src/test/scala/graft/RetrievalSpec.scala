@@ -57,4 +57,16 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(1L)._1 == 8L && rows(2L)._1 == 9L) // integer tiebreak
     assert(rows(1L)._2 == rows(2L)._2)             // bit-exact equal scores
   }
+
+  test("plan shapes: bm25 broadcasts the query side, no cartesian") {
+    val df = Retrieval.bm25TopK(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in bm25:\n$plan")
+    // term-set prune, per-query terms, df, and the scalar frame all ride
+    // broadcasts; only the posting build and the final agg shuffle
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected broadcast joins on the bounded sides:\n$plan")
+  }
 }
