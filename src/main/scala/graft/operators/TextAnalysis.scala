@@ -1246,6 +1246,107 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id"""
       .stripMargin
 
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    * keyword pass a corpus-exploration/topic-tagging stage runs:
+    * candidate phrases are maximal stopword-free token runs; a word
+    * scores deg/freq (deg = Σ length of phrases containing it, freq =
+    * its occurrence count — words living in LONG phrases with few solo
+    * appearances win); a phrase scores the sum of its members. Every
+    * quantity is an integer count and the word score is INTEGER
+    * division in micro-units, so the whole operator is exact integer
+    * arithmetic end-to-end — no float anywhere, fully oracled.
+    *
+    * Scale shape: the phrase-id window partitions by doc_id (bounded
+    * by document length, never corpus-wide); phrases and word stats
+    * are vocab-bounded groupBys with map-side combine; the global
+    * top-10 is orderBy+limit → TakeOrderedAndProject.
+    */
+  def rakeKeyphrases(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), " ")).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))
+      .withColumn("is_stop", col("w").isin(stopwords: _*))
+    val phrased = toks
+      .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L))
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .where(!col("is_stop") && col("w") =!= "")
+    val phrases = phrased.groupBy(col("doc_id"), col("pid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("pw"))
+      .select(col("doc_id"), col("pid"),
+        expr("transform(pw, x -> x.w)").as("ws"))
+      .select(col("doc_id"), col("pid"),
+        concat_ws(" ", col("ws")).as("phrase"),
+        size(col("ws")).cast("long").as("n_words"), col("ws"))
+    val wstats = phrases
+      .select(explode(col("ws")).as("w"), col("n_words"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+      .withColumn("wscore_micro", expr("deg * 1000000L div freq"))
+    val occScores = phrases
+      .select(col("doc_id"), col("pid"), col("phrase"), col("n_words"),
+        explode(col("ws")).as("w"))
+      .join(wstats.select(col("w"), col("wscore_micro")), Seq("w"))
+      .groupBy(col("doc_id"), col("pid"), col("phrase"), col("n_words"))
+      .agg(sum(col("wscore_micro")).as("score_micro"))
+    // identical phrase text ⇒ identical member multiset ⇒ identical
+    // score, so max() below is just "the" score; occurrences counted
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("phrase").asc)
+    occScores.groupBy(col("phrase"))
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase").asc)
+      .limit(10)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .select(col("rank"), col("phrase"), col("n_words"),
+        col("n_occurrences"), col("score_micro"))
+  }
+
+  val rakeKeyphrasesSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, w[i] AS w,
+       |         w[i] IN ($stopwordList) AS is_stop
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+       |        FROM documents),
+       |       unnest(range(1, len(w) + 1)) AS t(i)
+       |), phrased AS (
+       |  SELECT doc_id, pos, w,
+       |         sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+       |  FROM toks QUALIFY NOT is_stop AND w != ''
+       |), phrases AS (
+       |  SELECT doc_id, pid,
+       |         array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+       |         CAST(count(*) AS BIGINT) AS n_words,
+       |         list(w ORDER BY pos) AS ws
+       |  FROM phrased GROUP BY doc_id, pid
+       |), members AS (
+       |  SELECT doc_id, pid, phrase, n_words, unnest(ws) AS w FROM phrases
+       |), wstats AS (
+       |  SELECT w, CAST((sum(n_words) * 1000000) // count(*) AS BIGINT)
+       |           AS wscore_micro
+       |  FROM members GROUP BY w
+       |), occ AS (
+       |  SELECT m.doc_id, m.pid, m.phrase, m.n_words,
+       |         CAST(sum(ws.wscore_micro) AS BIGINT) AS score_micro
+       |  FROM members m JOIN wstats ws USING (w)
+       |  GROUP BY m.doc_id, m.pid, m.phrase, m.n_words
+       |), agg AS (
+       |  SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+       |         CAST(count(*) AS BIGINT) AS n_occurrences,
+       |         CAST(max(score_micro) AS BIGINT) AS score_micro
+       |  FROM occ GROUP BY phrase
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, phrase ASC)
+       |         AS BIGINT) AS rank,
+       |       phrase, n_words, n_occurrences, score_micro
+       |FROM agg
+       |ORDER BY score_micro DESC, phrase ASC
+       |LIMIT 10""".stripMargin
+
   /** Interpolated Kneser–Ney bigram probabilities for the corpus's
     * top-20 bigrams — the smoothing that actually ships in n-gram LMs
     * (Chen & Goodman '98): the discounted bigram estimate backs off to
@@ -1414,6 +1515,7 @@ object TextAnalysis {
     Op("text_perplexity", perplexity _, Some(perplexitySql)),
     Op("text_bigram_lm", bigramLm _, Some(bigramLmSql)),
     Op("text_bigram_kn", bigramKn _, Some(bigramKnSql)),
+    Op("text_rake_keyphrases", rakeKeyphrases _, Some(rakeKeyphrasesSql)),
     Op("rag_chunk_topk", ragChunkTopk _, Some(ragChunkTopkSql)),
     Op("text_quality", quality _, Some(qualitySql)),
     Op("text_langid", langId _, Some(langIdSql)),

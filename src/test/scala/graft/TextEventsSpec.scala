@@ -1011,4 +1011,19 @@ class TextEventsSpec extends SparkSpec {
     // P(c|a) = (0.25 + .75*2*(1/3)) / 3 = 0.25
     assert(rows(3L) == ("a", "c", 1L, 3L, 2L, 1L, 250000L))
   }
+
+  test("rake: deg/freq word scores and phrase ranking, hand-computed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rake").toString
+    // tokens: alpha beta [of] alpha -> phrases "alpha beta", "alpha"
+    // alpha: freq 2, deg 2+1=3 -> 1500000; beta: freq 1, deg 2 -> 2000000
+    Seq((1L, "alpha beta of alpha")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis.rakeKeyphrases(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 2)
+    assert(rows(1L) == ("alpha beta", 2L, 1L, 3500000L))
+    assert(rows(2L) == ("alpha", 1L, 1L, 1500000L))
+  }
 }
