@@ -2357,7 +2357,104 @@ object Analytics {
        |FROM m""".stripMargin
   }
 
+  /** Theil–Sen robust trend per event type — the slope estimator that
+    * shrugs off outlier days (least squares, `stats_trend`, moves with
+    * every anomaly; the MEDIAN of pairwise slopes has a 29% breakdown
+    * point). The corpus reduces to one integer point per (type, day)
+    * — count per epoch-day — so the pairwise stage is days², bounded
+    * by the calendar, never by event volume. Every slope is one double
+    * division of two exact integers (bit-identical cross-engine), the
+    * median is explicit order statistics (avg of the two middle ranks;
+    * equal-value ties can't change the picked VALUE), and the
+    * intercept is the median of per-point residuals against the
+    * chosen slope.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint()
+    val a = daily.select(col("event_type"), col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("x").as("x2"), col("y").as("y2"))
+    val slopes = a.join(b, Seq("event_type"))
+      .where(col("x2") > col("x1"))
+      .select(col("event_type"),
+        ((col("y2") - col("y1")).cast("double") /
+          (col("x2") - col("x1")).cast("double")).as("slope"))
+    def median(df: DataFrame, v: String, out: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col(v).asc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .where(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("n div 2 + 1"))
+        .groupBy(col("event_type"))
+        .agg((sum(col(v)) / count(lit(1))).as(out), max(col("n")).as(s"_n_$out"))
+    }
+    val m = median(slopes, "slope", "slope_med")
+    val resid = daily.join(m.select(col("event_type"), col("slope_med")),
+      Seq("event_type"))
+      .select(col("event_type"),
+        (col("y").cast("double") - col("slope_med") *
+          col("x").cast("double")).as("resid"))
+    val i = median(resid, "resid", "intercept_med")
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+      .join(m.select(col("event_type"), col("slope_med"),
+        col("_n_slope_med").as("n_pairs")), Seq("event_type"))
+      .join(i.select(col("event_type"), col("intercept_med")), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        round(col("slope_med"), 6).as("slope_med"),
+        round(col("intercept_med"), 6).as("intercept_med"))
+  }
+
+  val theilSenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS x,
+      |         CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2
+      |), slopes AS (
+      |  SELECT a.event_type,
+      |         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b USING (event_type)
+      |  WHERE b.x > a.x
+      |), sm AS (
+      |  SELECT event_type, sum(slope) / count(*) AS slope_med,
+      |         CAST(max(n) AS BIGINT) AS n_pairs
+      |  FROM (SELECT event_type, slope,
+      |               row_number() OVER (PARTITION BY event_type
+      |                                  ORDER BY slope ASC) AS rn,
+      |               count(*) OVER (PARTITION BY event_type) AS n
+      |        FROM slopes)
+      |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+      |  GROUP BY event_type
+      |), resid AS (
+      |  SELECT d.event_type,
+      |         CAST(d.y AS DOUBLE) - sm.slope_med * CAST(d.x AS DOUBLE) AS resid
+      |  FROM daily d JOIN sm USING (event_type)
+      |), im AS (
+      |  SELECT event_type, sum(resid) / count(*) AS intercept_med
+      |  FROM (SELECT event_type, resid,
+      |               row_number() OVER (PARTITION BY event_type
+      |                                  ORDER BY resid ASC) AS rn,
+      |               count(*) OVER (PARTITION BY event_type) AS n
+      |        FROM resid)
+      |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+      |  GROUP BY event_type
+      |)
+      |SELECT event_type,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM daily d
+      |        WHERE d.event_type = sm.event_type) AS n_days,
+      |       n_pairs, round(slope_med, 6) AS slope_med,
+      |       round(intercept_med, 6) AS intercept_med
+      |FROM sm JOIN im USING (event_type)""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stats_theil_sen", theilSen _, Some(theilSenSql)),
     Op("stats_bootstrap_ci", bootstrapCi _, Some(bootstrapCiSql)),
     Op("stats_ljung_box", ljungBox _, Some(ljungBoxSql)),
     Op("stats_capture_recapture", captureRecapture _,

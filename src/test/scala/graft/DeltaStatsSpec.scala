@@ -956,4 +956,26 @@ class DeltaStatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!dp.contains("Exchange"), s"deflate signal gained a shuffle:\n$dp")
   }
+
+  test("theil-sen: outlier day barely moves the median slope") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ts").toString
+    // 5 days of clean slope-2 growth (2,4,6,8,10 events) plus one
+    // massive outlier day for the same type
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2026-01-${d + 1}%02d 12:00:00")
+    var id = 0L
+    val rows = (0 until 5).flatMap { d =>
+      (0 until 2 * (d + 1)).map { _ => id += 1
+        (id, day(d), id % 7, "buy", 1.0, "{}") }
+    } ++ (0 until 500).map { _ => id += 1
+      (id, day(5), id % 7, "buy", 1.0, "{}") } // outlier day 6
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = graft.operators.Analytics.theilSen(spark, dir).head()
+    assert(r.getString(0) == "buy" && r.getLong(1) == 6L && r.getLong(2) == 15L)
+    val slope = r.getDouble(3)
+    // least squares would report ~ +70/day under the outlier; the
+    // Theil-Sen median stays at the clean trend
+    assert(slope >= 2.0 && slope <= 3.0, s"median slope $slope")
+  }
 }
