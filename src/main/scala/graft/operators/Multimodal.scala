@@ -614,6 +614,106 @@ object Multimodal {
     }
   }
 
+  /** ID3v2.3/2.4 tag parse — the audio-side metadata walk (the EXIF
+    * twin): header version + syncsafe size, then the frame walk (4-char
+    * IDs; v2.3 plain big-endian frame sizes, v2.4 syncsafe), pulling
+    * the text frames a music/speech curation pass routes on — TIT2
+    * (title) and TPE1 (artist) — in all three text encodings (latin-1,
+    * UTF-16 with BOM, UTF-8). Padding (a zero where a frame ID would
+    * start) ends the walk. Returns None when the payload carries no
+    * ID3v2 preamble; a positive claim with an unsupported layout
+    * (v2.2's 3-char frames, the unsynchronisation flag, a frame
+    * running past the tag) quarantines to (-1, version, nulls).
+    */
+  private[graft] def parseId3Tags(
+      p: Array[Byte]): Option[(Int, Long, String, String)] = {
+    def u8(o: Int) = p(o) & 0xFF
+    if (!(p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3' &&
+      u8(3) != 0xFF && u8(6) < 0x80 && u8(7) < 0x80 && u8(8) < 0x80 &&
+      u8(9) < 0x80)) return None
+    val ver = u8(3)
+    val corrupt = Some((ver, -1L, null: String, null: String))
+    val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+    val end = math.min(10 + size, p.length)
+    if (ver != 3 && ver != 4) return corrupt
+    if ((u8(5) & 0x80) != 0) return corrupt // unsynchronised tag
+    var o = 10
+    if ((u8(5) & 0x40) != 0) { // extended header: skip by declared size
+      if (o + 4 > end) return corrupt
+      val ehSize =
+        if (ver == 4) (u8(o) << 21) | (u8(o + 1) << 14) | (u8(o + 2) << 7) | u8(o + 3)
+        else ((u8(o) << 24) | (u8(o + 1) << 16) | (u8(o + 2) << 8) | u8(o + 3)) + 4
+      if (ehSize < 4 || o + ehSize > end) return corrupt
+      o += ehSize
+    }
+    var frames = 0L
+    var title: String = null
+    var artist: String = null
+    def decodeText(from: Int, len: Int): String = {
+      if (len <= 0) return ""
+      val enc = u8(from)
+      val body = java.util.Arrays.copyOfRange(p, from + 1, from + len)
+      val s = enc match {
+        case 0 => new String(body, "ISO-8859-1")
+        case 1 => new String(body, "UTF-16") // BOM-directed
+        case 2 => new String(body, "UTF-16BE")
+        case 3 => new String(body, "UTF-8")
+        case _ => null
+      }
+      if (s == null) null
+      else { val z = s.indexOf('\u0000'); if (z < 0) s else s.substring(0, z) }
+    }
+    while (o + 10 <= end && p(o) != 0) {
+      val idOk = (o until o + 4).forall { i =>
+        val c = p(i).toChar; (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+      }
+      if (!idOk) return corrupt
+      val fid = new String(p, o, 4, "US-ASCII")
+      val fsize =
+        if (ver == 4) {
+          if ((u8(o + 4) | u8(o + 5) | u8(o + 6) | u8(o + 7)) >= 0x80)
+            return corrupt // v2.4 frame sizes are syncsafe
+          (u8(o + 4) << 21) | (u8(o + 5) << 14) | (u8(o + 6) << 7) | u8(o + 7)
+        } else
+          (u8(o + 4) << 24) | (u8(o + 5) << 16) | (u8(o + 6) << 8) | u8(o + 7)
+      if (fsize < 0 || o + 10 + fsize > end) return corrupt
+      frames += 1
+      fid match {
+        case "TIT2" => title = decodeText(o + 10, fsize)
+        case "TPE1" => artist = decodeText(o + 10, fsize)
+        case _ => ()
+      }
+      o += 10 + fsize
+    }
+    Some((ver, frames, title, artist))
+  }
+
+  final case class Id3Tags(asset_id: Long, has_id3: Boolean, version: Int,
+      n_frames: Long, title: String, artist: String)
+
+  def extractId3(assets: Dataset[Asset]): Dataset[Id3Tags] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { a =>
+        parseId3Tags(a.payload) match {
+          case Some((v, f, t, ar)) =>
+            Id3Tags(a.asset_id, has_id3 = true, v, f, t, ar)
+          case None =>
+            Id3Tags(a.asset_id, has_id3 = false, -1, -1L, null, null)
+        }
+      }
+    }
+  }
+
+  def id3Tags(spark: SparkSession, dir: String): DataFrame =
+    extractId3(assets(spark, dir)).toDF()
+
+  val id3TagsSql: String =
+    """SELECT doc_id AS asset_id, false AS has_id3,
+      |       CAST(-1 AS INT) AS version, CAST(-1 AS BIGINT) AS n_frames,
+      |       CAST(NULL AS VARCHAR) AS title, CAST(NULL AS VARCHAR) AS artist
+      |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+
   final case class Mp3SideInfo(asset_id: Long, decoded: Boolean,
       n_frames: Long, n_granule_channels: Long, sum_part23_bits: Long,
       max_main_data_begin: Int, n_short_blocks: Long, reservoir_ok: Boolean)
@@ -1989,6 +2089,7 @@ object Multimodal {
     Op("multimodal_audio_meta", audioMeta _, Some(audioMetaSql)),
     Op("multimodal_mp3_sideinfo", mp3SideInfo _, Some(mp3SideInfoSql)),
     Op("multimodal_exif", exifMeta _, Some(exifMetaSql)),
+    Op("multimodal_id3_tags", id3Tags _, Some(id3TagsSql)),
     Op("multimodal_video_meta", videoMeta _, Some(videoMetaSql)),
     Op("multimodal_video_pixels", videoPixels _, Some(videoPixelsSql)),
   )

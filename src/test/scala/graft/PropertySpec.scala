@@ -795,4 +795,20 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("id3 fuzz: ID3-prefixed garbage never throws, verdicts in contract") {
+    val r = new Random(4242)
+    (1 to 300).foreach { _ =>
+      val n = 10 + r.nextInt(120)
+      val b = new Array[Byte](n); r.nextBytes(b)
+      graft.operators.Multimodal.parseId3Tags(b)
+      b(0) = 'I'; b(1) = 'D'; b(2) = '3'; b(3) = 3; b(4) = 0; b(5) = 0
+      b(6) = (b(6) & 0x7F).toByte; b(7) = (b(7) & 0x7F).toByte
+      b(8) = (b(8) & 0x7F).toByte; b(9) = (b(9) & 0x7F).toByte
+      graft.operators.Multimodal.parseId3Tags(b) match {
+        case Some((v, f, _, _)) => assert(v == 3 && f >= -1)
+        case None => fail("valid preamble must be claimed")
+      }
+    }
+  }
 }
