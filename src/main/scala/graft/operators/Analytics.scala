@@ -2254,7 +2254,7 @@ object Analytics {
     * construction; the tail past 6 collapses to count 7 (P ≈ 9·10⁻⁵ at
     * 16-bit granularity). Draws are 16-bit so one md5 yields EIGHT of
     * them — the whole 32-resample row cost is 4 hashes, not 32
-    * (measured 11.7 → ~2 s at sf1).
+    * (measured 11.7 → 5.1 s at sf1).
     */
   private val BootThresholds: IndexedSeq[Long] = {
     var p = math.exp(-1.0)
