@@ -52,17 +52,24 @@ object Retrieval {
     Tables(spark, dir, "documents")
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
 
-  /** BM25 top-k retrieval over the documents table. Output: one row
-    * per (query_id, rank) with the retrieved doc, its matched-term
-    * count and integer micro-unit score.
+  /** The postings build: (doc_id, term, tf, dl) in ONE explode +
+    * map-side combine. Postings are PER-DOCUMENT — a new batch's
+    * postings compute from the batch alone, which is what makes the
+    * incremental index below exactly equal to a rebuild.
     */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    // postings: (doc_id, term, tf, dl) — ONE explode + map-side combine
-    val postings = d
-      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+  private def buildPostings(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** Score + rank against a postings frame. Corpus stats (N, Σdl)
+    * derive from the postings themselves (every document contributes
+    * ≥ 1 posting row, so the distinct-doc frame IS the corpus), which
+    * lets the served/incremental variants share this body verbatim.
+    */
+  private def bm25Rank(spark: SparkSession, dir: String,
+      postings: DataFrame): DataFrame = {
+    val d = docs(spark, dir)
     // query terms: distinct head tokens of the first QueryDocs docs
     val qterms = d.where(col("doc_id") < QueryDocs)
       .select(col("doc_id").as("query_id"),
@@ -73,9 +80,10 @@ object Retrieval {
     // the pruned frame is exact (pruning is by term only)
     val p = postings.join(broadcast(termset), Seq("term"))
     val df = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scalars = d
+    val scalars = postings
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).cast("double").as("n_docs"),
-        sum(size(col("w"))).cast("double").as("sum_dl"))
+        sum(col("dl")).cast("double").as("sum_dl"))
     // per-(query, term, doc) contribution, quantized to micro-units at
     // the leaf so the cross-shuffle SUM is pure integer
     val idf = log(lit(1.0) +
@@ -102,6 +110,39 @@ object Retrieval {
       .where(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("n_terms"), col("score_micro"))
+  }
+
+  /** BM25 top-k retrieval over the documents table. Output: one row
+    * per (query_id, rank) with the retrieved doc, its matched-term
+    * count and integer micro-unit score.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Rank(spark, dir, buildPostings(docs(spark, dir)))
+
+  /** Incremental BM25: the inverted index maintained under corpus
+    * growth WITHOUT rebuild. Postings are per-document and corpus
+    * stats recompute from the postings frame, so appending a batch's
+    * postings to the persisted history yields EXACTLY the index a
+    * full rebuild would produce — insert ≡ rebuild is an identity
+    * here, not a recall floor (contrast the ANN family, where frozen
+    * geometry makes it approximate). History (doc_id % 10 != 9)
+    * round-trips through the content-addressed snapshot store once
+    * per corpus version; the batch (doc_id % 10 == 9) tokenizes and
+    * appends; serving reads store ∪ batch. The oracle is the SAME SQL
+    * as `text_bm25_topk` over the full corpus — a lossy append, a
+    * stale snapshot, or drifted stats red CORRECTNESS by hash.
+    */
+  def bm25Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val (store, ts) = graft.sources.SnapshotStore.contentAddressed(
+      spark, s"$dir/documents.parquet", "graft_bm25_postings")
+    if (!store.hasTableSnapshot("bm25_postings", ts))
+      store.writeTableSnapshot(
+        buildPostings(d.where(col("doc_id") % 10 =!= 9)), "bm25_postings", ts)
+    val hist = store.readTableSnapshot(spark, "bm25_postings", ts)
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val batch = buildPostings(d.where(col("doc_id") % 10 === 9))
+    bm25Rank(spark, dir, hist.unionByName(batch))
   }
 
   val bm25TopKSql: String =
@@ -150,5 +191,7 @@ object Retrieval {
        |WHERE rank <= $TopK""".stripMargin
 
   val ops: Seq[Op] = Seq(
-    Op("text_bm25_topk", bm25TopK _, Some(bm25TopKSql)))
+    Op("text_bm25_topk", bm25TopK _, Some(bm25TopKSql)),
+    // same oracle: the incremental index must EQUAL a rebuild by hash
+    Op("text_bm25_incremental", bm25Incremental _, Some(bm25TopKSql)))
 }

@@ -69,4 +69,23 @@ class RetrievalSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
       s"expected broadcast joins on the bounded sides:\n$plan")
   }
+
+  test("incremental bm25: store-extended postings equal a rebuild exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25inc").toString
+    // ids straddle the %10==9 batch split; doc 9/19 arrive as the batch
+    Seq(
+      (0L, "apple banana"),
+      (6L, "apple banana pie"),
+      (9L, "apple apple crust"),
+      (19L, "banana crust pad"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    assert(canon(Retrieval.bm25Incremental(spark, dir)) ==
+      canon(Retrieval.bm25TopK(spark, dir)))
+    // second call serves the persisted snapshot (warm path), same rows
+    assert(canon(Retrieval.bm25Incremental(spark, dir)) ==
+      canon(Retrieval.bm25TopK(spark, dir)))
+  }
 }
