@@ -57,6 +57,12 @@ object Retrieval {
     * postings compute from the batch alone, which is what makes the
     * incremental index below exactly equal to a rebuild.
     */
+  /** Tokenize + postings off a raw (doc_id, text) frame — the entry
+    * the streaming ingest shares with the batch paths. */
+  private[graft] def postingsFromText(docs: DataFrame): DataFrame =
+    buildPostings(docs.select(col("doc_id"),
+      split(trim(col("text")), " ").as("w")))
+
   private def buildPostings(d: DataFrame): DataFrame =
     d.select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
       .groupBy(col("doc_id"), col("term"))

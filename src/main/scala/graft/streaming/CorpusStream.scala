@@ -37,6 +37,42 @@ object CorpusStream {
       : org.apache.spark.sql.DataFrame =
     graft.operators.TextAnalysis.compressCols(docs)
 
+  /** Streaming BM25 postings ingest — the retrieval index maintained
+    * continuously: arriving (doc_id, text) micro-batches tokenize to
+    * postings (per-document, so batch postings compute from the batch
+    * alone) and APPEND to the persisted index snapshot. Because
+    * postings are additive and corpus stats derive from the postings
+    * frame (`Retrieval.bm25Rank`), the served index after any prefix
+    * of batches EQUALS the rebuild over those documents — the
+    * insert ≡ rebuild identity, continuously.
+    *
+    * Exactly-once under restart: the `annMaintainStream` marker
+    * discipline — batch id's snapshot derives from id−1's IMMUTABLE
+    * snapshot (never a mutable pointer), the per-batch marker is
+    * written LAST, a replayed batch re-derives the same bytes and a
+    * marked batch is skipped outright.
+    */
+  def bm25IngestStream(spark: org.apache.spark.sql.SparkSession,
+      store: graft.sources.SnapshotStore, baseTs: String,
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val marker = f"b$batchId%06d"
+        if (!store.isProcessed("bm25_ingest", marker)) {
+          val prevTs =
+            if (batchId == 0) baseTs else f"${baseTs}_b${batchId - 1}%06d"
+          val prev = store
+            .readTableSnapshot(spark, "bm25_postings", prevTs)
+            .select("doc_id", "term", "tf", "dl")
+          val np = graft.operators.Retrieval.postingsFromText(batch)
+          store.writeTableSnapshot(prev.unionByName(np),
+            "bm25_postings", s"${baseTs}_$marker")
+          store.writeArtifact("bm25_ingest", marker, Array.emptyByteArray)
+        }
+        ()
+    }
+
   /** Streaming frontier admission + scoring: discovered URLs arrive as a
     * stream, each is robots-gated and priority-scored ON ARRIVAL —
     * exactly the batch `crawl_frontier_rank` chain minus its per-domain

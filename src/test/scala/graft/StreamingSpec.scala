@@ -822,4 +822,41 @@ class StreamingSpec extends SparkSpec {
       assert(flags == Map(1L -> true, 2L -> false))
     } finally q.stop()
   }
+
+  test("bm25 ingest stream: appended postings equal the rebuild after each batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("bm25s").toString
+    val store = new graft.sources.SnapshotStore(root)
+    val base = Seq((0L, "apple banana"), (6L, "apple banana pie"))
+    val b1 = Seq((9L, "apple apple crust"))
+    val b2 = Seq((19L, "banana crust pad"), (29L, "pad pad"))
+    store.writeTableSnapshot(
+      graft.operators.Retrieval.postingsFromText(base.toDF("doc_id", "text")),
+      "bm25_postings", "base")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStream
+      .bm25IngestStream(spark, store, "base", mem.toDF().toDF("doc_id", "text"))
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.toList).sortBy(_.toString).toList
+      // after batch 0: base + b1; after batch 1: everything
+      assert(canon(store.readTableSnapshot(spark, "bm25_postings", "base_b000000")
+          .select("doc_id", "term", "tf", "dl")) ==
+        canon(graft.operators.Retrieval.postingsFromText(
+          (base ++ b1).toDF("doc_id", "text"))))
+      assert(canon(store.readTableSnapshot(spark, "bm25_postings", "base_b000001")
+          .select("doc_id", "term", "tf", "dl")) ==
+        canon(graft.operators.Retrieval.postingsFromText(
+          (base ++ b1 ++ b2).toDF("doc_id", "text"))))
+      // markers exist, so a replay of either batch id is a no-op
+      assert(store.isProcessed("bm25_ingest", "b000000"))
+      assert(store.isProcessed("bm25_ingest", "b000001"))
+    } finally q.stop()
+  }
 }
