@@ -1824,7 +1824,94 @@ object Events {
       |FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM conv
       |      WHERE conv_id NOT IN (SELECT conv_id FROM p))""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Wald SPRT — always-valid sequential testing
+  // ---------------------------------------------------------------------
+
+  // H0: conversion (value ≥ 40) rate = 0.4; H1: rate = 0.5; α = β = 0.05.
+  // Every transcendental is computed ONCE here and rendered as a LONG
+  // micro-unit literal into both expression trees (the HLL-literal
+  // move), so the running statistic is pure integer arithmetic.
+  private val SprtStepSuccess = math.round(1e6 * math.log(0.5 / 0.4))
+  private val SprtStepFailure = math.round(1e6 * math.log(0.5 / 0.6))
+  private val SprtBound = math.round(1e6 * math.log(0.95 / 0.05)) // ln 19
+
+  /** Wald's sequential probability ratio test per event type — the
+    * always-valid alternative to the fixed-horizon A/B family
+    * (`events_ab_proportions`): the log-likelihood ratio accrues one
+    * integer step per event IN ARRIVAL ORDER and the test stops the
+    * moment it exits (−ln 19, +ln 19), giving the earliest decision
+    * the evidence supports at the declared error rates. Emits the
+    * final LLR, the first crossing index, and the decision (or
+    * `continue` for a walk still inside the corridor — the fixture's
+    * ~0.45 rates sit between the hypotheses, so both outcomes occur).
+    *
+    * Determinism: steps and bounds are literal micro-longs, the
+    * running sum is a windowed LONG sum over the (type, event_id)
+    * order, and the first-crossing argmin is the pure-integer
+    * `rn·4 + code` encoding — hash-exact end to end, no runtime
+    * transcendentals. Scale: the per-type ordered window is the
+    * sequential test's own semantics (evidence arrives in order); at
+    * 100 TB the same statistic folds per arrival in the streaming
+    * engine instead of a batch sort.
+    */
+  def sprt(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    val steps = Tables(spark, dir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        when(col("value") >= 40.0, lit(SprtStepSuccess))
+          .otherwise(lit(SprtStepFailure)).as("step"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("llr", sum(col("step")).over(w))
+      .withColumn("cross_code",
+        when(col("llr") >= SprtBound, col("rn") * 4 + 1)
+          .when(col("llr") <= -SprtBound, col("rn") * 4 + 2))
+    steps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("step") === SprtStepSuccess, 1L).otherwise(0L))
+          .as("n_success"),
+        sum(col("step")).as("llr_final_micro"),
+        min(col("cross_code")).as("cc"))
+      .select(col("event_type"), col("n_events"), col("n_success"),
+        col("llr_final_micro"),
+        expr("cc div 4").as("cross_n"),
+        when(col("cc") % 4 === 1, "reject_h0")
+          .when(col("cc") % 4 === 2, "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
+  val sprtSql: String =
+    s"""WITH steps AS (
+       |  SELECT event_type, event_id,
+       |         CASE WHEN value >= 40.0 THEN $SprtStepSuccess
+       |              ELSE $SprtStepFailure END AS step
+       |  FROM events WHERE value IS NOT NULL
+       |), walk AS (
+       |  SELECT event_type, step,
+       |         CAST(row_number() OVER (PARTITION BY event_type
+       |                                 ORDER BY event_id) AS BIGINT) AS rn,
+       |         CAST(sum(step) OVER (PARTITION BY event_type
+       |                              ORDER BY event_id) AS BIGINT) AS llr
+       |  FROM steps
+       |), coded AS (
+       |  SELECT event_type, step, llr,
+       |         CASE WHEN llr >= $SprtBound THEN rn * 4 + 1
+       |              WHEN llr <= -$SprtBound THEN rn * 4 + 2 END AS cross_code
+       |  FROM walk
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(CASE WHEN step = $SprtStepSuccess THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_success,
+       |       CAST(sum(step) AS BIGINT) AS llr_final_micro,
+       |       CAST(min(cross_code) AS BIGINT) // 4 AS cross_n,
+       |       CASE WHEN min(cross_code) % 4 = 1 THEN 'reject_h0'
+       |            WHEN min(cross_code) % 4 = 2 THEN 'accept_h0'
+       |            ELSE 'continue' END AS decision
+       |FROM coded GROUP BY event_type""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("events_sprt", sprt _, Some(sprtSql)),
     Op("events_attribution", attribution _, Some(attributionSql)),
     Op("events_forecast", forecast _, Some(forecastSql)),
     Op("events_changepoint", changepoint _, Some(changepointSql)),

@@ -1026,4 +1026,26 @@ class TextEventsSpec extends SparkSpec {
     assert(rows(1L) == ("alpha beta", 2L, 1L, 3500000L))
     assert(rows(2L) == ("alpha", 1L, 1L, 1500000L))
   }
+
+  test("sprt: planted streams cross the right boundary at the right step") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sprt").toString
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // 'hot': all successes -> LLR climbs ln(1.25) per event, crosses
+    // +ln(19) at ceil(2.944/0.223) = 14 events; 'cold': all failures ->
+    // crosses -ln(19) at ceil(2.944/0.182) = 17; 'mid': too few to cross
+    val rows =
+      (1 to 20).map(i => (i.toLong, ts, 1L, "hot", 50.0, "{}")) ++
+      (1 to 20).map(i => (100L + i, ts, 1L, "cold", 1.0, "{}")) ++
+      (1 to 5).map(i => (200L + i, ts, 1L, "mid", if (i % 2 == 0) 50.0 else 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.operators.Events.sprt(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getString(5))).toMap
+    assert(got("hot") == ((20L, 20L, 14L, "reject_h0")))
+    assert(got("cold") == ((20L, 0L, 17L, "accept_h0")))
+    assert(got("mid")._4 == "continue" && got("mid")._3 == -1L)
+  }
 }
