@@ -2294,6 +2294,8 @@ object Analytics {
     * md5 convention against literal CDF thresholds, and each resample
     * mean is one double division of two exact integers — bit-identical
     * cross-engine, so even the sorted order statistics match exactly.
+    * An empty resample degrades to the GROUP mean explicitly (never a
+    * NULL, whose sort placement is engine-dependent).
     * CI = [2nd, 31st] of the 32 sorted resample means (~94% coverage).
     */
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
@@ -2312,8 +2314,15 @@ object Analytics {
         Seq(sum(c * col("v_micro")).as(s"s$b"), sum(c).as(s"c$b"))
       }
     val g = base.groupBy(col("event_type")).agg(headAgg, tailAggs: _*)
+    // empty resample (P ≈ e^-n per resample, real for tiny groups):
+    // pin it to the GROUP mean explicitly — a NULL mean's sort
+    // placement differs across engines (Spark array_sort: NULLs last;
+    // DuckDB list_sort: default null order), so the order statistics
+    // below must never see one.
     val means = array_sort(array((0 until BootB).map(b =>
-      col(s"s$b").cast("double") / nullif(col(s"c$b"), lit(0L)).cast("double")): _*))
+      coalesce(
+        col(s"s$b").cast("double") / nullif(col(s"c$b"), lit(0L)).cast("double"),
+        col("sv").cast("double") / col("n").cast("double"))): _*))
     g.select(col("event_type"), col("n"),
       (col("sv").cast("double") / col("n").cast("double")).as("mean_micro"),
       element_at(means, 2).as("boot_lo_micro"),
@@ -2333,7 +2342,8 @@ object Analytics {
          |         CAST(sum($c) AS BIGINT) AS c$b""".stripMargin
     }.mkString(",\n")
     val means = (0 until BootB).map(b =>
-      s"CAST(s$b AS DOUBLE) / CAST(nullif(c$b, 0) AS DOUBLE)").mkString(", ")
+      s"coalesce(CAST(s$b AS DOUBLE) / CAST(nullif(c$b, 0) AS DOUBLE), " +
+        "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))").mkString(", ")
     s"""WITH base AS (
        |  SELECT event_type,
        |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro,

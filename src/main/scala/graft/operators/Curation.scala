@@ -1759,19 +1759,28 @@ object Curation {
 
   /** Differentially-private released histogram over (lang, source) —
     * the privacy-preserving corpus-composition report a pipeline can
-    * publish without exposing exact slice counts. Noise is the
-    * SYMMETRIZED GEOMETRIC mechanism — the integer-valued analogue of
-    * Laplace (Ghosh–Roughgarden–Sundararajan's geometric mechanism,
-    * p = 1/2, i.e. ε = ln 2 at unit sensitivity): magnitude = number of
-    * leading zero bits of a 24-bit uniform draw (P(k) = 2^-(k+1)), sign
-    * from an independent bit. The draw is the house md5 convention on
-    * the group key, making the mechanism a deterministic function of
-    * the key — hash-exact across engines (both sides derive the SAME
-    * bits from the SAME md5), pure integer end-to-end, with none of
-    * the inverse-CDF `ln` that makes float Laplace noise an oracle
-    * hazard. In production the salt below rotates per release; a
-    * pinned salt here is what makes the op testable. `n_true` is
-    * emitted for audit parity only — a real release drops it.
+    * publish without exposing exact slice counts. Noise is the TRUE
+    * two-sided geometric mechanism (Ghosh–Roughgarden–Sundararajan's
+    * geometric mechanism at α = 1/2, i.e. ε = ln 2 at unit
+    * sensitivity: P(Z = k) = (1/3)·2^−|k|), constructed EXACTLY as the
+    * difference of two iid geometric(1/2) draws — Z = X − Y with
+    * P(X = k) = 2^−(k+1) is the standard difference representation of
+    * the two-sided geometric, and each geometric is the leading-zero
+    * count of an independent 24-bit uniform word. (A sign·magnitude
+    * construction with P(mag = 0) = 1/2 double-weights zero and only
+    * provides ε = 2·ln 2 — the adjacent-output likelihood ratio at the
+    * origin is 4; the difference form has ratio exactly 2 everywhere.)
+    * Each geometric truncates at 24 (P = 2^−24 per draw), so formally
+    * the guarantee is (ln 2, δ)-DP with δ ≤ 2^−23 ≈ 1.2e-7.
+    * The two words are disjoint 24-bit substrings of the house md5
+    * convention on the group key, making the mechanism a deterministic
+    * function of the key — hash-exact across engines (both sides
+    * derive the SAME bits from the SAME md5), pure integer end-to-end,
+    * with none of the inverse-CDF `ln` that makes float Laplace noise
+    * an oracle hazard. In production the salt below rotates per
+    * release; a pinned salt here is what makes the op testable.
+    * `n_true` is emitted for audit parity only — a real release drops
+    * it.
     *
     * Scale shape: one map-side-combined groupBy to ≤ |langs|·|sources|
     * rows; noise is a projection on the reduced frame. Nothing
@@ -1779,44 +1788,45 @@ object Curation {
     */
   def dpCounts(spark: SparkSession, dir: String): DataFrame = {
     val key = concat(lit("dp1:"), col("lang"), lit(":"), col("source"))
-    val hv = conv(substring(md5(key), 1, 6), 16, 10).cast("long")
-    val sgn = when(
-      conv(substring(md5(key), 7, 1), 16, 10).cast("long") % 2 === 0,
-      lit(1L)).otherwise(lit(-1L))
-    // leading-zero count of the 24-bit draw: geometric(1/2) from 0
-    val magChain = {
+    // leading-zero count of a 24-bit draw: geometric(1/2) from 0
+    def mag(hv: Column): Column = {
       var c = when(hv >= (1L << 23), 0L)
       for (k <- 1 to 23) c = c.when(hv >= (1L << (23 - k)), k.toLong)
       c.otherwise(24L)
     }
+    val hvA = conv(substring(md5(key), 1, 6), 16, 10).cast("long")
+    val hvB = conv(substring(md5(key), 7, 6), 16, 10).cast("long")
+    val noise = mag(hvA) - mag(hvB)
     Tables(spark, dir, "documents")
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_true"))
       .select(col("lang"), col("source"), col("n_true"),
-        (sgn * magChain).as("noise"),
-        (col("n_true") + sgn * magChain).as("n_noisy"),
-        greatest(lit(0L), col("n_true") + sgn * magChain).as("n_released"))
+        noise.as("noise"),
+        (col("n_true") + noise).as("n_noisy"),
+        greatest(lit(0L), col("n_true") + noise).as("n_released"))
   }
 
   lazy val dpCountsSql: String = {
-    val mag = (1 to 23).map(k =>
-      s"WHEN hv >= ${1L << (23 - k)} THEN $k").mkString("\n           ")
+    def magCase(hv: String): String = {
+      val whens = (s"WHEN $hv >= ${1L << 23} THEN 0" +:
+        (1 to 23).map(k => s"WHEN $hv >= ${1L << (23 - k)} THEN $k"))
+        .mkString("\n           ")
+      s"(CASE $whens\n           ELSE 24 END)"
+    }
     s"""WITH g AS (
        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_true
        |  FROM documents GROUP BY 1, 2
        |), h AS (
        |  SELECT lang, source, n_true,
        |         CAST(('0x' || substr(md5('dp1:' || lang || ':' || source),
-       |                              1, 6)) AS BIGINT) AS hv,
-       |         CASE WHEN CAST(('0x' || substr(
-       |                  md5('dp1:' || lang || ':' || source), 7, 1))
-       |                AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |                              1, 6)) AS BIGINT) AS hva,
+       |         CAST(('0x' || substr(md5('dp1:' || lang || ':' || source),
+       |                              7, 6)) AS BIGINT) AS hvb
        |  FROM g
        |), n AS (
        |  SELECT lang, source, n_true,
-       |         CAST(sgn * (CASE WHEN hv >= ${1L << 23} THEN 0
-       |           $mag
-       |           ELSE 24 END) AS BIGINT) AS noise
+       |         CAST(${magCase("hva")} - ${magCase("hvb")}
+       |           AS BIGINT) AS noise
        |  FROM h
        |)
        |SELECT lang, source, n_true, noise,
@@ -1839,26 +1849,27 @@ object Curation {
     */
   def dpMean(spark: SparkSession, dir: String): DataFrame = {
     val C = 200L // clamp bound: tokens of n_chars-scale docs
-    def draw(salt: String) = {
+    // two-sided geometric per [[dpCounts]]: difference of two iid
+    // geometric(1/2) leading-zero draws from disjoint md5 substrings
+    def draw(salt: String): Column = {
       val key = concat(lit(s"$salt:"), col("lang"))
-      (conv(substring(md5(key), 1, 6), 16, 10).cast("long"),
-        when(conv(substring(md5(key), 7, 1), 16, 10).cast("long") % 2 === 0,
-          lit(1L)).otherwise(lit(-1L)))
+      def mag(hv: Column): Column = {
+        var c = when(hv >= (1L << 23), 0L)
+        for (k <- 1 to 23) c = c.when(hv >= (1L << (23 - k)), k.toLong)
+        c.otherwise(24L)
+      }
+      mag(conv(substring(md5(key), 1, 6), 16, 10).cast("long")) -
+        mag(conv(substring(md5(key), 7, 6), 16, 10).cast("long"))
     }
-    def mag(hv: Column): Column = {
-      var c = when(hv >= (1L << 23), 0L)
-      for (k <- 1 to 23) c = c.when(hv >= (1L << (23 - k)), k.toLong)
-      c.otherwise(24L)
-    }
-    val (h1, s1) = draw("dpm_n")
-    val (h2, s2) = draw("dpm_s")
+    val zN = draw("dpm_n")
+    val zS = draw("dpm_s")
     Tables(spark, dir, "documents")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_true"),
         sum(least(greatest(col("n_chars"), lit(0L)), lit(C))).as("sum_true"))
       .select(col("lang"), col("n_true"), col("sum_true"),
-        greatest(lit(0L), col("n_true") + s1 * mag(h1)).as("n_released"),
-        greatest(lit(0L), col("sum_true") + s2 * (mag(h2) * lit(C)))
+        greatest(lit(0L), col("n_true") + zN).as("n_released"),
+        greatest(lit(0L), col("sum_true") + zS * lit(C))
           .as("sum_released"))
       .withColumn("mean_released",
         when(col("n_released") > 0,
@@ -1873,10 +1884,10 @@ object Curation {
         .mkString("\n             ")
       s"(CASE $whens\n             ELSE 24 END)"
     }
-    def hv(salt: String) =
-      s"CAST(('0x' || substr(md5('$salt:' || lang), 1, 6)) AS BIGINT)"
-    def sgn(salt: String) =
-      s"(CASE WHEN CAST(('0x' || substr(md5('$salt:' || lang), 7, 1)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
+    def hv(salt: String, from: Int) =
+      s"CAST(('0x' || substr(md5('$salt:' || lang), $from, 6)) AS BIGINT)"
+    def z(salt: String) =
+      s"(${magSql(hv(salt, 1))} - ${magSql(hv(salt, 7))})"
     s"""WITH g AS (
        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_true,
        |         CAST(sum(least(greatest(n_chars, 0), $C)) AS BIGINT) AS sum_true
@@ -1884,10 +1895,10 @@ object Curation {
        |), r AS (
        |  SELECT lang, n_true, sum_true,
        |         greatest(CAST(0 AS BIGINT),
-       |           n_true + ${sgn("dpm_n")} * ${magSql(hv("dpm_n"))})
+       |           n_true + ${z("dpm_n")})
        |           AS n_released,
        |         greatest(CAST(0 AS BIGINT),
-       |           sum_true + ${sgn("dpm_s")} * (${magSql(hv("dpm_s"))} * $C))
+       |           sum_true + ${z("dpm_s")} * $C)
        |           AS sum_released
        |  FROM g
        |)

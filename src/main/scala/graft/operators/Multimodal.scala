@@ -275,8 +275,14 @@ object Multimodal {
     */
   private[operators] def decodeMp3(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     def u8(o: Int) = p(o) & 0xFF
+    // tightened claim (parseId3Tags parity): the version byte must be
+    // a KNOWN ID3v2 major (2/3/4), so text that merely starts with the
+    // string "ID3 " never claims (version byte 0x20) — a spurious
+    // claim here would quarantine as corrupt MPEG while the oracle
+    // emits the unconditional pseudo row
     val hasId3 = p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3' &&
-      u8(3) != 0xFF && u8(6) < 0x80 && u8(7) < 0x80 && u8(8) < 0x80 && u8(9) < 0x80
+      (u8(3) == 2 || u8(3) == 3 || u8(3) == 4) && u8(4) != 0xFF &&
+      u8(6) < 0x80 && u8(7) < 0x80 && u8(8) < 0x80 && u8(9) < 0x80
     val start =
       if (hasId3)
         10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
@@ -553,8 +559,14 @@ object Multimodal {
       p: Array[Byte]): Option[(Long, Long, Long, Int, Long, Boolean)] = {
     def u8(o: Int) = p(o) & 0xFF
     val corrupt = Some((-1L, -1L, -1L, -1, -1L, false))
+    // tightened claim (parseId3Tags parity): the version byte must be
+    // a KNOWN ID3v2 major (2/3/4), so text that merely starts with the
+    // string "ID3 " never claims (version byte 0x20) — a spurious
+    // claim here would quarantine as corrupt MPEG while the oracle
+    // emits the unconditional pseudo row
     val hasId3 = p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3' &&
-      u8(3) != 0xFF && u8(6) < 0x80 && u8(7) < 0x80 && u8(8) < 0x80 && u8(9) < 0x80
+      (u8(3) == 2 || u8(3) == 3 || u8(3) == 4) && u8(4) != 0xFF &&
+      u8(6) < 0x80 && u8(7) < 0x80 && u8(8) < 0x80 && u8(9) < 0x80
     val start =
       if (hasId3)
         10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
@@ -628,8 +640,14 @@ object Multimodal {
   private[graft] def parseId3Tags(
       p: Array[Byte]): Option[(Int, Long, String, String)] = {
     def u8(o: Int) = p(o) & 0xFF
+    // the claim requires a KNOWN major version (2/3/4) and a sane
+    // revision byte, not just the 'ID3' magic — plain text that happens
+    // to start with the string "ID3 " must fall through to None (its
+    // version byte would be 0x20), or the oracle's unconditional
+    // pseudo row diverges from a spurious corrupt-tag claim
     if (!(p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3' &&
-      u8(3) != 0xFF && u8(6) < 0x80 && u8(7) < 0x80 && u8(8) < 0x80 &&
+      (u8(3) == 2 || u8(3) == 3 || u8(3) == 4) && u8(4) != 0xFF &&
+      u8(6) < 0x80 && u8(7) < 0x80 && u8(8) < 0x80 &&
       u8(9) < 0x80)) return None
     val ver = u8(3)
     val corrupt = Some((ver, -1L, null: String, null: String))

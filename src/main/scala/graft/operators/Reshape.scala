@@ -40,14 +40,20 @@ object Reshape {
     * a dropped, duplicated, or value-mutated row breaks either the
     * count or the conjunction, and both sides red CORRECTNESS because
     * the oracle pins the count from the source table and the booleans
-    * TRUE. Writes go to a per-invocation temp dir (bounded: one copy
-    * of the fixture table); at warehouse scale this is the format-
-    * migration smoke gate run on a sampled partition, same plan.
+    * TRUE. Writes go to a DETERMINISTIC source-keyed scratch path in
+    * overwrite mode (bounded: one copy of the fixture table that
+    * repeat bench/verify invocations overwrite in place, never
+    * accumulate — the SnapshotStore content-addressing idea); at
+    * warehouse scale this is the format-migration smoke gate run on a
+    * sampled partition, same plan.
     */
   def orcRoundtripCheck(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val d = Tables(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_orc_$key").toString
     val path = s"$tmp/documents.orc"
     d.write.mode("overwrite").orc(path)
     val back = spark.read.orc(path)

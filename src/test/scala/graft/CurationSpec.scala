@@ -618,17 +618,17 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val md = java.security.MessageDigest.getInstance("MD5")
+    // difference of two iid geometric(1/2) leading-zero draws = the
+    // GRS two-sided geometric at eps = ln 2
     def expected(lang: String, source: String): Long = {
       val hex = md.digest(s"dp1:$lang:$source".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      val h = java.lang.Long.parseLong(hex.substring(0, 6), 16).toInt
-      val mag =
+      def geo(word: String): Long = {
+        val h = java.lang.Long.parseLong(word, 16).toInt
         if (h == 0) 24L
         else (Integer.numberOfLeadingZeros(h) - 8).toLong // 24-bit draw
-      val sgn =
-        if (java.lang.Long.parseLong(hex.substring(6, 7), 16) % 2 == 0) 1L
-        else -1L
-      sgn * mag
+      }
+      geo(hex.substring(0, 6)) - geo(hex.substring(6, 12))
     }
     val rows = graft.operators.Curation.dpCounts(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
