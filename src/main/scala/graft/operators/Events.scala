@@ -1855,63 +1855,23 @@ object Events {
     * Scale shape — the naive plan is `Window.partitionBy(event_type)
     * .orderBy(event_id)` over RAW events: with ~6 event types the
     * whole corpus sorts in 6 tasks, the straggler shape the rest of
-    * the registry avoids. Instead the house sharded prefix-sum
-    * decomposition (`stats_ks`'s `pooledCums`): (1) range-bin events
-    * on deterministic approx-percentile event_id cut points (collected
-    * once, metadata-sized, shared as literals — cuts only affect WHERE
-    * the shards split, never the exact global sums); (2) within-shard
-    * running sums + row numbers under a window partitioned by
-    * (type, shard); (3) per-(type, shard) totals → entry offsets via a
-    * triangular self-join on ≤ |types|·numPartitions rows, broadcast
-    * back; (4) each row's GLOBAL rn/LLR = shard entry offset + local
-    * prefix, so crossing detection is embarrassingly parallel and the
-    * first crossing is one min() reduce. Every task sorts only its
-    * event_id slab at any corpus size. (The streaming engine folds the
-    * same statistic per arrival — the production SPRT path.)
+    * the registry avoids. Instead the walk rides [[ShardedPrefix]]
+    * (the `stats_ks` decomposition): each row gets its exact GLOBAL
+    * rn/LLR from a within-shard window plus broadcast entry offsets,
+    * so crossing detection is embarrassingly parallel and the first
+    * crossing is one min() reduce — every task sorts only its
+    * event_id slab at any corpus size. (The streaming engine folds
+    * the same statistic per arrival — the production SPRT path.)
     */
   def sprt(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.sessionState.conf.numShufflePartitions
     val ev = Tables(spark, dir, "events")
       .where(col("value").isNotNull)
       .select(col("event_type"), col("event_id"),
         when(col("value") >= 40.0, lit(SprtStepSuccess))
           .otherwise(lit(SprtStepFailure)).as("step"))
-    val fracs = (1 until parts).map(i => i.toDouble / parts)
-    // null cuts = EMPTY input: fall through to a single shard so the
-    // op returns empty, not an NPE (the pooledCums contract).
-    val cutRow = ev.agg(expr(
-      s"approx_percentile(event_id, array(${fracs.mkString(", ")}), 10000)")
-      .as("cuts")).head()
-    val cutVals: Seq[Long] =
-      if (cutRow.isNullAt(0)) Nil else cutRow.getSeq[Long](0)
-    val cutArr =
-      if (cutVals.isEmpty) array().cast("array<bigint>")
-      else array(cutVals.map(lit): _*)
-    // shard = cut points strictly below the event_id: monotone in the
-    // walk order, so entry offsets + local prefixes reconstruct the
-    // exact global walk. Eager checkpoint: binned feeds the local-cums
-    // branch AND the totals branch; the cut caps corpus passes at one.
-    val binned = ev.withColumn("pid",
-      size(filter(cutArr, c => c < col("event_id"))).cast("int"))
-      .localCheckpoint()
-    val w = Window.partitionBy(col("event_type"), col("pid"))
-      .orderBy(col("event_id"))
-    val local = binned
-      .withColumn("lrn", row_number().over(w).cast("long"))
-      .withColumn("lllr", sum(col("step")).over(w))
-    val totals = binned.groupBy(col("event_type"), col("pid"))
-      .agg(count(lit(1)).as("tc"), sum(col("step")).as("tstep"))
-    val offsets = totals.as("a")
-      .join(totals.as("b"),
-        col("a.event_type") === col("b.event_type") &&
-          col("b.pid") < col("a.pid"), "left")
-      .groupBy(col("a.event_type").as("event_type"), col("a.pid").as("pid"))
-      .agg(coalesce(sum(col("b.tc")), lit(0L)).as("oc"),
-        coalesce(sum(col("b.tstep")), lit(0L)).as("ostep"))
-    val steps = local.join(broadcast(offsets), Seq("event_type", "pid"))
-      .select(col("event_type"), col("step"),
-        (col("oc") + col("lrn")).as("rn"),
-        (col("ostep") + col("lllr")).as("llr"))
+    val steps = ShardedPrefix.cumsum(spark, ev, Seq("event_type"),
+        "event_id", Seq("step"), rnCol = Some("rn"))
+      .withColumnRenamed("step_cum", "llr")
       .withColumn("cross_code",
         when(col("llr") >= SprtBound, col("rn") * 4 + 1)
           .when(col("llr") <= -SprtBound, col("rn") * 4 + 2))

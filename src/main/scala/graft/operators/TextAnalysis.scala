@@ -834,22 +834,26 @@ object TextAnalysis {
     * expression over identical scalars, rounded at the boundary.
     *
     * Scale shape: the corpus reduces to per-source term counts
-    * (map-side combined); the rank is one vocab-sized window per
-    * source (the `text_tfidf_top` class — the order statistic IS the
-    * semantics); moments are one more map-side-combined reduce to a
-    * |sources|-row frame.
+    * (map-side combined); the rank (the order statistic IS the
+    * semantics) rides [[ShardedPrefix]] so no task ever sorts a whole
+    * source's vocabulary; moments are one more map-side-combined
+    * reduce to a |sources|-row frame.
     */
   def zipf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("cnt").desc, col("term").asc)
     val tc = Tables(spark, dir, "documents")
       .select(col("source"),
         explode(split(trim(col("text")), " ")).as("term"))
       .where(length(col("term")) > 0)
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
-    val xy = tc
-      .withColumn("rank", row_number().over(w).cast("long"))
+    // rank within source by (cnt desc, term asc) — a plain per-source
+    // window would sort each source's WHOLE vocabulary in one task, so
+    // the rank rides ShardedPrefix on the negated count (ascending ≡
+    // count descending; count ties stay within one shard, where the
+    // term tiebreak pins the order)
+    val ranked = ShardedPrefix.cumsum(spark,
+      tc.withColumn("neg_cnt", -col("cnt")), Seq("source"), "neg_cnt",
+      Nil, rnCol = Some("rank"), tiebreaks = Seq(col("term").asc))
+    val xy = ranked
       .select(col("source"), col("cnt"),
         round(log(col("rank").cast("double")), 6)
           .cast("decimal(18,6)").as("x"),
@@ -1121,10 +1125,11 @@ object TextAnalysis {
     *
     * Shape at scale: "new word" is attributed via min(doc_id) per
     * (source, word) — one shuffle on the word key with map-side
-    * combine — then both running sums ride ONE window PARTITIONED BY
-    * source over the |docs|-sized spine (never an unpartitioned window;
-    * per-source spine sort is the |docs per source| term, the same
-    * bound `events_sessionize` carries per user).
+    * combine — then both running sums ride [[ShardedPrefix]]: a
+    * per-source window over the |docs|-sized spine would bound
+    * parallelism by |sources| (a handful), so the spine is range-
+    * sharded on doc_id and each row's global cum = broadcast shard
+    * entry offset + within-shard prefix, exact at any corpus size.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
@@ -1136,13 +1141,14 @@ object TextAnalysis {
       .agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("n_new_words"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id").asc)
-      .rowsBetween(Long.MinValue, 0L)
-    perDoc.join(firstSeen, Seq("source", "doc_id"), "left_outer")
+    val spine = perDoc.join(firstSeen, Seq("source", "doc_id"), "left_outer")
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        coalesce(col("n_new_words"), lit(0L)).as("n_new"))
+    ShardedPrefix.cumsum(spark, spine, Seq("source"), "doc_id",
+        Seq("n_tokens", "n_new"))
       .select(col("source"), col("doc_id"),
-        sum(col("n_tokens")).over(win).as("cum_tokens"),
-        sum(coalesce(col("n_new_words"), lit(0L))).over(win).as("cum_vocab"))
+        col("n_tokens_cum").as("cum_tokens"),
+        col("n_new_cum").as("cum_vocab"))
   }
 
   val vocabGrowthSql: String =
