@@ -72,8 +72,16 @@ object Retrieval {
     * derive from the postings themselves (every document contributes
     * ≥ 1 posting row, so the distinct-doc frame IS the corpus), which
     * lets the served/incremental variants share this body verbatim.
+    *
+    * INVARIANT the oracle equality rests on: the oracle derives
+    * N/Σdl from `documents` directly, which equals the postings-
+    * derived stats ONLY because `split(trim(text), " ")` yields ≥ 1
+    * token for EVERY document — including empty text, where both
+    * engines produce the single empty-string token (dl = 1). A future
+    * tokenizer that can emit zero tokens would silently break this
+    * equality; RetrievalSpec pins the empty-text case.
     */
-  private def bm25Rank(spark: SparkSession, dir: String,
+  private[graft] def bm25Rank(spark: SparkSession, dir: String,
       postings: DataFrame): DataFrame = {
     val d = docs(spark, dir)
     // query terms: distinct head tokens of the first QueryDocs docs
@@ -121,9 +129,25 @@ object Retrieval {
   /** BM25 top-k retrieval over the documents table. Output: one row
     * per (query_id, rank) with the retrieved doc, its matched-term
     * count and integer micro-unit score.
+    *
+    * Offline/online split (the `servedDomainRank` shape): the postings
+    * index builds ONCE per corpus version into the content-addressed
+    * snapshot store — the one-pass map-side-combined inverted-index
+    * build every indexer runs — and the registered query path serves
+    * the persisted snapshot, paying only the (pruned) postings scan.
+    * A stale or lossy snapshot reds CORRECTNESS: the oracle rebuilds
+    * from `documents` every run.
     */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
-    bm25Rank(spark, dir, buildPostings(docs(spark, dir)))
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val (store, ts) = graft.sources.SnapshotStore.contentAddressed(
+      spark, s"$dir/documents.parquet", "graft_bm25_postings_full")
+    if (!store.hasTableSnapshot("bm25_postings_full", ts))
+      store.writeTableSnapshot(
+        buildPostings(docs(spark, dir)), "bm25_postings_full", ts)
+    bm25Rank(spark, dir,
+      store.readTableSnapshot(spark, "bm25_postings_full", ts)
+        .select(col("doc_id"), col("term"), col("tf"), col("dl")))
+  }
 
   /** Incremental BM25: the inverted index maintained under corpus
     * growth WITHOUT rebuild. Postings are per-document and corpus
@@ -148,7 +172,11 @@ object Retrieval {
     val hist = store.readTableSnapshot(spark, "bm25_postings", ts)
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     val batch = buildPostings(d.where(col("doc_id") % 10 === 9))
-    bm25Rank(spark, dir, hist.unionByName(batch))
+    // eager checkpoint: bm25Rank consumes postings TWICE (corpus
+    // scalars + the pruned query join); without it the batch half
+    // re-tokenizes per consumer. The served bm25TopK path needs no
+    // checkpoint — its postings are already a parquet snapshot scan.
+    bm25Rank(spark, dir, hist.unionByName(batch).localCheckpoint())
   }
 
   val bm25TopKSql: String =

@@ -88,4 +88,22 @@ class RetrievalSpec extends SparkSpec {
     assert(canon(Retrieval.bm25Incremental(spark, dir)) ==
       canon(Retrieval.bm25TopK(spark, dir)))
   }
+
+  test("bm25 invariant: every doc yields >= 1 posting, even empty text") {
+    import spark.implicits._
+    // the oracle derives N/sum(dl) from `documents` while the engine
+    // derives them from the postings frame — equal ONLY while the
+    // tokenizer emits >= 1 token per doc. Pin the edge: empty and
+    // whitespace-only text both produce the single empty-string token.
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "apple"))
+      .toDF("doc_id", "text")
+    val p = Retrieval.postingsFromText(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getAs[Number](3).longValue))
+      .toMap
+    assert(p.size == 3) // one posting per doc — no doc drops out
+    assert(p(1L) == (("", 1L, 1L)))
+    assert(p(2L) == (("", 1L, 1L)))
+    assert(p(3L) == (("apple", 1L, 1L)))
+  }
 }

@@ -267,4 +267,61 @@ class StreamingFileSpec extends SparkSpec {
       s"absorbed family must ride calm: $s3 $b3")
     assert(cells(s3) == 510)
   }
+
+  test("bm25 ingest stream: kill/restart cycles re-derive identical postings; serve equals rebuild") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25fstream").toString
+    val store = new graft.sources.SnapshotStore(root)
+    val base = Seq((0L, "apple banana"), (6L, "apple banana pie"))
+    val b1 = Seq((9L, "apple apple crust"))
+    val b2 = Seq((19L, "banana crust pad"), (29L, "pad pad"))
+    store.writeTableSnapshot(
+      graft.operators.Retrieval.postingsFromText(base.toDF("doc_id", "text")),
+      "bm25_postings", "base")
+    val schema = base.toDF("doc_id", "text").schema
+
+    // each runOnce is a FRESH StreamingQuery instance recovering batch
+    // ids from the checkpoint — the kill+restart cycle of production
+    def runOnce(): Unit =
+      graft.streaming.CorpusStream.bm25IngestStream(spark, store, "base",
+          spark.readStream.schema(schema).parquet(s"$root/in"))
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    def snapshot(ts: String) =
+      store.readTableSnapshot(spark, "bm25_postings", ts)
+        .select("doc_id", "term", "tf", "dl")
+
+    b1.toDF("doc_id", "text").write.mode("append").parquet(s"$root/in")
+    runOnce()
+    assert(canon(snapshot("base_b000000")) ==
+      canon(graft.operators.Retrieval.postingsFromText(
+        (base ++ b1).toDF("doc_id", "text"))))
+
+    // restart (fresh query instance) with a second drop: batch 0 must
+    // NOT replay (marker + offset log), batch 1 appends exactly once
+    b2.toDF("doc_id", "text").write.mode("append").parquet(s"$root/in")
+    runOnce()
+    val full = base ++ b1 ++ b2
+    assert(canon(snapshot("base_b000001")) ==
+      canon(graft.operators.Retrieval.postingsFromText(
+        full.toDF("doc_id", "text"))))
+
+    // restart with nothing new: no new marker, no new snapshot
+    runOnce()
+    assert(store.isProcessed("bm25_ingest", "b000000"))
+    assert(store.isProcessed("bm25_ingest", "b000001"))
+    assert(!store.isProcessed("bm25_ingest", "b000002"),
+      "empty restart must process no batch")
+
+    // serve ≡ rebuild: ranking FROM the streamed snapshot equals the
+    // batch bm25TopK rebuild over the same corpus
+    val dir = Files.createTempDirectory("bm25fdocs").toString
+    full.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    assert(canon(graft.operators.Retrieval.bm25Rank(spark, dir,
+        snapshot("base_b000001"))) ==
+      canon(graft.operators.Retrieval.bm25TopK(spark, dir)))
+  }
 }
