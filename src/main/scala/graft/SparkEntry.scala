@@ -37,7 +37,15 @@ object SparkEntry {
     Seq[(String, () => String)](
       "sim_ann_ingest" -> (() => Similarity.annIngestOracle(spark, sfDir)),
       "sim_embedding_drift" ->
-        (() => Similarity.embeddingDriftOracle(spark, sfDir))
+        (() => Similarity.embeddingDriftOracle(spark, sfDir)),
+      "sim_topk_ivf" -> (() => Similarity.ivfTopkOracle(spark, sfDir)),
+      "sim_topk_ivf_inc" ->
+        (() => Similarity.ivfTopkIncOracle(spark, sfDir)),
+      "sim_topk_pq" -> (() => Similarity.pqTopkOracle(spark, sfDir)),
+      "sim_topk_pq_inc" -> (() => Similarity.pqTopkIncOracle(spark, sfDir)),
+      "sim_topk_ivfpq" -> (() => Similarity.ivfPqTopkOracle(spark, sfDir)),
+      "sim_topk_ivfpq_inc" ->
+        (() => Similarity.ivfPqTopkIncOracle(spark, sfDir))
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, render) =>
         try Some(name -> render())

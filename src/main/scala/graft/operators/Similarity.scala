@@ -1826,7 +1826,12 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .join(broadcast(table), Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pdot")).as("adc"))
+      // ADC = Σ_m pdot in PINNED m order (sort the M-element buffer,
+      // left-fold): a bare float sum(pdot) is shuffle-order-dependent
+      // at the ULP, which would make the shortlist boundary engine-
+      // specific and block the full dynamic oracle below
+      .agg(aggregate(array_sort(collect_list(struct(col("m"), col("pdot")))),
+        lit(0.0), (acc, x) => acc + x.getField("pdot")).as("adc"))
       .groupBy(col("query_id"))
       .agg(shortK(col("vec_id"), col("adc")).as("s"))
       .select(col("query_id"), explode(expr("transform(s, x -> x.id)"))
@@ -1864,7 +1869,10 @@ object Similarity {
     val shortlist = codes.join(broadcast(table), Seq("m", "code"))
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pdot")).as("adc"))
+      // m-ordered ADC fold — see ivfPqServe: pins the float sum order
+      // so the shortlist is engine-exact and the dynamic oracle holds
+      .agg(aggregate(array_sort(collect_list(struct(col("m"), col("pdot")))),
+        lit(0.0), (acc, x) => acc + x.getField("pdot")).as("adc"))
       .groupBy(col("query_id"))
       .agg(shortK(col("vec_id"), col("adc")).as("s"))
       .select(col("query_id"), explode(expr("transform(s, x -> x.id)"))
@@ -2317,12 +2325,18 @@ object Similarity {
        |)""".stripMargin
   }
 
-  def annIngestOracle(spark: SparkSession, dir: String): String = {
-    val (cents, book) = servedArtifactRows(spark, dir)
+  /** The literal-codebook code-assignment CTE chain (book → subd →
+    * codepick → pcodes(vec_id, m, code)) — the oracle mirror of
+    * `pqCodes`/`AnnAssign`'s code half, shared by the ingest oracle and
+    * the PQ-serve oracles below. Recomputing codes from the frozen
+    * book equals the stored `pq_codes` for both the base and the
+    * incrementally-extended snapshot (insert ≡ assignment).
+    */
+  private def pqCodesCtes(book: Seq[(Int, Int, Seq[Float])]): String = {
     val bookVals = book.map { case (m, c, sub) =>
       s"(CAST($m AS INTEGER), CAST($c AS INTEGER), CAST(${dlist(sub)} AS DOUBLE[]))"
     }.mkString(",\n    ")
-    s"""WITH ${annCellsCtes(cents)}, book(m, code, c_sub) AS (
+    s"""book(m, code, c_sub) AS (
        |  SELECT * FROM (VALUES
        |    $bookVals)
        |), subd AS (
@@ -2336,10 +2350,181 @@ object Similarity {
        |         row_number() OVER (PARTITION BY vec_id, m
        |                            ORDER BY d2 ASC, code ASC) AS rn
        |  FROM subd
-       |)
+       |), pcodes AS (
+       |  SELECT vec_id, m, code FROM codepick WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  def annIngestOracle(spark: SparkSession, dir: String): String = {
+    val (cents, book) = servedArtifactRows(spark, dir)
+    s"""WITH ${annCellsCtes(cents)}, ${pqCodesCtes(book)}
        |SELECT k.vec_id, cl.cell, k.m, k.code
-       |FROM codepick k JOIN cells cl ON k.vec_id = cl.vec_id
-       |WHERE k.rn = 1""".stripMargin
+       |FROM pcodes k JOIN cells cl ON k.vec_id = cl.vec_id""".stripMargin
+  }
+
+  /** Dynamic FULL oracles for the served-IVF search paths — the
+    * `sim_ann_ingest` literal-artifact move applied to serving:
+    * the served centroid geometry (bounded by contract at NList rows)
+    * embeds as DOUBLE literals and DuckDB replays the ENTIRE serve
+    * path — corpus cell assignment (recomputing cells from the frozen
+    * centroids equals the stored `ivf_cells` because base assignment
+    * and the incremental insert both use the same argmax kernel —
+    * insert ≡ assignment), the per-query probe of the NProbe nearest
+    * cells, and the exact top-K cosine rank with the TopKAgg tie order
+    * (`cos DESC, id ASC`, the proven `topkBruteForceSql` ordering).
+    * Upgrades `sim_topk_ivf` / `sim_topk_ivf_inc` from rows-only to
+    * full hash parity; their strict exactly-K `_check` twins stay
+    * registered. Data-dependent (the literals are Lloyd artifacts of
+    * the corpus at `dir`), so registered via
+    * `SparkEntry.dynamicOracleSql`, not a static `Op` oracle.
+    */
+  private def ivfTopkOracleSql(cents: Seq[(Long, Seq[Float])]): String =
+    s"""WITH ${annCellsCtes(cents)}, q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), qscored AS (
+       |  SELECT q.query_id, q.q_emb, c.cent_id,
+       |         -(${duckCos("q.q_emb", "c.cent_emb")}) AS negcos
+       |  FROM q, cent c
+       |), qprobe AS (
+       |  SELECT query_id, q_emb, cent_id AS cell,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY negcos ASC, cent_id ASC) AS rn
+       |  FROM qscored
+       |), cand AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |         ${duckCos("p.q_emb", "e.embedding")} AS cos
+       |  FROM (SELECT query_id, q_emb, cell FROM qprobe
+       |        WHERE rn <= $NProbe) p
+       |       JOIN cells cl ON cl.cell = p.cell
+       |       JOIN embeddings e ON e.vec_id = cl.vec_id
+       |  WHERE e.vec_id != p.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id ASC)
+       |           AS rank
+       |  FROM cand
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |       round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $K""".stripMargin
+
+  def ivfTopkOracle(spark: SparkSession, dir: String): String = {
+    val (cent, _) = servedIvfIndex(spark, dir)
+    ivfTopkOracleSql(cent.collect().toSeq.map(r =>
+      (r.getLong(0), r.getSeq[Float](1))))
+  }
+
+  def ivfTopkIncOracle(spark: SparkSession, dir: String): String = {
+    val (store, _, tsIns) = servedIncStore(spark, dir)
+    val cent = store.readTableSnapshot(spark, "ivf_centroids", tsIns)
+      .select(col("cent_id"), col("cent_emb"))
+    ivfTopkOracleSql(cent.collect().toSeq.map(r =>
+      (r.getLong(0), r.getSeq[Float](1))))
+  }
+
+  /** The query-side dot table + m-ordered ADC + shortlist + exact
+    * re-rank — the oracle mirror of `pqServe`/`ivfPqServe`'s serve
+    * stages. `adcFrom` supplies the candidate frame: the bare code
+    * join (PQ) or the cell-gated join (IVF×PQ). The ADC sum replays
+    * the engine's PINNED m-order left fold via
+    * `list_sum(list(pdot ORDER BY m))`.
+    */
+  private def pqServeTail(adcFrom: String): String =
+    s"""q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), qsub AS (
+       |  SELECT q.query_id, b.m, b.code,
+       |         list_sum(list_transform(
+       |           list_zip(list_slice(q.q_emb, b.m * $PqDsub + 1, b.m * $PqDsub + $PqDsub), b.c_sub),
+       |           x -> CAST(x[1] AS DOUBLE) * x[2])) AS pdot
+       |  FROM q, book b
+       |), adc AS (
+       |  $adcFrom
+       |), short AS (
+       |  SELECT query_id, vec_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc DESC, vec_id ASC) AS srn
+       |  FROM adc
+       |), cand AS (
+       |  SELECT s.query_id, e.vec_id AS neighbor_id,
+       |         ${duckCos("q.q_emb", "e.embedding")} AS cos
+       |  FROM (SELECT query_id, vec_id FROM short
+       |        WHERE srn <= $PqShortlist) s
+       |       JOIN embeddings e ON e.vec_id = s.vec_id
+       |       JOIN q ON q.query_id = s.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id ASC)
+       |           AS rank
+       |  FROM cand
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |       round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $K""".stripMargin
+
+  private def pqTopkOracleSql(book: Seq[(Int, Int, Seq[Float])]): String =
+    s"""WITH ${pqCodesCtes(book)}, ${pqServeTail(
+      s"""SELECT t.query_id, c.vec_id,
+         |         list_sum(list(t.pdot ORDER BY t.m)) AS adc
+         |  FROM pcodes c JOIN qsub t ON t.m = c.m AND t.code = c.code
+         |  WHERE c.vec_id != t.query_id
+         |  GROUP BY t.query_id, c.vec_id""".stripMargin)}""".stripMargin
+
+  private def ivfPqTopkOracleSql(cents: Seq[(Long, Seq[Float])],
+      book: Seq[(Int, Int, Seq[Float])]): String =
+    s"""WITH ${annCellsCtes(cents)}, ${pqCodesCtes(book)}, qscored AS (
+       |  SELECT e.vec_id AS query_id, c.cent_id,
+       |         -(${duckCos("e.embedding", "c.cent_emb")}) AS negcos
+       |  FROM embeddings e, cent c WHERE e.vec_id < $NumQueries
+       |), qprobe AS (
+       |  SELECT query_id, cent_id AS cell,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY negcos ASC, cent_id ASC) AS rn
+       |  FROM qscored
+       |), ${pqServeTail(
+      s"""SELECT t.query_id, c.vec_id,
+         |         list_sum(list(t.pdot ORDER BY t.m)) AS adc
+         |  FROM pcodes c
+         |       JOIN cells cl ON cl.vec_id = c.vec_id
+         |       JOIN (SELECT query_id, cell FROM qprobe
+         |             WHERE rn <= $NProbe) p ON p.cell = cl.cell
+         |       JOIN qsub t ON t.query_id = p.query_id
+         |            AND t.m = c.m AND t.code = c.code
+         |  WHERE c.vec_id != p.query_id
+         |  GROUP BY t.query_id, c.vec_id""".stripMargin)}""".stripMargin
+
+  def pqTopkOracle(spark: SparkSession, dir: String): String = {
+    val (book, _) = servedPq(spark, dir)
+    pqTopkOracleSql(book.collect().toSeq.map(r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Float](2))))
+  }
+
+  def pqTopkIncOracle(spark: SparkSession, dir: String): String = {
+    val (store, _, tsIns) = servedIncStore(spark, dir)
+    val book = store.readTableSnapshot(spark, "pq_book", tsIns)
+      .select(col("m"), col("code"), col("c_sub"))
+    pqTopkOracleSql(book.collect().toSeq.map(r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Float](2))))
+  }
+
+  def ivfPqTopkOracle(spark: SparkSession, dir: String): String = {
+    val (cents, book) = servedArtifactRows(spark, dir)
+    ivfPqTopkOracleSql(cents, book)
+  }
+
+  def ivfPqTopkIncOracle(spark: SparkSession, dir: String): String = {
+    val (store, _, tsIns) = servedIncStore(spark, dir)
+    val cents = store.readTableSnapshot(spark, "ivf_centroids", tsIns)
+      .select(col("cent_id"), col("cent_emb")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val book = store.readTableSnapshot(spark, "pq_book", tsIns)
+      .select(col("m"), col("code"), col("c_sub")).collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    ivfPqTopkOracleSql(cents, book)
   }
 
   def annIngestCheck(spark: SparkSession, dir: String): DataFrame = {
