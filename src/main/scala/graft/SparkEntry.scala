@@ -45,7 +45,8 @@ object SparkEntry {
       "sim_topk_pq_inc" -> (() => Similarity.pqTopkIncOracle(spark, sfDir)),
       "sim_topk_ivfpq" -> (() => Similarity.ivfPqTopkOracle(spark, sfDir)),
       "sim_topk_ivfpq_inc" ->
-        (() => Similarity.ivfPqTopkIncOracle(spark, sfDir))
+        (() => Similarity.ivfPqTopkIncOracle(spark, sfDir)),
+      "text_rrf_fusion" -> (() => Retrieval.rrfFusionOracle(spark, sfDir))
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, render) =>
         try Some(name -> render())

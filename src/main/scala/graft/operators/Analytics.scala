@@ -2463,7 +2463,80 @@ object Analytics {
       |       round(intercept_med, 6) AS intercept_med
       |FROM sm JOIN im USING (event_type)""".stripMargin
 
+  /** Kendall τ-b rank correlation between the daily click and view
+    * series — the rank-based dependence measure that complements
+    * `stats_theil_sen`'s robust slope (τ asks "do the two series move
+    * together", invariant to any monotone transform; Pearson answers a
+    * different, scale-bound question). The corpus reduces to one
+    * integer point per day (click count, view count on the shared
+    * distinct-day spine, zero-filled), so the pairwise stage is days²
+    * — calendar-bounded like Theil–Sen's, never event-volume-bound.
+    * Concordant/discordant/tie pair counts are exact integers; τ-b =
+    * (C − D) / √((n0 − n1)(n0 − n2)) with the standard tie corrections
+    * (n1 = x-tied pairs, n2 = y-tied pairs) is ONE double expression
+    * of six exact integers at the boundary — bit-identical
+    * cross-engine, rounded to 6 dp on both sides.
+    */
+  def kendall(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .where(col("event_type").isin("click", "view"))
+    val daily = ev.groupBy(
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      .localCheckpoint()
+    val a = daily.select(col("d").as("d1"), col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("d").as("d2"), col("x").as("x2"), col("y").as("y2"))
+    val pairs = a.join(b, col("d2") > col("d1"))
+      .select(
+        (signum(col("x2") - col("x1")) * signum(col("y2") - col("y1")))
+          .cast("long").as("cd"),
+        (col("x1") === col("x2")).cast("long").as("tx"),
+        (col("y1") === col("y2")).cast("long").as("ty"))
+    pairs.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("cd") === 1L, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("cd") === -1L, 1L).otherwise(0L)).as("discordant"),
+        sum(col("tx")).as("n1"), sum(col("ty")).as("n2"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .select(col("n_days"), col("n0"), col("concordant"), col("discordant"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          sqrt((col("n0") - col("n1")).cast("double") *
+            (col("n0") - col("n2")).cast("double")), 6).as("tau_b"))
+  }
+
+  val kendallSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS d,
+      |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS y
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+      |), pairs AS (
+      |  SELECT CAST(sign(b.x - a.x) * sign(b.y - a.y) AS BIGINT) AS cd,
+      |         CAST(a.x = b.x AS BIGINT) AS tx,
+      |         CAST(a.y = b.y AS BIGINT) AS ty
+      |  FROM daily a JOIN daily b ON b.d > a.d
+      |), agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n0,
+      |         CAST(sum(CASE WHEN cd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS concordant,
+      |         CAST(sum(CASE WHEN cd = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS discordant,
+      |         CAST(sum(tx) AS BIGINT) AS n1, CAST(sum(ty) AS BIGINT) AS n2
+      |  FROM pairs
+      |)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+      |       n0, concordant, discordant,
+      |       round(CAST(concordant - discordant AS DOUBLE) /
+      |             sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)),
+      |             6) AS tau_b
+      |FROM agg""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stats_kendall", kendall _, Some(kendallSql)),
     Op("stats_theil_sen", theilSen _, Some(theilSenSql)),
     Op("stats_bootstrap_ci", bootstrapCi _, Some(bootstrapCiSql)),
     Op("stats_ljung_box", ljungBox _, Some(ljungBoxSql)),

@@ -1918,7 +1918,85 @@ object Events {
        |            ELSE 'continue' END AS decision
        |FROM coded GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // CUSUM control chart — sequential shift detection
+  // ---------------------------------------------------------------------
+
+  // Reference value k = (μ0 + μ1)/2 for μ0 = 50, target shift μ1 = 60;
+  // decision interval h = 1000.0. Micro-unit literals (the SPRT
+  // discipline) so the whole chart is exact integer arithmetic.
+  private val CusumK = 55000000L
+  private val CusumH = 1000000000L
+
+  /** One-sided upper CUSUM control chart per event type — Page's
+    * sequential shift detector, the complement of [[sprt]]'s
+    * fixed-hypotheses test: S_i = max(0, S_{i−1} + (x_i − k)) accrues
+    * only sustained upward drift past the reference k and alarms at
+    * S ≥ h. Emits per type the final/max statistic and the FIRST alarm
+    * index (the chart's decision), with the fixture's parameters
+    * splitting types into alarmed and calm.
+    *
+    * Scale shape — the max(0, ·) recursion looks inherently
+    * sequential, but the reflection identity S_i = P_i − min(0,
+    * min_{j≤i} P_j) (P = plain prefix sums of x − k) turns it into a
+    * running SUM plus a running MIN of that sum — both decomposable,
+    * so the whole chart rides [[ShardedPrefix.cumsumWithMin]]: no task
+    * ever sorts more than its event_id slab, parallelism scales with
+    * shard count, not |event_types| (the `events_sprt` fix applied
+    * from birth). Everything is micro-unit LONGs; alarm detection is
+    * per-row once the global (cum, cummin) pair lands, and the first
+    * alarm is one min() reduce.
+    */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        (floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long") -
+          CusumK).as("y"))
+    val walk = ShardedPrefix.cumsumWithMin(spark, ev, Seq("event_type"),
+        "event_id", "y")
+      .withColumn("s", col("cum") - least(col("cummin"), lit(0L)))
+      .withColumn("alarm_rn", when(col("s") >= CusumH, col("rn")))
+    walk.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("s"), col("rn")).as("s_final"),
+        max(col("s")).as("s_max"),
+        min(col("alarm_rn")).as("first_alarm_n"))
+      .withColumn("alarmed", col("first_alarm_n").isNotNull)
+  }
+
+  val cusumSql: String =
+    s"""WITH steps AS (
+       |  SELECT event_type, event_id,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) - $CusumK AS y
+       |  FROM events WHERE value IS NOT NULL
+       |), w1 AS (
+       |  SELECT event_type, y,
+       |         CAST(row_number() OVER (PARTITION BY event_type
+       |                                 ORDER BY event_id) AS BIGINT) AS rn,
+       |         CAST(sum(y) OVER (PARTITION BY event_type
+       |                           ORDER BY event_id) AS BIGINT) AS p
+       |  FROM steps
+       |), w2 AS (
+       |  SELECT event_type, rn, p,
+       |         CAST(min(p) OVER (PARTITION BY event_type
+       |                           ORDER BY rn) AS BIGINT) AS pmin
+       |  FROM w1
+       |), s AS (
+       |  SELECT event_type, rn,
+       |         p - least(pmin, CAST(0 AS BIGINT)) AS s
+       |  FROM w2
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(arg_max(s, rn) AS BIGINT) AS s_final,
+       |       CAST(max(s) AS BIGINT) AS s_max,
+       |       CAST(min(CASE WHEN s >= $CusumH THEN rn END) AS BIGINT)
+       |         AS first_alarm_n,
+       |       min(CASE WHEN s >= $CusumH THEN rn END) IS NOT NULL AS alarmed
+       |FROM s GROUP BY event_type""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("events_cusum", cusum _, Some(cusumSql)),
     Op("events_sprt", sprt _, Some(sprtSql)),
     Op("events_attribution", attribution _, Some(attributionSql)),
     Op("events_forecast", forecast _, Some(forecastSql)),

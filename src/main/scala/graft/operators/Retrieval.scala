@@ -224,8 +224,86 @@ object Retrieval {
        |      FROM scored)
        |WHERE rank <= $TopK""".stripMargin
 
+  // --------------------------------------------------- hybrid retrieval
+
+  private val RrfK0 = 60L // the standard RRF dampening constant
+
+  /** Reciprocal-rank fusion of the LEXICAL (BM25 over the served
+    * postings snapshot) and DENSE (served-IVF ANN) retrievers — the
+    * standard hybrid-retrieval combiner an LLM data pipeline runs for
+    * decontamination and more-like-this mining, where lexical recall
+    * (exact rare terms) and dense recall (paraphrase) fail on disjoint
+    * queries. The fixture's `embeddings` are the dense view of
+    * `documents` (shared 0-based id space), so candidates fuse on id.
+    * RRF score = Σ_retrievers ⌊10⁶ / (k₀ + rank)⌋ in exact INTEGER
+    * micro-units (floor division — no float sum anywhere), k₀ = 60
+    * per the original Cormack–Clarke–Büttcher formulation; ties break
+    * on candidate id. `n_sources` marks cross-retriever agreement.
+    *
+    * Scale shape: both inputs are served-index top-k frames (bounded:
+    * queries × K rows), so the fusion is a reduce over ≤ 2·|Q|·K rows
+    * regardless of corpus size; the rank window is per-query over ≤ 2K
+    * candidates. Fully oracled DYNAMICALLY: the oracle composes the
+    * BM25 SQL with the literal-centroid IVF oracle and replays the
+    * same integer fusion (`SparkEntry.dynamicOracleSql`).
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25TopK(spark, dir)
+      .select(col("query_id"), col("doc_id").as("cand_id"),
+        expr(s"CAST(1000000 DIV ($RrfK0 + rank) AS BIGINT)")
+          .as("contrib_micro"))
+    val dense = Similarity.topkIvf(spark, dir)
+      .where(col("query_id") < QueryDocs)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        expr(s"CAST(1000000 DIV ($RrfK0 + rank) AS BIGINT)")
+          .as("contrib_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("cand_id").asc)
+    lex.unionByName(dense)
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("contrib_micro")).as("rrf_micro"),
+        count(lit(1)).as("n_sources"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        col("n_sources"), col("rrf_micro"))
+  }
+
+  /** Dynamic full oracle for [[rrfFusion]]: the BM25 oracle SQL and
+    * the literal-centroid IVF serve oracle as CTEs, fused with the
+    * same integer floor-division arithmetic.
+    */
+  def rrfFusionOracle(spark: SparkSession, dir: String): String = {
+    val denseSql = Similarity.ivfTopkOracle(spark, dir)
+    s"""WITH lex AS (
+       |$bm25TopKSql
+       |), dense AS (
+       |$denseSql
+       |), c AS (
+       |  SELECT query_id, doc_id AS cand_id,
+       |         CAST(1000000 // ($RrfK0 + rank) AS BIGINT) AS contrib_micro
+       |  FROM lex
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id AS cand_id,
+       |         CAST(1000000 // ($RrfK0 + rank) AS BIGINT) AS contrib_micro
+       |  FROM dense WHERE query_id < $QueryDocs
+       |), f AS (
+       |  SELECT query_id, cand_id,
+       |         CAST(sum(contrib_micro) AS BIGINT) AS rrf_micro,
+       |         CAST(count(*) AS BIGINT) AS n_sources
+       |  FROM c GROUP BY 1, 2
+       |)
+       |SELECT query_id, rank, cand_id, n_sources, rrf_micro
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rrf_micro DESC, cand_id ASC) AS BIGINT) AS rank
+       |      FROM f)
+       |WHERE rank <= $TopK""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("text_bm25_topk", bm25TopK _, Some(bm25TopKSql)),
     // same oracle: the incremental index must EQUAL a rebuild by hash
-    Op("text_bm25_incremental", bm25Incremental _, Some(bm25TopKSql)))
+    Op("text_bm25_incremental", bm25Incremental _, Some(bm25TopKSql)),
+    // oracled dynamically (literal served-IVF geometry) via SparkEntry
+    Op("text_rrf_fusion", rrfFusion _, None))
 }

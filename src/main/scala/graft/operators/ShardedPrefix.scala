@@ -89,4 +89,77 @@ object ShardedPrefix {
     out.drop(Seq("_sp_pid", "_sp_oc", "_sp_lrn") ++
       sumCols.flatMap(c => Seq(s"_sp_l_$c", s"_sp_t_$c", s"_sp_o_$c")): _*)
   }
+
+  /** Exact global running sum AND running min-of-that-sum over
+    * (groupCols, orderCol) — the pair the CUSUM identity needs
+    * (S_i = P_i − min(0, min_{j≤i} P_j) turns the max(0, ·) recursion
+    * into two decomposable scans). Same sharding as [[cumsum]]; the
+    * extra piece is the running-min offsets: within a shard the global
+    * prefix is `entrySum + localCum`, so its within-shard running min
+    * is `entrySum + runningMin(localCum)`, and a shard's ENTRY min is
+    * `min over earlier shards t of (entrySum_t + minTotal_t)` —
+    * computed on the ≤ |groups|·numPartitions totals frame in two tiny
+    * triangular joins. Returns the input + `rn` (global row number) +
+    * `cum` (global inclusive running sum of `stepCol`) + `cummin`
+    * (global inclusive running min of `cum`). `stepCol` must be
+    * non-null.
+    */
+  def cumsumWithMin(spark: SparkSession, df: DataFrame,
+      groupCols: Seq[String], orderCol: String,
+      stepCol: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val fracs = (1 until parts).map(i => i.toDouble / parts)
+    val cutRow = df.agg(expr(
+      s"approx_percentile($orderCol, array(${fracs.mkString(", ")}), 10000)")
+      .as("cuts")).head()
+    val cutVals: Seq[Any] =
+      if (cutRow.isNullAt(0)) Nil else cutRow.getSeq[Any](0)
+    val cutArr =
+      if (cutVals.isEmpty)
+        array().cast(ArrayType(df.schema(orderCol).dataType))
+      else array(cutVals.map(lit): _*)
+    val binned = df.withColumn("_sp_pid",
+      size(filter(cutArr, c => c < col(orderCol))).cast("int"))
+      .localCheckpoint()
+    val partCols = (groupCols :+ "_sp_pid").map(col)
+    val w = Window.partitionBy(partCols: _*).orderBy(col(orderCol).asc)
+    val local = binned
+      .withColumn("_sp_lrn", row_number().over(w).cast("long"))
+      .withColumn("_sp_lcum", sum(col(stepCol)).over(w))
+      .withColumn("_sp_lmin", min(col("_sp_lcum")).over(w))
+    // totals carry the shard's row count, step sum, and min local cum
+    // (= the last row's running min) — derived from `local` so the
+    // window runs once; the frame is shard-count-sized
+    val totals = local.groupBy(partCols: _*)
+      .agg(count(lit(1)).as("_sp_tc"), sum(col(stepCol)).as("_sp_ts"),
+        min(col("_sp_lcum")).as("_sp_tmin"))
+      .localCheckpoint()
+    def tri(a: DataFrame, b: DataFrame) = a.as("a").join(b.as("b"),
+      groupCols.map(g => col(s"a.$g") === col(s"b.$g"))
+        .foldLeft(col("b._sp_pid") < col("a._sp_pid"))(_ && _), "left")
+    // pass 1: entry sum offsets (order-free sums over earlier shards)
+    val entry = tri(totals, totals)
+      .groupBy(groupCols.map(g => col(s"a.$g").as(g)) :+
+        col("a._sp_pid").as("_sp_pid"): _*)
+      .agg(coalesce(sum(col("b._sp_tc")), lit(0L)).as("_sp_oc"),
+        coalesce(sum(col("b._sp_ts")), lit(0L)).as("_sp_os"),
+        first(col("a._sp_tmin")).as("_sp_tmin"))
+    // pass 2: entry MIN offsets need each earlier shard's own entry
+    // sum, so they join the pass-1 frame against itself
+    val offsets = tri(entry, entry)
+      .groupBy(groupCols.map(g => col(s"a.$g").as(g)) :+
+        col("a._sp_pid").as("_sp_pid"): _*)
+      .agg(first(col("a._sp_oc")).as("_sp_oc"),
+        first(col("a._sp_os")).as("_sp_os"),
+        min(col("b._sp_os") + col("b._sp_tmin")).as("_sp_omin"))
+    local.join(broadcast(offsets), groupCols :+ "_sp_pid")
+      .withColumn("rn", col("_sp_oc") + col("_sp_lrn"))
+      .withColumn("cum", col("_sp_os") + col("_sp_lcum"))
+      // least() skips NULLs, so shard 0 (no earlier shards, NULL entry
+      // min) degrades to the within-shard running min alone
+      .withColumn("cummin",
+        least(col("_sp_omin"), col("_sp_os") + col("_sp_lmin")))
+      .drop("_sp_pid", "_sp_oc", "_sp_os", "_sp_omin", "_sp_lrn",
+        "_sp_lcum", "_sp_lmin", "_sp_tmin")
+  }
 }

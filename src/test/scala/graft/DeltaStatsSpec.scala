@@ -978,4 +978,27 @@ class DeltaStatsSpec extends SparkSpec {
     // Theil-Sen median stays at the clean trend
     assert(slope >= 2.0 && slope <= 3.0, s"median slope $slope")
   }
+
+  test("kendall: tau-b matches the hand count with tie corrections") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kend").toString
+    // daily (clicks, views) over 4 days: x = (1,2,2,3), y = (2,1,1,3)
+    // pairs: C=3, D=2, x-ties n1=1, y-ties n2=1, n0=6
+    // tau-b = (3-2)/sqrt((6-1)(6-1)) = 0.2
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2026-01-${d + 1}%02d 12:00:00")
+    val xs = Seq(1, 2, 2, 3); val ys = Seq(2, 1, 1, 3)
+    var id = 0L
+    val rows = (0 until 4).flatMap { d =>
+      (0 until xs(d)).map { _ => id += 1
+        (id, day(d), 1L, "click", 1.0, "{}") } ++
+      (0 until ys(d)).map { _ => id += 1
+        (id, day(d), 1L, "view", 1.0, "{}") }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = graft.operators.Analytics.kendall(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 6L, 3L, 2L)))
+    assert(r.getDouble(4) == 0.2)
+  }
 }

@@ -89,6 +89,50 @@ class RetrievalSpec extends SparkSpec {
       canon(Retrieval.bm25TopK(spark, dir)))
   }
 
+  test("rrf fusion: integer fusion matches the definition over both rankers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rrf").toString
+    val words = Seq("apple", "banana", "cherry", "durian", "elder", "fig")
+    (0L until 20L).map(i => (i,
+      (0 to 3).map(j => words(((i + j) % 6).toInt)).mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    (0L until 20L).map(i => (i, Array.tabulate(64)(d =>
+      math.sin(d * 0.7 + i * 1.9).toFloat * 2f).toSeq))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val lex = Retrieval.bm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val dense = graft.operators.Similarity.topkIvf(spark, dir).collect()
+      .filter(_.getLong(0) < 5L)
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    // recompute the fusion from the two rankers' own outputs
+    val expected = (lex.keySet ++ dense.keySet).map { k =>
+      val c = lex.get(k).map(rk => 1000000L / (60L + rk)).getOrElse(0L) +
+        dense.get(k).map(rk => 1000000L / (60L + rk)).getOrElse(0L)
+      val n = lex.contains(k).compare(false) + dense.contains(k).compare(false)
+      k -> (c, n.toLong)
+    }.toMap
+    val got = Retrieval.rrfFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (k, (_, n, micro)) =>
+      assert(expected(k) == ((micro, n)), s"$k: ${expected(k)} vs ($micro, $n)")
+    }
+    // ranks are dense 1..min(10, |candidates|) per query
+    val byQ = got.groupBy(_._1._1)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_._2._1).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // the fused top must respect the fusion score order
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2._1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._2._3 >= b._2._3)
+        case _ => ()
+      }
+    }
+  }
+
   test("bm25 invariant: every doc yields >= 1 posting, even empty text") {
     import spark.implicits._
     // the oracle derives N/sum(dl) from `documents` while the engine

@@ -1048,4 +1048,27 @@ class TextEventsSpec extends SparkSpec {
     assert(got("cold") == ((20L, 0L, 17L, "accept_h0")))
     assert(got("mid")._4 == "continue" && got("mid")._3 == -1L)
   }
+
+  test("cusum: sustained drift alarms at the crossing step, spike alarms once, calm never") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // 'jump': 155.0 each -> y=+1e8/step, S=1e8*i, crosses h=1e9 at i=10
+    // 'calm': 54.0 each -> y=-1e6/step, S pinned at 0, never alarms
+    // 'spike': 50.0 except one 5000.0 at the 5th event -> S jumps to
+    //   4.945e9 (alarm at rn=5) then decays 5e6/step
+    val rows =
+      (1 to 20).map(i => (i.toLong, ts, 1L, "jump", 155.0, "{}")) ++
+      (1 to 20).map(i => (50L + i, ts, 1L, "calm", 54.0, "{}")) ++
+      (1 to 20).map(i => (100L + i, ts, 1L, "spike",
+        if (i == 5) 5000.0 else 50.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.operators.Events.cusum(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5))).toMap
+    assert(got("jump") == ((20L, 2000000000L, 2000000000L, 10L, true)))
+    assert(got("calm") == ((20L, 0L, 0L, -1L, false)))
+    assert(got("spike") == ((20L, 4870000000L, 4945000000L, 5L, true)))
+  }
 }
