@@ -46,7 +46,11 @@ object SparkEntry {
       "sim_topk_ivfpq" -> (() => Similarity.ivfPqTopkOracle(spark, sfDir)),
       "sim_topk_ivfpq_inc" ->
         (() => Similarity.ivfPqTopkIncOracle(spark, sfDir)),
-      "text_rrf_fusion" -> (() => Retrieval.rrfFusionOracle(spark, sfDir))
+      "text_rrf_fusion" -> (() => Retrieval.rrfFusionOracle(spark, sfDir)),
+      "sim_recall_curve" ->
+        (() => Similarity.recallCurveOracle(spark, sfDir)),
+      "sim_hard_negatives_ann" ->
+        (() => Similarity.hardNegativesServedOracle(spark, sfDir))
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, render) =>
         try Some(name -> render())

@@ -366,6 +366,57 @@ object Similarity {
       .toDF("vec_id", "embedding", "sig")
   }
 
+  /** STATIC full oracle for `sim_topk_lsh` — the hyperplane family is
+    * xxhash-seeded (driver-computable, data-INDEPENDENT), so unlike
+    * the Lloyd-trained IVF geometry it inlines at object init: the
+    * `semanticDedup` literal-hyperplane move applied to the top-k
+    * path. DuckDB recomputes every signature bit with the SAME
+    * sequential d-order dot (list_sum left fold ≡ the while-loop
+    * accumulation), rebuilds the band buckets, takes the DISTINCT
+    * collision candidates, and ranks by exact cosine with the TopKAgg
+    * tie order. Upgrades the op from rows-only to full hash parity;
+    * the exactly-K `_check` twin stays registered.
+    */
+  lazy val topkLshSql: String = {
+    def dot(j: Int) = {
+      val lits = (0 until 64).map(d => hyperplaneVal(j, d))
+        .mkString("[", ", ", "]")
+      s"""list_sum(list_transform(list_zip(embedding, $lits),
+         |           x -> CAST(x[1] AS DOUBLE) * x[2]))""".stripMargin
+    }
+    val sigExpr = (0 until NBits)
+      .map(j => s"(CASE WHEN ${dot(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("\n       + ")
+    val bandList = (0 until NBits / BitsPerBand).mkString("[", ", ", "]")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding, CAST($sigExpr AS BIGINT) AS sig
+       |  FROM embeddings
+       |), bd AS (
+       |  SELECT vec_id, band,
+       |         (sig >> (band * $BitsPerBand)) &
+       |           ${(1L << BitsPerBand) - 1} AS bucket
+       |  FROM s CROSS JOIN (SELECT unnest($bandList) AS band)
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+       |  FROM bd q JOIN bd c ON q.band = c.band AND q.bucket = c.bucket
+       |  WHERE q.vec_id < $NumQueries AND c.vec_id != q.vec_id
+       |), scored AS (
+       |  SELECT ca.query_id, ca.vec_id AS neighbor_id,
+       |         ${duckCos("qe.embedding", "ce.embedding")} AS cos
+       |  FROM cand ca JOIN embeddings qe ON qe.vec_id = ca.query_id
+       |       JOIN embeddings ce ON ce.vec_id = ca.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id ASC)
+       |           AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |       round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
   def topkLsh(spark: SparkSession, dir: String): DataFrame = {
     // Persisted because four frames derive from it (query bands, corpus
     // bands, query embeddings, candidate embeddings); eagerly released
@@ -1255,6 +1306,57 @@ object Similarity {
         col("n.neighbor_id").as("negative_id"),
         round(col("n.cos"), 6).as("neg_cos"),
         round(col("p.cos") - col("n.cos"), 6).as("margin"))
+  }
+
+  /** Dynamic FULL oracle for `sim_hard_negatives_ann`: literal served
+    * centroids → recomputed cells → per-anchor probe → per-side best
+    * by (cos DESC, id ASC) — exactly the engine's
+    * `max(struct(cos, −nid, nid))` tie order; an empty side LEFT-JOINs
+    * to NULLs on both engines. The `_check` twin's value/agreement
+    * floors stay registered.
+    */
+  def hardNegativesServedOracle(spark: SparkSession, dir: String): String = {
+    val (cent, _) = servedIvfIndex(spark, dir)
+    val cents = cent.collect().toSeq.map(r =>
+      (r.getLong(0), r.getSeq[Float](1)))
+    s"""WITH ${annCellsCtes(cents)}, q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), hnqs AS (
+       |  SELECT q.query_id, q.q_emb, q.q_label, c.cent_id,
+       |         -(${duckCos("q.q_emb", "c.cent_emb")}) AS negcos
+       |  FROM q, cent c
+       |), hnprobe AS (
+       |  SELECT query_id, q_emb, q_label, cent_id AS cell,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY negcos ASC, cent_id ASC) AS rn
+       |  FROM hnqs
+       |), hnscored AS (
+       |  SELECT p.query_id, p.q_label, e.vec_id AS neighbor_id, e.label,
+       |         ${duckCos("p.q_emb", "e.embedding")} AS cos
+       |  FROM (SELECT query_id, q_emb, q_label, cell FROM hnprobe
+       |        WHERE rn <= $NProbe) p
+       |       JOIN cells cl ON cl.cell = p.cell
+       |       JOIN embeddings e ON e.vec_id = cl.vec_id
+       |  WHERE e.vec_id != p.query_id
+       |), pos AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM hnscored WHERE label = q_label
+       |), neg AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM hnscored WHERE label != q_label
+       |)
+       |SELECT q.query_id, p.neighbor_id AS positive_id,
+       |       round(p.cos, 6) AS pos_cos,
+       |       n.neighbor_id AS negative_id, round(n.cos, 6) AS neg_cos,
+       |       round(p.cos - n.cos, 6) AS margin
+       |FROM q
+       |LEFT JOIN pos p ON p.query_id = q.query_id AND p.rk = 1
+       |LEFT JOIN neg n ON n.query_id = q.query_id AND n.rk = 1""".stripMargin
   }
 
   def hardNegativesServedCheck(spark: SparkSession, dir: String): DataFrame = {
@@ -2694,7 +2796,7 @@ object Similarity {
     Op("sim_label_centroids", labelCentroids _, Some(labelCentroidsSql)),
     Op("sim_topk_ivf", topkIvf _, None),
     Op("sim_topk_ivf_check", topkIvfCheck _, Some(topkCheckSql)),
-    Op("sim_topk_lsh", topkLsh _, None),
+    Op("sim_topk_lsh", topkLsh _, Some(topkLshSql)),
     Op("sim_topk_lsh_check", topkLshCheck _, Some(topkLshCheckSql)),
     Op("dedup_embedding_cosine", embeddingNearDup _, Some(embeddingNearDupSql)),
     Op("curate_contamination_emb", contaminationEmbedding _,
@@ -2747,6 +2849,65 @@ object Similarity {
       .select(col("nprobe"), col("n_exact"), col("n_hits"),
         floor(col("n_hits").cast("double") / col("n_exact").cast("double")
           * lit(1000000.0) + lit(0.5)).as("recall_micro"))
+
+  /** Dynamic FULL oracle for `sim_recall_curve`: with the served
+    * centroids as literals, the recall-vs-nprobe curve is entirely
+    * DuckDB-computable — one unnested nprobe spine drives the probe
+    * depth, the per-(nprobe, query) IVF top-K intersects the
+    * brute-force top-K, and the hit counts/ratios replay the same
+    * integer+floor arithmetic. (The `_check` twin's monotone/floor
+    * assertions stay registered; this pins the exact curve VALUES.)
+    */
+  def recallCurveOracle(spark: SparkSession, dir: String): String = {
+    val (cent, _) = servedIvfIndex(spark, dir)
+    val cents = cent.collect().toSeq.map(r =>
+      (r.getLong(0), r.getSeq[Float](1)))
+    val npList = CurveProbes.mkString("[", ", ", "]")
+    s"""WITH ${annCellsCtes(cents)}, np AS (
+       |  SELECT unnest($npList) AS nprobe
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), qscored AS (
+       |  SELECT q.query_id, q.q_emb, c.cent_id,
+       |         -(${duckCos("q.q_emb", "c.cent_emb")}) AS negcos
+       |  FROM q, cent c
+       |), qprobe AS (
+       |  SELECT query_id, q_emb, cent_id AS cell,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY negcos ASC, cent_id ASC) AS rn
+       |  FROM qscored
+       |), cand AS (
+       |  SELECT n.nprobe, p.query_id, e.vec_id AS neighbor_id,
+       |         ${duckCos("p.q_emb", "e.embedding")} AS cos
+       |  FROM np n
+       |       JOIN qprobe p ON p.rn <= n.nprobe
+       |       JOIN cells cl ON cl.cell = p.cell
+       |       JOIN embeddings e ON e.vec_id = cl.vec_id
+       |  WHERE e.vec_id != p.query_id
+       |), appr AS (
+       |  SELECT nprobe, query_id, neighbor_id
+       |  FROM (SELECT nprobe, query_id, neighbor_id,
+       |               row_number() OVER (PARTITION BY nprobe, query_id
+       |                                  ORDER BY cos DESC, neighbor_id ASC)
+       |                 AS rank
+       |        FROM cand)
+       |  WHERE rank <= $K
+       |), bf AS (
+       |  SELECT query_id, neighbor_id FROM ($topkBruteForceSql)
+       |), hits AS (
+       |  SELECT a.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM appr a JOIN bf USING (query_id, neighbor_id)
+       |  GROUP BY a.nprobe
+       |)
+       |SELECT CAST(n.nprobe AS BIGINT) AS nprobe,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_exact,
+       |       coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       |       CAST(floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE) /
+       |             (SELECT CAST(count(*) AS DOUBLE) FROM bf)
+       |             * 1000000.0 + 0.5) AS BIGINT) AS recall_micro
+       |FROM np n LEFT JOIN hits h ON h.nprobe = n.nprobe""".stripMargin
+  }
 
   def recallCurveCheck(spark: SparkSession, dir: String): DataFrame = {
     val h = curveHits(spark, dir)
