@@ -50,7 +50,8 @@ object SparkEntry {
       "sim_recall_curve" ->
         (() => Similarity.recallCurveOracle(spark, sfDir)),
       "sim_hard_negatives_ann" ->
-        (() => Similarity.hardNegativesServedOracle(spark, sfDir))
+        (() => Similarity.hardNegativesServedOracle(spark, sfDir)),
+      "sim_nprobe_tune" -> (() => Similarity.nprobeTuneOracle(spark, sfDir))
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, render) =>
         try Some(name -> render())

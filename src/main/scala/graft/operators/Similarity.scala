@@ -2804,6 +2804,7 @@ object Similarity {
     Op("sim_recall_audit", recallAudit _, Some(recallAuditSql)),
     Op("sim_mmr_diversify", mmrDiversify _, Some(mmrDiversifySql)),
     Op("sim_recall_curve", recallCurve _, None),
+    Op("sim_nprobe_tune", nprobeTune _, None),
     Op("sim_recall_curve_check", recallCurveCheck _,
       Some(recallCurveCheckSql)),
   )
@@ -2907,6 +2908,51 @@ object Similarity {
        |             (SELECT CAST(count(*) AS DOUBLE) FROM bf)
        |             * 1000000.0 + 0.5) AS BIGINT) AS recall_micro
        |FROM np n LEFT JOIN hits h ON h.nprobe = n.nprobe""".stripMargin
+  }
+
+  /** Auto-tune the serving probe depth from the engine's OWN recall
+    * curve — the operational decision `sim_recall_curve` exists to
+    * inform, made explicit as an operator: the smallest nprobe whose
+    * measured recall@K meets the serving floor (0.7, the
+    * `sim_recall_audit` floor), falling back to the widest probed
+    * depth when none does. A production index maintenance loop runs
+    * this after every rebuild/rotation to re-pick the probe depth the
+    * SLO actually needs instead of serving a guessed constant — probe
+    * cost scales linearly with nprobe, so the tune is the knob between
+    * latency and the recall floor. Cost = the curve itself (the audit
+    * economics: measuring recall IS the work).
+    */
+  def nprobeTune(spark: SparkSession, dir: String): DataFrame = {
+    val floorMicro = math.round(IvfRecallFloor * 1e6)
+    val c = recallCurve(spark, dir).localCheckpoint()
+    val chosen = c.where(col("recall_micro") >= floorMicro)
+      .agg(min(col("nprobe")).as("np_min"))
+      .crossJoin(broadcast(c.agg(max(col("nprobe")).as("np_max"))))
+      .select(coalesce(col("np_min"), col("np_max")).as("chosen_nprobe"),
+        col("np_min").isNotNull.as("met_floor"))
+    c.join(broadcast(chosen), col("nprobe") === col("chosen_nprobe"))
+      .select(col("chosen_nprobe"), col("met_floor"), col("n_exact"),
+        col("n_hits"), col("recall_micro"))
+  }
+
+  /** Dynamic oracle for [[nprobeTune]]: the recall-curve oracle wrapped
+    * with the same smallest-passing / widest-fallback selection.
+    */
+  def nprobeTuneOracle(spark: SparkSession, dir: String): String = {
+    val floorMicro = math.round(IvfRecallFloor * 1e6)
+    s"""WITH curve AS (
+       |${recallCurveOracle(spark, dir)}
+       |), pick AS (
+       |  SELECT coalesce(
+       |           (SELECT min(nprobe) FROM curve
+       |            WHERE recall_micro >= $floorMicro),
+       |           (SELECT max(nprobe) FROM curve)) AS chosen_nprobe,
+       |         (SELECT min(nprobe) FROM curve
+       |          WHERE recall_micro >= $floorMicro) IS NOT NULL AS met_floor
+       |)
+       |SELECT p.chosen_nprobe, p.met_floor, c.n_exact, c.n_hits,
+       |       c.recall_micro
+       |FROM pick p JOIN curve c ON c.nprobe = p.chosen_nprobe""".stripMargin
   }
 
   def recallCurveCheck(spark: SparkSession, dir: String): DataFrame = {

@@ -151,6 +151,50 @@ object EventStream {
       }
   }
 
+  final case class CusumAlarm(event_type: String, n_seen: Long,
+      s_micro: Long)
+  final case class CusumState(s: Long, n: Long, above: Boolean)
+
+  // Literal twins of Events.cusum's k/h (kept here so the streaming
+  // fold and the batch chart share one parameterization by value).
+  private val CusumK = 55000000L
+  private val CusumH = 1000000000L
+
+  /** Streaming CUSUM control chart — the per-arrival fold the batch
+    * `Events.cusum` scaladoc names as the production path: state per
+    * event type is THREE numbers (current statistic S in micro-units,
+    * events seen, above-threshold flag), updated
+    * S ← max(0, S + (x − k)) per arrival, emitting an alarm row at
+    * each upward h-crossing (below → above transition; the recursion
+    * here IS the chart — the batch op needs the reflection identity
+    * only because it has no fold). O(|types|) state, no watermark.
+    * Evidence order is the stream's own arrival order, exactly the
+    * online chart's semantics (the `outliers` convention); for an
+    * event_id-ordered feed the first alarm index equals the batch
+    * chart's `first_alarm_n` — pinned in StreamingSpec.
+    */
+  def cusum(events: Dataset[Event]): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Event], state: GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(CusumState(0L, 0L, above = false))
+          val out = List.newBuilder[CusumAlarm]
+          it.foreach { e =>
+            val y = math.round(e.value * 1e6) - CusumK
+            val next = math.max(0L, s.s + y)
+            val n = s.n + 1
+            val above = next >= CusumH
+            if (above && !s.above) out += CusumAlarm(tpe, n, next)
+            s = CusumState(next, n, above)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization with custom state:
     * `flatMapGroupsWithState` keyed by user, event-time timeout. A
     * session closes when 30 minutes pass with no event (detected either

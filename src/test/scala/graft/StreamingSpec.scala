@@ -368,6 +368,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cusum alarms at the batch chart's crossing step, once per excursion") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.cusum(mem.toDS())
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the batch spec's planted streams, fed in event_id order across
+      // TWO micro-batches (state must carry): 'jump' crosses h=1e9 at
+      // step 10 (y=+1e8/step), 'calm' never leaves 0
+      mem.addData((1 to 8).map(i =>
+        Event(i.toLong, ts(i), 1, "jump", 155.0)) ++
+        (1 to 8).map(i => Event(50L + i, ts(i), 1, "calm", 54.0)): _*)
+      q.processAllAvailable()
+      assert(spark.table("cusum_out").count() == 0) // still inside
+      mem.addData((9 to 20).map(i =>
+        Event(i.toLong, ts(i), 1, "jump", 155.0)) ++
+        (9 to 20).map(i => Event(50L + i, ts(i), 1, "calm", 54.0)): _*)
+      q.processAllAvailable()
+      val alarms = spark.table("cusum_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // exactly ONE alarm (the upward crossing), at the same step the
+      // batch chart reports as first_alarm_n, with the same statistic
+      assert(alarms.toSeq == Seq(("jump", 10L, 1000000000L)))
+    } finally q.stop()
+  }
+
   test("text scrub + chunk pipeline runs incrementally on a stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
