@@ -1909,7 +1909,80 @@ object Curation {
        |FROM r""".stripMargin
   }
 
+  private val SeqLenGrid = Seq(128L, 256L, 512L, 1024L)
+
+  /** Sequence-length planning — the sizing decision every training run
+    * makes BEFORE packing: for each candidate max_len, what fraction
+    * of tokens does truncation lose, what would per-document padding
+    * waste (the unpacked baseline the packer's win is measured
+    * against), and the greedy packer's sequence-count lower bound
+    * ⌈kept/L⌉. Longer max_len loses less to truncation but pads more
+    * unpacked and costs quadratic attention — this table is the
+    * engine-side evidence for that trade. One corpus scan reduces to a
+    * token count per doc; the 4-row length grid explodes against the
+    * REDUCED frame and everything aggregates as exact integers
+    * (map-side combine), shares as rounded doubles of integer ratios.
+    */
+  def seqlenPlan(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+    val grid = SeqLenGrid.map(lit)
+    toks.select(col("n_tok"), explode(array(grid: _*)).as("max_len"))
+      .groupBy(col("max_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("n_tok") > col("max_len"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(least(col("n_tok"), col("max_len"))).as("kept_tokens"),
+        sum(greatest(col("n_tok") - col("max_len"), lit(0L)))
+          .as("lost_tokens"),
+        sum(greatest(col("max_len") - col("n_tok"), lit(0L)))
+          .as("pad_tokens_unpacked"))
+      .select(col("max_len"), col("n_docs"), col("total_tokens"),
+        col("n_truncated"), col("kept_tokens"), col("lost_tokens"),
+        col("pad_tokens_unpacked"),
+        round(col("lost_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("loss_share"),
+        round(col("pad_tokens_unpacked").cast("double") /
+          (col("kept_tokens") + col("pad_tokens_unpacked")).cast("double"),
+          6).as("pad_share_unpacked"),
+        expr("CAST((kept_tokens + max_len - 1) DIV max_len AS BIGINT)")
+          .as("n_seqs_packed_lb"))
+  }
+
+  lazy val seqlenPlanSql: String = {
+    val grid = SeqLenGrid.mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), g AS (
+       |  SELECT n_tok, CAST(unnest($grid) AS BIGINT) AS max_len FROM toks
+       |), a AS (
+       |  SELECT max_len, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |         CAST(sum(CASE WHEN n_tok > max_len THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_truncated,
+       |         CAST(sum(least(n_tok, max_len)) AS BIGINT) AS kept_tokens,
+       |         CAST(sum(greatest(n_tok - max_len, 0)) AS BIGINT)
+       |           AS lost_tokens,
+       |         CAST(sum(greatest(max_len - n_tok, 0)) AS BIGINT)
+       |           AS pad_tokens_unpacked
+       |  FROM g GROUP BY max_len
+       |)
+       |SELECT max_len, n_docs, total_tokens, n_truncated, kept_tokens,
+       |       lost_tokens, pad_tokens_unpacked,
+       |       round(CAST(lost_tokens AS DOUBLE) /
+       |             CAST(total_tokens AS DOUBLE), 6) AS loss_share,
+       |       round(CAST(pad_tokens_unpacked AS DOUBLE) /
+       |             CAST(kept_tokens + pad_tokens_unpacked AS DOUBLE), 6)
+       |         AS pad_share_unpacked,
+       |       CAST((kept_tokens + max_len - 1) // max_len AS BIGINT)
+       |         AS n_seqs_packed_lb
+       |FROM a""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("curate_seqlen_plan", seqlenPlan _, Some(seqlenPlanSql)),
     Op("curate_dp_mean", dpMean _, Some(dpMeanSql)),
     Op("curate_dp_counts", dpCounts _, Some(dpCountsSql)),
     Op("curate_k_anonymity", kAnonymity _, Some(kAnonymitySql)),

@@ -666,4 +666,23 @@ class CurationSpec extends SparkSpec {
     val (nMi, sumMi, _, _) = rows("mi")
     assert(nMi == 1L && sumMi == 100L)
   }
+
+  test("seqlen plan: truncation, padding, and packed lower bound by hand") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("seqlen").toString
+    // token counts 200 / 100 / 3
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    Seq((1L, doc(200), "en", "s", 1L), (2L, doc(100), "en", "s", 1L),
+      (3L, doc(3), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Curation.seqlenPlan(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(9))).toMap
+    // L=128: doc(200) truncates (lost 72), kept 128+100+3=231,
+    // pad (unpacked) 0+28+125=153, packed lower bound ceil(231/128)=2
+    assert(rows(128L) == ((1L, 231L, 72L, 153L, 2L)))
+    // L=256: nothing truncates, kept 303, pad 56+156+253=465, lb 2
+    assert(rows(256L) == ((0L, 303L, 0L, 465L, 2L)))
+  }
 }
