@@ -511,4 +511,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Analytics.gini(spark, odir).count() == 0)
     assert(Analytics.qq(spark, odir).count() == 0)
   }
+
+  test("r15 sequential/fusion operators are empty-safe") {
+    import spark.implicits._
+    val edir = java.nio.file.Files.createTempDirectory("r15e").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$edir/events.parquet")
+    // the sharded walks fall through the Nil-cuts single-shard path
+    assert(graft.operators.Events.cusum(spark, edir).count() == 0)
+    assert(graft.operators.Events.sprt(spark, edir).count() == 0)
+    // a global-agg summary may emit its one all-null/zero row; the
+    // contract is no crash and no spurious correlation claim
+    val kr = graft.operators.Analytics.kendall(spark, edir).collect()
+    assert(kr.length <= 1 && kr.forall(r => r.getLong(1) == 0L))
+    val ddir = java.nio.file.Files.createTempDirectory("r15d").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.parquet(s"$ddir/documents.parquet")
+    assert(graft.operators.Curation.seqlenPlan(spark, ddir).count() == 0)
+  }
 }
