@@ -2535,7 +2535,83 @@ object Analytics {
       |             6) AS tau_b
       |FROM agg""".stripMargin
 
+  /** Chatterjee's ξ rank coefficient (JASA 2021) between the daily
+    * view series (x) and click series (y) — the modern dependence
+    * measure that, unlike Kendall/Pearson, detects NON-MONOTONE
+    * functional dependence (y = f(x) for oscillating f still scores
+    * near 1) and is exactly 0 in expectation under independence. The
+    * general tie-corrected form: order the day points by (x, day) —
+    * the deterministic tie-break variant, identical on both engines —
+    * with r_i = #{j : y_j ≤ y_i}, l_i = #{j : y_j ≥ y_i};
+    * ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n − l_i)). Numerator and
+    * denominator are exact integers (rank counts via self-joins on the
+    * days-bounded frame — the Theil–Sen calendar economics); the final
+    * ratio is one double division, rounded to 6 dp. An all-tied y
+    * degrades to a NULL ξ (denominator 0), never a division error.
+    */
+  def xiCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .where(col("event_type").isin("click", "view"))
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"))
+      .localCheckpoint()
+    val b = daily.select(col("d").as("bd"), col("y").as("by"))
+    val ranked = daily
+      .join(b, col("by") <= col("y"))
+      .groupBy(col("d"), col("x"), col("y")).agg(count(lit(1)).as("r"))
+      .join(daily.select(col("d"), col("y")).as("o")
+          .join(b, col("by") >= col("y"))
+          .groupBy(col("d")).agg(count(lit(1)).as("l")), Seq("d"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("x").asc, col("d").asc)
+    val nT = daily.agg(count(lit(1)).as("nt"))
+    val jumps = ranked
+      .withColumn("r_next", lead(col("r"), 1).over(w))
+      .crossJoin(broadcast(nT))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("r_next") - col("r"))).as("rank_jumps"),
+        sum(col("l") * (col("nt") - col("l"))).as("denom"))
+    jumps.select(col("n_days"), col("rank_jumps"), col("denom"),
+      round(lit(1.0) - col("n_days").cast("double") *
+        col("rank_jumps").cast("double") /
+        (lit(2.0) * nullif(col("denom"), lit(0L)).cast("double")), 6)
+        .as("xi"))
+  }
+
+  val xiCorrelationSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS d,
+      |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS y
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+      |), ranked AS (
+      |  SELECT a.d, a.x, a.y,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM daily b
+      |          WHERE b.y <= a.y) AS r,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM daily b
+      |          WHERE b.y >= a.y) AS l
+      |  FROM daily a
+      |), jumps AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |         CAST(sum(abs(r_next - r)) AS BIGINT) AS rank_jumps,
+      |         CAST(sum(l * ((SELECT count(*) FROM daily) - l)) AS BIGINT)
+      |           AS denom
+      |  FROM (SELECT r, l,
+      |               lead(r, 1) OVER (ORDER BY x ASC, d ASC) AS r_next
+      |        FROM ranked)
+      |)
+      |SELECT n_days, rank_jumps, denom,
+      |       round(1.0 - CAST(n_days AS DOUBLE) * CAST(rank_jumps AS DOUBLE)
+      |             / (2.0 * CAST(nullif(denom, 0) AS DOUBLE)), 6) AS xi
+      |FROM jumps""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stats_xi_correlation", xiCorrelation _, Some(xiCorrelationSql)),
     Op("stats_kendall", kendall _, Some(kendallSql)),
     Op("stats_theil_sen", theilSen _, Some(theilSenSql)),
     Op("stats_bootstrap_ci", bootstrapCi _, Some(bootstrapCiSql)),

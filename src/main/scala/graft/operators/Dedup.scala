@@ -567,6 +567,88 @@ object Dedup {
     "list_distinct([substr(trim(text), i, 12) for i in range(1, length(trim(text)) - 10)])",
     "length(trim(text)) >= 12", 0.8)
 
+  /** Inter-source duplication matrix — WHERE the near-duplication
+    * lives, not just how much: confirmed char-12-gram Jaccard pairs
+    * (the `dedup_ngram_jaccard` machinery verbatim — banded LSH
+    * candidates, size-ratio prefilter, exact set-intersection confirm)
+    * rolled up to unordered (source_a, source_b) cells with per-source
+    * doc counts and the pair rate against the smaller side. The
+    * corpus-mixing question every multi-source training run asks
+    * (which crawls overlap which curated sets) answered from the pair
+    * frame the dedup pass already computes — same banded economics,
+    * one extra |pairs|-sized rollup, never all-pairs.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val sh = charShingles(docs).persist()
+    try {
+      val pairs = verifyJaccard(lshCandidates(sh), sh, 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val src = docs.select(col("doc_id"), col("source"))
+      val cells = pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+      val counts = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      cells.groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .join(broadcast(counts.select(col("source").as("source_a"),
+          col("n_docs").as("n_docs_a"))), Seq("source_a"))
+        .join(broadcast(counts.select(col("source").as("source_b"),
+          col("n_docs").as("n_docs_b"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_dup_pairs"),
+          col("n_docs_a"), col("n_docs_b"),
+          round(col("n_dup_pairs").cast("double") /
+            least(col("n_docs_a"), col("n_docs_b")).cast("double"), 6)
+            .as("overlap_rate"))
+        .localCheckpoint()
+    } finally sh.unpersist()
+  }
+
+  val sourceOverlapSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([substr(trim(text), i, 12)
+      |                        for i in range(1, length(trim(text)) - 10)])
+      |           AS shingles
+      |  FROM documents WHERE length(trim(text)) >= 12
+      |), e AS (
+      |  SELECT doc_id, unnest(shingles) AS s FROM sh
+      |), prs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), conf AS (
+      |  SELECT p.doc_a, p.doc_b
+      |  FROM prs p
+      |  JOIN sh sa ON sa.doc_id = p.doc_a
+      |  JOIN sh sb ON sb.doc_id = p.doc_b
+      |  WHERE CAST(p.inter AS DOUBLE) /
+      |        (len(sa.shingles) + len(sb.shingles) - p.inter) >= 0.8
+      |), cells AS (
+      |  SELECT least(da.source, db.source) AS source_a,
+      |         greatest(da.source, db.source) AS source_b
+      |  FROM conf
+      |  JOIN documents da ON da.doc_id = conf.doc_a
+      |  JOIN documents db ON db.doc_id = conf.doc_b
+      |), counts AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1
+      |)
+      |SELECT c.source_a, c.source_b,
+      |       CAST(count(*) AS BIGINT) AS n_dup_pairs,
+      |       ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b,
+      |       round(CAST(count(*) AS DOUBLE) /
+      |             CAST(least(ca.n_docs, cb.n_docs) AS DOUBLE), 6)
+      |         AS overlap_rate
+      |FROM cells c
+      |JOIN counts ca ON ca.source = c.source_a
+      |JOIN counts cb ON cb.source = c.source_b
+      |GROUP BY 1, 2, 4, 5""".stripMargin
+
   // ---------------------------------------------------------- containment
 
   /** Blocking knobs for containment — both part of the operator
@@ -1818,6 +1900,7 @@ object Dedup {
     Op("dedup_minhash_incremental", minhashIncremental _,
       Some(minhashIncrementalSql)),
     Op("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
+    Op("dedup_source_overlap", sourceOverlap _, Some(sourceOverlapSql)),
     Op("dedup_containment", containment _, Some(containmentSql)),
     Op("dedup_simhash", simhash _, None),
     Op("dedup_simhash_check", simhashCheck _, Some(simhashCheckSql)),

@@ -26,6 +26,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L)._1 == "keep", s"distinct direction must keep: $got")
   }
 
+  test("source overlap: cross-source and within-source dup cells by hand") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srcov").toString
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "pack my box with five dozen liquor jugs every single day now"
+    val t3 = "sphinx of black quartz judge my vow for all time hereafter ok"
+    Seq(
+      (1L, t1, "en", "s1", 1L), (2L, t1, "en", "s2", 1L), // cross-source dup
+      (3L, t2, "en", "s1", 1L), (4L, t2, "en", "s1", 1L), // within-source dup
+      (5L, t3, "en", "s2", 1L))                           // unique
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set(("s1", "s1"), ("s1", "s2")))
+    assert(got(("s1", "s2"))  == ((1L, 3L, 2L, 0.5)))
+    assert(got(("s1", "s1")) == ((1L, 3L, 3L, 0.333333)))
+  }
+
   test("knn graph: planted neighbors rank by cosine, ids break ties") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("knn").toString

@@ -979,6 +979,34 @@ class DeltaStatsSpec extends SparkSpec {
     assert(slope >= 2.0 && slope <= 3.0, s"median slope $slope")
   }
 
+  test("xi: perfect monotone dependence hits the n=5 theoretical max") {
+    import spark.implicits._
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2026-01-${d + 1}%02d 12:00:00")
+    def mkDir(ys: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("xi").toString
+      var id = 0L
+      val rows = ys.zipWithIndex.flatMap { case (y, d) =>
+        (0 to d).map { _ => id += 1                    // x = d + 1 views
+          (id, day(d), 1L, "view", 1.0, "{}") } ++
+        (0 until y).map { _ => id += 1
+          (id, day(d), 1L, "click", 1.0, "{}") }
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // y = x: rank jumps are all 1 → xi = 1 − n(n−1)/(2·Σl(n−l)) = (n−2)/(n+1)
+    val mono = graft.operators.Analytics
+      .xiCorrelation(spark, mkDir(Seq(1, 2, 3, 4, 5))).head()
+    assert((mono.getLong(0), mono.getLong(1), mono.getLong(2)) ==
+      ((5L, 4L, 20L)))
+    assert(mono.getDouble(3) == 0.5) // (5−2)/(5+1)
+    // rise-fall y = (1,3,5,4,2): jumps 2+2+1+2 = 7 → 1 − 35/40
+    val bump = graft.operators.Analytics
+      .xiCorrelation(spark, mkDir(Seq(1, 3, 5, 4, 2))).head()
+    assert(bump.getLong(1) == 7L && bump.getDouble(3) == 0.125)
+  }
+
   test("kendall: tau-b matches the hand count with tie corrections") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("kend").toString
