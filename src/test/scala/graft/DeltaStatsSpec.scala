@@ -957,6 +957,27 @@ class DeltaStatsSpec extends SparkSpec {
     assert(!dp.contains("Exchange"), s"deflate signal gained a shuffle:\n$dp")
   }
 
+  test("plan shapes: sharded walks carry the shard key; bm25 serves the snapshot") {
+    // the r15 scale contract: every ShardedPrefix rider's window
+    // exchange must partition by (group, _sp_pid), never the small
+    // group key alone — the straggler shape the rewrite removed
+    for ((name, df) <- Seq(
+        "events_sprt" -> graft.operators.Events.sprt(spark, sfDir),
+        "events_cusum" -> graft.operators.Events.cusum(spark, sfDir),
+        "text_zipf" -> TextAnalysis.zipf(spark, sfDir),
+        "text_vocab_growth" -> TextAnalysis.vocabGrowth(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("_sp_pid"),
+        s"$name lost the shard key from its window exchange")
+    }
+    // the served-BM25 split: the registered query path must read the
+    // persisted postings snapshot, not rebuild the inverted index
+    val bm = graft.operators.Retrieval.bm25TopK(spark, sfDir)
+    val bplan = bm.queryExecution.executedPlan.toString
+    assert(bplan.contains("bm25_postings_full"),
+      "bm25TopK no longer serves the content-addressed postings snapshot")
+  }
+
   test("theil-sen: outlier day barely moves the median slope") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ts").toString
