@@ -1995,7 +1995,85 @@ object Events {
        |       min(CASE WHEN s >= $CusumH THEN rn END) IS NOT NULL AS alarmed
        |FROM s GROUP BY event_type""".stripMargin
 
+  /** Windowed funnel (the ClickHouse `windowFunnel` semantics, distinct
+    * from [[funnel]]'s first-event chaining): a user's LEVEL is the
+    * deepest view → click → purchase chain that completes within
+    * `WindowFunnelDays` of the chain's own STARTING view — any view
+    * can start a chain (exists-quantified), so a user whose first
+    * view's window expired still levels up off a later view. Exactness
+    * of the greedy reduction: for a chain start v, the EARLIEST click
+    * in (v, v+W] leaves the widest purchase window, and any purchase
+    * after a later click is also after the earliest one — so
+    * min-click-per-start preserves the exists-semantics exactly.
+    * Levels report as a per-level user histogram (max level per user).
+    *
+    * Scale shape: stage filters push to the scan; the chain joins are
+    * user-keyed with the W-day band bounding fan-out (the
+    * `events_attribution` economics) and reduce per (user, start)
+    * before the next stage; the histogram is a 3-row frame.
+    */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val W = expr(s"INTERVAL $WindowFunnelDays DAYS")
+    val ev = Tables(spark, dir, "events")
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val c2 = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+      .join(v, Seq("user_id"))
+      .where(col("c_ts") > col("v_ts") && col("c_ts") <= col("v_ts") + W)
+      .groupBy(col("user_id"), col("v_ts")).agg(min(col("c_ts")).as("c_ts"))
+    val p3 = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+      .join(c2, Seq("user_id"))
+      .where(col("p_ts") > col("c_ts") && col("p_ts") <= col("v_ts") + W)
+    val u1 = v.select("user_id").distinct()
+      .agg(count(lit(1)).as("n1"))
+    val u2 = c2.select("user_id").distinct()
+      .agg(count(lit(1)).as("n2"))
+    val u3 = p3.select("user_id").distinct()
+      .agg(count(lit(1)).as("n3"))
+    val wide = broadcast(u1).crossJoin(broadcast(u2)).crossJoin(broadcast(u3))
+    val levels = wide.select(lit(1L).as("level"),
+        (col("n1") - col("n2")).as("n_users"), col("n1"))
+      .unionAll(wide.select(lit(2L), col("n2") - col("n3"), col("n1")))
+      .unionAll(wide.select(lit(3L), col("n3"), col("n1")))
+    levels.select(col("level"), col("n_users"),
+      round(col("n_users").cast("double") /
+        nullif(col("n1"), lit(0L)).cast("double"), 6).as("share_of_viewers"))
+  }
+
+  private val WindowFunnelDays = 7
+
+  val windowFunnelSql: String =
+    s"""WITH v AS (
+       |  SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+       |), c2 AS (
+       |  SELECT c.user_id, v.v_ts, min(c.ts) AS c_ts
+       |  FROM events c JOIN v ON v.user_id = c.user_id
+       |  WHERE c.event_type = 'click' AND c.ts > v.v_ts
+       |    AND c.ts <= v.v_ts + INTERVAL $WindowFunnelDays DAY
+       |  GROUP BY 1, 2
+       |), p3 AS (
+       |  SELECT p.user_id
+       |  FROM events p JOIN c2 ON c2.user_id = p.user_id
+       |  WHERE p.event_type = 'purchase' AND p.ts > c2.c_ts
+       |    AND p.ts <= c2.v_ts + INTERVAL $WindowFunnelDays DAY
+       |), n AS (
+       |  SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM v) AS n1,
+       |         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM c2) AS n2,
+       |         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM p3) AS n3
+       |), levels AS (
+       |  SELECT CAST(1 AS BIGINT) AS level, n1 - n2 AS n_users, n1 FROM n
+       |  UNION ALL SELECT 2, n2 - n3, n1 FROM n
+       |  UNION ALL SELECT 3, n3, n1 FROM n
+       |)
+       |SELECT level, n_users,
+       |       round(CAST(n_users AS DOUBLE) /
+       |             CAST(nullif(n1, 0) AS DOUBLE), 6) AS share_of_viewers
+       |FROM levels""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("events_window_funnel", windowFunnel _, Some(windowFunnelSql)),
     Op("events_cusum", cusum _, Some(cusumSql)),
     Op("events_sprt", sprt _, Some(sprtSql)),
     Op("events_attribution", attribution _, Some(attributionSql)),

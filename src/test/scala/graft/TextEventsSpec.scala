@@ -1049,6 +1049,29 @@ class TextEventsSpec extends SparkSpec {
     assert(got("mid")._4 == "continue" && got("mid")._3 == -1L)
   }
 
+  test("window funnel: chains restart from ANY view; window truncates the level") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wfun").toString
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2026-01-${day}%02d 12:00:00")
+    var id = 0L
+    def e(u: Long, tp: String, day: Int) = { id += 1; (id, t(day), u, tp, 1.0, "{}") }
+    val rows = Seq(
+      e(1, "view", 1),                                    // level 1
+      e(2, "view", 1), e(2, "click", 2),                  // level 2
+      e(3, "view", 1), e(3, "click", 2), e(3, "purchase", 3), // level 3
+      e(4, "view", 1), e(4, "click", 2), e(4, "purchase", 9), // p outside 7d -> 2
+      e(5, "click", 1), e(5, "view", 2),                  // click BEFORE view -> 1
+      // u6: first view's window misses the click; the later view catches it
+      e(6, "view", 1), e(6, "view", 7), e(6, "click", 9)) // level 2 via 2nd view
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.operators.Events.windowFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 2L, s"level-1 users (u1, u5): $got")
+    assert(got(2L)._1 == 3L, s"level-2 users (u2, u4, u6): $got")
+    assert(got(3L) == ((1L, 0.166667)), s"level-3 user (u3): $got")
+  }
+
   test("cusum: sustained drift alarms at the crossing step, spike alarms once, calm never") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cusum").toString
