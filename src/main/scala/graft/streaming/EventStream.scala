@@ -151,6 +151,55 @@ object EventStream {
       }
   }
 
+  final case class SprtDecision(event_type: String, n_seen: Long,
+      llr_micro: Long, decision: String)
+  final case class SprtState(llr: Long, n: Long, decided: Boolean)
+
+  // Literal twins of Events.sprt's step/bound micro-longs (H0 rate 0.4
+  // vs H1 0.5 at value >= 40, alpha = beta = 0.05).
+  private val SprtStepSuccess = math.round(1e6 * math.log(0.5 / 0.4))
+  private val SprtStepFailure = math.round(1e6 * math.log(0.5 / 0.6))
+  private val SprtBound = math.round(1e6 * math.log(0.95 / 0.05))
+
+  /** Streaming Wald SPRT — the per-arrival fold the batch
+    * `Events.sprt` scaladoc names as the production path, now real:
+    * state per event type is (running integer LLR, events seen,
+    * decided), one step per arrival, emitting THE decision row the
+    * moment the walk exits the ±ln 19 corridor and nothing after —
+    * the sequential test stops at its decision, which is exactly what
+    * a fold can do and a batch sort cannot. O(|types|) state, no
+    * watermark. For an event_id-ordered feed the decision index
+    * equals the batch op's `cross_n` (pinned in StreamingSpec).
+    */
+  def sprt(events: Dataset[Event]): Dataset[SprtDecision] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SprtState, SprtDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Event], state: GroupState[SprtState]) =>
+          var s = state.getOption.getOrElse(SprtState(0L, 0L, decided = false))
+          val out = List.newBuilder[SprtDecision]
+          it.foreach { e =>
+            if (!s.decided) {
+              val step =
+                if (e.value >= 40.0) SprtStepSuccess else SprtStepFailure
+              val llr = s.llr + step
+              val n = s.n + 1
+              if (llr >= SprtBound) {
+                out += SprtDecision(tpe, n, llr, "reject_h0")
+                s = SprtState(llr, n, decided = true)
+              } else if (llr <= -SprtBound) {
+                out += SprtDecision(tpe, n, llr, "accept_h0")
+                s = SprtState(llr, n, decided = true)
+              } else s = SprtState(llr, n, decided = false)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   final case class CusumAlarm(event_type: String, n_seen: Long,
       s_micro: Long)
   final case class CusumState(s: Long, n: Long, above: Boolean)

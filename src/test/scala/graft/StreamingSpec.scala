@@ -368,6 +368,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sprt decides at the batch op's crossing step, then goes silent") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sprt(mem.toDS())
+      .writeStream.format("memory").queryName("sprt_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the batch spec's planted streams across TWO micro-batches:
+      // 'hot' (all successes) crosses +ln19 at step 14, 'cold' (all
+      // failures) crosses -ln19 at step 17, 'mid' stays inside
+      def batch(r: Range) =
+        r.map(i => Event(i.toLong, ts(i), 1, "hot", 50.0)) ++
+        r.map(i => Event(100L + i, ts(i), 1, "cold", 1.0)) ++
+        r.filter(_ <= 5).map(i => Event(200L + i, ts(i), 1, "mid",
+          if (i % 2 == 0) 50.0 else 1.0))
+      mem.addData(batch(1 to 10): _*)
+      q.processAllAvailable()
+      assert(spark.table("sprt_out").count() == 0) // nothing decided yet
+      mem.addData(batch(11 to 20): _*)
+      q.processAllAvailable()
+      val got = spark.table("sprt_out").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+      assert(got.size == 2, s"exactly one decision per decided type: $got")
+      assert(got("hot") == ((14L, "reject_h0")))
+      assert(got("cold") == ((17L, "accept_h0")))
+    } finally q.stop()
+  }
+
   test("streaming cusum alarms at the batch chart's crossing step, once per excursion") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
