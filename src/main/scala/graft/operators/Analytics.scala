@@ -2500,9 +2500,13 @@ object Analytics {
         sum(col("tx")).as("n1"), sum(col("ty")).as("n2"))
       .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
       .select(col("n_days"), col("n0"), col("concordant"), col("discordant"),
+        // nullif zero-guard (the xi/bootstrap discipline): an all-tied x
+        // or y series makes the denominator 0, where Spark's Divide
+        // returns NULL but DuckDB's ieee default returns NaN/Inf —
+        // nullif on BOTH engines pins the degenerate case to NULL.
         round((col("concordant") - col("discordant")).cast("double") /
-          sqrt((col("n0") - col("n1")).cast("double") *
-            (col("n0") - col("n2")).cast("double")), 6).as("tau_b"))
+          nullif(sqrt((col("n0") - col("n1")).cast("double") *
+            (col("n0") - col("n2")).cast("double")), lit(0.0)), 6).as("tau_b"))
   }
 
   val kendallSql: String =
@@ -2531,7 +2535,8 @@ object Analytics {
       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
       |       n0, concordant, discordant,
       |       round(CAST(concordant - discordant AS DOUBLE) /
-      |             sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)),
+      |             nullif(sqrt(CAST(n0 - n1 AS DOUBLE)
+      |                         * CAST(n0 - n2 AS DOUBLE)), 0),
       |             6) AS tau_b
       |FROM agg""".stripMargin
 

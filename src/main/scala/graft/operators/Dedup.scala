@@ -296,14 +296,64 @@ object Dedup {
       .toDF("doc_id", "band", "bucket")
   }
 
+  /** Hot-bucket bound for the text-LSH candidate stage (the r13
+    * `dedup_semantic` anchor discipline applied to the shingle path):
+    * a candidate pair must include one of its bucket's `LshBucketCap`
+    * SMALLEST doc_ids (the bucket's anchors), so per-bucket pair volume
+    * is O(cap · |bucket|) instead of |bucket|²/2 — a web-boilerplate
+    * mega-family of 10⁵-10⁷ near-identical documents collides in EVERY
+    * band (that is the point of LSH), and without the cap the candidate
+    * frame goes quadratic in family size, the one 100 TB runaway shape
+    * this file had left. The anchor rank is a window PARTITIONED by
+    * (band, bucket) — sharded, never a global sort.
+    */
+  private val LshBucketCap = 64
+
+  /** Companion OUTPUT bound, and the half of the cap the DuckDB oracle
+    * can mirror exactly (the minhash geometry is runtime-hashed, so
+    * unlike `dedup_semantic`'s literal hyperplanes the bucket ranks are
+    * not SQL-expressible): of a document's confirmed J ≥ τ partners
+    * with smaller ids, keep the `LshPairCap` smallest
+    * (row_number over (PARTITION BY doc_b ORDER BY doc_a) ≤ cap). With
+    * `LshPairCap` = `LshBucketCap`, capped candidates still produce the
+    * EXACT ruled output on duplicate families of any size: a family's
+    * bucket anchors are its smallest member ids, which are precisely
+    * the partners the pair rule keeps — so the op stays hash-exact
+    * against the mirrored oracle whether the cap fires or not. (The
+    * adversarial exception — a bucket where ≥ cap smaller NON-matching
+    * ids crowd out a true partner in every one of its ~16 colliding
+    * bands at once — is the same probabilistic recall economics the
+    * banding itself already accepts.) Every family member keeps its
+    * pair to the family minimum (the smallest doc_a ranks first by
+    * construction), so downstream clustering/weights/splits see the
+    * same survivors.
+    */
+  private val LshPairCap = 64
+
   private def lshCandidates(shingled: DataFrame): DataFrame = {
     val buckets = signatureBuckets(shingled)
-    buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.bucket") === col("y.bucket") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
+    val anchors = buckets.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= LshBucketCap)
+      .select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    anchors.join(
+        buckets.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
+
+  /** The `LshPairCap` trim over a confirmed pair frame — applied by
+    * every registered consumer of the LSH pair core and mirrored
+    * verbatim (QUALIFY row_number) in their oracles.
+    */
+  private def lshPairRule(pairs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_b")).orderBy(col("doc_a"))
+    pairs.withColumn("_pr", row_number().over(w))
+      .where(col("_pr") <= LshPairCap).drop("_pr")
   }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets.
@@ -352,7 +402,7 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = wordShingles(Tables(spark, dir, "documents")).persist()
-    try verifyJaccard(lshCandidates(sh), sh, 0.8).localCheckpoint()
+    try lshPairRule(verifyJaccard(lshCandidates(sh), sh, 0.8)).localCheckpoint()
     finally sh.unpersist()
   }
 
@@ -524,8 +574,11 @@ object Dedup {
        |  AND doc_id NOT IN (SELECT doc_id FROM noncanon)""".stripMargin
   }
 
-  /** Oracle: the semantic spec — exact all-pairs shingle Jaccard ≥ τ.
-    * (Quadratic, but the oracle only ever runs at sf0.01.)
+  /** Oracle: the semantic spec — exact all-pairs shingle Jaccard ≥ τ,
+    * trimmed by the contract's `LshPairCap` rank rule (QUALIFY mirrors
+    * `lshPairRule` verbatim: per doc_b, the cap-many smallest confirmed
+    * doc_a survive). (Quadratic, but the oracle only ever runs at
+    * verify scale.)
     */
   private def jaccardOracleSql(shingleExpr: String, where: String,
       threshold: Double): String =
@@ -546,7 +599,9 @@ object Dedup {
        |JOIN sh sa ON sa.doc_id = p.doc_a
        |JOIN sh sb ON sb.doc_id = p.doc_b
        |WHERE CAST(p.inter AS DOUBLE) /
-       |      (len(sa.shingles) + len(sb.shingles) - p.inter) >= $threshold""".stripMargin
+       |      (len(sa.shingles) + len(sb.shingles) - p.inter) >= $threshold
+       |QUALIFY row_number() OVER (PARTITION BY p.doc_b ORDER BY p.doc_a)
+       |        <= $LshPairCap""".stripMargin
 
   val minhashLshSql: String = jaccardOracleSql(
     """list_distinct([concat_ws(' ', words[i], words[i+1], words[i+2])
@@ -559,7 +614,7 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = charShingles(Tables(spark, dir, "documents")).persist()
-    try verifyJaccard(lshCandidates(sh), sh, 0.8).localCheckpoint()
+    try lshPairRule(verifyJaccard(lshCandidates(sh), sh, 0.8)).localCheckpoint()
     finally sh.unpersist()
   }
 
@@ -582,7 +637,7 @@ object Dedup {
     val docs = Tables(spark, dir, "documents")
     val sh = charShingles(docs).persist()
     try {
-      val pairs = verifyJaccard(lshCandidates(sh), sh, 0.8)
+      val pairs = lshPairRule(verifyJaccard(lshCandidates(sh), sh, 0.8))
         .select(col("doc_a"), col("doc_b"))
       val src = docs.select(col("doc_id"), col("source"))
       val cells = pairs
@@ -628,6 +683,8 @@ object Dedup {
       |  JOIN sh sb ON sb.doc_id = p.doc_b
       |  WHERE CAST(p.inter AS DOUBLE) /
       |        (len(sa.shingles) + len(sb.shingles) - p.inter) >= 0.8
+      |  QUALIFY row_number() OVER (PARTITION BY p.doc_b ORDER BY p.doc_a)
+      |          <= 64
       |), cells AS (
       |  SELECT least(da.source, db.source) AS source_a,
       |         greatest(da.source, db.source) AS source_b

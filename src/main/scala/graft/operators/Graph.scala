@@ -286,6 +286,194 @@ object Graph {
     * edge from its lower-(degree, id) endpoint, join oriented edges on
     * the pivot, close the wedge against the canonical edge set.
     */
+  /** Strongly connected components of a DIRECTED graph — the question
+    * the undirected `connectedComponents` cannot answer on a web graph
+    * (u links v says nothing about v linking u; the web's bowtie
+    * structure — giant SCC, IN, OUT, tendrils — is defined by MUTUAL
+    * reachability). Trim-then-color, the FW-BW/coloring family (Orzan
+    * 2004; Slota et al. 2014) reduced to its deterministic dataframe
+    * core:
+    *
+    *  1. TRIM to fixpoint: a node with no in-edges or no out-edges in
+    *     the remaining graph is its own SCC — peel all of them per
+    *     iteration (one membership semi-join each side). Chains and
+    *     tendrils (most of a crawl graph) never reach the expensive
+    *     phase.
+    *  2. COLOR forward to fixpoint: color(v) = max(id over ancestors ∪
+    *     {v}). Every nonempty color class contains its root r
+    *     (color(r) = r), and r's ancestors within the class are
+    *     exactly… nothing larger, so:
+    *  3. MARK backward within the class: v is in SCC(r) iff
+    *     color(v) = r and v reaches r through same-colored nodes
+    *     (⇐ r ⇝ v by color, v ⇝ r by mark; ⇒ members of SCC(r) share
+    *     r's ancestor set so their color is r, and reach r inside it).
+    *     Every marked class is emitted (label = MIN member id — the
+    *     `connectedComponents` label convention, matched by the
+    *     oracle's mutual-reachability min), removed, and the loop
+    *     repeats on the remainder.
+    *
+    * Output: (`id`, `label`) for every endpoint. Throws rather than
+    * returning non-converged labels (the components discipline). Every
+    * step is a groupBy + equi-join over the REMAINING edge frame; each
+    * inner iteration and each outer round ends in a lazy
+    * localCheckpoint + persist with superseded caches released (the
+    * loop hygiene documented at [[connectedComponents]] — same
+    * plan-growth and stats-propagation failure modes). At 100 TB the
+    * giant SCC empties the graph in the first color round and trims
+    * absorb the tendrils, so rounds stay far from the worst case; a
+    * decreasing-id chain IS that worst case, and the trim phase
+    * handles exactly it in O(1) cheap peels per node.
+    */
+  def stronglyConnectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val input = pairs.select(col("u"), col("v"))
+    val allNodes = input.select(col("u").as("id"))
+      .union(input.select(col("v").as("id"))).distinct()
+      .localCheckpoint()
+    var labels = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        allNodes.schema.fields.map(_.copy(name = "id")) ++
+          allNodes.schema.fields.map(_.copy(name = "label"))))
+    var edges = input.where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = false)
+    edges.persist()
+    var edgeCount = edges.count()
+    var outer = 0
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      while (edgeCount > 0 && outer < MaxRounds) {
+        // ---- trim: peel no-in / no-out nodes until none move
+        var trimmed = true
+        var trims = 0
+        while (trimmed && trims < MaxRounds * 10) {
+          val next = edges
+            .join(edges.select(col("v").as("u")).distinct(), Seq("u"),
+              "left_semi") // u has an in-edge
+            .join(edges.select(col("u").as("v")).distinct(), Seq("v"),
+              "left_semi") // v has an out-edge
+            .select(col("u"), col("v"))
+            .localCheckpoint(eager = false)
+          next.persist()
+          val nextCount = next.count()
+          trimmed = nextCount != edgeCount
+          edges.unpersist()
+          edges = next
+          edgeCount = nextCount
+          trims += 1
+        }
+        if (trimmed) throw new IllegalStateException(
+          "scc: trim did not reach a fixpoint — refusing to label")
+        if (edgeCount > 0) {
+          val live = edges.select(col("u").as("id"))
+            .union(edges.select(col("v").as("id"))).distinct()
+            .localCheckpoint(eager = false)
+          live.persist(); live.count()
+          // ---- color: forward max propagation to fixpoint.
+          // `colorsPinned` tracks the PERSISTED dataset: unpersist must
+          // be called on the exact cached plan — unpersisting a
+          // projection of it would leave the cache entry behind (the
+          // cache-hygiene regression the GraphSpec sweep pins).
+          var colorsPinned = live.select(col("id"), col("id").as("color"))
+            .localCheckpoint(eager = false)
+          colorsPinned.persist()
+          var colors = colorsPinned
+          var changed = 1L
+          var iters = 0
+          while (changed > 0 && iters < MaxRounds * 10) {
+            val push = edges
+              .join(colors.select(col("id").as("u"), col("color")), Seq("u"))
+              .groupBy(col("v").as("id")).agg(max(col("color")).as("inc"))
+            val next = colors.join(push, Seq("id"), "left_outer")
+              .select(col("id"),
+                greatest(col("color"), coalesce(col("inc"), col("color")))
+                  .as("color"),
+                (col("inc") > col("color")).as("chg"))
+              .localCheckpoint(eager = false)
+            next.persist()
+            changed = next.where(col("chg")).count()
+            colorsPinned.unpersist()
+            colorsPinned = next
+            colors = next.select(col("id"), col("color"))
+            iters += 1
+          }
+          if (changed > 0) throw new IllegalStateException(
+            "scc: color propagation did not converge — refusing to label")
+          // ---- mark: backward reachability to the root within a class
+          var marked = colors.where(col("id") === col("color"))
+            .localCheckpoint(eager = false)
+          marked.persist()
+          var mCount = marked.count()
+          var grew = true
+          var mIters = 0
+          val colored = edges
+            .join(colors.select(col("id").as("u"), col("color")), Seq("u"))
+            .join(colors.select(col("id").as("v"),
+              col("color").as("cv")), Seq("v"))
+            .where(col("color") === col("cv"))
+            .select(col("u"), col("v"), col("color"))
+            .localCheckpoint(eager = false)
+          colored.persist(); colored.count()
+          while (grew && mIters < MaxRounds * 10) {
+            val next = marked.union(
+                colored.join(marked.select(col("id").as("v"), col("color")),
+                  Seq("v", "color"))
+                  .select(col("u").as("id"), col("color")))
+              .distinct()
+              .localCheckpoint(eager = false)
+            next.persist()
+            val nCount = next.count()
+            grew = nCount != mCount
+            marked.unpersist()
+            marked = next
+            mCount = nCount
+            mIters += 1
+          }
+          if (grew) throw new IllegalStateException(
+            "scc: backward mark did not converge — refusing to label")
+          // ---- emit the marked classes, remove them, go around
+          val emitted = marked
+            .join(marked.groupBy(col("color")).agg(min(col("id")).as("label")),
+              Seq("color"))
+            .select(col("id"), col("label"))
+          labels = labels.union(emitted).localCheckpoint()
+          val survivors = live.join(marked.select(col("id")), Seq("id"),
+            "left_anti").localCheckpoint(eager = false)
+          survivors.persist(); survivors.count()
+          val nextEdges = edges
+            .join(survivors.select(col("id").as("u")), Seq("u"), "left_semi")
+            .join(survivors.select(col("id").as("v")), Seq("v"), "left_semi")
+            .select(col("u"), col("v"))
+            .localCheckpoint(eager = false)
+          nextEdges.persist()
+          edgeCount = nextEdges.count()
+          edges.unpersist(); colorsPinned.unpersist(); marked.unpersist()
+          colored.unpersist(); live.unpersist(); survivors.unpersist()
+          edges = nextEdges
+        }
+        outer += 1
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+    }
+    if (edgeCount > 0) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"scc: residual edges after $MaxRounds rounds — refusing to label")
+    }
+    edges.unpersist()
+    // everything never emitted through a marked class is a singleton
+    val out = allNodes
+      .join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      .localCheckpoint()
+    out
+  }
+
   def triangleStats(pairs: DataFrame): DataFrame = {
     val e = pairs
       .where(col("u") =!= col("v"))

@@ -355,14 +355,27 @@ object HtmlExtract {
     val clean = cleanHtmlCol(col("html"))
     records
       .where(col("warc_type") === "response" && col("http_status") === 200)
+      // charset-aware decode (BOM → Content-Type header → <meta charset>
+      // sniff → UTF-8-validate-else-windows-1252), replacing the
+      // UTF-8-only cast that served windows-1252/latin-1 crawl pages as
+      // mojibake — the metadata-driven typed-decode bar the reference's
+      // own ingest sets (AccessExporter reads column types before row
+      // bytes; fetch.go:118 trusts the transport's declared encoding).
       .select(
         regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
           .cast("long").as("doc_id"),
         col("http_status"),
-        col("body").cast("string").as("html"))
+        org.apache.spark.sql.graft.HttpTextDecode(
+          col("body"), col("http_content_type")).as("dec"))
       .select(
         col("doc_id"),
         col("http_status"),
+        col("dec.text").as("html"),
+        col("dec.charset").as("charset"))
+      .select(
+        col("doc_id"),
+        col("http_status"),
+        col("charset"),
         size(expr(s"regexp_extract_all(html, '$LinkPat', 0)"))
           .cast("long").as("n_links"),
         size(split(clean, " ")).cast("long").as("n_words"),
@@ -379,6 +392,10 @@ object HtmlExtract {
        |)
        |SELECT doc_id,
        |       CAST(200 AS INTEGER) AS http_status,
+       |       -- the fixture's HTTP header declares charset=utf-8, so the
+       |       -- sniff's tier-2 answer is pinned here; non-UTF-8 tiers are
+       |       -- golden-byte-tested in HtmlWarcSpec
+       |       'utf-8' AS charset,
        |       CAST(len(regexp_extract_all(html, '$LinkPat')) AS BIGINT) AS n_links,
        |       CAST(len(string_split(${cleanHtmlSql("html")}, ' ')) AS BIGINT) AS n_words,
        |       md5(${cleanHtmlSql("html")}) AS text_md5
@@ -881,6 +898,42 @@ object HtmlExtract {
        |)
        |SELECT u AS domain, min(x) AS component FROM walk GROUP BY u""".stripMargin
 
+  /** STRONGLY connected components of the directed domain graph — the
+    * web's bowtie decomposition (Broder et al. 2000): the giant SCC is
+    * where recrawl budget compounds (every member is reachable from
+    * every other, so freshness propagates), IN/OUT/tendrils are where
+    * it doesn't. `graph_domain_components` answers "one neighborhood or
+    * many" on the UNDIRECTED shadow; this answers the directed
+    * question. Composes the served `graph_domain_links` edges through
+    * `Graph.stronglyConnectedComponents` (trim-then-color, label = min
+    * member domain); the oracle states the mutual-reachability fixpoint
+    * directly — two recursive walks joined both ways.
+    */
+  def domainScc(spark: SparkSession, dir: String): DataFrame =
+    Graph.stronglyConnectedComponents(
+      domainLinks(spark, dir)
+        .select(col("src_domain").as("u"), col("dst_domain").as("v")))
+      .select(col("id").as("domain"), col("label").as("scc_label"))
+
+  val domainSccSql: String =
+    s"""WITH RECURSIVE dl AS (
+       |${domainLinksSql}
+       |), e AS (
+       |  SELECT src_domain AS u, dst_domain AS v FROM dl
+       |), nodes AS (
+       |  SELECT DISTINCT u AS id FROM
+       |    (SELECT u FROM e UNION ALL SELECT v AS u FROM e)
+       |), walk(u, x) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.x
+       |)
+       |SELECT n.id AS domain, min(f.x) AS scc_label
+       |FROM nodes n
+       |JOIN walk f ON f.u = n.id
+       |JOIN walk b ON b.u = f.x AND b.x = n.id
+       |GROUP BY n.id""".stripMargin
+
   // ------------------------------------------- crawl_pipeline_report
 
   /** Crawl-pipeline yield report — the crawl-side twin of
@@ -1031,6 +1084,7 @@ object HtmlExtract {
       Some(crawlPipelineReportSql)),
     Op("graph_domain_components", domainComponents _,
       Some(domainComponentsSql)),
+    Op("graph_domain_scc", domainScc _, Some(domainSccSql)),
     Op("graph_domain_hits", domainHits _, Some(domainHitsSql)),
     Op("graph_domain_reciprocity", domainReciprocity _,
       Some(domainReciprocitySql)),

@@ -50,8 +50,16 @@ object Reshape {
   def orcRoundtripCheck(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val d = Tables(spark, dir, "documents")
+    // Key by (source dir, THIS session's application id): the content
+    // key alone made the path predictable and shared, so two concurrent
+    // sessions over the same fixture raced overwrite-vs-read (and a
+    // world-readable fixed /tmp name is squattable). The applicationId
+    // is unique per SparkContext, so each session gets its own scratch
+    // while repeat invocations WITHIN a session still overwrite in
+    // place rather than accumulate.
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"$dir|${spark.sparkContext.applicationId}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
     val tmp = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_orc_$key").toString
     val path = s"$tmp/documents.orc"

@@ -30,32 +30,47 @@ import org.apache.spark.sql.types.ArrayType
   * `orderCol` must be numeric (approx_percentile input). Ties in
   * `orderCol` within a group make row_number order nondeterministic
   * exactly as the naive window would — pass `tiebreaks` to pin it.
-  * The binned frame is eagerly localCheckpoint-ed: it feeds both the
-  * window branch and the totals branch, so the cut caps input passes
-  * at one (plus the one-row cuts aggregate).
+  * The binned frame is eagerly localCheckpoint-ed by default: it feeds
+  * both the window branch and the totals branch, so the checkpoint
+  * caps input passes at one (plus the one-row cuts aggregate).
+  * MEASURED tradeoff (SpProbe, events cumsum, local[32] NVMe):
+  * materialize 1.63 s vs recompute 2.43 s at sf0.1, 1.84 vs 2.65 at
+  * sf1 — the write is cheaper than re-running the scan+projection for
+  * the second consumer at every measured scale, so eager stays the
+  * default; `materialize = false` is the explicit knob for
+  * deployments where executor disk, not input bandwidth, is the
+  * constraint (e.g. a twice-scannable columnar source on saturated
+  * local disks).
   */
 object ShardedPrefix {
   def cumsum(spark: SparkSession, df: DataFrame, groupCols: Seq[String],
       orderCol: String, sumCols: Seq[String],
       rnCol: Option[String] = None,
-      tiebreaks: Seq[Column] = Nil): DataFrame = {
+      tiebreaks: Seq[Column] = Nil,
+      materialize: Boolean = true): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
     val fracs = (1 until parts).map(i => i.toDouble / parts)
     // null cuts = EMPTY input (approx_percentile of zero rows): fall
     // through to a single shard so the op returns empty, not an NPE —
-    // the first-batch-of-a-new-pipeline contract.
-    val cutRow = df.agg(expr(
-      s"approx_percentile($orderCol, array(${fracs.mkString(", ")}), 10000)")
-      .as("cuts")).head()
+    // the first-batch-of-a-new-pipeline contract. Same degradation when
+    // shuffle.partitions <= 1: fracs is empty and the rendered
+    // approx_percentile(ord, array(), _) would fail analysis (ARRAY<NULL>
+    // percentage arg), so skip the percentile pass and bin to one shard.
     val cutVals: Seq[Any] =
-      if (cutRow.isNullAt(0)) Nil else cutRow.getSeq[Any](0)
+      if (fracs.isEmpty) Nil
+      else {
+        val cutRow = df.agg(expr(
+          s"approx_percentile($orderCol, array(${fracs.mkString(", ")}), 10000)")
+          .as("cuts")).head()
+        if (cutRow.isNullAt(0)) Nil else cutRow.getSeq[Any](0)
+      }
     val cutArr =
       if (cutVals.isEmpty)
         array().cast(ArrayType(df.schema(orderCol).dataType))
       else array(cutVals.map(lit): _*)
-    val binned = df.withColumn("_sp_pid",
+    val binnedLazy = df.withColumn("_sp_pid",
       size(filter(cutArr, c => c < col(orderCol))).cast("int"))
-      .localCheckpoint()
+    val binned = if (materialize) binnedLazy.localCheckpoint() else binnedLazy
     val partCols = (groupCols :+ "_sp_pid").map(col)
     val w = Window.partitionBy(partCols: _*)
       .orderBy(col(orderCol).asc +: tiebreaks: _*)
@@ -109,11 +124,15 @@ object ShardedPrefix {
       stepCol: String): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
     val fracs = (1 until parts).map(i => i.toDouble / parts)
-    val cutRow = df.agg(expr(
-      s"approx_percentile($orderCol, array(${fracs.mkString(", ")}), 10000)")
-      .as("cuts")).head()
+    // same empty-input / single-partition degradation as [[cumsum]]
     val cutVals: Seq[Any] =
-      if (cutRow.isNullAt(0)) Nil else cutRow.getSeq[Any](0)
+      if (fracs.isEmpty) Nil
+      else {
+        val cutRow = df.agg(expr(
+          s"approx_percentile($orderCol, array(${fracs.mkString(", ")}), 10000)")
+          .as("cuts")).head()
+        if (cutRow.isNullAt(0)) Nil else cutRow.getSeq[Any](0)
+      }
     val cutArr =
       if (cutVals.isEmpty)
         array().cast(ArrayType(df.schema(orderCol).dataType))

@@ -381,8 +381,12 @@ object Similarity {
     def dot(j: Int) = {
       val lits = (0 until 64).map(d => hyperplaneVal(j, d))
         .mkString("[", ", ", "]")
-      s"""list_sum(list_transform(list_zip(embedding, $lits),
-         |           x -> CAST(x[1] AS DOUBLE) * x[2]))""".stripMargin
+      // coalesce: a zero-length (non-null) embedding makes list_sum
+      // return NULL in DuckDB (sum over no rows) where the engine's
+      // while-loop dot is 0.0 — pin both to 0.0 so every signature bit
+      // agrees even on degenerate vectors.
+      s"""coalesce(list_sum(list_transform(list_zip(embedding, $lits),
+         |           x -> CAST(x[1] AS DOUBLE) * x[2])), 0.0)""".stripMargin
     }
     val sigExpr = (0 until NBits)
       .map(j => s"(CASE WHEN ${dot(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
@@ -1137,8 +1141,12 @@ object Similarity {
     def dot(j: Int) = {
       val lits = (0 until 64).map(d => hyperplaneVal(j, d))
         .mkString("[", ", ", "]")
-      s"""list_sum(list_transform(list_zip(embedding, $lits),
-         |           x -> CAST(x[1] AS DOUBLE) * x[2]))""".stripMargin
+      // coalesce: a zero-length (non-null) embedding makes list_sum
+      // return NULL in DuckDB (sum over no rows) where the engine's
+      // while-loop dot is 0.0 — pin both to 0.0 so every signature bit
+      // agrees even on degenerate vectors.
+      s"""coalesce(list_sum(list_transform(list_zip(embedding, $lits),
+         |           x -> CAST(x[1] AS DOUBLE) * x[2])), 0.0)""".stripMargin
     }
     val sigExpr = (0 until SemBits)
       .map(j => s"(CASE WHEN ${dot(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
@@ -1292,7 +1300,7 @@ object Similarity {
       max(when(cond, struct(col("cos"),
         (-col("neighbor_id")).as("nid"), col("neighbor_id"))))
     }
-    probes.join(cells, Seq("cell"))
+    val bests = probes.join(cells, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .join(lbl, Seq("vec_id"))
       .select(col("query_id"), col("q_label"), col("label"),
@@ -1300,6 +1308,11 @@ object Similarity {
         V.cosine(col("q_emb"), col("embedding")).as("cos"))
       .groupBy(col("query_id"))
       .agg(best(sameLabel = true).as("p"), best(sameLabel = false).as("n"))
+    // Re-anchor on the query spine: a query whose probed cells hold no
+    // candidate but itself would otherwise vanish from the groupBy while
+    // the oracle's LEFT JOIN from q still emits its all-NULL row —
+    // one-row-per-anchor is the contract on both engines.
+    q.select(col("query_id")).join(bests, Seq("query_id"), "left")
       .select(col("query_id"),
         col("p.neighbor_id").as("positive_id"),
         round(col("p.cos"), 6).as("pos_cos"),
@@ -1463,8 +1476,12 @@ object Similarity {
     def dot(j: Int) = {
       val lits = (0 until 64).map(d => hyperplaneVal(j, d))
         .mkString("[", ", ", "]")
-      s"""list_sum(list_transform(list_zip(embedding, $lits),
-         |           x -> CAST(x[1] AS DOUBLE) * x[2]))""".stripMargin
+      // coalesce: a zero-length (non-null) embedding makes list_sum
+      // return NULL in DuckDB (sum over no rows) where the engine's
+      // while-loop dot is 0.0 — pin both to 0.0 so every signature bit
+      // agrees even on degenerate vectors.
+      s"""coalesce(list_sum(list_transform(list_zip(embedding, $lits),
+         |           x -> CAST(x[1] AS DOUBLE) * x[2])), 0.0)""".stripMargin
     }
     val sigExpr = (0 until SemBits)
       .map(j => s"(CASE WHEN ${dot(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
@@ -1579,8 +1596,12 @@ object Similarity {
     def dot(j: Int) = {
       val lits = (0 until 64).map(d => hyperplaneVal(j, d))
         .mkString("[", ", ", "]")
-      s"""list_sum(list_transform(list_zip(embedding, $lits),
-         |           x -> CAST(x[1] AS DOUBLE) * x[2]))""".stripMargin
+      // coalesce: a zero-length (non-null) embedding makes list_sum
+      // return NULL in DuckDB (sum over no rows) where the engine's
+      // while-loop dot is 0.0 — pin both to 0.0 so every signature bit
+      // agrees even on degenerate vectors.
+      s"""coalesce(list_sum(list_transform(list_zip(embedding, $lits),
+         |           x -> CAST(x[1] AS DOUBLE) * x[2])), 0.0)""".stripMargin
     }
     val sigExpr = (0 until SemBits)
       .map(j => s"(CASE WHEN ${dot(j)} >= 0 THEN ${1L << j} ELSE 0 END)")

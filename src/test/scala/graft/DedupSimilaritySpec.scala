@@ -26,6 +26,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L)._1 == "keep", s"distinct direction must keep: $got")
   }
 
+  test("minhash LSH: a 70-wide duplicate family is anchor-capped, min anchors every member") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lshcap").toString
+    // 70 identical documents (> LshBucketCap = LshPairCap = 64) — the
+    // web-boilerplate mega-family shape: they collide in EVERY band, so
+    // without the anchor cap the candidate frame is C(70,2) = 2415
+    // pairs and grows quadratically in family size. Plus two distinct
+    // documents that must stay pairless.
+    val fam = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = (0L until 70L).map(i => (i, fam, "en", "s1", fam.length.toLong)) ++
+      Seq((900L, "totally different words compose this unrelated document " +
+          "body here with nothing shared at all between either family",
+          "en", "s1", 100L),
+        (901L, "yet another standalone text whose shingles overlap neither " +
+          "the family nor the previous loner in any window", "en", "s2", 100L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = graft.operators.Dedup.minhashLsh(spark, dir).collect()
+    // bounded volume: Σ_{j=1..69} min(j, 64) = 2400, NOT the quadratic
+    // 2415 — the pair rule (and the capped candidates feeding it, which
+    // produce EXACTLY the ruled set on a pure family) both land here
+    assert(pairs.length == 2400, s"expected 2400 ruled pairs, got ${pairs.length}")
+    val byB = pairs.groupBy(_.getLong(1))
+    assert(byB.values.forall(_.length <= 64),
+      "no doc may keep more than LshPairCap smaller partners")
+    assert(byB.keySet == (1L until 70L).toSet,
+      "every non-min family member must keep pairs; loners must have none")
+    // the family min is everyone's first-ranked anchor — the property
+    // that keeps downstream clustering lossless under the cap
+    (1L until 70L).foreach { j =>
+      assert(byB(j).exists(_.getLong(0) == 0L),
+        s"member $j must keep its pair to the family min")
+    }
+    assert(pairs.forall(_.getDouble(2) == 1.0), "identical texts: J = 1")
+    // clustering over the capped frame: one component, canonical = min
+    val cl = graft.operators.Dedup.clusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 70L).foreach { i =>
+      assert(cl.getOrElse(i, 0L) == 0L, s"member $i must join the min's cluster")
+    }
+    assert(!cl.contains(900L) && !cl.contains(901L), "loners stay unclustered")
+  }
+
   test("source overlap: cross-source and within-source dup cells by hand") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("srcov").toString

@@ -16,6 +16,49 @@ class GraphSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("scc: cycles found exactly, direction respected, chains trim") {
+    import spark.implicits._
+    // SCC {1,2,3} (3-cycle), SCC {10,11} (mutual), 4 hangs off the
+    // cycle one-way (OUT tendril), 20→21→22 a pure chain, 30 a
+    // self-loop-only node: every non-cycle node must stay a singleton —
+    // the undirected core would wrongly merge all of 20,21,22.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (10L, 11L), (11L, 10L), (4L, 10L),
+      (20L, 21L), (21L, 22L), (30L, 30L)).toDF("u", "v")
+    val got = Graph.stronglyConnectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L, 22L -> 22L,
+      30L -> 30L), s"scc labels wrong: $got")
+  }
+
+  test("scc: decreasing-id chain (the coloring worst case) trims in one phase") {
+    import spark.implicits._
+    // ids DECREASE along the edges — pure coloring would extract one
+    // node per outer round (O(n) color fixpoints); the trim phase must
+    // absorb the whole chain without ever coloring
+    val n = 40L
+    val edges = (1L until n).map(i => (n - i + 1, n - i)).toDF("u", "v")
+    val got = Graph.stronglyConnectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to n).map(i => i -> i).toMap,
+      "every chain node must be its own SCC")
+  }
+
+  test("scc: two cycles bridged one-way stay separate; bridged both ways merge") {
+    import spark.implicits._
+    val oneWay = Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 5L), (2L, 5L))
+      .toDF("u", "v")
+    val got1 = Graph.stronglyConnectedComponents(oneWay).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    val bothWays = Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 5L),
+      (2L, 5L), (6L, 1L)).toDF("u", "v")
+    val got2 = Graph.stronglyConnectedComponents(bothWays).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
+  }
+
   test("connected components: long path converges within the round cap") {
     import spark.implicits._
     // a 60-edge path has diameter > MaxRounds(50): one-hop label
@@ -120,9 +163,12 @@ class GraphSpec extends SparkSpec {
   }
 
   test("graph ops leave nothing cached behind") {
+    import spark.implicits._
     Graph.components(spark, sfDir).collect()
     Graph.nearDupTriangles(spark, sfDir).collect()
     Graph.pagerank(spark, sfDir).collect()
+    Graph.stronglyConnectedComponents(
+      Seq((1L, 2L), (2L, 1L), (2L, 3L), (5L, 6L)).toDF("u", "v")).collect()
     assert(spark.sharedState.cacheManager.isEmpty,
       "graph operators must release their loop caches")
   }

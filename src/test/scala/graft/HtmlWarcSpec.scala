@@ -160,6 +160,82 @@ class HtmlWarcSpec extends SparkSpec {
     }
   }
 
+  test("HttpTextDecode: BOM > header > meta > UTF-8-validate > 1252 fallback") {
+    import spark.implicits._
+    def d(body: Array[Byte], ct: String): (String, String) = {
+      val r = Seq((body, ct)).toDF("body", "ct")
+        .select(org.apache.spark.sql.graft.HttpTextDecode(
+          col("body"), col("ct")).as("d"))
+        .select(col("d.text"), col("d.charset")).head()
+      (r.getString(0), r.getString(1))
+    }
+    val eAcute1252 = Array[Byte]('c', 'a', 'f', 0xE9.toByte)
+    // tier 2: the header names the encoding
+    assert(d(eAcute1252, "text/html; charset=windows-1252") ==
+      (("café", "windows-1252")))
+    assert(d(eAcute1252, "text/html; charset=ISO-8859-1") ==
+      (("café", "iso-8859-1")), "header charset is case-normalized")
+    // tier 3: no header param, <meta charset> declares it
+    val meta = ("<html><head><meta charset=\"iso-8859-1\"></head>" +
+      "<body>caf").getBytes("US-ASCII") ++ Array(0xE9.toByte)
+    val (t3, c3) = d(meta, "text/html")
+    assert(c3 == "iso-8859-1" && t3.endsWith("café"))
+    // tier 3 http-equiv form, unquoted value
+    val equiv = ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+      "charset=windows-1252\">x").getBytes("US-ASCII") ++ Array(0x93.toByte)
+    val (t3b, c3b) = d(equiv, "text/html")
+    assert(c3b == "windows-1252" && t3b.endsWith("“"))
+    // tier 4a: undeclared valid UTF-8 stays UTF-8
+    assert(d("café 中文".getBytes("UTF-8"), "text/html") ==
+      (("café 中文", "utf-8")))
+    // tier 4b: undeclared malformed UTF-8 falls back to 1252 (0x93 = “)
+    val (t4, c4) = d("say ".getBytes("US-ASCII") ++ Array(0x93.toByte), "")
+    assert(c4 == "windows-1252" && t4 == "say “")
+    // tier 1: a BOM outranks a lying header and is stripped
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "café".getBytes("UTF-8")
+    assert(d(bom, "text/html; charset=windows-1252") == (("café", "utf-8")))
+    val utf16 = Array(0xFF.toByte, 0xFE.toByte) ++
+      "hi".getBytes("UTF-16LE")
+    assert(d(utf16, "text/html") == (("hi", "utf-16le")))
+    // declared-but-unknown charset falls through to the content sniff
+    assert(d("plain ascii".getBytes("US-ASCII"),
+      "text/html; charset=bogus-enc-99") == (("plain ascii", "utf-8")))
+  }
+
+  test("docs_from_warc decodes a windows-1252 crawl page end-to-end") {
+    // a real WARC segment whose page is 1252-encoded and header-declared
+    def rec(id: Long, ctype: String, body: Array[Byte]): Array[Byte] = {
+      val httpHead =
+        s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n".getBytes("US-ASCII")
+      val len = httpHead.length + body.length
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://docs.example.nz/doc/$id\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: $len\r\n\r\n").getBytes("US-ASCII") ++
+        httpHead ++ body ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("warc1252")
+    val page = "<html><body><p>café naïve résumé</p></body></html>"
+    java.nio.file.Files.write(dir.resolve("seg.warc"),
+      rec(7L, "text/html; charset=windows-1252",
+        page.getBytes("windows-1252")) ++
+        rec(8L, "text/html; charset=utf-8", page.getBytes("UTF-8")))
+    val got = HtmlExtract.fromWarcRecords(
+        graft.sources.WarcIngest.toDataFrame(spark, dir.toString))
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[String]("charset") == "windows-1252")
+    assert(got(1).getAs[String]("charset") == "utf-8")
+    // the decoded texts are identical, so the extraction chain agrees
+    // byte-for-byte across encodings: same word count, same md5
+    assert(got(0).getAs[Long]("n_words") == 3L)
+    assert(got(0).getAs[String]("text_md5") ==
+      got(1).getAs[String]("text_md5"),
+      "1252 and UTF-8 encodings of the same page must hash identically")
+  }
+
   test("crawl pipeline report: monotone funnel, full mass at stage 0") {
     val rows = HtmlExtract.crawlPipelineReport(spark, sfDir)
       .orderBy(col("stage")).collect()

@@ -151,6 +151,27 @@ class RangeJoinRuleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("Events.windowFunnel dogfoods the rule: __graft_band pins BOTH chain joins") {
+    // Same contract as intervalJoin: the view→click and click→purchase
+    // range conditions are written declaratively and must be banded by
+    // the optimizer rule — a rule-scope regression would silently fall
+    // back to per-user cross products, so the executed plan is pinned.
+    val noRule = graft.operators.Events.windowFunnel(spark, sfDir)
+    assert(!noRule.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+    val expected = noRule.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    withRule {
+      val banded = graft.operators.Events.windowFunnel(spark, sfDir)
+      val got = banded.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == expected)
+      val plan = banded.queryExecution.executedPlan.toString()
+      val hits = "__graft_band".r.findAllMatchIn(plan).size
+      assert(hits >= 2,
+        s"both funnel chain joins must carry the rule's band key (saw $hits)")
+    }
+  }
+
   test("rule leaves non-range joins and non-inner shapes untouched") {
     val (views, clicks) = fixtures()
     withRule {

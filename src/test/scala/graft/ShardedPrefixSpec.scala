@@ -48,6 +48,39 @@ class ShardedPrefixSpec extends SparkSpec {
     }
   }
 
+  test("shuffle.partitions = 1 degrades to a single shard, same answers") {
+    // fracs is empty at parts <= 1 — the helper must skip the
+    // approx_percentile pass (array() percentage arg fails analysis)
+    // and bin everything to one shard, not crash.
+    val prev = spark.sessionState.conf.numShufflePartitions
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val df = randomFrame(5, 3, 120).localCheckpoint()
+      val w = Window.partitionBy("grp").orderBy("ord")
+      val naive = df.withColumn("step_cum", sum(col("step")).over(w))
+        .select("grp", "ord", "step_cum")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val sharded = ShardedPrefix.cumsum(spark, df, Seq("grp"), "ord",
+          Seq("step"))
+        .select("grp", "ord", "step_cum")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(sharded == naive, "single-shard cumsum diverged")
+      val gotMin = ShardedPrefix.cumsumWithMin(spark, df, Seq("grp"), "ord",
+          "step")
+        .select("grp", "ord", "cum", "cummin").collect()
+      val naiveMin = df.withColumn("cum", sum(col("step")).over(w))
+        .withColumn("cummin", min(col("cum")).over(w))
+        .select("grp", "ord", "cum", "cummin")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(gotMin.map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap == naiveMin,
+        "single-shard cumsumWithMin diverged")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev.toString)
+  }
+
   test("cumsumWithMin equals naive sum + running min of sum") {
     for (seed <- Seq(11, 99)) {
       val df = randomFrame(seed, 3, 300).localCheckpoint()
