@@ -162,81 +162,49 @@ object Dedup {
   @volatile private[graft] var histShingleProbe:
     Option[org.apache.spark.util.LongAccumulator] = None
 
-  private def wordShingles(docs: DataFrame,
-      probe: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), trim(col("text")).as("t"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (docId, t) =>
-          probe.foreach(_.add(1L))
-          val words = t.split(' ')
-          if (words.length < 3) None
-          else Some((docId, distinctSorted(Array.tabulate(words.length - 2) { i =>
-            finalizeHash(polyHash(polyHash(polyHash(17L, words(i)), words(i + 1)), words(i + 2)))
-          })))
-        }
-      }
-      .toDF("doc_id", "shingles")
-  }
-
-  /** Rolling polynomial hash of a word into an accumulator (with a
-    * separator step), so shingle hashing never allocates the joined
-    * shingle string.
+  /** Hashing lives in `ShingleKernels` (one implementation, shared by
+    * the codegen'd expression and the probe seam below). The default
+    * path is the native `WordShingleHashes` expression — scan →
+    * shingle stays inside whole-stage codegen, no Dataset encoder
+    * boundary. The accumulator-probed mapPartitions path survives for
+    * the incremental verify stage's candidates-only contract (the
+    * accumulator must fire once per document actually scanned, which
+    * only an imperative pass can promise); both paths share the SAME
+    * kernel and a parity spec runs them against each other.
     */
-  private def polyHash(acc0: Long, w: String): Long = {
-    var acc = acc0 * 31 + ' '
-    var i = 0
-    while (i < w.length) { acc = acc * 31 + w.charAt(i); i += 1 }
-    acc
-  }
-
-  /** Splitmix-style finalizer: polynomial hashes are linearly related
-    * for related inputs; the finalizer destroys that structure before
-    * the Carter-Wegman family consumes the value.
-    */
-  private def finalizeHash(v: Long): Long = {
-    var z = v + 0x9E3779B97F4A7C15L
-    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
-    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  private def distinctSorted(a: Array[Long]): Array[Long] = {
-    java.util.Arrays.sort(a)
-    var n = 0
-    var i = 0
-    while (i < a.length) {
-      if (i == 0 || a(i) != a(i - 1)) { a(n) = a(i); n += 1 }
-      i += 1
+  private[graft] def wordShingles(docs: DataFrame,
+      probe: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    probe match {
+      case None =>
+        docs.select(col("doc_id"),
+            org.apache.spark.sql.graft.ShingleHash
+              .wordShingleHashes(trim(col("text"))).as("shingles"))
+          .where(col("shingles").isNotNull)
+      case Some(acc) =>
+        val spark = docs.sparkSession
+        import spark.implicits._
+        docs.select(col("doc_id"), trim(col("text")).as("t"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.flatMap { case (docId, t) =>
+              acc.add(1L)
+              Option(org.apache.spark.sql.graft.ShingleKernels
+                .wordShingleLongs(t)).map((docId, _))
+            }
+          }
+          .toDF("doc_id", "shingles")
     }
-    java.util.Arrays.copyOf(a, n)
-  }
 
   /** doc_id + distinct character-12-gram array. 12 chars spans ~2.5
     * words, which is what makes the grams discriminative: 5-grams mostly
     * fall inside single words, so same-vocabulary documents share ~20% of
     * them and LSH cannot separate signal from background.
     */
-  private def charShingles(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), trim(col("text")).as("t"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (docId, t) =>
-          if (t.length < 12) None
-          else Some((docId, distinctSorted(Array.tabulate(t.length - 11) { i =>
-            var acc = 17L
-            var j = i
-            while (j < i + 12) { acc = acc * 31 + t.charAt(j); j += 1 }
-            finalizeHash(acc)
-          })))
-        }
-      }
-      .toDF("doc_id", "shingles")
-  }
+  private[graft] def charShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.ShingleHash
+          .charShingleHashes(trim(col("text"))).as("shingles"))
+      .where(col("shingles").isNotNull)
 
   /** (doc_id, band, bucket) rows from an imperative per-partition
     * signature pass. Three formulations were measured at sf0.1 on the
@@ -252,49 +220,19 @@ object Dedup {
     * pre-hashed shingle longs — internals only; candidate quality is all
     * that matters, the exact-Jaccard verify defines the output.
     */
-  private def signatureBuckets(shingled: DataFrame): DataFrame = {
-    val spark = shingled.sparkSession
-    import spark.implicits._
-    val (numHashes, bands, rows) = (NumHashes, Bands, RowsPerBand)
-    shingled.as[(Long, scala.collection.Seq[Long])]
-      .mapPartitions { it =>
-        // Multiply-shift universal hashing with an independent seeded
-        // (odd multiplier, offset) pair PER SIGNATURE SLOT. A cheaper
-        // "h1 + i·h2" family was tried first and is structurally wrong:
-        // for i ≥ 2 the i·h2 term dominates, every slot's minimum
-        // collapses onto the argmin-h2 shingle, and the 64 "independent
-        // permutations" become one — a J=0.96 pair was missed outright.
-        def mix(v: Long): Long = {
-          var z = v + 0x9E3779B97F4A7C15L
-          z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
-          z ^= (z >>> 27); z *= 0x94D049BB133111EBL
-          z ^ (z >>> 31)
-        }
-        val mulA = Array.tabulate(numHashes)(i => mix(0x1000L + i) | 1L)
-        val addB = Array.tabulate(numHashes)(i => mix(0x2000L + i))
-        it.flatMap { case (docId, shingles) =>
-          val sig = Array.fill(numHashes)(Long.MaxValue)
-          shingles.foreach { sh =>
-            var i = 0
-            while (i < numHashes) {
-              val g = (mulA(i) * sh + addB(i)) >>> 14 // top 50 bits: well-mixed
-              if (g < sig(i)) sig(i) = g
-              i += 1
-            }
-          }
-          (0 until bands).map { b =>
-            var bucket = 1125899906842597L
-            var r = 0
-            while (r < rows) {
-              bucket = bucket * 31 + sig(b * rows + r)
-              r += 1
-            }
-            (docId, b, bucket)
-          }
-        }
-      }
+  private[graft] def signatureBuckets(shingled: DataFrame): DataFrame =
+    // Multiply-shift universal hashing with an independent seeded
+    // (odd multiplier, offset) pair PER SIGNATURE SLOT — the family
+    // rationale (and the measured rejection of explode+agg and of
+    // higher-order-function formulations) lives at
+    // `ShingleKernels.minhashBands`'s tight loop, now a native codegen
+    // expression: reading the persisted shingle cache as primitive
+    // ArrayData replaced this stage's former typed mapPartitions,
+    // whose encoder decoded every shingle array into boxed rows.
+    shingled.select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graft.ShingleHash
+          .minhashBands(col("shingles"))))
       .toDF("doc_id", "band", "bucket")
-  }
 
   /** Hot-bucket bound for the text-LSH candidate stage (the r13
     * `dedup_semantic` anchor discipline applied to the shingle path):

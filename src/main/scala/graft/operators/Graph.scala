@@ -474,6 +474,80 @@ object Graph {
     out
   }
 
+  /** All nodes reachable from `seeds` along directed `edges` (u → v),
+    * seeds included — frontier-expansion BFS with the loop hygiene
+    * documented at [[connectedComponents]] (lazy checkpoint + persist
+    * per wave, superseded caches released). Each wave is one semi-join
+    * + one anti-join over the CURRENT frontier, so total work is
+    * O(edges touched), not O(edges · diameter); at crawl scale the
+    * frames are |domains|-sized. Throws on non-convergence.
+    */
+  def reachableFrom(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    var reached = seeds.select(col("id")).distinct()
+      .localCheckpoint(eager = false)
+    reached.persist()
+    var frontier = reached
+    var fCount = frontier.count()
+    var waves = 0
+    while (fCount > 0 && waves < MaxRounds * 10) {
+      val next = edges
+        .join(frontier.select(col("id").as("u")), Seq("u"), "left_semi")
+        .select(col("v").as("id")).distinct()
+        .join(reached, Seq("id"), "left_anti")
+        .localCheckpoint(eager = false)
+      next.persist()
+      fCount = next.count()
+      val grown = reached.union(next).localCheckpoint(eager = false)
+      grown.persist(); grown.count()
+      reached.unpersist()
+      if (frontier ne reached) frontier.unpersist()
+      reached = grown
+      frontier = next
+      waves += 1
+    }
+    if (fCount > 0) {
+      reached.unpersist(); frontier.unpersist()
+      throw new IllegalStateException(
+        "reachableFrom: frontier still growing at the wave cap")
+    }
+    frontier.unpersist()
+    val out = reached.localCheckpoint()
+    reached.unpersist()
+    out
+  }
+
+  /** Per-node bowtie class over a directed edge frame: `scc` (member
+    * of the giant SCC — largest, ties by smallest label), `in` (reaches
+    * the giant), `out` (reachable from it), `other` (tendrils, tubes,
+    * disconnected). Returns (id, label, bowtie_class) where `label` is
+    * the node's SCC label. The 1-row giant frame rides broadcast cross
+    * joins, never a collect; the two reachability passes are the
+    * frontier BFS above over |nodes|-sized frames.
+    */
+  def bowtieClasses(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("u"), col("v")).localCheckpoint()
+    val scc = stronglyConnectedComponents(edges)
+    val giant = scc.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("label").asc).limit(1)
+      .select(col("label").as("giant_label"))
+    val members = scc.crossJoin(broadcast(giant))
+      .where(col("label") === col("giant_label"))
+      .select(col("id"))
+    val outReach = reachableFrom(edges, members)
+      .select(col("id"), lit(true).as("fwd"))
+    val inReach = reachableFrom(
+        edges.select(col("v").as("u"), col("u").as("v")), members)
+      .select(col("id"), lit(true).as("bwd"))
+    scc.crossJoin(broadcast(giant))
+      .join(outReach, Seq("id"), "left_outer")
+      .join(inReach, Seq("id"), "left_outer")
+      .select(col("id"), col("label"),
+        when(col("label") === col("giant_label"), "scc")
+          .when(col("bwd").isNotNull, "in")
+          .when(col("fwd").isNotNull, "out")
+          .otherwise("other").as("bowtie_class"))
+  }
+
   def triangleStats(pairs: DataFrame): DataFrame = {
     val e = pairs
       .where(col("u") =!= col("v"))

@@ -934,6 +934,63 @@ object HtmlExtract {
        |JOIN walk b ON b.u = f.x AND b.x = n.id
        |GROUP BY n.id""".stripMargin
 
+  /** Bowtie classification of the domain graph (Broder et al. 2000,
+    * "Graph structure in the Web"): every domain is `scc` (member of
+    * the giant strongly connected component — largest SCC, ties by
+    * smallest label), `in` (reaches the giant but is not in it — the
+    * pages that FEED the core and deserve discovery crawl budget),
+    * `out` (reachable from the giant — where core freshness
+    * propagates for free), or `other` (tendrils, tubes, disconnected —
+    * the long tail a crawl scheduler deprioritizes). Composes the SCC
+    * labels with two frontier-BFS reachability passes from the giant's
+    * member set (forward for OUT, reversed edges for IN); every frame
+    * is |domains|-sized. The 1-row giant-label frame rides a broadcast
+    * cross join (the scalar-frame house pattern), never a collect.
+    */
+  def domainBowtie(spark: SparkSession, dir: String): DataFrame =
+    Graph.bowtieClasses(
+      domainLinks(spark, dir)
+        .select(col("src_domain").as("u"), col("dst_domain").as("v")))
+      .select(col("id").as("domain"), col("label").as("scc_label"),
+        col("bowtie_class"))
+
+  val domainBowtieSql: String =
+    s"""WITH RECURSIVE dl AS (
+       |${domainLinksSql}
+       |), e AS (
+       |  SELECT src_domain AS u, dst_domain AS v FROM dl
+       |), nodes AS (
+       |  SELECT DISTINCT u AS id FROM
+       |    (SELECT u FROM e UNION ALL SELECT v AS u FROM e)
+       |), walk(u, x) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.x
+       |), scc AS (
+       |  SELECT n.id AS domain, min(f.x) AS lbl
+       |  FROM nodes n
+       |  JOIN walk f ON f.u = n.id
+       |  JOIN walk b ON b.u = f.x AND b.x = n.id
+       |  GROUP BY n.id
+       |), giant AS (
+       |  SELECT lbl FROM (SELECT lbl, count(*) AS n FROM scc GROUP BY 1)
+       |  ORDER BY n DESC, lbl ASC LIMIT 1
+       |), members AS (
+       |  SELECT domain FROM scc WHERE lbl = (SELECT lbl FROM giant)
+       |), fwd AS (
+       |  SELECT DISTINCT w.x AS domain FROM walk w
+       |  WHERE w.u IN (SELECT domain FROM members)
+       |), bwd AS (
+       |  SELECT DISTINCT w.u AS domain FROM walk w
+       |  WHERE w.x IN (SELECT domain FROM members)
+       |)
+       |SELECT s.domain, s.lbl AS scc_label,
+       |       CASE WHEN s.lbl = (SELECT lbl FROM giant) THEN 'scc'
+       |            WHEN s.domain IN (SELECT domain FROM bwd) THEN 'in'
+       |            WHEN s.domain IN (SELECT domain FROM fwd) THEN 'out'
+       |            ELSE 'other' END AS bowtie_class
+       |FROM scc s""".stripMargin
+
   // ------------------------------------------- crawl_pipeline_report
 
   /** Crawl-pipeline yield report — the crawl-side twin of
@@ -1085,6 +1142,7 @@ object HtmlExtract {
     Op("graph_domain_components", domainComponents _,
       Some(domainComponentsSql)),
     Op("graph_domain_scc", domainScc _, Some(domainSccSql)),
+    Op("graph_domain_bowtie", domainBowtie _, Some(domainBowtieSql)),
     Op("graph_domain_hits", domainHits _, Some(domainHitsSql)),
     Op("graph_domain_reciprocity", domainReciprocity _,
       Some(domainReciprocitySql)),

