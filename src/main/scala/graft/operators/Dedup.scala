@@ -176,10 +176,18 @@ object Dedup {
       probe: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
     probe match {
       case None =>
-        docs.select(col("doc_id"),
+        // guard on the CHEAP input condition, not isNotNull(shingles):
+        // a null-filter on the computed column gets pushed below the
+        // projection and evaluates the kernel twice per row in the
+        // cache-build pass (seen in the executed plan). split-on-space
+        // over the trimmed text counts words exactly as the kernel's
+        // String.split(' ') does (trim kills the trailing-empty
+        // divergence; interior empties count in both) — pinned by the
+        // parity spec's consecutive-spaces and empty-text rows.
+        docs.where(size(split(trim(col("text")), " ")) >= 3)
+          .select(col("doc_id"),
             org.apache.spark.sql.graft.ShingleHash
               .wordShingleHashes(trim(col("text"))).as("shingles"))
-          .where(col("shingles").isNotNull)
       case Some(acc) =>
         val spark = docs.sparkSession
         import spark.implicits._
@@ -201,10 +209,10 @@ object Dedup {
     * them and LSH cannot separate signal from background.
     */
   private[graft] def charShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    docs.where(length(trim(col("text"))) >= 12)
+      .select(col("doc_id"),
         org.apache.spark.sql.graft.ShingleHash
           .charShingleHashes(trim(col("text"))).as("shingles"))
-      .where(col("shingles").isNotNull)
 
   /** (doc_id, band, bucket) rows from an imperative per-partition
     * signature pass. Three formulations were measured at sf0.1 on the
@@ -268,7 +276,7 @@ object Dedup {
     */
   private val LshPairCap = 64
 
-  private def lshCandidates(shingled: DataFrame): DataFrame = {
+  private[graft] def lshCandidates(shingled: DataFrame): DataFrame = {
     val buckets = signatureBuckets(shingled)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
@@ -373,6 +381,28 @@ object Dedup {
     * scaling argument at the top of this file), while the index side
     * stays stored longs.
     */
+  /** Store-time twin of `LshBucketCap` for the PERSISTED band-bucket
+    * index: a stored bucket keeps only its cap smallest doc_ids, so
+    * the index row count per bucket — and therefore the batch×index
+    * candidate join's per-bucket fan-out — is bounded IN THE ARTIFACT,
+    * not just in the query (a web-boilerplate mega-family in history
+    * would otherwise make every colliding batch document generate
+    * |family| candidates). Admission only needs EXISTENCE of one
+    * verified match, and a true near-dup of the family matches the
+    * bucket's anchors (they are family members), so the cap preserves
+    * the admit/reject decision on exactly the shapes it fires for —
+    * the `lshCandidates` adjudication, applied to the store. The rank
+    * runs as a map-side partial top-k (WindowGroupLimit), and at
+    * fixture scale no bucket reaches the cap, so stored snapshots stay
+    * byte-compatible.
+    */
+  private def capIndexBuckets(buckets: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
+    buckets.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= LshBucketCap).drop("_rk")
+  }
+
   def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val hist = d.where(col("doc_id") % 2 === 0)
@@ -381,7 +411,8 @@ object Dedup {
       .contentAddressed(spark, s"$dir/documents.parquet", "graft_lshstore")
     if (!store.hasTableSnapshot("lsh_index", ts))
       store.writeTableSnapshot(
-        signatureBuckets(wordShingles(hist)), "lsh_index", ts)
+        capIndexBuckets(signatureBuckets(wordShingles(hist))),
+        "lsh_index", ts)
     admitAgainst(batch, hist,
       store.readTableSnapshot(spark, "lsh_index", ts))
   }
@@ -404,7 +435,11 @@ object Dedup {
     val admitted = admitAgainst(batch, hist, index)
     val admittedBuckets = signatureBuckets(
       wordShingles(batch.join(admitted, Seq("doc_id"), "left_semi")))
-    store.writeTableSnapshot(index.unionByName(admittedBuckets),
+    // re-cap the union: admitted docs can push a stored bucket over
+    // the bound across steps, and the artifact contract is "≤ cap
+    // entries per bucket" at every version
+    store.writeTableSnapshot(
+      capIndexBuckets(index.unionByName(admittedBuckets)),
       "lsh_index", nextTs)
     admitted
   }

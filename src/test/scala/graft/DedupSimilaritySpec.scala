@@ -77,6 +77,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(g.length == 1, s"one 3-word shingle expected: ${g.toSeq}")
   }
 
+  test("lsh candidate plan: anchor rank runs as a map-side partial top-k, kernel evaluated once") {
+    val sh = graft.operators.Dedup.charShingles(
+      Tables(spark, sfDir, "documents")).persist()
+    try {
+      val cand = graft.operators.Dedup.lshCandidates(sh)
+      cand.collect()
+      val plan = cand.queryExecution.executedPlan.toString()
+      // Spark's rank-limit pushdown must split the anchor window into
+      // Partial (map-side, pre-shuffle) + Final WindowGroupLimit: a
+      // mega-bucket then ships at most cap rows per mapper instead of
+      // the whole bucket — the 100 TB shape the anchor cap exists for.
+      assert("WindowGroupLimit".r.findAllMatchIn(plan).size >= 2,
+        s"anchor rank must run as partial+final WindowGroupLimit:\n${plan.take(2000)}")
+      // and the shingle kernel must appear exactly once per cache-build
+      // projection — a pushed-down isNotNull(shingles) filter would
+      // evaluate it twice per row (the plan regression this pin guards)
+      val build = sh.queryExecution.executedPlan.toString()
+      assert("charshinglehashes".r.findAllMatchIn(build).size <= 1,
+        s"shingle kernel evaluated more than once in the build plan:\n$build")
+    } finally sh.unpersist()
+  }
+
+  test("incremental index: a 70-wide history family stores capped buckets, still rejects its dups") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val fam = "november oscar papa quebec romeo sierra tango uniform " +
+      "victor whiskey xray yankee zulu alpha bravo charlie delta echo"
+    // history = even ids: a 70-wide identical family (> LshBucketCap)
+    // batch = odd ids: one family near-dup (must reject), one novel
+    val docs = (0L until 140L by 2L).map(i => (i, fam, "en", "s", 10L)) ++
+      Seq((1L, fam, "en", "s", 10L), // batch dup of the history family
+        (3L, "completely novel words that share no window with anything " +
+          "else in this corpus at all today", "en", "s", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val admitted = graft.operators.Dedup.minhashIncremental(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(3L),
+      s"family dup must reject against the capped index: $admitted")
+    // the stored artifact itself is bounded: ≤ cap rows per bucket
+    val (store, ts) = graft.sources.SnapshotStore
+      .contentAddressed(spark, s"$dir/documents.parquet", "graft_lshstore")
+    val maxBucket = store.readTableSnapshot(spark, "lsh_index", ts)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(maxBucket <= 64L,
+      s"stored index bucket must be capped at 64, saw $maxBucket")
+  }
+
   test("minhash LSH: a 70-wide duplicate family is anchor-capped, min anchors every member") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("lshcap").toString
