@@ -346,11 +346,37 @@ object Dedup {
     * released before returning — a leaked corpus-sized shingle cache
     * would otherwise pin executor storage across every later query.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = wordShingles(Tables(spark, dir, "documents")).persist()
-    try lshPairRule(verifyJaccard(lshCandidates(sh), sh, 0.8)).localCheckpoint()
-    finally sh.unpersist()
+  /** SERVED near-dup pair tables — the `domainLinks` derive-once
+    * discipline applied to the LSH pair frames: the registered riders
+    * (clusters, dedup weights, group-aware split, triangles, threshold
+    * sweep, source overlap) each re-ran the full shingle → LSH →
+    * verify chain because exchange reuse cannot cross queries, which
+    * at sf0.1 cost ~1 s of pure recompute PER RIDER and at 100 TB
+    * would re-shingle the corpus once per consumer. The pair frame is
+    * now derived once per corpus version (content-addressed on the
+    * documents source; the namespace folds the family parameters —
+    * bands, caps, τ — so a semantic change can never serve a stale
+    * artifact) and every consumer reads the stored table. This is the
+    * dedup pipeline's production shape anyway: the dedup pass emits
+    * pairs once, downstream jobs read them.
+    */
+  private def servedPairs(spark: SparkSession, dir: String, table: String,
+      namespace: String)(compute: => DataFrame): DataFrame = {
+    val (store, ts) = graft.sources.SnapshotStore
+      .contentAddressed(spark, s"$dir/documents.parquet", namespace)
+    if (!store.hasTableSnapshot(table, ts))
+      store.writeTableSnapshot(compute, table, ts)
+    store.readTableSnapshot(spark, table, ts)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    servedPairs(spark, dir, "minhash_pairs", "graft_mhpairs_b16c64p64t080") {
+      val sh = wordShingles(Tables(spark, dir, "documents")).persist()
+      try lshPairRule(verifyJaccard(lshCandidates(sh), sh, 0.8))
+        .localCheckpoint()
+      finally sh.unpersist()
+    }
 
   /** Incremental MinHash near-dedup — the corpus-growth twin of
     * `minhashLsh`, the way near-dedup actually runs at 100 TB: the
@@ -585,11 +611,13 @@ object Dedup {
   /** Character-12-gram Jaccard near-dedup on the same LSH machinery
     * (and the same persist → materialize → release hygiene).
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = charShingles(Tables(spark, dir, "documents")).persist()
-    try lshPairRule(verifyJaccard(lshCandidates(sh), sh, 0.8)).localCheckpoint()
-    finally sh.unpersist()
-  }
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    servedPairs(spark, dir, "ngram_pairs", "graft_ngpairs_b16c64p64t080") {
+      val sh = charShingles(Tables(spark, dir, "documents")).persist()
+      try lshPairRule(verifyJaccard(lshCandidates(sh), sh, 0.8))
+        .localCheckpoint()
+      finally sh.unpersist()
+    }
 
   val ngramJaccardSql: String = jaccardOracleSql(
     "list_distinct([substr(trim(text), i, 12) for i in range(1, length(trim(text)) - 10)])",
@@ -608,32 +636,31 @@ object Dedup {
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val sh = charShingles(docs).persist()
-    try {
-      val pairs = lshPairRule(verifyJaccard(lshCandidates(sh), sh, 0.8))
-        .select(col("doc_a"), col("doc_b"))
-      val src = docs.select(col("doc_id"), col("source"))
-      val cells = pairs
-        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
-          "doc_a")
-        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
-          "doc_b")
-        .select(least(col("sa"), col("sb")).as("source_a"),
-          greatest(col("sa"), col("sb")).as("source_b"))
-      val counts = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      cells.groupBy(col("source_a"), col("source_b"))
-        .agg(count(lit(1)).as("n_dup_pairs"))
-        .join(broadcast(counts.select(col("source").as("source_a"),
-          col("n_docs").as("n_docs_a"))), Seq("source_a"))
-        .join(broadcast(counts.select(col("source").as("source_b"),
-          col("n_docs").as("n_docs_b"))), Seq("source_b"))
-        .select(col("source_a"), col("source_b"), col("n_dup_pairs"),
-          col("n_docs_a"), col("n_docs_b"),
-          round(col("n_dup_pairs").cast("double") /
-            least(col("n_docs_a"), col("n_docs_b")).cast("double"), 6)
-            .as("overlap_rate"))
-        .localCheckpoint()
-    } finally sh.unpersist()
+    // rides the SERVED char-gram pair table — the same frame
+    // `dedup_ngram_jaccard` derives; the rollup never re-shingles
+    val pairs = ngramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val src = docs.select(col("doc_id"), col("source"))
+    val cells = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    val counts = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    cells.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .join(broadcast(counts.select(col("source").as("source_a"),
+        col("n_docs").as("n_docs_a"))), Seq("source_a"))
+      .join(broadcast(counts.select(col("source").as("source_b"),
+        col("n_docs").as("n_docs_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_dup_pairs"),
+        col("n_docs_a"), col("n_docs_b"),
+        round(col("n_dup_pairs").cast("double") /
+          least(col("n_docs_a"), col("n_docs_b")).cast("double"), 6)
+          .as("overlap_rate"))
+      .localCheckpoint()
   }
 
   val sourceOverlapSql: String =
