@@ -429,12 +429,21 @@ object Dedup {
       .where(col("_rk") <= LshBucketCap).drop("_rk")
   }
 
+  /** Namespace for the persisted band-bucket index. Folds
+    * `LshBucketCap` because the cap is part of the ARTIFACT contract
+    * ("≤ cap entries per bucket at every version") — the house rule
+    * that a semantic-parameter change must never serve a stale
+    * snapshot, same as the pair-table namespaces
+    * (`graft_mhpairs_b16c64p64t080`).
+    */
+  private[graft] val LshStoreNamespace = s"graft_lshstore_c$LshBucketCap"
+
   def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val hist = d.where(col("doc_id") % 2 === 0)
     val batch = d.where(col("doc_id") % 2 === 1)
     val (store, ts) = graft.sources.SnapshotStore
-      .contentAddressed(spark, s"$dir/documents.parquet", "graft_lshstore")
+      .contentAddressed(spark, s"$dir/documents.parquet", LshStoreNamespace)
     if (!store.hasTableSnapshot("lsh_index", ts))
       store.writeTableSnapshot(
         capIndexBuckets(signatureBuckets(wordShingles(hist))),
@@ -664,7 +673,7 @@ object Dedup {
   }
 
   val sourceOverlapSql: String =
-    """WITH sh AS (
+    s"""WITH sh AS (
       |  SELECT doc_id,
       |         list_distinct([substr(trim(text), i, 12)
       |                        for i in range(1, length(trim(text)) - 10)])
@@ -684,7 +693,7 @@ object Dedup {
       |  WHERE CAST(p.inter AS DOUBLE) /
       |        (len(sa.shingles) + len(sb.shingles) - p.inter) >= 0.8
       |  QUALIFY row_number() OVER (PARTITION BY p.doc_b ORDER BY p.doc_a)
-      |          <= 64
+      |          <= $LshPairCap
       |), cells AS (
       |  SELECT least(da.source, db.source) AS source_a,
       |         greatest(da.source, db.source) AS source_b

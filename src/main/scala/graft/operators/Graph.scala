@@ -313,16 +313,22 @@ object Graph {
     *     repeats on the remainder.
     *
     * Output: (`id`, `label`) for every endpoint. Throws rather than
-    * returning non-converged labels (the components discipline). Every
-    * step is a groupBy + equi-join over the REMAINING edge frame; each
-    * inner iteration and each outer round ends in a lazy
-    * localCheckpoint + persist with superseded caches released (the
-    * loop hygiene documented at [[connectedComponents]] — same
-    * plan-growth and stats-propagation failure modes). At 100 TB the
-    * giant SCC empties the graph in the first color round and trims
-    * absorb the tendrils, so rounds stay far from the worst case; a
-    * decreasing-id chain IS that worst case, and the trim phase
-    * handles exactly it in O(1) cheap peels per node.
+    * returning non-converged labels (the components discipline) — and
+    * the throw paths release every pinned frame (all persists go
+    * through a pin set drained in the finally). Every step is a
+    * groupBy + equi-join over the REMAINING edge frame; each inner
+    * iteration and each outer round ends in a lazy localCheckpoint +
+    * persist with superseded caches released (the loop hygiene
+    * documented at [[connectedComponents]] — same plan-growth and
+    * stats-propagation failure modes). At 100 TB the giant SCC empties
+    * the graph in the first color round and trims absorb the tendrils,
+    * so rounds stay far from the worst case. The inner fixpoint bounds
+    * scale with the graph (trim ≤ edge count + 2 peels, color/mark ≤
+    * node count + 2 waves — the true convergence bounds), so the
+    * guards are pure runaway backstops, never reachable on a finite
+    * graph; wall-clock on a pathological diameter-D graph is O(D)
+    * joins (trim peels a pure chain 2 nodes per wave), which is the
+    * algorithm's published behavior, not a budget.
     */
   def stronglyConnectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
@@ -337,8 +343,18 @@ object Graph {
           allNodes.schema.fields.map(_.copy(name = "label"))))
     var edges = input.where(col("u") =!= col("v")).distinct()
       .localCheckpoint(eager = false)
-    edges.persist()
+    // every persist goes through the pin set so ANY exit — success or
+    // a refusing-to-label throw — releases every cached frame
+    val pinned = scala.collection.mutable.LinkedHashSet[DataFrame]()
+    def pin(df: DataFrame): Unit = { df.persist(); pinned += df }
+    def unpin(df: DataFrame): Unit = { df.unpersist(); pinned -= df }
+    pin(edges)
     var edgeCount = edges.count()
+    val nodeCount = allNodes.count()
+    // true convergence bounds (+2 slack), NOT budgets: trim removes at
+    // least one edge per effective wave; color/mark advance at least
+    // one node per wave along the longest remaining path
+    val waveCap = math.max(MaxRounds.toLong * 10L, nodeCount + 2L)
     var outer = 0
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -348,8 +364,9 @@ object Graph {
       while (edgeCount > 0 && outer < MaxRounds) {
         // ---- trim: peel no-in / no-out nodes until none move
         var trimmed = true
-        var trims = 0
-        while (trimmed && trims < MaxRounds * 10) {
+        var trims = 0L
+        val trimCap = math.max(waveCap, edgeCount + 2L)
+        while (trimmed && trims < trimCap) {
           val next = edges
             .join(edges.select(col("v").as("u")).distinct(), Seq("u"),
               "left_semi") // u has an in-edge
@@ -357,10 +374,10 @@ object Graph {
               "left_semi") // v has an out-edge
             .select(col("u"), col("v"))
             .localCheckpoint(eager = false)
-          next.persist()
+          pin(next)
           val nextCount = next.count()
           trimmed = nextCount != edgeCount
-          edges.unpersist()
+          unpin(edges)
           edges = next
           edgeCount = nextCount
           trims += 1
@@ -371,7 +388,7 @@ object Graph {
           val live = edges.select(col("u").as("id"))
             .union(edges.select(col("v").as("id"))).distinct()
             .localCheckpoint(eager = false)
-          live.persist(); live.count()
+          pin(live); live.count()
           // ---- color: forward max propagation to fixpoint.
           // `colorsPinned` tracks the PERSISTED dataset: unpersist must
           // be called on the exact cached plan — unpersisting a
@@ -379,11 +396,11 @@ object Graph {
           // cache-hygiene regression the GraphSpec sweep pins).
           var colorsPinned = live.select(col("id"), col("id").as("color"))
             .localCheckpoint(eager = false)
-          colorsPinned.persist()
+          pin(colorsPinned)
           var colors = colorsPinned
           var changed = 1L
-          var iters = 0
-          while (changed > 0 && iters < MaxRounds * 10) {
+          var iters = 0L
+          while (changed > 0 && iters < waveCap) {
             val push = edges
               .join(colors.select(col("id").as("u"), col("color")), Seq("u"))
               .groupBy(col("v").as("id")).agg(max(col("color")).as("inc"))
@@ -393,9 +410,9 @@ object Graph {
                   .as("color"),
                 (col("inc") > col("color")).as("chg"))
               .localCheckpoint(eager = false)
-            next.persist()
+            pin(next)
             changed = next.where(col("chg")).count()
-            colorsPinned.unpersist()
+            unpin(colorsPinned)
             colorsPinned = next
             colors = next.select(col("id"), col("color"))
             iters += 1
@@ -405,10 +422,10 @@ object Graph {
           // ---- mark: backward reachability to the root within a class
           var marked = colors.where(col("id") === col("color"))
             .localCheckpoint(eager = false)
-          marked.persist()
+          pin(marked)
           var mCount = marked.count()
           var grew = true
-          var mIters = 0
+          var mIters = 0L
           val colored = edges
             .join(colors.select(col("id").as("u"), col("color")), Seq("u"))
             .join(colors.select(col("id").as("v"),
@@ -416,18 +433,18 @@ object Graph {
             .where(col("color") === col("cv"))
             .select(col("u"), col("v"), col("color"))
             .localCheckpoint(eager = false)
-          colored.persist(); colored.count()
-          while (grew && mIters < MaxRounds * 10) {
+          pin(colored); colored.count()
+          while (grew && mIters < waveCap) {
             val next = marked.union(
                 colored.join(marked.select(col("id").as("v"), col("color")),
                   Seq("v", "color"))
                   .select(col("u").as("id"), col("color")))
               .distinct()
               .localCheckpoint(eager = false)
-            next.persist()
+            pin(next)
             val nCount = next.count()
             grew = nCount != mCount
-            marked.unpersist()
+            unpin(marked)
             marked = next
             mCount = nCount
             mIters += 1
@@ -442,30 +459,28 @@ object Graph {
           labels = labels.union(emitted).localCheckpoint()
           val survivors = live.join(marked.select(col("id")), Seq("id"),
             "left_anti").localCheckpoint(eager = false)
-          survivors.persist(); survivors.count()
+          pin(survivors); survivors.count()
           val nextEdges = edges
             .join(survivors.select(col("id").as("u")), Seq("u"), "left_semi")
             .join(survivors.select(col("id").as("v")), Seq("v"), "left_semi")
             .select(col("u"), col("v"))
             .localCheckpoint(eager = false)
-          nextEdges.persist()
+          pin(nextEdges)
           edgeCount = nextEdges.count()
-          edges.unpersist(); colorsPinned.unpersist(); marked.unpersist()
-          colored.unpersist(); live.unpersist(); survivors.unpersist()
+          unpin(edges); unpin(colorsPinned); unpin(marked)
+          unpin(colored); unpin(live); unpin(survivors)
           edges = nextEdges
         }
         outer += 1
       }
+      if (edgeCount > 0) throw new IllegalStateException(
+        s"scc: residual edges after $MaxRounds rounds — refusing to label")
     } finally {
+      pinned.foreach(_.unpersist())
+      pinned.clear()
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
     }
-    if (edgeCount > 0) {
-      edges.unpersist()
-      throw new IllegalStateException(
-        s"scc: residual edges after $MaxRounds rounds — refusing to label")
-    }
-    edges.unpersist()
     // everything never emitted through a marked class is a singleton
     val out = allNodes
       .join(labels, Seq("id"), "left_outer")
@@ -488,8 +503,13 @@ object Graph {
     reached.persist()
     var frontier = reached
     var fCount = frontier.count()
-    var waves = 0
-    while (fCount > 0 && waves < MaxRounds * 10) {
+    // the anti-join makes every continuing wave add >= 1 node, so
+    // waves <= nodes reached: the cap scales with observed growth and
+    // is a pure runaway backstop, unreachable on a finite graph of any
+    // diameter
+    var added = 0L
+    var waves = 0L
+    while (fCount > 0 && waves < MaxRounds.toLong * 10L + added) {
       val next = edges
         .join(frontier.select(col("id").as("u")), Seq("u"), "left_semi")
         .select(col("v").as("id")).distinct()
@@ -503,6 +523,7 @@ object Graph {
       if (frontier ne reached) frontier.unpersist()
       reached = grown
       frontier = next
+      added += fCount
       waves += 1
     }
     if (fCount > 0) {

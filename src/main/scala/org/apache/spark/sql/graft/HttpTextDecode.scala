@@ -102,10 +102,22 @@ object HttpTextDecode {
     out
   }
 
-  private def findCharsetEq(s: Array[Byte]): Int = {
+  private def indexOfAscii(s: Array[Byte], pat: String, from: Int): Int = {
+    val p = pat.getBytes(StandardCharsets.US_ASCII)
+    var i = math.max(from, 0)
+    while (i <= s.length - p.length) {
+      var j = 0
+      while (j < p.length && s(i + j) == p(j)) j += 1
+      if (j == p.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def findCharsetEq(s: Array[Byte], from: Int, to: Int): Int = {
     val pat = "charset".getBytes(StandardCharsets.US_ASCII)
-    val n = s.length
-    var i = 0
+    val n = math.min(to, s.length)
+    var i = math.max(from, 0)
     while (i <= n - pat.length) {
       var j = 0
       while (j < pat.length && s(i + j) == pat(j)) j += 1
@@ -123,6 +135,31 @@ object HttpTextDecode {
     }
     -1
   }
+
+  /** WHATWG prescan discipline: a body `charset=` only counts INSIDE a
+    * `<meta ...>` tag (scanned up to the tag's closing `>` or the
+    * prescan limit) — body prose like "use charset=iso-8859-1" in an
+    * undeclared page must not hijack the decode.
+    */
+  private def findMetaCharsetEq(head: Array[Byte]): Int = {
+    var at = indexOfAscii(head, "<meta", 0)
+    while (at >= 0) {
+      var end = at
+      while (end < head.length && head(end) != '>') end += 1
+      val eq = findCharsetEq(head, at, end)
+      if (eq >= 0) return eq
+      at = indexOfAscii(head, "<meta", at + 5)
+    }
+    -1
+  }
+
+  /** The meta prescan is an HTML algorithm — it fires only when the
+    * content type says (or does not deny) HTML/XML. An absent content
+    * type is treated as HTML-ish, matching fetcher practice.
+    */
+  private def htmlish(ct: Array[Byte]): Boolean =
+    ct.length == 0 || indexOfAscii(ct, "html", 0) >= 0 ||
+      indexOfAscii(ct, "xml", 0) >= 0
 
   private def known(name: String): Charset =
     try { if (name.isEmpty) null else Charset.forName(name) }
@@ -147,6 +184,81 @@ object HttpTextDecode {
   private def row(text: String, charset: String): InternalRow =
     InternalRow(UTF8String.fromString(text), UTF8String.fromString(charset))
 
+  // ------------------------------------------- tier-4 CJK content sniff
+
+  private val Sjis = known("shift_jis")
+  private val EucKr = known("euc-kr")
+  private val Gbk = known("gbk")
+
+  /** Native-script evidence floor: a CJK claim needs at least this many
+    * characters of the family's DISTINCTIVE script. A Latin page whose
+    * sparse accents happen to form valid double-byte pairs stays under
+    * it; a real CJK page of any useful length clears it.
+    */
+  private val MinNativeChars = 8
+
+  private def strictOrNull(cs: Charset, bytes: Array[Byte]): String =
+    try {
+      cs.newDecoder().onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+
+  private def countCp(s: String)(pred: Int => Boolean): Int = {
+    var i = 0; var c = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (pred(cp)) c += 1
+      i += Character.charCount(cp)
+    }
+    c
+  }
+
+  private def isHangul(cp: Int): Boolean =
+    (cp >= 0xAC00 && cp <= 0xD7A3) || (cp >= 0x1100 && cp <= 0x11FF) ||
+      (cp >= 0x3130 && cp <= 0x318F)
+  private def isKana(cp: Int): Boolean =
+    (cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0xFF61 && cp <= 0xFF9F)
+  private def isHan(cp: Int): Boolean = cp >= 0x4E00 && cp <= 0x9FFF
+
+  /** Undeclared-non-UTF-8 sniff for the three big CJK families, checked
+    * most-distinctive-script first. Each claim needs (a) a STRICT full
+    * decode under the family charset and (b) `MinNativeChars` of the
+    * family's distinctive script in the result — for EUC-KR additionally
+    * hangul-dominance over hanja, because GB2312 hanzi bytes are often
+    * EUC-KR-valid and decode to a hangul/hanja MIX (lead rows 0xB0-0xC8
+    * map to hangul), while real Korean text is nearly hangul-pure.
+    * Shift_JIS is claimed on kana (GB/EUC-KR bytes land in the SJIS
+    * kanji region, never kana); GBK last, on han, since han evidence is
+    * shared by all three families. Known residual: kanji-only Japanese
+    * classifies as GBK — structurally indistinguishable without a
+    * frequency model, and both decodes are han text. Latin pages keep
+    * the windows-1252 fallback: isolated accents followed by
+    * space/punct are invalid trail bytes in all three families, so the
+    * strict decodes fail (and sparse valid pairs stay under the floor).
+    */
+  private def cjkSniff(bytes: Array[Byte]): InternalRow = {
+    if (EucKr != null) {
+      val kr = strictOrNull(EucKr, bytes)
+      if (kr != null) {
+        val hangul = countCp(kr)(isHangul)
+        if (hangul >= MinNativeChars && hangul >= countCp(kr)(isHan))
+          return row(kr, "euc-kr")
+      }
+    }
+    if (Sjis != null) {
+      val jp = strictOrNull(Sjis, bytes)
+      if (jp != null && countCp(jp)(isKana) >= MinNativeChars)
+        return row(jp, "shift_jis")
+    }
+    if (Gbk != null) {
+      val zh = strictOrNull(Gbk, bytes)
+      if (zh != null && countCp(zh)(isHan) >= MinNativeChars)
+        return row(zh, "gbk")
+    }
+    null
+  }
+
   def decode(bytes: Array[Byte], contentType: UTF8String): InternalRow = {
     val n = bytes.length
     // tier 1: BOM
@@ -159,25 +271,33 @@ object HttpTextDecode {
       return row(lenient(StandardCharsets.UTF_16BE, bytes, 2), "utf-16be")
     // tier 2: Content-Type header parameter
     val ct = lowerPrefix(contentType.getBytes, Int.MaxValue)
-    val ctEq = findCharsetEq(ct)
+    val ctEq = findCharsetEq(ct, 0, ct.length)
     if (ctEq >= 0) {
       val name = charsetToken(ct, ct.length, ctEq)
       val cs = known(name)
       if (cs != null) return row(lenient(cs, bytes, 0), name)
     }
-    // tier 3: <meta charset> sniff over the first 1024 bytes
-    val head = lowerPrefix(bytes, 1024)
-    val mEq = findCharsetEq(head)
-    if (mEq >= 0) {
-      val name = charsetToken(head, head.length, mEq)
-      val cs = known(name)
-      if (cs != null) return row(lenient(cs, bytes, 0), name)
+    // tier 3: <meta ...charset=> prescan over the first 1024 bytes,
+    // HTML-ish payloads only (WHATWG: the prescan is an HTML algorithm)
+    if (htmlish(ct)) {
+      val head = lowerPrefix(bytes, 1024)
+      val mEq = findMetaCharsetEq(head)
+      if (mEq >= 0) {
+        val name = charsetToken(head, head.length, mEq)
+        val cs = known(name)
+        if (cs != null) return row(lenient(cs, bytes, 0), name)
+      }
     }
-    // tier 4: content sniff — strict UTF-8, else the total 1252 fallback
+    // tier 4: content sniff — strict UTF-8; then the CJK structural
+    // sniff (undeclared Shift_JIS/GBK/EUC-KR pages are a real slice of
+    // any crawl and would be 1252 mojibake); else the total 1252
+    // fallback (every byte maps, so the decode never fails)
     try row(strictUtf8(bytes, 0), "utf-8")
     catch {
       case _: java.nio.charset.CharacterCodingException =>
-        row(lenient(Win1252, bytes, 0), "windows-1252")
+        val cjk = cjkSniff(bytes)
+        if (cjk != null) cjk
+        else row(lenient(Win1252, bytes, 0), "windows-1252")
     }
   }
 

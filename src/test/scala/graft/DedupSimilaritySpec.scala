@@ -72,9 +72,24 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     // golden pins: an accidental kernel edit must fail loudly, because
     // every persisted LSH index (dedup_minhash_incremental's stored
-    // band index) depends on these exact values
+    // band index) depends on these exact values — the parity checks
+    // above share the kernel between both paths, so only hard-coded
+    // expected longs catch a hash-semantics change
     val g = ShingleKernels.wordShingleLongs("one two three")
-    assert(g.length == 1, s"one 3-word shingle expected: ${g.toSeq}")
+    assert(g.toSeq == Seq(4196973446085488401L),
+      s"word-shingle hash changed — stored LSH indexes invalidated: ${g.toSeq}")
+    val gc = ShingleKernels.charShingleLongs("exactly12chr")
+    assert(gc.toSeq == Seq(-3573121753763671554L),
+      s"char-shingle hash changed — stored LSH indexes invalidated: ${gc.toSeq}")
+    val gb = ShingleKernels.minhashBands(org.apache.spark.sql.catalyst
+        .expressions.UnsafeArrayData.fromPrimitiveArray(g)).toLongArray()
+    assert(gb.toSeq == Seq(1406936749204407642L, -7127062754299754555L,
+      -4803457480556874401L, -1418160014159242351L, -4517664352946559906L,
+      4349476498345088250L, 6951567543925388691L, 8024275117423385540L,
+      -4438251925464676027L, -6803111565165819423L, -2590913859693985993L,
+      -6994619278688243166L, 4980542611220541161L, 9113067943950330405L,
+      -7657113737997858691L, 4628547488473318189L),
+      s"minhash band seeds/mix changed — stored LSH indexes invalidated: ${gb.toSeq}")
   }
 
   test("lsh candidate plan: anchor rank runs as a map-side partial top-k, kernel evaluated once") {
@@ -117,8 +132,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(admitted == Set(3L),
       s"family dup must reject against the capped index: $admitted")
     // the stored artifact itself is bounded: ≤ cap rows per bucket
+    // the namespace folds the bucket cap: a cap change renames the
+    // store, so a pre-change (differently-capped) snapshot can never
+    // be served silently
+    assert(graft.operators.Dedup.LshStoreNamespace == "graft_lshstore_c64",
+      "lsh store namespace must fold LshBucketCap")
     val (store, ts) = graft.sources.SnapshotStore
-      .contentAddressed(spark, s"$dir/documents.parquet", "graft_lshstore")
+      .contentAddressed(spark, s"$dir/documents.parquet",
+        graft.operators.Dedup.LshStoreNamespace)
     val maxBucket = store.readTableSnapshot(spark, "lsh_index", ts)
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).head().getLong(0)

@@ -203,6 +203,79 @@ class HtmlWarcSpec extends SparkSpec {
       "text/html; charset=bogus-enc-99") == (("plain ascii", "utf-8")))
   }
 
+  test("HttpTextDecode tier 3: prescan is <meta>-scoped and HTML-gated") {
+    import spark.implicits._
+    def d(body: Array[Byte], ct: String): (String, String) = {
+      val r = Seq((body, ct)).toDF("body", "ct")
+        .select(org.apache.spark.sql.graft.HttpTextDecode(
+          col("body"), col("ct")).as("d"))
+        .select(col("d.text"), col("d.charset")).head()
+      (r.getString(0), r.getString(1))
+    }
+    // body PROSE mentioning charset= must not hijack an undeclared
+    // UTF-8 page (WHATWG: the prescan only reads <meta> tags)
+    val prose = ("declare an encoding with charset=iso-8859-1 inside a " +
+      "meta tag — café").getBytes("UTF-8")
+    assert(d(prose, "text/html") ==
+      ((new String(prose, "UTF-8"), "utf-8")),
+      "prose charset= outside <meta> must not fire")
+    // the identical declaration inside a real <meta> tag DOES fire
+    val realMeta = ("<meta charset=iso-8859-1><p>caf").getBytes("US-ASCII") ++
+      Array(0xE9.toByte)
+    assert(d(realMeta, "text/html")._2 == "iso-8859-1")
+    // a non-HTML content type skips the prescan: the fake meta inside a
+    // JSON string is ignored and the content sniff (1252 fallback for
+    // the stray 0x93) decides instead
+    val json = "{\"note\":\"<meta charset=iso-8859-1>\",\"v\":\""
+      .getBytes("US-ASCII") ++ Array(0x93.toByte) ++
+      "\"}".getBytes("US-ASCII")
+    assert(d(json, "application/json")._2 == "windows-1252",
+      "non-HTML content type must skip the meta prescan")
+    // ...but the same bytes under text/html honor the meta declaration
+    assert(d(json, "text/html")._2 == "iso-8859-1")
+  }
+
+  test("HttpTextDecode tier 4: undeclared CJK pages sniff structurally, Latin keeps 1252") {
+    import spark.implicits._
+    def d(body: Array[Byte], ct: String): (String, String) = {
+      val r = Seq((body, ct)).toDF("body", "ct")
+        .select(org.apache.spark.sql.graft.HttpTextDecode(
+          col("body"), col("ct")).as("d"))
+        .select(col("d.text"), col("d.charset")).head()
+      (r.getString(0), r.getString(1))
+    }
+    // undeclared Shift_JIS: kana-rich page, no BOM/header/meta
+    val jp = "日本語のテキストです。ひらがなとカタカナがたくさんあります。"
+    assert(d(("<p>" + jp + "</p>").getBytes("Shift_JIS"), "text/html") ==
+      (("<p>" + jp + "</p>", "shift_jis")))
+    // undeclared EUC-KR: hangul page
+    val kr = "한국어 텍스트입니다. 이 문서는 인코딩 선언이 없습니다."
+    assert(d(("<p>" + kr + "</p>").getBytes("EUC-KR"), "text/html") ==
+      (("<p>" + kr + "</p>", "euc-kr")))
+    // undeclared GBK: hanzi page (GB2312-range bytes are often
+    // EUC-KR-valid too — the hangul-dominance rule must reject that)
+    val zh = "这是一段没有声明编码的中文网页文本内容，用来测试编码探测。"
+    assert(d(("<p>" + zh + "</p>").getBytes("GBK"), "text/html") ==
+      (("<p>" + zh + "</p>", "gbk")))
+    // a Latin 1252 page with sparse accents stays on the WHATWG
+    // fallback: isolated high bytes before space/punct are invalid
+    // trails in all three CJK families
+    val latin = "résumé café déjà vu, naïve"
+      .getBytes("windows-1252")
+    assert(d(latin, "text/html")._2 == "windows-1252")
+    // totality fuzz: any byte soup decodes deterministically to SOME
+    // (text, charset) — the decode must never throw
+    val rnd = new scala.util.Random(20260816L)
+    val soups = (0 until 64).map { k =>
+      val b = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(b); (b, k)
+    }
+    val out = soups.toDF("body", "k")
+      .select(org.apache.spark.sql.graft.HttpTextDecode(
+        col("body"), lit("text/html")).as("d"))
+      .select(col("d.charset")).collect()
+    assert(out.length == 64 && out.forall(!_.isNullAt(0)))
+  }
+
   test("docs_from_warc decodes a windows-1252 crawl page end-to-end") {
     // a real WARC segment whose page is 1252-encoded and header-declared
     def rec(id: Long, ctype: String, body: Array[Byte]): Array[Byte] = {
