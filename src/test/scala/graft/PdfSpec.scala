@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pdf
+
+/** PDF text extraction: renderer↔extractor round-trips across every
+  * seam combination, hand-built golden bytes for the paths the fixture
+  * renderer never emits (StandardEncoding high range, /Prev chains,
+  * array-of-streams contents), and the quarantine discipline
+  * (truncation, encryption, unsupported filters, xref streams — all
+  * refuse with a reason, never partial text).
+  */
+class PdfSpec extends SparkSpec {
+
+  private val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  // ------------------------------------------------------- round-trips
+
+  test("render → extract round-trips text across all four seam combos") {
+    val texts = Seq(
+      "plain words only here",
+      // escapes: parens and backslashes must survive literal strings
+      "a(b) c\\d (nested (parens)) end",
+      // enough words for multiple lines AND multiple pages: 8/line,
+      // 20 lines/page → 400 words spill to page 3
+      (1 to 350).map(i => s"word$i").mkString(" "),
+      // single word, empty-ish, and whitespace runs
+      "one", "  padded   runs	collapse  ")
+    for {
+      text <- texts
+      flate <- Seq(true, false)
+      indirect <- Seq(true, false)
+    } {
+      val pdf = Pdf.render(text, flate, indirect)
+      val r = Pdf.extract(pdf)
+      assert(r.status == "ok", s"($flate,$indirect) on '$text': ${r.status}")
+      val expected = Pdf.layoutLines(text).mkString("\n")
+      assert(r.text == expected,
+        s"($flate,$indirect) round-trip diverged on '${text.take(40)}'")
+      val expPages = math.max(1,
+        math.ceil(Pdf.layoutLines(text).length / 20.0).toInt)
+      assert(r.nPages == expPages)
+    }
+  }
+
+  test("empty and all-space text round-trips as one empty page") {
+    Seq("", "   ").foreach { t =>
+      val r = Pdf.extract(Pdf.render(t, flate = false, indirectLength = false))
+      assert(r.status == "ok" && r.nPages == 1 && r.text == "")
+    }
+  }
+
+  // ------------------------------------------------- hand-built bytes
+
+  /** Minimal classic-xref PDF around one content stream. */
+  private def onePagePdf(content: Array[Byte],
+      extraTrailer: String = "",
+      streamDictExtra: String = ""): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ascii))
+    val offs = scala.collection.mutable.LinkedHashMap[Int, Int]()
+    w("%PDF-1.4\n")
+    offs(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offs(2) = out.size(); w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    offs(3) = out.size(); w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    offs(4) = out.size()
+    w(s"4 0 obj\n<< /Length ${content.length}$streamDictExtra >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 5\n0000000000 65535 f \n")
+    (1 to 4).foreach(n => w("%010d 00000 n \n".format(offs(n))))
+    w(s"trailer\n<< /Size 5 /Root 1 0 R$extraTrailer >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("StandardEncoding high range maps per Annex D; ASCII is identity") {
+    // bytes: A, 0241 exclamdown, 0341 AE, 0361 ae, 0373 germandbls, B
+    val content = ("BT (A" + "\\241\\341\\361\\373" + "B) Tj ET").getBytes(ascii)
+    val r = Pdf.extract(onePagePdf(content))
+    assert(r.status == "ok")
+    assert(r.text == "A¡Ææß" + "B", s"got '${r.text}'")
+  }
+
+  test("hex strings, octal escapes, and line continuations decode") {
+    val content = ("BT <414243> Tj (\\101\\102) Tj (a\\\nb) Tj ET")
+      .getBytes(ascii)
+    val r = Pdf.extract(onePagePdf(content))
+    assert(r.status == "ok" && r.text == "ABCABab", s"got '${r.text}'")
+  }
+
+  test("contents as an ARRAY of streams concatenates in order") {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ascii))
+    val offs = scala.collection.mutable.LinkedHashMap[Int, Int]()
+    val c1 = "BT (first) Tj".getBytes(ascii)
+    val c2 = "T* (second) Tj ET".getBytes(ascii)
+    w("%PDF-1.4\n")
+    offs(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offs(2) = out.size(); w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    offs(3) = out.size(); w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>\nendobj\n")
+    offs(4) = out.size(); w(s"4 0 obj\n<< /Length ${c1.length} >>\nstream\n")
+    out.write(c1); w("\nendstream\nendobj\n")
+    offs(5) = out.size(); w(s"5 0 obj\n<< /Length ${c2.length} >>\nstream\n")
+    out.write(c2); w("\nendstream\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(n => w("%010d 00000 n \n".format(offs(n))))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val r = Pdf.extract(out.toByteArray)
+    assert(r.status == "ok" && r.text == "first\nsecond", s"got '${r.text}'")
+  }
+
+  test("incremental update: /Prev chain resolves, newest revision wins") {
+    // revision 1: a complete one-page pdf showing (old)
+    val c1 = "BT (old) Tj ET".getBytes(ascii)
+    val rev1 = onePagePdf(c1)
+    val xref1 = {
+      // recover rev1's startxref (last startxref line)
+      val s = new String(rev1, ascii)
+      s.substring(s.lastIndexOf("startxref") + 10).trim
+        .takeWhile(_.isDigit).toInt
+    }
+    // revision 2: append a REPLACEMENT content object 4 and an xref
+    // section that points at it, with /Prev to revision 1's table
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(rev1)
+    def w(s: String): Unit = out.write(s.getBytes(ascii))
+    val c2 = "BT (new) Tj ET".getBytes(ascii)
+    val off4 = out.size()
+    w(s"4 0 obj\n<< /Length ${c2.length} >>\nstream\n")
+    out.write(c2); w("\nendstream\nendobj\n")
+    val xref2 = out.size()
+    w("xref\n4 1\n")
+    w("%010d 00001 n \n".format(off4))
+    w(s"trailer\n<< /Size 5 /Root 1 0 R /Prev $xref1 >>\nstartxref\n$xref2\n%%EOF\n")
+    val r = Pdf.extract(out.toByteArray)
+    assert(r.status == "ok" && r.text == "new", s"got '${r.text}'")
+  }
+
+  // ------------------------------------------------------- quarantine
+
+  test("truncation refuses — never partial text") {
+    val full = Pdf.render((1 to 100).map(i => s"w$i").mkString(" "),
+      flate = true, indirectLength = true)
+    assert(Pdf.extract(full).status == "ok")
+    // cut anywhere: header-only, mid-stream, mid-xref, no trailer
+    Seq(4, full.length / 4, full.length / 2, full.length - 30).foreach { n =>
+      val cut = java.util.Arrays.copyOfRange(full, 0, n)
+      val r = Pdf.extract(cut)
+      assert(r.status.startsWith("quarantine:"), s"cut at $n: ${r.status}")
+      assert(r.text.isEmpty, s"cut at $n leaked partial text")
+    }
+  }
+
+  test("encrypted documents quarantine before any object parse") {
+    val pdf = onePagePdf("BT (secret) Tj ET".getBytes(ascii),
+      extraTrailer = " /Encrypt 9 0 R")
+    val r = Pdf.extract(pdf)
+    assert(r.status == "quarantine:encrypted" && r.text.isEmpty)
+  }
+
+  test("unsupported filters and predictors quarantine with a reason") {
+    val lzw = Pdf.extract(onePagePdf("xxxx".getBytes(ascii),
+      streamDictExtra = " /Filter /LZWDecode"))
+    assert(lzw.status == "quarantine:unsupported-filter:LZWDecode")
+    val pred = Pdf.extract(onePagePdf("xxxx".getBytes(ascii),
+      streamDictExtra = " /Filter /FlateDecode /DecodeParms << /Predictor 12 >>"))
+    assert(pred.status == "quarantine:unsupported-predictor")
+  }
+
+  test("xref STREAMS (PDF 1.5 compressed xref) are detected, not misparsed") {
+    // startxref points at an object header instead of an xref table
+    val body = "%PDF-1.5\n5 0 obj\n<< /Type /XRef >>\nstream\n" +
+      "..\nendstream\nendobj\n"
+    val pdf = (body + s"startxref\n9\n%%EOF\n").getBytes(ascii)
+    assert(Pdf.extract(pdf).status == "quarantine:xref-stream")
+  }
+
+  test("non-PDF bytes quarantine as not-pdf; garbage never throws") {
+    assert(Pdf.extract("not a pdf at all".getBytes(ascii))
+      .status == "quarantine:not-pdf")
+    assert(Pdf.extract(Array[Byte]()).status == "quarantine:not-pdf")
+    val rnd = new scala.util.Random(42)
+    (0 until 50).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(b)
+      // force the magic sometimes so the walk goes deeper
+      if (b.length > 8 && rnd.nextBoolean())
+        "%PDF-1.4".getBytes(ascii).copyToArray(b)
+      val r = Pdf.extract(b) // must not throw
+      assert(r.status == "ok" || r.status.startsWith("quarantine:"))
+    }
+  }
+
+  // ---------------------------------------------------------- operator
+
+  test("multimodal_pdf_text matches the layout oracle shape at sf0.001") {
+    import spark.implicits._
+    val got = Pdf.pdfText(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getString(1) == "ok"))
+    // spot-check one row against a driver-side recompute
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val row = got.head
+    val lines = Pdf.layoutLines(docs(row.getLong(0)))
+    assert(row.getInt(2) == math.ceil(lines.length / 20.0).toInt)
+    assert(row.getLong(3) == lines.mkString("\n").length.toLong)
+  }
+}
