@@ -58,6 +58,26 @@ object Bench {
       try java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
+    // Load gate (VERDICT r16 #8): the r16 durable record was taken at
+    // load 5.97 and manufactured nine phantom "regressions" the judge
+    // had to re-measure away — alphabetically-first queries absorbed a
+    // draining co-tenant burst. Wait for the 1-minute load average to
+    // fall below the ceiling before measuring, up to a bounded wait
+    // (the driver must never hang on a busy box); both the outcome and
+    // the wait are recorded in the artifact so a hot record is
+    // self-describing.
+    val loadCeiling = sys.env.getOrElse(
+      "SPARK_GRAFT_LOAD_CEILING", "3.0").toDouble
+    val loadMaxWaitSec = sys.env.getOrElse(
+      "SPARK_GRAFT_LOAD_WAIT", "600").toInt
+    var gateWaited = 0
+    while (loadAvg() > loadCeiling && gateWaited < loadMaxWaitSec) {
+      Thread.sleep(15000L)
+      gateWaited += 15
+    }
+    val loadGate =
+      if (loadAvg() <= loadCeiling) "ok"
+      else "timeout" // proceed anyway, but the record says so
     val loadBefore = loadAvg()
     // SPARK_GRAFT_ONLY=<comma-separated name prefixes> narrows the suite
     // for targeted local probes (e.g. the graph-family sf1 scale runs);
@@ -100,7 +120,8 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val loadAfter = loadAvg()
     val loadJson =
-      s""","load_avg_before":${r3(loadBefore)},"load_avg_after":${r3(loadAfter)}"""
+      s""","load_avg_before":${r3(loadBefore)},"load_avg_after":${r3(loadAfter)}""" +
+        s""","load_gate":"$loadGate","load_gate_waited_sec":$gateWaited"""
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spreads$errJson$loadJson,"sf":"$sfDir"}"""
     // Provenance guard (VERDICT r6 #7): the driver's stdout capture keeps

@@ -2266,15 +2266,25 @@ object Analytics {
     }
   }
 
+  /** Fixed-width lowercase hex compares ORDER-PRESERVINGLY as a plain
+    * string, so the 16-bit draw never needs a hex→long conversion:
+    * both engines CASE the raw 4-char md5 substring against these
+    * zero-padded literal thresholds (32 `conv`/`CAST` calls per row
+    * gone from the hot scan; same determinism argument — the compared
+    * bytes are identical either way).
+    */
+  private val BootHexThresholds: IndexedSeq[String] =
+    BootThresholds.map("%04x".format(_))
+
   private def bootCountCol(d: Column): Column = {
-    var c = when(d < BootThresholds(0), 0L)
-    for (k <- 1 to 6) c = c.when(d < BootThresholds(k), k.toLong)
+    var c = when(d < BootHexThresholds(0), 0L)
+    for (k <- 1 to 6) c = c.when(d < BootHexThresholds(k), k.toLong)
     c.otherwise(7L)
   }
 
   private def bootCountSql(d: String): String = {
     val whens = (0 to 6).map(k =>
-      s"WHEN $d < ${BootThresholds(k)} THEN $k").mkString(" ")
+      s"WHEN $d < '${BootHexThresholds(k)}' THEN $k").mkString(" ")
     s"(CASE $whens ELSE 7 END)"
   }
 
@@ -2308,8 +2318,7 @@ object Analytics {
     val headAgg = count(lit(1)).as("n")
     val tailAggs: Seq[Column] = sum(col("v_micro")).as("sv") +:
       (0 until BootB).flatMap { b =>
-        val d = conv(substring(col(s"h${b / 8}"), 1 + 4 * (b % 8), 4),
-          16, 10).cast("long")
+        val d = substring(col(s"h${b / 8}"), 1 + 4 * (b % 8), 4)
         val c = bootCountCol(d)
         Seq(sum(c * col("v_micro")).as(s"s$b"), sum(c).as(s"c$b"))
       }
@@ -2336,7 +2345,7 @@ object Analytics {
     val hashes = (0 until BootB / 8).map(g =>
       s"md5('boot:$g:' || CAST(event_id AS VARCHAR)) AS h$g").mkString(",\n         ")
     val draws = (0 until BootB).map { b =>
-      val d = s"CAST(('0x' || substr(h${b / 8}, ${1 + 4 * (b % 8)}, 4)) AS BIGINT)"
+      val d = s"substr(h${b / 8}, ${1 + 4 * (b % 8)}, 4)"
       val c = bootCountSql(d)
       s"""         CAST(sum($c * v_micro) AS BIGINT) AS s$b,
          |         CAST(sum($c) AS BIGINT) AS c$b""".stripMargin

@@ -229,20 +229,22 @@ object Curation {
 
   /** Exact-m per-class downsample (the `_check` reference for
     * `balancedSample`): every language keeps exactly min-class-count
-    * documents in deterministic hash order. The rank window partitions
-    * by class, so parallelism is |classes| and the skew bound is the
-    * largest class — correct at any m, but not the shape to ship at
-    * 100 TB; the hash-threshold serving path above is.
+    * documents in deterministic hash order. The per-class rank runs
+    * through [[ShardedPrefix.cumsum]] on the md5 STRING key (the
+    * string-key generalization: shards split on sampled hash-prefix
+    * cut points, the window orders by the real key within a shard, so
+    * parallelism is |classes|·shards and the skew bound is a shard of
+    * the largest class — the last global per-class window in the
+    * registry, retired).
     */
   def balancedSampleExact(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val minCount = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
       .agg(min(col("c")).as("m"))
-    val h = md5(col("doc_id").cast("string"))
-    val rk = row_number().over(
-      Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc))
-    d.select(col("doc_id"), col("lang"), h.as("pick_key"))
-      .withColumn("rk", rk)
+    val keyed = d.select(col("doc_id"), col("lang"),
+      md5(col("doc_id").cast("string")).as("pick_key"))
+    ShardedPrefix.cumsum(spark, keyed, Seq("lang"), "pick_key", Nil,
+        rnCol = Some("rk"), tiebreaks = Seq(col("doc_id").asc))
       .join(broadcast(minCount), col("rk") <= col("m"))
       .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
   }

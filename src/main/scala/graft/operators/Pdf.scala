@@ -13,29 +13,33 @@ import graft.{Op, Tables}
   * the highest-volume real-corpus document format a training-data
   * pipeline ingests. Pure-JVM, no decode library:
   *
-  *  - classic cross-reference TABLE walk from `startxref`, following
-  *    `/Prev` chains (incremental updates; first-seen object wins, the
-  *    newest-revision rule);
+  *  - cross-reference walk from `startxref`, following `/Prev` chains
+  *    (incremental updates; first-seen object wins and frees shadow —
+  *    the newest-revision rule): classic TABLES, PDF 1.5+ xref
+  *    STREAMS (`/W` big-endian fields over `/Index` subsections, PNG
+  *    row predictors 10–15 per RFC 2083), and hybrid `/XRefStm`
+  *    files;
   *  - a full miniature object model (dicts, arrays, names, numbers,
   *    literal + hex strings with every escape form, indirect
-  *    references, streams with direct OR indirect `/Length`);
+  *    references, streams with direct OR indirect `/Length`), plus
+  *    compressed objects inside `/Type /ObjStm` containers (one
+  *    cached inflate serves every member);
   *  - `/Root` → `/Pages` tree walk (recursive `/Kids`, cycle + depth
   *    guarded) to the page leaves;
   *  - content-stream text operators inside `BT`..`ET`: `Tj`, `TJ`
   *    (string elements concatenated; kerning numbers ignored), `'`,
   *    `"`, with `Td`/`TD`/`T*` as line breaks;
   *  - stream filters: none and `/FlateDecode` (`java.util.zip.Inflater`
-  *    — the [[org.apache.spark.sql.graft.DeflateLen]] precedent).
+  *    — the [[org.apache.spark.sql.graft.DeflateLen]] precedent), with
+  *    the PNG predictor family.
   *
   * Everything outside that honest scope QUARANTINES with a reason
   * instead of emitting partial text — the
   * [[graft.sources.MdbCatalog]] / [[Multimodal]] discipline:
-  * encrypted documents (`/Encrypt`), LZW/DCT/unsupported filters,
-  * predictor `/DecodeParms`, cross-reference STREAMS (PDF 1.5+
-  * compressed xref — needs the predictor machinery; detected and
-  * labeled, never misparsed), and any structural damage including
-  * truncation (`quarantine:damaged` — a cut-off body must refuse, not
-  * return half a document silently).
+  * encrypted documents (`/Encrypt`), LZW/DCT/unsupported filters, the
+  * TIFF predictor, and any structural damage including truncation
+  * (`quarantine:damaged` — a cut-off body must refuse, not return
+  * half a document silently).
   *
   * Byte → char mapping: printable ASCII (0x20–0x7E) is identity — the
   * view every mainstream extractor takes for the base-14 fonts — and
@@ -176,6 +180,94 @@ object Pdf {
     }
     w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n" +
       s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Render `text` as a MODERN (PDF 1.5) file: content streams direct
+    * and Flate'd, the catalog / pages / page dicts compressed inside a
+    * `/Type /ObjStm` container, and the cross-reference as a
+    * `/W [1 4 2]` xref STREAM behind the PNG Up predictor — the shape
+    * every current writer emits, so the modern parse path runs under
+    * the per-scale oracle, not just the golden spec.
+    */
+  private[graft] def renderModern(text: String): Array[Byte] = {
+    val pages = layoutLines(text).grouped(LinesPerPage).toVector
+    val nPages = pages.length
+    // 1 catalog, 2 pages (both in the ObjStm); 3..2+P content streams
+    // (direct); 3+P..2+2P page dicts (in the ObjStm); S objstm; X xref
+    val objStmNum = 3 + 2 * nPages
+    val xrefNum = 4 + 2 * nPages
+    val out = new java.io.ByteArrayOutputStream(4096)
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    def w(str: String): Unit = out.write(str.getBytes(ascii))
+    w("%PDF-1.5\n%")
+    out.write(Array(0xE2, 0xE3, 0xCF, 0xD3).map(_.toByte)); w("\n")
+    val contOff = new Array[Int](nPages)
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val data = deflate(pageContent(lines))
+      contOff(i) = out.size()
+      w(s"${3 + i} 0 obj\n<< /Length ${data.length} " +
+        "/Filter /FlateDecode >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    // object stream: catalog, pages, page dicts as bare values
+    val kids = (0 until nPages).map(i => s"${3 + nPages + i} 0 R")
+      .mkString(" ")
+    val members: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$kids] /Count $nPages >>") ++
+        (0 until nPages).map(i => (3 + nPages + i) ->
+          s"<< /Type /Page /Parent 2 0 R /Contents ${3 + i} 0 R >>")
+    val body = new StringBuilder
+    val pairs = members.map { case (n, v) =>
+      val off = body.length
+      body.append(v).append(' ')
+      s"$n $off"
+    }.mkString("", " ", " ")
+    val stmPayload = (pairs + body.toString)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val stmData = deflate(stmPayload)
+    val objStmOff = out.size()
+    w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${members.length} " +
+      s"/First ${pairs.length} /Length ${stmData.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+    out.write(stmData)
+    w("\nendstream\nendobj\n")
+    // xref stream: /W [1 4 2], rows Up-predicted then Flate'd
+    val xrefOff = out.size()
+    val rows: Seq[(Int, Int, Int)] =
+      Seq((0, 0, 0)) ++                                  // 0: free
+        members.take(2).zipWithIndex.map { case (_, i) =>
+          (2, objStmNum, i) } ++                         // 1, 2
+        (0 until nPages).map(i => (1, contOff(i), 0)) ++ // content
+        (0 until nPages).map(i => (2, objStmNum, 2 + i)) ++ // page dicts
+        Seq((1, objStmOff, 0), (1, xrefOff, 0))          // S, X
+    val rowBytes = 7
+    val raw = rows.flatMap { case (t, f2, f3) =>
+      Seq(t, (f2 >>> 24) & 0xFF, (f2 >>> 16) & 0xFF, (f2 >>> 8) & 0xFF,
+        f2 & 0xFF, (f3 >>> 8) & 0xFF, f3 & 0xFF)
+    }.toArray
+    val filtered = new Array[Byte](rows.length * (rowBytes + 1))
+    var i = 0
+    while (i < rows.length) {
+      filtered(i * (rowBytes + 1)) = 2 // Up
+      var j = 0
+      while (j < rowBytes) {
+        val cur = raw(i * rowBytes + j)
+        val up = if (i > 0) raw((i - 1) * rowBytes + j) else 0
+        filtered(i * (rowBytes + 1) + 1 + j) = ((cur - up) & 0xFF).toByte
+        j += 1
+      }
+      i += 1
+    }
+    val xrefData = deflate(filtered)
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /W [1 4 2] /Size ${xrefNum + 1} " +
+      s"/Root 1 0 R /Length ${xrefData.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $rowBytes >> >>\nstream\n")
+    out.write(xrefData)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 
@@ -382,6 +474,13 @@ object Pdf {
 
   // --------------------------------------------------------- xref walk
 
+  /** Where an object lives: directly in the file, or at index `idx`
+    * inside compressed object stream `stm` (PDF 1.5 `/ObjStm`).
+    */
+  private sealed trait Loc
+  private case class Direct(off: Int) extends Loc
+  private case class InObjStm(stm: Int, idx: Int) extends Loc
+
   private def lastIndexOf(b: Array[Byte], pat: String): Int = {
     val p = pat.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     var i = b.length - p.length
@@ -394,11 +493,86 @@ object Pdf {
     -1
   }
 
-  /** Parse the classic xref table(s) from `startxref`, following
-    * `/Prev`. Returns (objnum → offset, merged trailer) with
-    * first-seen-wins on both (newest revision rules).
+  private def asInt(o: PObj): Int = o match {
+    case PNum(v) => v.toInt
+    case _ => throw Quarantine("quarantine:damaged")
+  }
+
+  /** Entries of one PDF 1.5 cross-reference STREAM located at `at`:
+    * `/W`-described big-endian fields over `/Index` subsections, after
+    * the filter + PNG-predictor decode. Merges entries first-seen-wins
+    * (frees SHADOW — a newer revision's freed object must not
+    * resurrect from an older table) and returns the stream dict (it
+    * doubles as the trailer: /Root /Prev /Encrypt /Size).
     */
-  private def readXref(b: Array[Byte]): (Map[Int, Int], Map[String, PObj]) = {
+  private def readXrefStream(b: Array[Byte], at: Int,
+      offsets: mutable.Map[Int, Loc],
+      shadowed: mutable.Set[Int]): Map[String, PObj] = {
+    val lx = new Lexer(b, at, allowRefs = true)
+    lx.value(); lx.value() // objnum, generation
+    lx.expect("obj")
+    val dict = lx.value() match {
+      case d: PDict => d
+      case _ => throw Quarantine("quarantine:damaged")
+    }
+    lx.ws()
+    if (lx.keyword() != "stream") throw Quarantine("quarantine:damaged")
+    if (lx.peek == '\r') lx.pos += 1
+    if (lx.peek == '\n') lx.pos += 1
+    // /Length must be direct here: the entries needed to resolve an
+    // indirect one live in this very stream
+    val len = asInt(dict.m.getOrElse("Length",
+      throw Quarantine("quarantine:damaged")))
+    if (len < 0 || lx.pos + len > b.length)
+      throw Quarantine("quarantine:damaged")
+    val data = applyFilters(dict,
+      java.util.Arrays.copyOfRange(b, lx.pos, lx.pos + len), identity)
+    val w = dict.m.get("W") match {
+      case Some(PArr(a)) if a.length >= 3 => a.take(3).map(asInt)
+      case _ => throw Quarantine("quarantine:damaged")
+    }
+    if (w.exists(x => x < 0 || x > 8)) throw Quarantine("quarantine:damaged")
+    val size = asInt(dict.m.getOrElse("Size",
+      throw Quarantine("quarantine:damaged")))
+    val index: Seq[(Int, Int)] = dict.m.get("Index") match {
+      case Some(PArr(a)) if a.length % 2 == 0 =>
+        a.map(asInt).grouped(2).map(p => (p(0), p(1))).toSeq
+      case None => Seq((0, size))
+      case _ => throw Quarantine("quarantine:damaged")
+    }
+    val rowBytes = w.sum
+    var p = 0
+    def be(width: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < width) { v = (v << 8) | (data(p) & 0xFF); p += 1; i += 1 }
+      v
+    }
+    index.foreach { case (start, count) =>
+      if (count < 0 || count > 1000000) throw Quarantine("quarantine:damaged")
+      (0 until count).foreach { k =>
+        if (p + rowBytes > data.length) throw Quarantine("quarantine:damaged")
+        val t = if (w(0) == 0) 1L else be(w(0))
+        val f2 = be(w(1))
+        val f3 = if (w(2) == 0) 0L else be(w(2))
+        val objnum = start + k
+        if (!offsets.contains(objnum) && !shadowed(objnum)) t match {
+          case 0 => shadowed += objnum
+          case 1 => offsets(objnum) = Direct(f2.toInt)
+          case 2 => offsets(objnum) = InObjStm(f2.toInt, f3.toInt)
+          case _ => // unknown type: spec says treat as null-reference
+        }
+      }
+    }
+    dict.m
+  }
+
+  /** Parse the cross-reference chain from `startxref`, following
+    * `/Prev` (and hybrid `/XRefStm` pointers): classic tables AND
+    * PDF 1.5 xref streams. Returns (objnum → location, merged trailer)
+    * with first-seen-wins on both (newest revision rules; frees
+    * shadow).
+    */
+  private def readXref(b: Array[Byte]): (Map[Int, Loc], Map[String, PObj]) = {
     val sx = lastIndexOf(b, "startxref")
     if (sx < 0) throw Quarantine("quarantine:damaged")
     val lx0 = new Lexer(b, sx + "startxref".length, allowRefs = false)
@@ -407,7 +581,8 @@ object Pdf {
       case PNum(v) => v.toInt
       case _ => throw Quarantine("quarantine:damaged")
     }
-    val offsets = mutable.Map[Int, Int]()
+    val offsets = mutable.Map[Int, Loc]()
+    val shadowed = mutable.Set[Int]()
     val trailer = mutable.Map[String, PObj]()
     val seen = mutable.Set[Int]()
     var at = first
@@ -419,51 +594,51 @@ object Pdf {
       lx.ws()
       val save = lx.pos
       val kw = lx.keyword()
-      if (kw != "xref") {
-        // an integer here means "N G obj" — a PDF 1.5 xref STREAM
-        lx.pos = save
-        if (!lx.eof && lx.peek >= '0' && lx.peek <= '9')
-          throw Quarantine("quarantine:xref-stream")
-        throw Quarantine("quarantine:damaged")
-      }
-      var inSections = true
-      while (inSections) {
-        lx.ws()
-        val p0 = lx.pos
-        val tok = lx.keyword()
-        if (tok == "trailer") inSections = false
-        else {
-          lx.pos = p0
-          val start = lx.value() match {
-            case PNum(v) => v.toInt
-            case _ => throw Quarantine("quarantine:damaged")
-          }
-          val count = lx.value() match {
-            case PNum(v) => v.toInt
-            case _ => throw Quarantine("quarantine:damaged")
-          }
-          if (count < 0 || count > 1000000)
-            throw Quarantine("quarantine:damaged")
-          (0 until count).foreach { k =>
-            val off = lx.value() match {
-              case PNum(v) => v.toInt
-              case _ => throw Quarantine("quarantine:damaged")
-            }
-            lx.value() // generation — unused
+      val tdict: Map[String, PObj] =
+        if (kw == "xref") {
+          var inSections = true
+          while (inSections) {
             lx.ws()
-            val t = lx.keyword()
-            if (t != "n" && t != "f") throw Quarantine("quarantine:damaged")
-            val objnum = start + k
-            if (t == "n" && !offsets.contains(objnum)) offsets(objnum) = off
+            val p0 = lx.pos
+            val tok = lx.keyword()
+            if (tok == "trailer") inSections = false
+            else {
+              lx.pos = p0
+              val start = asInt(lx.value())
+              val count = asInt(lx.value())
+              if (count < 0 || count > 1000000)
+                throw Quarantine("quarantine:damaged")
+              (0 until count).foreach { k =>
+                val off = asInt(lx.value())
+                lx.value() // generation — unused
+                lx.ws()
+                val t = lx.keyword()
+                if (t != "n" && t != "f")
+                  throw Quarantine("quarantine:damaged")
+                val objnum = start + k
+                if (!offsets.contains(objnum) && !shadowed(objnum)) {
+                  if (t == "n") offsets(objnum) = Direct(off)
+                  else shadowed += objnum
+                }
+              }
+            }
           }
+          val td = lx.value() match {
+            case PDict(m) => m
+            case _ => throw Quarantine("quarantine:damaged")
+          }
+          // hybrid-reference file: the classic table is supplemented by
+          // an xref STREAM holding the compressed-object entries
+          td.get("XRefStm").foreach { v =>
+            readXrefStream(b, asInt(v), offsets, shadowed)
+          }
+          td
+        } else {
+          lx.pos = save
+          if (lx.eof || lx.peek < '0' || lx.peek > '9')
+            throw Quarantine("quarantine:damaged")
+          readXrefStream(b, at, offsets, shadowed)
         }
-      }
-      val tdict = lx.value() match {
-        case PDict(m) => m
-        case _ => throw Quarantine("quarantine:damaged")
-      }
-      if (tdict.contains("XRefStm"))
-        throw Quarantine("quarantine:xref-stream")
       tdict.foreach { case (k, v) =>
         if (!trailer.contains(k)) trailer(k) = v
       }
@@ -477,10 +652,11 @@ object Pdf {
 
   // ----------------------------------------------------- object reader
 
-  private final class Reader(b: Array[Byte], offsets: Map[Int, Int],
+  private final class Reader(b: Array[Byte], offsets: Map[Int, Loc],
       val trailer: Map[String, PObj]) {
     private val memo = mutable.Map[Int, PObj]()
     private val resolving = mutable.Set[Int]()
+    private val objStmCache = mutable.Map[Int, Array[Byte]]()
 
     def deref(o: PObj): PObj = o match {
       case PRef(n, _) => obj(n)
@@ -491,33 +667,69 @@ object Pdf {
       if (resolving(n)) throw Quarantine("quarantine:damaged")
       resolving += n
       try {
-        val off = offsets.getOrElse(n, throw Quarantine("quarantine:damaged"))
-        if (off < 0 || off >= b.length) throw Quarantine("quarantine:damaged")
-        val lx = new Lexer(b, off, allowRefs = true)
-        lx.value() match {
-          case PNum(objn) if objn.toInt == n =>
-            lx.value() // generation
-            lx.expect("obj")
-            val v = lx.value()
-            lx.ws()
-            val save = lx.pos
-            val kw = lx.keyword()
-            if (kw == "stream") {
-              // exactly one EOL after the keyword, then Length raw bytes
-              if (lx.peek == '\r') lx.pos += 1
-              if (lx.peek == '\n') lx.pos += 1
-              v match {
-                case d: PDict => PStream(d, lx.pos)
-                case _ => throw Quarantine("quarantine:damaged")
-              }
-            } else { lx.pos = save; v }
-          case _ => throw Quarantine("quarantine:damaged")
+        offsets.getOrElse(n, throw Quarantine("quarantine:damaged")) match {
+          case Direct(off) => directObj(n, off)
+          case InObjStm(stm, idx) => objStmObj(n, stm, idx)
         }
       } finally resolving -= n
     })
 
+    private def directObj(n: Int, off: Int): PObj = {
+      if (off < 0 || off >= b.length) throw Quarantine("quarantine:damaged")
+      val lx = new Lexer(b, off, allowRefs = true)
+      lx.value() match {
+        case PNum(objn) if objn.toInt == n =>
+          lx.value() // generation
+          lx.expect("obj")
+          val v = lx.value()
+          lx.ws()
+          val save = lx.pos
+          val kw = lx.keyword()
+          if (kw == "stream") {
+            // exactly one EOL after the keyword, then Length raw bytes
+            if (lx.peek == '\r') lx.pos += 1
+            if (lx.peek == '\n') lx.pos += 1
+            v match {
+              case d: PDict => PStream(d, lx.pos)
+              case _ => throw Quarantine("quarantine:damaged")
+            }
+          } else { lx.pos = save; v }
+        case _ => throw Quarantine("quarantine:damaged")
+      }
+    }
+
+    /** An object compressed inside a `/Type /ObjStm` container: the
+      * decoded stream opens with N (objnum, offset) pairs, then the
+      * bare object values start at `/First`. The container decode is
+      * cached — one inflate serves every member.
+      */
+    private def objStmObj(n: Int, stm: Int, idx: Int): PObj = {
+      val container = obj(stm) match {
+        case s: PStream => s
+        case _ => throw Quarantine("quarantine:damaged")
+      }
+      val data = objStmCache.getOrElseUpdate(stm, streamData(container))
+      val count = asInt(deref(container.dict.m.getOrElse("N",
+        throw Quarantine("quarantine:damaged"))))
+      val first = asInt(deref(container.dict.m.getOrElse("First",
+        throw Quarantine("quarantine:damaged"))))
+      if (count < 0 || count > 1000000) throw Quarantine("quarantine:damaged")
+      val hlx = new Lexer(data, 0, allowRefs = false)
+      val pairs = (0 until count).map(_ => (asInt(hlx.value()),
+        asInt(hlx.value())))
+      // the xref entry names our index; validate and fall back to a
+      // pair search (writers occasionally renumber)
+      val off = pairs.lift(idx).filter(_._1 == n).orElse(
+        pairs.find(_._1 == n)).map(_._2)
+        .getOrElse(throw Quarantine("quarantine:damaged"))
+      if (first + off < 0 || first + off >= data.length)
+        throw Quarantine("quarantine:damaged")
+      new Lexer(data, first + off, allowRefs = true).value()
+    }
+
     /** Decoded stream payload: /Length resolved (possibly indirect),
-      * bounds-checked (truncation refuses), filters applied.
+      * bounds-checked (truncation refuses), filters + predictors
+      * applied.
       */
     def streamData(s: PStream): Array[Byte] = {
       val len = deref(s.dict.m.getOrElse("Length",
@@ -527,26 +739,110 @@ object Pdf {
       }
       if (len < 0 || s.at + len > b.length)
         throw Quarantine("quarantine:damaged")
-      val raw = java.util.Arrays.copyOfRange(b, s.at, s.at + len)
-      if (s.dict.m.contains("DecodeParms") || s.dict.m.contains("DP"))
-        throw Quarantine("quarantine:unsupported-predictor")
-      val filters = s.dict.m.get("Filter") match {
-        case None | Some(PNull) => Nil
-        case Some(PName(f)) => List(f)
-        case Some(PArr(fs)) => fs.toList.map {
-          case PName(f) => f
-          case _ => throw Quarantine("quarantine:damaged")
-        }
+      applyFilters(s.dict,
+        java.util.Arrays.copyOfRange(b, s.at, s.at + len), deref)
+    }
+  }
+
+  /** Filter chain over raw stream bytes: none / FlateDecode, with PNG
+    * predictors 10–15 (RFC 2083 row filters — xref streams are almost
+    * always `/Predictor 12 /Columns w`). TIFF predictor 2 and every
+    * other filter quarantine with a reason.
+    */
+  private def applyFilters(dict: PDict, raw: Array[Byte],
+      deref: PObj => PObj): Array[Byte] = {
+    val filters: List[String] = deref(dict.m.getOrElse("Filter", PNull)) match {
+      case PNull => Nil
+      case PName(f) => List(f)
+      case PArr(fs) => fs.toList.map(x => deref(x) match {
+        case PName(f) => f
         case _ => throw Quarantine("quarantine:damaged")
-      }
-      filters.foldLeft(raw) { (data, f) =>
-        f match {
-          case "FlateDecode" => inflate(data)
-          case other => throw Quarantine(
-            s"quarantine:unsupported-filter:$other")
-        }
+      })
+      case _ => throw Quarantine("quarantine:damaged")
+    }
+    val parmsRaw = deref(dict.m.getOrElse("DecodeParms",
+      dict.m.getOrElse("DP", PNull)))
+    val parms: List[Option[PDict]] = parmsRaw match {
+      case PNull => List.fill(filters.length)(None)
+      case d: PDict => Some(d) :: List.fill(math.max(filters.length - 1, 0))(None)
+      case PArr(a) => a.toList.map(x => deref(x) match {
+        case d: PDict => Some(d)
+        case PNull => None
+        case _ => throw Quarantine("quarantine:damaged")
+      })
+      case _ => throw Quarantine("quarantine:damaged")
+    }
+    if (filters.isEmpty && parmsRaw != PNull)
+      throw Quarantine("quarantine:damaged")
+    filters.zipAll(parms, "", None).foldLeft(raw) { case (data, (f, pm)) =>
+      f match {
+        case "FlateDecode" =>
+          // validate the predictor BEFORE paying the inflate, so an
+          // out-of-scope predictor reports itself even on damaged data
+          def intOr(k: String, d: Int): Int = pm.flatMap(_.m.get(k)) match {
+            case Some(v) => asInt(deref(v))
+            case None => d
+          }
+          val pred = intOr("Predictor", 1)
+          if (pred != 1 && (pred < 10 || pred > 15))
+            throw Quarantine("quarantine:unsupported-predictor")
+          val inflated = inflate(data)
+          if (pred == 1) inflated
+          else {
+            val colors = intOr("Colors", 1)
+            val bpc = intOr("BitsPerComponent", 8)
+            val columns = intOr("Columns", 1)
+            val bpp = math.max(1, colors * bpc / 8)
+            pngPredictor(inflated, columns * bpp, bpp)
+          }
+        case "" => data
+        case other => throw Quarantine(
+          s"quarantine:unsupported-filter:$other")
       }
     }
+  }
+
+  /** PNG row de-filtering (RFC 2083 §6): each row is a filter-type
+    * byte + `rowBytes` filtered bytes; types None/Sub/Up/Average/Paeth
+    * reconstruct against the left (`bpp` back) and up neighbors.
+    */
+  private def pngPredictor(data: Array[Byte], rowBytes: Int,
+      bpp: Int): Array[Byte] = {
+    if (rowBytes <= 0 || data.length % (rowBytes + 1) != 0)
+      throw Quarantine("quarantine:damaged")
+    val nRows = data.length / (rowBytes + 1)
+    val out = new Array[Byte](nRows * rowBytes)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (rowBytes + 1)) & 0xFF
+      val src = r * (rowBytes + 1) + 1
+      val dst = r * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = data(src + i) & 0xFF
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+        val up = if (r > 0) out(dst - rowBytes + i) & 0xFF else 0
+        val c = if (r > 0 && i >= bpp) out(dst - rowBytes + i - bpp) & 0xFF
+          else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + ((a + up) / 2)
+          case 4 =>
+            val pr = a + up - c
+            val pa = math.abs(pr - a)
+            val pb = math.abs(pr - up)
+            val pc = math.abs(pr - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case _ => throw Quarantine("quarantine:damaged")
+        }
+        out(dst + i) = (v & 0xFF).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -741,12 +1037,14 @@ object Pdf {
 
   private val NonAscii = "[^\\x20-\\x7E]".r
 
-  /** `multimodal_pdf_text`: synthesize real PDF bytes per document
-    * (flate on even ids, indirect /Length on ids ≡ 0 mod 3 — all four
-    * seam combinations run at any sf), extract the text back, emit the
-    * layout-derived fields. Non-ASCII documents quarantine BEFORE
-    * render in both engines (the fixture path covers printable ASCII;
-    * the StandardEncoding high range is golden-tested in PdfSpec).
+  /** `multimodal_pdf_text`: synthesize real PDF bytes per document —
+    * ids ≡ 0 mod 5 take the MODERN writer (xref stream + predictor +
+    * ObjStm), the rest the classic writer with flate on even ids and
+    * indirect /Length on ids ≡ 0 mod 3, so every parse seam runs at
+    * any sf — extract the text back, emit the layout-derived fields.
+    * Non-ASCII documents quarantine BEFORE render in both engines
+    * (the fixture path covers printable ASCII; the StandardEncoding
+    * high range is golden-tested in PdfSpec).
     */
   def pdfText(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -758,8 +1056,10 @@ object Pdf {
           if (text == null || NonAscii.findFirstIn(text).isDefined)
             (id, "quarantine:non-ascii", 0, 0L, null: String)
           else {
-            val pdf = render(text, flate = id % 2 == 0,
-              indirectLength = id % 3 == 0)
+            val pdf =
+              if (id % 5 == 0) renderModern(text)
+              else render(text, flate = id % 2 == 0,
+                indirectLength = id % 3 == 0)
             val r = extract(pdf)
             md.reset()
             val hex = md.digest(r.text.getBytes(

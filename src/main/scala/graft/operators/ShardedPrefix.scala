@@ -27,7 +27,14 @@ import org.apache.spark.sql.types.ArrayType
   *  4. global value = entry offset + local prefix.
   *
   * Contract: `sumCols` must be non-null (coalesce before calling);
-  * `orderCol` must be numeric (approx_percentile input). Ties in
+  * `orderCol` must be numeric OR string. A string key range-bins on an
+  * ORDER-PRESERVING numeric proxy — the first three codepoints packed
+  * into 21-bit fields (UTF-8 byte order equals codepoint order, so the
+  * proxy is monotone under Spark's binary string comparison; ≥ 4096
+  * distinct bins for hex keys) — and the percentile cuts run on the
+  * proxy. Coarseness is harmless by construction: cuts only decide
+  * WHERE shards split, the within-shard window still orders by the
+  * real string, and equal strings always share a proxy. Ties in
   * `orderCol` within a group make row_number order nondeterministic
   * exactly as the naive window would — pass `tiebreaks` to pin it.
   * The binned frame is eagerly localCheckpoint-ed by default: it feeds
@@ -50,6 +57,18 @@ object ShardedPrefix {
       materialize: Boolean = true): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
     val fracs = (1 until parts).map(i => i.toDouble / parts)
+    // string keys bin on the order-preserving codepoint-prefix proxy
+    // (see the scaladoc contract); numeric keys bin on themselves
+    val isString = df.schema(orderCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    val ordExpr: Column =
+      if (!isString) col(orderCol)
+      else (0 until 3).map(i =>
+        coalesce(ascii(substring(col(orderCol), i + 1, 1)).cast("long"),
+          lit(0L)) * lit(1L << (21 * (2 - i)))).reduce(_ + _)
+    val binDt =
+      if (isString) org.apache.spark.sql.types.LongType
+      else df.schema(orderCol).dataType
     // null cuts = EMPTY input (approx_percentile of zero rows): fall
     // through to a single shard so the op returns empty, not an NPE —
     // the first-batch-of-a-new-pipeline contract. Same degradation when
@@ -59,17 +78,15 @@ object ShardedPrefix {
     val cutVals: Seq[Any] =
       if (fracs.isEmpty) Nil
       else {
-        val cutRow = df.agg(expr(
-          s"approx_percentile($orderCol, array(${fracs.mkString(", ")}), 10000)")
-          .as("cuts")).head()
+        val cutRow = df.agg(percentile_approx(ordExpr,
+          array(fracs.map(lit): _*), lit(10000)).as("cuts")).head()
         if (cutRow.isNullAt(0)) Nil else cutRow.getSeq[Any](0)
       }
     val cutArr =
-      if (cutVals.isEmpty)
-        array().cast(ArrayType(df.schema(orderCol).dataType))
+      if (cutVals.isEmpty) array().cast(ArrayType(binDt))
       else array(cutVals.map(lit): _*)
     val binnedLazy = df.withColumn("_sp_pid",
-      size(filter(cutArr, c => c < col(orderCol))).cast("int"))
+      size(filter(cutArr, c => c < ordExpr)).cast("int"))
     val binned = if (materialize) binnedLazy.localCheckpoint() else binnedLazy
     val partCols = (groupCols :+ "_sp_pid").map(col)
     val w = Window.partitionBy(partCols: _*)

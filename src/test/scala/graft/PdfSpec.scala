@@ -41,6 +41,10 @@ class PdfSpec extends SparkSpec {
       val expPages = math.max(1,
         math.ceil(Pdf.layoutLines(text).length / 20.0).toInt)
       assert(r.nPages == expPages)
+      // the MODERN writer (xref stream + ObjStm) yields the same text
+      val rm = Pdf.extract(Pdf.renderModern(text))
+      assert(rm.status == "ok" && rm.text == expected &&
+        rm.nPages == expPages, s"modern writer diverged: ${rm.status}")
     }
   }
 
@@ -165,17 +169,90 @@ class PdfSpec extends SparkSpec {
     val lzw = Pdf.extract(onePagePdf("xxxx".getBytes(ascii),
       streamDictExtra = " /Filter /LZWDecode"))
     assert(lzw.status == "quarantine:unsupported-filter:LZWDecode")
+    // the TIFF predictor (2) stays out of scope; PNG (10-15) decodes
     val pred = Pdf.extract(onePagePdf("xxxx".getBytes(ascii),
-      streamDictExtra = " /Filter /FlateDecode /DecodeParms << /Predictor 12 >>"))
+      streamDictExtra = " /Filter /FlateDecode /DecodeParms << /Predictor 2 >>"))
     assert(pred.status == "quarantine:unsupported-predictor")
   }
 
-  test("xref STREAMS (PDF 1.5 compressed xref) are detected, not misparsed") {
-    // startxref points at an object header instead of an xref table
+  test("PDF 1.5: xref stream + Up predictor + object stream extracts") {
+    // a fully modern PDF: catalog/pages/page live COMPRESSED inside an
+    // /ObjStm; the xref is a /W [1 2 1] stream, Flate + PNG Up
+    // predictor — the default shape every current writer emits
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ascii))
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    w("%PDF-1.5\n")
+    // obj 4: the content stream, direct
+    val c = "BT (hello modern xref) Tj ET".getBytes(ascii)
+    val off4 = out.size()
+    w(s"4 0 obj\n<< /Length ${c.length} >>\nstream\n")
+    out.write(c); w("\nendstream\nendobj\n")
+    // obj 5: object stream holding objects 1 (catalog), 2 (pages),
+    // 3 (page) as bare values after the (objnum, offset) header
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val o3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val header = s"1 0 2 ${o1.length + 1} 3 ${o1.length + o2.length + 2} "
+    val stmPayload = (header + o1 + " " + o2 + " " + o3).getBytes(ascii)
+    val stmData = deflate(stmPayload)
+    val off5 = out.size()
+    w(s"5 0 obj\n<< /Type /ObjStm /N 3 /First ${header.length} " +
+      s"/Length ${stmData.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(stmData); w("\nendstream\nendobj\n")
+    // obj 6: the xref stream itself — /W [1 2 1] rows, Up-predicted
+    val off6 = out.size()
+    val rows: Array[Array[Int]] = Array(
+      Array(0, 0, 0),      // 0: free
+      Array(2, 5, 0),      // 1: in objstm 5, idx 0
+      Array(2, 5, 1),      // 2: idx 1
+      Array(2, 5, 2),      // 3: idx 2
+      Array(1, off4, 0),   // 4: direct
+      Array(1, off5, 0),   // 5: direct
+      Array(1, off6, 0))   // 6: this stream
+    val rowBytes = 4
+    val raw = rows.flatMap { r =>
+      Array(r(0), (r(1) >> 8) & 0xFF, r(1) & 0xFF, r(2)) }
+    val filtered = new Array[Byte](rows.length * (rowBytes + 1))
+    var i = 0
+    while (i < rows.length) {
+      filtered(i * 5) = 2 // Up filter
+      var j = 0
+      while (j < rowBytes) {
+        val cur = raw(i * rowBytes + j)
+        val up = if (i > 0) raw((i - 1) * rowBytes + j) else 0
+        filtered(i * 5 + 1 + j) = ((cur - up) & 0xFF).toByte
+        j += 1
+      }
+      i += 1
+    }
+    val xrefData = deflate(filtered)
+    w(s"6 0 obj\n<< /Type /XRef /W [1 2 1] /Size 7 /Root 1 0 R " +
+      s"/Length ${xrefData.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns 4 >> >>\nstream\n")
+    out.write(xrefData); w("\nendstream\nendobj\n")
+    w(s"startxref\n$off6\n%%EOF\n")
+    val r = Pdf.extract(out.toByteArray)
+    assert(r.status == "ok", s"modern pdf: ${r.status}")
+    assert(r.text == "hello modern xref" && r.nPages == 1,
+      s"got '${r.text}' (${r.nPages} pages)")
+    // truncation of the modern file refuses like the classic one
+    val cut = java.util.Arrays.copyOfRange(out.toByteArray, 0, off5 + 10)
+    assert(Pdf.extract(cut).status.startsWith("quarantine:"))
+  }
+
+  test("a garbage xref stream quarantines as damaged, never misparses") {
     val body = "%PDF-1.5\n5 0 obj\n<< /Type /XRef >>\nstream\n" +
       "..\nendstream\nendobj\n"
     val pdf = (body + s"startxref\n9\n%%EOF\n").getBytes(ascii)
-    assert(Pdf.extract(pdf).status == "quarantine:xref-stream")
+    assert(Pdf.extract(pdf).status == "quarantine:damaged")
   }
 
   test("non-PDF bytes quarantine as not-pdf; garbage never throws") {

@@ -101,6 +101,51 @@ class ShardedPrefixSpec extends SparkSpec {
     }
   }
 
+  test("string order keys: sharded rank equals the naive window, Unicode included") {
+    import spark.implicits._
+    // md5-hex-like keys plus adversarial strings for the codepoint
+    // proxy: shared 3-char prefixes (proxy ties → same shard), empty,
+    // single char, multi-byte UTF-8 (byte order == codepoint order)
+    val rnd = new scala.util.Random(20260816)
+    val rows = (0 until 600).map { i =>
+      val key = i % 10 match {
+        case 0 => ""                      // empty string
+        case 1 => "a"                     // shorter-than-proxy
+        case 2 => "abc" + rnd.nextInt(100) // shared proxy prefix
+        case 3 => "中文键" + rnd.nextInt(100) // multi-byte
+        case _ =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.digest(s"k$i".getBytes).map("%02x".format(_)).mkString
+      }
+      (s"g${i % 3}", key, i.toLong)
+    }
+    val df = rows.toDF("grp", "skey", "id").localCheckpoint()
+    val w = Window.partitionBy("grp").orderBy(col("skey").asc, col("id").asc)
+    val naive = df.withColumn("rn", row_number().over(w).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val sharded = ShardedPrefix.cumsum(spark, df, Seq("grp"), "skey", Nil,
+        rnCol = Some("rn"), tiebreaks = Seq(col("id").asc))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(sharded == naive, "string-key sharded rank diverged")
+  }
+
+  test("curate_balanced_sample_check runs sharded: no single-partition window") {
+    val df = graft.operators.Curation.balancedSampleExact(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // the rank window must partition on (lang, shard), not lang alone
+    // (the only SinglePartition exchange left is the 1-row min-count
+    // scalar reduce — metadata-sized by construction)
+    assert("windowspecdefinition\\(lang#\\d+, _sp_pid".r
+        .findFirstIn(plan).isDefined,
+      s"rank window must run inside the ShardedPrefix shards:\n${plan.take(1500)}")
+    assert("windowspecdefinition\\(lang#\\d+, pick_key".r
+        .findFirstIn(plan).isEmpty,
+      "a per-class global window survived — the sharding was bypassed")
+  }
+
   test("empty group columns give exact GLOBAL running sums") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i.toLong, (i % 7 - 3).toLong))
