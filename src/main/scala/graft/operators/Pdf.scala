@@ -29,14 +29,16 @@ import graft.{Op, Tables}
   *  - content-stream text operators inside `BT`..`ET`: `Tj`, `TJ`
   *    (string elements concatenated; kerning numbers ignored), `'`,
   *    `"`, with `Td`/`TD`/`T*` as line breaks;
-  *  - stream filters: none and `/FlateDecode` (`java.util.zip.Inflater`
-  *    — the [[org.apache.spark.sql.graft.DeflateLen]] precedent), with
-  *    the PNG predictor family.
+  *  - stream filters: none, `/FlateDecode` (`java.util.zip.Inflater`
+  *    — the [[org.apache.spark.sql.graft.DeflateLen]] precedent), and
+  *    `/LZWDecode` (PDF 32000-1 §7.4.4 TIFF-variant, MSB-first 9→12
+  *    bit codes with `EarlyChange`), each with the PNG predictor
+  *    family.
   *
   * Everything outside that honest scope QUARANTINES with a reason
   * instead of emitting partial text — the
   * [[graft.sources.MdbCatalog]] / [[Multimodal]] discipline:
-  * encrypted documents (`/Encrypt`), LZW/DCT/unsupported filters, the
+  * encrypted documents (`/Encrypt`), DCT/JBIG2/other filters, the
   * TIFF predictor, and any structural damage including truncation
   * (`quarantine:damaged` — a cut-off body must refuse, not return
   * half a document silently).
@@ -125,12 +127,12 @@ object Pdf {
   }
 
   /** Render `text` as a complete classic-xref PDF. `flate` compresses
-    * the content streams; `indirectLength` routes every stream's
-    * `/Length` through a forward indirect reference (both are real-PDF
-    * shapes the extractor must resolve).
+    * the content streams (`lzw` wins when both are set); `indirectLength`
+    * routes every stream's `/Length` through a forward indirect
+    * reference (all real-PDF shapes the extractor must resolve).
     */
   private[graft] def render(text: String, flate: Boolean,
-      indirectLength: Boolean): Array[Byte] = {
+      indirectLength: Boolean, lzw: Boolean = false): Array[Byte] = {
     val pages = layoutLines(text).grouped(LinesPerPage).toVector
     val nPages = pages.length
     // object numbers: 1 catalog, 2 pages, 3 font, then per page i:
@@ -157,12 +159,15 @@ object Pdf {
         s"/MediaBox [0 0 612 792] /Contents $contNum 0 R " +
         s"/Resources << /Font << /F1 3 0 R >> >> >>"))
       val raw = pageContent(lines)
-      val data = if (flate) deflate(raw) else raw
+      val data =
+        if (lzw) lzwEncode(raw) else if (flate) deflate(raw) else raw
       streamLens(i) = data.length
       val lenPart =
         if (indirectLength) s"/Length ${4 + 2 * nPages + i} 0 R"
         else s"/Length ${data.length}"
-      val filterPart = if (flate) " /Filter /FlateDecode" else ""
+      val filterPart =
+        if (lzw) " /Filter /LZWDecode"
+        else if (flate) " /Filter /FlateDecode" else ""
       offsets(contNum) = out.size()
       w(s"$contNum 0 obj\n<< $lenPart$filterPart >>\nstream\n")
       out.write(data)
@@ -775,31 +780,161 @@ object Pdf {
     if (filters.isEmpty && parmsRaw != PNull)
       throw Quarantine("quarantine:damaged")
     filters.zipAll(parms, "", None).foldLeft(raw) { case (data, (f, pm)) =>
+      def intOr(k: String, d: Int): Int = pm.flatMap(_.m.get(k)) match {
+        case Some(v) => asInt(deref(v))
+        case None => d
+      }
+      // validate the predictor BEFORE paying the decode, so an
+      // out-of-scope predictor reports itself even on damaged data
+      def withPredictor(decode: => Array[Byte]): Array[Byte] = {
+        val pred = intOr("Predictor", 1)
+        if (pred != 1 && (pred < 10 || pred > 15))
+          throw Quarantine("quarantine:unsupported-predictor")
+        val decoded = decode
+        if (pred == 1) decoded
+        else {
+          val colors = intOr("Colors", 1)
+          val bpc = intOr("BitsPerComponent", 8)
+          val columns = intOr("Columns", 1)
+          val bpp = math.max(1, colors * bpc / 8)
+          pngPredictor(decoded, columns * bpp, bpp)
+        }
+      }
       f match {
-        case "FlateDecode" =>
-          // validate the predictor BEFORE paying the inflate, so an
-          // out-of-scope predictor reports itself even on damaged data
-          def intOr(k: String, d: Int): Int = pm.flatMap(_.m.get(k)) match {
-            case Some(v) => asInt(deref(v))
-            case None => d
-          }
-          val pred = intOr("Predictor", 1)
-          if (pred != 1 && (pred < 10 || pred > 15))
-            throw Quarantine("quarantine:unsupported-predictor")
-          val inflated = inflate(data)
-          if (pred == 1) inflated
-          else {
-            val colors = intOr("Colors", 1)
-            val bpc = intOr("BitsPerComponent", 8)
-            val columns = intOr("Columns", 1)
-            val bpp = math.max(1, colors * bpc / 8)
-            pngPredictor(inflated, columns * bpp, bpp)
-          }
+        case "FlateDecode" => withPredictor(inflate(data))
+        case "LZWDecode" =>
+          withPredictor(lzwDecode(data, intOr("EarlyChange", 1)))
         case "" => data
         case other => throw Quarantine(
           s"quarantine:unsupported-filter:$other")
       }
     }
+  }
+
+  /** PDF/TIFF LZW decode (PDF 32000-1 §7.4.4): MSB-first variable-width
+    * codes 9→12 bits, ClearTable 256, EOD 257, dictionary entries from
+    * 258, code width grows `EarlyChange` codes before the table would
+    * overflow the current width (default 1 — the Adobe convention).
+    * Malformed streams (code beyond the table, width overflow without
+    * a clear, missing EOD at exhaustion) refuse as damaged.
+    */
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3 + 64)
+    // dictionary as flat byte chains: (prefixCode, suffixByte)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var tableSize = 258
+    var bits = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var prev = -1
+    def emit(code: Int): Byte = {
+      // walk the chain onto a stack, emit in order, return first byte
+      var stack = List.empty[Byte]
+      var c = code
+      while (c >= 258) {
+        stack = suffix(c) :: stack
+        c = prefix(c)
+        if (stack.length > 4096) throw Quarantine("quarantine:damaged")
+      }
+      if (c > 255) throw Quarantine("quarantine:damaged")
+      val first = c.toByte
+      out.write(c)
+      stack.foreach(b => out.write(b & 0xFF))
+      first
+    }
+    var done = false
+    while (!done) {
+      while (bitCnt < bits && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xFF)
+        bitCnt += 8
+        pos += 1
+      }
+      if (bitCnt < bits) throw Quarantine("quarantine:damaged") // no EOD
+      val code = ((bitBuf >>> (bitCnt - bits)) & ((1L << bits) - 1)).toInt
+      bitCnt -= bits
+      if (code == 256) { tableSize = 258; bits = 9; prev = -1 }
+      else if (code == 257) done = true
+      else if (prev < 0) {
+        if (code > 255) throw Quarantine("quarantine:damaged")
+        out.write(code)
+        prev = code
+      } else {
+        if (code > tableSize) throw Quarantine("quarantine:damaged")
+        val first: Byte =
+          if (code < tableSize) emit(code)
+          else { // the KwKwK case: entry being defined right now
+            var c = prev
+            while (c >= 258) c = prefix(c)
+            if (c > 255) throw Quarantine("quarantine:damaged")
+            val f = c.toByte
+            // emit prev then its first byte
+            emit(prev)
+            out.write(f & 0xFF)
+            f
+          }
+        if (tableSize < 4096) {
+          prefix(tableSize) = prev
+          suffix(tableSize) = first
+          tableSize += 1
+        }
+        prev = code
+        if (out.size() > (64 << 20)) throw Quarantine("quarantine:damaged")
+      }
+      if (!done && tableSize + earlyChange >= (1 << bits) && bits < 12)
+        bits += 1
+    }
+    out.toByteArray
+  }
+
+  /** TIFF-variant LZW ENCODE — the renderer's half, so the fixture mix
+    * exercises the decoder at every scale (and the spec round-trips
+    * decoder against encoder, the ADPCM discipline).
+    */
+  private[graft] def lzwEncode(data: Array[Byte],
+      earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 64)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var bits = 9
+    val dict = mutable.Map[(Int, Byte), Int]()
+    var next = 258
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << bits) | code
+      bitCnt += bits
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xFF).toInt)
+        bitCnt -= 8
+      }
+    }
+    put(256) // lead with ClearTable, the Adobe writer convention
+    var cur = -1
+    data.foreach { b =>
+      if (cur < 0) cur = b & 0xFF
+      else dict.get((cur, b)) match {
+        case Some(c) => cur = c
+        case None =>
+          put(cur)
+          if (next < 4096) { dict((cur, b)) = next; next += 1 }
+          // the DECODER grows its width after consuming the code that
+          // fills (1 << bits) - earlyChange, so the encoder must grow
+          // in the same place
+          if (next + earlyChange > (1 << bits) && bits < 12) bits += 1
+          cur = b & 0xFF
+      }
+    }
+    if (cur >= 0) {
+      put(cur)
+      // the decoder adds one more entry after consuming this code and
+      // THEN sizes the EOD read — mirror that grow or the widths skew
+      // by one exactly when the table sits at a boundary
+      if (next < 4096) next += 1
+      if (next + earlyChange > (1 << bits) && bits < 12) bits += 1
+    }
+    put(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+    out.toByteArray
   }
 
   /** PNG row de-filtering (RFC 2083 §6): each row is a filter-type
@@ -1040,8 +1175,9 @@ object Pdf {
   /** `multimodal_pdf_text`: synthesize real PDF bytes per document —
     * ids ≡ 0 mod 5 take the MODERN writer (xref stream + predictor +
     * ObjStm), the rest the classic writer with flate on even ids and
-    * indirect /Length on ids ≡ 0 mod 3, so every parse seam runs at
-    * any sf — extract the text back, emit the layout-derived fields.
+    * indirect /Length on ids ≡ 0 mod 3 and LZW content streams on
+    * ids ≡ 1 mod 7, so every parse seam runs at any sf — extract the
+    * text back, emit the layout-derived fields.
     * Non-ASCII documents quarantine BEFORE render in both engines
     * (the fixture path covers printable ASCII; the StandardEncoding
     * high range is golden-tested in PdfSpec).
@@ -1059,7 +1195,7 @@ object Pdf {
             val pdf =
               if (id % 5 == 0) renderModern(text)
               else render(text, flate = id % 2 == 0,
-                indirectLength = id % 3 == 0)
+                indirectLength = id % 3 == 0, lzw = id % 7 == 1)
             val r = extract(pdf)
             md.reset()
             val hex = md.digest(r.text.getBytes(

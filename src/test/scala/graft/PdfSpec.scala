@@ -166,13 +166,48 @@ class PdfSpec extends SparkSpec {
   }
 
   test("unsupported filters and predictors quarantine with a reason") {
-    val lzw = Pdf.extract(onePagePdf("xxxx".getBytes(ascii),
-      streamDictExtra = " /Filter /LZWDecode"))
-    assert(lzw.status == "quarantine:unsupported-filter:LZWDecode")
+    val dct = Pdf.extract(onePagePdf("xxxx".getBytes(ascii),
+      streamDictExtra = " /Filter /DCTDecode"))
+    assert(dct.status == "quarantine:unsupported-filter:DCTDecode")
     // the TIFF predictor (2) stays out of scope; PNG (10-15) decodes
     val pred = Pdf.extract(onePagePdf("xxxx".getBytes(ascii),
       streamDictExtra = " /Filter /FlateDecode /DecodeParms << /Predictor 2 >>"))
     assert(pred.status == "quarantine:unsupported-predictor")
+  }
+
+  test("LZW: hand-pinned vector, encoder round-trip incl. width growth, damage refuses") {
+    // "ABABAB" → codes (clear, 65, 66, 258, 258, EOD) at 9 bits,
+    // MSB-packed — computed by hand from the PDF 32000-1 §7.4.4 tables
+    val pinned = Array(0x80, 0x10, 0x48, 0x50, 0x28, 0x14, 0x04)
+      .map(_.toByte)
+    assert(Pdf.lzwEncode("ABABAB".getBytes(ascii)).toSeq == pinned.toSeq,
+      "encoder diverged from the hand-packed vector")
+    val viaPdf = Pdf.extract(onePagePdf(
+      Pdf.lzwEncode("BT (lzw works) Tj ET".getBytes(ascii)),
+      streamDictExtra = " /Filter /LZWDecode"))
+    assert(viaPdf.status == "ok" && viaPdf.text == "lzw works")
+    // width-growth + table-full round-trip: 40k seeded random bytes
+    // push the dictionary through 9→10→11→12 bits and past 4096
+    val rnd = new scala.util.Random(17)
+    val big = new Array[Byte](40000)
+    rnd.nextBytes(big)
+    val enc = Pdf.lzwEncode(big)
+    assert(java.util.Arrays.equals(Pdf.lzwDecode(enc, 1), big),
+      "wide random round-trip diverged")
+    // EOD-boundary alignment: sweep sizes so the final code lands the
+    // table EXACTLY on each width boundary (the off-by-one the
+    // encoder's mirror-grow fixes)
+    (500 to 520).foreach { n =>
+      val data = Array.tabulate(n)(i => ((i * 131) % 256).toByte)
+      assert(java.util.Arrays.equals(
+        Pdf.lzwDecode(Pdf.lzwEncode(data), 1), data),
+        s"boundary n=$n diverged")
+    }
+    // truncated LZW (no EOD) refuses
+    val cut = java.util.Arrays.copyOfRange(enc, 0, enc.length / 2)
+    assert(Pdf.extract(onePagePdf(cut,
+      streamDictExtra = " /Filter /LZWDecode")).status
+      .startsWith("quarantine:"))
   }
 
   test("PDF 1.5: xref stream + Up predictor + object stream extracts") {
