@@ -35,13 +35,17 @@ import graft.{Op, Tables}
   *    bit codes with `EarlyChange`), each with the PNG predictor
   *    family.
   *
-  * Everything outside that honest scope QUARANTINES with a reason
-  * instead of emitting partial text — the
-  * [[graft.sources.MdbCatalog]] / [[Multimodal]] discipline:
-  * encrypted documents (`/Encrypt`), DCT/JBIG2/other filters, the
-  * TIFF predictor, and any structural damage including truncation
-  * (`quarantine:damaged` — a cut-off body must refuse, not return
-  * half a document silently).
+  * The standard security handler's RC4 subset (V 1–2, R 2–3) decrypts
+  * documents whose EMPTY user password validates against `/U` —
+  * permissions-only "encryption", the population every viewer opens
+  * without a prompt (see [[StdSecurity]]). Everything outside that
+  * honest scope QUARANTINES with a reason instead of emitting partial
+  * text — the [[graft.sources.MdbCatalog]] / [[Multimodal]]
+  * discipline: genuinely password-protected documents
+  * (`quarantine:encrypted`), AES handlers (`encrypted-unsupported`),
+  * DCT/JBIG2/other filters, the TIFF predictor, and any structural
+  * damage including truncation (`quarantine:damaged` — a cut-off body
+  * must refuse, not return half a document silently).
   *
   * Byte → char mapping: printable ASCII (0x20–0x7E) is identity — the
   * view every mainstream extractor takes for the base-14 fonts — and
@@ -126,13 +130,38 @@ object Pdf {
     out.toByteArray
   }
 
+  /** Fixed permissions-only encryption material for the fixture
+    * writer: owner password set, user password EMPTY (the readable-
+    * everywhere population), R 3 / V 2 / 128-bit. Computed once —
+    * deterministic, so the fixture bytes are too.
+    */
+  private lazy val FixtureCrypt: (Array[Byte], Array[Byte], Array[Byte],
+      Array[Byte], Int) = {
+    val S = StdSecurity
+    def padPw(pw: String) =
+      (pw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+        S.Pad).take(32)
+    var h = S.md5(padPw("graft-fixture-owner"))
+    (0 until 50).foreach(_ => h = S.md5(h.take(16)))
+    val rc4Key = h.take(16)
+    var o = S.rc4(rc4Key, padPw(""))
+    (1 to 19).foreach(i => o = S.rc4(rc4Key.map(b => (b ^ i).toByte), o))
+    val id0 = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
+    val perm = -44
+    val fileKey = S.deriveKey(o, perm, id0, 3, 128)
+    val u = S.expectedU(fileKey, id0, 3) ++ Array.fill[Byte](16)(0)
+    (o, u, id0, fileKey, perm)
+  }
+
   /** Render `text` as a complete classic-xref PDF. `flate` compresses
     * the content streams (`lzw` wins when both are set); `indirectLength`
     * routes every stream's `/Length` through a forward indirect
-    * reference (all real-PDF shapes the extractor must resolve).
+    * reference; `encrypt` applies the fixture's permissions-only RC4
+    * handler (all real-PDF shapes the extractor must resolve).
     */
   private[graft] def render(text: String, flate: Boolean,
-      indirectLength: Boolean, lzw: Boolean = false): Array[Byte] = {
+      indirectLength: Boolean, lzw: Boolean = false,
+      encrypt: Boolean = false): Array[Byte] = {
     val pages = layoutLines(text).grouped(LinesPerPage).toVector
     val nPages = pages.length
     // object numbers: 1 catalog, 2 pages, 3 font, then per page i:
@@ -159,8 +188,12 @@ object Pdf {
         s"/MediaBox [0 0 612 792] /Contents $contNum 0 R " +
         s"/Resources << /Font << /F1 3 0 R >> >> >>"))
       val raw = pageContent(lines)
-      val data =
+      val compressed =
         if (lzw) lzwEncode(raw) else if (flate) deflate(raw) else raw
+      val data =
+        if (!encrypt) compressed
+        else StdSecurity.rc4(
+          StdSecurity.objectKey(FixtureCrypt._4, contNum, 0), compressed)
       streamLens(i) = data.length
       val lenPart =
         if (indirectLength) s"/Length ${4 + 2 * nPages + i} 0 R"
@@ -183,7 +216,16 @@ object Pdf {
     (1 to maxObj).foreach { n =>
       w("%010d 00000 n \n".format(offsets(n)))
     }
-    w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n" +
+    val encPart =
+      if (!encrypt) ""
+      else {
+        def hx(bs: Array[Byte]) = bs.map("%02x".format(_)).mkString
+        val (o, u, id0, _, perm) = FixtureCrypt
+        s" /Encrypt << /Filter /Standard /V 2 /R 3 /Length 128 " +
+          s"/O <${hx(o)}> /U <${hx(u)}> /P $perm >> " +
+          s"/ID [<${hx(id0)}> <${hx(id0)}>]"
+      }
+    w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R$encPart >>\n" +
       s"startxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
@@ -287,7 +329,8 @@ object Pdf {
   private case class PRef(num: Int, gen: Int) extends PObj
   private case class PBool(v: Boolean) extends PObj
   private case object PNull extends PObj
-  private case class PStream(dict: PDict, at: Int) extends PObj
+  private case class PStream(dict: PDict, at: Int, num: Int,
+      gen: Int) extends PObj
 
   private final case class Quarantine(status: String)
       extends RuntimeException(status)
@@ -655,6 +698,92 @@ object Pdf {
     (offsets.toMap, trailer.toMap)
   }
 
+  // ------------------------------------------------- standard security
+
+  /** PDF standard security handler, the RC4 subset (PDF 32000-1 §7.6.3,
+    * Algorithms 2/4/5; V 1–2, R 2–3): derive the file key from the
+    * EMPTY user password and authenticate it against `/U`. Covers the
+    * large population of "encrypted" PDFs that only set owner
+    * permissions — every viewer opens them without a prompt, and so
+    * does every mainstream extraction library. A document whose empty
+    * user password does NOT validate is genuinely password-protected
+    * and stays `quarantine:encrypted`; AES handlers (V ≥ 4) quarantine
+    * as `encrypted-unsupported`. Only STREAMS are decrypted — the text
+    * path never reads dictionary strings.
+    */
+  private[graft] object StdSecurity {
+    val Pad: Array[Byte] = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+      0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+      0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+    def md5(parts: Array[Byte]*): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(md.update)
+      md.digest()
+    }
+
+    def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val sBox = Array.tabulate(256)(_.toByte)
+      var j = 0
+      var i = 0
+      while (i < 256) {
+        j = (j + (sBox(i) & 0xFF) + (key(i % key.length) & 0xFF)) & 0xFF
+        val t = sBox(i); sBox(i) = sBox(j); sBox(j) = t
+        i += 1
+      }
+      val out = new Array[Byte](data.length)
+      var a = 0; var b = 0; var k = 0
+      while (k < data.length) {
+        a = (a + 1) & 0xFF
+        b = (b + (sBox(a) & 0xFF)) & 0xFF
+        val t = sBox(a); sBox(a) = sBox(b); sBox(b) = t
+        out(k) = (data(k) ^
+          sBox(((sBox(a) & 0xFF) + (sBox(b) & 0xFF)) & 0xFF)).toByte
+        k += 1
+      }
+      out
+    }
+
+    /** Algorithm 2 with the empty user password. */
+    def deriveKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Int,
+        lengthBits: Int): Array[Byte] = {
+      val pLe = Array(p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF,
+        (p >> 24) & 0xFF).map(_.toByte)
+      var h = md5(Pad, o.take(32), pLe, id0)
+      val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
+      if (r >= 3) (0 until 50).foreach(_ => h = md5(h.take(n)))
+      h.take(n)
+    }
+
+    /** Algorithms 4/5: what /U must equal under `key`. */
+    def expectedU(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+      if (r == 2) rc4(key, Pad)
+      else {
+        var x = rc4(key, md5(Pad, id0))
+        (1 to 19).foreach { i =>
+          x = rc4(key.map(b => (b ^ i).toByte), x)
+        }
+        x
+      }
+
+    def authenticates(key: Array[Byte], u: Array[Byte], id0: Array[Byte],
+        r: Int): Boolean = {
+      val exp = expectedU(key, id0, r)
+      val cmp = if (r == 2) 32 else 16
+      u.length >= cmp && (0 until cmp).forall(i => exp(i) == u(i))
+    }
+
+    /** Algorithm 1: per-object key. */
+    def objectKey(key: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+      val ext = Array((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+        ((num >> 16) & 0xFF).toByte, (gen & 0xFF).toByte,
+        ((gen >> 8) & 0xFF).toByte)
+      md5(key, ext).take(math.min(key.length + 5, 16))
+    }
+  }
+
   // ----------------------------------------------------- object reader
 
   private final class Reader(b: Array[Byte], offsets: Map[Int, Loc],
@@ -662,6 +791,11 @@ object Pdf {
     private val memo = mutable.Map[Int, PObj]()
     private val resolving = mutable.Set[Int]()
     private val objStmCache = mutable.Map[Int, Array[Byte]]()
+    /** File encryption key once the empty user password validated;
+      * null = unencrypted document. Streams decrypt with the
+      * per-object key (Algorithm 1) BEFORE filters.
+      */
+    var encKey: Array[Byte] = null
 
     def deref(o: PObj): PObj = o match {
       case PRef(n, _) => obj(n)
@@ -684,7 +818,7 @@ object Pdf {
       val lx = new Lexer(b, off, allowRefs = true)
       lx.value() match {
         case PNum(objn) if objn.toInt == n =>
-          lx.value() // generation
+          val gen = asInt(lx.value())
           lx.expect("obj")
           val v = lx.value()
           lx.ws()
@@ -695,7 +829,7 @@ object Pdf {
             if (lx.peek == '\r') lx.pos += 1
             if (lx.peek == '\n') lx.pos += 1
             v match {
-              case d: PDict => PStream(d, lx.pos)
+              case d: PDict => PStream(d, lx.pos, n, gen)
               case _ => throw Quarantine("quarantine:damaged")
             }
           } else { lx.pos = save; v }
@@ -744,8 +878,11 @@ object Pdf {
       }
       if (len < 0 || s.at + len > b.length)
         throw Quarantine("quarantine:damaged")
-      applyFilters(s.dict,
-        java.util.Arrays.copyOfRange(b, s.at, s.at + len), deref)
+      val raw = java.util.Arrays.copyOfRange(b, s.at, s.at + len)
+      val plain =
+        if (encKey == null) raw
+        else StdSecurity.rc4(StdSecurity.objectKey(encKey, s.num, s.gen), raw)
+      applyFilters(s.dict, plain, deref)
     }
   }
 
@@ -1109,9 +1246,46 @@ object Pdf {
             java.nio.charset.StandardCharsets.US_ASCII).equals("%PDF-"))
         return Extracted("quarantine:not-pdf", 0, "")
       val (offsets, trailer) = readXref(bytes)
-      if (trailer.contains("Encrypt"))
-        return Extracted("quarantine:encrypted", 0, "")
       val rd = new Reader(bytes, offsets, trailer)
+      trailer.get("Encrypt").foreach { e =>
+        val enc = (try rd.deref(e) catch {
+          case Quarantine(_) =>
+            return Extracted("quarantine:encrypted", 0, "")
+        }) match {
+          case d: PDict => d
+          case _ => return Extracted("quarantine:encrypted", 0, "")
+        }
+        def num(k: String, d: Int): Int = enc.m.get(k) match {
+          case Some(v) => asInt(rd.deref(v))
+          case None => d
+        }
+        val isStd = enc.m.get("Filter").contains(PName("Standard"))
+        val v = num("V", 0)
+        val r = num("R", 0)
+        if (!isStd || v < 1 || v > 2 || r < 2 || r > 3)
+          return Extracted("quarantine:encrypted-unsupported", 0, "")
+        val (o, u) = (rd.deref(enc.m.getOrElse("O", PNull)),
+          rd.deref(enc.m.getOrElse("U", PNull))) match {
+          case (PStr(ob), PStr(ub)) => (ob, ub)
+          case _ => return Extracted("quarantine:encrypted", 0, "")
+        }
+        val perm = num("P", -1)
+        val lengthBits = num("Length", 40)
+        val id0 = trailer.get("ID").map(rd.deref) match {
+          case Some(PArr(items)) if items.nonEmpty =>
+            rd.deref(items.head) match {
+              case PStr(idb) => idb
+              case _ => return Extracted("quarantine:encrypted", 0, "")
+            }
+          case _ => return Extracted("quarantine:encrypted", 0, "")
+        }
+        val key = StdSecurity.deriveKey(o, perm, id0, r, lengthBits)
+        // empty user password must VALIDATE — otherwise the document
+        // is genuinely password-protected and refuses
+        if (!StdSecurity.authenticates(key, u, id0, r))
+          return Extracted("quarantine:encrypted", 0, "")
+        rd.encKey = key
+      }
       val root = rd.deref(trailer.getOrElse("Root",
         throw Quarantine("quarantine:damaged"))) match {
         case d: PDict => d
@@ -1175,9 +1349,10 @@ object Pdf {
   /** `multimodal_pdf_text`: synthesize real PDF bytes per document —
     * ids ≡ 0 mod 5 take the MODERN writer (xref stream + predictor +
     * ObjStm), the rest the classic writer with flate on even ids and
-    * indirect /Length on ids ≡ 0 mod 3 and LZW content streams on
-    * ids ≡ 1 mod 7, so every parse seam runs at any sf — extract the
-    * text back, emit the layout-derived fields.
+    * indirect /Length on ids ≡ 0 mod 3, LZW content streams on
+    * ids ≡ 1 mod 7, and the permissions-only RC4 handler on ids ≡ 2
+    * mod 11, so every parse seam runs at any sf — extract the text
+    * back, emit the layout-derived fields.
     * Non-ASCII documents quarantine BEFORE render in both engines
     * (the fixture path covers printable ASCII; the StandardEncoding
     * high range is golden-tested in PdfSpec).
@@ -1195,7 +1370,8 @@ object Pdf {
             val pdf =
               if (id % 5 == 0) renderModern(text)
               else render(text, flate = id % 2 == 0,
-                indirectLength = id % 3 == 0, lzw = id % 7 == 1)
+                indirectLength = id % 3 == 0, lzw = id % 7 == 1,
+                encrypt = id % 11 == 2)
             val r = extract(pdf)
             md.reset()
             val hex = md.digest(r.text.getBytes(

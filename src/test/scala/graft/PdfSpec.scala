@@ -165,6 +165,59 @@ class PdfSpec extends SparkSpec {
     assert(r.status == "quarantine:encrypted" && r.text.isEmpty)
   }
 
+  test("standard security: empty-user-password RC4 decrypts; real passwords refuse") {
+    // build a permissions-only encrypted PDF (owner pw set, user pw
+    // empty — the population every viewer opens without a prompt):
+    // O per Algorithm 3, U per Algorithm 5, R 3 / V 2 / 128-bit
+    val S = Pdf.StdSecurity
+    def padPw(pw: String) = (pw.getBytes(ascii) ++ S.Pad).take(32)
+    var h = S.md5(padPw("owner-secret"))
+    (0 until 50).foreach(_ => h = S.md5(h.take(16)))
+    val rc4Key = h.take(16)
+    var o = S.rc4(rc4Key, padPw(""))
+    (1 to 19).foreach(i => o = S.rc4(rc4Key.map(b => (b ^ i).toByte), o))
+    val id0 = Array.fill[Byte](16)(0x42)
+    val perm = -44
+    val fileKey = S.deriveKey(o, perm, id0, 3, 128)
+    val u = S.expectedU(fileKey, id0, 3) ++ Array.fill[Byte](16)(0)
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val content = "BT (secret but readable) Tj ET".getBytes(ascii)
+    val encContent = S.rc4(S.objectKey(fileKey, 4, 0), content)
+    def trailerFor(uEntry: Array[Byte], extra: String = "") =
+      s" /Encrypt << /Filter /Standard /V 2 /R 3 /Length 128$extra" +
+        s" /O <${hex(o)}> /U <${hex(uEntry)}> /P $perm >>" +
+        s" /ID [<${hex(id0)}> <${hex(id0)}>]"
+    val r = Pdf.extract(onePagePdf(encContent,
+      extraTrailer = trailerFor(u)))
+    assert(r.status == "ok" && r.text == "secret but readable",
+      s"got ${r.status} '${r.text}'")
+    // a REAL user password (U no longer matches the empty-pw key)
+    val uWrong = u.clone(); uWrong(0) = (uWrong(0) ^ 0x5A).toByte
+    assert(Pdf.extract(onePagePdf(encContent,
+      extraTrailer = trailerFor(uWrong))).status == "quarantine:encrypted")
+    // AES handlers are out of scope, labeled distinctly
+    val aes = s" /Encrypt << /Filter /Standard /V 4 /R 4 /Length 128" +
+      s" /O <${hex(o)}> /U <${hex(u)}> /P $perm >>" +
+      s" /ID [<${hex(id0)}> <${hex(id0)}>]"
+    assert(Pdf.extract(onePagePdf(encContent, extraTrailer = aes))
+      .status == "quarantine:encrypted-unsupported")
+    // an encrypted FLATE stream decrypts before inflating
+    val flated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(content); d.finish()
+      val bo = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](512)
+      while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+      d.end(); bo.toByteArray
+    }
+    val encFlated = S.rc4(S.objectKey(fileKey, 4, 0), flated)
+    val rf = Pdf.extract(onePagePdf(encFlated,
+      extraTrailer = trailerFor(u),
+      streamDictExtra = " /Filter /FlateDecode"))
+    assert(rf.status == "ok" && rf.text == "secret but readable",
+      s"flate+rc4 got ${rf.status}")
+  }
+
   test("unsupported filters and predictors quarantine with a reason") {
     val dct = Pdf.extract(onePagePdf("xxxx".getBytes(ascii),
       streamDictExtra = " /Filter /DCTDecode"))
