@@ -1419,6 +1419,120 @@ object Pdf {
        |       CASE WHEN nonascii THEN NULL ELSE md5(txt) END AS text_md5
        |FROM t""".stripMargin
 
+  // -------------------------------------------------- file ingest form
+
+  /** Landing-dir key: folds a probe render through EVERY writer branch
+    * so any renderer edit invalidates the `_SUCCESS` idempotence gate
+    * (the `synthWarcSegments` discipline).
+    */
+  private def pdfLandingDir(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(render("probe words for the key", flate = true,
+      indirectLength = true, lzw = false, encrypt = false))
+    md.update(render("probe", flate = false, indirectLength = false,
+      lzw = true, encrypt = true))
+    md.update(renderModern("probe words for the key"))
+    val key = md.digest().map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_pdf_fixture_$key"
+  }
+
+  /** Synthesize the PDF landing dir once per scale dir: one REAL `.pdf`
+    * FILE per (printable-ASCII) document — the shape PDFs actually
+    * arrive in — written per-partition with temp-file + rename and a
+    * `_SUCCESS` marker (the O2 idempotence shape). Writer seams rotate
+    * exactly as in [[pdfText]]. Fixture synthesis only; the OPERATOR is
+    * everything after the landing dir.
+    */
+  private[graft] def synthPdfFiles(spark: SparkSession,
+      dir: String): String = {
+    val out = pdfLandingDir(dir)
+    val marker = new java.io.File(out, "_SUCCESS")
+    if (!marker.exists()) {
+      new java.io.File(out).mkdirs()
+      import spark.implicits._
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          it.foreach { case (id, text) =>
+            if (text != null && NonAscii.findFirstIn(text).isEmpty) {
+              val bytes =
+                if (id % 5 == 0) renderModern(text)
+                else render(text, flate = id % 2 == 0,
+                  indirectLength = id % 3 == 0, lzw = id % 7 == 1,
+                  encrypt = id % 11 == 2)
+              val tmp = new java.io.File(out, s".doc-$id.tmp")
+              val dst = new java.io.File(out, s"doc-$id.pdf")
+              val fos = new java.io.FileOutputStream(tmp)
+              try fos.write(bytes) finally fos.close()
+              if (!dst.exists() && !tmp.renameTo(dst))
+                throw new java.io.IOException(s"rename failed: $dst")
+            }
+          }
+        }
+      marker.createNewFile()
+    }
+    out
+  }
+
+  /** `multimodal_pdf_ingest`: the file-ingest form — a landing dir of
+    * real `.pdf` files scanned with `binaryFile` (small files pack into
+    * partitions via maxPartitionBytes, so task count tracks bytes, not
+    * file count) and extracted per-partition. Same layout oracle as
+    * [[pdfText]] over the ASCII documents; doc identity rides the file
+    * name, the convention file-drop pipelines actually use. Scan →
+    * project, no shuffle — at 100 TB the landing dir is the real
+    * corpus and this plan is unchanged.
+    */
+  def docsFromPdf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val landing = synthPdfFiles(spark, dir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .load(landing)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (path, bytes) =>
+          val base = path.substring(path.lastIndexOf('/') + 1)
+          val id = base.stripPrefix("doc-").stripSuffix(".pdf").toLong
+          val r = extract(bytes)
+          md.reset()
+          val hex = md.digest(r.text.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          (id, r.status, r.nPages, r.text.length.toLong, hex)
+        }
+      }
+      .toDF("doc_id", "status", "n_pages", "n_chars_extracted", "text_md5")
+  }
+
+  val docsFromPdfSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, text,
+       |         [x for x in string_split(trim(text), ' ') if x <> '']
+       |           AS words
+       |  FROM documents
+       |  WHERE NOT regexp_matches(text, '[^\\x20-\\x7E]')
+       |), l AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(words) = 0 THEN ['']
+       |              ELSE [array_to_string(words[i:i+${WordsPerLine - 1}], ' ')
+       |                    for i in range(1, len(words)+1, $WordsPerLine)]
+       |         END AS lines
+       |  FROM w
+       |), t AS (
+       |  SELECT doc_id, lines, array_to_string(lines, chr(10)) AS txt
+       |  FROM l
+       |)
+       |SELECT doc_id, 'ok' AS status,
+       |       CAST(ceil(len(lines) / $LinesPerPage.0) AS INT) AS n_pages,
+       |       CAST(length(txt) AS BIGINT) AS n_chars_extracted,
+       |       md5(txt) AS text_md5
+       |FROM t""".stripMargin
+
   val ops: Seq[Op] = Seq(
-    Op("multimodal_pdf_text", pdfText _, Some(pdfTextSql)))
+    Op("multimodal_pdf_text", pdfText _, Some(pdfTextSql)),
+    Op("multimodal_pdf_ingest", docsFromPdf _, Some(docsFromPdfSql)))
 }

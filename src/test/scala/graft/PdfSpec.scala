@@ -361,6 +361,26 @@ class PdfSpec extends SparkSpec {
 
   // ---------------------------------------------------------- operator
 
+  test("multimodal_pdf_ingest: file form agrees with the in-memory form, idempotent") {
+    import spark.implicits._
+    val inMem = Pdf.pdfText(spark, sfDir)
+      .where(col("status") === "ok")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val fromFiles = Pdf.docsFromPdf(spark, sfDir).collect()
+    assert(fromFiles.nonEmpty && fromFiles.length == inMem.size)
+    fromFiles.foreach { r =>
+      assert(r.getString(1) == "ok", s"doc ${r.getLong(0)}: ${r.getString(1)}")
+      assert(inMem(r.getLong(0)) == r.getString(4),
+        s"file form diverged from in-memory form for doc ${r.getLong(0)}")
+    }
+    // _SUCCESS gate: the second run re-reads, never re-writes
+    val landing = Pdf.synthPdfFiles(spark, sfDir)
+    val before = new java.io.File(landing).listFiles().map(_.lastModified).max
+    Pdf.docsFromPdf(spark, sfDir).count()
+    val after = new java.io.File(landing).listFiles().map(_.lastModified).max
+    assert(before == after, "re-run must not rewrite the landing dir")
+  }
+
   test("multimodal_pdf_text matches the layout oracle shape at sf0.001") {
     import spark.implicits._
     val got = Pdf.pdfText(spark, sfDir).collect()
