@@ -121,7 +121,10 @@ object Pdf {
   }
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {
-    val d = new Deflater()
+    // BEST_SPEED: this is fixture synthesis — the EXTRACT side is the
+    // operator; compression level changes neither the decoded text nor
+    // the oracle, only the render cost the bench pays per run
+    val d = new Deflater(Deflater.BEST_SPEED)
     d.setInput(raw); d.finish()
     val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
     val buf = new Array[Byte](4096)
