@@ -28,7 +28,11 @@ import graft.{Op, Tables}
   *    guarded) to the page leaves;
   *  - content-stream text operators inside `BT`..`ET`: `Tj`, `TJ`
   *    (string elements concatenated; kerning numbers ignored), `'`,
-  *    `"`, with `Td`/`TD`/`T*` as line breaks;
+  *    `"`, with `Td`/`TD`/`T*` as line breaks and `Tf` font tracking —
+  *    shows under a font carrying a `/ToUnicode` CMap (§9.10.3:
+  *    `bfchar` + `bfrange`, hex and array destinations, UTF-16BE)
+  *    decode through it, 2-byte big-endian codes for Type0/Identity-H
+  *    composite fonts;
   *  - stream filters: none, `/FlateDecode` (`java.util.zip.Inflater`
   *    — the [[org.apache.spark.sql.graft.DeflateLen]] precedent), and
   *    `/LZWDecode` (PDF 32000-1 §7.4.4 TIFF-variant, MSB-first 9→12
@@ -99,22 +103,53 @@ object Pdf {
     sb.toString
   }
 
+  /** CMap-font show encoding: each char becomes the 2-byte code
+    * 0x0300 + byte, rendered as a hex string — only a /ToUnicode-aware
+    * extractor can round-trip it.
+    */
+  private def hexShow(sv: String): String =
+    "<" + sv.map(c => "%04x".format(0x0300 + (c.toInt & 0xFF))).mkString + ">"
+
+  /** The /ToUnicode CMap the composite-font writer ships: one bfrange
+    * mapping code 0x0300+b back to char b (source range stays within
+    * one high byte, destination last byte advances — the spec shape).
+    */
+  private[graft] val FixtureCmap: Array[Byte] =
+    ("""/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |1 begincodespacerange
+      |<0000> <ffff>
+      |endcodespacerange
+      |1 beginbfrange
+      |<0300> <03ff> <0000>
+      |endbfrange
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end
+      |end""".stripMargin)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
   /** One page's content stream — rotates the three show forms (`Tj`,
     * `TJ` with a mid-line chunk split + kern number, `'`) so every
     * text operator the extractor implements is exercised on every
-    * multi-line document.
+    * multi-line document. `cmapFont` switches the shows to 2-byte hex
+    * codes under the composite font.
     */
-  private def pageContent(lines: Seq[String]): Array[Byte] = {
+  private def pageContent(lines: Seq[String],
+      cmapFont: Boolean = false): Array[Byte] = {
+    def lit(sv: String): String =
+      if (cmapFont) hexShow(sv) else s"(${escapeLiteral(sv)})"
     val sb = new StringBuilder
     sb.append("BT /F1 12 Tf 72 720 Td\n")
     lines.zipWithIndex.foreach { case (line, j) =>
-      if (j == 0) sb.append(s"(${escapeLiteral(line)}) Tj\n")
+      if (j == 0) sb.append(s"${lit(line)} Tj\n")
       else if (j % 3 == 1 && line.length >= 2) {
         val cut = line.length / 2
-        sb.append(s"T* [(${escapeLiteral(line.substring(0, cut))}) -250 " +
-          s"(${escapeLiteral(line.substring(cut))})] TJ\n")
-      } else if (j % 3 == 2) sb.append(s"(${escapeLiteral(line)}) '\n")
-      else sb.append(s"T* (${escapeLiteral(line)}) Tj\n")
+        sb.append(s"T* [${lit(line.substring(0, cut))} -250 " +
+          s"${lit(line.substring(cut))}] TJ\n")
+      } else if (j % 3 == 2) sb.append(s"${lit(line)} '\n")
+      else sb.append(s"T* ${lit(line)} Tj\n")
     }
     sb.append("ET")
     sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -164,7 +199,7 @@ object Pdf {
     */
   private[graft] def render(text: String, flate: Boolean,
       indirectLength: Boolean, lzw: Boolean = false,
-      encrypt: Boolean = false): Array[Byte] = {
+      encrypt: Boolean = false, cmapFont: Boolean = false): Array[Byte] = {
     val pages = layoutLines(text).grouped(LinesPerPage).toVector
     val nPages = pages.length
     // object numbers: 1 catalog, 2 pages, 3 font, then per page i:
@@ -182,7 +217,11 @@ object Pdf {
     obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>"))
     val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
     obj(2)(w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>"))
-    obj(3)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    val tuNum = if (indirectLength) 4 + 3 * nPages else 4 + 2 * nPages
+    obj(3)(w(if (cmapFont)
+      s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+        s"/Encoding /Identity-H /ToUnicode $tuNum 0 R >>"
+      else "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
     val streamLens = new Array[Int](nPages)
     pages.zipWithIndex.foreach { case (lines, i) =>
       val pageNum = 4 + 2 * i
@@ -190,7 +229,7 @@ object Pdf {
       obj(pageNum)(w(s"<< /Type /Page /Parent 2 0 R " +
         s"/MediaBox [0 0 612 792] /Contents $contNum 0 R " +
         s"/Resources << /Font << /F1 3 0 R >> >> >>"))
-      val raw = pageContent(lines)
+      val raw = pageContent(lines, cmapFont)
       val compressed =
         if (lzw) lzwEncode(raw) else if (flate) deflate(raw) else raw
       val data =
@@ -211,6 +250,16 @@ object Pdf {
     }
     if (indirectLength) (0 until nPages).foreach { i =>
       obj(4 + 2 * nPages + i)(w(streamLens(i).toString))
+    }
+    if (cmapFont) {
+      val cm =
+        if (!encrypt) FixtureCmap
+        else StdSecurity.rc4(
+          StdSecurity.objectKey(FixtureCrypt._4, tuNum, 0), FixtureCmap)
+      offsets(tuNum) = out.size()
+      w(s"$tuNum 0 obj\n<< /Length ${cm.length} >>\nstream\n")
+      out.write(cm)
+      w("\nendstream\nendobj\n")
     }
     val xrefAt = out.size()
     val maxObj = offsets.keys.max
@@ -1171,19 +1220,133 @@ object Pdf {
     sb.toString
   }
 
+  /** One page font: `twoByte` for Type0/Identity-H composite fonts
+    * (show-string codes are 2-byte big-endian), `cmap` the /ToUnicode
+    * code → text mapping (null = no CMap; byte path applies).
+    */
+  private final case class PdfFont(twoByte: Boolean,
+      cmap: Map[Int, String])
+
+  /** /ToUnicode CMap parse (PDF 32000-1 §9.10.3): `beginbfchar` pairs
+    * and `beginbfrange` runs (destination = hex string whose LAST byte
+    * advances, or an explicit array), destinations decoded as UTF-16BE.
+    * Structural damage refuses — a half-read CMap would emit silently
+    * wrong text, which the quarantine discipline forbids.
+    */
+  private def parseCmap(data: Array[Byte]): Map[Int, String] = {
+    val lx = new Lexer(data, 0, allowRefs = false)
+    val out = Map.newBuilder[Int, String]
+    val operands = mutable.ArrayBuffer[PObj]()
+    def codeOf(bs: Array[Byte]): Int = {
+      if (bs.length < 1 || bs.length > 3)
+        throw Quarantine("quarantine:damaged")
+      bs.foldLeft(0)((a, b) => (a << 8) | (b & 0xFF))
+    }
+    def utf16(bs: Array[Byte]): String =
+      new String(bs, java.nio.charset.StandardCharsets.UTF_16BE)
+    while ({ lx.ws(); !lx.eof }) {
+      val c = lx.peek
+      if (c == '(' || c == '<' || c == '[' || c == '/' ||
+          (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.') {
+        operands += lx.value()
+      } else {
+        lx.keyword() match {
+          case "beginbfchar" =>
+            var go = true
+            while (go) {
+              lx.ws()
+              if (lx.peek == '<') {
+                val src = lx.value(); val dst = lx.value()
+                (src, dst) match {
+                  case (PStr(sb), PStr(db)) => out += codeOf(sb) -> utf16(db)
+                  case _ => throw Quarantine("quarantine:damaged")
+                }
+              } else {
+                if (lx.keyword() != "endbfchar")
+                  throw Quarantine("quarantine:damaged")
+                go = false
+              }
+            }
+          case "beginbfrange" =>
+            var go = true
+            while (go) {
+              lx.ws()
+              if (lx.peek == '<') {
+                val (lo, hi) = (lx.value(), lx.value()) match {
+                  case (PStr(l), PStr(h)) => (codeOf(l), codeOf(h))
+                  case _ => throw Quarantine("quarantine:damaged")
+                }
+                if (hi < lo || hi - lo > 65535)
+                  throw Quarantine("quarantine:damaged")
+                lx.value() match {
+                  case PStr(db) =>
+                    (0 to hi - lo).foreach { k =>
+                      if (k == 0) out += lo -> utf16(db)
+                      else {
+                        // only the LAST byte advances (spec: ranges
+                        // must not cross a byte boundary)
+                        val last = (db(db.length - 1) & 0xFF) + k
+                        if (last > 255) throw Quarantine("quarantine:damaged")
+                        val bb = db.clone(); bb(bb.length - 1) = last.toByte
+                        out += (lo + k) -> utf16(bb)
+                      }
+                    }
+                  case PArr(items) =>
+                    if (items.length != hi - lo + 1)
+                      throw Quarantine("quarantine:damaged")
+                    items.zipWithIndex.foreach {
+                      case (PStr(db), k) => out += (lo + k) -> utf16(db)
+                      case _ => throw Quarantine("quarantine:damaged")
+                    }
+                  case _ => throw Quarantine("quarantine:damaged")
+                }
+              } else {
+                if (lx.keyword() != "endbfrange")
+                  throw Quarantine("quarantine:damaged")
+                go = false
+              }
+            }
+          case _ => operands.clear()
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Text of one content stream: shows inside BT..ET accumulate into
     * the current line; Td/TD/T* (and the quote forms' implicit
-    * next-line) commit it.
+    * next-line) commit it. `Tf` switches the current font: shows
+    * under a /ToUnicode-carrying font decode through its CMap (2-byte
+    * big-endian codes for Type0 fonts, the Identity-H shape; a
+    * trailing odd byte is dropped, matching mainstream extractors);
+    * everything else takes the StandardEncoding byte path.
     */
-  private def contentText(content: Array[Byte]): Vector[String] = {
+  private def contentText(content: Array[Byte],
+      fonts: Map[String, PdfFont]): Vector[String] = {
     val lx = new Lexer(content, 0, allowRefs = false)
     val lines = Vector.newBuilder[String]
     val cur = new StringBuilder
     var inBT = false
     var pendingBreak = false
     var shown = false
+    var font: PdfFont = null
     val operands = mutable.ArrayBuffer[PObj]()
     def break(): Unit = pendingBreak = true
+    def decodeShow(bs: Array[Byte]): String =
+      if (font == null || font.cmap == null) decodeText(bs)
+      else {
+        val w = if (font.twoByte) 2 else 1
+        val sb = new StringBuilder(bs.length)
+        var i = 0
+        while (i + w <= bs.length) {
+          var code = 0
+          var j = 0
+          while (j < w) { code = (code << 8) | (bs(i + j) & 0xFF); j += 1 }
+          sb.append(font.cmap.getOrElse(code, "�"))
+          i += w
+        }
+        sb.toString
+      }
     def show(s: String): Unit = if (inBT) {
       if (pendingBreak) {
         if (shown) { lines += cur.toString; cur.clear() }
@@ -1193,7 +1356,7 @@ object Pdf {
       shown = true
     }
     def arrText(a: PArr): String =
-      a.items.collect { case PStr(bs) => decodeText(bs) }.mkString
+      a.items.collect { case PStr(bs) => decodeShow(bs) }.mkString
     while ({ lx.ws(); !lx.eof }) {
       val c = lx.peek
       if (c == '(' || c == '<' || c == '[' || c == '/' ||
@@ -1205,8 +1368,10 @@ object Pdf {
         op match {
           case "BT" => inBT = true; pendingBreak = false
           case "ET" => inBT = false
+          case "Tf" => operands.collectFirst { case PName(f) => f }
+            .foreach(f => font = fonts.getOrElse(f, null))
           case "Tj" => operands.lastOption.foreach {
-            case PStr(bs) => show(decodeText(bs))
+            case PStr(bs) => show(decodeShow(bs))
             case _ =>
           }
           case "TJ" => operands.lastOption.foreach {
@@ -1216,13 +1381,13 @@ object Pdf {
           case "'" =>
             break()
             operands.lastOption.foreach {
-              case PStr(bs) => show(decodeText(bs))
+              case PStr(bs) => show(decodeShow(bs))
               case _ =>
             }
           case "\"" =>
             break()
             operands.lastOption.foreach {
-              case PStr(bs) => show(decodeText(bs))
+              case PStr(bs) => show(decodeShow(bs))
               case _ =>
             }
           case "Td" | "TD" | "T*" => if (inBT) break()
@@ -1319,6 +1484,29 @@ object Pdf {
       }
       walk(pagesRoot, 0)
       val pageTexts = pages.result().map { pg =>
+        // page fonts: name → (Type0?, /ToUnicode CMap). Resources are
+        // read from the PAGE dict (inherited /Resources without fonts
+        // simply take the byte path — documented scope)
+        val fonts: Map[String, PdfFont] =
+          rd.deref(pg.m.getOrElse("Resources", PNull)) match {
+            case res: PDict => rd.deref(res.m.getOrElse("Font", PNull)) match {
+              case fd: PDict => fd.m.map { case (name, fref) =>
+                val f = rd.deref(fref) match {
+                  case d: PDict => d
+                  case _ => throw Quarantine("quarantine:damaged")
+                }
+                val two = f.m.get("Subtype").contains(PName("Type0"))
+                val cmap = f.m.get("ToUnicode").map(rd.deref) match {
+                  case Some(st: PStream) => parseCmap(rd.streamData(st))
+                  case Some(_) => throw Quarantine("quarantine:damaged")
+                  case None => null
+                }
+                name -> PdfFont(two, cmap)
+              }
+              case _ => Map.empty[String, PdfFont]
+            }
+            case _ => Map.empty[String, PdfFont]
+          }
         val streams = pg.m.get("Contents") match {
           case None => Vector.empty[Array[Byte]]
           case Some(c) => rd.deref(c) match {
@@ -1335,7 +1523,7 @@ object Pdf {
         val joined =
           if (streams.isEmpty) Array.emptyByteArray
           else streams.reduce((a, bb) => a ++ Array('\n'.toByte) ++ bb)
-        contentText(joined).mkString("\n")
+        contentText(joined, fonts).mkString("\n")
       }
       Extracted("ok", pageTexts.length, pageTexts.mkString("\n"))
     } catch {
@@ -1353,9 +1541,10 @@ object Pdf {
     * ids ≡ 0 mod 5 take the MODERN writer (xref stream + predictor +
     * ObjStm), the rest the classic writer with flate on even ids and
     * indirect /Length on ids ≡ 0 mod 3, LZW content streams on
-    * ids ≡ 1 mod 7, and the permissions-only RC4 handler on ids ≡ 2
-    * mod 11, so every parse seam runs at any sf — extract the text
-    * back, emit the layout-derived fields.
+    * ids ≡ 1 mod 7, the permissions-only RC4 handler on ids ≡ 2
+    * mod 11, and the Type0 composite font with 2-byte /ToUnicode
+    * shows on ids ≡ 3 mod 13, so every parse seam runs at any sf —
+    * extract the text back, emit the layout-derived fields.
     * Non-ASCII documents quarantine BEFORE render in both engines
     * (the fixture path covers printable ASCII; the StandardEncoding
     * high range is golden-tested in PdfSpec).
@@ -1374,7 +1563,7 @@ object Pdf {
               if (id % 5 == 0) renderModern(text)
               else render(text, flate = id % 2 == 0,
                 indirectLength = id % 3 == 0, lzw = id % 7 == 1,
-                encrypt = id % 11 == 2)
+                encrypt = id % 11 == 2, cmapFont = id % 13 == 3)
             val r = extract(pdf)
             md.reset()
             val hex = md.digest(r.text.getBytes(
@@ -1435,6 +1624,8 @@ object Pdf {
       indirectLength = true, lzw = false, encrypt = false))
     md.update(render("probe", flate = false, indirectLength = false,
       lzw = true, encrypt = true))
+    md.update(render("probe", flate = false, indirectLength = true,
+      lzw = false, encrypt = false, cmapFont = true))
     md.update(renderModern("probe words for the key"))
     val key = md.digest().map("%02x".format(_)).mkString.take(12)
     s"${sys.props("java.io.tmpdir")}/graft_pdf_fixture_$key"
@@ -1463,7 +1654,7 @@ object Pdf {
                 if (id % 5 == 0) renderModern(text)
                 else render(text, flate = id % 2 == 0,
                   indirectLength = id % 3 == 0, lzw = id % 7 == 1,
-                  encrypt = id % 11 == 2)
+                  encrypt = id % 11 == 2, cmapFont = id % 13 == 3)
               val tmp = new java.io.File(out, s".doc-$id.tmp")
               val dst = new java.io.File(out, s"doc-$id.pdf")
               val fos = new java.io.FileOutputStream(tmp)

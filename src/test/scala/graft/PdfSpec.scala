@@ -45,6 +45,17 @@ class PdfSpec extends SparkSpec {
       val rm = Pdf.extract(Pdf.renderModern(text))
       assert(rm.status == "ok" && rm.text == expected &&
         rm.nPages == expPages, s"modern writer diverged: ${rm.status}")
+      // the COMPOSITE-FONT writer (2-byte /ToUnicode shows) too — only
+      // a CMap-aware extractor can round-trip these bytes
+      val rc = Pdf.extract(Pdf.render(text, flate, indirect,
+        lzw = false, encrypt = false, cmapFont = true))
+      assert(rc.status == "ok" && rc.text == expected,
+        s"cmap writer diverged: ${rc.status} '${rc.text.take(60)}'")
+      // ...and composed with encryption (the CMap stream decrypts too)
+      val rce = Pdf.extract(Pdf.render(text, flate, indirect,
+        lzw = false, encrypt = true, cmapFont = true))
+      assert(rce.status == "ok" && rce.text == expected,
+        s"cmap+rc4 writer diverged: ${rce.status}")
     }
   }
 
@@ -360,6 +371,73 @@ class PdfSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------- operator
+
+  /** One-page PDF with a Type0 font whose /ToUnicode is `cmap`. */
+  private def pdfWithCmap(cmap: String, content: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(ascii))
+    val offs = scala.collection.mutable.LinkedHashMap[Int, Int]()
+    val c = content.getBytes(ascii)
+    val cm = cmap.getBytes(ascii)
+    w("%PDF-1.4\n")
+    offs(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offs(2) = out.size(); w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    offs(3) = out.size(); w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n")
+    offs(4) = out.size(); w(s"4 0 obj\n<< /Length ${c.length} >>\nstream\n")
+    out.write(c); w("\nendstream\nendobj\n")
+    offs(5) = out.size(); w("5 0 obj\n<< /Type /Font /Subtype /Type0 " +
+      "/BaseFont /T /Encoding /Identity-H /ToUnicode 6 0 R >>\nendobj\n")
+    offs(6) = out.size(); w(s"6 0 obj\n<< /Length ${cm.length} >>\nstream\n")
+    out.write(cm); w("\nendstream\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(n => w("%010d 00000 n \n".format(offs(n))))
+    w(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("ToUnicode CMaps: bfchar, bfrange array form, unmapped codes; damage refuses") {
+    val cmap =
+      """begincmap
+        |1 begincodespacerange
+        |<0000> <ffff>
+        |endcodespacerange
+        |1 beginbfchar
+        |<0041> <0048>
+        |endbfchar
+        |1 beginbfrange
+        |<0050> <0052> [<00570075> <0059> <005a>]
+        |endbfrange
+        |endcmap""".stripMargin
+    // codes: 0x41→'H' (bfchar), 0x50→"Wu" (multi-unit array dst),
+    // 0x51→'Y', 0x52→'Z', 0x60 unmapped → U+FFFD
+    val content = "BT /F1 12 Tf <00410050005100520060> Tj ET"
+    val r = Pdf.extract(pdfWithCmap(cmap, content))
+    assert(r.status == "ok" && r.text == "HWuYZ�", s"got '${r.text}'")
+    // hex-string dst range form with the advancing last byte
+    val cmap2 =
+      """begincmap
+        |1 beginbfrange
+        |<0061> <0063> <0041>
+        |endbfrange
+        |endcmap""".stripMargin
+    val r2 = Pdf.extract(pdfWithCmap(cmap2,
+      "BT /F1 12 Tf <006100620063> Tj ET"))
+    assert(r2.status == "ok" && r2.text == "ABC", s"got '${r2.text}'")
+    // a truncated CMap refuses — never silently-wrong text
+    val broken = "begincmap 1 beginbfchar <0041> "
+    assert(Pdf.extract(pdfWithCmap(broken, content))
+      .status == "quarantine:damaged")
+    // a font WITHOUT /ToUnicode under 1-byte codes keeps the byte path
+    val noCmapPdf = {
+      val base = pdfWithCmap(cmap, "BT /F1 12 Tf (plain) Tj ET")
+      // swap the Type0 font for a simple one by rebuilding via the
+      // one-page helper: simple fonts take the StandardEncoding path
+      onePagePdf("BT (plain) Tj ET".getBytes(ascii))
+    }
+    assert(Pdf.extract(noCmapPdf).text == "plain")
+  }
 
   test("multimodal_pdf_ingest: file form agrees with the in-memory form, idempotent") {
     import spark.implicits._
