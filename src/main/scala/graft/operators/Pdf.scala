@@ -1678,6 +1678,28 @@ object Pdf {
     * project, no shuffle — at 100 TB the landing dir is the real
     * corpus and this plan is unchanged.
     */
+  /** Shared (path, bytes) → result-row mapper for the batch and
+    * streaming file-ingest forms (stateless, so stream/batch parity is
+    * by construction).
+    */
+  private def extractFileRows(it: Iterator[(String, Array[Byte])])
+      : Iterator[(Long, String, Int, Long, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    it.map { case (path, bytes) =>
+      val base = path.substring(path.lastIndexOf('/') + 1)
+      val id = base.stripPrefix("doc-").stripSuffix(".pdf").toLong
+      val r = extract(bytes)
+      md.reset()
+      val hex = md.digest(r.text.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      (id, r.status, r.nPages, r.text.length.toLong, hex)
+    }
+  }
+
+  private val FileIngestCols =
+    Seq("doc_id", "status", "n_pages", "n_chars_extracted", "text_md5")
+
   def docsFromPdf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val landing = synthPdfFiles(spark, dir)
@@ -1686,20 +1708,31 @@ object Pdf {
       .load(landing)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (path, bytes) =>
-          val base = path.substring(path.lastIndexOf('/') + 1)
-          val id = base.stripPrefix("doc-").stripSuffix(".pdf").toLong
-          val r = extract(bytes)
-          md.reset()
-          val hex = md.digest(r.text.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-            .map("%02x".format(_)).mkString
-          (id, r.status, r.nPages, r.text.length.toLong, hex)
-        }
-      }
-      .toDF("doc_id", "status", "n_pages", "n_chars_extracted", "text_md5")
+      .mapPartitions(extractFileRows)
+      .toDF(FileIngestCols: _*)
+  }
+
+  /** Streaming twin of [[docsFromPdf]]: a landing dir watched with the
+    * streaming `binaryFile` source, extraction on arrival. Stateless —
+    * no watermark, no stream state — so batch parity is by
+    * construction and exactly-once comes from the file-source log
+    * alone (the [[graft.sources.WarcIngest.streamDataFrame]] shape).
+    */
+  def pdfStream(spark: SparkSession, pathGlob: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", "*.pdf")
+      .load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(extractFileRows)
+      .toDF(FileIngestCols: _*)
   }
 
   val docsFromPdfSql: String =

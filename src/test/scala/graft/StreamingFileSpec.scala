@@ -165,6 +165,54 @@ class StreamingFileSpec extends SparkSpec {
     assert(out().size == 3)
   }
 
+  test("PDF landing-dir stream: extraction on arrival, batch parity, exactly once") {
+    import graft.operators.Pdf
+    val root = Files.createTempDirectory("pdfstream").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    def drop(id: Long, text: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/in/doc-$id.pdf"),
+        Pdf.render(text, flate = id % 2 == 0, indirectLength = id % 3 == 0,
+          lzw = id % 7 == 1, encrypt = id % 11 == 2,
+          cmapFont = id % 13 == 3))
+    def runOnce(): Unit =
+      Pdf.pdfStream(spark, s"$root/in")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    def out() = spark.read.parquet(s"$root/out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), r.getAs[String]("text_md5")))).toMap
+    // ids chosen to hit distinct writer seams (flate, lzw, rc4, cmap)
+    drop(2L, "first words arrive")
+    drop(8L, "second document lands with more words to split")
+    runOnce()
+    def expectMd5(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(Pdf.layoutLines(text).mkString("\n")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out() == Map(
+      2L -> (("ok", expectMd5("first words arrive"))),
+      8L -> (("ok", expectMd5("second document lands with more words to split")))))
+    // late arrivals through the OTHER writer seams process exactly once
+    drop(13L, "an encrypted late arrival")     // 13%11=2 → rc4
+    drop(16L, "a composite font late arrival") // 16%13=3 → cmap
+    drop(15L, "an lzw late arrival")           // 15%7=1 → lzw
+    runOnce()
+    val all = out()
+    assert(all.size == 5 && all.values.forall(_._1 == "ok"))
+    assert(all(13L)._2 == expectMd5("an encrypted late arrival"))
+    assert(all(16L)._2 == expectMd5("a composite font late arrival"))
+    assert(all(15L)._2 == expectMd5("an lzw late arrival"))
+    // recovery with nothing new re-emits nothing
+    runOnce()
+    assert(out().size == 5)
+  }
+
   test("WARC landing-dir stream: each segment ingests exactly once") {
     import graft.sources.WarcIngest
     val root = Files.createTempDirectory("warcstream").toString
