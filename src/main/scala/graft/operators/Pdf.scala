@@ -39,14 +39,17 @@ import graft.{Op, Tables}
   *    bit codes with `EarlyChange`), each with the PNG predictor
   *    family.
   *
-  * The standard security handler's RC4 subset (V 1–2, R 2–3) decrypts
-  * documents whose EMPTY user password validates against `/U` —
-  * permissions-only "encryption", the population every viewer opens
-  * without a prompt (see [[StdSecurity]]). Everything outside that
+  * The standard security handler decrypts documents whose EMPTY user
+  * password validates against `/U` — permissions-only "encryption",
+  * the population every viewer opens without a prompt (see
+  * [[StdSecurity]]): RC4 (V 1–2, R 2–3) and the V 4 / R 4 crypt
+  * filters with `/CFM /AESV2` (AES-128-CBC via the JDK cipher) or
+  * `/V2`. Everything outside that
   * honest scope QUARANTINES with a reason instead of emitting partial
   * text — the [[graft.sources.MdbCatalog]] / [[Multimodal]]
   * discipline: genuinely password-protected documents
-  * (`quarantine:encrypted`), AES handlers (`encrypted-unsupported`),
+  * (`quarantine:encrypted`), AES-256/V5 handlers
+  * (`encrypted-unsupported`),
   * DCT/JBIG2/other filters, the TIFF predictor, and any structural
   * damage including truncation (`quarantine:damaged` — a cut-off body
   * must refuse, not return half a document silently).
@@ -191,6 +194,16 @@ object Pdf {
     (o, u, id0, fileKey, perm)
   }
 
+  /** V4/R4 twin of [[FixtureCrypt]] (same /O, R4 key derivation) for
+    * the AESV2 writer branch: (u4, key4).
+    */
+  private lazy val FixtureCryptV4: (Array[Byte], Array[Byte]) = {
+    val S = StdSecurity
+    val (o, _, id0, _, perm) = FixtureCrypt
+    val key4 = S.deriveKey(o, perm, id0, 4, 128)
+    (S.expectedU(key4, id0, 4) ++ Array.fill[Byte](16)(0), key4)
+  }
+
   /** Render `text` as a complete classic-xref PDF. `flate` compresses
     * the content streams (`lzw` wins when both are set); `indirectLength`
     * routes every stream's `/Length` through a forward indirect
@@ -199,7 +212,8 @@ object Pdf {
     */
   private[graft] def render(text: String, flate: Boolean,
       indirectLength: Boolean, lzw: Boolean = false,
-      encrypt: Boolean = false, cmapFont: Boolean = false): Array[Byte] = {
+      encrypt: Boolean = false, cmapFont: Boolean = false,
+      aes: Boolean = false): Array[Byte] = {
     val pages = layoutLines(text).grouped(LinesPerPage).toVector
     val nPages = pages.length
     // object numbers: 1 catalog, 2 pages, 3 font, then per page i:
@@ -234,6 +248,9 @@ object Pdf {
         if (lzw) lzwEncode(raw) else if (flate) deflate(raw) else raw
       val data =
         if (!encrypt) compressed
+        else if (aes) StdSecurity.aesEncrypt(
+          StdSecurity.objectKey(FixtureCryptV4._2, contNum, 0, aes = true),
+          compressed)
         else StdSecurity.rc4(
           StdSecurity.objectKey(FixtureCrypt._4, contNum, 0), compressed)
       streamLens(i) = data.length
@@ -254,6 +271,9 @@ object Pdf {
     if (cmapFont) {
       val cm =
         if (!encrypt) FixtureCmap
+        else if (aes) StdSecurity.aesEncrypt(
+          StdSecurity.objectKey(FixtureCryptV4._2, tuNum, 0, aes = true),
+          FixtureCmap)
         else StdSecurity.rc4(
           StdSecurity.objectKey(FixtureCrypt._4, tuNum, 0), FixtureCmap)
       offsets(tuNum) = out.size()
@@ -273,9 +293,16 @@ object Pdf {
       else {
         def hx(bs: Array[Byte]) = bs.map("%02x".format(_)).mkString
         val (o, u, id0, _, perm) = FixtureCrypt
-        s" /Encrypt << /Filter /Standard /V 2 /R 3 /Length 128 " +
-          s"/O <${hx(o)}> /U <${hx(u)}> /P $perm >> " +
-          s"/ID [<${hx(id0)}> <${hx(id0)}>]"
+        if (aes)
+          s" /Encrypt << /Filter /Standard /V 4 /R 4 /Length 128 " +
+            s"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+            s"/StmF /StdCF /StrF /StdCF " +
+            s"/O <${hx(o)}> /U <${hx(FixtureCryptV4._1)}> /P $perm >> " +
+            s"/ID [<${hx(id0)}> <${hx(id0)}>]"
+        else
+          s" /Encrypt << /Filter /Standard /V 2 /R 3 /Length 128 " +
+            s"/O <${hx(o)}> /U <${hx(u)}> /P $perm >> " +
+            s"/ID [<${hx(id0)}> <${hx(id0)}>]"
       }
     w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R$encPart >>\n" +
       s"startxref\n$xrefAt\n%%EOF\n")
@@ -798,12 +825,18 @@ object Pdf {
       out
     }
 
-    /** Algorithm 2 with the empty user password. */
+    /** Algorithm 2 with the empty user password. For R ≥ 4 with
+      * `/EncryptMetadata false` the spec appends 0xFFFFFFFF before
+      * hashing.
+      */
     def deriveKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Int,
-        lengthBits: Int): Array[Byte] = {
+        lengthBits: Int, encryptMetadata: Boolean = true): Array[Byte] = {
       val pLe = Array(p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF,
         (p >> 24) & 0xFF).map(_.toByte)
-      var h = md5(Pad, o.take(32), pLe, id0)
+      val tail =
+        if (r >= 4 && !encryptMetadata) Array.fill[Byte](4)(0xFF.toByte)
+        else Array.emptyByteArray
+      var h = md5(Pad, o.take(32), pLe, id0, tail)
       val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
       if (r >= 3) (0 until 50).foreach(_ => h = md5(h.take(n)))
       h.take(n)
@@ -827,12 +860,45 @@ object Pdf {
       u.length >= cmp && (0 until cmp).forall(i => exp(i) == u(i))
     }
 
-    /** Algorithm 1: per-object key. */
-    def objectKey(key: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+    /** Algorithm 1: per-object key; AES adds the "sAlT" suffix. */
+    def objectKey(key: Array[Byte], num: Int, gen: Int,
+        aes: Boolean = false): Array[Byte] = {
       val ext = Array((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
         ((num >> 16) & 0xFF).toByte, (gen & 0xFF).toByte,
         ((gen >> 8) & 0xFF).toByte)
-      md5(key, ext).take(math.min(key.length + 5, 16))
+      val h = if (aes) md5(key, ext,
+        Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte)) else md5(key, ext)
+      h.take(math.min(key.length + 5, 16))
+    }
+
+    /** AESV2 (AES-128-CBC, §7.6.2): leading 16-byte IV, PKCS#5-padded
+      * body. Malformed geometry refuses as damaged.
+      */
+    def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      if (data.length < 32 || (data.length - 16) % 16 != 0)
+        throw Quarantine("quarantine:damaged")
+      try {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(key, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data.take(16)))
+        c.doFinal(data, 16, data.length - 16)
+      } catch {
+        case _: java.security.GeneralSecurityException =>
+          throw Quarantine("quarantine:damaged")
+      }
+    }
+
+    /** AESV2 encrypt — the fixture/spec side (deterministic IV from the
+      * object key so fixture bytes are reproducible).
+      */
+    def aesEncrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val iv = md5(key, Array[Byte]('i', 'v'))
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(data)
     }
   }
 
@@ -848,6 +914,8 @@ object Pdf {
       * per-object key (Algorithm 1) BEFORE filters.
       */
     var encKey: Array[Byte] = null
+    /** true = AESV2 crypt filter; false = RC4. */
+    var encAes: Boolean = false
 
     def deref(o: PObj): PObj = o match {
       case PRef(n, _) => obj(n)
@@ -933,7 +1001,10 @@ object Pdf {
       val raw = java.util.Arrays.copyOfRange(b, s.at, s.at + len)
       val plain =
         if (encKey == null) raw
-        else StdSecurity.rc4(StdSecurity.objectKey(encKey, s.num, s.gen), raw)
+        else if (encAes) StdSecurity.aesDecrypt(
+          StdSecurity.objectKey(encKey, s.num, s.gen, aes = true), raw)
+        else StdSecurity.rc4(
+          StdSecurity.objectKey(encKey, s.num, s.gen), raw)
       applyFilters(s.dict, plain, deref)
     }
   }
@@ -1430,7 +1501,33 @@ object Pdf {
         val isStd = enc.m.get("Filter").contains(PName("Standard"))
         val v = num("V", 0)
         val r = num("R", 0)
-        if (!isStd || v < 1 || v > 2 || r < 2 || r > 3)
+        // V 1-2 = document-wide RC4; V 4 = crypt filters, where the
+        // stream filter must be /StdCF with /CFM /AESV2 (AES-128-CBC)
+        // or /V2 (RC4). V 5 / AES-256 (SHA-2 derivation) stays out of
+        // scope and labels distinctly.
+        var aesMode = false
+        val vOk =
+          if (v >= 1 && v <= 2 && r >= 2 && r <= 3) true
+          else if (v == 4 && r == 4) {
+            val stmF = enc.m.get("StmF").map(rd.deref)
+            val cfm = (stmF match {
+              case Some(PName(cfName)) =>
+                rd.deref(enc.m.getOrElse("CF", PNull)) match {
+                  case cf: PDict => rd.deref(cf.m.getOrElse(cfName, PNull)) match {
+                    case d: PDict => d.m.get("CFM")
+                    case _ => None
+                  }
+                  case _ => None
+                }
+              case _ => None
+            })
+            cfm match {
+              case Some(PName("AESV2")) => aesMode = true; true
+              case Some(PName("V2")) => true
+              case _ => false
+            }
+          } else false
+        if (!isStd || !vOk)
           return Extracted("quarantine:encrypted-unsupported", 0, "")
         val (o, u) = (rd.deref(enc.m.getOrElse("O", PNull)),
           rd.deref(enc.m.getOrElse("U", PNull))) match {
@@ -1447,12 +1544,17 @@ object Pdf {
             }
           case _ => return Extracted("quarantine:encrypted", 0, "")
         }
-        val key = StdSecurity.deriveKey(o, perm, id0, r, lengthBits)
+        val encMeta = enc.m.get("EncryptMetadata") match {
+          case Some(PBool(bv)) => bv
+          case _ => true
+        }
+        val key = StdSecurity.deriveKey(o, perm, id0, r, lengthBits, encMeta)
         // empty user password must VALIDATE — otherwise the document
         // is genuinely password-protected and refuses
         if (!StdSecurity.authenticates(key, u, id0, r))
           return Extracted("quarantine:encrypted", 0, "")
         rd.encKey = key
+        rd.encAes = aesMode
       }
       val root = rd.deref(trailer.getOrElse("Root",
         throw Quarantine("quarantine:damaged"))) match {
@@ -1541,9 +1643,10 @@ object Pdf {
     * ids ≡ 0 mod 5 take the MODERN writer (xref stream + predictor +
     * ObjStm), the rest the classic writer with flate on even ids and
     * indirect /Length on ids ≡ 0 mod 3, LZW content streams on
-    * ids ≡ 1 mod 7, the permissions-only RC4 handler on ids ≡ 2
-    * mod 11, and the Type0 composite font with 2-byte /ToUnicode
-    * shows on ids ≡ 3 mod 13, so every parse seam runs at any sf —
+    * ids ≡ 1 mod 7, the permissions-only handler on ids ≡ 2 mod 11
+    * (AESV2 crypt filters on the odd ones, RC4 on the even), and the
+    * Type0 composite font with 2-byte /ToUnicode shows on ids ≡ 3
+    * mod 13, so every parse seam runs at any sf —
     * extract the text back, emit the layout-derived fields.
     * Non-ASCII documents quarantine BEFORE render in both engines
     * (the fixture path covers printable ASCII; the StandardEncoding
@@ -1563,7 +1666,8 @@ object Pdf {
               if (id % 5 == 0) renderModern(text)
               else render(text, flate = id % 2 == 0,
                 indirectLength = id % 3 == 0, lzw = id % 7 == 1,
-                encrypt = id % 11 == 2, cmapFont = id % 13 == 3)
+                encrypt = id % 11 == 2, cmapFont = id % 13 == 3,
+                aes = id % 11 == 2 && id % 2 == 1)
             val r = extract(pdf)
             md.reset()
             val hex = md.digest(r.text.getBytes(
@@ -1626,6 +1730,8 @@ object Pdf {
       lzw = true, encrypt = true))
     md.update(render("probe", flate = false, indirectLength = true,
       lzw = false, encrypt = false, cmapFont = true))
+    md.update(render("probe", flate = false, indirectLength = false,
+      lzw = false, encrypt = true, cmapFont = false, aes = true))
     md.update(renderModern("probe words for the key"))
     val key = md.digest().map("%02x".format(_)).mkString.take(12)
     s"${sys.props("java.io.tmpdir")}/graft_pdf_fixture_$key"
@@ -1654,7 +1760,8 @@ object Pdf {
                 if (id % 5 == 0) renderModern(text)
                 else render(text, flate = id % 2 == 0,
                   indirectLength = id % 3 == 0, lzw = id % 7 == 1,
-                  encrypt = id % 11 == 2, cmapFont = id % 13 == 3)
+                  encrypt = id % 11 == 2, cmapFont = id % 13 == 3,
+                  aes = id % 11 == 2 && id % 2 == 1)
               val tmp = new java.io.File(out, s".doc-$id.tmp")
               val dst = new java.io.File(out, s"doc-$id.pdf")
               val fos = new java.io.FileOutputStream(tmp)

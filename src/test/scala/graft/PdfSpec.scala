@@ -206,11 +206,30 @@ class PdfSpec extends SparkSpec {
     val uWrong = u.clone(); uWrong(0) = (uWrong(0) ^ 0x5A).toByte
     assert(Pdf.extract(onePagePdf(encContent,
       extraTrailer = trailerFor(uWrong))).status == "quarantine:encrypted")
-    // AES handlers are out of scope, labeled distinctly
-    val aes = s" /Encrypt << /Filter /Standard /V 4 /R 4 /Length 128" +
+    // V4/R4 with the AESV2 crypt filter DECRYPTS (AES-128-CBC, IV +
+    // PKCS#5; same empty-password authentication, R4 key derivation)
+    val key4 = S.deriveKey(o, perm, id0, 4, 128)
+    val u4 = S.expectedU(key4, id0, 4) ++ Array.fill[Byte](16)(0)
+    val aesContent = S.aesEncrypt(
+      S.objectKey(key4, 4, 0, aes = true), content)
+    val aesTrailer = s" /Encrypt << /Filter /Standard /V 4 /R 4 " +
+      s"/Length 128 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+      s"/StmF /StdCF /StrF /StdCF" +
+      s" /O <${hex(o)}> /U <${hex(u4)}> /P $perm >>" +
+      s" /ID [<${hex(id0)}> <${hex(id0)}>]"
+    val ra = Pdf.extract(onePagePdf(aesContent, extraTrailer = aesTrailer))
+    assert(ra.status == "ok" && ra.text == "secret but readable",
+      s"aesv2 got ${ra.status} '${ra.text}'")
+    // ...with a wrong /U the same file refuses (real password)
+    val u4w = u4.clone(); u4w(3) = (u4w(3) ^ 0x11).toByte
+    val aesWrong = aesTrailer.replace(hex(u4), hex(u4w))
+    assert(Pdf.extract(onePagePdf(aesContent, extraTrailer = aesWrong))
+      .status == "quarantine:encrypted")
+    // AES-256 / V5 handlers stay out of scope, labeled distinctly
+    val v5 = s" /Encrypt << /Filter /Standard /V 5 /R 6 /Length 256" +
       s" /O <${hex(o)}> /U <${hex(u)}> /P $perm >>" +
       s" /ID [<${hex(id0)}> <${hex(id0)}>]"
-    assert(Pdf.extract(onePagePdf(encContent, extraTrailer = aes))
+    assert(Pdf.extract(onePagePdf(encContent, extraTrailer = v5))
       .status == "quarantine:encrypted-unsupported")
     // an encrypted FLATE stream decrypts before inflating
     val flated = {
