@@ -42,13 +42,15 @@ import graft.{Op, Tables}
   * The standard security handler decrypts documents whose EMPTY user
   * password validates against `/U` — permissions-only "encryption",
   * the population every viewer opens without a prompt (see
-  * [[StdSecurity]]): RC4 (V 1–2, R 2–3) and the V 4 / R 4 crypt
+  * [[StdSecurity]]): RC4 (V 1–2, R 2–3), the V 4 / R 4 crypt
   * filters with `/CFM /AESV2` (AES-128-CBC via the JDK cipher) or
-  * `/V2`. Everything outside that
+  * `/V2`, and V 5 / R 5–6 `/CFM /AESV3` (AES-256 with the ISO
+  * 32000-2 Algorithm 2.B SHA-2 KDF and `/Perms` integrity check).
+  * Everything outside that
   * honest scope QUARANTINES with a reason instead of emitting partial
   * text — the [[graft.sources.MdbCatalog]] / [[Multimodal]]
   * discipline: genuinely password-protected documents
-  * (`quarantine:encrypted`), AES-256/V5 handlers
+  * (`quarantine:encrypted`), non-standard security handlers
   * (`encrypted-unsupported`),
   * DCT/JBIG2/other filters, the TIFF predictor, and any structural
   * damage including truncation (`quarantine:damaged` — a cut-off body
@@ -204,6 +206,18 @@ object Pdf {
     (S.expectedU(key4, id0, 4) ++ Array.fill[Byte](16)(0), key4)
   }
 
+  /** V 5 / R 6 (AES-256) fixture handler: deterministic 32-byte file
+    * key wrapped for the empty user password — (fileKey, U, UE, O,
+    * OE, Perms, P).
+    */
+  private[graft] lazy val FixtureCryptV6: (Array[Byte], Array[Byte],
+      Array[Byte], Array[Byte], Array[Byte], Array[Byte], Int) = {
+    val fileKey = Array.tabulate[Byte](32)(i => (i * 41 + 13).toByte)
+    val perm = -44
+    val (u, ue, o, oe, perms) = StdSecurity.buildV5(6, fileKey, perm)
+    (fileKey, u, ue, o, oe, perms, perm)
+  }
+
   /** Render `text` as a complete classic-xref PDF. `flate` compresses
     * the content streams (`lzw` wins when both are set); `indirectLength`
     * routes every stream's `/Length` through a forward indirect
@@ -213,7 +227,7 @@ object Pdf {
   private[graft] def render(text: String, flate: Boolean,
       indirectLength: Boolean, lzw: Boolean = false,
       encrypt: Boolean = false, cmapFont: Boolean = false,
-      aes: Boolean = false): Array[Byte] = {
+      aes: Boolean = false, aes256: Boolean = false): Array[Byte] = {
     val pages = layoutLines(text).grouped(LinesPerPage).toVector
     val nPages = pages.length
     // object numbers: 1 catalog, 2 pages, 3 font, then per page i:
@@ -248,6 +262,8 @@ object Pdf {
         if (lzw) lzwEncode(raw) else if (flate) deflate(raw) else raw
       val data =
         if (!encrypt) compressed
+        else if (aes256) StdSecurity.aesEncrypt(FixtureCryptV6._1,
+          compressed)
         else if (aes) StdSecurity.aesEncrypt(
           StdSecurity.objectKey(FixtureCryptV4._2, contNum, 0, aes = true),
           compressed)
@@ -271,6 +287,8 @@ object Pdf {
     if (cmapFont) {
       val cm =
         if (!encrypt) FixtureCmap
+        else if (aes256) StdSecurity.aesEncrypt(FixtureCryptV6._1,
+          FixtureCmap)
         else if (aes) StdSecurity.aesEncrypt(
           StdSecurity.objectKey(FixtureCryptV4._2, tuNum, 0, aes = true),
           FixtureCmap)
@@ -293,7 +311,16 @@ object Pdf {
       else {
         def hx(bs: Array[Byte]) = bs.map("%02x".format(_)).mkString
         val (o, u, id0, _, perm) = FixtureCrypt
-        if (aes)
+        if (aes256) {
+          val (_, u5, ue5, o5, oe5, perms5, p5) = FixtureCryptV6
+          s" /Encrypt << /Filter /Standard /V 5 /R 6 /Length 256 " +
+            s"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+            s"/StmF /StdCF /StrF /StdCF " +
+            s"/O <${hx(o5)}> /U <${hx(u5)}> " +
+            s"/OE <${hx(oe5)}> /UE <${hx(ue5)}> " +
+            s"/Perms <${hx(perms5)}> /P $p5 >> " +
+            s"/ID [<${hx(id0)}> <${hx(id0)}>]"
+        } else if (aes)
           s" /Encrypt << /Filter /Standard /V 4 /R 4 /Length 128 " +
             s"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
             s"/StmF /StdCF /StrF /StdCF " +
@@ -900,6 +927,123 @@ object Pdf {
         new javax.crypto.spec.IvParameterSpec(iv))
       iv ++ c.doFinal(data)
     }
+
+    // ------------------------------------------- V 5 / AES-256 (AESV3)
+
+    private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance(alg)
+      parts.foreach(md.update)
+      md.digest()
+    }
+
+    /** Raw AES-CBC without padding — the ISO 32000-2 KDF block and the
+      * /UE / /OE wrappers are exact-multiple-of-16 payloads.
+      */
+    private def aesCbcNoPad(key: Array[Byte], iv: Array[Byte],
+        data: Array[Byte], encrypt: Boolean): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+        else javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data)
+    }
+
+    /** ISO 32000-2 Algorithm 2.B (R 6) hardened hash: iterate
+      * SHA-256/384/512 selected by the first AES-CBC block's value
+      * mod 3 (256 ≡ 1 mod 3, so a byte-sum mod 3 is the same number),
+      * at least 64 rounds, stopping once the last byte of the
+      * encrypted block is ≤ rounds − 32. R 5 (the withdrawn Adobe
+      * extension) uses a single SHA-256 — `hash2A`.
+      */
+    def hash2B(pwd: Array[Byte], salt: Array[Byte],
+        udata: Array[Byte]): Array[Byte] = {
+      var k = sha("SHA-256", pwd, salt, udata)
+      var e: Array[Byte] = Array.emptyByteArray
+      var i = 0
+      while (i < 64 || (e(e.length - 1) & 0xFF) > i - 32) {
+        val block = pwd ++ k ++ udata
+        val k1 = new Array[Byte](block.length * 64)
+        var j = 0
+        while (j < 64) {
+          System.arraycopy(block, 0, k1, j * block.length, block.length)
+          j += 1
+        }
+        e = aesCbcNoPad(k.take(16), k.slice(16, 32), k1, encrypt = true)
+        (e.take(16).map(_ & 0xFF).sum % 3: @unchecked) match {
+          case 0 => k = sha("SHA-256", e)
+          case 1 => k = sha("SHA-384", e)
+          case 2 => k = sha("SHA-512", e)
+        }
+        i += 1
+      }
+      k.take(32)
+    }
+
+    def hash2A(pwd: Array[Byte], salt: Array[Byte],
+        udata: Array[Byte]): Array[Byte] = sha("SHA-256", pwd, salt, udata)
+
+    /** Algorithm 2.A for the EMPTY user password against a 48-byte /U
+      * (32-byte hash ‖ 8-byte validation salt ‖ 8-byte key salt): on
+      * match, unwrap the 32-byte file key from /UE (AES-256-CBC,
+      * zero IV, no padding). None = genuinely password-protected.
+      */
+    def deriveKeyV5(r: Int, u48: Array[Byte],
+        ue: Array[Byte]): Option[Array[Byte]] = {
+      if (u48.length < 48 || ue.length != 32) return None
+      val valSalt = u48.slice(32, 40)
+      val keySalt = u48.slice(40, 48)
+      val h = if (r == 6) hash2B(Array.emptyByteArray, valSalt,
+        Array.emptyByteArray)
+      else hash2A(Array.emptyByteArray, valSalt, Array.emptyByteArray)
+      if (!(0 until 32).forall(i => h(i) == u48(i))) return None
+      val inter = if (r == 6) hash2B(Array.emptyByteArray, keySalt,
+        Array.emptyByteArray)
+      else hash2A(Array.emptyByteArray, keySalt, Array.emptyByteArray)
+      Some(aesCbcNoPad(inter, new Array[Byte](16), ue, encrypt = false))
+    }
+
+    /** /Perms integrity: AES-256-ECB decrypt with the file key must
+      * expose "adb" at bytes 9–11 (ISO 32000-2 Algorithm 13 subset).
+      */
+    def permsOk(fileKey: Array[Byte], perms: Array[Byte]): Boolean = {
+      if (perms.length != 16) return false
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+      val d = c.doFinal(perms)
+      d(9) == 'a'.toByte && d(10) == 'd'.toByte && d(11) == 'b'.toByte
+    }
+
+    /** Fixture/spec writer side of V 5: build (U, UE, O, OE, Perms)
+      * for the empty user password over deterministic salts and a
+      * caller-chosen 32-byte file key.
+      */
+    def buildV5(r: Int, fileKey: Array[Byte], p: Int):
+        (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+      def h(salt: Array[Byte], udata: Array[Byte]) =
+        if (r == 6) hash2B(Array.emptyByteArray, salt, udata)
+        else hash2A(Array.emptyByteArray, salt, udata)
+      val uValSalt = Array.tabulate[Byte](8)(i => (i * 31 + 7).toByte)
+      val uKeySalt = Array.tabulate[Byte](8)(i => (i * 13 + 5).toByte)
+      val u = h(uValSalt, Array.emptyByteArray) ++ uValSalt ++ uKeySalt
+      val ue = aesCbcNoPad(h(uKeySalt, Array.emptyByteArray),
+        new Array[Byte](16), fileKey, encrypt = true)
+      val oValSalt = Array.tabulate[Byte](8)(i => (i * 29 + 11).toByte)
+      val oKeySalt = Array.tabulate[Byte](8)(i => (i * 37 + 3).toByte)
+      val o = h(oValSalt, u) ++ oValSalt ++ oKeySalt
+      val oe = aesCbcNoPad(h(oKeySalt, u),
+        new Array[Byte](16), fileKey, encrypt = true)
+      val permsPlain = Array[Byte](
+        (p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
+        ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte,
+        0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+        'T', 'a', 'd', 'b', 'g', 'r', 'f', 't')
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+      (u, ue, o, oe, c.doFinal(permsPlain))
+    }
   }
 
   // ----------------------------------------------------- object reader
@@ -916,6 +1060,8 @@ object Pdf {
     var encKey: Array[Byte] = null
     /** true = AESV2 crypt filter; false = RC4. */
     var encAes: Boolean = false
+    /** true = V 5 (AESV3): the 32-byte file key IS the object key. */
+    var encV5: Boolean = false
 
     def deref(o: PObj): PObj = o match {
       case PRef(n, _) => obj(n)
@@ -1001,6 +1147,7 @@ object Pdf {
       val raw = java.util.Arrays.copyOfRange(b, s.at, s.at + len)
       val plain =
         if (encKey == null) raw
+        else if (encV5) StdSecurity.aesDecrypt(encKey, raw)
         else if (encAes) StdSecurity.aesDecrypt(
           StdSecurity.objectKey(encKey, s.num, s.gen, aes = true), raw)
         else StdSecurity.rc4(
@@ -1503,32 +1650,61 @@ object Pdf {
         val r = num("R", 0)
         // V 1-2 = document-wide RC4; V 4 = crypt filters, where the
         // stream filter must be /StdCF with /CFM /AESV2 (AES-128-CBC)
-        // or /V2 (RC4). V 5 / AES-256 (SHA-2 derivation) stays out of
-        // scope and labels distinctly.
-        var aesMode = false
-        val vOk =
-          if (v >= 1 && v <= 2 && r >= 2 && r <= 3) true
-          else if (v == 4 && r == 4) {
-            val stmF = enc.m.get("StmF").map(rd.deref)
-            val cfm = (stmF match {
-              case Some(PName(cfName)) =>
-                rd.deref(enc.m.getOrElse("CF", PNull)) match {
-                  case cf: PDict => rd.deref(cf.m.getOrElse(cfName, PNull)) match {
-                    case d: PDict => d.m.get("CFM")
-                    case _ => None
-                  }
+        // or /V2 (RC4); V 5 (R 5-6) = AES-256 with /CFM /AESV3 and
+        // SHA-2 key derivation (ISO 32000-2 Algorithm 2.B for R 6).
+        def stmCfm: Option[PName] = enc.m.get("StmF").map(rd.deref) match {
+          case Some(PName(cfName)) =>
+            rd.deref(enc.m.getOrElse("CF", PNull)) match {
+              case cf: PDict => rd.deref(cf.m.getOrElse(cfName, PNull)) match {
+                case d: PDict => d.m.get("CFM") match {
+                  case Some(n: PName) => Some(n)
                   case _ => None
                 }
+                case _ => None
+              }
               case _ => None
-            })
-            cfm match {
-              case Some(PName("AESV2")) => aesMode = true; true
-              case Some(PName("V2")) => true
-              case _ => false
             }
-          } else false
+          case _ => None
+        }
+        var aesMode = false
+        var v5Mode = false
+        val vOk =
+          if (v >= 1 && v <= 2 && r >= 2 && r <= 3) true
+          else if (v == 4 && r == 4) stmCfm match {
+            case Some(PName("AESV2")) => aesMode = true; true
+            case Some(PName("V2")) => true
+            case _ => false
+          }
+          else if (v == 5 && (r == 5 || r == 6)) stmCfm match {
+            case Some(PName("AESV3")) => v5Mode = true; true
+            case _ => false
+          }
+          else false
         if (!isStd || !vOk)
           return Extracted("quarantine:encrypted-unsupported", 0, "")
+        if (v5Mode) {
+          val (u48, ue) = (rd.deref(enc.m.getOrElse("U", PNull)),
+            rd.deref(enc.m.getOrElse("UE", PNull))) match {
+            case (PStr(ub), PStr(ueb)) => (ub, ueb)
+            case _ => return Extracted("quarantine:encrypted", 0, "")
+          }
+          val fileKey = StdSecurity.deriveKeyV5(r, u48, ue) match {
+            case Some(k) => k
+            case None => return Extracted("quarantine:encrypted", 0, "")
+          }
+          // /Perms integrity when present: a key that opens but fails
+          // the wrapped-permissions check is a tampered document
+          rd.deref(enc.m.getOrElse("Perms", PNull)) match {
+            case PStr(pb) =>
+              val ok = try StdSecurity.permsOk(fileKey, pb) catch {
+                case _: java.security.GeneralSecurityException => false
+              }
+              if (!ok) return Extracted("quarantine:encrypted", 0, "")
+            case _ => ()
+          }
+          rd.encKey = fileKey
+          rd.encV5 = true
+        } else {
         val (o, u) = (rd.deref(enc.m.getOrElse("O", PNull)),
           rd.deref(enc.m.getOrElse("U", PNull))) match {
           case (PStr(ob), PStr(ub)) => (ob, ub)
@@ -1555,6 +1731,7 @@ object Pdf {
           return Extracted("quarantine:encrypted", 0, "")
         rd.encKey = key
         rd.encAes = aesMode
+        }
       }
       val root = rd.deref(trailer.getOrElse("Root",
         throw Quarantine("quarantine:damaged"))) match {
@@ -1644,7 +1821,8 @@ object Pdf {
     * ObjStm), the rest the classic writer with flate on even ids and
     * indirect /Length on ids ≡ 0 mod 3, LZW content streams on
     * ids ≡ 1 mod 7, the permissions-only handler on ids ≡ 2 mod 11
-    * (AESV2 crypt filters on the odd ones, RC4 on the even), and the
+    * (AESV2 crypt filters on the odd ones, AES-256 / R 6 on ids ≡ 0
+    * mod 4, RC4 on the rest), and the
     * Type0 composite font with 2-byte /ToUnicode shows on ids ≡ 3
     * mod 13, so every parse seam runs at any sf —
     * extract the text back, emit the layout-derived fields.
@@ -1667,7 +1845,8 @@ object Pdf {
               else render(text, flate = id % 2 == 0,
                 indirectLength = id % 3 == 0, lzw = id % 7 == 1,
                 encrypt = id % 11 == 2, cmapFont = id % 13 == 3,
-                aes = id % 11 == 2 && id % 2 == 1)
+                aes = id % 11 == 2 && id % 2 == 1,
+                aes256 = id % 11 == 2 && id % 4 == 0)
             val r = extract(pdf)
             md.reset()
             val hex = md.digest(r.text.getBytes(
@@ -1732,6 +1911,8 @@ object Pdf {
       lzw = false, encrypt = false, cmapFont = true))
     md.update(render("probe", flate = false, indirectLength = false,
       lzw = false, encrypt = true, cmapFont = false, aes = true))
+    md.update(render("probe", flate = false, indirectLength = false,
+      lzw = false, encrypt = true, cmapFont = false, aes256 = true))
     md.update(renderModern("probe words for the key"))
     val key = md.digest().map("%02x".format(_)).mkString.take(12)
     s"${sys.props("java.io.tmpdir")}/graft_pdf_fixture_$key"
@@ -1761,7 +1942,8 @@ object Pdf {
                 else render(text, flate = id % 2 == 0,
                   indirectLength = id % 3 == 0, lzw = id % 7 == 1,
                   encrypt = id % 11 == 2, cmapFont = id % 13 == 3,
-                  aes = id % 11 == 2 && id % 2 == 1)
+                  aes = id % 11 == 2 && id % 2 == 1,
+                  aes256 = id % 11 == 2 && id % 4 == 0)
               val tmp = new java.io.File(out, s".doc-$id.tmp")
               val dst = new java.io.File(out, s"doc-$id.pdf")
               val fos = new java.io.FileOutputStream(tmp)

@@ -248,6 +248,73 @@ class PdfSpec extends SparkSpec {
       s"flate+rc4 got ${rf.status}")
   }
 
+  test("standard security V5/R6: AES-256 empty-user-password decrypts; tampering refuses") {
+    val S = Pdf.StdSecurity
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    // golden pin: Algorithm 2.B over the fixture user validation salt.
+    // An accidental KDF edit must fail HERE, loudly — /U hashes in real
+    // documents depend on exact round semantics (hash choice by
+    // first-block mod 3, 64+ rounds, last-byte stop rule)
+    val vSalt = Array.tabulate[Byte](8)(i => (i * 31 + 7).toByte)
+    assert(hex(S.hash2B(Array.emptyByteArray, vSalt, Array.emptyByteArray))
+      == "bc7328c995d618e863e8fe0df7048c5a949f80887afdbbec4f846df7ad6d449d")
+    val fileKey = Array.tabulate[Byte](32)(i => (i * 7 + 1).toByte)
+    val (u, ue, o, oe, perms) = S.buildV5(6, fileKey, -44)
+    // the derive side inverts the build side: empty password
+    // authenticates and unwraps the exact file key; /Perms verifies
+    assert(S.deriveKeyV5(6, u, ue).exists(_.sameElements(fileKey)))
+    assert(S.permsOk(fileKey, perms))
+    val content = "BT (aes two five six) Tj ET".getBytes(ascii)
+    val enc = S.aesEncrypt(fileKey, content)
+    def trailerV5(r: Int, uE: Array[Byte], ueE: Array[Byte],
+        oE: Array[Byte], oeE: Array[Byte], permsE: Array[Byte]) =
+      s" /Encrypt << /Filter /Standard /V 5 /R $r /Length 256" +
+        s" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>" +
+        s" /StmF /StdCF /StrF /StdCF" +
+        s" /O <${hex(oE)}> /U <${hex(uE)}>" +
+        s" /OE <${hex(oeE)}> /UE <${hex(ueE)}>" +
+        s" /Perms <${hex(permsE)}> /P -44 >>"
+    val r6 = Pdf.extract(onePagePdf(enc,
+      extraTrailer = trailerV5(6, u, ue, o, oe, perms)))
+    assert(r6.status == "ok" && r6.text == "aes two five six",
+      s"r6 got ${r6.status} '${r6.text}'")
+    // R 5 (withdrawn Adobe extension: single SHA-256, no 2.B loop)
+    val (u5, ue5, o5, oe5, perms5) = S.buildV5(5, fileKey, -44)
+    val r5 = Pdf.extract(onePagePdf(enc,
+      extraTrailer = trailerV5(5, u5, ue5, o5, oe5, perms5)))
+    assert(r5.status == "ok" && r5.text == "aes two five six",
+      s"r5 got ${r5.status} '${r5.text}'")
+    // tampered /U validation hash = a real user password — refuses
+    val uBad = u.clone(); uBad(0) = (uBad(0) ^ 0x5A).toByte
+    assert(Pdf.extract(onePagePdf(enc,
+      extraTrailer = trailerV5(6, uBad, ue, o, oe, perms)))
+      .status == "quarantine:encrypted")
+    // tampered /Perms = wrapped-permissions integrity failure — refuses
+    val pBad = perms.clone(); pBad(2) = (pBad(2) ^ 0x11).toByte
+    assert(Pdf.extract(onePagePdf(enc,
+      extraTrailer = trailerV5(6, u, ue, o, oe, pBad)))
+      .status == "quarantine:encrypted")
+    // a V5 dict WITHOUT the AESV3 crypt filter stays unsupported
+    val noCf = s" /Encrypt << /Filter /Standard /V 5 /R 6 /Length 256" +
+      s" /O <${hex(o)}> /U <${hex(u)}> /UE <${hex(ue)}> /P -44 >>"
+    assert(Pdf.extract(onePagePdf(enc, extraTrailer = noCf))
+      .status == "quarantine:encrypted-unsupported")
+    // fixture writer end-to-end, composed with every writer seam the
+    // mix rotates (flate, LZW, indirect /Length, composite font)
+    val txt = (1 to 60).map(i => s"w$i").mkString(" ")
+    Seq(
+      Pdf.render(txt, flate = true, indirectLength = false,
+        encrypt = true, aes256 = true),
+      Pdf.render(txt, flate = false, indirectLength = true, lzw = true,
+        encrypt = true, aes256 = true),
+      Pdf.render(txt, flate = false, indirectLength = false,
+        encrypt = true, cmapFont = true, aes256 = true)).foreach { bytes =>
+      val r = Pdf.extract(bytes)
+      assert(r.status == "ok" && r.text.startsWith("w1 w2 "),
+        s"fixture v5 got ${r.status}")
+    }
+  }
+
   test("unsupported filters and predictors quarantine with a reason") {
     val dct = Pdf.extract(onePagePdf("xxxx".getBytes(ascii),
       streamDictExtra = " /Filter /DCTDecode"))
