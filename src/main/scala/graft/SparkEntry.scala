@@ -14,7 +14,8 @@ object SparkEntry {
       Similarity.ops ++ Multimodal.ops ++ Reshape.ops ++ Analytics.ops ++
       Skew.ops ++ DocsPipeline.ops ++ Curation.ops ++ Graph.ops ++
       RuntimeFilter.ops ++ History.ops ++ Spatial.ops ++ HtmlExtract.ops ++
-      Domains.ops ++ Bpe.ops ++ Layout.ops ++ Retrieval.ops ++ Pdf.ops
+      Domains.ops ++ Bpe.ops ++ Layout.ops ++ Retrieval.ops ++ Pdf.ops ++
+      SuffixArray.ops
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
