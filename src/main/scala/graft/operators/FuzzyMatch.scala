@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Op, Tables}
+
+/** Fuzzy matching / entity resolution: find near-identical records
+  * across two sets without an all-pairs scan — the classic
+  * blocking-then-confirm shape (Papadakis et al. 2020 survey,
+  * arXiv:1905.06167). A training-data pipeline hits this as
+  * "resolve near-duplicate titles/URLs/names across crawls" where
+  * the variation is single-character (OCR slips, truncation, typo
+  * squatting) rather than the paragraph-level drift [[Dedup]]'s
+  * MinHash family targets.
+  *
+  * Query set: a deterministic single-character DELETION of each
+  * document's normalized name at position `doc_id % min(16, len) + 1`
+  * — SQL-expressible in both engines, so the oracle re-derives the
+  * exact same planted perturbation (the [[Pdf]] fixture discipline).
+  *
+  * Candidate generation is TWO equi-joins — on the 4-char name prefix
+  * and on the 4-char suffix. A single deletion leaves at least one of
+  * the two intact (position ≤ 4 spares the suffix, position within
+  * the tail spares the prefix, anything between spares both), so the
+  * planted pair always survives blocking; the join never compares
+  * strings across different blocks. Each block is capped at
+  * [[FuzzyMatch.BlockCap]] corpus rows by a deterministic
+  * `(name, doc_id)` rank — mirrored verbatim in the oracle's QUALIFY
+  * — so a hot prefix ("the " at web scale) bounds to cap × queries
+  * pairs instead of going quadratic: the [[Dedup]] `LshBucketCap`
+  * rule applied to ER blocking. Confirmation is `levenshtein ≤ 2`,
+  * an exact integer in both engines.
+  */
+object FuzzyMatch {
+
+  /** Normalized-name length (chars) — long enough that prefix+suffix
+    * blocks are distinct, short enough that levenshtein stays cheap.
+    */
+  private val NameLen = 24
+
+  /** Max corpus rows admitted per block key (deterministic rank). */
+  private[graft] val BlockCap = 64
+
+  /** Confirm threshold: edit distance ≤ 2 keeps the planted deletion
+    * (distance 1) plus genuine near-collisions.
+    */
+  private val MaxDist = 2
+
+  private val normName =
+    s"substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, $NameLen)"
+
+  private def named(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          1, NameLen).as("name"))
+      .where(length(col("name")) >= 8)
+
+  /** The deletion position expression — identical text in both engines
+    * modulo substr/substring spelling.
+    */
+  private def delPos(fn: String) =
+    s"CAST(doc_id % least(16, length(name)) AS INT)"
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    named(spark, dir).selectExpr("doc_id AS q_doc_id",
+      s"concat(substring(name, 1, ${delPos("substring")}), " +
+        s"substring(name, ${delPos("substring")} + 2, $NameLen)) AS q_name")
+
+  private def blocked(spark: SparkSession, dir: String,
+      keyExpr: String => String): DataFrame = {
+    val base = named(spark, dir)
+      .withColumn("bk", expr(keyExpr("name")))
+    base.withColumn("_rn", row_number().over(
+        Window.partitionBy("bk").orderBy(col("name"), col("doc_id"))))
+      .where(col("_rn") <= BlockCap).drop("_rn")
+  }
+
+  private def prefKey(c: String) = s"substring($c, 1, 4)"
+  private def sufKey(c: String) = s"substring($c, length($c) - 3, 4)"
+
+  /** Confirmed pairs (internal: shared by both registered ops). */
+  private def confirmed(spark: SparkSession, dir: String): DataFrame = {
+    val q = queriesDf(spark, dir)
+    def side(key: String => String): DataFrame =
+      q.withColumn("bk", expr(key("q_name")))
+        .join(blocked(spark, dir, key), "bk")
+        .select("q_doc_id", "doc_id", "q_name", "name")
+    side(prefKey).union(side(sufKey))
+      .dropDuplicates("q_doc_id", "doc_id", "q_name", "name")
+      .where(levenshtein(col("q_name"), col("name")) <= MaxDist)
+      .select(col("q_doc_id"), col("doc_id").as("match_doc_id"),
+        levenshtein(col("q_name"), col("name")).cast("long").as("lev_dist"))
+  }
+
+  /** `fuzzy_match_deletions`: every confirmed (query, corpus) pair. */
+  def matchDeletions(spark: SparkSession, dir: String): DataFrame =
+    confirmed(spark, dir)
+
+  private val candSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, $normName AS name
+       |  FROM documents
+       |  WHERE length($normName) >= 8
+       |), q AS (
+       |  SELECT doc_id AS q_doc_id,
+       |         concat(substr(name, 1, ${delPos("substr")}),
+       |                substr(name, ${delPos("substr")} + 2, $NameLen))
+       |           AS q_name
+       |  FROM n
+       |), cp AS (
+       |  SELECT doc_id, name, substr(name, 1, 4) AS bk FROM n
+       |  QUALIFY row_number() OVER (PARTITION BY bk ORDER BY name, doc_id)
+       |          <= $BlockCap
+       |), cs AS (
+       |  SELECT doc_id, name, substr(name, length(name) - 3, 4) AS bk
+       |  FROM n
+       |  QUALIFY row_number() OVER (PARTITION BY bk ORDER BY name, doc_id)
+       |          <= $BlockCap
+       |), cand AS (
+       |  SELECT q_doc_id, doc_id, q_name, name
+       |  FROM q JOIN cp ON substr(q_name, 1, 4) = cp.bk
+       |  UNION
+       |  SELECT q_doc_id, doc_id, q_name, name
+       |  FROM q JOIN cs ON substr(q_name, length(q_name) - 3, 4) = cs.bk
+       |)""".stripMargin
+
+  val matchDeletionsSql: String =
+    s"""$candSql
+       |SELECT q_doc_id, doc_id AS match_doc_id,
+       |       CAST(levenshtein(q_name, name) AS BIGINT) AS lev_dist
+       |FROM cand
+       |WHERE levenshtein(q_name, name) <= $MaxDist""".stripMargin
+
+  /** `fuzzy_match_best`: the RESOLUTION step — each query keeps its
+    * single best match by (distance, doc_id). The planted deletion
+    * guarantees a distance-1 hit, so this is exact-recall top-1 under
+    * the block contract.
+    */
+  def matchBest(spark: SparkSession, dir: String): DataFrame =
+    confirmed(spark, dir)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("q_doc_id")
+          .orderBy(col("lev_dist"), col("match_doc_id"))))
+      .where(col("_rn") === 1).drop("_rn")
+
+  val matchBestSql: String =
+    s"""$candSql,
+       |conf AS (
+       |  SELECT q_doc_id, doc_id AS match_doc_id,
+       |         CAST(levenshtein(q_name, name) AS BIGINT) AS lev_dist
+       |  FROM cand
+       |  WHERE levenshtein(q_name, name) <= $MaxDist
+       |)
+       |SELECT q_doc_id, match_doc_id, lev_dist
+       |FROM conf
+       |QUALIFY row_number() OVER (PARTITION BY q_doc_id
+       |                           ORDER BY lev_dist, match_doc_id) = 1""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("fuzzy_match_deletions", matchDeletions _, Some(matchDeletionsSql)),
+    Op("fuzzy_match_best", matchBest _, Some(matchBestSql)))
+}
