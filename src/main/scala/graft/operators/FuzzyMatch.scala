@@ -69,30 +69,44 @@ object FuzzyMatch {
       s"concat(substring(name, 1, ${delPos("substring")}), " +
         s"substring(name, ${delPos("substring")} + 2, $NameLen)) AS q_name")
 
-  private def blocked(spark: SparkSession, dir: String,
-      keyExpr: String => String): DataFrame = {
-    val base = named(spark, dir)
-      .withColumn("bk", expr(keyExpr("name")))
-    base.withColumn("_rn", row_number().over(
-        Window.partitionBy("bk").orderBy(col("name"), col("doc_id"))))
-      .where(col("_rn") <= BlockCap).drop("_rn")
-  }
-
   private def prefKey(c: String) = s"substring($c, 1, 4)"
   private def sufKey(c: String) = s"substring($c, length($c) - 3, 4)"
 
-  /** Confirmed pairs (internal: shared by both registered ops). */
+  /** Both block keys of one name column as (block_type, key) rows —
+    * ONE scan feeds both blocks instead of one subtree per block.
+    */
+  private def withBlockKeys(df: DataFrame, c: String): DataFrame =
+    df.select(col("*"), explode(array(
+        struct(lit("p").as("bt"), expr(prefKey(c)).as("bk")),
+        struct(lit("s").as("bt"), expr(sufKey(c)).as("bk")))).as("_b"))
+      .select(df.columns.map(col) :+ col("_b.bt").as("bt")
+        :+ col("_b.bk").as("bk"): _*)
+
+  /** Confirmed pairs (internal: shared by both registered ops). The
+    * per-(block type, key) cap is one window over the exploded frame
+    * — equivalent to capping each block CTE separately, which is how
+    * the oracle spells it.
+    */
   private def confirmed(spark: SparkSession, dir: String): DataFrame = {
-    val q = queriesDf(spark, dir)
-    def side(key: String => String): DataFrame =
-      q.withColumn("bk", expr(key("q_name")))
-        .join(blocked(spark, dir, key), "bk")
-        .select("q_doc_id", "doc_id", "q_name", "name")
-    side(prefKey).union(side(sufKey))
-      .dropDuplicates("q_doc_id", "doc_id", "q_name", "name")
-      .where(levenshtein(col("q_name"), col("name")) <= MaxDist)
+    val corpus = withBlockKeys(named(spark, dir), "name")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("bt", "bk").orderBy(col("name"), col("doc_id"))))
+      .where(col("_rn") <= BlockCap).drop("_rn")
+    // confirm BEFORE the pair dedup: the filter is deterministic per
+    // pair, so filter-then-distinct ≡ the oracle's distinct-then-
+    // filter, and the distinct exchange carries only survivors keyed
+    // by two longs (names are functions of the ids)
+    // the THRESHOLDED levenshtein runs the banded O(len × dist) DP and
+    // returns -1 over the threshold — same confirmed set and values as
+    // the oracle's plain levenshtein ≤ MaxDist, ~5× less DP work
+    withBlockKeys(queriesDf(spark, dir), "q_name")
+      .join(corpus, Seq("bt", "bk"))
+      .withColumn("lev_dist",
+        levenshtein(col("q_name"), col("name"), MaxDist).cast("long"))
+      .where(col("lev_dist") >= 0)
       .select(col("q_doc_id"), col("doc_id").as("match_doc_id"),
-        levenshtein(col("q_name"), col("name")).cast("long").as("lev_dist"))
+        col("lev_dist"))
+      .dropDuplicates("q_doc_id", "match_doc_id")
   }
 
   /** `fuzzy_match_deletions`: every confirmed (query, corpus) pair. */
