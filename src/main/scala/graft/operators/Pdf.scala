@@ -1619,7 +1619,7 @@ object Pdf {
   }
 
   private[graft] final case class Extracted(status: String, nPages: Int,
-      text: String)
+      text: String, pages: Vector[String] = Vector.empty)
 
   /** Full walk: header → xref → trailer → page tree → content text.
     * Any structural failure returns a quarantine row — never partial
@@ -1804,7 +1804,7 @@ object Pdf {
           else streams.reduce((a, bb) => a ++ Array('\n'.toByte) ++ bb)
         contentText(joined, fonts).mkString("\n")
       }
-      Extracted("ok", pageTexts.length, pageTexts.mkString("\n"))
+      Extracted("ok", pageTexts.length, pageTexts.mkString("\n"), pageTexts)
     } catch {
       case Quarantine(s) => Extracted(s, 0, "")
       case scala.util.control.NonFatal(_) =>
@@ -2048,7 +2048,84 @@ object Pdf {
        |       md5(txt) AS text_md5
        |FROM t""".stripMargin
 
+  /** `multimodal_pdf_pages`: the page-CHUNKED form of [[pdfText]] —
+    * one row per extracted page, the shape a RAG pipeline feeds to a
+    * chunk index (page = the natural citation unit for PDFs; cf.
+    * `rag_chunk_topk` over character windows in [[TextAnalysis]]).
+    * Same writer mix, so every parse seam runs here too; documents
+    * that quarantine emit NO page rows (both engines).
+    */
+  def pdfPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          if (text == null || NonAscii.findFirstIn(text).isDefined)
+            Iterator.empty
+          else {
+            val pdf =
+              if (id % 5 == 0) renderModern(text)
+              else render(text, flate = id % 2 == 0,
+                indirectLength = id % 3 == 0, lzw = id % 7 == 1,
+                encrypt = id % 11 == 2, cmapFont = id % 13 == 3,
+                aes = id % 11 == 2 && id % 2 == 1,
+                aes256 = id % 11 == 2 && id % 4 == 0)
+            val r = extract(pdf)
+            if (r.status != "ok") Iterator.empty
+            else r.pages.iterator.zipWithIndex.map { case (pg, i) =>
+              md.reset()
+              val hex = md.digest(pg.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+                .map("%02x".format(_)).mkString
+              (id, (i + 1).toLong, pg.length.toLong, hex)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "page_no", "n_chars_page", "page_md5")
+  }
+
+  /** Oracle: the layout contract re-derived per PAGE — lines of
+    * [[WordsPerLine]] words, [[LinesPerPage]]-line slices, newline
+    * joins.
+    */
+  val pdfPagesSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, text,
+       |         [x for x in string_split(trim(text), ' ') if x <> '']
+       |           AS words
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND NOT regexp_matches(text, '[^\\x20-\\x7E]')
+       |), l AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(words) = 0 THEN ['']
+       |              ELSE [array_to_string(words[i:i+${WordsPerLine - 1}], ' ')
+       |                    for i in range(1, len(words)+1, $WordsPerLine)]
+       |         END AS lines
+       |  FROM w
+       |), p AS (
+       |  SELECT doc_id, lines,
+       |         unnest(range(1,
+       |           CAST(ceil(len(lines) / $LinesPerPage.0) AS INT) + 1))
+       |           AS page_no
+       |  FROM l
+       |), pg AS (
+       |  SELECT doc_id, page_no,
+       |         array_to_string(
+       |           lines[(page_no - 1) * $LinesPerPage + 1 :
+       |                 page_no * $LinesPerPage], chr(10)) AS ptxt
+       |  FROM p
+       |)
+       |SELECT doc_id, CAST(page_no AS BIGINT) AS page_no,
+       |       CAST(length(ptxt) AS BIGINT) AS n_chars_page,
+       |       md5(ptxt) AS page_md5
+       |FROM pg""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("multimodal_pdf_text", pdfText _, Some(pdfTextSql)),
-    Op("multimodal_pdf_ingest", docsFromPdf _, Some(docsFromPdfSql)))
+    Op("multimodal_pdf_ingest", docsFromPdf _, Some(docsFromPdfSql)),
+    Op("multimodal_pdf_pages", pdfPages _, Some(pdfPagesSql)))
 }

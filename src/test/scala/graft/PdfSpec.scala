@@ -545,6 +545,31 @@ class PdfSpec extends SparkSpec {
     assert(before == after, "re-run must not rewrite the landing dir")
   }
 
+  test("multimodal_pdf_pages: page boundaries, md5 re-joins to the doc text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pdfpg").toString
+    // 8 words/line, 20 lines/page: 170 words = 22 lines = 2 pages
+    // (20 + 2); id 2 routes through the encrypted writer branch
+    val many = (1 to 170).map(i => s"w$i").mkString(" ")
+    Seq((2L, many), (7L, "just one page"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Pdf.pdfPages(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.count(_._1 == 2L) == 2 && rows.count(_._1 == 7L) == 1)
+    val Seq(p1, p2) = rows.filter(_._1 == 2L).sortBy(_._2).toSeq
+    assert(p1._2 == 1L && p2._2 == 2L)
+    // page texts re-join (with the page separator) to the full doc
+    // extraction — chunked and whole forms agree byte-for-byte
+    val full = Pdf.extract(Pdf.render(many, flate = true,
+      indirectLength = false, encrypt = true, aes = false))
+    assert(full.status == "ok")
+    assert(full.pages.map(_.length.toLong) == Seq(p1._3, p2._3))
+    assert(full.pages.mkString("\n") == full.text)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(x: String) = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(h(full.pages(0)) == p1._4 && h(full.pages(1)) == p2._4)
+  }
+
   test("multimodal_pdf_text matches the layout oracle shape at sf0.001") {
     import spark.implicits._
     val got = Pdf.pdfText(spark, sfDir).collect()
