@@ -47,6 +47,14 @@ object SuffixArray {
         substring(regexp_replace(lower(col("text")), NormSpark, ""), 1, Cap)
           .as("s"))
       .where(length(col("s")) >= 2)
+      // a single-file fixture is ONE scan task; hash-spreading by
+      // doc_id parallelizes the explode/initial-rank projection AND
+      // already satisfies the build windows' partitioning, so the
+      // doubling rounds add no further exchange (the Similarity
+      // annIngest precedent). At 100 TB the scan has real splits and
+      // this is one co-partitioned shuffle of the normalized prefixes.
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
 
   private val normSqlCte: String =
     s"""WITH t AS (
@@ -150,7 +158,88 @@ object SuffixArray {
        |         AS n_repeat8_pairs
        |FROM l GROUP BY doc_id""".stripMargin
 
+  /** Cross-document repeat key length: LCPs are measured against
+    * 32-char suffix KEYS, so a reported repeat saturates at 32 —
+    * enough to clear [[MinRepeat]] with margin while keeping the
+    * materialized key linear in the corpus (≤ Cap keys × 32 chars
+    * per document).
+    */
+  private[operators] val XKeyLen = 32
+  private[operators] val MinRepeat = 16
+  private val EmitFloor = 8
+
+  /** `dedup_repeat_corpus`: the CROSS-document form (Lee et al. 2022's
+    * repeated-substring signal): order every suffix key of every
+    * document's normalized prefix GLOBALLY, take lexicographically
+    * adjacent pairs from DIFFERENT documents, and aggregate each
+    * document's max shared-span length and its count of ≥
+    * [[MinRepeat]]-char adjacencies. Documents sharing a long span
+    * are adjacent in suffix order unless a third document carrying
+    * the same span sits between them — in which case THAT adjacency
+    * reports the span — so every repeated span surfaces on every
+    * document that carries it.
+    *
+    * Scale shape: the global order comes from [[ShardedPrefix]]'s
+    * exact sharded row number (range-bin on the order-preserving
+    * codepoint proxy, per-shard sort, offsets from the tiny totals
+    * frame) — no corpus-sized single-partition window anywhere — and
+    * neighbors join on `rn = rn + 1`, a plain equi-join. The LCP is
+    * one [[PrefixLen]] byte-walk per adjacent pair.
+    */
+  def repeatCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = normDocs(spark, dir)
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(1), length(col("s")))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(s, pos, $XKeyLen)").as("suf"))
+    val ranked = ShardedPrefix.cumsum(spark, sfx, Nil, "suf", Nil,
+      rnCol = Some("rn"), tiebreaks = Seq(col("doc_id"), col("pos")))
+      .select("rn", "doc_id", "suf")
+      .localCheckpoint() // feeds both sides of the neighbor join
+    val prev = ranked.select((col("rn") + 1).as("rn"),
+      col("doc_id").as("pdoc"), col("suf").as("psuf"))
+    val x = ranked.join(prev, "rn")
+      .where(col("pdoc") =!= col("doc_id"))
+      .select(col("doc_id"), col("pdoc"),
+        PrefixLen(col("suf"), col("psuf")).as("lcp"))
+    x.select(col("doc_id"), col("lcp"))
+      .union(x.select(col("pdoc").as("doc_id"), col("lcp")))
+      .groupBy("doc_id")
+      .agg(max(col("lcp")).as("max_xdoc_repeat"),
+        sum(when(col("lcp") >= MinRepeat, 1L).otherwise(0L))
+          .as(s"n_adj_repeat$MinRepeat"))
+      .where(col("max_xdoc_repeat") >= EmitFloor)
+  }
+
+  val repeatCorpusSql: String =
+    s"""$normSqlCte,
+       |sfx AS (
+       |  SELECT doc_id, pos, substr(s, pos, $XKeyLen) AS suf FROM p
+       |), o AS (
+       |  SELECT doc_id, suf,
+       |         lag(doc_id) OVER (ORDER BY suf, doc_id, pos) AS pdoc,
+       |         lag(suf) OVER (ORDER BY suf, doc_id, pos) AS psuf
+       |  FROM sfx
+       |), x AS (
+       |  SELECT doc_id, pdoc,
+       |         (SELECT coalesce(max(i), 0)
+       |          FROM range(1, ${XKeyLen + 1}) g(i)
+       |          WHERE i <= least(length(suf), length(psuf))
+       |            AND substr(suf, 1, CAST(i AS INT)) =
+       |                substr(psuf, 1, CAST(i AS INT))) AS lcp
+       |  FROM o WHERE psuf IS NOT NULL AND pdoc <> doc_id
+       |), b AS (
+       |  SELECT doc_id, lcp FROM x
+       |  UNION ALL
+       |  SELECT pdoc AS doc_id, lcp FROM x
+       |)
+       |SELECT doc_id, CAST(max(lcp) AS BIGINT) AS max_xdoc_repeat,
+       |       CAST(sum(CASE WHEN lcp >= $MinRepeat THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_adj_repeat$MinRepeat
+       |FROM b GROUP BY doc_id HAVING max(lcp) >= $EmitFloor""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_suffix_array", suffixArray _, Some(suffixArraySql)),
-    Op("text_longest_repeat", longestRepeat _, Some(longestRepeatSql)))
+    Op("text_longest_repeat", longestRepeat _, Some(longestRepeatSql)),
+    Op("dedup_repeat_corpus", repeatCorpus _, Some(repeatCorpusSql)))
 }

@@ -75,6 +75,26 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("dedup_repeat_corpus: planted cross-doc span surfaces on every carrier") {
+    val span = "this exact span is shared verbatim" // 34 chars → key-capped at 32
+    val dir = docsDir(Seq(
+      1L -> s"first document carries $span in the middle",
+      2L -> s"$span opens the second one",
+      3L -> s"and a third carrier also has $span",
+      4L -> "totally unrelated content with no overlap qqq"))
+    val rows = SuffixArray.repeatCorpus(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every carrier reports the span at the 32-char key cap; each has
+    // ≥ 1 adjacent ≥16-char pair (suffixes inside the span align too)
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(rows.contains(id), s"doc $id missing: $rows")
+      assert(rows(id)._1 == 32L, s"doc $id max = ${rows(id)._1}")
+      assert(rows(id)._2 >= 1L)
+    }
+    // doc 4 shares no ≥8-char span — it must not appear
+    assert(!rows.contains(4L), s"doc 4 leaked: ${rows.get(4L)}")
+  }
+
   test("PrefixLen: golden values, multibyte clipping, codegen parity") {
     val P = org.apache.spark.sql.graft.PrefixLen
     def lcp(a: String, b: String): Long = P.commonPrefixChars(
