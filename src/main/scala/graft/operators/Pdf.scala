@@ -227,7 +227,8 @@ object Pdf {
   private[graft] def render(text: String, flate: Boolean,
       indirectLength: Boolean, lzw: Boolean = false,
       encrypt: Boolean = false, cmapFont: Boolean = false,
-      aes: Boolean = false, aes256: Boolean = false): Array[Byte] = {
+      aes: Boolean = false, aes256: Boolean = false,
+      info: Option[(String, String, String)] = None): Array[Byte] = {
     val pages = layoutLines(text).grouped(LinesPerPage).toVector
     val nPages = pages.length
     // object numbers: 1 catalog, 2 pages, 3 font, then per page i:
@@ -299,6 +300,27 @@ object Pdf {
       out.write(cm)
       w("\nendstream\nendobj\n")
     }
+    // document information dictionary — its STRINGS encrypt with the
+    // same handler as streams (per-object key for V < 5, file key for
+    // V 5), written as hex strings so the bytes survive verbatim
+    val infoNum = info.map { case (title, author, cdate) =>
+      val n = offsets.keys.max + 1
+      def strTok(s: String): String =
+        if (!encrypt) s"(${escapeLiteral(s)})"
+        else {
+          val raw = s.getBytes(ascii)
+          val enc =
+            if (aes256) StdSecurity.aesEncrypt(FixtureCryptV6._1, raw)
+            else if (aes) StdSecurity.aesEncrypt(
+              StdSecurity.objectKey(FixtureCryptV4._2, n, 0, aes = true), raw)
+            else StdSecurity.rc4(
+              StdSecurity.objectKey(FixtureCrypt._4, n, 0), raw)
+          "<" + enc.map("%02x".format(_)).mkString + ">"
+        }
+      obj(n)(w(s"<< /Title ${strTok(title)} /Author ${strTok(author)} " +
+        s"/CreationDate ${strTok(cdate)} >>"))
+      n
+    }
     val xrefAt = out.size()
     val maxObj = offsets.keys.max
     w(s"xref\n0 ${maxObj + 1}\n")
@@ -331,7 +353,8 @@ object Pdf {
             s"/O <${hx(o)}> /U <${hx(u)}> /P $perm >> " +
             s"/ID [<${hx(id0)}> <${hx(id0)}>]"
       }
-    w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R$encPart >>\n" +
+    val infoPart = infoNum.map(n => s" /Info $n 0 R").getOrElse("")
+    w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R$infoPart$encPart >>\n" +
       s"startxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
@@ -1154,6 +1177,16 @@ object Pdf {
           StdSecurity.objectKey(encKey, s.num, s.gen), raw)
       applyFilters(s.dict, plain, deref)
     }
+
+    /** String decryption mirrors [[streamData]]'s handler branches —
+      * used by the /Info reader, keyed by the CONTAINING object.
+      */
+    def decryptString(b: Array[Byte], num: Int, gen: Int): Array[Byte] =
+      if (encKey == null) b
+      else if (encV5) StdSecurity.aesDecrypt(encKey, b)
+      else if (encAes) StdSecurity.aesDecrypt(
+        StdSecurity.objectKey(encKey, num, gen, aes = true), b)
+      else StdSecurity.rc4(StdSecurity.objectKey(encKey, num, gen), b)
   }
 
   /** Filter chain over raw stream bytes: none / FlateDecode, with PNG
@@ -1618,8 +1651,41 @@ object Pdf {
     lines.result()
   }
 
+  /** PDF TEXT STRING (ISO 32000-1 §7.9.2.2): UTF-16BE with BOM, else
+    * byte encoding — PDFDocEncoding's ASCII range is identity, and the
+    * fixture scope stops there (non-ASCII single-byte text strings map
+    * to U+FFFD rather than guessing the Doc/Latin high range).
+    */
+  private[graft] def textString(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+      new String(b, 2, b.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16BE)
+    else b.map { x =>
+      val c = x & 0xFF
+      if (c >= 0x20 && c <= 0x7E) c.toChar else '�'
+    }.mkString
+
+  private val PdfDateRe =
+    "^D:(\\d{4})(\\d{2})(\\d{2})(\\d{2})(\\d{2})(\\d{2})(Z|[+\\-]\\d{2}'\\d{2}'?)?.*$".r
+
+  /** `D:YYYYMMDDHHmmSS(Z|±HH'mm')` → ISO-8601 text. Anything outside
+    * the full-precision form returns null (metadata degrades, never
+    * guesses).
+    */
+  private[graft] def pdfDate(s: String): String = s match {
+    case PdfDateRe(y, mo, d, h, mi, sec, tz) =>
+      val suffix = tz match {
+        case null => ""
+        case "Z" => "Z"
+        case o => o.substring(0, 3) + ":" + o.substring(4, 6)
+      }
+      s"$y-$mo-${d}T$h:$mi:$sec$suffix"
+    case _ => null
+  }
+
   private[graft] final case class Extracted(status: String, nPages: Int,
-      text: String, pages: Vector[String] = Vector.empty)
+      text: String, pages: Vector[String] = Vector.empty,
+      info: Map[String, String] = Map.empty)
 
   /** Full walk: header → xref → trailer → page tree → content text.
     * Any structural failure returns a quarantine row — never partial
@@ -1804,7 +1870,25 @@ object Pdf {
           else streams.reduce((a, bb) => a ++ Array('\n'.toByte) ++ bb)
         contentText(joined, fonts).mkString("\n")
       }
-      Extracted("ok", pageTexts.length, pageTexts.mkString("\n"), pageTexts)
+      // /Info document metadata: decrypt strings with the containing
+      // object's key, decode as PDF text strings. A damaged Info dict
+      // degrades to NO metadata — it never blocks text extraction.
+      val infoMap: Map[String, String] = try {
+        trailer.get("Info") match {
+          case Some(PRef(n, g)) => rd.obj(n) match {
+            case d: PDict => d.m.collect { case (k, PStr(b)) =>
+              k -> textString(rd.decryptString(b, n, g))
+            }
+            case _ => Map.empty[String, String]
+          }
+          case Some(d: PDict) => d.m.collect { case (k, PStr(b)) =>
+            k -> textString(b)
+          }
+          case _ => Map.empty[String, String]
+        }
+      } catch { case Quarantine(_) => Map.empty[String, String] }
+      Extracted("ok", pageTexts.length, pageTexts.mkString("\n"), pageTexts,
+        infoMap)
     } catch {
       case Quarantine(s) => Extracted(s, 0, "")
       case scala.util.control.NonFatal(_) =>
@@ -2124,8 +2208,68 @@ object Pdf {
        |       md5(ptxt) AS page_md5
        |FROM pg""".stripMargin
 
+  /** `multimodal_pdf_meta`: document-information extraction — /Info
+    * dict through the trailer, strings decrypted per handler and
+    * decoded as PDF text strings, `/CreationDate` parsed from the
+    * `D:` form to ISO-8601. The fixture plants deterministic metadata
+    * (title = first 4 words, author = the `source` column, creation
+    * day keyed by doc_id) so the oracle re-derives every field; the
+    * encrypted writer branches exercise STRING decryption, which
+    * streams-only paths never touch.
+    */
+  def pdfMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text, source) =>
+          if (text == null || NonAscii.findFirstIn(text).isDefined)
+            Iterator.empty
+          else {
+            val title = text.trim.split(' ').filter(_.nonEmpty)
+              .take(4).mkString(" ")
+            val cdate = f"D:202607${id % 28 + 1}%02d120000Z"
+            val pdf =
+              if (id % 5 == 0) renderModern(text)
+              else render(text, flate = id % 2 == 0,
+                indirectLength = id % 3 == 0, lzw = id % 7 == 1,
+                encrypt = id % 11 == 2, cmapFont = id % 13 == 3,
+                aes = id % 11 == 2 && id % 2 == 1,
+                aes256 = id % 11 == 2 && id % 4 == 0,
+                info = Some((title, source, cdate)))
+            val r = extract(pdf)
+            if (r.status != "ok") Iterator.empty
+            else Iterator.single((id, r.info.getOrElse("Title", null),
+              r.info.getOrElse("Author", null),
+              r.info.get("CreationDate").map(pdfDate).orNull))
+          }
+        }
+      }
+      .toDF("doc_id", "title", "author", "created")
+  }
+
+  /** Oracle: the planted metadata re-derived from the documents table.
+    * Modern-writer ids (≡ 0 mod 5) carry no Info dict → NULL fields.
+    */
+  val pdfMetaSql: String =
+    s"""SELECT doc_id,
+       |       CASE WHEN doc_id % 5 = 0 THEN NULL
+       |            ELSE array_to_string(
+       |              ([x for x in string_split(trim(text), ' ')
+       |                if x <> ''])[1:4], ' ') END AS title,
+       |       CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS author,
+       |       CASE WHEN doc_id % 5 = 0 THEN NULL
+       |            ELSE '2026-07-' ||
+       |                 lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+       |                 'T12:00:00Z' END AS created
+       |FROM documents
+       |WHERE text IS NOT NULL
+       |  AND NOT regexp_matches(text, '[^\\x20-\\x7E]')""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("multimodal_pdf_text", pdfText _, Some(pdfTextSql)),
     Op("multimodal_pdf_ingest", docsFromPdf _, Some(docsFromPdfSql)),
-    Op("multimodal_pdf_pages", pdfPages _, Some(pdfPagesSql)))
+    Op("multimodal_pdf_pages", pdfPages _, Some(pdfPagesSql)),
+    Op("multimodal_pdf_meta", pdfMeta _, Some(pdfMetaSql)))
 }

@@ -570,6 +570,49 @@ class PdfSpec extends SparkSpec {
     assert(h(full.pages(0)) == p1._4 && h(full.pages(1)) == p2._4)
   }
 
+  test("/Info metadata: text strings, D: dates, encrypted strings decrypt") {
+    // plain writer round-trip
+    val pdf = Pdf.render("alpha beta gamma delta epsilon", flate = true,
+      indirectLength = false,
+      info = Some(("alpha beta gamma delta", "web-7",
+        "D:20260715120000Z")))
+    val r = Pdf.extract(pdf)
+    assert(r.status == "ok")
+    assert(r.info("Title") == "alpha beta gamma delta")
+    assert(r.info("Author") == "web-7")
+    assert(Pdf.pdfDate(r.info("CreationDate")) == "2026-07-15T12:00:00Z")
+    // STRING decryption through all three handlers (streams-only paths
+    // never exercise this seam)
+    Seq((false, false), (true, false), (false, true)).foreach {
+      case (a128, a256) =>
+        val enc = Pdf.extract(Pdf.render("words here", flate = false,
+          indirectLength = false, encrypt = true, aes = a128,
+          aes256 = a256, info = Some(("words here", "src", 
+            "D:20260701120000Z"))))
+        assert(enc.status == "ok" && enc.info("Title") == "words here",
+          s"aes=$a128 aes256=$a256 got ${enc.info}")
+    }
+    // UTF-16BE BOM text string (hand-built hex string in the Info obj)
+    val title16 = Array[Byte](0xFE.toByte, 0xFF.toByte, 0, 'J', 0x30, 0x42)
+    val hex16 = title16.map("%02x".format(_)).mkString
+    val content = "BT (x) Tj ET".getBytes(ascii)
+    val withInfo = onePagePdf(content,
+      extraTrailer = " /Info << /Title <" + hex16 + "> >>")
+    val r16 = Pdf.extract(withInfo)
+    assert(r16.status == "ok" && r16.info("Title") == "Jあ",
+      s"got ${r16.info}")
+    // D: date forms: offset, no-tz, malformed
+    assert(Pdf.pdfDate("D:20260715120000+05'30'") ==
+      "2026-07-15T12:00:00+05:30")
+    assert(Pdf.pdfDate("D:20260715120000") == "2026-07-15T12:00:00")
+    assert(Pdf.pdfDate("D:2026") == null)
+    assert(Pdf.pdfDate("garbage") == null)
+    // a dangling /Info ref degrades to no metadata, text still extracts
+    val dangling = Pdf.extract(onePagePdf(content,
+      extraTrailer = " /Info 99 0 R"))
+    assert(dangling.status == "ok" && dangling.info.isEmpty)
+  }
+
   test("multimodal_pdf_text matches the layout oracle shape at sf0.001") {
     import spark.implicits._
     val got = Pdf.pdfText(spark, sfDir).collect()
