@@ -293,6 +293,38 @@ object CorpusStream {
       .withColumn("flagged", col("n_flagged") > 0)
   }
 
+  /** Streaming near-dup CANDIDATE gate: arriving documents are
+    * shingled and minhash-banded by the SAME native kernels as the
+    * batch family (`WordShingleHashes` → `MinHashBands`, stateless,
+    * whole-stage codegen — identical hashes, so persisted artifacts
+    * apply verbatim), then stream-static inner-joined against the
+    * PERSISTED band-bucket index: each output row is an (arriving
+    * doc, historical anchor, band) collision. No watermark and no
+    * stream state — the static side is the bounded stored index
+    * (≤ `LshBucketCap` anchors per bucket), and the exact-Jaccard
+    * confirm stays a batch step, the candidates-only discipline the
+    * batch `dedup_minhash_incremental` admit path uses.
+    */
+  def nearDupCandidateStream(docs: org.apache.spark.sql.DataFrame,
+      bandIndex: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ShingleHash
+    val banded = docs
+      .select(col("doc_id"),
+        ShingleHash.wordShingleHashes(col("text")).as("shingles"))
+      .where(col("shingles").isNotNull) // kernel nulls under 3 words
+      .select(col("doc_id"),
+        posexplode(ShingleHash.minhashBands(col("shingles"))))
+      .toDF("doc_id", "band", "bucket")
+    banded.join(
+        bandIndex.select(col("doc_id").as("anchor_id"),
+          col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("anchor_id") =!= col("doc_id"))
+      .select("doc_id", "anchor_id", "band", "bucket")
+  }
+
   def spanFlagStream(docs: org.apache.spark.sql.DataFrame,
       historyBloom: Array[Byte]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._

@@ -3,10 +3,10 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, posexplode}
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.EventStream
+import graft.streaming.{CorpusStream, EventStream}
 import graft.streaming.EventStream.Event
 
 /** Structured-Streaming twins driven through MemoryStream — watermarked
@@ -655,6 +655,53 @@ class StreamingSpec extends SparkSpec {
       assert(got(3L) == ((8, 0, false)), s"got ${got(3L)}")
       // short doc: no full gram exists — empty array, never flagged
       assert(got(5L) == ((0, 0, false)), s"got ${got(5L)}")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup candidates: band parity with batch, anchors hit, clean docs pass") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok7", "tok7x") // one token changed
+    val fresh = (1 to 30).map(i => s"new$i").mkString(" ")
+    // the persisted index: the batch kernels over the history docs
+    val history = Seq((100L, base)).toDF("doc_id", "text")
+    val index = history.select(col("doc_id"),
+      org.apache.spark.sql.graft.ShingleHash.wordShingleHashes(col("text"))
+        .as("sh"))
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graft.ShingleHash.minhashBands(col("sh"))))
+      .toDF("doc_id", "band", "bucket")
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream
+      .nearDupCandidateStream(mem.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, nearDup), (2L, fresh), (3L, "too short"),
+        (100L, base)) // the anchor itself re-arrives: self-hit excluded
+      q.processAllAvailable()
+      val got = spark.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // the near-dup collides with the stored anchor on ≥ 1 band
+      assert(got.exists(c => c._1 == 1L && c._2 == 100L),
+        s"near-dup missed: ${got.toSeq}")
+      // a fresh doc and a too-short doc emit nothing
+      assert(!got.exists(_._1 == 2L) && !got.exists(_._1 == 3L))
+      // the anchor's own re-arrival is not a candidate against itself
+      assert(!got.exists(c => c._1 == 100L && c._2 == 100L))
+      // band parity: every emitted (doc, band) pair exists in the
+      // BATCH banding of the same text — same kernels, same hashes
+      val batchBands = Seq((1L, nearDup)).toDF("doc_id", "text")
+        .select(col("doc_id"), posexplode(
+          org.apache.spark.sql.graft.ShingleHash.minhashBands(
+            org.apache.spark.sql.graft.ShingleHash
+              .wordShingleHashes(col("text")))))
+        .toDF("doc_id", "band", "bucket").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      got.filter(_._1 == 1L).foreach { c =>
+        assert(batchBands.exists(b => b._2 == c._3), s"band ${c._3} not in batch")
+      }
     } finally q.stop()
   }
 
