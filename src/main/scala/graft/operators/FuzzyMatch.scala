@@ -173,7 +173,39 @@ object FuzzyMatch {
        |QUALIFY row_number() OVER (PARTITION BY q_doc_id
        |                           ORDER BY lev_dist, match_doc_id) = 1""".stripMargin
 
+  /** `fuzzy_er_clusters`: the MERGE step of entity resolution —
+    * confirmed match pairs treated as identity edges and contracted
+    * through [[Graph.connectedComponents]] (label = component-minimum
+    * doc_id), reported as (cluster, n_docs). Self-matches keep
+    * singletons present, so every named document lands in exactly one
+    * cluster; transitive chains (a ≈ b ≈ c with a ≉ c) merge, which
+    * is the point of the closure.
+    */
+  def erClusters(spark: SparkSession, dir: String): DataFrame =
+    Graph.connectedComponents(
+        confirmed(spark, dir).select(col("q_doc_id").as("u"),
+          col("match_doc_id").as("v")))
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  val erClustersSql: String =
+    s"""${candSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |conf AS (
+       |  SELECT q_doc_id AS u, doc_id AS v FROM cand
+       |  WHERE levenshtein(q_name, name) <= $MaxDist
+       |),
+       |edges AS (SELECT u, v FROM conf UNION SELECT v, u FROM conf),
+       |walk(u, x) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.x
+       |),
+       |lab AS (SELECT u, min(x) AS cluster FROM walk GROUP BY u)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM lab GROUP BY cluster""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("fuzzy_match_deletions", matchDeletions _, Some(matchDeletionsSql)),
-    Op("fuzzy_match_best", matchBest _, Some(matchBestSql)))
+    Op("fuzzy_match_best", matchBest _, Some(matchBestSql)),
+    Op("fuzzy_er_clusters", erClusters _, Some(erClustersSql)))
 }

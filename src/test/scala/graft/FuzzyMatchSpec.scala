@@ -68,6 +68,18 @@ class FuzzyMatchSpec extends SparkSpec {
     assert((1L to 80L).forall(id => best(id) == id))
   }
 
+  test("er clusters: cross-matched docs merge, unrelated stay singleton") {
+    val dir = docsDir(Seq(
+      1L -> "shared prefix alpha zzz",
+      2L -> "shared prefix alphb zzz",
+      3L -> "completely different words here"))
+    val got = FuzzyMatch.erClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1 and 2 cross-hit at distance 2 -> one cluster labeled by
+    // the min id; doc 3 self-matches only -> singleton
+    assert(got == Map(1L -> 2L, 3L -> 1L), s"got $got")
+  }
+
   test("short names drop; punctuation and case normalize away") {
     val dir = docsDir(Seq(1L -> "ab", 2L -> "QUICK-brown?! Foxes run"))
     val best = FuzzyMatch.matchBest(spark, dir).collect()
