@@ -15,7 +15,7 @@ object SparkEntry {
       Skew.ops ++ DocsPipeline.ops ++ Curation.ops ++ Graph.ops ++
       RuntimeFilter.ops ++ History.ops ++ Spatial.ops ++ HtmlExtract.ops ++
       Domains.ops ++ Bpe.ops ++ Layout.ops ++ Retrieval.ops ++ Pdf.ops ++
-      SuffixArray.ops ++ FuzzyMatch.ops
+      SuffixArray.ops ++ FuzzyMatch.ops ++ DataQuality.ops
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
