@@ -169,6 +169,55 @@ object DataQuality {
       |              (SELECT o_orderkey FROM orders)) = 0
       |FROM lineitem""".stripMargin
 
+  /** `dq_profile`: the PROFILER side of the Deequ pair — per-column
+    * statistics (null count, exact distinct count, numeric min/max)
+    * for the orders table, all computed in ONE scan (a single agg
+    * whose row is then unpivoted into per-column rows; the 1-row agg
+    * frame is reused, never re-scanned). Non-numeric columns carry
+    * NULL min/max — profiles stay typed, no stringified values whose
+    * formatting could diverge between engines.
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderpriority")
+    val agg = orders.agg(count(lit(1)).as("_n"),
+      cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
+          countDistinct(col(c)).as(s"_nd_$c")) ++
+          (if (numeric(c))
+            Seq(min(col(c)).cast("double").as(s"_mn_$c"),
+              max(col(c)).cast("double").as(s"_mx_$c"))
+          else Nil)
+      }: _*)
+    cols.map { c =>
+      agg.select(lit(c).as("column_name"), col("_n").as("n_rows"),
+        col(s"_nn_$c").as("n_nulls"), col(s"_nd_$c").as("n_distinct"),
+        (if (numeric(c)) col(s"_mn_$c")
+        else lit(null).cast("double")).as("min_value"),
+        (if (numeric(c)) col(s"_mx_$c")
+        else lit(null).cast("double")).as("max_value"))
+    }.reduce(_.union(_))
+  }
+
+  val profileSql: String = {
+    val defs = Seq(
+      ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
+      ("o_totalprice", true), ("o_orderpriority", false))
+    defs.map { case (c, num) =>
+      val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_nulls,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |       $mn AS min_value, $mx AS max_value
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   val ops: Seq[Op] = Seq(
-    Op("dq_audit", audit _, Some(auditSql)))
+    Op("dq_audit", audit _, Some(auditSql)),
+    Op("dq_profile", profile _, Some(profileSql)))
 }

@@ -21,10 +21,11 @@ class DataQualitySpec extends SparkSpec {
     // order 30 dangles its custkey and repeats key 20 when planted
     val okey3 = if (withViolations) 20L else 30L
     val cust3 = if (withViolations) 77L else 2L
-    Seq((10L, 1L, "O", 10.0), (20L, 2L, "F", 20.0),
+    Seq((10L, 1L, "O", 10.0, "1-URGENT"), (20L, 2L, "F", 20.0, "2-HIGH"),
       (okey3, cust3, if (withViolations) "X" else "P",
-        if (withViolations) -5.0 else 30.0))
-      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        if (withViolations) -5.0 else 30.0, "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
       .write.parquet(s"$dir/orders.parquet")
     Seq((10L, 1, 5.0, "A", 0.05),
       (if (withViolations) 999L else 20L, 1,
@@ -62,6 +63,22 @@ class DataQualitySpec extends SparkSpec {
     assert(got("lineitem_discount_in_range") == ((1L, 2L, false)))
     assert(got("lineitem_orderkey_fk") == ((1L, 2L, false)))
     assert(got("events_type_complete") == ((1L, 2L, false)))
+  }
+
+  test("profile: exact per-column stats from one planted table") {
+    val got = DataQuality.profile(spark, fixtureDir(withViolations = true))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(got.size == 5)
+    // planted orders: keys 10, 20, 20 (dup); custkeys 1, 2, 77;
+    // status O, F, X; totalprice 10, 20, -5
+    assert(got("o_orderkey") == ((3L, 0L, 2L, Some(10.0), Some(20.0))))
+    assert(got("o_custkey") == ((3L, 0L, 3L, Some(1.0), Some(77.0))))
+    assert(got("o_totalprice") == ((3L, 0L, 3L, Some(-5.0), Some(20.0))))
+    val st = got("o_orderstatus")
+    assert(st._3 == 3L && st._4.isEmpty && st._5.isEmpty)
   }
 
   test("a clean fixture passes every constraint") {
