@@ -109,9 +109,23 @@ object FuzzyMatch {
       .dropDuplicates("q_doc_id", "match_doc_id")
   }
 
-  /** `fuzzy_match_deletions`: every confirmed (query, corpus) pair. */
-  def matchDeletions(spark: SparkSession, dir: String): DataFrame =
-    confirmed(spark, dir)
+  /** `fuzzy_match_deletions`: every confirmed (query, corpus) pair,
+    * with the SATURATED-block count riding every row — the house
+    * visible-shed rule (`graph_jaccard`'s capped-hub audit): once a
+    * block holds more than [[BlockCap]] corpus rows the cap sheds
+    * candidates and recall thins, and the audit column is how a
+    * reader distinguishes "no match exists" from "the block was hot"
+    * (measured in SaProbe: 100% fixture recall, 89% at 25k docs over
+    * a dense vocabulary, 42% at 250k — at which point a deployment
+    * widens the cap or lengthens the block key).
+    */
+  def matchDeletions(spark: SparkSession, dir: String): DataFrame = {
+    val saturated = withBlockKeys(named(spark, dir), "name")
+      .groupBy("bt", "bk").count()
+      .where(col("count") > BlockCap)
+      .agg(count(lit(1)).as("capped_blocks"))
+    confirmed(spark, dir).crossJoin(saturated) // 1-row audit frame
+  }
 
   private val candSql: String =
     s"""WITH n AS (
@@ -142,10 +156,20 @@ object FuzzyMatch {
        |)""".stripMargin
 
   val matchDeletionsSql: String =
-    s"""$candSql
+    s"""$candSql,
+       |sat AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS capped_blocks FROM (
+       |    SELECT 'p' AS bt, substr(name, 1, 4) AS bk, count(*) AS c
+       |    FROM n GROUP BY 1, 2
+       |    UNION ALL
+       |    SELECT 's', substr(name, length(name) - 3, 4), count(*)
+       |    FROM n GROUP BY 1, 2
+       |  ) WHERE c > $BlockCap
+       |)
        |SELECT q_doc_id, doc_id AS match_doc_id,
-       |       CAST(levenshtein(q_name, name) AS BIGINT) AS lev_dist
-       |FROM cand
+       |       CAST(levenshtein(q_name, name) AS BIGINT) AS lev_dist,
+       |       capped_blocks
+       |FROM cand, sat
        |WHERE levenshtein(q_name, name) <= $MaxDist""".stripMargin
 
   /** `fuzzy_match_best`: the RESOLUTION step — each query keeps its

@@ -58,6 +58,8 @@ class FuzzyMatchSpec extends SparkSpec {
     // for every query whose name ranks within the cap in EITHER block
     val perQuery = pairs.groupBy("q_doc_id").count().collect()
     assert(perQuery.forall(_.getLong(1) <= 2L * FuzzyMatch.BlockCap))
+    // the saturated prefix block is VISIBLE: capped_blocks audit = 1
+    assert(pairs.select("capped_blocks").head().getLong(0) == 1L)
     // names sort by the zero-padded id, so ids 1..64 rank inside the
     // prefix-block cap; the suffix block (distinct last-4 keys) keeps
     // everyone — planted recall survives the hot block via the OTHER
