@@ -228,7 +228,8 @@ object Pdf {
       indirectLength: Boolean, lzw: Boolean = false,
       encrypt: Boolean = false, cmapFont: Boolean = false,
       aes: Boolean = false, aes256: Boolean = false,
-      info: Option[(String, String, String)] = None): Array[Byte] = {
+      info: Option[(String, String, String)] = None,
+      links: Seq[(Int, String)] = Nil): Array[Byte] = {
     val pages = layoutLines(text).grouped(LinesPerPage).toVector
     val nPages = pages.length
     // object numbers: 1 catalog, 2 pages, 3 font, then per page i:
@@ -255,9 +256,30 @@ object Pdf {
     pages.zipWithIndex.foreach { case (lines, i) =>
       val pageNum = 4 + 2 * i
       val contNum = 5 + 2 * i
+      // link annotations ride as DIRECT dicts in the page, so their
+      // URI strings encrypt under the PAGE object's key (the spec's
+      // containing-object rule) and no extra object numbers are needed
+      val annots = links.collect { case (pageNo, uri) if pageNo == i + 1 =>
+        val uriTok =
+          if (!encrypt) s"(${escapeLiteral(uri)})"
+          else {
+            val raw = uri.getBytes(ascii)
+            val enc =
+              if (aes256) StdSecurity.aesEncrypt(FixtureCryptV6._1, raw)
+              else if (aes) StdSecurity.aesEncrypt(StdSecurity.objectKey(
+                FixtureCryptV4._2, pageNum, 0, aes = true), raw)
+              else StdSecurity.rc4(StdSecurity.objectKey(
+                FixtureCrypt._4, pageNum, 0), raw)
+            "<" + enc.map("%02x".format(_)).mkString + ">"
+          }
+        s"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] " +
+          s"/A << /S /URI /URI $uriTok >> >>"
+      }
+      val annotsPart =
+        if (annots.isEmpty) "" else annots.mkString(" /Annots [", " ", "]")
       obj(pageNum)(w(s"<< /Type /Page /Parent 2 0 R " +
         s"/MediaBox [0 0 612 792] /Contents $contNum 0 R " +
-        s"/Resources << /Font << /F1 3 0 R >> >> >>"))
+        s"/Resources << /Font << /F1 3 0 R >> >>$annotsPart >>"))
       val raw = pageContent(lines, cmapFont)
       val compressed =
         if (lzw) lzwEncode(raw) else if (flate) deflate(raw) else raw
@@ -1685,7 +1707,8 @@ object Pdf {
 
   private[graft] final case class Extracted(status: String, nPages: Int,
       text: String, pages: Vector[String] = Vector.empty,
-      info: Map[String, String] = Map.empty)
+      info: Map[String, String] = Map.empty,
+      links: Vector[(Int, String)] = Vector.empty)
 
   /** Full walk: header → xref → trailer → page tree → content text.
     * Any structural failure returns a quarantine row — never partial
@@ -1806,15 +1829,21 @@ object Pdf {
       }
       val pagesRoot = rd.deref(root.m.getOrElse("Pages",
         throw Quarantine("quarantine:damaged")))
-      val pages = Vector.newBuilder[PDict]
+      // page dicts WITH their object numbers: direct /Annots strings
+      // decrypt under the containing (= page) object's key
+      val pages = Vector.newBuilder[(PDict, Int)]
       val visited = mutable.Set[PObj]()
       def walk(node: PObj, depth: Int): Unit = {
         if (depth > 64 || visited(node)) throw Quarantine("quarantine:damaged")
         visited += node
+        val nodeNum = node match {
+          case PRef(n, _) => n
+          case _ => -1
+        }
         rd.deref(node) match {
           case d: PDict =>
             d.m.get("Type") match {
-              case Some(PName("Page")) => pages += d
+              case Some(PName("Page")) => pages += ((d, nodeNum))
               case _ =>
                 d.m.get("Kids") match {
                   case Some(k) => rd.deref(k) match {
@@ -1828,7 +1857,8 @@ object Pdf {
         }
       }
       walk(pagesRoot, 0)
-      val pageTexts = pages.result().map { pg =>
+      val pageList = pages.result()
+      val pageTexts = pageList.map { case (pg, _) =>
         // page fonts: name → (Type0?, /ToUnicode CMap). Resources are
         // read from the PAGE dict (inherited /Resources without fonts
         // simply take the byte path — documented scope)
@@ -1870,6 +1900,37 @@ object Pdf {
           else streams.reduce((a, bb) => a ++ Array('\n'.toByte) ++ bb)
         contentText(joined, fonts).mkString("\n")
       }
+      // /Annots link annotations: URI actions per page. Direct annot
+      // dicts decrypt under the PAGE object's key, indirect ones under
+      // their own. A malformed annotation is SKIPPED (links are
+      // auxiliary — they never block text), but only structurally:
+      // a string that fails DECRYPTION still throws like any stream.
+      val links = Vector.newBuilder[(Int, String)]
+      pageList.zipWithIndex.foreach { case ((pg, pgNum), i) =>
+        rd.deref(pg.m.getOrElse("Annots", PNull)) match {
+          case PArr(items) => items.foreach { a =>
+            val keyNum = a match {
+              case PRef(n, _) => n
+              case _ => pgNum
+            }
+            rd.deref(a) match {
+              case ad: PDict if ad.m.get("Subtype").contains(PName("Link")) =>
+                rd.deref(ad.m.getOrElse("A", PNull)) match {
+                  case act: PDict if act.m.get("S").contains(PName("URI")) =>
+                    act.m.get("URI").map(rd.deref) match {
+                      case Some(PStr(b)) if keyNum >= 0 =>
+                        links += ((i + 1,
+                          textString(rd.decryptString(b, keyNum, 0))))
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          }
+          case _ => ()
+        }
+      }
       // /Info document metadata: decrypt strings with the containing
       // object's key, decode as PDF text strings. A damaged Info dict
       // degrades to NO metadata — it never blocks text extraction.
@@ -1888,7 +1949,7 @@ object Pdf {
         }
       } catch { case Quarantine(_) => Map.empty[String, String] }
       Extracted("ok", pageTexts.length, pageTexts.mkString("\n"), pageTexts,
-        infoMap)
+        infoMap, links.result())
     } catch {
       case Quarantine(s) => Extracted(s, 0, "")
       case scala.util.control.NonFatal(_) =>
@@ -2267,9 +2328,78 @@ object Pdf {
        |WHERE text IS NOT NULL
        |  AND NOT regexp_matches(text, '[^\\x20-\\x7E]')""".stripMargin
 
+  /** `multimodal_pdf_links`: URI link-annotation extraction — the
+    * crawl-seed surface of a PDF corpus (the [[Domains]] /
+    * [[HtmlExtract]] frontier machinery consumes exactly this row
+    * shape). The fixture plants one link on page 1 and one on the
+    * LAST page of every classic-writer document; annotations ride as
+    * direct dicts whose URI strings encrypt under the page object's
+    * key, so the encrypted branches exercise the containing-object
+    * rule for direct strings.
+    */
+  def pdfLinks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null || NonAscii.findFirstIn(text).isDefined ||
+              id % 5 == 0) Iterator.empty
+          else {
+            val nPages = (layoutLines(text).length + LinesPerPage - 1) /
+              LinesPerPage
+            val planted = Seq(
+              1 -> s"http://ex${id % 7}.example/d$id",
+              nPages -> s"https://ref.example/p${id % 13}")
+            val pdf = render(text, flate = id % 2 == 0,
+              indirectLength = id % 3 == 0, lzw = id % 7 == 1,
+              encrypt = id % 11 == 2, cmapFont = id % 13 == 3,
+              aes = id % 11 == 2 && id % 2 == 1,
+              aes256 = id % 11 == 2 && id % 4 == 0,
+              links = planted)
+            val r = extract(pdf)
+            if (r.status != "ok") Iterator.empty
+            else r.links.iterator.map { case (pageNo, uri) =>
+              (id, pageNo.toLong, uri)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "page_no", "uri")
+  }
+
+  /** Oracle: the planted link plan re-derived (last page from the
+    * layout contract); modern-writer ids carry no annotations.
+    */
+  val pdfLinksSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         [x for x in string_split(trim(text), ' ') if x <> '']
+       |           AS words
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND NOT regexp_matches(text, '[^\\x20-\\x7E]')
+       |    AND doc_id % 5 <> 0
+       |), l AS (
+       |  SELECT doc_id,
+       |         greatest(1, CAST(ceil(
+       |           (CASE WHEN len(words) = 0 THEN 1
+       |                 ELSE CAST(ceil(len(words) / $WordsPerLine.0) AS INT)
+       |            END) / $LinesPerPage.0) AS INT)) AS n_pages
+       |  FROM w
+       |)
+       |SELECT doc_id, CAST(1 AS BIGINT) AS page_no,
+       |       'http://ex' || (doc_id % 7) || '.example/d' || doc_id AS uri
+       |FROM l
+       |UNION ALL
+       |SELECT doc_id, CAST(n_pages AS BIGINT) AS page_no,
+       |       'https://ref.example/p' || (doc_id % 13) AS uri
+       |FROM l""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("multimodal_pdf_text", pdfText _, Some(pdfTextSql)),
     Op("multimodal_pdf_ingest", docsFromPdf _, Some(docsFromPdfSql)),
     Op("multimodal_pdf_pages", pdfPages _, Some(pdfPagesSql)),
-    Op("multimodal_pdf_meta", pdfMeta _, Some(pdfMetaSql)))
+    Op("multimodal_pdf_meta", pdfMeta _, Some(pdfMetaSql)),
+    Op("multimodal_pdf_links", pdfLinks _, Some(pdfLinksSql)))
 }

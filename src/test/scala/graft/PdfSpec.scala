@@ -613,6 +613,55 @@ class PdfSpec extends SparkSpec {
     assert(dangling.status == "ok" && dangling.info.isEmpty)
   }
 
+  test("/Annots links: plain, encrypted, indirect, malformed-skipped") {
+    // plain writer: links land on their pages
+    val many = (1 to 170).map(i => s"w$i").mkString(" ") // 2 pages
+    val r = Pdf.extract(Pdf.render(many, flate = true,
+      indirectLength = false,
+      links = Seq(1 -> "http://a.example/x", 2 -> "https://b.example/y")))
+    assert(r.status == "ok")
+    assert(r.links == Vector(1 -> "http://a.example/x",
+      2 -> "https://b.example/y"), s"got ${r.links}")
+    // encrypted writers: the URI string decrypts under the PAGE key
+    Seq((false, false), (true, false), (false, true)).foreach {
+      case (a128, a256) =>
+        val e = Pdf.extract(Pdf.render("short doc", flate = false,
+          indirectLength = false, encrypt = true, aes = a128,
+          aes256 = a256, links = Seq(1 -> "http://enc.example/z")))
+        assert(e.status == "ok" &&
+          e.links == Vector(1 -> "http://enc.example/z"),
+          s"aes=$a128/$a256 got ${e.links}")
+    }
+    // hand-built: an INDIRECT annot object decrypts under its OWN
+    // number; a malformed annot (no /A) and a non-link annot are
+    // SKIPPED without losing the good one or the text
+    val content = "BT (x) Tj ET".getBytes(ascii)
+    val extra = " /Annots [ 9 0 R << /Type /Annot /Subtype /Link >> " +
+      "<< /Type /Annot /Subtype /Square >> ]"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = out.write(x.getBytes(ascii))
+    val offs = scala.collection.mutable.LinkedHashMap[Int, Int]()
+    w("%PDF-1.4\n")
+    offs(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offs(2) = out.size(); w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    offs(3) = out.size(); w(s"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R$extra >>\nendobj\n")
+    offs(4) = out.size()
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+    out.write(content); w("\nendstream\nendobj\n")
+    offs(9) = out.size()
+    w("9 0 obj\n<< /Type /Annot /Subtype /Link /A << /S /URI /URI (http://ind.example/q) >> >>\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 10\n0000000000 65535 f \n")
+    (1 to 9).foreach { n =>
+      w("%010d 00000 n \n".format(offs.getOrElse(n, 0)))
+    }
+    w(s"trailer\n<< /Size 10 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val ri = Pdf.extract(out.toByteArray)
+    assert(ri.status == "ok" && ri.text == "x")
+    assert(ri.links == Vector(1 -> "http://ind.example/q"),
+      s"got ${ri.links}")
+  }
+
   test("multimodal_pdf_text matches the layout oracle shape at sf0.001") {
     import spark.implicits._
     val got = Pdf.pdfText(spark, sfDir).collect()
