@@ -2368,10 +2368,12 @@ object Pdf {
       .toDF("doc_id", "page_no", "uri")
   }
 
-  /** Oracle: the planted link plan re-derived (last page from the
-    * layout contract); modern-writer ids carry no annotations.
+  /** Shared oracle CTE: the planted link plan re-derived (last page
+    * from the layout contract); modern-writer ids carry no
+    * annotations. Ends with a `links(doc_id, page_no, uri)` CTE so
+    * riders can compose.
     */
-  val pdfLinksSql: String =
+  private val pdfLinksCte: String =
     s"""WITH w AS (
        |  SELECT doc_id,
        |         [x for x in string_split(trim(text), ' ') if x <> '']
@@ -2387,19 +2389,50 @@ object Pdf {
        |                 ELSE CAST(ceil(len(words) / $WordsPerLine.0) AS INT)
        |            END) / $LinesPerPage.0) AS INT)) AS n_pages
        |  FROM w
+       |), links AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS page_no,
+       |         'http://ex' || (doc_id % 7) || '.example/d' || doc_id AS uri
+       |  FROM l
+       |  UNION ALL
+       |  SELECT doc_id, CAST(n_pages AS BIGINT) AS page_no,
+       |         'https://ref.example/p' || (doc_id % 13) AS uri
+       |  FROM l
+       |)""".stripMargin
+
+  val pdfLinksSql: String =
+    s"""$pdfLinksCte
+       |SELECT doc_id, page_no, uri FROM links""".stripMargin
+
+  /** `crawl_pdf_seeds`: the composition step — link URIs through the
+    * [[Domains.withDomain]] registered-domain rule, aggregated into
+    * the per-domain seed report a frontier consumes. Proves the PDF
+    * and crawl families interoperate on the same row contract (the
+    * `crawl_pipeline_report` convention).
+    */
+  def pdfSeeds(spark: SparkSession, dir: String): DataFrame =
+    Domains.withDomain(pdfLinks(spark, dir)
+        .withColumnRenamed("uri", "url"))
+      .groupBy("registered_domain")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_links"))
+
+  val pdfSeedsSql: String =
+    s"""$pdfLinksCte,
+       |d AS (
+       |  SELECT doc_id, uri AS url,
+       |         ${Domains.domainSelectSql}
+       |  FROM links
        |)
-       |SELECT doc_id, CAST(1 AS BIGINT) AS page_no,
-       |       'http://ex' || (doc_id % 7) || '.example/d' || doc_id AS uri
-       |FROM l
-       |UNION ALL
-       |SELECT doc_id, CAST(n_pages AS BIGINT) AS page_no,
-       |       'https://ref.example/p' || (doc_id % 13) AS uri
-       |FROM l""".stripMargin
+       |SELECT registered_domain,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_links
+       |FROM d GROUP BY registered_domain""".stripMargin
 
   val ops: Seq[Op] = Seq(
     Op("multimodal_pdf_text", pdfText _, Some(pdfTextSql)),
     Op("multimodal_pdf_ingest", docsFromPdf _, Some(docsFromPdfSql)),
     Op("multimodal_pdf_pages", pdfPages _, Some(pdfPagesSql)),
     Op("multimodal_pdf_meta", pdfMeta _, Some(pdfMetaSql)),
-    Op("multimodal_pdf_links", pdfLinks _, Some(pdfLinksSql)))
+    Op("multimodal_pdf_links", pdfLinks _, Some(pdfLinksSql)),
+    Op("crawl_pdf_seeds", pdfSeeds _, Some(pdfSeedsSql)))
 }
