@@ -229,7 +229,8 @@ object Pdf {
       encrypt: Boolean = false, cmapFont: Boolean = false,
       aes: Boolean = false, aes256: Boolean = false,
       info: Option[(String, String, String)] = None,
-      links: Seq[(Int, String)] = Nil): Array[Byte] = {
+      links: Seq[(Int, String)] = Nil,
+      outline: Boolean = false): Array[Byte] = {
     val pages = layoutLines(text).grouped(LinesPerPage).toVector
     val nPages = pages.length
     // object numbers: 1 catalog, 2 pages, 3 font, then per page i:
@@ -244,7 +245,8 @@ object Pdf {
     }
     w("%PDF-1.4\n%")
     out.write(Array(0xE2, 0xE3, 0xCF, 0xD3).map(_.toByte)); w("\n")
-    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>"))
+    // the catalog is written LAST (after the outline root's number is
+    // known) — xref records offsets by object number, not write order
     val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
     obj(2)(w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>"))
     val tuNum = if (indirectLength) 4 + 3 * nPages else 4 + 2 * nPages
@@ -343,6 +345,41 @@ object Pdf {
         s"/CreationDate ${strTok(cdate)} >>"))
       n
     }
+    // outline tree: a root section + one item per page, as INDIRECT
+    // objects in a /First//Next sibling chain — titles are text
+    // strings encrypted under EACH ITEM'S OWN object number
+    val outlineNum = if (!outline) None else {
+      val base = offsets.keys.max + 1
+      def strTok(txt: String, objN: Int): String =
+        if (!encrypt) s"(${escapeLiteral(txt)})"
+        else {
+          val raw = txt.getBytes(ascii)
+          val enc =
+            if (aes256) StdSecurity.aesEncrypt(FixtureCryptV6._1, raw)
+            else if (aes) StdSecurity.aesEncrypt(StdSecurity.objectKey(
+              FixtureCryptV4._2, objN, 0, aes = true), raw)
+            else StdSecurity.rc4(StdSecurity.objectKey(
+              FixtureCrypt._4, objN, 0), raw)
+          "<" + enc.map("%02x".format(_)).mkString + ">"
+        }
+      val rootN = base
+      val secN = base + 1
+      val itemN = (i: Int) => base + 2 + i
+      obj(rootN)(w(s"<< /Type /Outlines /First $secN 0 R " +
+        s"/Last $secN 0 R /Count ${1 + nPages} >>"))
+      obj(secN)(w(s"<< /Title ${strTok("Contents", secN)} " +
+        s"/Parent $rootN 0 R /First ${itemN(0)} 0 R " +
+        s"/Last ${itemN(nPages - 1)} 0 R /Count $nPages >>"))
+      (0 until nPages).foreach { i =>
+        val prev = if (i > 0) s" /Prev ${itemN(i - 1)} 0 R" else ""
+        val next = if (i < nPages - 1) s" /Next ${itemN(i + 1)} 0 R" else ""
+        obj(itemN(i))(w(s"<< /Title ${strTok(s"Page ${i + 1}", itemN(i))} " +
+          s"/Parent $secN 0 R /Dest [${4 + 2 * i} 0 R /Fit]$prev$next >>"))
+      }
+      Some(rootN)
+    }
+    val outlinePart = outlineNum.map(n => s" /Outlines $n 0 R").getOrElse("")
+    obj(1)(w(s"<< /Type /Catalog /Pages 2 0 R$outlinePart >>"))
     val xrefAt = out.size()
     val maxObj = offsets.keys.max
     w(s"xref\n0 ${maxObj + 1}\n")
@@ -1708,7 +1745,8 @@ object Pdf {
   private[graft] final case class Extracted(status: String, nPages: Int,
       text: String, pages: Vector[String] = Vector.empty,
       info: Map[String, String] = Map.empty,
-      links: Vector[(Int, String)] = Vector.empty)
+      links: Vector[(Int, String)] = Vector.empty,
+      outline: Vector[(Int, String)] = Vector.empty)
 
   /** Full walk: header → xref → trailer → page tree → content text.
     * Any structural failure returns a quarantine row — never partial
@@ -1931,6 +1969,40 @@ object Pdf {
           case _ => ()
         }
       }
+      // /Outlines bookmark tree: preorder DFS over /First (children)
+      // and /Next (siblings), cycle- and depth-guarded; titles decrypt
+      // under each item's OWN object number. Outline damage degrades
+      // to an empty outline — it never blocks text extraction.
+      val outlineItems = Vector.newBuilder[(Int, String)]
+      try {
+        root.m.get("Outlines").foreach { oref =>
+          val seen = mutable.Set[Int]()
+          def walkOl(node: PObj, level: Int): Unit = node match {
+            case PRef(n, g) =>
+              if (level > 32 || seen.size > 4096 || seen(n))
+                throw Quarantine("quarantine:damaged")
+              seen += n
+              rd.obj(n) match {
+                case d: PDict =>
+                  d.m.get("Title").foreach { t =>
+                    rd.deref(t) match {
+                      case PStr(b) => outlineItems += ((level,
+                        textString(rd.decryptString(b, n, g))))
+                      case _ => ()
+                    }
+                  }
+                  d.m.get("First").foreach(walkOl(_, level + 1))
+                  d.m.get("Next").foreach(walkOl(_, level))
+                case _ => ()
+              }
+            case _ => () // direct outline nodes are out of scope
+          }
+          rd.deref(oref) match {
+            case d: PDict => d.m.get("First").foreach(walkOl(_, 1))
+            case _ => ()
+          }
+        }
+      } catch { case Quarantine(_) => outlineItems.clear() }
       // /Info document metadata: decrypt strings with the containing
       // object's key, decode as PDF text strings. A damaged Info dict
       // degrades to NO metadata — it never blocks text extraction.
@@ -1949,7 +2021,7 @@ object Pdf {
         }
       } catch { case Quarantine(_) => Map.empty[String, String] }
       Extracted("ok", pageTexts.length, pageTexts.mkString("\n"), pageTexts,
-        infoMap, links.result())
+        infoMap, links.result(), outlineItems.result())
     } catch {
       case Quarantine(s) => Extracted(s, 0, "")
       case scala.util.control.NonFatal(_) =>
@@ -2428,11 +2500,72 @@ object Pdf {
        |       CAST(count(*) AS BIGINT) AS n_links
        |FROM d GROUP BY registered_domain""".stripMargin
 
+  /** `multimodal_pdf_outline`: the bookmark tree as preorder rows —
+    * the table-of-contents surface (section-aware chunking reads it).
+    * The fixture plants a "Contents" section owning one "Page i" item
+    * per page; titles are text strings encrypted under each item's
+    * own object number, the third distinct string-decryption keying
+    * after /Info (its own dict) and direct /Annots (the page).
+    */
+  def pdfOutline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null || NonAscii.findFirstIn(text).isDefined ||
+              id % 5 == 0) Iterator.empty
+          else {
+            val pdf = render(text, flate = id % 2 == 0,
+              indirectLength = id % 3 == 0, lzw = id % 7 == 1,
+              encrypt = id % 11 == 2, cmapFont = id % 13 == 3,
+              aes = id % 11 == 2 && id % 2 == 1,
+              aes256 = id % 11 == 2 && id % 4 == 0,
+              outline = true)
+            val r = extract(pdf)
+            if (r.status != "ok") Iterator.empty
+            else r.outline.iterator.zipWithIndex.map {
+              case ((level, title), i) =>
+                (id, (i + 1).toLong, level.toLong, title)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "ord", "level", "title")
+  }
+
+  val pdfOutlineSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         [x for x in string_split(trim(text), ' ') if x <> '']
+       |           AS words
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND NOT regexp_matches(text, '[^\\x20-\\x7E]')
+       |    AND doc_id % 5 <> 0
+       |), l AS (
+       |  SELECT doc_id,
+       |         greatest(1, CAST(ceil(
+       |           (CASE WHEN len(words) = 0 THEN 1
+       |                 ELSE CAST(ceil(len(words) / $WordsPerLine.0) AS INT)
+       |            END) / $LinesPerPage.0) AS INT)) AS n_pages
+       |  FROM w
+       |)
+       |SELECT doc_id, CAST(1 AS BIGINT) AS ord, CAST(1 AS BIGINT) AS level,
+       |       'Contents' AS title
+       |FROM l
+       |UNION ALL
+       |SELECT doc_id, CAST(i + 1 AS BIGINT) AS ord, CAST(2 AS BIGINT),
+       |       'Page ' || i
+       |FROM l, LATERAL (SELECT unnest(range(1, n_pages + 1)) AS i) g"""
+      .stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("multimodal_pdf_text", pdfText _, Some(pdfTextSql)),
     Op("multimodal_pdf_ingest", docsFromPdf _, Some(docsFromPdfSql)),
     Op("multimodal_pdf_pages", pdfPages _, Some(pdfPagesSql)),
     Op("multimodal_pdf_meta", pdfMeta _, Some(pdfMetaSql)),
     Op("multimodal_pdf_links", pdfLinks _, Some(pdfLinksSql)),
-    Op("crawl_pdf_seeds", pdfSeeds _, Some(pdfSeedsSql)))
+    Op("crawl_pdf_seeds", pdfSeeds _, Some(pdfSeedsSql)),
+    Op("multimodal_pdf_outline", pdfOutline _, Some(pdfOutlineSql)))
 }

@@ -662,6 +662,47 @@ class PdfSpec extends SparkSpec {
       s"got ${ri.links}")
   }
 
+  test("/Outlines: preorder levels, encrypted titles, cycles degrade") {
+    val many = (1 to 170).map(i => s"w$i").mkString(" ") // 2 pages
+    val r = Pdf.extract(Pdf.render(many, flate = true,
+      indirectLength = false, outline = true))
+    assert(r.status == "ok")
+    assert(r.outline == Vector(1 -> "Contents", 2 -> "Page 1",
+      2 -> "Page 2"), s"got ${r.outline}")
+    // titles decrypt under each ITEM's own key through all handlers
+    Seq((false, false), (true, false), (false, true)).foreach {
+      case (a128, a256) =>
+        val e = Pdf.extract(Pdf.render("short doc", flate = false,
+          indirectLength = false, encrypt = true, aes = a128,
+          aes256 = a256, outline = true))
+        assert(e.status == "ok" &&
+          e.outline == Vector(1 -> "Contents", 2 -> "Page 1"),
+          s"aes=$a128/$a256 got ${e.outline}")
+    }
+    // a CYCLIC sibling chain degrades to an empty outline, text intact
+    val content = "BT (x) Tj ET".getBytes(ascii)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = out.write(x.getBytes(ascii))
+    val offs = scala.collection.mutable.LinkedHashMap[Int, Int]()
+    w("%PDF-1.4\n")
+    offs(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>\nendobj\n")
+    offs(2) = out.size(); w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    offs(3) = out.size(); w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    offs(4) = out.size()
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+    out.write(content); w("\nendstream\nendobj\n")
+    offs(5) = out.size(); w("5 0 obj\n<< /Type /Outlines /First 6 0 R >>\nendobj\n")
+    offs(6) = out.size(); w("6 0 obj\n<< /Title (a) /Next 7 0 R >>\nendobj\n")
+    offs(7) = out.size(); w("7 0 obj\n<< /Title (b) /Next 6 0 R >>\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 8\n0000000000 65535 f \n")
+    (1 to 7).foreach(n => w("%010d 00000 n \n".format(offs(n))))
+    w(s"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val rc = Pdf.extract(out.toByteArray)
+    assert(rc.status == "ok" && rc.text == "x" && rc.outline.isEmpty,
+      s"got ${rc.status} ${rc.outline}")
+  }
+
   test("multimodal_pdf_text matches the layout oracle shape at sf0.001") {
     import spark.implicits._
     val got = Pdf.pdfText(spark, sfDir).collect()
