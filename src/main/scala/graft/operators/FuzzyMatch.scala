@@ -206,9 +206,12 @@ object FuzzyMatch {
     * is the point of the closure.
     */
   def erClusters(spark: SparkSession, dir: String): DataFrame =
+    // localCheckpoint: connectedComponents evaluates its input twice
+    // (edge checkpoint + node cache) — materializing the confirmed
+    // pair frame once keeps the blocked join from running both times
     Graph.connectedComponents(
         confirmed(spark, dir).select(col("q_doc_id").as("u"),
-          col("match_doc_id").as("v")))
+          col("match_doc_id").as("v")).localCheckpoint())
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_docs"))
 
