@@ -300,7 +300,75 @@ object Retrieval {
        |WHERE rank <= $TopK""".stripMargin
   }
 
+  /** `text_phrase_search`: exact phrase matching by POSITIONAL-posting
+    * intersection — the inverted-index primitive BM25's bag-of-words
+    * scoring cannot express. Each phrase word joins the postings on
+    * the word itself (phrase terms BROADCAST, so the corpus-sized
+    * posting frame never shuffles for the probe), aligned starts are
+    * grouped, and a start matching ALL phrase positions is a hit:
+    * `(doc, pos − idx)` groups with a full distinct-idx count. The
+    * phrase set is bounded by contract (one 3-word phrase from every
+    * 97th document's own text), so the shuffle is candidate-sized at
+    * any corpus size — unbounded phrase sets are a query-log join,
+    * same shape, bigger broadcast.
+    *
+    * The oracle proves the position arithmetic: contiguous-position
+    * intersection ≡ substring containment of the space-joined
+    * normalized words with boundary spaces — two entirely different
+    * formulations, one hash.
+    */
+  private val PhraseLen = 3
+
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(
+      split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " "),
+      w => w =!= "")
+    val docs = Tables(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), words.as("ws"))
+    val phrases = docs
+      .where(col("doc_id") % 97 === 0 && size(col("ws")) >= 4)
+      .select(col("doc_id").as("phrase_src"),
+        posexplode(slice(col("ws"), 2, PhraseLen)).as(Seq("idx", "w")))
+    val postings = docs
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+    postings.join(broadcast(phrases), "w")
+      .select(col("phrase_src"), col("doc_id"),
+        (col("pos") - col("idx")).as("start"), col("idx"))
+      .groupBy("phrase_src", "doc_id", "start")
+      .agg(countDistinct(col("idx")).as("_k"))
+      .where(col("_k") === PhraseLen)
+      .groupBy("phrase_src", "doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("phrase_src"), col("doc_id").as("match_doc_id"),
+        col("n_hits"))
+  }
+
+  val phraseSearchSql: String =
+    s"""WITH nw AS (
+       |  SELECT doc_id,
+       |         [x for x in string_split(
+       |            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' ')
+       |          if x <> ''] AS ws
+       |  FROM documents WHERE text IS NOT NULL
+       |), ph AS (
+       |  SELECT doc_id AS phrase_src,
+       |         array_to_string(ws[2:${1 + PhraseLen}], ' ') AS phrase
+       |  FROM nw WHERE doc_id % 97 = 0 AND len(ws) >= 4
+       |), hits AS (
+       |  -- exact positional count (overlaps and shared boundaries
+       |  -- included), mirroring the postings grouping
+       |  SELECT ph.phrase_src, nw.doc_id AS match_doc_id,
+       |         len([i for i in range(1, len(nw.ws) - ${PhraseLen - 2})
+       |              if array_to_string(nw.ws[i:i+${PhraseLen - 1}], ' ')
+       |                 = ph.phrase]) AS n_hits
+       |  FROM ph, nw
+       |)
+       |SELECT phrase_src, match_doc_id, CAST(n_hits AS BIGINT) AS n_hits
+       |FROM hits WHERE n_hits > 0""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("text_phrase_search", phraseSearch _, Some(phraseSearchSql)),
     Op("text_bm25_topk", bm25TopK _, Some(bm25TopKSql)),
     // same oracle: the incremental index must EQUAL a rebuild by hash
     Op("text_bm25_incremental", bm25Incremental _, Some(bm25TopKSql)),
