@@ -230,7 +230,8 @@ object Pdf {
       aes: Boolean = false, aes256: Boolean = false,
       info: Option[(String, String, String)] = None,
       links: Seq[(Int, String)] = Nil,
-      outline: Boolean = false): Array[Byte] = {
+      outline: Boolean = false,
+      attachments: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
     val pages = layoutLines(text).grouped(LinesPerPage).toVector
     val nPages = pages.length
     // object numbers: 1 catalog, 2 pages, 3 font, then per page i:
@@ -379,7 +380,35 @@ object Pdf {
       Some(rootN)
     }
     val outlinePart = outlineNum.map(n => s" /Outlines $n 0 R").getOrElse("")
-    obj(1)(w(s"<< /Type /Catalog /Pages 2 0 R$outlinePart >>"))
+    // embedded files: /Names name tree → Filespec → /EF /F stream.
+    // Payload streams run the SAME filter/encryption pipeline as
+    // content streams (flate per the writer flag, per-object key)
+    val namesPart = if (attachments.isEmpty) "" else {
+      val base = offsets.keys.max + 1
+      val entries = attachments.zipWithIndex.map { case ((name, bytes), i) =>
+        val fsN = base + 2 * i
+        val efN = base + 2 * i + 1
+        val compressed = if (flate) deflate(bytes) else bytes
+        val data =
+          if (!encrypt) compressed
+          else if (aes256) StdSecurity.aesEncrypt(FixtureCryptV6._1,
+            compressed)
+          else if (aes) StdSecurity.aesEncrypt(StdSecurity.objectKey(
+            FixtureCryptV4._2, efN, 0, aes = true), compressed)
+          else StdSecurity.rc4(StdSecurity.objectKey(
+            FixtureCrypt._4, efN, 0), compressed)
+        val filterPart = if (flate) " /Filter /FlateDecode" else ""
+        offsets(efN) = out.size()
+        w(s"$efN 0 obj\n<< /Length ${data.length}$filterPart >>\nstream\n")
+        out.write(data)
+        w("\nendstream\nendobj\n")
+        obj(fsN)(w(s"<< /Type /Filespec /F (${escapeLiteral(name)}) " +
+          s"/EF << /F $efN 0 R >> >>"))
+        s"(${escapeLiteral(name)}) $fsN 0 R"
+      }
+      s" /Names << /EmbeddedFiles << /Names [${entries.mkString(" ")}] >> >>"
+    }
+    obj(1)(w(s"<< /Type /Catalog /Pages 2 0 R$outlinePart$namesPart >>"))
     val xrefAt = out.size()
     val maxObj = offsets.keys.max
     w(s"xref\n0 ${maxObj + 1}\n")
@@ -1746,7 +1775,8 @@ object Pdf {
       text: String, pages: Vector[String] = Vector.empty,
       info: Map[String, String] = Map.empty,
       links: Vector[(Int, String)] = Vector.empty,
-      outline: Vector[(Int, String)] = Vector.empty)
+      outline: Vector[(Int, String)] = Vector.empty,
+      attachments: Vector[(String, Long, String)] = Vector.empty)
 
   /** Full walk: header → xref → trailer → page tree → content text.
     * Any structural failure returns a quarantine row — never partial
@@ -1969,6 +1999,71 @@ object Pdf {
           case _ => ()
         }
       }
+      // /Names → /EmbeddedFiles name tree: attachments. Tree nodes
+      // carry direct /Names pairs or /Kids subtrees; each value is a
+      // Filespec whose /EF /F stream runs the normal stream pipeline
+      // (per-object decryption + filters). A structurally malformed
+      // entry is skipped; a DAMAGED payload (truncation, bad filter)
+      // is reported honestly as (name, -1, null) — attachments carry
+      // bytes, so silently dropping a corrupt one would be data loss.
+      val attachments = Vector.newBuilder[(String, Long, String)]
+      try {
+        rd.deref(root.m.getOrElse("Names", PNull)) match {
+          case nd: PDict =>
+            rd.deref(nd.m.getOrElse("EmbeddedFiles", PNull)) match {
+              case efRoot: PDict =>
+                val seenT = mutable.Set[PObj]()
+                def walkTree(node: PDict, depth: Int): Unit = {
+                  if (depth > 32) throw Quarantine("quarantine:damaged")
+                  node.m.get("Names").map(rd.deref).foreach {
+                    case PArr(items) => items.grouped(2).foreach {
+                      case Seq(k, v) => (rd.deref(k), rd.deref(v)) match {
+                        case (PStr(nb), fs: PDict) =>
+                          val name = textString(nb)
+                          try {
+                            rd.deref(fs.m.getOrElse("EF", PNull)) match {
+                              case ef: PDict =>
+                                rd.deref(ef.m.getOrElse("F", PNull)) match {
+                                  case st: PStream =>
+                                    val bytes = rd.streamData(st)
+                                    val md = java.security.MessageDigest
+                                      .getInstance("MD5")
+                                    attachments += ((name,
+                                      bytes.length.toLong,
+                                      md.digest(bytes)
+                                        .map("%02x".format(_)).mkString))
+                                  case _ => ()
+                                }
+                              case _ => ()
+                            }
+                          } catch {
+                            case Quarantine(_) =>
+                              attachments += ((name, -1L, null))
+                          }
+                        case _ => ()
+                      }
+                      case _ => ()
+                    }
+                    case _ => ()
+                  }
+                  node.m.get("Kids").map(rd.deref).foreach {
+                    case PArr(kids) => kids.foreach { kref =>
+                      if (seenT(kref)) throw Quarantine("quarantine:damaged")
+                      seenT += kref
+                      rd.deref(kref) match {
+                        case kd: PDict => walkTree(kd, depth + 1)
+                        case _ => ()
+                      }
+                    }
+                    case _ => ()
+                  }
+                }
+                walkTree(efRoot, 0)
+              case _ => ()
+            }
+          case _ => ()
+        }
+      } catch { case Quarantine(_) => () }
       // /Outlines bookmark tree: preorder DFS over /First (children)
       // and /Next (siblings), cycle- and depth-guarded; titles decrypt
       // under each item's OWN object number. Outline damage degrades
@@ -2021,7 +2116,8 @@ object Pdf {
         }
       } catch { case Quarantine(_) => Map.empty[String, String] }
       Extracted("ok", pageTexts.length, pageTexts.mkString("\n"), pageTexts,
-        infoMap, links.result(), outlineItems.result())
+        infoMap, links.result(), outlineItems.result(),
+        attachments.result())
     } catch {
       case Quarantine(s) => Extracted(s, 0, "")
       case scala.util.control.NonFatal(_) =>
@@ -2560,6 +2656,63 @@ object Pdf {
        |FROM l, LATERAL (SELECT unnest(range(1, n_pages + 1)) AS i) g"""
       .stripMargin
 
+  /** `multimodal_pdf_attach`: embedded-file extraction — the /Names
+    * name tree to Filespec to /EF stream walk, with payload bytes
+    * running the SAME stream pipeline as page contents (per-object
+    * decryption, filters). The fixture plants one text attachment per
+    * classic-writer document with a payload derived from the
+    * document, so the oracle recomputes the exact bytes and md5.
+    */
+  def pdfAttach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null || NonAscii.findFirstIn(text).isDefined ||
+              id % 5 == 0) Iterator.empty
+          else {
+            val payload = (s"payload for document $id: " +
+              text.trim.split(' ').filter(_.nonEmpty).take(6)
+                .mkString(" "))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val pdf = render(text, flate = id % 2 == 0,
+              indirectLength = id % 3 == 0, lzw = id % 7 == 1,
+              encrypt = id % 11 == 2, cmapFont = id % 13 == 3,
+              aes = id % 11 == 2 && id % 2 == 1,
+              aes256 = id % 11 == 2 && id % 4 == 0,
+              attachments = Seq(s"att-$id.txt" -> payload))
+            val r = extract(pdf)
+            if (r.status != "ok") Iterator.empty
+            else r.attachments.iterator.map { case (name, n, md5hex) =>
+              (id, name, n, md5hex)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "att_name", "n_bytes", "payload_md5")
+  }
+
+  val pdfAttachSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         [x for x in string_split(trim(text), ' ') if x <> '']
+       |           AS words
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND NOT regexp_matches(text, '[^\\x20-\\x7E]')
+       |    AND doc_id % 5 <> 0
+       |), pay AS (
+       |  SELECT doc_id,
+       |         'payload for document ' || doc_id || ': ' ||
+       |         array_to_string(words[1:6], ' ') AS payload
+       |  FROM w
+       |)
+       |SELECT doc_id, 'att-' || doc_id || '.txt' AS att_name,
+       |       CAST(length(payload) AS BIGINT) AS n_bytes,
+       |       md5(payload) AS payload_md5
+       |FROM pay""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("multimodal_pdf_text", pdfText _, Some(pdfTextSql)),
     Op("multimodal_pdf_ingest", docsFromPdf _, Some(docsFromPdfSql)),
@@ -2567,5 +2720,6 @@ object Pdf {
     Op("multimodal_pdf_meta", pdfMeta _, Some(pdfMetaSql)),
     Op("multimodal_pdf_links", pdfLinks _, Some(pdfLinksSql)),
     Op("crawl_pdf_seeds", pdfSeeds _, Some(pdfSeedsSql)),
-    Op("multimodal_pdf_outline", pdfOutline _, Some(pdfOutlineSql)))
+    Op("multimodal_pdf_outline", pdfOutline _, Some(pdfOutlineSql)),
+    Op("multimodal_pdf_attach", pdfAttach _, Some(pdfAttachSql)))
 }

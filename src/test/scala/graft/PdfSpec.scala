@@ -703,6 +703,54 @@ class PdfSpec extends SparkSpec {
       s"got ${rc.status} ${rc.outline}")
   }
 
+  test("/EmbeddedFiles: round trip, /Kids tree, damaged payload reported") {
+    // fixture writer round trip through flate + encryption
+    val payload = "hello attachment".getBytes(ascii)
+    Seq((true, false, false), (false, true, false), (true, false, true))
+      .foreach { case (fl, a128, a256) =>
+        val r = Pdf.extract(Pdf.render("some words here", flate = fl,
+          indirectLength = false, encrypt = a128 || a256, aes = a128,
+          aes256 = a256, attachments = Seq("a.txt" -> payload)))
+        assert(r.status == "ok", s"$fl/$a128/$a256: ${r.status}")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(payload).map("%02x".format(_)).mkString
+        assert(r.attachments == Vector(("a.txt", payload.length.toLong,
+          hex)), s"$fl/$a128/$a256 got ${r.attachments}")
+      }
+    // hand-built: a /Kids name tree resolves; a TRUNCATED payload
+    // stream reports (name, -1, null) instead of silently dropping
+    val content = "BT (x) Tj ET".getBytes(ascii)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = out.write(x.getBytes(ascii))
+    val offs = scala.collection.mutable.LinkedHashMap[Int, Int]()
+    w("%PDF-1.4\n")
+    offs(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R /Names << /EmbeddedFiles 5 0 R >> >>\nendobj\n")
+    offs(2) = out.size(); w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    offs(3) = out.size(); w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    offs(4) = out.size()
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+    out.write(content); w("\nendstream\nendobj\n")
+    offs(5) = out.size(); w("5 0 obj\n<< /Kids [6 0 R] >>\nendobj\n")
+    offs(6) = out.size(); w("6 0 obj\n<< /Names [(deep.txt) 7 0 R (gone.txt) 8 0 R] >>\nendobj\n")
+    offs(7) = out.size(); w("7 0 obj\n<< /Type /Filespec /F (deep.txt) /EF << /F 9 0 R >> >>\nendobj\n")
+    offs(8) = out.size(); w("8 0 obj\n<< /Type /Filespec /F (gone.txt) /EF << /F 10 0 R >> >>\nendobj\n")
+    offs(9) = out.size()
+    w("9 0 obj\n<< /Length 4 >>\nstream\nDATA\nendstream\nendobj\n")
+    offs(10) = out.size()
+    // /Length claims 4096 bytes the file does not have → damaged
+    w("10 0 obj\n<< /Length 4096 >>\nstream\nxx\nendstream\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 11\n0000000000 65535 f \n")
+    (1 to 10).foreach(n => w("%010d 00000 n \n".format(offs(n))))
+    w(s"trailer\n<< /Size 11 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val r = Pdf.extract(out.toByteArray)
+    assert(r.status == "ok" && r.text == "x")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dataHex = md.digest("DATA".getBytes(ascii)).map("%02x".format(_)).mkString
+    assert(r.attachments == Vector(("deep.txt", 4L, dataHex),
+      ("gone.txt", -1L, null)), s"got ${r.attachments}")
+  }
+
   test("multimodal_pdf_text matches the layout oracle shape at sf0.001") {
     import spark.implicits._
     val got = Pdf.pdfText(spark, sfDir).collect()
