@@ -58,7 +58,11 @@ object DataQuality {
       .select(lit("orders_orderkey_unique").as("constraint_name"),
         (col("_n") - col("_d")).as("n_violations"), col("_n").as("n_rows"))
 
-    // referential integrity: exact anti-join violation counts
+    // referential integrity: exact anti-join violation counts. NULL
+    // child keys COUNT as violations (a null FK is dangling) — the
+    // left_anti semantics, mirrored by the oracle's NOT EXISTS (a
+    // NOT IN form was rejected: one NULL on either side silently
+    // zeroes the count)
     def fk(child: DataFrame, childKey: String, parent: DataFrame,
         parentKey: String, name: String): DataFrame = {
       val viol = child.join(parent.select(col(parentKey)),
@@ -151,22 +155,24 @@ object DataQuality {
       |UNION ALL
       |SELECT 'orders_custkey_fk',
       |       CAST((SELECT count(*) FROM orders o
-      |             WHERE o.o_custkey NOT IN
-      |                   (SELECT c_custkey FROM customer)) AS BIGINT),
+      |             WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                               WHERE c.c_custkey = o.o_custkey))
+      |            AS BIGINT),
       |       CAST(count(*) AS BIGINT),
       |       (SELECT count(*) FROM orders o
-      |        WHERE o.o_custkey NOT IN
-      |              (SELECT c_custkey FROM customer)) = 0
+      |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                          WHERE c.c_custkey = o.o_custkey)) = 0
       |FROM orders
       |UNION ALL
       |SELECT 'lineitem_orderkey_fk',
       |       CAST((SELECT count(*) FROM lineitem l
-      |             WHERE l.l_orderkey NOT IN
-      |                   (SELECT o_orderkey FROM orders)) AS BIGINT),
+      |             WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                               WHERE o.o_orderkey = l.l_orderkey))
+      |            AS BIGINT),
       |       CAST(count(*) AS BIGINT),
       |       (SELECT count(*) FROM lineitem l
-      |        WHERE l.l_orderkey NOT IN
-      |              (SELECT o_orderkey FROM orders)) = 0
+      |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                          WHERE o.o_orderkey = l.l_orderkey)) = 0
       |FROM lineitem""".stripMargin
 
   /** `dq_profile`: the PROFILER side of the Deequ pair — per-column

@@ -58,16 +58,16 @@ object FuzzyMatch {
           1, NameLen).as("name"))
       .where(length(col("name")) >= 8)
 
-  /** The deletion position expression — identical text in both engines
-    * modulo substr/substring spelling.
+  /** The deletion position expression — the identical text runs in
+    * both engines.
     */
-  private def delPos(fn: String) =
+  private val delPos =
     s"CAST(doc_id % least(16, length(name)) AS INT)"
 
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
     named(spark, dir).selectExpr("doc_id AS q_doc_id",
-      s"concat(substring(name, 1, ${delPos("substring")}), " +
-        s"substring(name, ${delPos("substring")} + 2, $NameLen)) AS q_name")
+      s"concat(substring(name, 1, $delPos), " +
+        s"substring(name, $delPos + 2, $NameLen)) AS q_name")
 
   private def prefKey(c: String) = s"substring($c, 1, 4)"
   private def sufKey(c: String) = s"substring($c, length($c) - 3, 4)"
@@ -134,8 +134,8 @@ object FuzzyMatch {
        |  WHERE length($normName) >= 8
        |), q AS (
        |  SELECT doc_id AS q_doc_id,
-       |         concat(substr(name, 1, ${delPos("substr")}),
-       |                substr(name, ${delPos("substr")} + 2, $NameLen))
+       |         concat(substr(name, 1, $delPos),
+       |                substr(name, $delPos + 2, $NameLen))
        |           AS q_name
        |  FROM n
        |), cp AS (

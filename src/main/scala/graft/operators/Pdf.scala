@@ -1754,7 +1754,7 @@ object Pdf {
     }.mkString
 
   private val PdfDateRe =
-    "^D:(\\d{4})(\\d{2})(\\d{2})(\\d{2})(\\d{2})(\\d{2})(Z|[+\\-]\\d{2}'\\d{2}'?)?.*$".r
+    "^D:(\\d{4})(\\d{2})(\\d{2})(\\d{2})(\\d{2})(\\d{2})(Z|[+\\-]\\d{2}'\\d{2}'?)?$".r
 
   /** `D:YYYYMMDDHHmmSS(Z|±HH'mm')` → ISO-8601 text. Anything outside
     * the full-precision form returns null (metadata degrades, never
@@ -1899,19 +1899,19 @@ object Pdf {
         throw Quarantine("quarantine:damaged")))
       // page dicts WITH their object numbers: direct /Annots strings
       // decrypt under the containing (= page) object's key
-      val pages = Vector.newBuilder[(PDict, Int)]
+      val pages = Vector.newBuilder[(PDict, Int, Int)]
       val visited = mutable.Set[PObj]()
       def walk(node: PObj, depth: Int): Unit = {
         if (depth > 64 || visited(node)) throw Quarantine("quarantine:damaged")
         visited += node
-        val nodeNum = node match {
-          case PRef(n, _) => n
-          case _ => -1
+        val (nodeNum, nodeGen) = node match {
+          case PRef(n, g) => (n, g)
+          case _ => (-1, 0)
         }
         rd.deref(node) match {
           case d: PDict =>
             d.m.get("Type") match {
-              case Some(PName("Page")) => pages += ((d, nodeNum))
+              case Some(PName("Page")) => pages += ((d, nodeNum, nodeGen))
               case _ =>
                 d.m.get("Kids") match {
                   case Some(k) => rd.deref(k) match {
@@ -1926,7 +1926,7 @@ object Pdf {
       }
       walk(pagesRoot, 0)
       val pageList = pages.result()
-      val pageTexts = pageList.map { case (pg, _) =>
+      val pageTexts = pageList.map { case (pg, _, _) =>
         // page fonts: name → (Type0?, /ToUnicode CMap). Resources are
         // read from the PAGE dict (inherited /Resources without fonts
         // simply take the byte path — documented scope)
@@ -1974,12 +1974,12 @@ object Pdf {
       // auxiliary — they never block text), but only structurally:
       // a string that fails DECRYPTION still throws like any stream.
       val links = Vector.newBuilder[(Int, String)]
-      pageList.zipWithIndex.foreach { case ((pg, pgNum), i) =>
+      pageList.zipWithIndex.foreach { case ((pg, pgNum, pgGen), i) =>
         rd.deref(pg.m.getOrElse("Annots", PNull)) match {
           case PArr(items) => items.foreach { a =>
-            val keyNum = a match {
-              case PRef(n, _) => n
-              case _ => pgNum
+            val (keyNum, keyGen) = a match {
+              case PRef(n, g) => (n, g)
+              case _ => (pgNum, pgGen)
             }
             rd.deref(a) match {
               case ad: PDict if ad.m.get("Subtype").contains(PName("Link")) =>
@@ -1988,7 +1988,7 @@ object Pdf {
                     act.m.get("URI").map(rd.deref) match {
                       case Some(PStr(b)) if keyNum >= 0 =>
                         links += ((i + 1,
-                          textString(rd.decryptString(b, keyNum, 0))))
+                          textString(rd.decryptString(b, keyNum, keyGen))))
                       case _ => ()
                     }
                   case _ => ()
@@ -2458,6 +2458,10 @@ object Pdf {
           else {
             val title = text.trim.split(' ').filter(_.nonEmpty)
               .take(4).mkString(" ")
+            // author mirrors the oracle's coalesce + ASCII strip — a
+            // null or non-ASCII source degrades identically, never NPEs
+            val author = Option(source).getOrElse("")
+              .replaceAll("[^\\x20-\\x7E]", "")
             val cdate = f"D:202607${id % 28 + 1}%02d120000Z"
             val pdf =
               if (id % 5 == 0) renderModern(text)
@@ -2466,7 +2470,7 @@ object Pdf {
                 encrypt = id % 11 == 2, cmapFont = id % 13 == 3,
                 aes = id % 11 == 2 && id % 2 == 1,
                 aes256 = id % 11 == 2 && id % 4 == 0,
-                info = Some((title, source, cdate)))
+                info = Some((title, author, cdate)))
             val r = extract(pdf)
             if (r.status != "ok") Iterator.empty
             else Iterator.single((id, r.info.getOrElse("Title", null),
@@ -2487,7 +2491,10 @@ object Pdf {
        |            ELSE array_to_string(
        |              ([x for x in string_split(trim(text), ' ')
        |                if x <> ''])[1:4], ' ') END AS title,
-       |       CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS author,
+       |       CASE WHEN doc_id % 5 = 0 THEN NULL
+       |            ELSE regexp_replace(coalesce(source, ''),
+       |                                '[^\\x20-\\x7E]', '', 'g')
+       |       END AS author,
        |       CASE WHEN doc_id % 5 = 0 THEN NULL
        |            ELSE '2026-07-' ||
        |                 lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||

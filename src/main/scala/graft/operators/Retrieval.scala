@@ -307,10 +307,11 @@ object Retrieval {
     * posting frame never shuffles for the probe), aligned starts are
     * grouped, and a start matching ALL phrase positions is a hit:
     * `(doc, pos − idx)` groups with a full distinct-idx count. The
-    * phrase set is bounded by contract (one 3-word phrase from every
-    * 97th document's own text), so the shuffle is candidate-sized at
-    * any corpus size — unbounded phrase sets are a query-log join,
-    * same shape, bigger broadcast.
+    * phrase set is GENUINELY bounded (one 3-word phrase per 97th
+    * document, sources capped below doc_id 97·64 — ≤ 64 phrases at
+    * any corpus size), so the broadcast stays fixed-size and the
+    * shuffle candidate-sized; a corpus-proportional phrase set would
+    * be a query-log join — same plan, shuffled instead of broadcast.
     *
     * The oracle proves the position arithmetic: contiguous-position
     * intersection ≡ substring containment of the space-joined
@@ -327,7 +328,8 @@ object Retrieval {
       .where(col("text").isNotNull)
       .select(col("doc_id"), words.as("ws"))
     val phrases = docs
-      .where(col("doc_id") % 97 === 0 && size(col("ws")) >= 4)
+      .where(col("doc_id") % 97 === 0 && col("doc_id") < 97L * 64 &&
+        size(col("ws")) >= 4)
       .select(col("doc_id").as("phrase_src"),
         posexplode(slice(col("ws"), 2, PhraseLen)).as(Seq("idx", "w")))
     val postings = docs
@@ -354,7 +356,8 @@ object Retrieval {
        |), ph AS (
        |  SELECT doc_id AS phrase_src,
        |         array_to_string(ws[2:${1 + PhraseLen}], ' ') AS phrase
-       |  FROM nw WHERE doc_id % 97 = 0 AND len(ws) >= 4
+       |  FROM nw WHERE doc_id % 97 = 0 AND doc_id < ${97 * 64}
+       |    AND len(ws) >= 4
        |), hits AS (
        |  -- exact positional count (overlaps and shared boundaries
        |  -- included), mirroring the postings grouping

@@ -607,6 +607,9 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.pdfDate("D:20260715120000") == "2026-07-15T12:00:00")
     assert(Pdf.pdfDate("D:2026") == null)
     assert(Pdf.pdfDate("garbage") == null)
+    // partial offsets must NOT silently drop (degrade, never guess)
+    assert(Pdf.pdfDate("D:20260715120000+0530") == null)
+    assert(Pdf.pdfDate("D:20260715120000+05'") == null)
     // a dangling /Info ref degrades to no metadata, text still extracts
     val dangling = Pdf.extract(onePagePdf(content,
       extraTrailer = " /Info 99 0 R"))
