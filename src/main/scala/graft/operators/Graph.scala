@@ -641,6 +641,9 @@ object Graph {
     * frames are |distinct degrees|-sized.
     */
   def degrees(spark: SparkSession, dir: String): DataFrame = {
+    // NOT materialized (r17 probe): AQE's runtime exchange reuse
+    // already shares the distinct's shuffle between the two per-side
+    // reductions; an eager localCheckpoint measured +0.5 s at sf0.1
     val e = shipEdges(spark, dir)
     def side(key: String, label: String): DataFrame =
       e.groupBy(col(key)).agg(count(lit(1)).as("degree"))
@@ -1315,7 +1318,9 @@ object Graph {
     * node-keyed joins, one edge-keyed reduce, no window.
     */
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
-    val e = shipEdges(spark, dir)
+    // three consumers of the edge frame (two degree reduces + the
+    // moment join): one materialization instead of three scans (r17)
+    val e = shipEdges(spark, dir).localCheckpoint()
     val ds = e.groupBy("s").agg(count(lit(1)).as("ds"))
     val dc = e.groupBy("c").agg(count(lit(1)).as("dc"))
     val m = e.join(ds, "s").join(dc, "c")
@@ -1393,7 +1398,11 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def normalize(raw: DataFrame, out: String): DataFrame = {
-      // raw: (node, raw) for nodes with any incident mass; others → 0
+      // raw: (node, raw) for nodes with any incident mass; others → 0.
+      // raw feeds both the broadcast max and the outer join; it is NOT
+      // persisted — the r17 probe measured the cache machinery costing
+      // more than the duplicated one-join aggregation over the cached
+      // edge/rank frames (+0.9 s on graph_domain_hits at sf0.1).
       val mx = raw.agg(max(col("raw")).as("mx"))
       val nm = nodes
         .join(raw, Seq("node"), "left_outer")
@@ -1587,6 +1596,7 @@ object Graph {
   private val HillDmin = 5L
 
   def powerlawFit(spark: SparkSession, dir: String): DataFrame = {
+    // NOT materialized — same exchange-reuse adjudication as [[degrees]]
     val e = shipEdges(spark, dir)
     def side(key: String, label: String): DataFrame = {
       val deg = e.groupBy(col(key)).agg(count(lit(1)).as("d"))
@@ -1652,6 +1662,9 @@ object Graph {
       .select(suppNode(col("l.l_suppkey")).as("u"),
         custNode(col("o.o_custkey")).as("v"))
       .distinct()
+      // four consumers (LPA input, m, intra, degs) would each re-run
+      // the lineitem⋈orders distinct: materialize it once (r17)
+      .localCheckpoint()
     val labels = labelPropagation(e, LpaIters)
       .select(col("node"), col("lbl"))
     val mAgg = e.agg(count(lit(1)).as("m"))

@@ -749,11 +749,21 @@ object HtmlExtract {
       .select(col("doc_id"), col("registered_domain"), col("depth"),
         col("score_micros"))
 
-  def frontierRank(spark: SparkSession, dir: String): DataFrame = {
+  def frontierRank(spark: SparkSession, dir: String): DataFrame =
+    frontierRankFrom(spark, dir,
+      Domains.urlAllowed(spark, dir)
+        .where(col("allowed"))
+        .select(col("doc_id"), col("registered_domain"), col("path")))
+
+  /** [[frontierRank]] over a caller-supplied admitted frame — lets a
+    * composition that ALREADY materialized the robots admission
+    * (`crawlPipelineReport`'s stage 4) feed it here instead of
+    * re-deriving `urlAllowed` from scratch (r17: the report ran the
+    * robots pass twice).
+    */
+  private[graft] def frontierRankFrom(spark: SparkSession, dir: String,
+      admitted: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val admitted = Domains.urlAllowed(spark, dir)
-      .where(col("allowed"))
-      .select(col("doc_id"), col("registered_domain"), col("path"))
     frontierScore(admitted, servedDomainRank(spark, dir),
       Domains.crawlDelays(spark, dir))
       .withColumn("fetch_order", row_number().over(
@@ -1043,9 +1053,14 @@ object HtmlExtract {
     val s3 = Domains.urlCanonical(spark, dir)
       .groupBy(col("url_canonical"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val s4 = Domains.urlAllowed(spark, dir).where(col("allowed"))
-      .select("doc_id")
-    val fr = frontierRank(spark, dir)
+    // one robots pass for stage 4 AND the frontier (r17: the report
+    // derived urlAllowed twice — once as the s4 gate, once inside
+    // frontierRank); the admitted frame is materialized and fed to both
+    val admitted = Domains.urlAllowed(spark, dir).where(col("allowed"))
+      .select(col("doc_id"), col("registered_domain"), col("path"))
+      .localCheckpoint()
+    val s4 = admitted.select("doc_id")
+    val fr = frontierRankFrom(spark, dir, admitted)
       .select(col("doc_id"), col("fetch_order")).localCheckpoint()
     val s5 = fr.select("doc_id")
     val s6 = fr.where(col("fetch_order") <= FirstWaveFetches)

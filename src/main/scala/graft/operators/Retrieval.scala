@@ -338,7 +338,13 @@ object Retrieval {
       .select(col("phrase_src"), col("doc_id"),
         (col("pos") - col("idx")).as("start"), col("idx"))
       .groupBy("phrase_src", "doc_id", "start")
-      .agg(countDistinct(col("idx")).as("_k"))
+      // count(*) ≡ count(DISTINCT idx) here: postings are unique by
+      // (doc_id, pos) and phrase terms by (phrase_src, idx), and pos =
+      // start + idx pins pos per idx within a group — so no (doc,
+      // start, idx) row can repeat. Dropping the distinct removes the
+      // two-level distinct aggregation (one exchange + expand) from the
+      // candidate reduction (r17, guide §2.3 map-side aggregation).
+      .agg(count(lit(1)).as("_k"))
       .where(col("_k") === PhraseLen)
       .groupBy("phrase_src", "doc_id")
       .agg(count(lit(1)).as("n_hits"))

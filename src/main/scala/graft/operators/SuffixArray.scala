@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.PrefixLen
 
@@ -13,18 +12,18 @@ import graft.{Op, Tables}
   * cross-document span family in [[Dedup]] covers the corpus-wide form
   * with a rare-shingle index — here the per-document form is EXACT).
   *
-  * The suffix array is built by prefix doubling (Manber–Myers 1990):
-  * start from single-character ranks, then in round k replace each
-  * suffix's rank with the dense rank of the pair (rank[pos],
-  * rank[pos+k]) — after ⌈log₂ cap⌉ rounds the ranks order complete
-  * suffixes. In Spark terms each round is two window functions over
-  * the SAME `doc_id` hash partitioning (`lead(rank, k)` needs ORDER BY
-  * pos, the re-rank needs ORDER BY (rank, rank_k)), so the whole build
-  * is ONE exchange followed by per-round in-partition sorts — no
-  * joins, no substring materialization, and per-document work that
-  * distributes evenly across a 100 TB corpus. The O(n log n) plan
-  * shape is what survives scale-up; materializing the suffixes
-  * themselves (the naive oracle form) is O(n²) bytes.
+  * Because every document is bounded to a ≤ `Cap`-char normalized
+  * prefix, its whole suffix order is a pure function of one short
+  * string already on the row: the per-document operators compute it
+  * with the [[org.apache.spark.sql.graft.SuffixRanks]] kernel — one
+  * whole-stage-codegen projection, zero exchanges, work that
+  * distributes with the scan at any corpus size. (The first build ran
+  * Manber–Myers prefix doubling as ⌈log₂ cap⌉ rounds of paired window
+  * functions; r17 replaced it — the distributed formulation only earns
+  * its exchanges when per-key state exceeds a row, which a capped
+  * prefix never does. The cross-document operator below still uses the
+  * distributed sharded sort, which IS corpus-sized.) Materializing the
+  * suffixes themselves (the naive oracle form) is O(n²) bytes.
   *
   * Documents are normalized to a lowercase `[a-z0-9 ]` alphabet and
   * CAPPED at [[SuffixArray.Cap]] leading characters — the contract
@@ -41,20 +40,26 @@ object SuffixArray {
 
   private val NormSpark = "[^a-z0-9 ]"
 
-  private def normDocs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+  /** `spread=true` hash-repartitions by doc_id: a single-file fixture
+    * is ONE scan task, and [[repeatCorpus]]'s suffix explode feeds a
+    * corpus-wide sharded sort that benefits from parallel input. The
+    * per-document kernel ops ([[suffixArray]], [[longestRepeat]]) pass
+    * `false` — their plans are pure projections, and the exchange would
+    * be their only shuffle (guide §2.4: remove shuffles outright); at
+    * 100 TB the scan has real splits either way.
+    */
+  private def normDocs(spark: SparkSession, dir: String,
+      spread: Boolean): DataFrame = {
+    val base = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         substring(regexp_replace(lower(col("text")), NormSpark, ""), 1, Cap)
           .as("s"))
       .where(length(col("s")) >= 2)
-      // a single-file fixture is ONE scan task; hash-spreading by
-      // doc_id parallelizes the explode/initial-rank projection AND
-      // already satisfies the build windows' partitioning, so the
-      // doubling rounds add no further exchange (the Similarity
-      // annIngest precedent). At 100 TB the scan has real splits and
-      // this is one co-partitioned shuffle of the normalized prefixes.
-      .repartition(spark.sessionState.conf.numShufflePartitions,
+    if (spread)
+      base.repartition(spark.sessionState.conf.numShufflePartitions,
         col("doc_id"))
+    else base
+  }
 
   private val normSqlCte: String =
     s"""WITH t AS (
@@ -70,42 +75,26 @@ object SuffixArray {
        |  FROM t
        |)""".stripMargin
 
-  /** Prefix-doubling core: (doc_id, s, pos, rank) where `rank` is the
-    * 1-based dense suffix rank within the document. Suffixes at
-    * distinct positions have distinct lengths, so ranks are total.
-    */
-  private[operators] def suffixRanks(spark: SparkSession,
-      dir: String): DataFrame = {
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    var df = normDocs(spark, dir)
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(1), length(col("s")))).as("pos"))
-      .withColumn("rank", ascii(expr("substring(s, pos, 1)")).cast("long"))
-    var k = 1
-    while (k < Cap) {
-      // rank of the suffix k positions later; 0 = past the end, which
-      // sorts FIRST (a shorter suffix is a strict prefix of the longer
-      // one, so it compares smaller)
-      df = df
-        .withColumn("rank_k",
-          coalesce(lead(col("rank"), k).over(byPos), lit(0L)))
-        .withColumn("rank",
-          dense_rank().over(
-            Window.partitionBy("doc_id").orderBy(col("rank"), col("rank_k")))
-            .cast("long"))
-        .drop("rank_k")
-      k *= 2
-    }
-    df
-  }
-
   /** `text_suffix_array`: one row per retained suffix — the position
     * and its rank in the document's suffix order.
+    *
+    * The ranks come from the [[SuffixRanks.rankArray]] kernel — the
+    * per-document suffix order is a pure function of the ≤ [[Cap]]-char
+    * string already on the row, so the first implementation's
+    * Manber–Myers prefix doubling (⌈log₂ Cap⌉ rounds × 2 window sorts
+    * each over a doc_id exchange) collapses to one codegen projection
+    * with no exchange at all (plans/r17/text_suffix_array_{before,after}
+    * .txt; the kernel's order contract is proven against the doubling
+    * formulation in SuffixArraySpec and against the oracle's
+    * `ORDER BY substr(s, pos)` by the unchanged hash gate).
     */
   def suffixArray(spark: SparkSession, dir: String): DataFrame =
-    suffixRanks(spark, dir)
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("rank").as("sa_rank"))
+    normDocs(spark, dir, spread = false)
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graft.SuffixRanks.ranks(col("s")))
+          .as(Seq("p0", "sa_rank")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("sa_rank"))
 
   val suffixArraySql: String =
     s"""$normSqlCte
@@ -123,18 +112,17 @@ object SuffixArray {
     * is the native [[PrefixLen]] expression — one byte-walk per
     * adjacent pair instead of the oracle's O(cap²) substring probe.
     */
-  def longestRepeat(spark: SparkSession, dir: String): DataFrame = {
-    val byRank = Window.partitionBy("doc_id").orderBy("rank")
-    suffixRanks(spark, dir)
-      .withColumn("prev_pos", lag(col("pos"), 1).over(byRank))
-      .where(col("prev_pos").isNotNull)
-      .withColumn("lcp", PrefixLen(
-        expr(s"substring(s, pos, $Cap)"),
-        expr(s"substring(s, prev_pos, $Cap)")))
-      .groupBy("doc_id")
-      .agg(max(col("lcp")).as("max_repeat_len"),
-        sum(when(col("lcp") >= 8, 1L).otherwise(0L)).as("n_repeat8_pairs"))
-  }
+  def longestRepeat(spark: SparkSession, dir: String): DataFrame =
+    // whole aggregate as one per-row kernel call: the adjacent-pair LCP
+    // walk over the document's own suffix order needs neither the
+    // doubling windows nor the groupBy (each doc_id is one input row) —
+    // scan → project, zero exchanges (guide §2.4)
+    normDocs(spark, dir, spread = false)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.SuffixRanks.repeat(col("s"), 8).as("_lr"))
+      .select(col("doc_id"),
+        col("_lr").getItem(0).as("max_repeat_len"),
+        col("_lr").getItem(1).as("n_repeat8_pairs"))
 
   val longestRepeatSql: String =
     s"""$normSqlCte,
@@ -187,7 +175,7 @@ object SuffixArray {
     * one [[PrefixLen]] byte-walk per adjacent pair.
     */
   def repeatCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val sfx = normDocs(spark, dir)
+    val sfx = normDocs(spark, dir, spread = true)
       .select(col("doc_id"), col("s"),
         explode(sequence(lit(1), length(col("s")))).as("pos"))
       .select(col("doc_id"), col("pos"),

@@ -52,7 +52,7 @@ class SuffixArraySpec extends SparkSpec {
     assert(lr2.getLong(2) > 0L)
   }
 
-  test("prefix doubling ≡ naive suffix sort on randomized strings") {
+  test("SuffixRanks kernel ≡ naive suffix sort on randomized strings") {
     val rnd = new scala.util.Random(42)
     val alph = "abc d"
     val rows = (1L to 40L).map { id =>
@@ -72,6 +72,30 @@ class SuffixArraySpec extends SparkSpec {
         }
       }
     }.toSet
+    assert(got == want)
+  }
+
+  test("LongestRepeatStats kernel ≡ brute force on randomized strings") {
+    val rnd = new scala.util.Random(7)
+    val alph = "ab1 "
+    val rows = (1L to 40L).map { id =>
+      val n = 2 + rnd.nextInt(63)
+      id -> (1 to n).map(_ => alph(rnd.nextInt(alph.length))).mkString
+    }
+    val dir = docsDir(rows)
+    val got = SuffixArray.longestRepeat(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = rows.flatMap { case (id, text) =>
+      val s = text.toLowerCase.replaceAll("[^a-z0-9 ]", "").take(64)
+      if (s.length < 2) None
+      else {
+        val sufs = (1 to s.length).map(p => s.substring(p - 1)).sorted
+        val lcps = sufs.sliding(2).map { case Seq(a, b) =>
+          a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+        }.toSeq
+        Some(id -> (lcps.max, lcps.count(_ >= 8L).toLong))
+      }
+    }.toMap
     assert(got == want)
   }
 
