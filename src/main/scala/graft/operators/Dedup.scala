@@ -524,8 +524,13 @@ object Dedup {
       val histMatched = verifyJaccardSides(histCands, bsh, hsh, 0.8)
         .select(col("doc_a").as("doc_id")).distinct()
       val batchPairs = verifyJaccard(lshCandidates(bsh), bsh, 0.8)
+      // the components core consumes its input twice (edge build +
+      // node set): materialize the verified pair frame once instead of
+      // running the LSH-verify join both times (r17; the erClusters
+      // adjudication applied here)
       val nonCanonical = Graph.connectedComponents(
-          batchPairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+          batchPairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+            .localCheckpoint())
         .where(col("id") =!= col("label"))
         .select(col("id").as("doc_id"))
       batch.select(col("doc_id"))

@@ -64,8 +64,8 @@ object FuzzyMatch {
   private val delPos =
     s"CAST(doc_id % least(16, length(name)) AS INT)"
 
-  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
-    named(spark, dir).selectExpr("doc_id AS q_doc_id",
+  private def queriesOf(named0: DataFrame): DataFrame =
+    named0.selectExpr("doc_id AS q_doc_id",
       s"concat(substring(name, 1, $delPos), " +
         s"substring(name, $delPos + 2, $NameLen)) AS q_name")
 
@@ -87,8 +87,12 @@ object FuzzyMatch {
     * — equivalent to capping each block CTE separately, which is how
     * the oracle spells it.
     */
-  private def confirmed(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = withBlockKeys(named(spark, dir), "name")
+  /** `named0` must be MATERIALIZED by the caller (localCheckpoint):
+    * it feeds both the corpus blocks and the derived query set — uncut,
+    * each op ran the normalize-regex corpus scan 2–3 times (r17).
+    */
+  private def confirmed(named0: DataFrame): DataFrame = {
+    val corpus = withBlockKeys(named0, "name")
       .withColumn("_rn", row_number().over(
         Window.partitionBy("bt", "bk").orderBy(col("name"), col("doc_id"))))
       .where(col("_rn") <= BlockCap).drop("_rn")
@@ -99,7 +103,7 @@ object FuzzyMatch {
     // the THRESHOLDED levenshtein runs the banded O(len × dist) DP and
     // returns -1 over the threshold — same confirmed set and values as
     // the oracle's plain levenshtein ≤ MaxDist, ~5× less DP work
-    withBlockKeys(queriesDf(spark, dir), "q_name")
+    withBlockKeys(queriesOf(named0), "q_name")
       .join(corpus, Seq("bt", "bk"))
       .withColumn("lev_dist",
         levenshtein(col("q_name"), col("name"), MaxDist).cast("long"))
@@ -120,11 +124,12 @@ object FuzzyMatch {
     * widens the cap or lengthens the block key).
     */
   def matchDeletions(spark: SparkSession, dir: String): DataFrame = {
-    val saturated = withBlockKeys(named(spark, dir), "name")
+    val n = named(spark, dir).localCheckpoint()
+    val saturated = withBlockKeys(n, "name")
       .groupBy("bt", "bk").count()
       .where(col("count") > BlockCap)
       .agg(count(lit(1)).as("capped_blocks"))
-    confirmed(spark, dir).crossJoin(saturated) // 1-row audit frame
+    confirmed(n).crossJoin(saturated) // 1-row audit frame
   }
 
   private val candSql: String =
@@ -178,7 +183,7 @@ object FuzzyMatch {
     * the block contract.
     */
   def matchBest(spark: SparkSession, dir: String): DataFrame =
-    confirmed(spark, dir)
+    confirmed(named(spark, dir).localCheckpoint())
       .withColumn("_rn", row_number().over(
         Window.partitionBy("q_doc_id")
           .orderBy(col("lev_dist"), col("match_doc_id"))))
@@ -210,8 +215,9 @@ object FuzzyMatch {
     // (edge checkpoint + node cache) — materializing the confirmed
     // pair frame once keeps the blocked join from running both times
     Graph.connectedComponents(
-        confirmed(spark, dir).select(col("q_doc_id").as("u"),
-          col("match_doc_id").as("v")).localCheckpoint())
+        confirmed(named(spark, dir).localCheckpoint())
+          .select(col("q_doc_id").as("u"),
+            col("match_doc_id").as("v")).localCheckpoint())
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_docs"))
 

@@ -75,6 +75,13 @@ object Graph {
     * per alternation; superseded caches are released each round.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    // NOTE the input subtree is consumed TWICE (edge build + node set):
+    // callers whose pair frame is expensive to derive materialize it
+    // first (components/spatial/incremental localCheckpoint theirs; the
+    // fuzzy ER caller documents the same). r17 probed doing it HERE
+    // unconditionally: callers with cheap or already-materialized
+    // inputs regressed (+0.75 s dedup_clusters, +1.27 s fuzzy_er — a
+    // second cache layer buys nothing), so the cut stays caller-side.
     val input = pairs.select(col("u"), col("v"))
     // canonical node set (for singletons via self-pairs, and the final
     // left join that labels every endpoint)
@@ -237,14 +244,20 @@ object Graph {
 
   def pagerankInt(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
     // out-degree is static across iterations: attach it to the edge
     // frame ONCE and cache that, so each unrolled iteration pays only
     // the rank join + the dst reduction (the degree join would otherwise
     // repeat `iters` times)
     val eOut = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
       "src").cache()
+    // Per-iteration crossJoin(broadcast(n)) retained: r17 probed
+    // attaching n to the cached node frame once (fewer broadcast
+    // builds on paper) and measured pagerank/ppr +35–70% twice — the
+    // slim (node)-only cache feeding each iteration's rank join beats
+    // saving the trivial 1-row broadcasts.
+    val nodes = nodes0.cache()
     val n = nodes.agg(count(lit(1)).as("n"))
     def withParams(df: DataFrame): DataFrame = df.crossJoin(broadcast(n))
     var ranks = withParams(nodes)
@@ -332,6 +345,10 @@ object Graph {
     */
   def stronglyConnectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
+    // input consumed twice (node set + edge build): materialization is
+    // the CALLER's call, exactly as in [[connectedComponents]] —
+    // bowtieClasses already passes a checkpointed frame, and the r17
+    // probe showed an unconditional cut here re-materializes it
     val input = pairs.select(col("u"), col("v"))
     val allNodes = input.select(col("u").as("id"))
       .union(input.select(col("v").as("id"))).distinct()
@@ -680,6 +697,9 @@ object Graph {
       .select(suppNode(col("l.l_suppkey")).as("u"),
         custNode(col("o.o_custkey")).as("v"))
       .distinct()
+      // the components core consumes its input twice (edge build +
+      // node set): materialize the scan-join once (r17, −0.35 s sf0.1)
+      .localCheckpoint()
     connectedComponents(e)
       .select(
         when(col("id") % 2 === 1, lit("supplier")).otherwise(lit("customer"))
@@ -754,6 +774,8 @@ object Graph {
         Seq("v"), "left_outer")
       .select(coalesce(col("lu"), col("u")).as("u"),
         coalesce(col("lv"), col("v")).as("v"))
+      // batch-sized; the core consumes it twice — materialize (r17)
+      .localCheckpoint()
     val merged = connectedComponents(contracted)
     val relabel = merged
       .select(col("id").as("label"), col("label").as("new_label"))
@@ -851,14 +873,15 @@ object Graph {
   private[graft] def pprInt(edges: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(seeds.select(col("node"), lit(true).as("sd")).distinct(),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("sd"), lit(false)).as("is_seed"))
-      .cache()
     val eOut = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
       "src").cache()
+    // per-iteration broadcast retained — the pagerankInt adjudication (r17)
+    val nodes = nodes0.cache()
     val ns = nodes.where(col("is_seed")).agg(count(lit(1)).as("ns"))
     def withNs(df: DataFrame): DataFrame = df.crossJoin(broadcast(ns))
     var ranks = withNs(nodes)
@@ -1010,6 +1033,14 @@ object Graph {
     var prev = edges.count()
     var rounds = 0
     var converged = prev == 0
+    // One peel per materialized round. r17 probed chaining three peels
+    // per round to amortize the ~0.18 s/round fixed latency (20 rounds
+    // at sf0.1): 3.5 → 44 s — each peel consumes its input three times
+    // (sym twice + the join base), so an unmaterialized 3-chain
+    // re-evaluates the inner peels 3^depth times. The components loop
+    // documented the same failure for its two-star chain; the peel
+    // depth IS the graph's pendant-chain depth and each round is one
+    // linear job — left as the round structure.
     while (!converged && rounds < MaxRounds) {
       val keep = sym(edges).groupBy(col("u")).agg(count(lit(1)).as("d"))
         .where(col("d") >= k)
@@ -1140,7 +1171,11 @@ object Graph {
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("d"))
         .localCheckpoint(eager = false).persist()
-      if (next.isEmpty) { next.unpersist(); done = true }
+      // count(), not isEmpty(): the emptiness probe only computed a
+      // partition prefix, so the merged count re-ran the frontier join
+      // for the rest — one full-materializing job per wave instead of
+      // two partial ones (r17), and the union below then reads caches
+      if (next.count() == 0) { next.unpersist(); done = true }
       else {
         val merged = dist.union(next)
           .localCheckpoint(eager = false).persist()
@@ -1168,6 +1203,9 @@ object Graph {
       .select(suppNode(col("l.l_suppkey")).as("u"),
         custNode(col("o.o_custkey")).as("v"))
       .distinct()
+      // two consumers (source-pick aggregate + the BFS edge cache):
+      // one materialization instead of two lineitem⋈orders runs (r17)
+      .localCheckpoint()
     val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
     // null min = empty edge set: no source exists, return the empty
     // frame instead of NPE-ing (EdgeCaseSpec)

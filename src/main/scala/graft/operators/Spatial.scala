@@ -168,6 +168,9 @@ object Spatial {
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = neighbors(spark, dir)
       .select(col("site_a").as("u"), col("site_b").as("v"))
+      // the components core consumes its input twice (edge build +
+      // node set): materialize the blocking join once (r17)
+      .localCheckpoint()
     Graph.connectedComponents(pairs)
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_sites"))
