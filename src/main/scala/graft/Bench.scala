@@ -13,6 +13,14 @@ object Bench {
     // a real cluster run overrides via SPARK_GRAFT_SHUFFLE_PARTITIONS.
     val shufflePartitions = sys.env.getOrElse(
       "SPARK_GRAFT_SHUFFLE_PARTITIONS", math.min(cpus.toInt, 8).toString)
+    // Scan split size stays at Spark's defaults: r17 probed shrinking
+    // spark.sql.files.maxPartitionBytes to 4m so the fixture's small
+    // parquet files would scan as multiple tasks (the production split
+    // shape); an interleaved A/B (4m↔128m ×2 on agg + per-row-heavy
+    // sets) measured a wash — the fixture files' row-group layout, not
+    // the split size, pins scan parallelism, and the first probe's
+    // apparent 20% win was a co-tenant load artifact. Cluster runs
+    // should still size splits per guide §6 (512m–1g for large scans).
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // same session wiring a production deployment gets: cosine_sim SQL

@@ -1437,10 +1437,12 @@ object Graph {
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def normalize(raw: DataFrame, out: String): DataFrame = {
       // raw: (node, raw) for nodes with any incident mass; others → 0.
-      // raw feeds both the broadcast max and the outer join; it is NOT
-      // persisted — the r17 probe measured the cache machinery costing
-      // more than the duplicated one-join aggregation over the cached
-      // edge/rank frames (+0.9 s on graph_domain_hits at sf0.1).
+      // raw feeds both the broadcast max and the outer join and is
+      // deliberately NOT materialized: r17 probed persist() (+0.9 s on
+      // graph_domain_hits — InMemoryRelation conversion) AND a lazy
+      // localCheckpoint (+0.5 s on both hits queries) — the duplicated
+      // one-join aggregation over already-cached edge/rank frames is
+      // cheaper than every cut tried.
       val mx = raw.agg(max(col("raw")).as("mx"))
       val nm = nodes
         .join(raw, Seq("node"), "left_outer")
