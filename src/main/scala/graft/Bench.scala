@@ -130,8 +130,15 @@ object Bench {
     val loadJson =
       s""","load_avg_before":${r3(loadBefore)},"load_avg_after":${r3(loadAfter)}""" +
         s""","load_gate":"$loadGate","load_gate_waited_sec":$gateWaited"""
+    // Core-count provenance (VERDICT r17 #1): the driver runs the suite at
+    // BOTH 32 and 8 cores and the records were indistinguishable — a c8
+    // sidecar clobbering the c32 one read as a phantom ~15% regression.
+    // The emitted line now carries "cpus", and the durable sidecars are
+    // additionally written under core-count-suffixed names so neither run
+    // can masquerade as the other (the unsuffixed names stay for existing
+    // readers — last-write-wins there, but now self-describing via "cpus").
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spreads$errJson$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spreads$errJson$loadJson,"cpus":$cpus,"sf":"$sfDir"}"""
     // Provenance guard (VERDICT r6 #7): the driver's stdout capture keeps
     // a bounded FRONT-TRUNCATED tail of this output, and in r6 the tail
     // cut landed so that the visible unlabeled map was `spread`, reading
@@ -146,9 +153,14 @@ object Bench {
     // a SPARK_GRAFT_ONLY probe must not clobber the durable record with
     // a subset (bitten once already).
     if (only.isEmpty)
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
-        (line + "\n").getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
+          (line + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"BENCH_FULL_LATEST_c$cpus.json"),
+          (line + "\n").getBytes("UTF-8"))
+      }
       catch { case _: Throwable => } // bench output must not fail on an RO cwd
     // Canonical single-line record as the LAST stdout line (VERDICT r8
     // #5: the driver's `parsed` field came back null when the final line
@@ -156,17 +168,27 @@ object Bench {
     // survives the bounded front-truncating capture whole; the spread
     // lives in the full line above and in BENCH_FULL_LATEST.json.
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$errJson$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$errJson$loadJson,"cpus":$cpus,"sf":"$sfDir"}"""
     println(compact)
+    // Also emit to stderr: sbt appends its "[success] …" epilogue to stdout
+    // AFTER our last line, which has defeated the driver's strict last-line
+    // parse since r13 (VERDICT r17 #2). stderr carries no sbt epilogue, so
+    // a parser reading either stream finds the compact record last.
+    System.err.println(compact)
     // Sidecar copy of the canonical compact record (VERDICT r10 #2 /
     // ADVICE r10: driver `parsed` null for three rounds because sbt
     // appends its "[success] …" epilogue AFTER our last stdout line, so
     // a strict last-line parse fails). The sidecar is epilogue-immune;
     // full-suite only, like BENCH_FULL_LATEST.json.
     if (only.isEmpty)
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_LAST.json"),
-        (compact + "\n").getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_LAST.json"),
+          (compact + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"BENCH_LAST_c$cpus.json"),
+          (compact + "\n").getBytes("UTF-8"))
+      }
       catch { case _: Throwable => }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)

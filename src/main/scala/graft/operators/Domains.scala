@@ -203,7 +203,7 @@ object Domains {
     "?gclid=abc123",               // tracking-only query
     "")                            // already canonical
 
-  private def rawUrlCol: Column = {
+  private[graft] def rawUrlCol: Column = {
     val suffix = element_at(array(UrlVariants.map(lit): _*),
       (col("doc_id") % UrlVariants.size + 1).cast("int"))
     val base = when(col("doc_id") % UrlVariants.size === 0,
@@ -492,12 +492,22 @@ object Domains {
     * right group for free. Group machinery is per-domain windows over
     * the ≤10-line rule frame — KBs at any corpus size.
     */
-  def robotsRules(spark: SparkSession, dir: String): DataFrame = {
+  def robotsRules(spark: SparkSession, dir: String): DataFrame =
+    robotsRulesFrom(
+      withDomain(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), fixtureUrlCol.as("url")))
+        .select(col("registered_domain")).distinct())
+
+  /** [[robotsRules]] over a caller-supplied domain spine — lets a
+    * composition that ALREADY materialized the corpus's
+    * (doc_id, registered_domain) frame derive the spine from it instead
+    * of re-scanning documents (r18: `crawl_pipeline_report` and
+    * `crawl_frontier_rank` each paid 1–2 extra corpus scans just to
+    * rebuild this |domains|-sized input).
+    */
+  private[graft] def robotsRulesFrom(domains: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val domains = withDomain(
-      Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("source"), fixtureUrlCol.as("url")))
-      .select(col("registered_domain")).distinct()
     val dirRe = "^(User-agent|Allow|Disallow|Crawl-delay): ?(.*)$"
     val lines = domains
       .select(col("registered_domain"),
@@ -610,7 +620,12 @@ object Domains {
     * streaming frontier twin.
     */
   private[graft] def ruleArrays(spark: SparkSession, dir: String): DataFrame =
-    robotsRules(spark, dir)
+    ruleArraysFrom(robotsRules(spark, dir))
+
+  /** [[ruleArrays]] over a caller-supplied parsed-rule frame (the
+    * `robotsRulesFrom` seam's consumer side). */
+  private[graft] def ruleArraysFrom(rules: DataFrame): DataFrame =
+    rules
       .where(col("directive").isin("Allow", "Disallow") &&
         length(col("path_prefix")) > 0)
       .groupBy(col("registered_domain").as("r_domain"))
@@ -623,7 +638,11 @@ object Domains {
     * shared by the fetch planner and the frontier scorers.
     */
   private[graft] def crawlDelays(spark: SparkSession, dir: String): DataFrame =
-    robotsRules(spark, dir)
+    crawlDelaysFrom(robotsRules(spark, dir))
+
+  /** [[crawlDelays]] over a caller-supplied parsed-rule frame. */
+  private[graft] def crawlDelaysFrom(rules: DataFrame): DataFrame =
+    rules
       .where(col("directive") === "Crawl-delay")
       .groupBy(col("registered_domain").as("d_domain"))
       .agg(max(col("path_prefix").cast("long")).as("crawl_delay"))

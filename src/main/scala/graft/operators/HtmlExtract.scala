@@ -749,11 +749,25 @@ object HtmlExtract {
       .select(col("doc_id"), col("registered_domain"), col("depth"),
         col("score_micros"))
 
-  def frontierRank(spark: SparkSession, dir: String): DataFrame =
+  def frontierRank(spark: SparkSession, dir: String): DataFrame = {
+    // One corpus pass (r18): urlAllowed re-scanned documents for the
+    // robots domain spine, and crawlDelays scanned a third time for the
+    // same spine. The page frame is materialized once (slim metadata);
+    // spine + rules + delays all derive from it.
+    val pages = Domains.withDomain(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), Domains.fixtureUrlCol.as("url")))
+      .select(col("doc_id"), col("registered_domain"),
+        regexp_replace(col("url"), "^[a-z]+://[^/]+", "").as("path"))
+      .localCheckpoint()
+    val rules = Domains.robotsRulesFrom(
+      pages.select(col("registered_domain")).distinct()).localCheckpoint()
     frontierRankFrom(spark, dir,
-      Domains.urlAllowed(spark, dir)
+      Domains.admissionCols(pages, Domains.ruleArraysFrom(rules))
         .where(col("allowed"))
-        .select(col("doc_id"), col("registered_domain"), col("path")))
+        .select(col("doc_id"), col("registered_domain"), col("path")),
+      Domains.crawlDelaysFrom(rules))
+  }
 
   /** [[frontierRank]] over a caller-supplied admitted frame — lets a
     * composition that ALREADY materialized the robots admission
@@ -762,10 +776,18 @@ object HtmlExtract {
     * robots pass twice).
     */
   private[graft] def frontierRankFrom(spark: SparkSession, dir: String,
-      admitted: DataFrame): DataFrame = {
+      admitted: DataFrame): DataFrame =
+    frontierRankFrom(spark, dir, admitted, Domains.crawlDelays(spark, dir))
+
+  /** [[frontierRankFrom]] with a caller-supplied crawl-delay frame too —
+    * a composition that already parsed the robots rules (the report
+    * shares ONE rule frame between admission and delays) feeds its
+    * delays here instead of re-deriving them from a fresh corpus scan.
+    */
+  private[graft] def frontierRankFrom(spark: SparkSession, dir: String,
+      admitted: DataFrame, delays: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    frontierScore(admitted, servedDomainRank(spark, dir),
-      Domains.crawlDelays(spark, dir))
+    frontierScore(admitted, servedDomainRank(spark, dir), delays)
       .withColumn("fetch_order", row_number().over(
         Window.partitionBy(col("registered_domain"))
           .orderBy(col("score_micros").desc, col("doc_id").asc)).cast("int"))
@@ -1038,11 +1060,22 @@ object HtmlExtract {
 
   def crawlPipelineReport(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d0 = Domains.withDomain(
+    // ONE corpus pass synthesizes BOTH url columns (r18; r17 left three
+    // passes — d0's fixture url, urlCanonical's raw url, urlAllowed's
+    // fixture url + path — scanning documents separately because the
+    // synthesized columns differ). The materialized frame is slim
+    // metadata (ids, domain, path, raw url — never text), the guide §8
+    // "decide with small rows" proxy; every URL-synthesis stage below,
+    // plus the robots domain spine, derives from it.
+    val docs = Domains.withDomain(
         Tables(spark, dir, "documents")
           .select(col("doc_id"), col("source"),
-            Domains.fixtureUrlCol.as("url")))
-      .select(col("doc_id"), col("registered_domain"))
+            Domains.fixtureUrlCol.as("url"), Domains.rawUrlCol.as("url_raw")))
+      .select(col("doc_id"), col("registered_domain"),
+        regexp_replace(col("url"), "^[a-z]+://[^/]+", "").as("path"),
+        col("url_raw"))
+      .localCheckpoint()
+    val d0 = docs.select(col("doc_id"), col("registered_domain"))
     val warc = docsFromWarc(spark, dir)
       .select(col("doc_id"), col("http_status"), col("n_words"),
         col("text_md5")).localCheckpoint()
@@ -1050,17 +1083,25 @@ object HtmlExtract {
       .select("doc_id")
     val s2 = warc.groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val s3 = Domains.urlCanonical(spark, dir)
+    val s3 = Domains.urlCanonicalCols(docs.select(col("doc_id"), col("url_raw")))
       .groupBy(col("url_canonical"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    // one robots pass for stage 4 AND the frontier (r17: the report
-    // derived urlAllowed twice — once as the s4 gate, once inside
-    // frontierRank); the admitted frame is materialized and fed to both
-    val admitted = Domains.urlAllowed(spark, dir).where(col("allowed"))
+    // one robots-rule parse for stage 4's admission AND the frontier's
+    // crawl-delays (r17 shared the admitted frame but re-derived the
+    // rule frame — with its own corpus scan for the domain spine — in
+    // both ruleArrays and crawlDelays); the spine now reduces the
+    // checkpointed docs frame and the KB-sized rule frame feeds both.
+    val rules = Domains.robotsRulesFrom(
+      docs.select(col("registered_domain")).distinct()).localCheckpoint()
+    val admitted = Domains.admissionCols(
+        docs.select(col("doc_id"), col("registered_domain"), col("path")),
+        Domains.ruleArraysFrom(rules))
+      .where(col("allowed"))
       .select(col("doc_id"), col("registered_domain"), col("path"))
       .localCheckpoint()
     val s4 = admitted.select("doc_id")
-    val fr = frontierRankFrom(spark, dir, admitted)
+    val fr = frontierRankFrom(spark, dir, admitted,
+        Domains.crawlDelaysFrom(rules))
       .select(col("doc_id"), col("fetch_order")).localCheckpoint()
     val s5 = fr.select("doc_id")
     val s6 = fr.where(col("fetch_order") <= FirstWaveFetches)
