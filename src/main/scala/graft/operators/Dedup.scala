@@ -1345,15 +1345,9 @@ object Dedup {
     * same 8-word boilerplate threshold.)
     */
 
-  /** Exploded word stream shared by the span family: (doc_id, 1-based
-    * pos, w). One corpus scan, no shuffle.
-    */
-  private def spanWords(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables(spark, dir, "documents")
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "w")))
-      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"w")
-  }
+  /** The (doc_id, text) projection the span family grams over. */
+  private def spanDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
 
   /** Confirmed duplicated-gram hits grouped into islands: (doc_id, pos,
     * min_doc, grp) where min_doc is the gram's global minimum owner and
@@ -1361,20 +1355,26 @@ object Dedup {
     * The hash-prefilter/string-confirm staging is described on
     * `crossSpans`.
     */
-  /** (doc_id, pos, gram, gh) for every full SpanGram-word gram — the
-    * shared front of the whole span family.
+  /** (doc_id, 1-based pos, gram, gh) for every full SpanGram-word gram —
+    * the shared front of the whole span family. Built PER ROW from the
+    * document's own word array (gram at pos = slice(ws, pos, n), the
+    * `repeatedNgrams` pattern) — r18: the previous per-doc lead() window
+    * shuffled the exploded word stream by doc_id (a corpus-sized
+    * exchange, re-executed once per consumer of this frame) before any
+    * reduction; the slice form is a scan-parallel projection whose first
+    * exchange is already the 16-byte hash reduce.
     */
-  private def gramsFrame(words: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c}
+  private def gramsFromDocs(docs: DataFrame): DataFrame = {
     val n = SpanGram
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val gram = concat_ws(" ",
-      c("w") +: (1 until n).map(i => lead("w", i).over(byPos)): _*)
-    words
-      .select(c("doc_id"), c("pos"), gram.as("gram"),
-        lead("w", n - 1).over(byPos).as("last_w"))
-      .where(c("last_w").isNotNull)
-      .select(c("doc_id"), c("pos"), c("gram"), xxhash64(c("gram")).as("gh"))
+    val ws = split(col("text"), " ")
+    val grams = when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          p => array_join(slice(ws, p, n), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("gram"), xxhash64(col("gram")).as("gh"))
   }
 
   /** Serialized bloom over a history corpus's gram STRINGS — the
@@ -1386,20 +1386,17 @@ object Dedup {
     */
   def spanGramBloom(spark: SparkSession, history: DataFrame,
       fpp: Double = 0.001): Array[Byte] = {
-    import spark.implicits._
-    val words = history
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "w")))
-      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"w")
-    val grams = gramsFrame(words).select("gram")
+    val grams = gramsFromDocs(history.select(col("doc_id"), col("text")))
+      .select("gram")
     val expected = math.max(grams.count(), 1000L)
     RuntimeFilter.buildBloom(grams, "gram", expected, fpp)
   }
 
-  private def spanIslands(words: DataFrame): DataFrame = {
+  private def spanIslands(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
     val n = SpanGram
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = gramsFrame(words)
+    val grams = gramsFromDocs(docs)
     val dupHashes = grams.groupBy("gh")
       .agg(countDistinct("doc_id").as("nd")).where(c("nd") >= 2).select("gh")
     // No broadcast hint: the dup set scales with corpus duplication, so
@@ -1428,7 +1425,7 @@ object Dedup {
 
   def crossSpans(spark: SparkSession, dir: String): DataFrame = {
     val n = SpanGram
-    spanIslands(spanWords(spark, dir)).groupBy("doc_id", "grp")
+    spanIslands(spanDocs(spark, dir)).groupBy("doc_id", "grp")
       .agg(min("pos").as("span_start"),
         (max("pos") + (n - 1)).as("span_end"),
         (max("pos") + n - min("pos")).as("span_words"),
